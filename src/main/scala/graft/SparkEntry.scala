@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one implemented operator from SURVEY §2
+  * (or a north-star LLM-pipeline operator); [[oracleSql]] carries the
+  * DuckDB-equivalent SQL for every hash-checkable query. Queries without
+  * an oracle entry (murmur3-based LSH variants, geometry ops not
+  * expressible in stock DuckDB) get the driver's rows-only check.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    RelationalQueries.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++
+      TextQueries.queries ++
+      AnnQueries.queries ++
+      GeoQueries.queries
+
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++
+      TextQueries.oracles ++
+      AnnQueries.oracles ++
+      GeoQueries.oracles
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (north-star extension).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+  * score every corpus row, per-query top-k via window rank. One broadcast,
+  * one shuffle (the rank partition on query id). Scale path: sign-LSH
+  * bucketing ([[lshBucket]]) so candidate generation is an equi-join on a
+  * 4-byte bucket key instead of a full cross product — same
+  * bucket-explode join skeleton as the spatial join (SURVEY §2.3 J3).
+  */
+object Ann {
+
+  /** Sequential (left-to-right) double-precision dot product of two
+    * float-array columns — bit-deterministic across engines. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for every query row, the k nearest corpus
+    * rows (excluding self). Deterministic tie-break on corpus id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+  }
+
+  /** Sign-LSH bucket id: `planes` random-hyperplane sign bits packed into
+    * an int. Hyperplane components are ±1 derived from murmur3 of
+    * (plane, dim) — deterministic everywhere, no stored model. */
+  def lshBucket(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, transform(sequence(lit(0), size(vec) - 1),
+          d => when(hash(lit(p), d).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
+          (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1), p)).otherwise(0)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: candidates share a bucket (optionally probing all
+    * single-bit-flip neighbor buckets), then exact cosine + top-k within
+    * candidates. Recall < 1 by construction; the 100 TB path. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int = 8, multiProbe: Boolean = true): DataFrame = {
+    val probes: Column = {
+      val base = lshBucket(col("qvec"), planes)
+      if (multiProbe)
+        array_union(array(base), transform(sequence(lit(0), lit(planes - 1)),
+          p => base.bitwiseXOR(pow(lit(2.0), p).cast("int"))))
+      else array(base)
+    }
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("bucket", explode(probes)))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cos_sim"))
+      .groupBy("query_id", "neighbor_id").agg(first("cos_sim").as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (north-star extension,
+  * SURVEY §7 step 9): token counting, quality scoring, language ID,
+  * document fingerprinting. All are pure codegen'd column expressions —
+  * no UDFs — so they run inside WholeStageCodegen and scale linearly with
+  * input splits (no shuffle except the caller's aggregations).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword proxy: count of letter-runs, digit-runs and
+    * single punctuation marks (a cheap deterministic stand-in for a real
+    * tokenizer's piece count). */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])"))
+
+  /** Character-class counts used by quality heuristics. */
+  def alphaCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[A-Za-z]", ""))
+  def digitCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[0-9]", ""))
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.!?,;:'\"()-]", ""))
+  def spaceCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[ ]", ""))
+
+  /** Stopword hit count over a fixed english list (quality heuristic). */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+  def stopwordCount(text: Column): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    size(filter(toks, t => t.isInCollection(stopwords)))
+  }
+
+  /** Normalized fingerprint: lowercase, strip all non-alphanumerics, md5.
+    * Near-identical docs (same words, different spacing/punct/case) get
+    * equal fingerprints — the exact-dedup key for "normalized" dedup. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+
+  /** Language ID via stopword-profile scoring: the language whose marker
+    * words hit the document most wins (deterministic n-gram-free
+    * heuristic; ties break on language-code order). Marker lists are tiny
+    * and inlined as literals → fully codegen'd, broadcast-free. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "to", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "que", "de"),
+    "fr" -> Seq("le", "la", "les", "est", "et", "que", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    size(filter(toks, t => t.isInCollection(langMarkers(lang))))
+  }
+
+  /** Best-scoring language, "und" when nothing matches. */
+  def languageId(text: Column): Column = {
+    val scored = langMarkers.keys.toSeq.sorted.map { l =>
+      struct(langScore(text, l).as("score"), lit(l).as("lang"))
+    }
+    // array_max on struct compares fields in order: score, then lang —
+    // ties resolve to the lexicographically-largest language code.
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+  }
+}

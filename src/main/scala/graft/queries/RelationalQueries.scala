@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.util.Exact
+
+/** Relational operator coverage (SURVEY §2.2-§2.6): scans, projections,
+  * filters, multi-key equi-joins (J1/J2), semi/anti joins, hash
+  * aggregation (A1-A5), tumbling time-window aggregation (W1-W3),
+  * analytic window functions, sorts and top-k.
+  *
+  * Every query aliases its columns identically to its DuckDB oracle and
+  * uses order-independent exact aggregation (see [[graft.util.Exact]]) so
+  * results hash-match bit-for-bit.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A1/W-free pricing summary — TPC-H Q1 shape (ref: the per-cell
+    * mean-of-daily-stats aggregate, wrf_voronoi.py:156-173, re-expressed
+    * relationally on the driver testdata). */
+  val q1PricingSummary: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        Exact.fixedSum(col("l_extendedprice"), 2).as("sum_base_price"),
+        (sum((round(col("l_extendedprice") * 100).cast("long")) *
+          (lit(100) - round(col("l_discount") * 100).cast("long"))) / lit(10000.0))
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  sum(cast(round(l_extendedprice*100) as bigint)) / 100.0 AS sum_base_price,
+      |  sum(cast(round(l_extendedprice*100) as bigint) * (100 - cast(round(l_discount*100) as bigint))) / 10000.0 AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** J1 three-table equi-join + agg + top-k — TPC-H Q3 shape (ref: the
+    * chained index joins at wrf_voronoi.py:175-180). */
+  val q3TopRevenue: Q = (spark, dir) => {
+    val cust = Tables(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100) - round(col("l_discount") * 100).cast("long"))) / lit(10000.0))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |  sum(cast(round(l_extendedprice*100) as bigint) * (100 - cast(round(l_discount*100) as bigint))) / 10000.0 AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** J1 six-table star join — TPC-H Q5 shape: revenue by nation where the
+    * supplier and customer share a nation. The dimension chain
+    * (region⋈nation⋈...) is broadcast by Catalyst/AQE. */
+  val q5NationRevenue: Q = (spark, dir) => {
+    val region = Tables(spark, dir, "region")
+    val nation = Tables(spark, dir, "nation")
+    val cust = Tables(spark, dir, "customer")
+    val ord = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    val supp = Tables(spark, dir, "supplier")
+    region.join(nation, col("r_regionkey") === col("n_regionkey"))
+      .join(cust, col("n_nationkey") === col("c_nationkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy("r_name", "n_name")
+      .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100) - round(col("l_discount") * 100).cast("long"))) / lit(10000.0))
+        .as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q5Sql: String =
+    """SELECT r_name, n_name,
+      |  sum(cast(round(l_extendedprice*100) as bigint) * (100 - cast(round(l_discount*100) as bigint))) / 10000.0 AS revenue
+      |FROM region, nation, customer, orders, lineitem, supplier
+      |WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |  AND l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Semi + anti joins: per-segment counts of customers with and without
+    * orders (EXISTS / NOT EXISTS). */
+  val qSemiAnti: Q = (spark, dir) => {
+    val cust = Tables(spark, dir, "customer")
+    val ord = Tables(spark, dir, "orders").select("o_custkey")
+    val withO = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+    val without = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+    withO.join(without, Seq("c_mktsegment"), "full_outer")
+      .na.fill(0, Seq("n_with_orders", "n_without_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  val qSemiAntiSql: String =
+    """WITH w AS (
+      |  SELECT c_mktsegment, count(*) AS n_with_orders FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY 1),
+      |wo AS (
+      |  SELECT c_mktsegment, count(*) AS n_without_orders FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY 1)
+      |SELECT c_mktsegment, coalesce(n_with_orders, 0) AS n_with_orders,
+      |       coalesce(n_without_orders, 0) AS n_without_orders
+      |FROM w FULL OUTER JOIN wo USING (c_mktsegment) ORDER BY 1""".stripMargin
+
+  /** Analytic window: top-3 orders per customer by totalprice
+    * (row_number over partition — not in the reference, engine breadth). */
+  val qWindowTopPerCustomer: Q = (spark, dir) => {
+    val ord = Tables(spark, dir, "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  val qWindowTopPerCustomerSql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** Analytic window: lag — inter-shipment gap per supplier in seconds. */
+  val qWindowLag: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    li.withColumn("prev_ship", lag(col("l_shipdate"), 1).over(w))
+      .withColumn("gap_s",
+        unix_timestamp(col("l_shipdate")) - unix_timestamp(col("prev_ship")))
+      .groupBy("l_suppkey")
+      .agg(count(col("gap_s")).as("n_gaps"), sum("gap_s").as("total_gap_s"))
+      .orderBy("l_suppkey")
+  }
+
+  val qWindowLagSql: String =
+    """SELECT l_suppkey, count(gap_s) AS n_gaps, cast(sum(gap_s) as bigint) AS total_gap_s FROM (
+      |  SELECT l_suppkey,
+      |    cast(epoch(l_shipdate) as bigint) - cast(epoch(lag(l_shipdate, 1) OVER (
+      |      PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)) as bigint) AS gap_s
+      |  FROM lineitem) GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** W1-W3: tumbling 1-day window min/max/mean — the reference's
+    * `resample(XTIME="1D")` (wrf_voronoi.py:156-173) on the events table,
+    * keyed by event_type instead of grid cell. */
+  val qEventsDaily: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+    ev.groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        Exact.fixedAvg(col("value"), 2).as("avg_value"))
+      .select(col("w.start").cast("date").as("day"), col("event_type"),
+        col("n"), col("min_value"), col("max_value"), col("avg_value"))
+      .orderBy("day", "event_type")
+  }
+
+  val qEventsDailySql: String =
+    """SELECT cast(date_trunc('day', ts) as date) AS day, event_type,
+      |  count(*) AS n, min(value) AS min_value, max(value) AS max_value,
+      |  sum(cast(round(value*100) as bigint)) / (count(*) * 100.0) AS avg_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Distinct aggregation: exact distinct users per event type. */
+  val qEventsDistinct: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+    ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  val qEventsDistinctSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Sort + limit top-k with deterministic tie-break. */
+  val qTopParts: Q = (spark, dir) => {
+    Tables(spark, dir, "part")
+      .select("p_partkey", "p_name", "p_retailprice")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      .limit(10)
+  }
+
+  val qTopPartsSql: String =
+    """SELECT p_partkey, p_name, p_retailprice FROM part
+      |ORDER BY p_retailprice DESC, p_partkey LIMIT 10""".stripMargin
+
+  /** Filter + projection pushdown (P1-P6 family): selective scan. */
+  val qFilterScan: Q = (spark, dir) => {
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_quantity") < 25)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val qFilterScanSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount >= 0.05 AND l_quantity < 25
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** A3/A4 global scalar aggregate + weighted mean (two-phase):
+    * `sum(w*x)/sum(w)` — the reference's population-weighted temperature
+    * (delphine/regrid.py:334), with quantity as weight, price as value. */
+  val qWeightedMean: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    li.agg(
+      (sum(round(col("l_extendedprice") * 100).cast("long") *
+        col("l_quantity").cast("long")) /
+        (sum(col("l_quantity").cast("long")) * lit(100.0)))
+        .as("weighted_avg_price"),
+      count(lit(1)).as("n"))
+  }
+
+  val qWeightedMeanSql: String =
+    """SELECT sum(cast(round(l_extendedprice*100) as bigint) * cast(l_quantity as bigint))
+      |  / (sum(cast(l_quantity as bigint)) * 100.0) AS weighted_avg_price,
+      |  count(*) AS n FROM lineitem""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q3_top_revenue" -> q3TopRevenue,
+    "q5_nation_revenue" -> q5NationRevenue,
+    "j_semi_anti" -> qSemiAnti,
+    "w_top_per_customer" -> qWindowTopPerCustomer,
+    "w_lag_gaps" -> qWindowLag,
+    "w1_events_daily" -> qEventsDaily,
+    "a_events_distinct" -> qEventsDistinct,
+    "o_top_parts" -> qTopParts,
+    "p_filter_scan" -> qFilterScan,
+    "a4_weighted_mean" -> qWeightedMean)
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q3_top_revenue" -> q3Sql,
+    "q5_nation_revenue" -> q5Sql,
+    "j_semi_anti" -> qSemiAntiSql,
+    "w_top_per_customer" -> qWindowTopPerCustomerSql,
+    "w_lag_gaps" -> qWindowLagSql,
+    "w1_events_daily" -> qEventsDailySql,
+    "a_events_distinct" -> qEventsDistinctSql,
+    "o_top_parts" -> qTopPartsSql,
+    "p_filter_scan" -> qFilterScanSql,
+    "a4_weighted_mean" -> qWeightedMeanSql)
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Text-analysis + dedup coverage over the `documents` table. */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Token / char-class statistics per document. */
+  val qTextStats: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.subwordCount(col("text")).as("n_subwords"),
+      TextAnalysis.alphaCount(col("text")).as("n_alpha"),
+      TextAnalysis.digitCount(col("text")).as("n_digit"),
+      TextAnalysis.punctCount(col("text")).as("n_punct"),
+      TextAnalysis.spaceCount(col("text")).as("n_space"),
+      length(col("text")).as("n_len"))
+      .orderBy("doc_id")
+  }
+
+  val qTextStatsSql: String =
+    """SELECT doc_id,
+      |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      |  len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])')) AS n_subwords,
+      |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+      |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+      |  length(text) - length(regexp_replace(text, '[.!?,;:''"()-]', '', 'g')) AS n_punct,
+      |  length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS n_space,
+      |  length(text) AS n_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: stopword hits + aggregate quality stats by lang. */
+  val qTextQuality: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("lang"),
+      TextAnalysis.stopwordCount(col("text")).as("n_stop"),
+      TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_stop").as("total_stopwords"),
+        sum("n_tok").as("total_tokens"))
+      .orderBy("lang")
+  }
+
+  val qTextQualitySql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  cast(sum(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |      t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t)))) as bigint) AS total_stopwords,
+      |  cast(sum(len(regexp_split_to_array(trim(text), '\s+'))) as bigint) AS total_tokens
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Language-ID heuristic: predicted language per document. */
+  val qTextLangId: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  val qTextLangIdSql: String = {
+    // Mirrors Spark's array_max over struct(score, lang): among the
+    // max-score languages the lexicographically largest code wins.
+    val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
+    val scoreDefs = langs.map { l =>
+      val list = TextAnalysis.langMarkers(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, t -> list_contains([$list], t))) AS s_$l"
+    }.mkString(",\n    ")
+    val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.reverse.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    s"""SELECT doc_id, CASE WHEN m <= 0 THEN 'und' $cases END AS lang_pred
+       |FROM (SELECT doc_id, $m AS m, * FROM (
+       |  SELECT doc_id,
+       |    $scoreDefs
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |        FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Exact dedup by content digest (keep min doc_id per digest). */
+  val qDedupExact: Q = (spark, dir) =>
+    Dedup.exact(Tables(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("digest")
+
+  val qDedupExactSql: String =
+    """SELECT md5(text) AS digest, min(doc_id) AS doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Normalized-fingerprint dedup (case/punct/whitespace-insensitive). */
+  val qDedupNormalized: Q = (spark, dir) =>
+    Dedup.normalized(Tables(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("digest")
+
+  val qDedupNormalizedSql: String =
+    """SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS digest,
+      |  min(doc_id) AS doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Exact n-gram Jaccard near-dup pairs (doc_id < 400 slice, 3-gram,
+    * threshold 0.5) — the correctness baseline the MinHash path
+    * approximates. */
+  val qDedupJaccard: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents").filter(col("doc_id") < 400)
+    Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val qDedupJaccardSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_sort(list_distinct(
+      |    list_transform(range(1, greatest(len(toks) - 3, 0) + 2),
+      |      i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS s
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |        FROM documents WHERE doc_id < 400))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(len(list_intersect(a.s, b.s)) /
+      |    greatest(len(list_distinct(list_concat(a.s, b.s))), 1)::DOUBLE, 6) AS jaccard
+      |FROM sh a, sh b WHERE a.doc_id < b.doc_id
+      |  AND len(list_intersect(a.s, b.s)) /
+      |    greatest(len(list_distinct(list_concat(a.s, b.s))), 1)::DOUBLE >= 0.5
+      |ORDER BY 1, 2""".stripMargin
+
+  /** MinHash-LSH near-dup candidates — murmur3-based, not expressible in
+    * DuckDB SQL → rows-only oracle check. */
+  val qDedupMinhash: Q = (spark, dir) =>
+    Dedup.minhashCandidates(Tables(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
+  /** SimHash fingerprints + near-dup pairs within hamming distance 6 on a
+    * doc_id < 400 slice — murmur3-based → rows-only oracle check. */
+  val qDedupSimhash: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents").filter(col("doc_id") < 400)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+    val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.hammingDist(col("sh_a"), col("sh_b")).as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_stats" -> qTextStats,
+    "text_quality" -> qTextQuality,
+    "text_langid" -> qTextLangId,
+    "dedup_exact" -> qDedupExact,
+    "dedup_normalized" -> qDedupNormalized,
+    "dedup_jaccard" -> qDedupJaccard,
+    "dedup_minhash_lsh" -> qDedupMinhash,
+    "dedup_simhash" -> qDedupSimhash)
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> qTextStatsSql,
+    "text_quality" -> qTextQualitySql,
+    "text_langid" -> qTextLangIdSql,
+    "dedup_exact" -> qDedupExactSql,
+    "dedup_normalized" -> qDedupNormalizedSql,
+    "dedup_jaccard" -> qDedupJaccardSql)
+}
