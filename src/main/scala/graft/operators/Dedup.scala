@@ -59,6 +59,9 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0,
+      s"minhash signature length k=$k must be divisible by bands=$bands " +
+        "or trailing components would be silently excluded from banding")
     val rows = k / bands
     val sig = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), shingleN, k).as("sig"))

@@ -29,8 +29,9 @@ object RelationalQueries {
       .agg(
         sum("l_quantity").as("sum_qty"),
         Exact.fixedSum(col("l_extendedprice"), 2).as("sum_base_price"),
-        (sum((round(col("l_extendedprice") * 100).cast("long")) *
-          (lit(100) - round(col("l_discount") * 100).cast("long"))) / lit(10000.0))
+        (sum(((round(col("l_extendedprice") * 100).cast("long")) *
+          (lit(100) - round(col("l_discount") * 100).cast("long")))
+          .cast("decimal(38,0)")).cast("double") / lit(10000.0))
           .as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -53,8 +54,9 @@ object RelationalQueries {
     cust.join(ord, col("c_custkey") === col("o_custkey"))
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderkey", "o_orderdate")
-      .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
-        (lit(100) - round(col("l_discount") * 100).cast("long"))) / lit(10000.0))
+      .agg((sum((round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100) - round(col("l_discount") * 100).cast("long")))
+        .cast("decimal(38,0)")).cast("double") / lit(10000.0))
         .as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
@@ -84,8 +86,9 @@ object RelationalQueries {
       .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("s_nationkey") === col("c_nationkey"))
       .groupBy("r_name", "n_name")
-      .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
-        (lit(100) - round(col("l_discount") * 100).cast("long"))) / lit(10000.0))
+      .agg((sum((round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100) - round(col("l_discount") * 100).cast("long")))
+        .cast("decimal(38,0)")).cast("double") / lit(10000.0))
         .as("revenue"))
       .orderBy("r_name", "n_name")
   }
@@ -228,9 +231,9 @@ object RelationalQueries {
   val qWeightedMean: Q = (spark, dir) => {
     val li = Tables(spark, dir, "lineitem")
     li.agg(
-      (sum(round(col("l_extendedprice") * 100).cast("long") *
-        col("l_quantity").cast("long")) /
-        (sum(col("l_quantity").cast("long")) * lit(100.0)))
+      (sum((round(col("l_extendedprice") * 100).cast("long") *
+        col("l_quantity").cast("long")).cast("decimal(38,0)")).cast("double") /
+        (sum(col("l_quantity").cast("decimal(38,0)")).cast("double") * lit(100.0)))
         .as("weighted_avg_price"),
       count(lit(1)).as("n"))
   }
