@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.geom.st
+
+/** Distributed spatial join via grid-bucket explode + exact refine
+  * (SURVEY §2.3 J3/J4, §4 "spatial-index join").
+  *
+  * The reference leans on GeoPandas' in-RAM R-tree (`sjoin`
+  * delphine/regrid.py:167-177, `overlay` :267-270) — single-process,
+  * whole-dataset-in-memory. The scale-out re-expression: assign every
+  * geometry the grid buckets its envelope covers (a generator over pure
+  * column arithmetic — codegen'd, no shuffle), equi-join on the bucket id
+  * (stock shuffle-hash/sort-merge join on an 16-byte key — Catalyst
+  * plans, AQE handles skew), then refine with the exact JTS predicate.
+  *
+  * Duplicate-pair elimination uses REFERENCE-POINT dedup: a candidate
+  * pair may share several buckets, but is emitted only from the bucket
+  * containing the top-left corner of the envelope intersection — pure
+  * arithmetic, no `distinct()` shuffle afterwards.
+  *
+  * 100 TB notes: shuffle volume is O(geoms × buckets-per-geom); pick
+  * `cellSize` near the median geometry extent so buckets-per-geom stays
+  * O(1). Skewed buckets (dense regions) are split by AQE skew-join
+  * handling since the join is a plain equi-join.
+  */
+object SpatialJoin {
+
+  /** Packed ids of all buckets a geometry's envelope covers. */
+  def bucketIds(geom: Column, cellSize: Double): Column = {
+    val bx0 = floor(st.xmin(geom) / cellSize).cast("long")
+    val bx1 = floor(st.xmax(geom) / cellSize).cast("long")
+    val by0 = floor(st.ymin(geom) / cellSize).cast("long")
+    val by1 = floor(st.ymax(geom) / cellSize).cast("long")
+    flatten(transform(sequence(bx0, bx1), bx =>
+      transform(sequence(by0, by1), by =>
+        struct(bx.as("bx"), by.as("by")))))
+  }
+
+  /** The single bucket holding the reference point (min corner of the
+    * envelope intersection) of a candidate pair. */
+  private def refBucket(a: Column, b: Column, cellSize: Double): Column =
+    struct(
+      floor(greatest(st.xmin(a), st.xmin(b)) / cellSize).cast("long").as("bx"),
+      floor(greatest(st.ymin(a), st.ymin(b)) / cellSize).cast("long").as("by"))
+
+  /** Spatial join of `left` and `right` on `predicate(leftGeom,
+    * rightGeom)`. Column names of the two sides must be disjoint.
+    * Emits each qualifying pair exactly once. */
+  def join(left: DataFrame, right: DataFrame,
+      leftGeom: String, rightGeom: String, cellSize: Double,
+      predicate: (Column, Column) => Column): DataFrame = {
+    val l = left.withColumn("__bucket", explode(bucketIds(col(leftGeom), cellSize)))
+    val r = right.withColumn("__bucket", explode(bucketIds(col(rightGeom), cellSize)))
+    l.join(r, "__bucket")
+      .filter(col("__bucket") === refBucket(col(leftGeom), col(rightGeom), cellSize) &&
+        predicate(col(leftGeom), col(rightGeom)))
+      .drop("__bucket")
+  }
+
+  /** J3: point-in-polygon join (the reference's `sjoin`). */
+  def joinContains(polys: DataFrame, points: DataFrame,
+      polyGeom: String, pointGeom: String, cellSize: Double): DataFrame =
+    join(polys, points, polyGeom, pointGeom, cellSize,
+      (pg, pt) => st.contains(pg, pt))
+
+  /** J4: overlay intersection (the reference's `gpd.overlay(...,
+    * "intersection")`) — qualifying pairs carry both attribute sets plus
+    * the intersection piece and its area. */
+  def overlayIntersection(left: DataFrame, right: DataFrame,
+      leftGeom: String, rightGeom: String, cellSize: Double): DataFrame =
+    join(left, right, leftGeom, rightGeom, cellSize,
+      (a, b) => st.intersects(a, b))
+      .withColumn("__piece", st.intersection(col(leftGeom), col(rightGeom)))
+      .withColumn("piece_area", st.area(col("__piece")))
+      .withColumnRenamed("__piece", "piece_geom")
+}

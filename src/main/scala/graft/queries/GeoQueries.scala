@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.geom.st
+import graft.operators.SpatialJoin
+import graft.util.Exact
 
 /** Geometry operator coverage (SURVEY §2.7 G1-G8, §2.2 P3, §2.4 A6).
   *
@@ -132,15 +134,139 @@ object GeoQueries {
       |  cast(count(*) + 1 as bigint) AS union_area
       |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Regrid TARGET cells: unit boxes on a 0.25-shifted lattice — a true
+    * partition of the plane (unlike [[partCells]]' variable sizes), so
+    * the conservation invariant is meaningful. Matches the reference's
+    * rectilinear fast path (delphine/regrid.py:182-203): cell = center ±
+    * half-spacing, here with quarter-unit offsets so every intersection
+    * area is a multiple of 1/16 (exact in binary floating point). */
+  def partRegridCells(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+    p.select(col("p_partkey"),
+      ((col("p_partkey") % 50) - 0.25).as("tx0"),
+      ((col("p_partkey") / 50).cast("long") - 0.25).as("ty0"))
+      .withColumn("tgt_geom", st.makeBox(col("tx0"), col("ty0"),
+        col("tx0") + 1.0, col("ty0") + 1.0))
+      .drop("tx0", "ty0")
+  }
+
+  /** Derived event points (testdata has no coordinates; both engines
+    * compute identical IEEE doubles from event_id). */
+  def eventPoints(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    ev.select(col("event_id"), col("value"),
+      ((col("event_id") % 1000) / 20.0).as("px"),
+      ((col("event_id") % 800) / 20.0).as("py"))
+      .withColumn("pt_geom", st.point(col("px"), col("py")))
+      .drop("px", "py")
+  }
+
+  /** J3: point-in-polygon spatial join (the reference's `sjoin`,
+    * delphine/regrid.py:167-177) via bucket-explode + st_contains
+    * refine, then aggregation per cell. `contains` excludes
+    * boundary-only contact — mirrored by strict inequalities in the
+    * oracle's range join. */
+  val qPipJoin: Q = (spark, dir) => {
+    val cells = supplierCells(spark, dir).drop("pop_cents")
+    val pts = eventPoints(spark, dir)
+    SpatialJoin.joinContains(cells, pts, "geom", "pt_geom", 5.0)
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_points"),
+        Exact.fixedSum(col("value"), 2).as("sum_value"))
+      .orderBy("s_suppkey")
+  }
+
+  val qPipJoinSql: String =
+    s"""WITH pts AS (
+      |  SELECT event_id, value,
+      |    (event_id%1000)/20.0 AS x, (event_id%800)/20.0 AS y FROM events),
+      |cells AS (
+      |  SELECT s_suppkey, (s_suppkey%10)*5.0 AS x0, (s_suppkey//10)*4.0 AS y0
+      |  FROM supplier)
+      |SELECT s_suppkey, count(*) AS n_points,
+      |  ${Exact.sqlFixedSum("value", 2)} AS sum_value
+      |FROM cells JOIN pts
+      |  ON x > x0 AND x < x0 + 5 AND y > y0 AND y < y0 + 4
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** J4+A2+J5: conservative regrid — the reference's flagship pipeline
+    * (delphine/regrid.py:206-334, SURVEY §3.3). Supplier "population"
+    * cells overlay-intersect the part target lattice; each target gets
+    * sum(pop/area_pop · area_piece). area_pop = 20 (5×4 cells), so the
+    * exact integer form is wsum = Σ pop_cents · (16·area_piece) and
+    * population = wsum / (100·16·20) = wsum/32000. */
+  val qOverlayRegrid: Q = (spark, dir) => {
+    val pop = supplierCells(spark, dir).drop("cx", "cy")
+      .withColumnRenamed("geom", "pop_geom")
+    val tgt = partRegridCells(spark, dir)
+    SpatialJoin.overlayIntersection(pop, tgt, "pop_geom", "tgt_geom", 5.0)
+      .groupBy("p_partkey")
+      .agg(sum(col("pop_cents") * round(col("piece_area") * 16).cast("long"))
+        .as("wsum"))
+      .withColumn("population", col("wsum").cast("double") / 32000.0)
+      .orderBy("p_partkey")
+  }
+
+  private val regridPiecesSql: String =
+    """SELECT p_partkey, pc,
+      |    cast(round(16 * greatest(0, least(x0+5, tx0+1) - greatest(x0, tx0))
+      |             * greatest(0, least(y0+4, ty0+1) - greatest(y0, ty0))) as bigint) AS a16
+      |  FROM (SELECT s_suppkey, cast(round(s_acctbal*100) as bigint) AS pc,
+      |          (s_suppkey%10)*5.0 AS x0, (s_suppkey//10)*4.0 AS y0 FROM supplier),
+      |       (SELECT p_partkey, (p_partkey%50) - 0.25 AS tx0,
+      |          (p_partkey//50) - 0.25 AS ty0 FROM part)
+      |  WHERE least(x0+5, tx0+1) > greatest(x0, tx0)
+      |    AND least(y0+4, ty0+1) > greatest(y0, ty0)""".stripMargin
+
+  val qOverlayRegridSql: String =
+    s"""SELECT p_partkey, cast(sum(pc*a16) as bigint) AS wsum,
+      |  cast(sum(pc*a16) as double)/32000.0 AS population
+      |FROM ($regridPiecesSql)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** A3: the conservation invariant — the reference's correctness check
+    * (delphine/regrid.py:323-327): regridded total / original total.
+    * < 1 by exactly the uncovered quarter-unit boundary strips. */
+  val qRegridConservation: Q = (spark, dir) => {
+    val pop = supplierCells(spark, dir).drop("cx", "cy")
+      .withColumnRenamed("geom", "pop_geom")
+    val tgt = partRegridCells(spark, dir)
+    val regrid = SpatialJoin.overlayIntersection(pop, tgt, "pop_geom", "tgt_geom", 5.0)
+      .agg(sum(col("pop_cents") * round(col("piece_area") * 16).cast("long"))
+        .as("wsum_total"))
+    val orig = Tables(spark, dir, "supplier")
+      .agg(sum(round(col("s_acctbal") * 100).cast("long")).as("cents_total"))
+    regrid.crossJoin(orig)
+      .select(
+        (col("cents_total").cast("double") / 100.0).as("total_pop"),
+        (col("wsum_total").cast("double") / 32000.0).as("total_regrid"),
+        ((col("wsum_total").cast("double") / 32000.0) /
+          (col("cents_total").cast("double") / 100.0)).as("ratio"))
+  }
+
+  val qRegridConservationSql: String =
+    s"""SELECT cast(c as double)/100.0 AS total_pop,
+      |  cast(w as double)/32000.0 AS total_regrid,
+      |  (cast(w as double)/32000.0) / (cast(c as double)/100.0) AS ratio
+      |FROM (SELECT cast(sum(pc*a16) as bigint) AS w FROM ($regridPiecesSql)),
+      |     (SELECT cast(sum(cast(round(s_acctbal*100) as bigint)) as bigint) AS c
+      |      FROM supplier)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "geo_cells_area" -> qCellsArea,
     "geo_polygon_area" -> qPolygonArea,
     "geo_bbox_filter" -> qBboxFilter,
-    "geo_union_area" -> qUnionArea)
+    "geo_union_area" -> qUnionArea,
+    "geo_pip_join" -> qPipJoin,
+    "geo_overlay_regrid" -> qOverlayRegrid,
+    "geo_regrid_conservation" -> qRegridConservation)
 
   val oracles: Map[String, String] = Map(
     "geo_cells_area" -> qCellsAreaSql,
     "geo_polygon_area" -> qPolygonAreaSql,
     "geo_bbox_filter" -> qBboxFilterSql,
-    "geo_union_area" -> qUnionAreaSql)
+    "geo_union_area" -> qUnionAreaSql,
+    "geo_pip_join" -> qPipJoinSql,
+    "geo_overlay_regrid" -> qOverlayRegridSql,
+    "geo_regrid_conservation" -> qRegridConservationSql)
 }
