@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.geom.st
-import graft.operators.SpatialJoin
+import graft.operators.{SpatialJoin, Voronoi}
 import graft.util.Exact
 
 /** Geometry operator coverage (SURVEY §2.7 G1-G8, §2.2 P3, §2.4 A6).
@@ -252,7 +252,62 @@ object GeoQueries {
       |     (SELECT cast(sum(cast(round(s_acctbal*100) as bigint)) as bigint) AS c
       |      FROM supplier)""".stripMargin
 
+  /** G10 cross-checked against G11: the Voronoi tessellation of a
+    * REGULAR grid of seeds (supplier 5×4 cell centers) is exactly the
+    * rectilinear cell grid — "we already know exactly what the Voronoi
+    * tesselation is" (delphine/regrid.py:182-203). Every cell must come
+    * back as its 5×4 box: area16 = 320, centroid = seed. A wrong
+    * tessellation cannot pass this. */
+  val qVoronoiRect: Q = (spark, dir) => {
+    val seeds = Tables(spark, dir, "supplier").select(
+      col("s_suppkey"),
+      ((col("s_suppkey") % 10) * 5.0 + 2.5).as("sx"),
+      ((col("s_suppkey") / 10).cast("long") * 4.0 + 2.0).as("sy"))
+    // clip = exact union of the cell boxes; ymax from a tiny extent agg
+    // (the reference's data-dependent-bbox two-step, SURVEY §4)
+    val ymax = seeds.agg(max(col("sy"))).head().getDouble(0) + 2.0
+    Voronoi.tessellate(seeds, "s_suppkey", "sx", "sy", (0.0, 0.0, 50.0, ymax))
+      .select(col("s_suppkey"),
+        round(st.area(col("geom")) * 16).cast("long").as("area16"),
+        round(st.stx(st.centroid(col("geom"))) * 2).cast("long").as("ccx2"),
+        round(st.sty(st.centroid(col("geom"))) * 2).cast("long").as("ccy2"))
+      .orderBy("s_suppkey")
+  }
+
+  val qVoronoiRectSql: String =
+    """SELECT s_suppkey, cast(320 as bigint) AS area16,
+      |  cast(10*(s_suppkey%10) + 5 as bigint) AS ccx2,
+      |  cast(8*(s_suppkey//10) + 4 as bigint) AS ccy2
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
+  /** G10 partition invariants on an IRREGULAR seed set: cells partition
+    * the clip box (total area exact), one cell per seed, and every seed
+    * lies strictly inside its own cell (exercises the J5 join-back
+    * pattern, delphine/regrid.py:285-289). Seed coords are injective mod
+    * (101, 89) and bounded independent of scale factor. */
+  val qVoronoiPartition: Q = (spark, dir) => {
+    val seeds = Tables(spark, dir, "supplier").select(
+      col("s_suppkey"),
+      ((col("s_suppkey") * 37 % 101) * 0.25 + 0.25).as("sx"),
+      ((col("s_suppkey") * 73 % 89) * 0.25 + 0.25).as("sy"))
+    val cells = Voronoi.tessellate(seeds, "s_suppkey", "sx", "sy",
+      (0.0, 0.0, 26.0, 23.0))
+    cells.join(seeds, "s_suppkey")
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(when(st.contains(col("geom"), st.point(col("sx"), col("sy"))), 1L)
+          .otherwise(0L)).as("n_seeds_inside"),
+        round(sum(st.area(col("geom"))) * 16).cast("long").as("area16_total"))
+  }
+
+  val qVoronoiPartitionSql: String =
+    """SELECT count(*) AS n_cells, count(*) AS n_seeds_inside,
+      |  cast(16*26*23 as bigint) AS area16_total
+      |FROM supplier""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "geo_voronoi_rect" -> qVoronoiRect,
+    "geo_voronoi_partition" -> qVoronoiPartition,
     "geo_cells_area" -> qCellsArea,
     "geo_polygon_area" -> qPolygonArea,
     "geo_bbox_filter" -> qBboxFilter,
@@ -262,6 +317,8 @@ object GeoQueries {
     "geo_regrid_conservation" -> qRegridConservation)
 
   val oracles: Map[String, String] = Map(
+    "geo_voronoi_rect" -> qVoronoiRectSql,
+    "geo_voronoi_partition" -> qVoronoiPartitionSql,
     "geo_cells_area" -> qCellsAreaSql,
     "geo_polygon_area" -> qPolygonAreaSql,
     "geo_bbox_filter" -> qBboxFilterSql,
