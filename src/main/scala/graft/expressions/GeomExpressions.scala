@@ -219,6 +219,35 @@ case class STGeomFromText(children: Seq[Expression]) extends GeomExpression {
   override def prettyName: String = "st_geomfromtext"
 }
 
+/** st_transform(g, fromSrid, toSrid) — CRS reprojection of every vertex
+  * (G9; the reference's `to_crs(27700)`, wrf_voronoi.py:188). Supported
+  * pairs: 4326 ↔ 27700 via [[graft.geom.Osgb]]. Geometry coordinates
+  * follow the (x=lon/E, y=lat/N) axis convention. */
+case class STTransform(children: Seq[Expression]) extends GeomExpression {
+  override def dataType: DataType = BinaryType
+  override protected def evalNotNull(vs: Seq[Any]): Any = {
+    val from = vs(1).asInstanceOf[Int]
+    val to = vs(2).asInstanceOf[Int]
+    val g = geom(vs(0)).copy()
+    val filter: org.locationtech.jts.geom.CoordinateFilter = (from, to) match {
+      case (4326, 27700) => c => {
+        val (e, n) = graft.geom.Osgb.wgs84ToOsgb(c.y, c.x); c.x = e; c.y = n
+      }
+      case (27700, 4326) => c => {
+        val (lat, lon) = graft.geom.Osgb.osgbToWgs84(c.x, c.y); c.x = lon; c.y = lat
+      }
+      case (a, b) if a == b => c => ()
+      case (a, b) => throw new IllegalArgumentException(
+        s"st_transform: unsupported CRS pair $a -> $b (supported: 4326 <-> 27700)")
+    }
+    g.apply(filter)
+    g.geometryChanged()
+    Wkb.write(g)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c)
+  override def prettyName: String = "st_transform"
+}
+
 /** st_union_aggr(g) — geometric union aggregate (A6/G8; the reference's
   * `unary_union` over the boroughs layer, wrf_voronoi.py:188).
   *

@@ -1,6 +1,7 @@
 package graft.geom
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.catalyst.expressions.Expression
 
@@ -40,6 +41,10 @@ object st {
   def geometryType(g: Column): Column = c(STGeometryType(Seq(x(g))))
   def asText(g: Column): Column = c(STAsText(Seq(x(g))))
   def geomFromText(wkt: Column): Column = c(STGeomFromText(Seq(x(wkt))))
+
+  /** CRS reprojection (4326 ↔ 27700; the reference's `to_crs`). */
+  def transform(g: Column, fromSrid: Int, toSrid: Int): Column =
+    c(STTransform(Seq(x(g), x(lit(fromSrid)), x(lit(toSrid)))))
 
   /** Geometric union aggregate (the reference's `unary_union`,
     * wrf_voronoi.py:188). */

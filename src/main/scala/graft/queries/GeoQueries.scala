@@ -305,7 +305,33 @@ object GeoQueries {
       |  cast(16*26*23 as bigint) AS area16_total
       |FROM supplier""".stripMargin
 
+  /** G9: CRS reprojection 4326↔27700. The oracle cannot recompute the
+    * OSGB projection, so the query emits INVARIANTS the oracle can
+    * assert: the roundtrip returns the original WGS84 point to < 1e-6°
+    * (≈ 0.1 m) and projected coordinates land in the National Grid's
+    * physical range. The projection itself is pinned to the published
+    * OS worked example in OsgbSpec. */
+  val qTransformRoundtrip: Q = (spark, dir) => {
+    val s = Tables(spark, dir, "supplier").select(col("s_suppkey"),
+      (lit(50.0) + (col("s_suppkey") % 60) * 0.1).as("lat"),
+      (lit(-5.0) + (col("s_suppkey") % 71) * 0.1).as("lon"))
+    val pt = st.point(col("lon"), col("lat"))
+    val en = st.transform(pt, 4326, 27700)
+    val back = st.transform(en, 27700, 4326)
+    s.select(col("s_suppkey"),
+      (abs(st.stx(back) - col("lon")) < 1e-6 &&
+        abs(st.sty(back) - col("lat")) < 1e-6).as("roundtrip_ok"),
+      (st.stx(en).between(-300000.0, 1000000.0) &&
+        st.sty(en).between(-200000.0, 1500000.0)).as("bounds_ok"))
+      .orderBy("s_suppkey")
+  }
+
+  val qTransformRoundtripSql: String =
+    """SELECT s_suppkey, true AS roundtrip_ok, true AS bounds_ok
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "geo_transform_roundtrip" -> qTransformRoundtrip,
     "geo_voronoi_rect" -> qVoronoiRect,
     "geo_voronoi_partition" -> qVoronoiPartition,
     "geo_cells_area" -> qCellsArea,
@@ -317,6 +343,7 @@ object GeoQueries {
     "geo_regrid_conservation" -> qRegridConservation)
 
   val oracles: Map[String, String] = Map(
+    "geo_transform_roundtrip" -> qTransformRoundtripSql,
     "geo_voronoi_rect" -> qVoronoiRectSql,
     "geo_voronoi_partition" -> qVoronoiPartitionSql,
     "geo_cells_area" -> qCellsAreaSql,
