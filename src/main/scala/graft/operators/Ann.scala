@@ -2,15 +2,19 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.expressions.TopKByScore
 
 /** Similarity search over an embedding column (north-star extension).
   *
   * Baseline: brute-force cosine top-k — broadcast the (small) query set,
-  * score every corpus row, per-query top-k via window rank. One broadcast,
-  * one shuffle (the rank partition on query id). Scale path: sign-LSH
-  * bucketing ([[lshBucket]]) so candidate generation is an equi-join on a
-  * 4-byte bucket key instead of a full cross product — same
+  * score every corpus row map-side, then a bounded-heap top-k AGGREGATE
+  * per query: partial aggregation keeps ≤ k rows per task, so the
+  * shuffle carries k·queries rows and no task ever ranks the whole
+  * corpus (the round-1 single-task `Window.partitionBy(query_id)` rank
+  * is gone). Scale path: sign-LSH bucketing ([[lshBucket]]) makes
+  * candidate generation an equi-join on a 4-byte bucket key — the same
   * bucket-explode join skeleton as the spatial join (SURVEY §2.3 J3).
   */
 object Ann {
@@ -27,6 +31,24 @@ object Ann {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Bounded-heap top-k aggregate column: best-first
+    * array<struct<neighbor_id, cos_sim>>, ties broken on smaller id. */
+  def topK(score: Column, id: Column, k: Int): Column =
+    Bridge.column(TopKByScore(
+      Bridge.expression(struct(score.cast("double"), id.cast("long"))), k)
+      .toAggregateExpression())
+
+  /** (query_id, rank, neighbor_id, cos_sim) from scored candidates via
+    * the partial-aggregating top-k (identical output contract to a
+    * row_number window rank, minus the single-task funnel). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(topK(col("cos_sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.neighbor_id").as("neighbor_id"),
+        col("col.cos_sim").as("cos_sim"))
+
   /** Brute-force cosine top-k: for every query row, the k nearest corpus
     * rows (excluding self). Deterministic tie-break on corpus id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
@@ -36,11 +58,7 @@ object Ann {
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("cvec")).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos_sim")
+    rankTopK(scored, k)
   }
 
   /** Sign-LSH bucket id: `planes` random-hyperplane sign bits packed into
@@ -60,7 +78,9 @@ object Ann {
 
   /** LSH-bucketed ANN: candidates share a bucket (optionally probing all
     * single-bit-flip neighbor buckets), then exact cosine + top-k within
-    * candidates. Recall < 1 by construction; the 100 TB path. */
+    * candidates. Multi-probe dup pairs are deduped AFTER map-side
+    * scoring, so only (query, neighbor, score) triples — never vectors —
+    * ride the shuffle. Recall < 1 by construction; the 100 TB path. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, planes: Int = 8, multiProbe: Boolean = true): DataFrame = {
     val probes: Column = {
@@ -80,10 +100,6 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("cvec")).as("cos_sim"))
       .groupBy("query_id", "neighbor_id").agg(first("cos_sim").as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos_sim")
+    rankTopK(scored, k)
   }
 }

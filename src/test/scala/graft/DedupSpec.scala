@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup operators: exactness of the crossJoin-free plans against naive
+  * brute-force computation on synthetic near-dup corpora. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // synthetic corpus: templated docs with small mutations + unrelated noise
+  private val docs: Seq[(Long, String)] = {
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the plain in spain"
+    val tweaked = base.replace("lazy", "sleepy")
+    val tweaked2 = base.replace("rain falls", "snow drifts")
+    Seq(
+      0L -> base, 1L -> base, 2L -> tweaked, 3L -> tweaked2,
+      4L -> "completely different text about spark catalyst optimizer rules and physical plans",
+      5L -> "yet another unrelated document mentioning voronoi tessellation of weather grids",
+      6L -> (base + " extra trailing words appended here"),
+      7L -> "short doc")
+  }
+
+  private def naiveJaccardPairs(n: Int, t: Double): Set[(Long, Long)] = {
+    def sh(s: String): Set[String] = {
+      val toks = s.trim.toLowerCase.split("\\s+")
+      (0 until math.max(toks.length - n + 1, 1))
+        .map(i => toks.slice(i, i + n).mkString(" ")).toSet
+    }
+    (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      j = sh(ta).intersect(sh(tb)).size.toDouble /
+        math.max(sh(ta).union(sh(tb)).size, 1)
+      if j >= t
+    } yield (ia, ib)).toSet
+  }
+
+  test("jaccardPairsIndexed (prefix-filter) equals brute force") {
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.jaccardPairsIndexed(df, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == naiveJaccardPairs(3, 0.5))
+    assert(got.nonEmpty) // the corpus does contain near-dups
+  }
+
+  test("minhashNearDups (LSH candidates + refine) equals brute force") {
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.minhashNearDups(df, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == naiveJaccardPairs(3, 0.5))
+  }
+
+  test("hammingBands: maxDist+1 bands tiling all bits") {
+    val bands = Dedup.hammingBands(48, 6)
+    assert(bands.length == 7)
+    assert(bands.map(_._2).sum == 48)
+    assert(bands.head._1 == 0)
+    assert(bands.sliding(2).forall { case Seq((o1, w1), (o2, _)) => o2 == o1 + w1 })
+  }
+
+  test("simhashNearDups equals brute-force hamming pairs (pigeonhole recall)") {
+    val df = docs.toDF("doc_id", "text")
+    val banded = Dedup.simhashNearDups(df, "doc_id", "text", maxDist = 6, bits = 48)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    // brute force over fingerprints computed by the same expression
+    val fps = df.select($"doc_id",
+      Dedup.simhash($"text", 48).as("fp")).as[(Long, Long)].collect().toMap
+    val brute = (for {
+      (ia, _) <- docs; (ib, _) <- docs if ia < ib
+      h = java.lang.Long.bitCount(fps(ia) ^ fps(ib))
+      if h <= 6
+    } yield (ia, ib, h)).toSet
+    assert(banded == brute)
+    assert(banded.exists(_._3 == 0)) // identical docs collapse to distance 0
+  }
+
+  test("exact dedup groups identical docs under one digest") {
+    val df = docs.toDF("doc_id", "text")
+    val r = Dedup.exact(df, "doc_id", "text")
+      .filter($"n_copies" > 1).select("doc_id", "n_copies")
+      .as[(Long, Long)].collect()
+    assert(r.toSeq == Seq((0L, 2L))) // docs 0 and 1 identical, min id kept
+  }
+}
