@@ -22,11 +22,13 @@ object SparkEntry {
     RelationalQueries.queries ++
       TextQueries.queries ++
       AnnQueries.queries ++
-      GeoQueries.queries
+      GeoQueries.queries ++
+      MultimodalQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
       TextQueries.oracles ++
       AnnQueries.oracles ++
-      GeoQueries.oracles
+      GeoQueries.oracles ++
+      MultimodalQueries.oracles
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.expressions.BytesToIntArray
+
+/** Multimodal columns: opaque binary payloads + typed metadata structs
+  * (SURVEY north-star). The pattern at 100 TB: media rides an opaque
+  * `binary` column (parquet stores it row-grouped and column-pruned
+  * away unless selected), metadata is a schema'd struct usable in
+  * filters/joins WITHOUT touching payload bytes, and decode/feature
+  * stages are per-row expressions that pipeline inside the scan stage —
+  * no shuffle until an explicit aggregation.
+  *
+  * The decode step is a clearly-marked STUB
+  * ([[graft.expressions.BytesToIntArray]]): no image/audio codecs exist
+  * in this container, so payloads are the documents' UTF-8 bytes and
+  * "decode" exposes raw bytes. Everything around the stub — schema,
+  * pruning, batch shape, feature math — is real.
+  */
+object Multimodal {
+
+  /** Attach (payload: binary, meta: struct) derived deterministically
+    * from the text column. Metadata mirrors an image header: format tag,
+    * width/height tiling of the byte buffer, byte count. */
+  def withPayload(df: DataFrame, textCol: String): DataFrame = {
+    val n = octet_length(col(textCol))
+    val w = (n % 64 + 1).cast("long")
+    df.withColumn("payload", col(textCol).cast("binary"))
+      .withColumn("meta", struct(
+        lit("stub/gray8").as("format"),
+        w.as("width"),
+        ((n + w - 1).cast("long") / w).cast("long").as("height"),
+        n.cast("long").as("n_bytes")))
+  }
+
+  /** STUB decode: payload bytes → array<int> "pixels". */
+  def decode(payload: Column): Column =
+    Bridge.column(BytesToIntArray(Seq(Bridge.expression(payload))))
+
+  /** Per-row feature math over decoded pixels — pure column exprs. */
+  def checksum(pixels: Column): Column =
+    aggregate(pixels, lit(0L), (acc, x) => acc + x)
+
+  def countBelow(pixels: Column, threshold: Int): Column =
+    size(filter(pixels, _ < threshold)).cast("long")
+
+  /** Every `stride`-th pixel — the frame-sampling pattern (video: every
+    * k-th frame; here every k-th byte). */
+  def frameSample(pixels: Column, stride: Int): Column =
+    transform(sequence(lit(0), size(pixels) - 1, lit(stride)),
+      i => element_at(pixels, i + 1))
+}

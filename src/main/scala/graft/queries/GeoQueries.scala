@@ -330,7 +330,35 @@ object GeoQueries {
     """SELECT s_suppkey, true AS roundtrip_ok, true AS bounds_ok
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** S2+S3: shapefile sink + scan roundtrip — derived nation boxes are
+    * written as a real .shp/.shx/.dbf/.prj layer (the reference's output
+    * format, wrf_voronoi.py:149) to a temp dir, read back with the
+    * shapefile scanner, and verified attribute-by-attribute. */
+  val qShpRoundtrip: Q = (spark, dir) => {
+    val n = Tables(spark, dir, "nation")
+    val boxes = n.select(
+      col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+      st.makeBox(
+        (col("n_nationkey") % 5) * 3.0,
+        (col("n_nationkey") / 5).cast("long") * 2.0,
+        (col("n_nationkey") % 5) * 3.0 + 3.0,
+        (col("n_nationkey") / 5).cast("long") * 2.0 + 2.0).as("geom"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shp")
+      .resolve("nations").toString
+    graft.io.Shapefile.write(boxes, "geom", tmp)
+    graft.io.Shapefile.read(spark, tmp)
+      .select(col("n_nationkey"), col("n_name"),
+        round(st.area(col("geom")) * 16).cast("long").as("area16"))
+      .orderBy("n_nationkey")
+  }
+
+  val qShpRoundtripSql: String =
+    """SELECT cast(n_nationkey as bigint) AS n_nationkey, n_name,
+      |  cast(96 as bigint) AS area16
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "geo_shp_roundtrip" -> qShpRoundtrip,
     "geo_transform_roundtrip" -> qTransformRoundtrip,
     "geo_voronoi_rect" -> qVoronoiRect,
     "geo_voronoi_partition" -> qVoronoiPartition,
@@ -343,6 +371,7 @@ object GeoQueries {
     "geo_regrid_conservation" -> qRegridConservation)
 
   val oracles: Map[String, String] = Map(
+    "geo_shp_roundtrip" -> qShpRoundtripSql,
     "geo_transform_roundtrip" -> qTransformRoundtripSql,
     "geo_voronoi_rect" -> qVoronoiRectSql,
     "geo_voronoi_partition" -> qVoronoiPartitionSql,

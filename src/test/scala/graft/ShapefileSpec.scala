@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.geom.{st, Wkb}
+import graft.io.Shapefile
+
+/** Shapefile IO: self-roundtrip of every supported attribute type and
+  * geometry shape, plus reading the reference repo's real
+  * geopandas-written artifact (an interop check against a file our own
+  * writer did not produce). */
+class ShapefileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("roundtrip: long/double/string attributes and polygon-with-hole") {
+    val outer = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    val df = Seq(
+      (1L, 2.5, "alpha", Wkb.write(Wkb.readWkt(outer))),
+      (2L, -3.75, "beta gamma", Wkb.write(Wkb.box(1, 1, 3, 2)))
+    ).toDF("id", "score", "label", "geom")
+    val base = Files.createTempDirectory("shp_spec").resolve("layer").toString
+    Shapefile.write(df, "geom", base)
+    val back = Shapefile.read(spark, base)
+      .select($"id", $"score", $"label", st.area($"geom").as("area"))
+      .as[(Long, Double, String, Double)].collect().sortBy(_._1)
+    assert(back(0) == ((1L, 2.5, "alpha", 96.0))) // 100 outer − 4 hole
+    assert(back(1) == ((2L, -3.75, "beta gamma", 2.0)))
+  }
+
+  test("reads the reference's geopandas-written Brazil Voronoi layer") {
+    // ref artifact: 33,286 Voronoi polygons with (west_east, south_nort,
+    // XLONG, XLAT, T2) N-type fields in EPSG:4326 (SURVEY §0)
+    val tmp = Files.createTempDirectory("ref_shp")
+    val proc = new ProcessBuilder("unzip", "-q",
+      "/root/reference/wrf_voronoi_brasil_Tm.zip", "-d", tmp.toString)
+      .inheritIO().start()
+    assert(proc.waitFor() == 0)
+    val base = tmp.resolve("wrf_voronoi_brasil_Tm/wrf_voronoi_brasil_Tm").toString
+    val df = Shapefile.read(spark, base).cache()
+    assert(df.count() == 33286)
+    assert(df.columns.toSeq ==
+      Seq("west_east", "south_nort", "XLONG", "XLAT", "T2", "geom"))
+    val r = df.agg(
+      min("west_east"), max("west_east"),
+      sum(when(st.geometryType($"geom") === "Polygon", 1).otherwise(0)),
+      min(st.xmin($"geom")), max(st.xmax($"geom"))).head()
+    assert(r.getLong(0) >= 0 && r.getLong(1) > r.getLong(0))
+    assert(r.getLong(2) == 33286) // every record parsed as a polygon
+    // Brazil domain longitudes
+    assert(r.getDouble(3) > -90 && r.getDouble(4) < -20)
+    // every Voronoi cell contains its own seed point (XLONG, XLAT)
+    val inside = df.filter(st.contains($"geom", st.point($"XLONG", $"XLAT")))
+      .count()
+    assert(inside > 33286 * 0.99) // boundary-clipped cells may exclude seeds
+    df.unpersist()
+  }
+}
