@@ -23,12 +23,14 @@ object SparkEntry {
       TextQueries.queries ++
       AnnQueries.queries ++
       GeoQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++
+      GridQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
       TextQueries.oracles ++
       AnnQueries.oracles ++
       GeoQueries.oracles ++
-      MultimodalQueries.oracles
+      MultimodalQueries.oracles ++
+      GridQueries.oracles
 }

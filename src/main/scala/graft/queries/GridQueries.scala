@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.geom.st
+import graft.grid.{Grid, GridConfig}
+import graft.pipelines.Pipelines
+import graft.pipelines.Pipelines.RectilinearBoxes
+
+/** Long-form grid model coverage (SURVEY §1.3, §3.1-3.2): the full
+  * wrf_voronoi temporal pipeline composed in one query, plus the small
+  * projection/slice operators (P2/P6/P7/S5). The grid derives from
+  * `events`: cell keys (y = event_id mod 20, x = user_id mod 30), time,
+  * value — a deterministic long-form (time, y, x, var) table both
+  * engines can build. */
+object GridQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val cfg = GridConfig("x", "y", "lon", "lat", "ts", "value")
+
+  private def eventsGrid(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events").select(
+      (col("event_id") % 20).as("y"),
+      (col("user_id") % 30).as("x"),
+      col("ts"), col("value"))
+
+  /** Pipeline 3.1 end-to-end shape: long-form grid scan → rectilinear
+    * tessellation (G11) → spatial bbox filter (P3) → tumbling-window
+    * temporal stats W1-W3 + mean-over-days A1 → multi-key equi-join J1
+    * of stats onto geometry (wrf_voronoi.py:107-183 re-expressed). */
+  val qGridPipeline: Q = (spark, dir) => {
+    val grid = eventsGrid(spark, dir)
+    val stats = Pipelines.temporalDailyStats(grid, cfg)
+    val cells = grid.select("y", "x").distinct()
+      .withColumn("lon", col("x") * 2.0 + 1.0)
+      .withColumn("lat", col("y") * 1.5 + 0.75)
+    val polys = Pipelines.gridToPolygons(cells, cfg, RectilinearBoxes(2.0, 1.5))
+    val bbox = st.makeBox(lit(0.0), lit(0.0), lit(40.0), lit(21.0))
+    polys.filter(st.within(col("geom"), bbox))
+      .join(stats, Seq("y", "x"))
+      .select(col("y"), col("x"),
+        round(st.stx(st.centroid(col("geom"))) * 2).cast("long").as("cx2"),
+        round(st.sty(st.centroid(col("geom"))) * 4).cast("long").as("cy4"),
+        round(st.area(col("geom")) * 16).cast("long").as("area16"),
+        col("n_days"), col("tmin_mean"), col("tmax_mean"), col("tmean_mean"))
+      .orderBy("y", "x")
+  }
+
+  val qGridPipelineSql: String =
+    """WITH g AS (
+      |  SELECT event_id%20 AS y, user_id%30 AS x,
+      |    cast(date_trunc('day', ts) as date) AS day, value FROM events),
+      |d AS (
+      |  SELECT y, x, day, min(value) AS dmin, max(value) AS dmax,
+      |    sum(cast(round(value*100) as bigint)) / (count(*) * 100.0) AS dmean
+      |  FROM g GROUP BY 1, 2, 3),
+      |s AS (
+      |  SELECT y, x, count(*) AS n_days,
+      |    sum(cast(round(dmin*100) as bigint)) / (count(*) * 100.0) AS tmin_mean,
+      |    sum(cast(round(dmax*100) as bigint)) / (count(*) * 100.0) AS tmax_mean,
+      |    sum(cast(round(round(dmean,4)*10000) as bigint)) / (count(*) * 10000.0) AS tmean_mean
+      |  FROM d GROUP BY 1, 2)
+      |SELECT y, x, cast(4*x + 2 as bigint) AS cx2, cast(6*y + 3 as bigint) AS cy4,
+      |  cast(48 as bigint) AS area16, n_days, tmin_mean, tmax_mean, tmean_mean
+      |FROM s WHERE x <= 19 AND y <= 13 ORDER BY y, x""".stripMargin
+
+  /** P2 drop + P6 positional time slice + P7 row-count guard + S5
+    * float32 narrowing on output (delphine/regrid.py:311,
+    * haduk_voronoi.py:72-74). */
+  val qDropCastSlice: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events").withColumn("day", col("ts").cast("date"))
+    val dayCfg = cfg.copy(timeCol = "day")
+    val sliced = Grid.iselTime(ev, dayCfg, 1)
+    val guardOk = Grid.underRowLimit(sliced, 10000)
+    sliced.drop("props", "user_id", "ts")
+      .withColumn("value_f32", col("value").cast("float"))
+      .withColumn("guard_ok", lit(guardOk))
+      .select("event_id", "event_type", "value_f32", "guard_ok")
+      .orderBy("event_id")
+  }
+
+  val qDropCastSliceSql: String =
+    """SELECT event_id, event_type, cast(value as real) AS value_f32,
+      |  true AS guard_ok
+      |FROM events
+      |WHERE cast(ts as date) = (
+      |  SELECT d FROM (SELECT DISTINCT cast(ts as date) AS d FROM events
+      |                 ORDER BY d LIMIT 2) ORDER BY d DESC LIMIT 1)
+      |ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "grid_pipeline" -> qGridPipeline,
+    "p_drop_cast_slice" -> qDropCastSlice)
+
+  val oracles: Map[String, String] = Map(
+    "grid_pipeline" -> qGridPipelineSql,
+    "p_drop_cast_slice" -> qDropCastSliceSql)
+}
