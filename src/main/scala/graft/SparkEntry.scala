@@ -14,9 +14,12 @@ import graft.queries._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The conservative-regrid overlay is SURVEY §3.3's "one real
+    * query" — it exercises scans, geometry construction, the bucketed
+    * spatial join, overlay intersection, and weighted aggregation. */
   def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    GeoQueries.qOverlayRegrid(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for LLM-data pipelines (north-star extension).
   *
@@ -43,6 +44,17 @@ object Dedup {
     size(array_intersect(a, b)) /
       greatest(size(array_union(a, b)), lit(1)).cast("double")
 
+  /** Exact Jaccard for ASCENDING-SORTED distinct shingle arrays (what
+    * [[shingles]] produces) via linear-merge intersection — same value
+    * as [[jaccard]], far cheaper (no per-row hash-set builds). */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val common = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.SortedIntersectCount(Seq(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b))))
+    common / greatest(size(a) + size(b) - common, lit(1)).cast("double")
+  }
+
   /** Internal: given candidate id pairs and per-id shingle sets, compute
     * exact Jaccard and keep pairs ≥ threshold. Shingle arrays are only
     * shuffled for the (small) candidate set, never for all pairs. */
@@ -52,7 +64,7 @@ object Dedup {
     val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
     cand.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -66,13 +78,32 @@ object Dedup {
     * dedups, then exact-refines only candidates. */
   def jaccardPairsIndexed(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
+    // the shingle frame feeds the index AND both refine joins — persist
+    // so the sort-distinct shingle pass runs once (MEMORY_AND_DISK:
+    // spills rather than OOMs at scale; Spark LRU reclaims it)
     val sets = df.select(col(idCol).cast("long").as("id"),
       shingles(col(textCol), shingleN).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // PPJoin refinement of the prefix principle: the principle holds for
+    // ANY one global token order, so order each document's shingles by
+    // corpus frequency (rarest first). Prefixes then hold only rare
+    // shingles, and the token self-join collides on rare tokens — the
+    // difference between O(Σ df²) over frequent templated shingles and
+    // over singletons. One extra count+rejoin, no correctness change.
+    val toks = sets.select(col("id"), explode(col("sh")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    // persisted: referenced by both sides of the prefix self-join
+    val ordered = toks.join(freq, "tok")
+      .groupBy("id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("tf"), col("tok")))),
+        s => s.getField("tok")).as("shf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val prefixLen = greatest(
-      (size(col("sh")) - ceil(size(col("sh")) * threshold) + 1).cast("int"),
+      (size(col("shf")) - ceil(size(col("shf")) * threshold) + 1).cast("int"),
       lit(1))
-    val idx = sets.select(col("id"),
-      explode(slice(col("sh"), lit(1), prefixLen)).as("tok"))
+    val idx = ordered.select(col("id"),
+      explode(slice(col("shf"), lit(1), prefixLen)).as("tok"))
     val cand = idx.select(col("id").as("id_a"), col("tok"))
       .join(idx.select(col("id").as("id_b"), col("tok")), "tok")
       .filter(col("id_a") < col("id_b"))
@@ -105,18 +136,26 @@ object Dedup {
     minhashFromShingles(shingles(text, n), k)
 
   /** Internal: candidate id pairs from bucket membership rows
-    * (bucketCols → id). Ids are aggregated per bucket (map-side partial
-    * count keeps degenerate buckets visible), capped at `maxBucket`
-    * smallest ids (a near-empty/templated-content bucket would otherwise
-    * go quadratic), pairs emitted per bucket and deduped. */
+    * (bucketCols → id). Pairs are emitted by a distributed SELF-JOIN on
+    * the bucket key — never by per-bucket array expansion, which would
+    * materialize O(bucket²) structs inside single rows (memory spike +
+    * one-task skew on hot buckets; AQE skew-join splits the join's hot
+    * keys instead). Buckets larger than `maxBucket` are dropped before
+    * pairing: a degenerate bucket (templated/near-empty content hashing
+    * together) would otherwise go quadratic — a recall-vs-blowup guard
+    * to size so it never triggers on healthy data. */
   private def pairsFromBuckets(memb: DataFrame, bucketCols: Seq[String],
       maxBucket: Int): DataFrame = {
-    val ids = memb.groupBy(bucketCols.map(col): _*)
-      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
-    ids.select(explode(flatten(transform(col("ids"), a =>
-      transform(filter(col("ids"), b => b > a),
-        b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    val m = memb.persist(StorageLevel.MEMORY_AND_DISK)
+    val keep = m.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 && col("__n") <= maxBucket)
+      .select(bucketCols.map(col): _*)
+    val mf = m.join(keep, bucketCols, "left_semi")
+    mf.select((col("id").as("id_a") +: bucketCols.map(col)): _*)
+      .join(mf.select((col("id").as("id_b") +: bucketCols.map(col)): _*), bucketCols)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .distinct()
   }
 
@@ -155,6 +194,7 @@ object Dedup {
     val cand = minhashCandidates(df, idCol, textCol, shingleN, k, bands)
     val sets = df.select(col(idCol).cast("long").as("id"),
       shingles(col(textCol), shingleN).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     refineJaccard(cand, sets, threshold)
   }
 
@@ -203,10 +243,12 @@ object Dedup {
     * no cross join. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 6, bits: Int = 32, maxBucket: Int = 4096): DataFrame = {
+    // fp feeds band membership AND both hamming-refine joins
     val fp = df
       .select(col(idCol).cast("long").as("id"),
         simhashTokenHashes(col(textCol), bits).as("th"))
       .select(col("id"), simhashFromHashes(col("th"), bits).as("fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bandCols = hammingBands(bits, maxDist).zipWithIndex.map {
       case ((off, w), i) =>
         struct(lit(i).as("band"),
