@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+import graft.expressions._
+
+/** SQL-surface registration of the engine's expressions: after
+  * registration, every `st_*` geometry function (and the dedup helpers)
+  * is callable from `spark.sql(...)` exactly like a builtin — the SQL
+  * face of the same Catalyst expressions the Column API wraps.
+  *
+  * Two entry points:
+  *  - [[GraftExtensions]] for `spark.sql.extensions=graft.GraftExtensions`
+  *    (cluster deployments; applied at session build time)
+  *  - [[GraftFunctions.register]] for an already-running session
+  *    (notebooks, tests)
+  */
+object GraftFunctions {
+
+  /** (name, builder) for every SQL-exposed expression. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "st_point" -> (STPoint(_)),
+    "st_makebox" -> (STMakeBox(_)),
+    "st_polygon" -> (STPolygon(_)),
+    "st_within" -> (STWithin(_)),
+    "st_contains" -> (STContains(_)),
+    "st_intersects" -> (STIntersects(_)),
+    "st_intersection" -> (STIntersection(_)),
+    "st_area" -> (STArea(_)),
+    "st_centroid" -> (STCentroid(_)),
+    "st_x" -> (STX(_)),
+    "st_y" -> (STY(_)),
+    "st_xmin" -> (STXMin(_)),
+    "st_ymin" -> (STYMin(_)),
+    "st_xmax" -> (STXMax(_)),
+    "st_ymax" -> (STYMax(_)),
+    "st_npoints" -> (STNPoints(_)),
+    "st_geometrytype" -> (STGeometryType(_)),
+    "st_astext" -> (STAsText(_)),
+    "st_geomfromtext" -> (STGeomFromText(_)),
+    "st_transform" -> (STTransform(_)),
+    "sorted_intersect_count" -> (SortedIntersectCount(_)),
+    "decode_bytes" -> (BytesToIntArray(_)))
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo("graft.expressions", name)
+
+  /** Register into a live session's function registry. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info(name), children => builder(children))
+    }
+}
+
+/** `spark.sql.extensions` hook (SURVEY §2.8: FunctionRegistry
+  * registration path). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.expressions", name),
+        children => builder(children)))
+    }
+}

@@ -76,6 +76,58 @@ object Ann {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path: a coarse
+    * quantizer of `nlist` centroid cells partitions the corpus; a query
+    * probes only its `nprobe` nearest cells and scores exactly within
+    * them. Candidate generation is an equi-join on a 4-byte cell id
+    * (same skeleton as LSH/spatial buckets); recall grows with nprobe.
+    *
+    * Centroids here are deterministic stride-seeded corpus vectors (a
+    * k-means++-style init without the random refinement — Lloyd
+    * iterations would introduce bit-level nondeterminism from float
+    * summation order; a production build would train offline and
+    * broadcast the model). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val n = corpus.count()
+    val stride = math.max(n / nlist, 1L)
+    val centroids: Array[Array[Float]] = corpus
+      .filter(col(idCol).cast("long") % stride === 0)
+      .orderBy(col(idCol))
+      .limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+
+    def centroidSims(vec: Column): Seq[Column] =
+      centroids.toSeq.map(c => cosine(vec, array(c.map(v => lit(v)): _*)))
+
+    /** Nearest cell id (ties → larger index, deterministic). */
+    def cellOf(vec: Column): Column =
+      array_max(array(centroidSims(vec).zipWithIndex.map { case (s, i) =>
+        struct(s.as("sim"), lit(i).as("cell"))
+      }: _*)).getField("cell")
+
+    /** The query's nprobe nearest cells. */
+    def probeCells(vec: Column): Column =
+      slice(transform(
+        array_sort(array(centroidSims(vec).zipWithIndex.map { case (s, i) =>
+          struct((-s).as("neg"), lit(i).as("cell"))
+        }: _*)),
+        s => s.getField("cell")), 1, nprobe)
+
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("cell", explode(probeCells(col("qvec")))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      cellOf(col(vecCol)).as("cell"))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cos_sim"))
+      .groupBy("query_id", "neighbor_id").agg(first("cos_sim").as("cos_sim"))
+    rankTopK(scored, k)
+  }
+
   /** LSH-bucketed ANN: candidates share a bucket (optionally probing all
     * single-bit-flip neighbor buckets), then exact cosine + top-k within
     * candidates. Multi-probe dup pairs are deduped AFTER map-side

@@ -81,13 +81,40 @@ object AnnQueries {
       |  true AS scores_exact, true AS ranks_ok
       |FROM embeddings WHERE vec_id < 3 ORDER BY 1""".stripMargin
 
+  /** IVF ANN — same invariant-oracle scheme as [[qAnnLsh]] (the probed
+    * candidate set is data-dependent, the well-formedness and exactness
+    * of reported scores are not). */
+  val qAnnIvf: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings")
+    val topk = Ann.ivfTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+    val qv = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    topk.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+      .withColumn("exact", Ann.cosine(col("qv"), col("cv")))
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (min((abs(col("cos_sim") - col("exact")) < 1e-12).cast("int")) === 1)
+          .as("scores_exact"),
+        (min("rank") === 1 && max("rank") === 5 &&
+          countDistinct("rank") === 5).as("ranks_ok"))
+      .orderBy("query_id")
+  }
+
+  val qAnnIvfSql: String =
+    """SELECT vec_id AS query_id, cast(5 as bigint) AS n_rows,
+      |  true AS scores_exact, true AS ranks_ok
+      |FROM embeddings WHERE vec_id < 3 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "embed_norms" -> qEmbedNorms,
     "ann_bruteforce_topk" -> qAnnBruteForce,
-    "ann_lsh_topk" -> qAnnLsh)
+    "ann_lsh_topk" -> qAnnLsh,
+    "ann_ivf_topk" -> qAnnIvf)
 
   val oracles: Map[String, String] = Map(
     "embed_norms" -> qEmbedNormsSql,
     "ann_bruteforce_topk" -> qAnnBruteForceSql,
-    "ann_lsh_topk" -> qAnnLshSql)
+    "ann_lsh_topk" -> qAnnLshSql,
+    "ann_ivf_topk" -> qAnnIvfSql)
 }

@@ -91,11 +91,43 @@ object GridQueries {
       |                 ORDER BY d LIMIT 2) ORDER BY d DESC LIMIT 1)
       |ORDER BY event_id""".stripMargin
 
+  /** S1: the DataSource V2 dense-grid scan — a deterministic .ggrd
+    * fixture (24×10×20 cells, closed-form values) is written to a temp
+    * file, scanned through the custom source with y/x filters pushed to
+    * the decoder and the time predicate pruning 18 of 24 IO slabs, then
+    * aggregated. The oracle recomputes everything from `range()` cross
+    * joins — the dense file and the scan must agree cell-for-cell. */
+  val qGridSourceScan: Q = (spark, dir) => {
+    val p = java.nio.file.Files.createTempDirectory("ggrd_q")
+      .resolve("var.ggrd").toString
+    graft.sources.GridBinary.write(p,
+      times = Array.tabulate(24)(t => t * 3600L * 1000000L),
+      lats = Array.tabulate(10)(_ * 0.5),
+      lons = Array.tabulate(20)(_ * 0.25),
+      value = (t, y, x) => ((t * 31 + y * 7 + x) % 100) / 4.0)
+    spark.read.format("graft.sources.GridSource").load(p)
+      .filter(col("x").between(5, 14) && col("y") >= 2 &&
+        col("time") >= lit("1970-01-01 06:00:00").cast("timestamp"))
+      .groupBy(col("y").cast("long").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 4).cast("long")).as("sum4"))
+      .orderBy("y")
+  }
+
+  val qGridSourceScanSql: String =
+    """SELECT cast(y.y as bigint) AS y, count(*) AS n,
+      |  cast(sum((t.t*31 + y.y*7 + x.x) % 100) as bigint) AS sum4
+      |FROM range(0, 24) t(t), range(0, 10) y(y), range(0, 20) x(x)
+      |WHERE x.x BETWEEN 5 AND 14 AND y.y >= 2 AND t.t >= 6
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "grid_pipeline" -> qGridPipeline,
+    "grid_source_scan" -> qGridSourceScan,
     "p_drop_cast_slice" -> qDropCastSlice)
 
   val oracles: Map[String, String] = Map(
     "grid_pipeline" -> qGridPipelineSql,
+    "grid_source_scan" -> qGridSourceScanSql,
     "p_drop_cast_slice" -> qDropCastSliceSql)
 }

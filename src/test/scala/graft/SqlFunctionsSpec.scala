@@ -1,0 +1,50 @@
+package graft
+
+/** The SQL face of the expression layer: after registration every st_*
+  * function runs from spark.sql like a builtin. */
+class SqlFunctionsSpec extends SparkSpec {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftFunctions.register(spark)
+  }
+
+  test("geometry SQL end-to-end: construct, measure, predicate, transform") {
+    val r = spark.sql(
+      """SELECT
+        |  st_area(st_makebox(0D, 0D, 4D, 3D)) AS a,
+        |  st_astext(st_centroid(st_makebox(0D, 0D, 4D, 3D))) AS c,
+        |  st_within(st_point(1D, 1D), st_makebox(0D, 0D, 2D, 2D)) AS w,
+        |  st_area(st_intersection(st_makebox(0D, 0D, 2D, 2D),
+        |                          st_makebox(1D, 1D, 3D, 3D))) AS ia,
+        |  st_npoints(st_geomfromtext('POLYGON ((0 0, 1 0, 1 1, 0 0))')) AS np
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 12.0)
+    assert(r.getString(1) == "POINT (2 1.5)")
+    assert(r.getBoolean(2))
+    assert(r.getDouble(3) == 1.0)
+    assert(r.getInt(4) == 4)
+  }
+
+  test("st_transform from SQL matches the Scala API") {
+    val sqlEn = spark.sql(
+      """SELECT st_x(st_transform(st_point(-0.1D, 51.5D), 4326, 27700)) AS e,
+        |       st_y(st_transform(st_point(-0.1D, 51.5D), 4326, 27700)) AS n
+        |""".stripMargin).head()
+    val (e, n) = graft.geom.Osgb.wgs84ToOsgb(51.5, -0.1)
+    assert(sqlEn.getDouble(0) == e && sqlEn.getDouble(1) == n)
+  }
+
+  test("a reference-shaped SQL query over a registered view") {
+    import spark.implicits._
+    Seq((0L, 3.0, 1.0), (1L, 7.0, 1.0), (2L, 12.0, 1.0))
+      .toDF("cell", "lon", "lat").createOrReplaceTempView("grid_cells")
+    val kept = spark.sql(
+      """SELECT cell FROM grid_cells
+        |WHERE st_within(st_makebox(lon - 2.5, lat - 1, lon + 2.5, lat + 1),
+        |                st_makebox(0D, 0D, 10D, 2D))
+        |ORDER BY cell""".stripMargin)
+      .as[Long].collect().toSeq
+    assert(kept == Seq(0L, 1L))
+  }
+}
