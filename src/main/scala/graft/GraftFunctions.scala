@@ -55,13 +55,15 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` hook (SURVEY §2.8: FunctionRegistry
-  * registration path). */
+/** `spark.sql.extensions` hook: FunctionRegistry registration (SURVEY
+  * §2.8) + the spatial-join optimizer rule (SURVEY §4). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.expressions", name),
         children => builder(children)))
     }
+    ext.injectOptimizerRule(_ => graft.plans.SpatialJoinRewrite)
+  }
 }

@@ -1,0 +1,59 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+import org.locationtech.jts.geom.{Geometry, Polygon}
+
+import graft.geom.Wkb
+
+/** GeoJSON FeatureCollection sink (SURVEY §2.1 S3 interop note: the
+  * canonical sink is Parquet+WKB; GeoJSON is the universal small-layer
+  * exchange format the reference's `.to_file` consumers read). Driver-
+  * side writer under the same small-layer contract as [[Shapefile]]. */
+object GeoJson {
+
+  private def coords(g: Geometry): String = g match {
+    case p: Polygon =>
+      val rings = p.getExteriorRing +:
+        (0 until p.getNumInteriorRing).map(p.getInteriorRingN)
+      rings.map(_.getCoordinates
+        .map(c => s"[${c.x},${c.y}]").mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+    case pt if g.getGeometryType == "Point" =>
+      s"[${g.getCoordinate.x},${g.getCoordinate.y}]"
+    case _ => throw new IllegalArgumentException(
+      s"geojson writer: unsupported geometry ${g.getGeometryType}")
+  }
+
+  private def jsonValue(v: Any): String = v match {
+    case null => "null"
+    case s: String => "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    case other => other.toString
+  }
+
+  /** Write rows (one WKB geometry column + scalar attributes) as a
+    * GeoJSON FeatureCollection file. */
+  def write(df: DataFrame, geomCol: String, path: String): Unit = {
+    val schema = df.schema
+    val attrs = schema.fields.filter(_.name != geomCol)
+    val features = df.collect().map { row =>
+      val g = Wkb.read(row.getAs[Array[Byte]](geomCol))
+      val gtype = if (g.getGeometryType == "Point") "Point" else "Polygon"
+      val props = attrs.map { f =>
+        s"${jsonValue(f.name)}:${jsonValue(row.get(schema.fieldIndex(f.name)))}"
+      }.mkString(",")
+      s"""{"type":"Feature","geometry":{"type":"$gtype","coordinates":${coords(g)}},"properties":{$props}}"""
+    }
+    val doc = features.mkString(
+      """{"type":"FeatureCollection","features":[""", ",", "]}")
+    Files.write(Paths.get(path), doc.getBytes("UTF-8"))
+  }
+}

@@ -76,6 +76,69 @@ object Voronoi {
       .toDF(idCol, "geom")
   }
 
+  /** Tile-with-halo tessellation — the 100 TB path for a SINGLE huge
+    * domain (SURVEY §7 hard part #1: `tessellate` funnels the whole
+    * domain to one task, exactly like the reference's all-in-RAM
+    * profile).
+    *
+    * Each seed is assigned to a `tileSize` grid tile and REPLICATED into
+    * every tile within `halo` distance of its position (bucket-explode,
+    * same pattern as the spatial join). Each tile then tessellates its
+    * seeds+halo independently (`flatMapGroups` — one task per tile) and
+    * keeps only cells of its interior seeds, clipped to tile ∩ clip box.
+    * Interior cells match the global diagram whenever every Voronoi
+    * neighbor of an interior seed lies within `halo` of the tile — the
+    * standard halo-sufficiency condition (halo ≳ 2× the largest
+    * seed-spacing gap). Cells that touch their tile's halo-inflated
+    * bounds would need a wider halo; callers pick `halo` from known grid
+    * spacing (the reference's grids are near-uniform).
+    */
+  def tessellateTiled(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, clip: (Double, Double, Double, Double),
+      tileSize: Double, halo: Double): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val (cx0, cy0, cx1, cy1) = clip
+    val ds: Dataset[Seed] = points.select(
+      col(idCol).cast("long").as("id"),
+      col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y")).as[Seed]
+
+    ds.flatMap { s =>
+        // tiles whose halo-expanded area contains the seed
+        val tx0 = math.floor((s.x - halo) / tileSize).toLong
+        val tx1 = math.floor((s.x + halo) / tileSize).toLong
+        val ty0 = math.floor((s.y - halo) / tileSize).toLong
+        val ty1 = math.floor((s.y + halo) / tileSize).toLong
+        val ownTx = math.floor(s.x / tileSize).toLong
+        val ownTy = math.floor(s.y / tileSize).toLong
+        for (tx <- tx0 to tx1; ty <- ty0 to ty1)
+          yield (tx, ty, tx == ownTx && ty == ownTy, s.id, s.x, s.y)
+      }
+      .groupByKey { case (tx, ty, _, _, _, _) => (tx, ty) }
+      .flatMapGroups { (tile: (Long, Long), it: Iterator[(Long, Long, Boolean, Long, Double, Double)]) =>
+        val (tx, ty) = tile
+        val rows = it.toArray
+        val seeds = rows.map { case (_, _, _, id, x, y) => Seed(id, x, y) }
+        val interior = rows.collect { case (_, _, true, id, _, _) => id }.toSet
+        if (interior.isEmpty) Iterator.empty
+        else {
+          // tessellate over tile + halo (∩ global clip): under halo
+          // sufficiency every interior seed's cell is bounded by
+          // bisectors with seeds inside this envelope, so the cell is
+          // the GLOBAL cell — emitted whole by exactly its owning tile
+          val tileEnv = new Envelope(
+            math.max(tx * tileSize - halo, cx0),
+            math.min((tx + 1) * tileSize + halo, cx1),
+            math.max(ty * tileSize - halo, cy0),
+            math.min((ty + 1) * tileSize + halo, cy1))
+          cellsOf(seeds, tileEnv)
+            .filter { case (id, _) => interior.contains(id) }
+        }
+      }
+      .toDF(idCol, "geom")
+  }
+
   /** Domain-parallel tessellation: one Voronoi diagram per `domainCol`
     * value, one task per domain (`flatMapGroups`) — how many independent
     * grids (model runs, tiles, regions) tessellate concurrently on a

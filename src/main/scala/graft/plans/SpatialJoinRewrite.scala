@@ -1,0 +1,99 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+import graft.expressions.{STIntersects, STXMax, STXMin, STYMax, STYMin}
+
+/** Optimizer rule planning spatial-predicate joins (SURVEY §4
+  * "spatial-index join", approach (a)): an inner join whose condition is
+  * exactly `st_intersects(l, r)` would be planned as a
+  * BroadcastNestedLoopJoin — O(|L|·|R|) predicate evaluations. This rule
+  * rewrites it into the bucket-explode equi-join the SpatialJoin API
+  * builds by hand:
+  *
+  *   Project(original output)
+  *     Filter(refBucket dedup ∧ st_intersects(l, r))
+  *       Join(bucket_l = bucket_r)
+  *         Generate(explode(buckets(lGeom)), left)
+  *         Generate(explode(buckets(rGeom)), right)
+  *
+  * so Catalyst plans a stock shuffled/broadcast HASH join on the 16-byte
+  * bucket key (AQE skew-splitting included) with exact refine after.
+  * Bucket resolution comes from `spark.graft.spatialJoin.cellSize`
+  * (default 1.0). Conditions other than a bare st_intersects (e.g.
+  * conjunctions) are left untouched.
+  *
+  * Activate per session via `spark.experimental.extraOptimizations ++=
+  * Seq(SpatialJoinRewrite)` or cluster-wide through [[graft.GraftExtensions]].
+  */
+object SpatialJoinRewrite extends Rule[LogicalPlan] {
+
+  private val bucketType = StructType(Seq(
+    StructField("bx", LongType, nullable = false),
+    StructField("by", LongType, nullable = false)))
+
+  private def cellSize: Double =
+    conf.getConfString("spark.graft.spatialJoin.cellSize", "1.0").toDouble
+
+  private def floorDiv(e: Expression, cell: Double): Expression =
+    Floor(Divide(e, Literal(cell)))
+
+  /** flatten(transform(seq(bx0,bx1), bx -> transform(seq(by0,by1),
+    * by -> struct(bx, by)))) — the covering-bucket generator. */
+  private def bucketsOf(geom: Expression, cell: Double): Expression = {
+    val bx0 = floorDiv(STXMin(Seq(geom)), cell)
+    val bx1 = floorDiv(STXMax(Seq(geom)), cell)
+    val by0 = floorDiv(STYMin(Seq(geom)), cell)
+    val by1 = floorDiv(STYMax(Seq(geom)), cell)
+    val bx = NamedLambdaVariable("bx", LongType, nullable = false)
+    val by = NamedLambdaVariable("by", LongType, nullable = false)
+    val innerStruct = CreateNamedStruct(Seq(
+      Literal("bx"), bx, Literal("by"), by))
+    // Sequence is TimeZoneAwareExpression: unresolved until tz is set
+    val tz = Some(conf.sessionLocalTimeZone)
+    val inner = ArrayTransform(Sequence(by0, by1, None, tz),
+      LambdaFunction(innerStruct, Seq(by)))
+    val outer = ArrayTransform(Sequence(bx0, bx1, None, tz),
+      LambdaFunction(inner, Seq(bx)))
+    Flatten(outer)
+  }
+
+  /** Bucket of the envelope-intersection min corner — emit-once dedup. */
+  private def refBucket(a: Expression, b: Expression, cell: Double): Expression =
+    CreateNamedStruct(Seq(
+      Literal("bx"), floorDiv(Greatest(Seq(STXMin(Seq(a)), STXMin(Seq(b)))), cell),
+      Literal("by"), floorDiv(Greatest(Seq(STYMin(Seq(a)), STYMin(Seq(b)))), cell)))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(STIntersects(Seq(a, b))), hint)
+        if a.references.subsetOf(left.outputSet) &&
+          b.references.subsetOf(right.outputSet) =>
+      rewrite(j, left, right, a, b, hint)
+    case j @ Join(left, right, Inner, Some(STIntersects(Seq(a, b))), hint)
+        if b.references.subsetOf(left.outputSet) &&
+          a.references.subsetOf(right.outputSet) =>
+      rewrite(j, left, right, b, a, hint)
+  }
+
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+      lGeom: Expression, rGeom: Expression, hint: JoinHint): LogicalPlan = {
+    val cell = cellSize
+    val lBucket = AttributeReference("__bucket_l", bucketType, nullable = false)()
+    val rBucket = AttributeReference("__bucket_r", bucketType, nullable = false)()
+    val lGen = Generate(Explode(bucketsOf(lGeom, cell)), Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(lBucket), child = left)
+    val rGen = Generate(Explode(bucketsOf(rGeom, cell)), Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(rBucket), child = right)
+    val bucketJoin = Join(lGen, rGen, Inner,
+      Some(EqualTo(lBucket, rBucket)), hint)
+    val refined = Filter(
+      And(EqualTo(lBucket, refBucket(lGeom, rGeom, cell)),
+        STIntersects(Seq(lGeom, rGeom))),
+      bucketJoin)
+    Project(j.output, refined)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.geom.st
+import graft.operators.SpatialJoin
+import graft.plans.SpatialJoinRewrite
+
+/** The optimizer rule: a bare st_intersects join plans as a hash
+  * equi-join on buckets instead of a BroadcastNestedLoopJoin, with
+  * identical results to the hand-built SpatialJoin API. */
+class SpatialJoinRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ SpatialJoinRewrite
+  }
+
+  private def boxesA = (0 until 30).map(i =>
+    (i.toLong, i % 6 * 2.0, i / 6 * 2.0)).toDF("aid", "ax", "ay")
+    .select($"aid", st.makeBox($"ax", $"ay", $"ax" + 2.5, $"ay" + 2.5).as("ga"))
+  private def boxesB = (0 until 20).map(i =>
+    (100L + i, i % 5 * 3.0 + 1.0, i / 5 * 3.0 + 1.0)).toDF("bid", "bx0", "by0")
+    .select($"bid", st.makeBox($"bx0", $"by0", $"bx0" + 1.5, $"by0" + 1.5).as("gb"))
+
+  test("st_intersects join is rewritten to a bucketed equi-join") {
+    val j = boxesA.join(boxesB, st.intersects($"ga", $"gb"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"nested-loop join survived the rewrite:\n$plan")
+    assert(plan.contains("Generate"), "bucket explode missing from plan")
+
+    val viaRule = j.select("aid", "bid").as[(Long, Long)].collect().toSet
+    val viaApi = SpatialJoin.join(boxesA, boxesB, "ga", "gb", 1.0,
+      (l, r) => st.intersects(l, r))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(viaRule == viaApi)
+    assert(viaRule.nonEmpty)
+  }
+
+  test("each qualifying pair appears exactly once (reference-point dedup)") {
+    val j = boxesA.join(boxesB, st.intersects($"ga", $"gb"))
+      .groupBy("aid", "bid").count()
+    assert(j.filter($"count" > 1).count() == 0)
+  }
+
+  test("ordinary equi-joins are untouched") {
+    val l = Seq((1L, "a"), (2L, "b")).toDF("k", "v1")
+    val r = Seq((1L, "x"), (3L, "y")).toDF("k", "v2")
+    val j = l.join(r, "k")
+    assert(!j.queryExecution.optimizedPlan.toString.contains("__bucket"))
+    assert(j.count() == 1)
+  }
+
+  test("conjunction conditions are left to Catalyst (documented limit)") {
+    val j = boxesA.join(boxesB,
+      st.intersects($"ga", $"gb") && $"aid" < 10)
+    // not rewritten — still correct, just nested-loop planned
+    val viaApi = SpatialJoin.join(boxesA.filter($"aid" < 10), boxesB,
+      "ga", "gb", 1.0, (l, r) => st.intersects(l, r))
+    assert(j.count() == viaApi.count())
+  }
+}
