@@ -264,9 +264,13 @@ object GeoQueries {
       ((col("s_suppkey") % 10) * 5.0 + 2.5).as("sx"),
       ((col("s_suppkey") / 10).cast("long") * 4.0 + 2.0).as("sy"))
     // clip = exact union of the cell boxes; ymax from a tiny extent agg
-    // (the reference's data-dependent-bbox two-step, SURVEY §4)
+    // (the reference's data-dependent-bbox two-step, SURVEY §4).
+    // Tiled tessellation (the distributed path): seeds are spaced 5×4,
+    // so halo 10 ≫ the max cell radius — exactness guaranteed, and the
+    // oracle checks every cell is still its exact 5×4 box.
     val ymax = seeds.agg(max(col("sy"))).head().getDouble(0) + 2.0
-    Voronoi.tessellate(seeds, "s_suppkey", "sx", "sy", (0.0, 0.0, 50.0, ymax))
+    Voronoi.tessellateTiled(seeds, "s_suppkey", "sx", "sy",
+      (0.0, 0.0, 50.0, ymax), tileSize = 20.0, halo = 10.0)
       .select(col("s_suppkey"),
         round(st.area(col("geom")) * 16).cast("long").as("area16"),
         round(st.stx(st.centroid(col("geom"))) * 2).cast("long").as("ccx2"),
