@@ -121,12 +121,58 @@ object GridQueries {
       |WHERE x.x BETWEEN 5 AND 14 AND y.y >= 2 AND t.t >= 6
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Pipeline 3.2 (`haduk_voronoi.py`, the "portable variant"): the
+    * SAME pipeline template as [[qGridPipeline]] with a different
+    * grid config — different dims (y = user_id mod 15, x = event_id
+    * mod 25), different cell spacing (1×2), different bbox. One code
+    * path, two datasets: the reference's whole point. */
+  val qGridPipelineHaduk: Q = (spark, dir) => {
+    val grid = Tables(spark, dir, "events").select(
+      (col("user_id") % 15).as("y"),
+      (col("event_id") % 25).as("x"),
+      col("ts"), col("value"))
+    val stats = Pipelines.temporalDailyStats(grid, cfg)
+    val cells = grid.select("y", "x").distinct()
+      .withColumn("lon", col("x") * 1.0 + 0.5)
+      .withColumn("lat", col("y") * 2.0 + 1.0)
+    val polys = Pipelines.gridToPolygons(cells, cfg, RectilinearBoxes(1.0, 2.0))
+    val bbox = st.makeBox(lit(0.0), lit(0.0), lit(20.0), lit(24.0))
+    polys.filter(st.within(col("geom"), bbox))
+      .join(stats, Seq("y", "x"))
+      .select(col("y"), col("x"),
+        round(st.stx(st.centroid(col("geom"))) * 2).cast("long").as("cx2"),
+        round(st.sty(st.centroid(col("geom"))) * 2).cast("long").as("cy2"),
+        round(st.area(col("geom")) * 16).cast("long").as("area16"),
+        col("n_days"), col("tmin_mean"), col("tmax_mean"), col("tmean_mean"))
+      .orderBy("y", "x")
+  }
+
+  val qGridPipelineHadukSql: String =
+    """WITH g AS (
+      |  SELECT user_id%15 AS y, event_id%25 AS x,
+      |    cast(date_trunc('day', ts) as date) AS day, value FROM events),
+      |d AS (
+      |  SELECT y, x, day, min(value) AS dmin, max(value) AS dmax,
+      |    sum(cast(round(value*100) as bigint)) / (count(*) * 100.0) AS dmean
+      |  FROM g GROUP BY 1, 2, 3),
+      |s AS (
+      |  SELECT y, x, count(*) AS n_days,
+      |    sum(cast(round(dmin*100) as bigint)) / (count(*) * 100.0) AS tmin_mean,
+      |    sum(cast(round(dmax*100) as bigint)) / (count(*) * 100.0) AS tmax_mean,
+      |    sum(cast(round(round(dmean,4)*10000) as bigint)) / (count(*) * 10000.0) AS tmean_mean
+      |  FROM d GROUP BY 1, 2)
+      |SELECT y, x, cast(2*x + 1 as bigint) AS cx2, cast(4*y + 2 as bigint) AS cy2,
+      |  cast(32 as bigint) AS area16, n_days, tmin_mean, tmax_mean, tmean_mean
+      |FROM s WHERE x <= 19 AND y <= 11 ORDER BY y, x""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "grid_pipeline_haduk" -> qGridPipelineHaduk,
     "grid_pipeline" -> qGridPipeline,
     "grid_source_scan" -> qGridSourceScan,
     "p_drop_cast_slice" -> qDropCastSlice)
 
   val oracles: Map[String, String] = Map(
+    "grid_pipeline_haduk" -> qGridPipelineHadukSql,
     "grid_pipeline" -> qGridPipelineSql,
     "grid_source_scan" -> qGridSourceScanSql,
     "p_drop_cast_slice" -> qDropCastSliceSql)

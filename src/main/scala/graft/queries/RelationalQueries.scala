@@ -243,7 +243,51 @@ object RelationalQueries {
       |  / (sum(cast(l_quantity as bigint)) * 100.0) AS weighted_avg_price,
       |  count(*) AS n FROM lineitem""".stripMargin
 
+  /** The salted two-phase variant of Q1 — identical results (and the
+    * identical oracle) through the skew-mitigation path: each group key
+    * splits over 16 salt buckets before the final combine, so one hot
+    * key cannot funnel into a single reduce task. */
+  val q1Salted: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    graft.operators.Skew.saltedAgg(li,
+      Seq("l_returnflag", "l_linestatus"), 16)(
+      "sum_qty" -> sum("l_quantity"),
+      "sbp_units" -> sum(round(col("l_extendedprice") * 100).cast("decimal(38,0)")),
+      "sdp_units" -> sum((round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100) - round(col("l_discount") * 100).cast("long")))
+        .cast("decimal(38,0)")),
+      "count_order" -> count(lit(1)))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty"),
+        (col("sbp_units").cast("double") / 100.0).as("sum_base_price"),
+        (col("sdp_units").cast("double") / 10000.0).as("sum_disc_price"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Approximate distinct (HLL) with an exactness-band invariant the
+    * oracle can assert — approximate sketches differ across engines, so
+    * the query emits the exact count plus a bounded-relative-error
+    * check of the HLL estimate (Spark's default rsd 5%; band 15%). */
+  val qEventsApproxDistinct: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+    ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"),
+        approx_count_distinct("user_id").as("n_approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast("double") /
+          col("n_exact") < 0.15).as("approx_ok"))
+      .orderBy("event_type")
+  }
+
+  val qEventsApproxDistinctSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+      |  true AS approx_ok
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q1_pricing_salted" -> q1Salted,
+    "a_events_approx_distinct" -> qEventsApproxDistinct,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_top_revenue" -> q3TopRevenue,
     "q5_nation_revenue" -> q5NationRevenue,
@@ -257,6 +301,8 @@ object RelationalQueries {
     "a4_weighted_mean" -> qWeightedMean)
 
   val oracles: Map[String, String] = Map(
+    "q1_pricing_salted" -> q1Sql,
+    "a_events_approx_distinct" -> qEventsApproxDistinctSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_top_revenue" -> q3Sql,
     "q5_nation_revenue" -> q5Sql,
