@@ -361,7 +361,54 @@ object GeoQueries {
       |  cast(96 as bigint) AS area16
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  /** Stage 9 of pipeline 3.1 — the heat-island extract
+    * (wrf_voronoi.py:185-190): reproject cells to the metric CRS
+    * (G9), union the borough layer (A6/G8), keep cells intersecting the
+    * union (P4). Cells sit on a 0.1° lattice with ±0.04° half-widths and
+    * borough edges at 0.x5 offsets, so every intersects decision has a
+    * ≥0.01° (≈1 km) margin — far beyond any vertex-transform bending —
+    * and the oracle can decide membership with closed-form lat/lon
+    * range checks. */
+  val qHeatIsland: Q = (spark, dir) => {
+    val s = Tables(spark, dir, "supplier").select(col("s_suppkey"),
+      (lit(51.0) + (col("s_suppkey") % 40) * 0.1).as("lat"),
+      (lit(-3.0) + ((col("s_suppkey") / 40).cast("long") % 30) * 0.1).as("lon"))
+    val cellEn = st.transform(st.makeBox(
+      col("lon") - 0.04, col("lat") - 0.04,
+      col("lon") + 0.04, col("lat") + 0.04), 4326, 27700)
+    val boroughs = Seq(
+      (-2.85, 51.25, -2.45, 51.65),
+      (-1.55, 52.35, -1.15, 52.75),
+      (-2.25, 53.45, -1.85, 53.85))
+    val boroughUnion = spark.createDataFrame(
+      boroughs.map(b => Tuple4(b._1, b._2, b._3, b._4)))
+      .toDF("x0", "y0", "x1", "y1")
+      .select(st.transform(
+        st.makeBox(col("x0"), col("y0"), col("x1"), col("y1")), 4326, 27700)
+        .as("bg"))
+      .agg(st.unionAggr(col("bg")).as("borough_union"))
+    s.crossJoin(broadcast(boroughUnion))
+      .filter(st.intersects(cellEn, col("borough_union")))
+      .select(col("s_suppkey"),
+        round(col("lat") * 10).cast("long").as("lat10"),
+        round(col("lon") * 10).cast("long").as("lon10"))
+      .orderBy("s_suppkey")
+  }
+
+  val qHeatIslandSql: String =
+    """WITH pts AS (
+      |  SELECT s_suppkey, 51.0 + (s_suppkey%40)*0.1 AS lat,
+      |    -3.0 + ((s_suppkey//40)%30)*0.1 AS lon FROM supplier)
+      |SELECT s_suppkey, cast(round(lat*10) as bigint) AS lat10,
+      |  cast(round(lon*10) as bigint) AS lon10
+      |FROM pts
+      |WHERE (lon+0.04 >= -2.85 AND lon-0.04 <= -2.45 AND lat+0.04 >= 51.25 AND lat-0.04 <= 51.65)
+      |   OR (lon+0.04 >= -1.55 AND lon-0.04 <= -1.15 AND lat+0.04 >= 52.35 AND lat-0.04 <= 52.75)
+      |   OR (lon+0.04 >= -2.25 AND lon-0.04 <= -1.85 AND lat+0.04 >= 53.45 AND lat-0.04 <= 53.85)
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "geo_heat_island" -> qHeatIsland,
     "geo_shp_roundtrip" -> qShpRoundtrip,
     "geo_transform_roundtrip" -> qTransformRoundtrip,
     "geo_voronoi_rect" -> qVoronoiRect,
@@ -375,6 +422,7 @@ object GeoQueries {
     "geo_regrid_conservation" -> qRegridConservation)
 
   val oracles: Map[String, String] = Map(
+    "geo_heat_island" -> qHeatIslandSql,
     "geo_shp_roundtrip" -> qShpRoundtripSql,
     "geo_transform_roundtrip" -> qTransformRoundtripSql,
     "geo_voronoi_rect" -> qVoronoiRectSql,
