@@ -12,7 +12,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm session machinery (scheduler, codegen pipeline, parquet
+    // datasource init, noop sink) so bring-up cost isn't charged to
+    // whichever query happens to run first.
+    spark.range(1000).selectExpr("sum(id) as s")
+      .write.format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // Each query is measured from a clean cache: operators persist
+      // intermediate frames (signature/bucket tables) that would
+      // otherwise accumulate across all 40+ queries and evict each other
+      // under memory pressure, charging later queries for earlier ones.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // noop-format write forces full evaluation of every column (count()
       // would let Catalyst prune projection-only plans to a row count).

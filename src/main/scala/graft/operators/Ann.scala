@@ -20,13 +20,15 @@ import graft.expressions.TopKByScore
 object Ann {
 
   /** Sequential (left-to-right) double-precision dot product of two
-    * float-array columns — bit-deterministic across engines. */
+    * float-array columns — bit-deterministic across engines. Runs as a
+    * tight primitive loop ([[graft.expressions.VecDot]]) producing the
+    * exact values of the equivalent `aggregate(zip_with(...))` chain. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    Bridge.column(graft.expressions.VecDot(
+      Seq(Bridge.expression(a), Bridge.expression(b))))
 
   def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    sqrt(Bridge.column(graft.expressions.VecSumSq(Seq(Bridge.expression(a)))))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))

@@ -30,14 +30,14 @@ object Dedup {
       .groupBy("digest")
       .agg(min(idCol).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles of a document (sorted distinct). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
-    val ngrams = transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    array_sort(array_distinct(ngrams))
-  }
+  /** Word n-gram shingles of a document (sorted distinct) — a single
+    * compiled pass ([[graft.expressions.WordShingles]]); same value as
+    * the equivalent split/transform/concat_ws/array_sort/array_distinct
+    * Column chain, which evaluates interpreted per element. */
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.WordShingles(
+        Seq(org.apache.spark.sql.graftbridge.Bridge.expression(text)), n))
 
   /** Exact n-gram Jaccard similarity between two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -130,6 +130,20 @@ object Dedup {
       array_min(transform(sh, s => hash(s, lit(seed))))
     }: _*)
 
+  /** Same signature values as [[minhashFromShingles]] but computed by
+    * explode + codegen'd hash aggregation instead of per-row
+    * higher-order functions (Spark HOFs evaluate their lambda
+    * interpreted, per element — measured ~3× slower than the
+    * whole-stage-codegen'd `groupBy(id).agg(min(hash(s, seed)))` path).
+    * Input: (id, sh) with sh a shingle array; output: (id, sig). The
+    * map-side partial min makes the shuffle k longs per id. */
+  def minhashSigExploded(sets: DataFrame, k: Int): DataFrame =
+    sets.select(col("id"), explode(col("sh")).as("s"))
+      .groupBy("id")
+      .agg(min(hash(col("s"), lit(0))).as("m0"),
+        (1 until k).map(seed => min(hash(col("s"), lit(seed))).as(s"m$seed")): _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+
   /** Convenience single-expression signature (recomputes shingles per
     * family — use the two-step form in hot paths). */
   def minhashSignature(text: Column, n: Int, k: Int): Column =
@@ -146,12 +160,16 @@ object Dedup {
     * to size so it never triggers on healthy data. */
   private def pairsFromBuckets(memb: DataFrame, bucketCols: Seq[String],
       maxBucket: Int): DataFrame = {
-    val m = memb.persist(StorageLevel.MEMORY_AND_DISK)
-    val keep = m.groupBy(bucketCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
+    // bucket-size guard via a windowed count — one shuffle on the bucket
+    // key, reused by the self-join below (no groupBy + semi-join round
+    // trip; the window needs no ordering so no sort beyond the shuffle)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(bucketCols.map(col): _*)
+    val mf = memb
+      .withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n") >= 2 && col("__n") <= maxBucket)
-      .select(bucketCols.map(col): _*)
-    val mf = m.join(keep, bucketCols, "left_semi")
+      .drop("__n")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     mf.select((col("id").as("id_a") +: bucketCols.map(col)): _*)
       .join(mf.select((col("id").as("id_b") +: bucketCols.map(col)): _*), bucketCols)
       .filter(col("id_a") < col("id_b"))
@@ -174,10 +192,9 @@ object Dedup {
       s"minhash signature length k=$k must be divisible by bands=$bands " +
         "or trailing components would be silently excluded from banding")
     val rows = k / bands
-    val sig = df
-      .select(col(idCol).cast("long").as("id"),
-        shingles(col(textCol), shingleN).as("sh"))
-      .select(col("id"), minhashFromShingles(col("sh"), k).as("sig"))
+    val sig = minhashSigExploded(
+      df.select(col(idCol).cast("long").as("id"),
+        shingles(col(textCol), shingleN).as("sh")), k)
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rows + 1, lit(rows)), lit(9999)))))
@@ -191,10 +208,18 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
       k: Int = 32, bands: Int = 16): DataFrame = {
-    val cand = minhashCandidates(df, idCol, textCol, shingleN, k, bands)
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val rows = k / bands
+    // one persisted shingle pass feeds signature generation AND refine
     val sets = df.select(col(idCol).cast("long").as("id"),
       shingles(col(textCol), shingleN).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSigExploded(sets, k)
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rows + 1, lit(rows)), lit(9999)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val cand = pairsFromBuckets(banded, Seq("band", "band_hash"), 64)
     refineJaccard(cand, sets, threshold)
   }
 
@@ -238,16 +263,37 @@ object Dedup {
     widths.scanLeft(0)(_ + _).zip(widths).map { case (off, w) => (off, w) }
   }
 
+  /** SimHash fingerprints computed by explode + codegen'd aggregation:
+    * one (id, token) row per DISTINCT token, md5-derived hash per row
+    * (md5/conv/substring are codegen'd builtins), then `bits` partial
+    * sums per id — the same fingerprint values as
+    * [[simhashFromHashes]] ∘ [[simhashTokenHashes]] without evaluating
+    * `bits` interpreted higher-order aggregates per document. Shuffle
+    * carries `bits` longs per id (map-side combined). */
+  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String,
+      bits: Int): DataFrame = {
+    require(bits % 4 == 0 && bits <= 60, s"simhash bits=$bits")
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      explode(array_distinct(split(trim(lower(col(textCol))), "\\s+"))).as("t"))
+    val h = conv(substring(md5(col("t")), 1, bits / 4), 16, 10).cast("long")
+    toks.select(col("id"), h.as("h"))
+      .groupBy("id")
+      .agg(sum(shiftright(col("h"), 0).bitwiseAND(1L) * 2L - 1L).as("v0"),
+        (1 until bits).map(i =>
+          sum(shiftright(col("h"), i).bitwiseAND(1L) * 2L - 1L).as(s"v$i")): _*)
+      .select(col("id"),
+        (0 until bits).map(i =>
+          when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+          .reduce(_ + _).as("fp"))
+  }
+
   /** SimHash near-dup pairs within `maxDist` hamming distance, via
     * exhaustive hamming-band bucketing — exact (recall 1 by pigeonhole),
     * no cross join. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 6, bits: Int = 32, maxBucket: Int = 4096): DataFrame = {
     // fp feeds band membership AND both hamming-refine joins
-    val fp = df
-      .select(col(idCol).cast("long").as("id"),
-        simhashTokenHashes(col(textCol), bits).as("th"))
-      .select(col("id"), simhashFromHashes(col("th"), bits).as("fp"))
+    val fp = simhashFingerprints(df, idCol, textCol, bits)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bandCols = hammingBands(bits, maxDist).zipWithIndex.map {
       case ((off, w), i) =>
