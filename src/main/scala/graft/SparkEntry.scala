@@ -27,7 +27,8 @@ object SparkEntry {
       AnnQueries.queries ++
       GeoQueries.queries ++
       MultimodalQueries.queries ++
-      GridQueries.queries
+      GridQueries.queries ++
+      StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
@@ -35,5 +36,6 @@ object SparkEntry {
       AnnQueries.oracles ++
       GeoQueries.oracles ++
       MultimodalQueries.oracles ++
-      GridQueries.oracles
+      GridQueries.oracles ++
+      StreamingQueries.oracles
 }

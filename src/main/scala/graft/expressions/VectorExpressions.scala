@@ -72,3 +72,47 @@ case class VecSumSq(children: Seq[Expression])
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c)
   override def prettyName: String = "vec_sumsq"
 }
+
+/** sign_lsh_bucket(vec, planes) — random-hyperplane sign bits packed
+  * into an int. Hyperplane weight w(p,d) = ±1 from the low bit of
+  * murmur3 over (p, d), exactly the value of Spark's
+  * `hash(lit(p), d)` (seed 42, ints folded left to right), so buckets
+  * are bit-identical to the Column formulation
+  * `when(hash(lit(p), d).bitwiseAND(1) === 1, 1.0, -1.0)` dotted
+  * against the vector with sequential double accumulation. */
+case class SignLshBucket(children: Seq[Expression], planes: Int)
+  extends Expression with CodegenFallback {
+
+  require(planes >= 1 && planes <= 30, s"planes=$planes")
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  import org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt
+
+  override def eval(input: InternalRow): Any = {
+    val v = children(0).eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var bucket = 0
+    var p = 0
+    while (p < planes) {
+      val seedP = hashInt(p, 42)
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val w = if ((hashInt(d, seedP) & 1) == 1) 1.0 else -1.0
+        acc += a.getFloat(d).toDouble * w
+        d += 1
+      }
+      if (acc > 0) bucket |= 1 << p
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(children = c)
+  override def prettyName: String = "sign_lsh_bucket"
+}

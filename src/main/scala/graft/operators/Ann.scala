@@ -65,18 +65,13 @@ object Ann {
 
   /** Sign-LSH bucket id: `planes` random-hyperplane sign bits packed into
     * an int. Hyperplane components are ±1 derived from murmur3 of
-    * (plane, dim) — deterministic everywhere, no stored model. */
-  def lshBucket(vec: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, transform(sequence(lit(0), size(vec) - 1),
-          d => when(hash(lit(p), d).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
-          (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1), p)).otherwise(0)
-    }
-    bits.reduce(_ + _)
-  }
+    * (plane, dim) — deterministic everywhere, no stored model. Computed
+    * by [[graft.expressions.SignLshBucket]] as one compiled pass per
+    * vector (the HOF formulation evaluated planes × dims interpreted
+    * lambda steps per row). */
+  def lshBucket(vec: Column, planes: Int): Column =
+    Bridge.column(graft.expressions.SignLshBucket(
+      Seq(Bridge.expression(vec)), planes))
 
   /** IVF (inverted-file) ANN — the other classic scale path: a coarse
     * quantizer of `nlist` centroid cells partitions the corpus; a query

@@ -102,6 +102,97 @@ object RelationalQueries {
       |  AND l_suppkey = s_suppkey AND s_nationkey = c_nationkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** J1 with a twice-joined dimension — TPC-H Q7 shape (volume shipping):
+    * revenue between two nation pairs by ship year; the nation table
+    * joins once through supplier and once through customer (disambiguated
+    * aliases), both broadcast. */
+  val q7VolumeShipping: Q = (spark, dir) => {
+    val n1 = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val supp = Tables(spark, dir, "supplier")
+    val ord = Tables(spark, dir, "orders")
+    val cust = Tables(spark, dir, "customer")
+    li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("s_nkey"))
+      .join(n2, col("c_nationkey") === col("c_nkey"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg((sum((round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100) - round(col("l_discount") * 100).cast("long")))
+        .cast("decimal(38,0)")).cast("double") / lit(10000.0))
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  sum(cast(round(l_extendedprice*100) as bigint) * (100 - cast(round(l_discount*100) as bigint))) / 10000.0 AS revenue
+      |FROM lineitem, supplier, orders, customer, nation n1, nation n2
+      |WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+      |  AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
+      |  AND c_nationkey = n2.n_nationkey
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Conditional-aggregation ratio — TPC-H Q8 shape (market share): the
+    * share of one supplier nation's revenue within a customer region,
+    * per order year. Numerator and denominator are both exact integer
+    * sums; the single final division is IEEE-identical on both
+    * engines. */
+  val q8MarketShare: Q = (spark, dir) => {
+    val region = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nationC = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val nationS = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val cust = Tables(spark, dir, "customer")
+    val ord = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    val supp = Tables(spark, dir, "supplier")
+    val vol = (round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100) - round(col("l_discount") * 100).cast("long")))
+      .cast("decimal(38,0)")
+    region.join(nationC, col("r_regionkey") === col("n_regionkey"))
+      .join(cust, col("cn_key") === col("c_nationkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(nationS, col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_9", vol).otherwise(lit(0)
+          .cast("decimal(38,0)"))).cast("double") /
+          sum(vol).cast("double")).as("mkt_share"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_year")
+  }
+
+  val q8Sql: String =
+    """SELECT year(o_orderdate) AS o_year,
+      |  sum(CASE WHEN n2.n_name = 'NATION_9'
+      |        THEN cast(round(l_extendedprice*100) as bigint) * (100 - cast(round(l_discount*100) as bigint))
+      |        ELSE 0 END)
+      |    / cast(sum(cast(round(l_extendedprice*100) as bigint) * (100 - cast(round(l_discount*100) as bigint))) as double) AS mkt_share,
+      |  count(*) AS n_items
+      |FROM region, nation n1, customer, orders, lineitem, supplier, nation n2
+      |WHERE r_name = 'ASIA' AND r_regionkey = n1.n_regionkey
+      |  AND n1.n_nationkey = c_nationkey AND c_custkey = o_custkey
+      |  AND o_orderkey = l_orderkey AND l_suppkey = s_suppkey
+      |  AND s_nationkey = n2.n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Semi + anti joins: per-segment counts of customers with and without
     * orders (EXISTS / NOT EXISTS). */
   val qSemiAnti: Q = (spark, dir) => {
@@ -291,6 +382,8 @@ object RelationalQueries {
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_top_revenue" -> q3TopRevenue,
     "q5_nation_revenue" -> q5NationRevenue,
+    "q7_volume_shipping" -> q7VolumeShipping,
+    "q8_market_share" -> q8MarketShare,
     "j_semi_anti" -> qSemiAnti,
     "w_top_per_customer" -> qWindowTopPerCustomer,
     "w_lag_gaps" -> qWindowLag,
@@ -306,6 +399,8 @@ object RelationalQueries {
     "q1_pricing_summary" -> q1Sql,
     "q3_top_revenue" -> q3Sql,
     "q5_nation_revenue" -> q5Sql,
+    "q7_volume_shipping" -> q7Sql,
+    "q8_market_share" -> q8Sql,
     "j_semi_anti" -> qSemiAntiSql,
     "w_top_per_customer" -> qWindowTopPerCustomerSql,
     "w_lag_gaps" -> qWindowLagSql,

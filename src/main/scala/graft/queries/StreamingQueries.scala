@@ -1,0 +1,114 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+import graft.util.Exact
+
+/** Structured Streaming coverage, driver-checked (SURVEY §2.9).
+  *
+  * The reference is batch-only; the engine keeps its aggregations
+  * watermark-compatible so the same long-form schema replays as a
+  * stream. These queries run a REAL streaming execution inside the
+  * query function — `readStream` over the events parquet, processed
+  * with `Trigger.AvailableNow` into a memory sink — and return the
+  * sink's table, so the driver's DuckDB oracle checks the streaming
+  * result exactly like any batch query (stream/batch parity is the
+  * correctness claim; the specs assert it too).
+  */
+object StreamingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val runId = new AtomicLong()
+
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // schema from a batch read of the same file (file streams need one);
+    // Tables() also pins the session invariants (UTC, nanosAsLong)
+    val schema = Tables(spark, dir, "events").schema
+    // FileStreamSource requires a directory; expose the single parquet
+    // file through a temp dir via symlink
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_events")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath)
+    spark.readStream.schema(
+      org.apache.spark.sql.types.StructType(schema.map {
+        case f if f.name == "ts" =>
+          f.copy(dataType = org.apache.spark.sql.types.LongType)
+        case f => f
+      }))
+      .parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** W1-W3 as a stream: tumbling 1-day window min/max/mean per event
+    * type with a watermark — the reference's resample(1D) replayed as
+    * Structured Streaming. Identical output contract (and oracle) to
+    * the batch `w1_events_daily`. */
+  val qStreamEventsDaily: Q = (spark, dir) => {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        Exact.fixedAvg(col("value"), 2).as("avg_value"))
+      .select(col("w.start").cast("date").as("day"), col("event_type"),
+        col("n"), col("min_value"), col("max_value"), col("avg_value"))
+    val name = s"graft_stream_daily_${runId.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("day", "event_type")
+  }
+
+  /** Custom state (flatMapGroupsWithState): per-user running
+    * (count, fixed-point sum, max) over the event stream; the final
+    * state per key — the row where the running count equals the key's
+    * total — is the streaming answer the batch oracle recomputes. */
+  val qStreamRunningStats: Q = (spark, dir) => {
+    import graft.streaming.Stateful
+    val spark2 = spark
+    import spark2.implicits._
+    val keyed = eventsStream(spark, dir)
+      .select(col("user_id").cast("long").as("key"),
+        col("value").cast("double").as("value"))
+      .as[Stateful.KeyedValue]
+    val name = s"graft_stream_state_${runId.incrementAndGet()}"
+    val q = Stateful.runningStats(keyed).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // AvailableNow may split the file into several micro-batches, each
+    // emitting a running row per touched key — keep each key's final
+    // state (max running n), which is batch-equivalent.
+    spark.table(name)
+      .groupBy(col("key").as("user_id"))
+      .agg(max(struct(col("n"), col("total"), col("max"))).as("s"))
+      .select(col("user_id"), col("s.n").as("n_events"),
+        col("s.total").as("total_value"), col("s.max").as("max_value"))
+      .orderBy("user_id")
+  }
+
+  val qStreamEventsDailySql: String = RelationalQueries.qEventsDailySql
+
+  val qStreamRunningStatsSql: String =
+    """SELECT cast(user_id as bigint) AS user_id, count(*) AS n_events,
+      |  sum(cast(round(value*100) as bigint)) / 100.0 AS total_value,
+      |  max(value) AS max_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "stream_events_daily" -> qStreamEventsDaily,
+    "stream_running_stats" -> qStreamRunningStats)
+
+  val oracles: Map[String, String] = Map(
+    "stream_events_daily" -> qStreamEventsDailySql,
+    "stream_running_stats" -> qStreamRunningStatsSql)
+}
