@@ -1,0 +1,166 @@
+package graft.io
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Row}
+import org.apache.spark.sql.types._
+
+import org.locationtech.jts.geom.Geometry
+
+import graft.geom.Wkb
+import graft.io.Sqlite._
+
+/** GeoPackage feature-layer sink + scan (SURVEY §2.1 S3) — the
+  * reference's primary output format (`to_file(driver="GPKG")`-shaped,
+  * wrf_voronoi.py:149,183, haduk_voronoi.py:79), built on the from-
+  * scratch [[Sqlite]] container: gpkg_spatial_ref_sys, gpkg_contents,
+  * gpkg_geometry_columns plus one feature table whose `geom` column
+  * holds standard GeoPackage geometry blobs (GP header + envelope +
+  * WKB).
+  *
+  * Constraint DDL that would imply SQLite auto-indexes (TEXT PRIMARY
+  * KEY / UNIQUE) is declared without the constraint so the file needs
+  * no index b-trees; data content matches the GPKG spec tables.
+  *
+  * Writer collects to the driver (reference outputs are ≤ 33,286
+  * polygons); the documented scale path is per-partition parts, as with
+  * [[Shapefile]].
+  */
+object GeoPackage {
+
+  private val Wgs84Def =
+    "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563]],PRIMEM[\"Greenwich\",0],UNIT[\"degree\",0.0174532925199433]]"
+
+  /** GeoPackage geometry blob: "GP", version 0, flags (little-endian,
+    * XY envelope), srs_id, envelope, WKB. */
+  private[io] def gpkgBlob(wkb: Array[Byte], srid: Int): Array[Byte] = {
+    val g = Wkb.read(wkb)
+    val env = g.getEnvelopeInternal
+    val buf = ByteBuffer.allocate(8 + 32 + wkb.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('G'.toByte).put('P'.toByte)
+    buf.put(0.toByte)          // version 1
+    buf.put(0x03.toByte)       // flags: envelope=1 (XY), little-endian
+    buf.putInt(srid)
+    buf.putDouble(env.getMinX).putDouble(env.getMaxX)
+    buf.putDouble(env.getMinY).putDouble(env.getMaxY)
+    buf.put(wkb)
+    buf.array()
+  }
+
+  private[io] def wkbFromBlob(blob: Array[Byte]): Array[Byte] = {
+    require(blob.length > 8 && blob(0) == 'G'.toByte && blob(1) == 'P'.toByte,
+      "not a GeoPackage geometry blob")
+    val flags = blob(3)
+    val envBytes = ((flags >> 1) & 0x7) match {
+      case 0 => 0
+      case 1 => 32
+      case 2 | 3 => 48
+      case 4 => 64
+      case other => throw new IllegalArgumentException(s"envelope code $other")
+    }
+    java.util.Arrays.copyOfRange(blob, 8 + envBytes, blob.length)
+  }
+
+  /** Write `df` (one WKB geometry column + scalar attributes) as a
+    * GeoPackage feature layer. */
+  def write(df: DataFrame, geomCol: String, path: String, layer: String,
+      srid: Int = 4326, geometryType: String = "GEOMETRY"): Unit = {
+    val schema = df.schema
+    val attrs = schema.fields.filter(_.name != geomCol)
+    val rows = df.collect()
+
+    def sqlType(dt: DataType): String = dt match {
+      case LongType | IntegerType => "INTEGER"
+      case DoubleType | FloatType => "REAL"
+      case StringType => "TEXT"
+      case BinaryType => "BLOB"
+      case t => throw new IllegalArgumentException(s"gpkg attribute type $t")
+    }
+    def toSql(r: Row, i: Int, dt: DataType): SqlValue =
+      if (r.isNullAt(i)) SqlNull
+      else dt match {
+        case LongType => SqlInt(r.getLong(i))
+        case IntegerType => SqlInt(r.getInt(i).toLong)
+        case DoubleType => SqlReal(r.getDouble(i))
+        case FloatType => SqlReal(r.getFloat(i).toDouble)
+        case StringType => SqlText(r.getString(i))
+        case BinaryType => SqlBlob(r.getAs[Array[Byte]](i))
+        case t => throw new IllegalArgumentException(s"gpkg attribute type $t")
+      }
+
+    val geoms = rows.map(_.getAs[Array[Byte]](schema.fieldIndex(geomCol)))
+    val envs = geoms.map(w => Wkb.read(w).getEnvelopeInternal)
+    val (minX, minY, maxX, maxY) =
+      if (envs.isEmpty) (0.0, 0.0, 0.0, 0.0)
+      else (envs.map(_.getMinX).min, envs.map(_.getMinY).min,
+        envs.map(_.getMaxX).max, envs.map(_.getMaxY).max)
+
+    val srs = TableDef("gpkg_spatial_ref_sys",
+      "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY, organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL, definition TEXT NOT NULL, description TEXT)",
+      Seq(
+        -1L -> Seq(SqlText("Undefined cartesian SRS"), SqlNull, SqlText("NONE"),
+          SqlInt(-1), SqlText("undefined"), SqlNull),
+        0L -> Seq(SqlText("Undefined geographic SRS"), SqlNull, SqlText("NONE"),
+          SqlInt(0), SqlText("undefined"), SqlNull),
+        4326L -> Seq(SqlText("WGS 84 geodetic"), SqlNull, SqlText("EPSG"),
+          SqlInt(4326), SqlText(Wgs84Def), SqlNull)))
+
+    val contents = TableDef("gpkg_contents",
+      "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL, data_type TEXT NOT NULL, identifier TEXT, description TEXT DEFAULT '', last_change DATETIME DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ','now')), min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)",
+      Seq(1L -> Seq(SqlText(layer), SqlText("features"), SqlText(layer),
+        SqlText(""), SqlText("2026-01-01T00:00:00.000Z"),
+        SqlReal(minX), SqlReal(minY), SqlReal(maxX), SqlReal(maxY),
+        SqlInt(srid.toLong))))
+
+    val geomCols = TableDef("gpkg_geometry_columns",
+      "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL)",
+      Seq(1L -> Seq(SqlText(layer), SqlText("geom"), SqlText(geometryType),
+        SqlInt(srid.toLong), SqlInt(0), SqlInt(0))))
+
+    val attrDdl = attrs.map(f => s"\"${f.name}\" ${sqlType(f.dataType)}").mkString(", ")
+    val features = TableDef(layer,
+      s"CREATE TABLE \"$layer\" (fid INTEGER PRIMARY KEY, geom BLOB" +
+        (if (attrDdl.nonEmpty) s", $attrDdl" else "") + ")",
+      rows.zipWithIndex.map { case (r, i) =>
+        val vals = Seq(SqlNull, // fid = rowid (INTEGER PRIMARY KEY alias)
+          SqlBlob(gpkgBlob(r.getAs[Array[Byte]](schema.fieldIndex(geomCol)), srid))) ++
+          attrs.map(f => toSql(r, schema.fieldIndex(f.name), f.dataType))
+        (i + 1L) -> vals
+      })
+
+    Sqlite.write(path, Seq(srs, contents, geomCols, features))
+  }
+
+  /** Read a feature layer back as (fid, geom WKB, attributes) — column
+    * names and types from the layer's gpkg_geometry_columns entry plus
+    * runtime value inspection. */
+  def read(spark: SparkSession, path: String, layer: String,
+      attrSchema: StructType): DataFrame = {
+    val raw = Sqlite.readTable(path, layer)
+    val rows = raw.map { case (rowid, vs) =>
+      val wkb = vs(1) match {
+        case SqlBlob(b) => wkbFromBlob(b)
+        case v => throw new IllegalArgumentException(s"geom $v")
+      }
+      val attrVals = attrSchema.fields.zipWithIndex.map { case (f, i) =>
+        (vs(2 + i), f.dataType) match {
+          case (SqlNull, _) => null
+          case (SqlInt(v), LongType) => v
+          case (SqlInt(v), IntegerType) => v.toInt
+          case (SqlReal(v), DoubleType) => v
+          case (SqlText(v), StringType) => v
+          case (SqlBlob(v), BinaryType) => v
+          case (v, t) => throw new IllegalArgumentException(s"attr $v as $t")
+        }
+      }
+      Row.fromSeq(rowid +: wkb.asInstanceOf[Any] +: attrVals.toSeq)
+    }
+    val schema = StructType(
+      StructField("fid", LongType, nullable = false) +:
+        StructField("geom", BinaryType, nullable = false) +:
+        attrSchema.fields.toSeq)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.size / 5000)),
+      schema)
+  }
+}

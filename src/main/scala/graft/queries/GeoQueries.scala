@@ -361,6 +361,35 @@ object GeoQueries {
       |  cast(96 as bigint) AS area16
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  /** S3 (GeoPackage): sink + scan roundtrip through the from-scratch
+    * SQLite container — nation boxes written as a real .gpkg feature
+    * layer (the reference's primary output format, wrf_voronoi.py:149),
+    * read back with the gpkg scanner, attributes + areas verified. */
+  val qGpkgRoundtrip: Q = (spark, dir) => {
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, StringType}
+    val n = Tables(spark, dir, "nation")
+    val boxes = n.select(
+      col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+      st.makeBox(
+        (col("n_nationkey") % 5) * 4.0,
+        (col("n_nationkey") / 5).cast("long") * 3.0,
+        (col("n_nationkey") % 5) * 4.0 + 4.0,
+        (col("n_nationkey") / 5).cast("long") * 3.0 + 2.0).as("geom"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gpkg")
+      .resolve("nations.gpkg").toString
+    graft.io.GeoPackage.write(boxes, "geom", tmp, "nations")
+    graft.io.GeoPackage.read(spark, tmp, "nations", StructType(Seq(
+      StructField("n_nationkey", LongType), StructField("n_name", StringType))))
+      .select(col("n_nationkey"), col("n_name"),
+        round(st.area(col("geom")) * 16).cast("long").as("area16"))
+      .orderBy("n_nationkey")
+  }
+
+  val qGpkgRoundtripSql: String =
+    """SELECT cast(n_nationkey as bigint) AS n_nationkey, n_name,
+      |  cast(128 as bigint) AS area16
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   /** Stage 9 of pipeline 3.1 — the heat-island extract
     * (wrf_voronoi.py:185-190): reproject cells to the metric CRS
     * (G9), union the borough layer (A6/G8), keep cells intersecting the
@@ -410,6 +439,7 @@ object GeoQueries {
   val queries: Map[String, Q] = Map(
     "geo_heat_island" -> qHeatIsland,
     "geo_shp_roundtrip" -> qShpRoundtrip,
+    "geo_gpkg_roundtrip" -> qGpkgRoundtrip,
     "geo_transform_roundtrip" -> qTransformRoundtrip,
     "geo_voronoi_rect" -> qVoronoiRect,
     "geo_voronoi_partition" -> qVoronoiPartition,
@@ -424,6 +454,7 @@ object GeoQueries {
   val oracles: Map[String, String] = Map(
     "geo_heat_island" -> qHeatIslandSql,
     "geo_shp_roundtrip" -> qShpRoundtripSql,
+    "geo_gpkg_roundtrip" -> qGpkgRoundtripSql,
     "geo_transform_roundtrip" -> qTransformRoundtripSql,
     "geo_voronoi_rect" -> qVoronoiRectSql,
     "geo_voronoi_partition" -> qVoronoiPartitionSql,

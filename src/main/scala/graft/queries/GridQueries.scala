@@ -165,13 +165,60 @@ object GridQueries {
       |  cast(32 as bigint) AS area16, n_days, tmin_mean, tmax_mean, tmean_mean
       |FROM s WHERE x <= 19 AND y <= 11 ORDER BY y, x""".stripMargin
 
+  /** S1+S4 (NetCDF): sink + scan roundtrip through the from-scratch
+    * CDF-1 codec — a dense rectilinear grid (supplier balances on a
+    * 10-wide lattice, 1-D coordinate variables, row-major data var,
+    * the to_netcdf output shape of delphine/regrid.py:330) written as
+    * a real .nc file, read back, re-expanded to long form. */
+  val qNetcdfRoundtrip: Q = (spark, dir) => {
+    import graft.io.NetCdf
+    val supp = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey"), round(col("s_acctbal") * 100).as("cents"))
+      .orderBy("s_suppkey")
+      .collect()
+    val ny = supp.length / 10
+    val cents = supp.take(ny * 10).map(_.getDouble(1))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nc")
+      .resolve("pop.nc").toString
+    NetCdf.write(tmp,
+      dims = Seq(NetCdf.Dim("y", ny), NetCdf.Dim("x", 10)),
+      globalAttrs = Seq("title" -> "graft regrid output"),
+      vars = Seq(
+        NetCdf.Var("lat", Seq(0), NetCdf.NcDouble, Seq("units" -> "degrees_north"),
+          Array.tabulate(ny)(_ + 0.5)),
+        NetCdf.Var("lon", Seq(1), NetCdf.NcDouble, Seq("units" -> "degrees_east"),
+          Array.tabulate(10)(_ * 2.0 + 1.0)),
+        NetCdf.Var("pop_cents", Seq(0, 1), NetCdf.NcDouble, Nil, cents)))
+    val nc = NetCdf.read(tmp)
+    val lat = nc.variable("lat").data.asInstanceOf[Array[Double]]
+    val lon = nc.variable("lon").data.asInstanceOf[Array[Double]]
+    val pop = nc.variable("pop_cents").data.asInstanceOf[Array[Double]]
+    val rows = for (y <- 0 until ny; x <- 0 until 10)
+      yield (y.toLong, x.toLong, lat(y), lon(x), pop(y * 10 + x))
+    import spark.implicits._
+    rows.toDF("y", "x", "lat", "lon", "pop_cents").orderBy("y", "x")
+  }
+
+  val qNetcdfRoundtripSql: String =
+    """WITH s AS (
+      |  SELECT row_number() OVER (ORDER BY s_suppkey) - 1 AS i,
+      |    round(s_acctbal*100) AS cents
+      |  FROM supplier)
+      |SELECT cast(i//10 as bigint) AS y, cast(i%10 as bigint) AS x,
+      |  i//10 + 0.5 AS lat, (i%10)*2 + 1.0 AS lon, cents AS pop_cents
+      |FROM s
+      |WHERE i < 10 * ((SELECT count(*) FROM supplier) // 10)
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "grid_netcdf_roundtrip" -> qNetcdfRoundtrip,
     "grid_pipeline_haduk" -> qGridPipelineHaduk,
     "grid_pipeline" -> qGridPipeline,
     "grid_source_scan" -> qGridSourceScan,
     "p_drop_cast_slice" -> qDropCastSlice)
 
   val oracles: Map[String, String] = Map(
+    "grid_netcdf_roundtrip" -> qNetcdfRoundtripSql,
     "grid_pipeline_haduk" -> qGridPipelineHadukSql,
     "grid_pipeline" -> qGridPipelineSql,
     "grid_source_scan" -> qGridSourceScanSql,

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.NetCdf
+import graft.io.NetCdf._
+
+class NetCdfSpec extends AnyFunSuite {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("nc_spec").resolve(name).toString
+
+  test("roundtrip: dims, global + variable attrs, double/float/int vars") {
+    val path = tmp("grid.nc")
+    NetCdf.write(path,
+      dims = Seq(Dim("y", 3), Dim("x", 4)),
+      globalAttrs = Seq("title" -> "t", "history" -> "graft"),
+      vars = Seq(
+        Var("lat", Seq(0), NcDouble, Seq("units" -> "degrees_north"),
+          Array(0.5, 1.5, 2.5)),
+        Var("mask", Seq(0, 1), NcInt, Nil, Array.tabulate(12)(identity)),
+        Var("t2", Seq(0, 1), NcFloat, Seq("units" -> "K"),
+          Array.tabulate(12)(_ * 0.25f))))
+    val nc = NetCdf.read(path)
+    assert(nc.dims == Seq(Dim("y", 3), Dim("x", 4)))
+    assert(nc.globalAttrs == Seq("title" -> "t", "history" -> "graft"))
+    assert(nc.variable("lat").data.asInstanceOf[Array[Double]].toSeq ==
+      Seq(0.5, 1.5, 2.5))
+    assert(nc.variable("lat").attrs == Seq("units" -> "degrees_north"))
+    assert(nc.variable("mask").data.asInstanceOf[Array[Int]].toSeq ==
+      (0 until 12))
+    assert(nc.variable("t2").data.asInstanceOf[Array[Float]].toSeq ==
+      (0 until 12).map(_ * 0.25f))
+  }
+
+  test("header bytes follow the CDF-1 spec") {
+    val path = tmp("hdr.nc")
+    NetCdf.write(path, Seq(Dim("x", 2)), Nil,
+      Seq(Var("v", Seq(0), NcDouble, Nil, Array(1.0, 2.0))))
+    val b = Files.readAllBytes(java.nio.file.Paths.get(path))
+    assert(b(0) == 'C' && b(1) == 'D' && b(2) == 'F' && b(3) == 1)
+    // numrecs 0, then NC_DIMENSION tag 0x0A with one entry
+    assert(java.nio.ByteBuffer.wrap(b, 4, 4).getInt == 0)
+    assert(java.nio.ByteBuffer.wrap(b, 8, 4).getInt == 0x0A)
+    assert(java.nio.ByteBuffer.wrap(b, 12, 4).getInt == 1)
+  }
+
+  test("odd-length names and char data are 4-byte padded") {
+    val path = tmp("pad.nc")
+    NetCdf.write(path, Seq(Dim("abc", 5)), Seq("k" -> "xyz"),
+      Seq(Var("chars", Seq(0), NcChar, Nil, "hello".getBytes("US-ASCII"))))
+    val nc = NetCdf.read(path)
+    assert(new String(nc.variable("chars").data.asInstanceOf[Array[Byte]],
+      "US-ASCII") == "hello")
+    assert(nc.globalAttrs == Seq("k" -> "xyz"))
+  }
+
+  test("size validation rejects mismatched data arrays") {
+    intercept[IllegalArgumentException] {
+      NetCdf.write(tmp("bad.nc"), Seq(Dim("x", 3)), Nil,
+        Seq(Var("v", Seq(0), NcDouble, Nil, Array(1.0))))
+    }
+  }
+}
