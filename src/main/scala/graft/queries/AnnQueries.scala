@@ -106,13 +106,39 @@ object AnnQueries {
       |  true AS scores_exact, true AS ranks_ok
       |FROM embeddings WHERE vec_id < 3 ORDER BY 1""".stripMargin
 
+  /** Per-label embedding centroids — the array-aggregation pattern of
+    * an IVF/k-means training step: explode dimensions, fixed-point
+    * partial sums per (label, dim) — map-side combined, so the shuffle
+    * carries labels × dims longs, never vectors — and one exact final
+    * division. */
+  val qEmbedCentroids: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings")
+    e.select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").as("dim"),
+        round(col("col").cast("double") * 1048576).cast("long").as("u"))
+      .groupBy("label", "dim")
+      .agg(sum("u").as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        (col("s").cast("double") / (col("n") * lit(1048576.0))).as("centroid"))
+      .orderBy("label", "dim")
+  }
+
+  val qEmbedCentroidsSql: String =
+    """SELECT label, i - 1 AS dim,
+      |  cast(sum(cast(round(cast(embedding[i] as double)*1048576) as bigint)) as double)
+      |    / (count(*) * 1048576.0) AS centroid
+      |FROM embeddings, unnest(range(1, 65)) AS t(i)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "embed_centroids" -> qEmbedCentroids,
     "embed_norms" -> qEmbedNorms,
     "ann_bruteforce_topk" -> qAnnBruteForce,
     "ann_lsh_topk" -> qAnnLsh,
     "ann_ivf_topk" -> qAnnIvf)
 
   val oracles: Map[String, String] = Map(
+    "embed_centroids" -> qEmbedCentroidsSql,
     "embed_norms" -> qEmbedNormsSql,
     "ann_bruteforce_topk" -> qAnnBruteForceSql,
     "ann_lsh_topk" -> qAnnLshSql,

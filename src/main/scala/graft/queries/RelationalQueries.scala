@@ -376,7 +376,23 @@ object RelationalQueries {
       |  true AS approx_ok
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Hierarchical aggregation: ROLLUP over (returnflag, linestatus) —
+    * subtotals + grand total in one pass (Expand + partial agg under
+    * the hood; no reference equivalent, engine breadth). */
+  val qRollupPricing: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    li.rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val qRollupPricingSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "a_rollup_pricing" -> qRollupPricing,
     "q1_pricing_salted" -> q1Salted,
     "a_events_approx_distinct" -> qEventsApproxDistinct,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -394,6 +410,7 @@ object RelationalQueries {
     "a4_weighted_mean" -> qWeightedMean)
 
   val oracles: Map[String, String] = Map(
+    "a_rollup_pricing" -> qRollupPricingSql,
     "q1_pricing_salted" -> q1Sql,
     "a_events_approx_distinct" -> qEventsApproxDistinctSql,
     "q1_pricing_summary" -> q1Sql,

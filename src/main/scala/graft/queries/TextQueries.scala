@@ -201,7 +201,56 @@ object TextQueries {
       |  ) AS keep
       |FROM documents d ORDER BY d.doc_id""".stripMargin
 
+  /** Document fingerprinting by WINNOWING (Schleimer et al. 2003): the
+    * rolling-hash family's standard selection scheme — hash every
+    * 8-char k-gram (md5-derived so the oracle recomputes it), take the
+    * minimum in each sliding window of 8, keep distinct minima. The
+    * k-gram hashing runs codegen'd after an explode (the document text
+    * never leaves its scan stage), the window minimum is a codegen'd
+    * analytic window, and the output is a compact per-doc summary
+    * (count / min / sum of fingerprints — O(corpus) rows). */
+  val qTextWinnowing: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val w = 8
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .withColumn("m", greatest(col("n") - (k - 1), lit(1)))
+    val grams = d
+      .select(col("doc_id"), col("m"), col("text"),
+        explode(sequence(lit(1), col("m"))).as("i"))
+      .select(col("doc_id"), col("m"), col("i"),
+        conv(substring(md5(substring(col("text"), col("i"), lit(k))), 1, 12), 16, 10)
+          .cast("long").as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("fp", min("h").over(win))
+      .filter(col("i") <= greatest(col("m") - (w - 1), lit(1)))
+      .select("doc_id", "fp").distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"), sum("fp").as("sum_fp"))
+      .orderBy("doc_id")
+  }
+
+  val qTextWinnowingSql: String =
+    """WITH hs AS (
+      |  SELECT doc_id, i,
+      |    ('0x' || substr(md5(substr(text, i, 8)), 1, 12))::BIGINT AS h,
+      |    greatest(length(text) - 7, 1) AS m
+      |  FROM documents, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS t(i)),
+      |sel AS (
+      |  SELECT DISTINCT doc_id, fp FROM (
+      |    SELECT doc_id, i, m, min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+      |    FROM hs)
+      |  WHERE i <= greatest(m - 7, 1))
+      |SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp,
+      |  cast(sum(fp) as bigint) AS sum_fp
+      |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_winnowing" -> qTextWinnowing,
     "text_stats" -> qTextStats,
     "text_quality" -> qTextQuality,
     "text_langid" -> qTextLangId,
@@ -213,6 +262,7 @@ object TextQueries {
     "dedup_simhash" -> qDedupSimhash)
 
   val oracles: Map[String, String] = Map(
+    "text_winnowing" -> qTextWinnowingSql,
     "text_stats" -> qTextStatsSql,
     "text_quality" -> qTextQualitySql,
     "text_langid" -> qTextLangIdSql,
