@@ -96,6 +96,30 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** Streaming dedup: `dropDuplicates` backed by the streaming state
+    * store — the first-seen event per user survives, state carried
+    * across micro-batches. WHICH event arrives first is batch-order
+    * dependent, so the query reports the order-independent result: the
+    * set of distinct users (count + key extremes). */
+  val qStreamDedup: Q = (spark, dir) => {
+    val dedup = eventsStream(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"))
+      .dropDuplicates("user_id")
+    val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
+    val q = dedup.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .agg(count(lit(1)).as("n_users"),
+        min("user_id").as("min_user"), max("user_id").as("max_user"))
+  }
+
+  val qStreamDedupSql: String =
+    """SELECT count(DISTINCT user_id) AS n_users,
+      |  cast(min(user_id) as bigint) AS min_user,
+      |  cast(max(user_id) as bigint) AS max_user
+      |FROM events""".stripMargin
+
   val qStreamEventsDailySql: String = RelationalQueries.qEventsDailySql
 
   val qStreamRunningStatsSql: String =
@@ -106,9 +130,11 @@ object StreamingQueries {
 
   val queries: Map[String, Q] = Map(
     "stream_events_daily" -> qStreamEventsDaily,
+    "stream_dedup" -> qStreamDedup,
     "stream_running_stats" -> qStreamRunningStats)
 
   val oracles: Map[String, String] = Map(
     "stream_events_daily" -> qStreamEventsDailySql,
+    "stream_dedup" -> qStreamDedupSql,
     "stream_running_stats" -> qStreamRunningStatsSql)
 }

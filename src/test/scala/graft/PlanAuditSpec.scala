@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits over EVERY declared query (SURVEY §4): the
+  * scale properties the scaladocs claim, machine-checked at sf0.001 —
+  * no unplanned cartesian products anywhere, nested-loop joins only
+  * where a broadcast of a tiny side is the intended plan, filters
+  * pushed into the parquet scan, dimension joins broadcast.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      val df = fn(spark, dir)
+      df.collect() // finalize AQE so the audited plan is the executed one
+      name -> df.queryExecution.executedPlan.toString
+    }
+
+  test("no CartesianProduct in any declared query") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("CartesianProduct") => n
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("nested-loop joins only where a tiny broadcast side is intended") {
+    // brute-force ANN scores corpus x queries (queries: 3 rows,
+    // broadcast); the heat-island extract and the conservation ratio
+    // cross-join one single-row aggregate into the stream.
+    val allowed = Set("ann_bruteforce_topk", "geo_heat_island",
+      "geo_regrid_conservation")
+    val offenders = plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(n) => n
+    }
+    assert(offenders.isEmpty, s"unexpected nested-loop joins in: $offenders")
+  }
+
+  test("selective scan pushes its filters into the parquet reader") {
+    val p = plans("p_filter_scan")
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThanOrEqual"),
+      s"no pushed filters in:\n$p")
+  }
+
+  test("fact-to-dimension joins broadcast the dimension side") {
+    Seq("q3_top_revenue", "q5_nation_revenue", "q7_volume_shipping").foreach { q =>
+      assert(plans(q).contains("BroadcastHashJoin"),
+        s"$q: expected a broadcast hash join\n${plans(q)}")
+    }
+  }
+
+  test("aggregations run partial (map-side combine) before the shuffle") {
+    Seq("q1_pricing_summary", "w1_events_daily").foreach { q =>
+      assert(plans(q).contains("partial_"),
+        s"$q: no partial aggregation in plan\n${plans(q)}")
+    }
+  }
+}
