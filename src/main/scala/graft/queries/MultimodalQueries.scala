@@ -66,11 +66,85 @@ object MultimodalQueries {
       |  cast(list_sum(fr) as bigint) AS frame_checksum
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /** Nearest-neighbor resize of the tiled byte "image" to an 8×8
+    * thumbnail (the preprocessing resize stage; power-of-two target so
+    * pixel selection is bit-exact across engines). */
+  val qMmResize: Q = (spark, dir) => {
+    val d = Multimodal.withPayload(Tables(spark, dir, "documents"), "text")
+      .select(col("doc_id"),
+        col("meta.width").as("w"), col("meta.height").as("h"),
+        Multimodal.decode(col("payload")).as("px"))
+      .withColumn("pad", Multimodal.padToImage(col("px"), col("w"), col("h")))
+    d.select(col("doc_id"), col("w"), col("h"),
+      Multimodal.resizeNearest(col("pad"), col("w"), col("h"), 8, 8).as("thumb"))
+      .select(col("doc_id"), col("w"), col("h"),
+        size(col("thumb")).cast("long").as("n_px"),
+        Multimodal.checksum(col("thumb")).as("thumb_sum"))
+      .orderBy("doc_id")
+  }
+
+  val qMmResizeSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, length(text) AS n, length(text)%64 + 1 AS w,
+      |    (length(text) + length(text)%64) // (length(text)%64 + 1) AS h,
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> ord(substr(text, i, 1))) AS bs
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, w, h,
+      |    list_concat(bs, list_transform(range(greatest(w*h - n, 0)), x -> 0)) AS px
+      |  FROM b),
+      |r AS (
+      |  SELECT doc_id, w, h, list_transform(range(0, 64), i ->
+      |    px[((i//8) * h) // 8 * w + ((i%8) * w) // 8 + 1]) AS thumb
+      |  FROM p)
+      |SELECT doc_id, cast(w as bigint) AS w, cast(h as bigint) AS h,
+      |  cast(64 as bigint) AS n_px, cast(list_sum(thumb) as bigint) AS thumb_sum
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Batched "model inference" over payload bytes via mapPartitions —
+    * the Spark-side plumbing of a batched UDF stage (the mapInPandas
+    * pattern): fixed-size batches drawn from each partition's iterator,
+    * a stub model scoring each batch member, per-row outputs plus a
+    * batch-shape invariant. The model is the stub; the batching,
+    * serialization and schema are real. */
+  val qMmBatchInfer: Q = (spark, dir) => {
+    val sp = spark
+    import sp.implicits._
+    val d = Multimodal.withPayload(Tables(spark, dir, "documents"), "text")
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+    d.mapPartitions { it =>
+        it.grouped(32).flatMap { batch =>
+          val bn = batch.size
+          batch.iterator.map { case (id, bytes) =>
+            var s = 0L
+            var i = 0
+            while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+            (id, s, bn >= 1 && bn <= 32)
+          }
+        }
+      }
+      .toDF("doc_id", "score", "batch_ok")
+      .orderBy("doc_id")
+  }
+
+  val qMmBatchInferSql: String =
+    """SELECT doc_id,
+      |  cast(list_sum(list_transform(range(1, length(text) + 1),
+      |    i -> ord(substr(text, i, 1)))) as bigint) AS score,
+      |  true AS batch_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mm_features" -> qMmFeatures,
+    "mm_resize" -> qMmResize,
+    "mm_batch_infer" -> qMmBatchInfer,
     "mm_frame_sample" -> qMmFrameSample)
 
   val oracles: Map[String, String] = Map(
     "mm_features" -> qMmFeaturesSql,
+    "mm_resize" -> qMmResizeSql,
+    "mm_batch_infer" -> qMmBatchInferSql,
     "mm_frame_sample" -> qMmFrameSampleSql)
 }
