@@ -1,7 +1,8 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -19,7 +20,7 @@ import org.apache.spark.sql.types._
   * Inputs must be array<float> with no null elements (embedding columns).
   */
 case class VecDot(children: Seq[Expression])
-  extends Expression with CodegenFallback {
+  extends Expression {
 
   override def nullable: Boolean = true
   override lazy val deterministic: Boolean = true
@@ -41,6 +42,27 @@ case class VecDot(children: Seq[Expression])
     acc
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = children(0).genCode(ctx)
+    val b = children(1).genCode(ctx)
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    ev.copy(code =
+      code"""
+        ${a.code}
+        ${b.code}
+        boolean ${ev.isNull} = ${a.isNull} || ${b.isNull};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          int $n = Math.min(${a.value}.numElements(), ${b.value}.numElements());
+          for (int $i = 0; $i < $n; $i++) {
+            ${ev.value} += (double) ${a.value}.getFloat($i) *
+              (double) ${b.value}.getFloat($i);
+          }
+        }
+      """)
+  }
+
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c)
   override def prettyName: String = "vec_dot"
 }
@@ -48,7 +70,7 @@ case class VecDot(children: Seq[Expression])
 /** Σ xᵢ² of a float array — sequential double accumulation (the caller
   * takes `sqrt` in Column space, mirroring the HOF formulation). */
 case class VecSumSq(children: Seq[Expression])
-  extends Expression with CodegenFallback {
+  extends Expression {
 
   override def nullable: Boolean = true
   override lazy val deterministic: Boolean = true
@@ -67,6 +89,26 @@ case class VecSumSq(children: Seq[Expression])
       i += 1
     }
     acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = children(0).genCode(ctx)
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val x = ctx.freshName("x")
+    ev.copy(code =
+      code"""
+        ${a.code}
+        boolean ${ev.isNull} = ${a.isNull};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          int $n = ${a.value}.numElements();
+          for (int $i = 0; $i < $n; $i++) {
+            double $x = (double) ${a.value}.getFloat($i);
+            ${ev.value} += $x * $x;
+          }
+        }
+      """)
   }
 
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c)

@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.expressions.WordShingles
+import graft.geom.st
+import graft.io.{NetCdf, Sqlite}
+import graft.operators.{Dedup, SpatialJoin}
+
+/** Property-based tests (scalacheck): codec fuzz roundtrips, expression
+  * equivalence against executable models, the pigeonhole completeness
+  * the SimHash banding relies on, and the reference's conservation
+  * invariant (delphine/regrid.py:323-327) on random grids. */
+class PropertiesSpec extends SparkSpec {
+
+  /** Deterministic scalacheck driver (the scalatest-plus bridge isn't
+    * in the offline ivy cache): n seeded samples per property. */
+  private def forAllN[A](gen: Gen[A], n: Int)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(gen.pureApply(Gen.Parameters.default, Seed(0x5eedL + i)))
+    }
+
+  // ---------------------------------------------------------- WordShingles
+
+  private def modelShingles(text: String, n: Int): Seq[String] = {
+    val lowered = text.toLowerCase
+    val trimmed = lowered.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    val toks = trimmed.split("\\s+", -1)
+    val grams =
+      if (toks.length <= n) Seq(toks.mkString(" "))
+      else toks.sliding(n).map(_.mkString(" ")).toSeq
+    grams.distinct.sorted
+  }
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.const(' '),
+      1 -> Gen.oneOf('.', ',', '!', '\t'))).map(_.mkString)
+
+  test("WordShingles equals the HOF-semantics model on random text") {
+    forAllN(Gen.zip(asciiText, Gen.choose(1, 4)), 200) { case (text, n) =>
+      val e = WordShingles(Seq(Literal.create(
+        UTF8String.fromString(text), StringType)), n)
+      val got = e.eval(null).asInstanceOf[ArrayData]
+        .toObjectArray(StringType).map(_.asInstanceOf[UTF8String].toString).toSeq
+      assert(got == modelShingles(text, n), s"text=<$text> n=$n")
+    }
+  }
+
+  // ---------------------------------------------------------- pigeonhole
+
+  test("hamming bands are recall-complete for d <= maxDist (pigeonhole)") {
+    val bits = 48
+    val gen = for {
+      fp <- Gen.choose(Long.MinValue, Long.MaxValue).map(_ & ((1L << bits) - 1))
+      maxDist <- Gen.choose(1, 6)
+      nFlips <- Gen.choose(0, maxDist)
+      flips <- Gen.listOfN(nFlips, Gen.choose(0, bits - 1))
+    } yield (fp, maxDist, flips)
+    forAllN(gen, 300) { case (fp, maxDist, flips) =>
+      val other = flips.foldLeft(fp)((f, b) => f ^ (1L << b))
+      val bands = Dedup.hammingBands(bits, maxDist)
+      val share = bands.exists { case (off, w) =>
+        ((fp >> off) & ((1L << w) - 1)) == ((other >> off) & ((1L << w) - 1))
+      }
+      assert(share, f"fp=$fp%x other=$other%x maxDist=$maxDist")
+    }
+  }
+
+  // ---------------------------------------------------------- sqlite fuzz
+
+  private val sqlValue: Gen[Sqlite.SqlValue] = Gen.frequency(
+    1 -> Gen.const(Sqlite.SqlNull),
+    4 -> Gen.choose(Long.MinValue / 2, Long.MaxValue / 2).map(Sqlite.SqlInt),
+    3 -> Gen.choose(-1e12, 1e12).map(Sqlite.SqlReal),
+    4 -> Gen.listOf(Gen.asciiPrintableChar).map(s => Sqlite.SqlText(s.mkString)),
+    2 -> Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+      .map(b => Sqlite.SqlBlob(b.toArray)))
+
+  test("sqlite container roundtrips random tables (incl. multi-page)") {
+    val rowGen = Gen.listOfN(4, sqlValue)
+    val tableGen = for {
+      nRows <- Gen.oneOf(0, 1, 7, 300) // 300 rows of blobs forces interior pages
+      rows <- Gen.listOfN(nRows, rowGen)
+    } yield rows.zipWithIndex.map { case (r, i) => (i + 1L) -> r }
+    forAllN(tableGen, 12) { rows =>
+      val path = Files.createTempDirectory("sqlfuzz").resolve("t.db").toString
+      Sqlite.write(path, Seq(
+        Sqlite.TableDef("t", "CREATE TABLE t (a, b, c, d)", rows)))
+      val back = Sqlite.readTable(path, "t")
+      assert(back.size == rows.size)
+      back.zip(rows).foreach { case ((gotId, gotVs), (expId, expVs)) =>
+        assert(gotId == expId)
+        gotVs.zip(expVs).foreach {
+          case (Sqlite.SqlBlob(g), Sqlite.SqlBlob(e)) => assert(g.sameElements(e))
+          case (g, e) => assert(g == e)
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------- netcdf fuzz
+
+  test("netcdf codec roundtrips random dims/attrs/values") {
+    val gen = for {
+      ny <- Gen.choose(1, 9)
+      nx <- Gen.choose(1, 9)
+      vals <- Gen.listOfN(ny * nx, Gen.choose(-1e6, 1e6))
+      attr <- Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    } yield (ny, nx, vals.toArray, attr)
+    forAllN(gen, 25) { case (ny, nx, vals, attr) =>
+      val path = Files.createTempDirectory("ncfuzz").resolve("g.nc").toString
+      NetCdf.write(path,
+        Seq(NetCdf.Dim("y", ny), NetCdf.Dim("x", nx)),
+        Seq("note" -> attr),
+        Seq(NetCdf.Var("v", Seq(0, 1), NetCdf.NcDouble, Nil, vals)))
+      val nc = NetCdf.read(path)
+      assert(nc.dims.map(_.size) == Seq(ny, nx))
+      assert(nc.globalAttrs == Seq("note" -> attr))
+      assert(nc.variable("v").data.asInstanceOf[Array[Double]].toSeq == vals.toSeq)
+    }
+  }
+
+  // ------------------------------------------------------ conservation
+
+  test("conservative regrid preserves total mass on random grids") {
+    // source cells: random sub-grid of a 6x5 lattice of 1x1 cells with
+    // integer-cent populations; target: 2x2 boxes fully covering the
+    // lattice => every source cell is exactly partitioned by targets
+    // and the regridded total equals the source total.
+    val gen = for {
+      present <- Gen.listOfN(30, Gen.oneOf(true, false))
+      pops <- Gen.listOfN(30, Gen.choose(1, 99999))
+    } yield present.zip(pops).zipWithIndex.collect {
+      case ((true, p), i) => (i.toLong, i % 6, i / 6, p.toLong)
+    }
+    forAllN(gen, 5) { cells =>
+      if (cells.nonEmpty) {
+        val sp = spark
+        import sp.implicits._
+        val src = cells.toDF("id", "cx", "cy", "pop_cents")
+          .withColumn("pop_geom", st.makeBox(
+            col("cx") * 1.0, col("cy") * 1.0,
+            col("cx") * 1.0 + 1.0, col("cy") * 1.0 + 1.0))
+        val tgt = (for (tx <- 0 until 3; ty <- 0 until 3) yield (tx * 3 + ty, tx, ty))
+          .toDF("tid", "tx", "ty")
+          .withColumn("tgt_geom", st.makeBox(
+            col("tx") * 2.0, col("ty") * 2.0,
+            col("tx") * 2.0 + 2.0, col("ty") * 2.0 + 2.0))
+        val regrid = SpatialJoin
+          .overlayIntersection(src, tgt, "pop_geom", "tgt_geom", 2.0)
+          .agg(sum(col("pop_cents") * col("piece_area")).as("total"))
+          .head().getDouble(0)
+        val orig = cells.map(_._4).sum.toDouble // area_pop = 1 per cell
+        assert(math.abs(regrid - orig) / orig < 1e-9,
+          s"conservation violated: $regrid vs $orig")
+      }
+    }
+  }
+}
