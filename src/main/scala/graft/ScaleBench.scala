@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.geom.st
+import graft.operators.{SpatialJoin, Voronoi}
+
+/** Reference-scale benchmark (BASELINE.md "Our own targets"): the
+  * conservative-regrid overlay at the size the reference calls
+  * memory-bound — ≈1M source cells × ≈33k target cells
+  * (delphine/regrid.py:8 "If you attempt to do this with too large a
+  * grid, you will run out of memory"; each stage "a few minutes",
+  * regrid.py:248,266,279) — plus a 1M-seed tiled Voronoi tessellation
+  * (the reference's 33,286-polygon Brasil artifact at 30× the seeds).
+  *
+  * Prints one JSON line: stage seconds + the conservation ratio.
+  * Run: `sbt "runMain graft.ScaleBench"`.
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // --- stage 1: source grid, 1000x1000 = 1M unit cells with pop
+    val n = 1000
+    val src = spark.range(n.toLong * n)
+      .select(col("id"),
+        (col("id") % n).cast("double").as("sx"),
+        (col("id") / n).cast("long").cast("double").as("sy"),
+        (col("id") % 97 + 1).cast("long").as("pop"))
+      .withColumn("pop_geom", st.makeBox(col("sx"), col("sy"),
+        col("sx") + 1.0, col("sy") + 1.0))
+      .drop("sx", "sy")
+
+    // --- target grid: 182x182 = 33,124 cells covering the same extent
+    val m = 182
+    val w = n.toDouble / m
+    val tgt = spark.range(m.toLong * m)
+      .select(col("id").as("tid"),
+        (col("id") % m).cast("double").as("tx"),
+        (col("id") / m).cast("long").cast("double").as("ty"))
+      .withColumn("tgt_geom", st.makeBox(col("tx") * w, col("ty") * w,
+        (col("tx") + 1.0) * w, (col("ty") + 1.0) * w))
+      .drop("tx", "ty")
+
+    // --- stage 2: overlay intersection + conservative regrid
+    val (regridRows, tOverlay) = timed {
+      SpatialJoin.overlayIntersection(src, tgt, "pop_geom", "tgt_geom", 8.0)
+        .groupBy("tid")
+        // area_pop = 1 per unit source cell → weight = piece area
+        .agg(sum(col("pop") * col("piece_area")).as("population"))
+        .count()
+    }
+
+    // --- stage 3: conservation check (exactness of the full overlay)
+    val (ratio, tConserve) = timed {
+      val regridTotal = SpatialJoin
+        .overlayIntersection(src, tgt, "pop_geom", "tgt_geom", 8.0)
+        .agg(sum(col("pop") * col("piece_area")))
+        .head().getDouble(0)
+      val origTotal = src.agg(sum(col("pop"))).head().getLong(0).toDouble
+      regridTotal / origTotal
+    }
+
+    // --- stage 4: tiled Voronoi over 1M seeds (30x the Brasil artifact)
+    val (vorCells, tVoronoi) = timed {
+      val seeds = spark.range(n.toLong * n).select(
+        col("id"),
+        ((col("id") % n).cast("double") + 0.5).as("px"),
+        ((col("id") / n).cast("long").cast("double") + 0.5).as("py"))
+      Voronoi.tessellateTiled(seeds, "id", "px", "py",
+        (0.0, 0.0, n.toDouble, n.toDouble), tileSize = 50.0, halo = 5.0)
+        .count()
+    }
+
+    println(
+      s"""{"metric":"reference_scale","overlay_sec":$tOverlay,""" +
+        s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
+        s""""regrid_cells":$regridRows,"voronoi_cells":$vorCells,""" +
+        s""""conservation_ratio":$ratio}""")
+    spark.stop()
+  }
+}
