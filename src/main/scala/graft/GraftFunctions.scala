@@ -42,7 +42,22 @@ object GraftFunctions {
     "st_geomfromtext" -> (STGeomFromText(_)),
     "st_transform" -> (STTransform(_)),
     "sorted_intersect_count" -> (SortedIntersectCount(_)),
+    "vec_dot" -> (VecDot(_)),
+    "vec_sumsq" -> (VecSumSq(_)),
+    "word_shingles" -> (cs => WordShingles(Seq(cs.head), intArg(cs, 1, "word_shingles"))),
+    "sign_lsh_bucket" -> (cs => SignLshBucket(Seq(cs.head), intArg(cs, 1, "sign_lsh_bucket"))),
     "decode_bytes" -> (BytesToIntArray(_)))
+
+  /** Constant integer argument of a SQL call (e.g. the shingle width). */
+  private def intArg(cs: Seq[Expression], i: Int, fn: String): Int = {
+    require(cs.length > i, s"$fn: missing argument ${i + 1}")
+    require(cs(i).foldable, s"$fn: argument ${i + 1} must be a constant")
+    cs(i).eval(null) match {
+      case n: java.lang.Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an integer, got $other")
+    }
+  }
 
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo("graft.expressions", name)

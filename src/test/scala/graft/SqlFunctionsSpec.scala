@@ -35,6 +35,27 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(sqlEn.getDouble(0) == e && sqlEn.getDouble(1) == n)
   }
 
+  test("vector and text kernels from SQL match the Column API") {
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT
+        |  vec_dot(array(cast(1.5 as float), cast(-2 as float)),
+        |          array(cast(4 as float), cast(0.5 as float))) AS d,
+        |  vec_sumsq(array(cast(3 as float), cast(4 as float))) AS s,
+        |  word_shingles('The quick  brown fox', 2) AS sh,
+        |  sign_lsh_bucket(array(cast(1 as float), cast(-1 as float),
+        |                        cast(0.5 as float), cast(2 as float)), 8) AS b
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 1.5 * 4.0 + -2.0 * 0.5)
+    assert(r.getDouble(1) == 25.0)
+    assert(r.getSeq[String](2) ==
+      Seq("brown fox", "quick brown", "the quick"))
+    val apiBucket = Seq(Tuple1(Array(1f, -1f, 0.5f, 2f))).toDF("v")
+      .select(graft.operators.Ann.lshBucket(org.apache.spark.sql.functions.col("v"), 8))
+      .head().getInt(0)
+    assert(r.getInt(3) == apiBucket)
+  }
+
   test("a reference-shaped SQL query over a registered view") {
     import spark.implicits._
     Seq((0L, 3.0, 1.0), (1L, 7.0, 1.0), (2L, 12.0, 1.0))
