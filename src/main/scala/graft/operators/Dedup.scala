@@ -78,35 +78,45 @@ object Dedup {
     * dedups, then exact-refines only candidates. */
   def jaccardPairsIndexed(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // the shingle frame feeds the index AND both refine joins — persist
     // so the sort-distinct shingle pass runs once (MEMORY_AND_DISK:
     // spills rather than OOMs at scale; Spark LRU reclaims it)
     val sets = df.select(col(idCol).cast("long").as("id"),
       shingles(col(textCol), shingleN).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // PPJoin refinement of the prefix principle: the principle holds for
-    // ANY one global token order, so order each document's shingles by
-    // corpus frequency (rarest first). Prefixes then hold only rare
-    // shingles, and the token self-join collides on rare tokens — the
-    // difference between O(Σ df²) over frequent templated shingles and
-    // over singletons. One extra count+rejoin, no correctness change.
-    val toks = sets.select(col("id"), explode(col("sh")).as("tok"))
+    // PPJoin over the prefix principle: the principle holds for ANY one
+    // global token order, so order each document's shingles by corpus
+    // frequency (rarest first — ties on the token itself). Prefixes
+    // then hold only rare shingles, and the token self-join collides on
+    // rare tokens — the difference between O(Σ df²) over frequent
+    // templated shingles and over singletons. Position + size ride the
+    // index (windowed rank over the one id-shuffle, no per-doc array
+    // rebuild); candidates must also pass PPJoin's length and
+    // positional filters, both exactness-preserving.
+    val toks = sets.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
-    // persisted: referenced by both sides of the prefix self-join
-    val ordered = toks.join(freq, "tok")
-      .groupBy("id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("tf"), col("tok")))),
-        s => s.getField("tok")).as("shf"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val prefixLen = greatest(
-      (size(col("shf")) - ceil(size(col("shf")) * threshold) + 1).cast("int"),
-      lit(1))
-    val idx = ordered.select(col("id"),
-      explode(slice(col("shf"), lit(1), prefixLen)).as("tok"))
-    val cand = idx.select(col("id").as("id_a"), col("tok"))
-      .join(idx.select(col("id").as("id_b"), col("tok")), "tok")
-      .filter(col("id_a") < col("id_b"))
+    val byRarity = Window.partitionBy("id").orderBy("tf", "tok")
+    val idx = toks.join(freq, "tok")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <=
+        greatest((col("sz") - ceil(col("sz") * threshold) + 1).cast("int"), lit(1)))
+      .select("id", "sz", "rn", "tok")
+    // required overlap α: J ≥ t ⇔ |A∩B| ≥ t/(1+t)·(|A|+|B|); a collision
+    // at positions (ra, rb) certifies at most 1 + min(sa−ra, sb−rb)
+    // overlapping tokens. Dropping a collision that cannot certify is
+    // safe: a qualifying pair's EARLIEST collision always can.
+    val a = idx.select(col("id").as("id_a"), col("sz").as("sz_a"),
+      col("rn").as("rn_a"), col("tok"))
+    val b = idx.select(col("id").as("id_b"), col("sz").as("sz_b"),
+      col("rn").as("rn_b"), col("tok"))
+    val alpha = ceil((col("sz_a") + col("sz_b")) * (threshold / (1 + threshold)))
+    val cand = a.join(b, "tok")
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_a") >= col("sz_b") * threshold &&
+        col("sz_b") >= col("sz_a") * threshold &&
+        (lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b"))) >= alpha)
       .select("id_a", "id_b")
       .distinct()
     refineJaccard(cand, sets, threshold)
