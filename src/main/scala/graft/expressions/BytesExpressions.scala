@@ -38,3 +38,50 @@ case class BytesToIntArray(children: Seq[Expression])
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c)
   override def prettyName: String = "decode_bytes"
 }
+
+/** resize_nearest(pixels, w, h, newW x newH) — nearest-neighbor resize
+  * of a row-major w×h integer image, one eval per row.
+  *
+  * Exists because the Column formulation
+  * (`transform(sequence(...), i => element_at(pad, ...))`) references
+  * the padded-pixels column exactly once — inside the lambda — so
+  * CollapseProject inlines the whole decode+pad subtree into the
+  * lambda body, re-evaluating it once PER OUTPUT PIXEL (measured 64×
+  * per row on the thumbnail query). Source indices are
+  * floor(d·src/new) with `new` a power of two, exact in binary FP —
+  * identical selection to the DuckDB oracle's integer division.
+  */
+case class ResizeNearest(children: Seq[Expression], newW: Int, newH: Int)
+  extends Expression with CodegenFallback {
+
+  require((newW & (newW - 1)) == 0 && (newH & (newH - 1)) == 0,
+    s"resize dims must be powers of two: $newW x $newH")
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def eval(input: InternalRow): Any = {
+    val vp = children(0).eval(input)
+    val vw = children(1).eval(input)
+    val vh = children(2).eval(input)
+    if (vp == null || vw == null || vh == null) return null
+    val px = vp.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val w = vw.asInstanceOf[Number].longValue()
+    val h = vh.asInstanceOf[Number].longValue()
+    val out = new Array[Any](newW * newH)
+    var i = 0
+    while (i < newW * newH) {
+      val dy = i / newW
+      val dx = i % newW
+      val sy = dy * h / newH
+      val sx = dx * w / newW
+      out(i) = px.getInt((sy * w + sx).toInt)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(children = c)
+  override def prettyName: String = "resize_nearest"
+}

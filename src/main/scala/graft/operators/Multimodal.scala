@@ -60,21 +60,13 @@ object Multimodal {
       greatest(w * h - size(pixels), lit(0)).cast("int")))
 
   /** Nearest-neighbor resize of a row-major w×h image to newW×newH —
-    * the image-preprocessing pattern. `newW`/`newH` must be powers of
-    * two: source indices are then floor(d·src/new) with division by a
-    * power of two, exact in binary floating point, so an engine
-    * computing the same formula with integer division (the DuckDB
-    * oracle) selects identical pixels. */
+    * the image-preprocessing pattern, one compiled eval per row
+    * ([[graft.expressions.ResizeNearest]]). `newW`/`newH` must be
+    * powers of two so pixel selection is bit-identical to the oracle's
+    * integer-division formula. */
   def resizeNearest(pixels: Column, w: Column, h: Column,
-      newW: Int, newH: Int): Column = {
-    require((newW & (newW - 1)) == 0 && (newH & (newH - 1)) == 0,
-      s"resize dims must be powers of two: $newW x $newH")
-    transform(sequence(lit(0), lit(newW * newH - 1)), i => {
-      val dy = floor(i / lit(newW.toDouble)).cast("long")
-      val dx = (i % newW).cast("long")
-      val sy = floor(dy * h / lit(newH.toDouble)).cast("long")
-      val sx = floor(dx * w / lit(newW.toDouble)).cast("long")
-      element_at(pixels, (sy * w + sx + 1).cast("int"))
-    })
-  }
+      newW: Int, newH: Int): Column =
+    Bridge.column(graft.expressions.ResizeNearest(
+      Seq(Bridge.expression(pixels), Bridge.expression(w), Bridge.expression(h)),
+      newW, newH))
 }
