@@ -85,3 +85,33 @@ case class ResizeNearest(children: Seq[Expression], newW: Int, newH: Int)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(children = c)
   override def prettyName: String = "resize_nearest"
 }
+
+/** stride_sample(pixels, k) — every k-th element (positions 0, k, 2k,
+  * …), one eval per row. Same CollapseProject rationale as
+  * [[ResizeNearest]]: the `transform(sequence(0, n-1, k),
+  * i => element_at(pixels, i+1))` form re-evaluates a computed pixels
+  * subtree per sampled element. */
+case class StrideSample(children: Seq[Expression], stride: Int)
+  extends Expression with CodegenFallback {
+
+  require(stride >= 1, s"stride=$stride")
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def eval(input: InternalRow): Any = {
+    val v = children.head.eval(input)
+    if (v == null) return null
+    val px = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = px.numElements()
+    val out = new Array[Any]((n + stride - 1) / stride)
+    var i = 0
+    var j = 0
+    while (i < n) { out(j) = px.getInt(i); i += stride; j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(children = c)
+  override def prettyName: String = "stride_sample"
+}

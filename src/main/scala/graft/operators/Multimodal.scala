@@ -48,10 +48,13 @@ object Multimodal {
     size(filter(pixels, _ < threshold)).cast("long")
 
   /** Every `stride`-th pixel — the frame-sampling pattern (video: every
-    * k-th frame; here every k-th byte). */
+    * k-th frame; here every k-th byte). Single-eval expression: the
+    * transform/element_at form re-evaluates a computed pixels subtree
+    * per sampled element (CollapseProject inlines single-reference
+    * columns into lambda bodies). */
   def frameSample(pixels: Column, stride: Int): Column =
-    transform(sequence(lit(0), size(pixels) - 1, lit(stride)),
-      i => element_at(pixels, i + 1))
+    Bridge.column(graft.expressions.StrideSample(
+      Seq(Bridge.expression(pixels)), stride))
 
   /** Zero-pad the pixel buffer to exactly w·h (the tiled "image" may
     * end mid-row). */
