@@ -391,7 +391,33 @@ object RelationalQueries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY 1, 2""".stripMargin
 
+  /** Exact continuous quantiles (sort-based `percentile`): p25/median/
+    * p75 of event values per type. Both engines interpolate at
+    * p·(n−1); emitting 4·q25, 2·median, 4·q75 makes every output an
+    * INTEGER (cent units; interpolation fractions are quarters), so
+    * the hash compare is immune to formula-order ULP drift. */
+  val qQuantiles: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    ev.groupBy("event_type")
+      .agg(
+        round(percentile(col("cents"), lit(0.25)) * 4).cast("long").as("q25x4"),
+        round(percentile(col("cents"), lit(0.5)) * 2).cast("long").as("medx2"),
+        round(percentile(col("cents"), lit(0.75)) * 4).cast("long").as("q75x4"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  val qQuantilesSql: String =
+    """SELECT event_type,
+      |  cast(round(4*quantile_cont(cast(round(value*100) as bigint), 0.25)) as bigint) AS q25x4,
+      |  cast(round(2*quantile_cont(cast(round(value*100) as bigint), 0.5)) as bigint) AS medx2,
+      |  cast(round(4*quantile_cont(cast(round(value*100) as bigint), 0.75)) as bigint) AS q75x4,
+      |  count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "a_quantiles" -> qQuantiles,
     "a_rollup_pricing" -> qRollupPricing,
     "q1_pricing_salted" -> q1Salted,
     "a_events_approx_distinct" -> qEventsApproxDistinct,
@@ -410,6 +436,7 @@ object RelationalQueries {
     "a4_weighted_mean" -> qWeightedMean)
 
   val oracles: Map[String, String] = Map(
+    "a_quantiles" -> qQuantilesSql,
     "a_rollup_pricing" -> qRollupPricingSql,
     "q1_pricing_salted" -> q1Sql,
     "a_events_approx_distinct" -> qEventsApproxDistinctSql,
