@@ -15,12 +15,14 @@ import scala.collection.mutable.ArrayBuffer
   *    avoids constraints that imply auto-indexes);
   *  - single-page `sqlite_master`, one interior level per table
   *    (≈ 500 leaf pages ≈ a few hundred thousand small rows);
-  *  - cell payloads ≤ one page (no overflow chains) — geometry blobs
-  *    beyond ~4 KB need overflow support, deliberately out of scope.
+  *  - WRITER cell payloads ≤ one page (no overflow chains) — geometry
+  *    blobs beyond ~4 KB would need overflow writing, out of scope.
   *
-  * The reader walks arbitrary two-level table b-trees and decodes all
-  * scalar serial types (incl. the schema-format-4 constants 8/9), so it
-  * reads files written by stock sqlite3 within the same scope.
+  * The READER is broader: it walks arbitrary-depth table b-trees,
+  * follows overflow-page chains (so multi-KB blobs in externally
+  * produced GeoPackages load fine), and decodes all scalar serial
+  * types (incl. the schema-format-4 constants 8/9) — verified against
+  * files written by stock sqlite3 in SqliteInteropSpec.
   */
 object Sqlite {
 
@@ -305,7 +307,33 @@ object Sqlite {
       new String(bytes, 0, 15, "US-ASCII") == "SQLite format 3", "not sqlite")
     val pageSize0 = ((bytes(16) & 0xff) << 8) | (bytes(17) & 0xff)
     val pageSize = if (pageSize0 == 1) 65536 else pageSize0
+    val usable = pageSize - (bytes(20) & 0xff) // minus reserved space
     def page(no: Int): (Int, Int) = ((no - 1) * pageSize, if (no == 1) 100 else 0)
+
+    /** Cell payload, following the overflow-page chain when the local
+      * part is truncated (spec §"B-tree Pages": X/M/K thresholds for
+      * table leaves). */
+    def payloadOf(cellOff: Int, payLen: Int): Array[Byte] = {
+      val x = usable - 35
+      if (payLen <= x)
+        return java.util.Arrays.copyOfRange(bytes, cellOff, cellOff + payLen)
+      val m = (usable - 12) * 32 / 255 - 23
+      val k = m + ((payLen - m) % (usable - 4))
+      val local = if (k <= x) k else m
+      val out = new Array[Byte](payLen)
+      System.arraycopy(bytes, cellOff, out, 0, local)
+      var next = ByteBuffer.wrap(bytes, cellOff + local, 4).getInt
+      var filled = local
+      while (next != 0) {
+        val base = (next - 1) * pageSize
+        val chunk = math.min(usable - 4, payLen - filled)
+        System.arraycopy(bytes, base + 4, out, filled, chunk)
+        filled += chunk
+        next = ByteBuffer.wrap(bytes, base, 4).getInt
+      }
+      require(filled == payLen, s"overflow chain short: $filled of $payLen B")
+      out
+    }
 
     def walk(no: Int, out: ArrayBuffer[(Long, IndexedSeq[SqlValue])]): Unit = {
       val (base, hdr) = page(no)
@@ -330,10 +358,7 @@ object Sqlite {
               (bytes(ptrBase + 2 * i + 1) & 0xff)))
             val (payLen, n1) = readVarint(bytes, off)
             val (rowid, n2) = readVarint(bytes, off + n1)
-            val start = off + n1 + n2
-            require(payLen <= pageSize - 35,
-              s"overflowing payload ($payLen B) not supported")
-            val payload = java.util.Arrays.copyOfRange(bytes, start, start + payLen.toInt)
+            val payload = payloadOf(off + n1 + n2, payLen.toInt)
             out += rowid -> decodeRecord(payload)
           }
         case other =>
