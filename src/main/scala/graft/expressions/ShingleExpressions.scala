@@ -42,7 +42,10 @@ case class WordShingles(children: Seq[Expression], n: Int)
     if (v == null) return null
     // Spark's trim() strips the SPACE character only (not \t/\n like
     // Java's String.trim) — match it exactly, the oracle does too.
-    val lowered = v.asInstanceOf[UTF8String].toString.toLowerCase
+    // Lowercase via UTF8String (Spark's own lower(): locale-independent
+    // ASCII fast path — String.toLowerCase would diverge under e.g. a
+    // Turkish default locale).
+    val lowered = v.asInstanceOf[UTF8String].toLowerCase.toString
     var from = 0
     var until = lowered.length
     while (from < until && lowered.charAt(from) == ' ') from += 1

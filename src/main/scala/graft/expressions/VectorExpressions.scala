@@ -26,13 +26,27 @@ case class VecDot(children: Seq[Expression])
   override lazy val deterministic: Boolean = true
   override def dataType: DataType = DoubleType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = children.forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> inputs, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  }
+
+  // mismatched dimensionality is a data bug — surface it as NULL (the
+  // zip_with formulation's behavior), never as a partial dot product
   override def eval(input: InternalRow): Any = {
     val va = children(0).eval(input)
     val vb = children(1).eval(input)
     if (va == null || vb == null) return null
     val a = va.asInstanceOf[ArrayData]
     val b = vb.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -51,10 +65,11 @@ case class VecDot(children: Seq[Expression])
       code"""
         ${a.code}
         ${b.code}
-        boolean ${ev.isNull} = ${a.isNull} || ${b.isNull};
+        boolean ${ev.isNull} = ${a.isNull} || ${b.isNull} ||
+          ${a.value}.numElements() != ${b.value}.numElements();
         double ${ev.value} = 0.0;
         if (!${ev.isNull}) {
-          int $n = Math.min(${a.value}.numElements(), ${b.value}.numElements());
+          int $n = ${a.value}.numElements();
           for (int $i = 0; $i < $n; $i++) {
             ${ev.value} += (double) ${a.value}.getFloat($i) *
               (double) ${b.value}.getFloat($i);
@@ -75,6 +90,15 @@ case class VecSumSq(children: Seq[Expression])
   override def nullable: Boolean = true
   override lazy val deterministic: Boolean = true
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    children.head.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${t.simpleString}")
+    }
 
   override def eval(input: InternalRow): Any = {
     val va = children(0).eval(input)
@@ -130,6 +154,15 @@ case class SignLshBucket(children: Seq[Expression], planes: Int)
   override def nullable: Boolean = true
   override lazy val deterministic: Boolean = true
   override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    children.head.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${t.simpleString}")
+    }
 
   import org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt
 

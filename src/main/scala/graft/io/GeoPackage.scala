@@ -33,9 +33,11 @@ object GeoPackage {
 
   /** GeoPackage geometry blob: "GP", version 0, flags (little-endian,
     * XY envelope), srs_id, envelope, WKB. */
-  private[io] def gpkgBlob(wkb: Array[Byte], srid: Int): Array[Byte] = {
-    val g = Wkb.read(wkb)
-    val env = g.getEnvelopeInternal
+  private[io] def gpkgBlob(wkb: Array[Byte], srid: Int): Array[Byte] =
+    gpkgBlobWithEnv(wkb, Wkb.read(wkb).getEnvelopeInternal, srid)
+
+  private def gpkgBlobWithEnv(wkb: Array[Byte],
+      env: org.locationtech.jts.geom.Envelope, srid: Int): Array[Byte] = {
     val buf = ByteBuffer.allocate(8 + 32 + wkb.length).order(ByteOrder.LITTLE_ENDIAN)
     buf.put('G'.toByte).put('P'.toByte)
     buf.put(0.toByte)          // version 1
@@ -88,8 +90,15 @@ object GeoPackage {
         case t => throw new IllegalArgumentException(s"gpkg attribute type $t")
       }
 
-    val geoms = rows.map(_.getAs[Array[Byte]](schema.fieldIndex(geomCol)))
-    val envs = geoms.map(w => Wkb.read(w).getEnvelopeInternal)
+    // one WKB parse per geometry: the blob (which embeds its envelope)
+    // and the layer extent both come from this pass
+    val geomIdx = schema.fieldIndex(geomCol)
+    val parsed = rows.map { r =>
+      val wkb = r.getAs[Array[Byte]](geomIdx)
+      (wkb, Wkb.read(wkb).getEnvelopeInternal)
+    }
+    val blobs = parsed.map { case (wkb, env) => gpkgBlobWithEnv(wkb, env, srid) }
+    val envs = parsed.map(_._2)
     val (minX, minY, maxX, maxY) =
       if (envs.isEmpty) (0.0, 0.0, 0.0, 0.0)
       else (envs.map(_.getMinX).min, envs.map(_.getMinY).min,
@@ -123,7 +132,7 @@ object GeoPackage {
         (if (attrDdl.nonEmpty) s", $attrDdl" else "") + ")",
       rows.zipWithIndex.map { case (r, i) =>
         val vals = Seq(SqlNull, // fid = rowid (INTEGER PRIMARY KEY alias)
-          SqlBlob(gpkgBlob(r.getAs[Array[Byte]](schema.fieldIndex(geomCol)), srid))) ++
+          SqlBlob(blobs(i))) ++
           attrs.map(f => toSql(r, schema.fieldIndex(f.name), f.dataType))
         (i + 1L) -> vals
       })
@@ -148,6 +157,11 @@ object GeoPackage {
           case (SqlInt(v), LongType) => v
           case (SqlInt(v), IntegerType) => v.toInt
           case (SqlReal(v), DoubleType) => v
+          // stock sqlite3 stores integral REAL values as integer serial
+          // types — widen back per the declared schema
+          case (SqlInt(v), DoubleType) => v.toDouble
+          case (SqlReal(v), FloatType) => v.toFloat
+          case (SqlInt(v), FloatType) => v.toFloat
           case (SqlText(v), StringType) => v
           case (SqlBlob(v), BinaryType) => v
           case (v, t) => throw new IllegalArgumentException(s"attr $v as $t")

@@ -168,10 +168,8 @@ object Sqlite {
     Cell(rowid, b.toArray)
   }
 
-  /** Pack cells into leaf pages greedily, preserving rowid order.
-    * Returns per-leaf (cells, maxRowid). */
-  private def packLeaves(cells: Seq[Cell], firstPageHeader: Int)
-    : Seq[Seq[Cell]] = {
+  /** Pack cells into leaf pages greedily, preserving rowid order. */
+  private def packLeaves(cells: Seq[Cell]): Seq[Seq[Cell]] = {
     val leaves = new ArrayBuffer[Seq[Cell]]
     var cur = new ArrayBuffer[Cell]
     var used = 0
@@ -234,7 +232,7 @@ object Sqlite {
     // numbers), then assign page numbers: 1 = sqlite_master root,
     // then per table [interior?][leaves...]
     val tableLeaves = tables.map { t =>
-      packLeaves(t.rows.map { case (rid, vs) => leafCell(rid, vs) }, 0)
+      packLeaves(t.rows.map { case (rid, vs) => leafCell(rid, vs) })
     }
     var next = 2
     val rootPages = new ArrayBuffer[Int]
@@ -362,7 +360,8 @@ object Sqlite {
             out += rowid -> decodeRecord(payload)
           }
         case other =>
-          throw new IllegalArgumentException(s"unsupported page type 0x$other%02x")
+          throw new IllegalArgumentException(
+            f"unsupported page type 0x$other%02x (index b-trees not supported)")
       }
     }
 

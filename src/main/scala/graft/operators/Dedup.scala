@@ -97,11 +97,17 @@ object Dedup {
     val toks = sets.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    // The two ceil()s below run on double products; a product that
+    // rounds a hair ABOVE the exact rational would overshoot the ceil
+    // and silently drop an exactly-at-threshold pair. The 1e-9 nudge
+    // makes both bounds conservative for every threshold (at worst one
+    // extra indexed token / candidate, never a lost pair).
     val byRarity = Window.partitionBy("id").orderBy("tf", "tok")
     val idx = toks.join(freq, "tok")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <=
-        greatest((col("sz") - ceil(col("sz") * threshold) + 1).cast("int"), lit(1)))
+        greatest((col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int"),
+          lit(1)))
       .select("id", "sz", "rn", "tok")
     // required overlap α: J ≥ t ⇔ |A∩B| ≥ t/(1+t)·(|A|+|B|); a collision
     // at positions (ra, rb) certifies at most 1 + min(sa−ra, sb−rb)
@@ -111,7 +117,7 @@ object Dedup {
       col("rn").as("rn_a"), col("tok"))
     val b = idx.select(col("id").as("id_b"), col("sz").as("sz_b"),
       col("rn").as("rn_b"), col("tok"))
-    val alpha = ceil((col("sz_a") + col("sz_b")) * (threshold / (1 + threshold)))
+    val alpha = ceil((col("sz_a") + col("sz_b")) * (threshold / (1 + threshold)) - 1e-9)
     val cand = a.join(b, "tok")
       .filter(col("id_a") < col("id_b") &&
         col("sz_a") >= col("sz_b") * threshold &&
@@ -195,16 +201,15 @@ object Dedup {
     * the map side. Defaults k=32, bands=16 (rows=2): detection odds
     * 1−(1−j²)^16 — at j≥0.9 miss probability ~3e−12, while unrelated
     * pairs (j≈0.01) bucket together with p≈0.0016. */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 32, bands: Int = 16,
-      maxBucket: Int = 64): DataFrame = {
+  /** Banded candidate pairs from a prepared (id, sh) shingle frame —
+    * the shared core of [[minhashCandidates]] and [[minhashNearDups]]. */
+  private def minhashCandidatesFromSets(sets: DataFrame, k: Int, bands: Int,
+      maxBucket: Int): DataFrame = {
     require(k % bands == 0,
       s"minhash signature length k=$k must be divisible by bands=$bands " +
         "or trailing components would be silently excluded from banding")
     val rows = k / bands
-    val sig = minhashSigExploded(
-      df.select(col(idCol).cast("long").as("id"),
-        shingles(col(textCol), shingleN).as("sh")), k)
+    val sig = minhashSigExploded(sets, k)
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rows + 1, lit(rows)), lit(9999)))))
@@ -212,24 +217,24 @@ object Dedup {
     pairsFromBuckets(banded, Seq("band", "band_hash"), maxBucket)
   }
 
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 16,
+      maxBucket: Int = 64): DataFrame =
+    minhashCandidatesFromSets(
+      df.select(col(idCol).cast("long").as("id"),
+        shingles(col(textCol), shingleN).as("sh")), k, bands, maxBucket)
+
   /** The composed near-dup pipeline: MinHash-LSH candidates + exact
     * Jaccard refine — candidates ⊇ all true pairs (w.h.p., see
     * [[minhashCandidates]]), refine makes the output exact. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
       k: Int = 32, bands: Int = 16): DataFrame = {
-    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
-    val rows = k / bands
     // one persisted shingle pass feeds signature generation AND refine
     val sets = df.select(col(idCol).cast("long").as("id"),
       shingles(col(textCol), shingleN).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sig = minhashSigExploded(sets, k)
-    val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rows + 1, lit(rows)), lit(9999)))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val cand = pairsFromBuckets(banded, Seq("band", "band_hash"), 64)
+    val cand = minhashCandidatesFromSets(sets, k, bands, maxBucket = 64)
     refineJaccard(cand, sets, threshold)
   }
 
@@ -283,8 +288,11 @@ object Dedup {
   def simhashFingerprints(df: DataFrame, idCol: String, textCol: String,
       bits: Int): DataFrame = {
     require(bits % 4 == 0 && bits <= 60, s"simhash bits=$bits")
+    // explode_OUTER: a null text column must keep its row (null token →
+    // null hash → null votes → fp 0), matching the HOF formulation
+    // where null votes fall through to the per-bit otherwise(0)
     val toks = df.select(col(idCol).cast("long").as("id"),
-      explode(array_distinct(split(trim(lower(col(textCol))), "\\s+"))).as("t"))
+      explode_outer(array_distinct(split(trim(lower(col(textCol))), "\\s+"))).as("t"))
     val h = conv(substring(md5(col("t")), 1, bits / 4), 16, 10).cast("long")
     toks.select(col("id"), h.as("h"))
       .groupBy("id")
