@@ -56,4 +56,23 @@ object GeoJson {
       """{"type":"FeatureCollection","features":[""", ",", "]}")
     Files.write(Paths.get(path), doc.getBytes("UTF-8"))
   }
+
+  /** Scan a polygon FeatureCollection through the STOCK Spark JSON
+    * datasource (`spark.read.json` + schema inference) — distributed,
+    * no custom parser: features explode to rows, the exterior ring
+    * rebuilds WKB via `st_polygon`, properties surface as columns.
+    * Layers must be geometry-homogeneous (mixed Point/Polygon
+    * coordinate nesting defeats JSON schema inference). */
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.geom.st
+    val raw = spark.read.option("multiLine", true).json(path)
+    val f = raw.select(explode(col("features")).as("f"))
+    val ring = col("f.geometry.coordinates").getItem(0)
+    f.select(
+      st.polygon(
+        transform(ring, c => c.getItem(0)),
+        transform(ring, c => c.getItem(1))).as("geom"),
+      col("f.properties.*"))
+  }
 }

@@ -309,6 +309,33 @@ object GeoQueries {
       |  cast(16*26*23 as bigint) AS area16_total
       |FROM supplier""".stripMargin
 
+  /** S3+S2 (GeoJSON): sink + STOCK-datasource scan roundtrip — nation
+    * boxes written as a GeoJSON FeatureCollection, read back through
+    * `spark.read.json` (schema inference + explode, no custom parser),
+    * geometry rebuilt from the exterior ring via st_polygon. */
+  val qGeojsonRoundtrip: Q = (spark, dir) => {
+    val n = Tables(spark, dir, "nation")
+    val boxes = n.select(
+      col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+      st.makeBox(
+        (col("n_nationkey") % 5) * 2.5,
+        (col("n_nationkey") / 5).cast("long") * 2.0,
+        (col("n_nationkey") % 5) * 2.5 + 2.0,
+        (col("n_nationkey") / 5).cast("long") * 2.0 + 1.5).as("geom"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_geojson")
+      .resolve("nations.geojson").toString
+    graft.io.GeoJson.write(boxes, "geom", tmp)
+    graft.io.GeoJson.read(spark, tmp)
+      .select(col("n_nationkey"), col("n_name"),
+        round(st.area(col("geom")) * 16).cast("long").as("area16"))
+      .orderBy("n_nationkey")
+  }
+
+  val qGeojsonRoundtripSql: String =
+    """SELECT cast(n_nationkey as bigint) AS n_nationkey, n_name,
+      |  cast(48 as bigint) AS area16
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   /** G9: CRS reprojection 4326↔27700. The oracle cannot recompute the
     * OSGB projection, so the query emits INVARIANTS the oracle can
     * assert: the roundtrip returns the original WGS84 point to < 1e-6°
@@ -440,6 +467,7 @@ object GeoQueries {
     "geo_heat_island" -> qHeatIsland,
     "geo_shp_roundtrip" -> qShpRoundtrip,
     "geo_gpkg_roundtrip" -> qGpkgRoundtrip,
+    "geo_geojson_roundtrip" -> qGeojsonRoundtrip,
     "geo_transform_roundtrip" -> qTransformRoundtrip,
     "geo_voronoi_rect" -> qVoronoiRect,
     "geo_voronoi_partition" -> qVoronoiPartition,
@@ -455,6 +483,7 @@ object GeoQueries {
     "geo_heat_island" -> qHeatIslandSql,
     "geo_shp_roundtrip" -> qShpRoundtripSql,
     "geo_gpkg_roundtrip" -> qGpkgRoundtripSql,
+    "geo_geojson_roundtrip" -> qGeojsonRoundtripSql,
     "geo_transform_roundtrip" -> qTransformRoundtripSql,
     "geo_voronoi_rect" -> qVoronoiRectSql,
     "geo_voronoi_partition" -> qVoronoiPartitionSql,
