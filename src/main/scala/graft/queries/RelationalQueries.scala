@@ -416,7 +416,36 @@ object RelationalQueries {
       |  count(*) AS n
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** As-of join: each event enriched with the user's most recent order
+    * at-or-before the event time (operators/AsOf — one key shuffle +
+    * running window, no range self-join). Oracle: DuckDB's native
+    * ASOF LEFT JOIN. */
+  val qAsofLastOrder: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id").cast("long").as("user_id"), col("ts"))
+    val ord = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey").cast("long").as("k"), col("o_orderdate").as("t"))
+      .agg(max(round(col("o_totalprice") * 100).cast("long")).as("best_cents"))
+    graft.operators.AsOf.joinBackward(ev, ord, "user_id", "k", "ts", "t")
+      .select(col("event_id"), col("user_id"),
+        col("__match.t").as("last_order_ts"),
+        col("__match.best_cents").as("best_cents"))
+      .orderBy("event_id")
+  }
+
+  val qAsofLastOrderSql: String =
+    """WITH r AS (
+      |  SELECT o_custkey AS k, o_orderdate AS t,
+      |    max(cast(round(o_totalprice*100) as bigint)) AS best_cents
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, cast(e.user_id as bigint) AS user_id,
+      |  r.t AS last_order_ts, r.best_cents
+      |FROM events e ASOF LEFT JOIN r
+      |  ON e.user_id = r.k AND e.ts >= r.t
+      |ORDER BY e.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "j_asof_last_order" -> qAsofLastOrder,
     "a_quantiles" -> qQuantiles,
     "a_rollup_pricing" -> qRollupPricing,
     "q1_pricing_salted" -> q1Salted,
@@ -436,6 +465,7 @@ object RelationalQueries {
     "a4_weighted_mean" -> qWeightedMean)
 
   val oracles: Map[String, String] = Map(
+    "j_asof_last_order" -> qAsofLastOrderSql,
     "a_quantiles" -> qQuantilesSql,
     "a_rollup_pricing" -> qRollupPricingSql,
     "q1_pricing_salted" -> q1Sql,

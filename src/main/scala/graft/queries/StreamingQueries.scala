@@ -96,6 +96,30 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** Stream-STATIC spatial join: streaming event points against the
+    * static supplier-cell layer (broadcast), point-in-polygon refine
+    * with the st_* expression layer, then a streaming aggregation per
+    * cell — geometry and Structured Streaming composing in one plan.
+    * Identical output contract (and oracle) to the batch
+    * `geo_pip_join`. */
+  val qStreamGeoPip: Q = (spark, dir) => {
+    import graft.geom.st
+    val cells = GeoQueries.supplierCells(spark, dir).drop("pop_cents")
+    val pts = eventsStream(spark, dir)
+      .select(col("event_id"), col("value"),
+        st.point((col("event_id") % 1000) / 20.0,
+          (col("event_id") % 800) / 20.0).as("pt_geom"))
+    val joined = pts.join(broadcast(cells), st.contains(col("geom"), col("pt_geom")))
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_points"),
+        Exact.fixedSum(col("value"), 2).as("sum_value"))
+    val name = s"graft_stream_pip_${runId.incrementAndGet()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("s_suppkey")
+  }
+
   /** Streaming dedup: `dropDuplicates` backed by the streaming state
     * store — the first-seen event per user survives, state carried
     * across micro-batches. WHICH event arrives first is batch-order
@@ -131,10 +155,12 @@ object StreamingQueries {
   val queries: Map[String, Q] = Map(
     "stream_events_daily" -> qStreamEventsDaily,
     "stream_dedup" -> qStreamDedup,
+    "stream_geo_pip" -> qStreamGeoPip,
     "stream_running_stats" -> qStreamRunningStats)
 
   val oracles: Map[String, String] = Map(
     "stream_events_daily" -> qStreamEventsDailySql,
     "stream_dedup" -> qStreamDedupSql,
+    "stream_geo_pip" -> GeoQueries.qPipJoinSql,
     "stream_running_stats" -> qStreamRunningStatsSql)
 }
