@@ -444,7 +444,56 @@ object RelationalQueries {
       |  ON e.user_id = r.k AND e.ts >= r.t
       |ORDER BY e.event_id""".stripMargin
 
+  /** Range-frame analytic window: per event, count + exact sum of
+    * same-type events in the trailing 3 days — a VALUE-based frame
+    * (`rangeBetween` over exact epoch-microsecond longs, tie-safe on
+    * both engines), completing the frame-spec coverage next to the
+    * row_number/lag queries. */
+  val qTrailing3d: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+      .withColumn("ep_us", unix_micros(col("ts")))
+    val w = Window.partitionBy("event_type").orderBy("ep_us")
+      .rangeBetween(-259200000000L, 0L)
+    ev.select(col("event_id"),
+      count(lit(1)).over(w).as("n_trail"),
+      sum(round(col("value") * 100).cast("long")).over(w).as("sum_trail_cents"))
+      .orderBy("event_id")
+  }
+
+  val qTrailing3dSql: String =
+    """SELECT event_id,
+      |  count(*) OVER w AS n_trail,
+      |  cast(sum(cast(round(value*100) as bigint)) OVER w as bigint) AS sum_trail_cents
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** TPC-H Q17 shape: revenue impact of small-quantity orders — join
+    * against a per-group aggregate threshold (the decorrelated form of
+    * the correlated avg subquery). */
+  val q17SmallQuantity: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part").filter(col("p_size") === 1)
+    val lim = li.groupBy(col("l_partkey").as("pk"))
+      .agg((avg("l_quantity") * 0.2).as("lim"))
+    p.join(li, col("p_partkey") === col("l_partkey"))
+      .join(lim, col("pk") === col("l_partkey"))
+      .filter(col("l_quantity") < col("lim"))
+      .agg((sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") /
+        lit(700.0)).as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    """SELECT cast(sum(cast(round(l_extendedprice*100) as bigint)) as double) / 700.0 AS avg_yearly
+      |FROM lineitem, part,
+      |  (SELECT l_partkey AS pk, avg(l_quantity) * 0.2 AS lim FROM lineitem GROUP BY 1) t
+      |WHERE p_partkey = l_partkey AND pk = l_partkey AND l_quantity < lim
+      |  AND p_size = 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "w_trailing_3d" -> qTrailing3d,
+    "q17_small_quantity" -> q17SmallQuantity,
     "j_asof_last_order" -> qAsofLastOrder,
     "a_quantiles" -> qQuantiles,
     "a_rollup_pricing" -> qRollupPricing,
@@ -465,6 +514,8 @@ object RelationalQueries {
     "a4_weighted_mean" -> qWeightedMean)
 
   val oracles: Map[String, String] = Map(
+    "w_trailing_3d" -> qTrailing3dSql,
+    "q17_small_quantity" -> q17Sql,
     "j_asof_last_order" -> qAsofLastOrderSql,
     "a_quantiles" -> qQuantilesSql,
     "a_rollup_pricing" -> qRollupPricingSql,
