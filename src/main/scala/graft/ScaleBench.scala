@@ -87,9 +87,25 @@ object ScaleBench {
         .count()
     }
 
+    // --- stage 5 (north-star): sign-LSH ANN over 1M synthetic vectors
+    // (64-dim, deterministic pseudo-random floats from the row id) —
+    // candidate generation is the bucket equi-join; scoring is the
+    // compiled VecDot kernel
+    val (annRows, tAnn) = timed {
+      val dim = 64
+      val vec = array((0 until dim).map(d =>
+        (hash(col("id"), lit(d)).cast("double") / 2147483647.0).cast("float")): _*)
+      val corpus = spark.range(n.toLong * n)
+        .select(col("id"), vec.as("embedding"))
+      val queries = corpus.filter(col("id") % 100000 === 7)
+      graft.operators.Ann.lshTopK(corpus, queries, "id", "embedding", 10)
+        .count()
+    }
+
     println(
       s"""{"metric":"reference_scale","overlay_sec":$tOverlay,""" +
         s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
+        s""""ann_1m_sec":$tAnn,"ann_rows":$annRows,""" +
         s""""regrid_cells":$regridRows,"voronoi_cells":$vorCells,""" +
         s""""conservation_ratio":$ratio}""")
     spark.stop()

@@ -227,9 +227,10 @@ object TextQueries {
     grams
       .withColumn("fp", min("h").over(win))
       .filter(col("i") <= greatest(col("m") - (w - 1), lit(1)))
-      .select("doc_id", "fp").distinct()
+      // distinct aggregates: one shuffle instead of distinct + groupBy
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"), sum("fp").as("sum_fp"))
+      .agg(countDistinct("fp").as("n_fp"), min("fp").as("min_fp"),
+        sum_distinct(col("fp")).as("sum_fp"))
       .orderBy("doc_id")
   }
 
