@@ -29,6 +29,7 @@ object GraftFunctions {
     "st_intersects" -> (STIntersects(_)),
     "st_intersection" -> (STIntersection(_)),
     "st_area" -> (STArea(_)),
+    "st_distance" -> (STDistance(_)),
     "st_centroid" -> (STCentroid(_)),
     "st_x" -> (STX(_)),
     "st_y" -> (STY(_)),

@@ -316,3 +316,14 @@ object STUnionAggr {
     * before collapsing into one running union. */
   val CompactEvery = 64
 }
+
+/** st_distance(a, b) — minimum planar distance between two geometries
+  * (JTS `Geometry.distance`; point-point = sqrt(dx²+dy²), the
+  * closed-form the oracle mirrors). */
+case class STDistance(children: Seq[Expression]) extends GeomExpression {
+  override def dataType: DataType = DoubleType
+  override protected def evalNotNull(vs: Seq[Any]): Any =
+    geom(vs(0)).distance(geom(vs(1)))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c)
+  override def prettyName: String = "st_distance"
+}

@@ -30,6 +30,7 @@ object st {
   def intersection(a: Column, b: Column): Column = c(STIntersection(Seq(x(a), x(b))))
 
   def area(g: Column): Column = c(STArea(Seq(x(g))))
+  def distance(a: Column, b: Column): Column = c(STDistance(Seq(x(a), x(b))))
   def centroid(g: Column): Column = c(STCentroid(Seq(x(g))))
   def stx(g: Column): Column = c(STX(Seq(x(g))))
   def sty(g: Column): Column = c(STY(Seq(x(g))))

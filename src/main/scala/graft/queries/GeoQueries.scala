@@ -361,6 +361,59 @@ object GeoQueries {
     """SELECT s_suppkey, true AS roundtrip_ok, true AS bounds_ok
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** Spatial nearest-neighbor: for each sampled event point the nearest
+    * supplier cell center, with exact planar distance (st_distance,
+    * G-function breadth). Brute-force scored baseline (the ANN
+    * pattern: tiny broadcast side + bounded-heap top-1 per point —
+    * same contract as ann_bruteforce_topk; the bucket join is the
+    * scale path). */
+  val qNearestCell: Q = (spark, dir) => {
+    import graft.operators.Ann
+    val pts = eventPoints(spark, dir)
+      .filter(col("event_id") % 97 === 0)
+      .select(col("event_id"), col("pt_geom"))
+    val centers = Tables(spark, dir, "supplier").select(
+      col("s_suppkey"),
+      st.point((col("s_suppkey") % 10) * 5.0 + 2.5,
+        (col("s_suppkey") / 10).cast("long") * 4.0 + 2.0).as("ctr"))
+    // closed-form distance (the oracle's exact doubles) + an invariant
+    // pinning st_distance to it: JTS's DistanceOp agrees to < 1e-12
+    // but not always to the last ulp, so the hash-compared column is
+    // the closed form
+    val dx = st.stx(col("pt_geom")) - st.stx(col("ctr"))
+    val dy = st.sty(col("pt_geom")) - st.sty(col("ctr"))
+    val dist = sqrt(dx * dx + dy * dy)
+    val scored = pts.crossJoin(broadcast(centers))
+      .select(col("event_id"), dist.as("dist"), col("s_suppkey"),
+        (abs(st.distance(col("pt_geom"), col("ctr")) - dist) < 1e-12)
+          .as("st_dist_ok"))
+    scored.groupBy("event_id")
+      .agg(Ann.topK(-col("dist"), col("s_suppkey"), 1).as("top"),
+        (min(col("st_dist_ok").cast("int")) === 1).as("st_dist_ok"))
+      .select(col("event_id"),
+        col("top").getItem(0).getField("neighbor_id").as("nearest_suppkey"),
+        (-col("top").getItem(0).getField("cos_sim")).as("dist"),
+        col("st_dist_ok"))
+      .orderBy("event_id")
+  }
+
+  val qNearestCellSql: String =
+    """WITH pts AS (
+      |  SELECT event_id, (event_id%1000)/20.0 AS x, (event_id%800)/20.0 AS y
+      |  FROM events WHERE event_id % 97 = 0),
+      |c AS (
+      |  SELECT s_suppkey, (s_suppkey%10)*5.0 + 2.5 AS cx,
+      |    (s_suppkey//10)*4.0 + 2.0 AS cy FROM supplier),
+      |d AS (
+      |  SELECT event_id, s_suppkey,
+      |    sqrt((x - cx)*(x - cx) + (y - cy)*(y - cy)) AS dist FROM pts, c),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_id
+      |    ORDER BY dist, s_suppkey) AS rn FROM d)
+      |SELECT event_id, s_suppkey AS nearest_suppkey, dist,
+      |  true AS st_dist_ok
+      |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   /** S2+S3: shapefile sink + scan roundtrip — derived nation boxes are
     * written as a real .shp/.shx/.dbf/.prj layer (the reference's output
     * format, wrf_voronoi.py:149) to a temp dir, read back with the
@@ -476,6 +529,7 @@ object GeoQueries {
     "geo_bbox_filter" -> qBboxFilter,
     "geo_union_area" -> qUnionArea,
     "geo_pip_join" -> qPipJoin,
+    "geo_nearest_cell" -> qNearestCell,
     "geo_overlay_regrid" -> qOverlayRegrid,
     "geo_regrid_conservation" -> qRegridConservation)
 
@@ -492,6 +546,7 @@ object GeoQueries {
     "geo_bbox_filter" -> qBboxFilterSql,
     "geo_union_area" -> qUnionAreaSql,
     "geo_pip_join" -> qPipJoinSql,
+    "geo_nearest_cell" -> qNearestCellSql,
     "geo_overlay_regrid" -> qOverlayRegridSql,
     "geo_regrid_conservation" -> qRegridConservationSql)
 }

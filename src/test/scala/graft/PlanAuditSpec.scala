@@ -31,7 +31,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // broadcast); the heat-island extract and the conservation ratio
     // cross-join one single-row aggregate into the stream.
     val allowed = Set("ann_bruteforce_topk", "geo_heat_island",
-      "geo_regrid_conservation")
+      "geo_regrid_conservation", "geo_nearest_cell")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(n) => n
     }
