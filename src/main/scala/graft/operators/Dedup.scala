@@ -238,6 +238,41 @@ object Dedup {
     refineJaccard(cand, sets, threshold)
   }
 
+  /** Connected components over a near-dup pair list by iterative
+    * min-label propagation: every document gets the smallest doc id in
+    * its similarity component as `cluster_rep` — the cluster-assignment
+    * step a dedup pipeline runs after pair generation (keep one doc per
+    * component, not per pair).
+    *
+    * Distributed-iterative: each round is one equi-join of edges with
+    * current labels + a min-aggregate (both stock shuffles); the driver
+    * only checks CONVERGENCE (a count), never collects data. Rounds
+    * needed = the largest component's diameter (near-dup components
+    * are dense — a handful); `maxIters` caps adversarial chains. */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col("id"), col("id").as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min("lbl").as("nbr_lbl"))
+      val next = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster_rep"))
+  }
+
   /** md5-derived per-token hashes for SimHash — md5 (not murmur3) so the
     * DuckDB oracle can recompute fingerprints bit-for-bit. `bits` must be
     * a multiple of 4 and ≤ 60 (hex nibbles into a signed long). */

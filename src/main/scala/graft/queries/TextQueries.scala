@@ -250,7 +250,42 @@ object TextQueries {
       |  cast(sum(fp) as bigint) AS sum_fp
       |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Cluster assignment: connected components over the exact near-dup
+    * pair list — every doc labeled with its component's smallest id
+    * (iterative min-label propagation; oracle = transitive closure by
+    * recursive CTE). */
+  val qDedupComponents: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val pairs = Dedup.jaccardPairsIndexed(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b")
+    val ids = docs.select(col("doc_id").cast("long").as("id"))
+    Dedup.connectedComponents(ids, pairs)
+      .select(col("id").as("doc_id"), col("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupComponentsSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_sort(list_distinct(
+      |    list_transform(range(1, greatest(len(toks) - 3, 0) + 2),
+      |      i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS s
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |        FROM documents)),
+      |pairs AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib FROM sh a, sh b
+      |  WHERE a.doc_id < b.doc_id
+      |    AND len(a.s) >= 0.5*len(b.s) AND len(b.s) >= 0.5*len(a.s)
+      |    AND len(list_intersect(a.s, b.s)) /
+      |      greatest(len(list_distinct(list_concat(a.s, b.s))), 1)::DOUBLE >= 0.5),
+      |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      |SELECT a AS doc_id, min(b) AS cluster_rep FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dedup_components" -> qDedupComponents,
     "text_winnowing" -> qTextWinnowing,
     "text_stats" -> qTextStats,
     "text_quality" -> qTextQuality,
@@ -263,6 +298,7 @@ object TextQueries {
     "dedup_simhash" -> qDedupSimhash)
 
   val oracles: Map[String, String] = Map(
+    "dedup_components" -> qDedupComponentsSql,
     "text_winnowing" -> qTextWinnowingSql,
     "text_stats" -> qTextStatsSql,
     "text_quality" -> qTextQualitySql,
