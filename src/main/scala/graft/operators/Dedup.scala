@@ -254,23 +254,30 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = ids.select(col("id"), col("id").as("lbl"))
+    // only edge-touched vertices can change label — iterate over those
+    // and union the (typically vast) untouched remainder back at the end
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min("lbl").as("nbr_lbl"))
+      // carry the previous label so ONE action both materializes the
+      // round and measures convergence
       val next = labels.join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      labels = next.select("id", "lbl")
       iter += 1
     }
-    labels.select(col("id"), col("lbl").as("cluster_rep"))
+    val untouched = ids.select(col("id"))
+      .join(labels, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("lbl"))
+    labels.union(untouched).select(col("id"), col("lbl").as("cluster_rep"))
   }
 
   /** md5-derived per-token hashes for SimHash — md5 (not murmur3) so the
