@@ -264,12 +264,22 @@ object Dedup {
     while (changed > 0 && iter < maxIters) {
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min("lbl").as("nbr_lbl"))
+      // pointer jumping: besides the neighbor minimum, adopt the label
+      // OF the current label (labels self-joined on lbl = id) — path
+      // lengths halve per round, so convergence takes O(log diameter)
+      // rounds instead of O(diameter); each extra round is a full
+      // cluster-wide barrier, the expensive unit here
+      val hop = labels.select(col("id").as("hid"), col("lbl").as("hlbl"))
+      val next = labels
+        .join(nbrMin, col("id") === col("src"), "left")
+        .join(hop, col("lbl") === col("hid"), "left")
+        .select(col("id"), col("lbl").as("prev"),
+          least(col("lbl"),
+            least(coalesce(col("nbr_lbl"), col("lbl")),
+              coalesce(col("hlbl"), col("lbl")))).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // carry the previous label so ONE action both materializes the
       // round and measures convergence
-      val next = labels.join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"), col("lbl").as("prev"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
       changed = next.filter(col("lbl") =!= col("prev")).count()
       labels = next.select("id", "lbl")
       iter += 1
