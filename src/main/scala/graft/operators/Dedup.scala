@@ -249,8 +249,13 @@ object Dedup {
     * only checks CONVERGENCE (a count), never collects data. Rounds
     * needed = the largest component's diameter (near-dup components
     * are dense — a handful); `maxIters` caps adversarial chains. */
+  /** `pointerJumping` adds a label-of-label self-join per round,
+    * halving path lengths (O(log diameter) rounds) — enable for
+    * chain-heavy graphs; near-dup components are dense cliques
+    * (diameter ~2 here), where the extra per-round join costs more
+    * than the rounds it saves. */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, pointerJumping: Boolean = false): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -264,15 +269,13 @@ object Dedup {
     while (changed > 0 && iter < maxIters) {
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min("lbl").as("nbr_lbl"))
-      // pointer jumping: besides the neighbor minimum, adopt the label
-      // OF the current label (labels self-joined on lbl = id) — path
-      // lengths halve per round, so convergence takes O(log diameter)
-      // rounds instead of O(diameter); each extra round is a full
-      // cluster-wide barrier, the expensive unit here
-      val hop = labels.select(col("id").as("hid"), col("lbl").as("hlbl"))
-      val next = labels
-        .join(nbrMin, col("id") === col("src"), "left")
-        .join(hop, col("lbl") === col("hid"), "left")
+      val joined = labels.join(nbrMin, col("id") === col("src"), "left")
+      val withHop =
+        if (!pointerJumping) joined.withColumn("hlbl", col("lbl"))
+        else joined.join(
+          labels.select(col("id").as("hid"), col("lbl").as("hlbl")),
+          col("lbl") === col("hid"), "left")
+      val next = withHop
         .select(col("id"), col("lbl").as("prev"),
           least(col("lbl"),
             least(coalesce(col("nbr_lbl"), col("lbl")),
