@@ -250,12 +250,18 @@ object Dedup {
     * needed = the largest component's diameter (near-dup components
     * are dense — a handful); `maxIters` caps adversarial chains. */
   /** `pointerJumping` adds a label-of-label self-join per round,
-    * halving path lengths (O(log diameter) rounds) — enable for
-    * chain-heavy graphs; near-dup components are dense cliques
-    * (diameter ~2 here), where the extra per-round join costs more
-    * than the rounds it saves. */
+    * halving path lengths (O(log diameter) rounds). Near-dup components
+    * are dense cliques (diameter ~2) where the extra per-round join
+    * costs more than the rounds it saves — so jumping starts OFF and
+    * auto-enables once `autoJumpAfter` rounds have not converged (a
+    * chain-shaped graph revealed itself). Every `checkpointEvery`
+    * rounds the label frame is `localCheckpoint`ed: without truncation
+    * the plan deepens every round and the optimizer re-traverses the
+    * whole chain; superseded rounds' cached blocks are released as soon
+    * as the next round is materialized. */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
-      maxIters: Int = 50, pointerJumping: Boolean = false): DataFrame = {
+      maxIters: Int = 50, pointerJumping: Boolean = false,
+      autoJumpAfter: Int = 3, checkpointEvery: Int = 5): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -264,27 +270,39 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // a localCheckpoint's lineage is truncated — unpersisting it would
+    // make downstream recompute impossible, so only plain persists are
+    // released when superseded
+    var labelsCheckpointed = false
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
+      val jump = pointerJumping || iter >= autoJumpAfter
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min("lbl").as("nbr_lbl"))
       val joined = labels.join(nbrMin, col("id") === col("src"), "left")
       val withHop =
-        if (!pointerJumping) joined.withColumn("hlbl", col("lbl"))
+        if (!jump) joined.withColumn("hlbl", col("lbl"))
         else joined.join(
           labels.select(col("id").as("hid"), col("lbl").as("hlbl")),
           col("lbl") === col("hid"), "left")
-      val next = withHop
+      val stepped = withHop
         .select(col("id"), col("lbl").as("prev"),
           least(col("lbl"),
             least(coalesce(col("nbr_lbl"), col("lbl")),
               coalesce(col("hlbl"), col("lbl")))).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val truncate = checkpointEvery > 0 && (iter + 1) % checkpointEvery == 0
+      val next =
+        if (truncate) stepped.localCheckpoint(true)
+        else stepped.persist(StorageLevel.MEMORY_AND_DISK)
       // carry the previous label so ONE action both materializes the
       // round and measures convergence
       changed = next.filter(col("lbl") =!= col("prev")).count()
+      // next is fully materialized (eager checkpoint, or the count above
+      // populated every cached partition) — the prior round is now dead
+      if (!labelsCheckpointed) labels.unpersist(false)
       labels = next.select("id", "lbl")
+      labelsCheckpointed = truncate
       iter += 1
     }
     val untouched = ids.select(col("id"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -342,12 +342,16 @@ object RelationalQueries {
     val li = Tables(spark, dir, "lineitem")
     graft.operators.Skew.saltedAgg(li,
       Seq("l_returnflag", "l_linestatus"), 16)(
-      "sum_qty" -> sum("l_quantity"),
-      "sbp_units" -> sum(round(col("l_extendedprice") * 100).cast("decimal(38,0)")),
-      "sdp_units" -> sum((round(col("l_extendedprice") * 100).cast("long") *
-        (lit(100) - round(col("l_discount") * 100).cast("long")))
-        .cast("decimal(38,0)")),
-      "count_order" -> count(lit(1)))
+      ("sum_qty", sum("l_quantity"), (c: Column) => sum(c)),
+      ("sbp_units",
+        sum(round(col("l_extendedprice") * 100).cast("decimal(38,0)")),
+        (c: Column) => sum(c)),
+      ("sdp_units",
+        sum((round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100) - round(col("l_discount") * 100).cast("long")))
+          .cast("decimal(38,0)")),
+        (c: Column) => sum(c)),
+      ("count_order", count(lit(1)), (c: Column) => sum(c)))
       .select(col("l_returnflag"), col("l_linestatus"),
         col("sum_qty"),
         (col("sbp_units").cast("double") / 100.0).as("sum_base_price"),

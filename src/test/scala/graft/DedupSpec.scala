@@ -75,6 +75,31 @@ class DedupSpec extends SparkSpec {
     assert(banded.exists(_._3 == 0)) // identical docs collapse to distance 0
   }
 
+  test("connectedComponents converges on a 1000-vertex path graph") {
+    // worst case for plain min-label propagation (diameter 999): the
+    // auto-enabled pointer jumping must close it in O(log n) rounds
+    // within the default maxIters=50, and the per-round unpersist +
+    // periodic localCheckpoint must keep lineage bounded throughout
+    val ids = spark.range(1000).select($"id")
+    val pairs = spark.range(999)
+      .select($"id".as("id_a"), ($"id" + 1).as("id_b"))
+    val labels = Dedup.connectedComponents(ids, pairs)
+      .as[(Long, Long)].collect()
+    assert(labels.length == 1000)
+    assert(labels.forall(_._2 == 0L)) // one component, min id 0
+  }
+
+  test("connectedComponents labels multiple components + isolated ids") {
+    val ids = spark.range(10).select($"id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 7L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(ids, pairs)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 9L)
+    assert(got == want)
+  }
+
   test("exact dedup groups identical docs under one digest") {
     val df = docs.toDF("doc_id", "text")
     val r = Dedup.exact(df, "doc_id", "text")

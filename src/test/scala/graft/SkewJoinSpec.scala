@@ -44,4 +44,20 @@ class SkewJoinSpec extends SparkSpec {
       case (k, None) => c.unset(k)
     }
   }
+
+  test("saltedAgg combines min/max/sum/count partials correctly") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    val df = Seq(("a", 5L), ("a", 1L), ("a", 9L), ("b", 3L), ("b", 7L))
+      .toDF("k", "v")
+    val got = graft.operators.Skew.saltedAgg(df, Seq("k"), 4)(
+      ("s", sum(col("v")), (c: Column) => sum(c)),
+      ("n", count(lit(1)), (c: Column) => sum(c)),
+      ("mn", min(col("v")), (c: Column) => min(c)),
+      ("mx", max(col("v")), (c: Column) => max(c)))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map { case (k, s, n, mn, mx) => k -> ((s, n, mn, mx)) }.toMap
+    assert(got("a") == ((15L, 3L, 1L, 9L)))
+    assert(got("b") == ((10L, 2L, 3L, 7L)))
+  }
 }
