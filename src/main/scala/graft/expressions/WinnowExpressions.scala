@@ -1,0 +1,116 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** winnow_fingerprints(text, k, w) — the distinct winnowing minima of a
+  * document (Schleimer, Wilkerson, Aiken 2003), ascending-sorted, in one
+  * compiled pass.
+  *
+  * Produces exactly the distinct `fp` values of the Column formulation
+  * previously used by the winnowing query: hash every k-char gram with
+  * `conv(substring(md5(substring(text, i, k)), 1, 12), 16, 10)::long`
+  * (the first 48 bits of the md5, so a SQL oracle can recompute it),
+  * take `min` over each sliding window of `w` gram positions
+  * (`rowsBetween(current, w-1)` truncated at the text end, start
+  * positions `1 .. max(m-w+1, 1)` for `m = max(|text|-k+1, 1)` grams),
+  * and keep the distinct minima.
+  *
+  * Exists because the Column formulation explodes one row PER CHARACTER
+  * POSITION into a per-doc window (shuffle + sort of ~|text| rows per
+  * document — the second-heaviest query in the round-3 bench). Here the
+  * gram hashes stay in a task-local array and the sliding minimum is a
+  * monotonic deque (O(m) total), so the fingerprint set never leaves
+  * the scan stage: no Exchange anywhere before the caller's own sinks.
+  */
+case class WinnowFingerprints(children: Seq[Expression], k: Int, w: Int)
+  extends Expression with CodegenFallback {
+
+  require(k >= 1 && w >= 1, s"winnow k=$k w=$w")
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // one digest instance per deserialized expression copy (= per task)
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
+  override def eval(input: InternalRow): Any = {
+    val v = children(0).eval(input)
+    if (v == null) return null
+    val s = v.asInstanceOf[UTF8String]
+    val n = s.numChars()
+    val m = math.max(n - (k - 1), 1)
+    // gram hashes: first 6 md5 bytes of the UTF-8 bytes of each k-char
+    // gram (char-based substring, truncated at the end like substring())
+    val h = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      md.update(s.substringSQL(i + 1, k).getBytes)
+      val d = md.digest()
+      h(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      i += 1
+    }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (m <= w) {
+      // one truncated window covering every gram
+      var mn = h(0); i = 1
+      while (i < m) { if (h(i) < mn) mn = h(i); i += 1 }
+      out.add(mn)
+    } else {
+      // monotonic deque of candidate indices, ascending h
+      val dq = new Array[Int](m)
+      var head = 0; var tail = 0 // [head, tail)
+      i = 0
+      while (i < m) {
+        while (tail > head && h(dq(tail - 1)) >= h(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) out.add(h(dq(head)))
+        i += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(children = c)
+  override def prettyName: String = "winnow_fingerprints"
+}
+
+/** long_array_sum(a) — sum of a long array in a tight compiled loop
+  * (the `aggregate` higher-order function evaluates its lambda
+  * interpreted per element). */
+case class LongArraySum(children: Seq[Expression])
+  extends Expression with CodegenFallback {
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def eval(input: InternalRow): Any = {
+    val v = children(0).eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    var s = 0L
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { s += a.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c)
+  override def prettyName: String = "long_array_sum"
+}

@@ -205,32 +205,24 @@ object TextQueries {
     * rolling-hash family's standard selection scheme — hash every
     * 8-char k-gram (md5-derived so the oracle recomputes it), take the
     * minimum in each sliding window of 8, keep distinct minima. The
-    * k-gram hashing runs codegen'd after an explode (the document text
-    * never leaves its scan stage), the window minimum is a codegen'd
-    * analytic window, and the output is a compact per-doc summary
-    * (count / min / sum of fingerprints — O(corpus) rows). */
+    * whole selection runs as ONE compiled pass per row
+    * ([[graft.expressions.WinnowFingerprints]]: task-local gram-hash
+    * array + monotonic-deque sliding minimum), so the per-position hash
+    * stream never leaves the scan stage — the previous explode+window
+    * formulation shuffled one row per character position into a per-doc
+    * sort (the second-heaviest round-3 query). Output stays the compact
+    * per-doc summary (count / min / sum of distinct fingerprints). */
   val qTextWinnowing: Q = (spark, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    val k = 8
-    val w = 8
+    import org.apache.spark.sql.graftbridge.Bridge
     val d = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
-      .withColumn("m", greatest(col("n") - (k - 1), lit(1)))
-    val grams = d
-      .select(col("doc_id"), col("m"), col("text"),
-        explode(sequence(lit(1), col("m"))).as("i"))
-      .select(col("doc_id"), col("m"), col("i"),
-        conv(substring(md5(substring(col("text"), col("i"), lit(k))), 1, 12), 16, 10)
-          .cast("long").as("h"))
-    val win = Window.partitionBy("doc_id").orderBy("i")
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("fp", min("h").over(win))
-      .filter(col("i") <= greatest(col("m") - (w - 1), lit(1)))
-      // distinct aggregates: one shuffle instead of distinct + groupBy
-      .groupBy("doc_id")
-      .agg(countDistinct("fp").as("n_fp"), min("fp").as("min_fp"),
-        sum_distinct(col("fp")).as("sum_fp"))
+    val fps = Bridge.column(graft.expressions.WinnowFingerprints(
+      Seq(Bridge.expression(col("text"))), 8, 8))
+    d.select(col("doc_id"), fps.as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        element_at(col("fps"), 1).as("min_fp"), // ascending-sorted → min
+        Bridge.column(graft.expressions.LongArraySum(Seq(
+          Bridge.expression(col("fps"))))).as("sum_fp"))
       .orderBy("doc_id")
   }
 
