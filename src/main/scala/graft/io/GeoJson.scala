@@ -39,22 +39,58 @@ object GeoJson {
     case other => other.toString
   }
 
-  /** Write rows (one WKB geometry column + scalar attributes) as a
-    * GeoJSON FeatureCollection file. */
-  def write(df: DataFrame, geomCol: String, path: String): Unit = {
-    val schema = df.schema
+  private def featureJson(row: org.apache.spark.sql.Row,
+      schema: StructType, geomCol: String): String = {
     val attrs = schema.fields.filter(_.name != geomCol)
-    val features = df.collect().map { row =>
-      val g = Wkb.read(row.getAs[Array[Byte]](geomCol))
-      val gtype = if (g.getGeometryType == "Point") "Point" else "Polygon"
-      val props = attrs.map { f =>
-        s"${jsonValue(f.name)}:${jsonValue(row.get(schema.fieldIndex(f.name)))}"
-      }.mkString(",")
-      s"""{"type":"Feature","geometry":{"type":"$gtype","coordinates":${coords(g)}},"properties":{$props}}"""
-    }
-    val doc = features.mkString(
-      """{"type":"FeatureCollection","features":[""", ",", "]}")
-    Files.write(Paths.get(path), doc.getBytes("UTF-8"))
+    val g = Wkb.read(row.getAs[Array[Byte]](schema.fieldIndex(geomCol)))
+    val gtype = if (g.getGeometryType == "Point") "Point" else "Polygon"
+    val props = attrs.map { f =>
+      s"${jsonValue(f.name)}:${jsonValue(row.get(schema.fieldIndex(f.name)))}"
+    }.mkString(",")
+    s"""{"type":"Feature","geometry":{"type":"$gtype","coordinates":${coords(g)}},"properties":{$props}}"""
+  }
+
+  private def writeCollection(path: String,
+      features: Iterator[String]): Unit = {
+    val out = Files.newBufferedWriter(Paths.get(path),
+      java.nio.charset.StandardCharsets.UTF_8)
+    try {
+      out.write("""{"type":"FeatureCollection","features":[""")
+      var first = true
+      features.foreach { f =>
+        if (!first) out.write(",")
+        out.write(f); first = false
+      }
+      out.write("]}")
+    } finally out.close()
+  }
+
+  /** Write rows (one WKB geometry column + scalar attributes) as ONE
+    * GeoJSON FeatureCollection file, streamed through the driver one
+    * partition at a time (`toLocalIterator` — the frame is never fully
+    * materialized). Use [[writeParts]] to skip the driver entirely. */
+  def write(df: DataFrame, geomCol: String, path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val schema = df.schema
+    writeCollection(path,
+      df.toLocalIterator().asScala.map(featureJson(_, schema, geomCol)))
+  }
+
+  /** Distributed sink: each partition writes its own complete
+    * `part-NNNNN.json` FeatureCollection under `dir`, directly from the
+    * executor. [[read]] over `dir` scans all parts (the stock JSON
+    * datasource lists directories natively). */
+  def writeParts(df: DataFrame, geomCol: String, dir: String): Unit = {
+    val schema = df.schema
+    Files.createDirectories(Paths.get(dir))
+    df.rdd.mapPartitionsWithIndex { (p, it) =>
+      var n = 0
+      if (it.hasNext)
+        writeCollection(f"$dir/part-$p%05d.json",
+          it.map { r => n += 1; featureJson(r, schema, geomCol) })
+      Iterator.single(n)
+    }.count()
+    ()
   }
 
   /** Scan a polygon FeatureCollection through the STOCK Spark JSON

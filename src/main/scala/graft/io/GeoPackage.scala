@@ -64,12 +64,17 @@ object GeoPackage {
   }
 
   /** Write `df` (one WKB geometry column + scalar attributes) as a
-    * GeoPackage feature layer. */
+    * GeoPackage feature layer. A .gpkg is ONE SQLite container, so the
+    * bytes necessarily assemble in one place — but the frame streams
+    * through the driver one partition at a time (`toLocalIterator`),
+    * each Spark row converted immediately to its compact page payload
+    * (SqlValue + geometry blob) and dropped; peak driver memory is the
+    * encoded file content, never the materialized DataFrame. */
   def write(df: DataFrame, geomCol: String, path: String, layer: String,
       srid: Int = 4326, geometryType: String = "GEOMETRY"): Unit = {
+    import scala.jdk.CollectionConverters._
     val schema = df.schema
     val attrs = schema.fields.filter(_.name != geomCol)
-    val rows = df.collect()
 
     def sqlType(dt: DataType): String = dt match {
       case LongType | IntegerType => "INTEGER"
@@ -90,19 +95,26 @@ object GeoPackage {
         case t => throw new IllegalArgumentException(s"gpkg attribute type $t")
       }
 
-    // one WKB parse per geometry: the blob (which embeds its envelope)
-    // and the layer extent both come from this pass
+    // single streaming pass: per row, one WKB parse feeds the geometry
+    // blob (which embeds its envelope) AND the running layer extent
     val geomIdx = schema.fieldIndex(geomCol)
-    val parsed = rows.map { r =>
+    val attrIdx = attrs.map(f => schema.fieldIndex(f.name))
+    val featRows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[SqlValue])]
+    var minX = Double.PositiveInfinity; var minY = Double.PositiveInfinity
+    var maxX = Double.NegativeInfinity; var maxY = Double.NegativeInfinity
+    var fid = 0L
+    df.toLocalIterator().asScala.foreach { r =>
       val wkb = r.getAs[Array[Byte]](geomIdx)
-      (wkb, Wkb.read(wkb).getEnvelopeInternal)
+      val env = Wkb.read(wkb).getEnvelopeInternal
+      minX = math.min(minX, env.getMinX); minY = math.min(minY, env.getMinY)
+      maxX = math.max(maxX, env.getMaxX); maxY = math.max(maxY, env.getMaxY)
+      fid += 1
+      featRows += (fid -> (Seq(SqlNull, // fid = rowid alias
+        SqlBlob(gpkgBlobWithEnv(wkb, env, srid))) ++
+        attrs.toSeq.zip(attrIdx).map { case (f, i) => toSql(r, i, f.dataType) }))
     }
-    val blobs = parsed.map { case (wkb, env) => gpkgBlobWithEnv(wkb, env, srid) }
-    val envs = parsed.map(_._2)
-    val (minX, minY, maxX, maxY) =
-      if (envs.isEmpty) (0.0, 0.0, 0.0, 0.0)
-      else (envs.map(_.getMinX).min, envs.map(_.getMinY).min,
-        envs.map(_.getMaxX).max, envs.map(_.getMaxY).max)
+    if (featRows.isEmpty) { minX = 0; minY = 0; maxX = 0; maxY = 0 }
 
     val srs = TableDef("gpkg_spatial_ref_sys",
       "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY, organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL, definition TEXT NOT NULL, description TEXT)",
@@ -130,12 +142,7 @@ object GeoPackage {
     val features = TableDef(layer,
       s"CREATE TABLE \"$layer\" (fid INTEGER PRIMARY KEY, geom BLOB" +
         (if (attrDdl.nonEmpty) s", $attrDdl" else "") + ")",
-      rows.zipWithIndex.map { case (r, i) =>
-        val vals = Seq(SqlNull, // fid = rowid (INTEGER PRIMARY KEY alias)
-          SqlBlob(blobs(i))) ++
-          attrs.map(f => toSql(r, schema.fieldIndex(f.name), f.dataType))
-        (i + 1L) -> vals
-      })
+      featRows.toSeq)
 
     Sqlite.write(path, Seq(srs, contents, geomCols, features))
   }

@@ -21,9 +21,11 @@ import graft.geom.Wkb
   * fields len 18 dec 0 (ints) and len 24 dec 15 (doubles), mirrored
   * here.
   *
-  * Writer collects to the driver — geo layers in every reference
-  * workflow are small (33,286 polygons max); a distributed per-partition
-  * part writer is the documented scale path, not needed for parity.
+  * The single-file `write` collects to the driver (reference artifacts
+  * are ≤ 33,286 polygons); [[writeParts]]/[[readParts]] are the scale
+  * path — every partition writes an independent, complete part layer
+  * (the format has no cross-file state, so parts parallelize like
+  * Parquet files), and nothing is ever materialized on the driver.
   */
 object Shapefile {
 
@@ -34,13 +36,8 @@ object Shapefile {
 
   // ---------------------------------------------------------------- write
 
-  /** Write a DataFrame with one WKB geometry column (Polygon /
-    * MultiPolygon rows) and scalar attribute columns as `base`.shp/
-    * .shx/.dbf/.prj. */
-  def write(df: DataFrame, geomCol: String, base: String): Unit = {
-    val schema = df.schema
-    val attrs = schema.fields.filter(_.name != geomCol)
-    val fields = attrs.map { f =>
+  private def fieldsFor(attrs: Seq[StructField]): Seq[Field] =
+    attrs.map { f =>
       f.dataType match {
         case LongType | IntegerType => Field(f.name.take(11), 'N', 18, 0)
         case DoubleType | FloatType => Field(f.name.take(11), 'N', 24, 15)
@@ -49,11 +46,42 @@ object Shapefile {
           s"shapefile writer: unsupported attribute type $t for ${f.name}")
       }
     }
-    val rows = df.collect()
-    val geoms = rows.map(r => Wkb.read(r.getAs[Array[Byte]](geomCol)))
+
+  /** Write one complete .shp/.shx/.dbf/.prj layer from materialized
+    * rows — the executor-safe core shared by [[write]] (driver, one
+    * layer) and [[writeParts]] (one call per partition). */
+  private def writeLayer(rows: Array[Row], schema: StructType,
+      geomCol: String, base: String): Unit = {
+    val attrs = schema.fields.filter(_.name != geomCol).toSeq
+    val fields = fieldsFor(attrs)
+    val geoms = rows.map(r => Wkb.read(r.getAs[Array[Byte]](geomCol))).toSeq
     writeShpShx(geoms, base)
     writeDbf(rows, attrs.map(_.name), fields, schema, base)
     Files.write(Paths.get(base + ".prj"), Wgs84Prj.getBytes("US-ASCII"))
+  }
+
+  /** Write a DataFrame with one WKB geometry column (Polygon /
+    * MultiPolygon rows) and scalar attribute columns as `base`.shp/
+    * .shx/.dbf/.prj. Driver-side (single layer); use [[writeParts]]
+    * for frames that don't fit one machine. */
+  def write(df: DataFrame, geomCol: String, base: String): Unit =
+    writeLayer(df.collect(), df.schema, geomCol, base)
+
+  /** Distributed sink: each partition writes its own complete
+    * `part-NNNNN` shapefile layer under `dir`, directly from the
+    * executor — the frame is never materialized on the driver. On a
+    * cluster `dir` is shared storage (DFS/object-store mount); empty
+    * partitions write nothing. */
+  def writeParts(df: DataFrame, geomCol: String, dir: String): Unit = {
+    val schema = df.schema
+    Files.createDirectories(Paths.get(dir))
+    df.rdd.mapPartitionsWithIndex { (p, it) =>
+      val rows = it.toArray
+      if (rows.nonEmpty)
+        writeLayer(rows, schema, geomCol, f"$dir/part-$p%05d")
+      Iterator.single(rows.length)
+    }.count() // one job; per-partition side effect is the write
+    ()
   }
 
   /** Polygon record content (shape type 5), little-endian. */
@@ -150,9 +178,10 @@ object Shapefile {
 
   // ----------------------------------------------------------------- read
 
-  /** Read `base`.shp + .dbf into a DataFrame: dbf attributes (N dec=0 →
-    * long, N dec>0 → double, C → trimmed string) + `geom` WKB. */
-  def read(spark: SparkSession, base: String): DataFrame = {
+  /** Parse one layer's .shp + .dbf into (dbf fields, rows with a
+    * trailing `geom` WKB) — the executor-safe core shared by [[read]]
+    * (driver, one layer) and [[readParts]] (one call per part file). */
+  private def partData(base: String): (Seq[Field], Seq[Row]) = {
     val shp = ByteBuffer.wrap(Files.readAllBytes(Paths.get(base + ".shp")))
     val dbf = ByteBuffer.wrap(Files.readAllBytes(Paths.get(base + ".dbf")))
       .order(ByteOrder.LITTLE_ENDIAN)
@@ -217,15 +246,38 @@ object Shapefile {
       }
       Row.fromSeq(vals :+ Wkb.write(geoms(i)))
     }
-    val sparkFields = fields.map { f =>
+    (fields, rows)
+  }
+
+  private def sparkSchema(fields: Seq[Field]): StructType =
+    StructType(fields.map { f =>
       f.ftype match {
         case 'N' if f.dec == 0 => StructField(f.name, LongType)
         case 'N' => StructField(f.name, DoubleType)
         case _ => StructField(f.name, StringType)
       }
-    } :+ StructField("geom", BinaryType)
+    } :+ StructField("geom", BinaryType))
+
+  /** Read `base`.shp + .dbf into a DataFrame: dbf attributes (N dec=0 →
+    * long, N dec>0 → double, C → trimmed string) + `geom` WKB. */
+  def read(spark: SparkSession, base: String): DataFrame = {
+    val (fields, rows) = partData(base)
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq),
-      StructType(sparkFields))
+      spark.sparkContext.parallelize(rows.toSeq), sparkSchema(fields))
+  }
+
+  /** Distributed scan over a [[writeParts]] directory: one Spark
+    * partition per part layer, each parsed on an executor. Schema comes
+    * from the lexicographically first part's dbf header. */
+  def readParts(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val bases = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".shp")).map(_.dropRight(4))
+      .toSeq.sorted
+    require(bases.nonEmpty, s"no .shp parts under $dir")
+    val schema = sparkSchema(partData(bases.head)._1)
+    val rdd = spark.sparkContext.parallelize(bases, bases.length)
+      .flatMap(b => partData(b)._2)
+    spark.createDataFrame(rdd, schema)
   }
 }

@@ -323,8 +323,10 @@ object GeoQueries {
         (col("n_nationkey") % 5) * 2.5 + 2.0,
         (col("n_nationkey") / 5).cast("long") * 2.0 + 1.5).as("geom"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_geojson")
-      .resolve("nations.geojson").toString
-    graft.io.GeoJson.write(boxes, "geom", tmp)
+      .resolve("nations_layer").toString
+    // distributed sink: 3 partitions → 3 part FeatureCollections, read
+    // back through the stock (directory-listing) JSON datasource
+    graft.io.GeoJson.writeParts(boxes.repartition(3), "geom", tmp)
     graft.io.GeoJson.read(spark, tmp)
       .select(col("n_nationkey"), col("n_name"),
         round(st.area(col("geom")) * 16).cast("long").as("area16"))
@@ -428,9 +430,11 @@ object GeoQueries {
         (col("n_nationkey") % 5) * 3.0 + 3.0,
         (col("n_nationkey") / 5).cast("long") * 2.0 + 2.0).as("geom"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_shp")
-      .resolve("nations").toString
-    graft.io.Shapefile.write(boxes, "geom", tmp)
-    graft.io.Shapefile.read(spark, tmp)
+      .resolve("nations_layer").toString
+    // distributed sink: 3 partitions → 3 complete part layers written
+    // executor-side, scanned back one Spark partition per part
+    graft.io.Shapefile.writeParts(boxes.repartition(3), "geom", tmp)
+    graft.io.Shapefile.readParts(spark, tmp)
       .select(col("n_nationkey"), col("n_name"),
         round(st.area(col("geom")) * 16).cast("long").as("area16"))
       .orderBy("n_nationkey")

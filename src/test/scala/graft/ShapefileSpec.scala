@@ -29,6 +29,31 @@ class ShapefileSpec extends SparkSpec {
     assert(back(1) == ((2L, -3.75, "beta gamma", 2.0)))
   }
 
+  test("writeParts/readParts: multi-partition roundtrip, no driver materialization") {
+    val df = spark.range(500).select(
+      col("id"),
+      (col("id") * 0.5).as("score"),
+      concat(lit("row-"), col("id")).as("label"),
+      st.makeBox(col("id") % 25, col("id") % 17,
+        col("id") % 25 + 2.0, col("id") % 17 + 1.0).as("geom"))
+      .repartition(7)
+    val dir = Files.createTempDirectory("shp_parts").toString
+    Shapefile.writeParts(df, "geom", dir)
+    val parts = Files.list(java.nio.file.Paths.get(dir)).iterator()
+    val shpParts = Iterator.continually(parts)
+      .takeWhile(_.hasNext).map(_.next().toString)
+      .count(_.endsWith(".shp"))
+    assert(shpParts >= 2, s"expected multiple part layers, got $shpParts")
+    val back = Shapefile.readParts(spark, dir)
+    assert(back.rdd.getNumPartitions == shpParts) // one scan task per part
+    val got = back
+      .select($"id", $"score", $"label", st.area($"geom").as("area"))
+      .as[(Long, Double, String, Double)].collect().toSet
+    val want = (0L until 500L).map(i =>
+      (i, i * 0.5, s"row-$i", 2.0)).toSet
+    assert(got == want)
+  }
+
   test("reads the reference's geopandas-written Brazil Voronoi layer") {
     // ref artifact: 33,286 Voronoi polygons with (west_east, south_nort,
     // XLONG, XLAT, T2) N-type fields in EPSG:4326 (SURVEY §0)
