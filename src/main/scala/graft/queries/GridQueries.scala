@@ -165,6 +165,92 @@ object GridQueries {
       |  cast(32 as bigint) AS area16, n_days, tmin_mean, tmax_mean, tmean_mean
       |FROM s WHERE x <= 19 AND y <= 11 ORDER BY y, x""".stripMargin
 
+  /** THE FLAGSHIP COMPOSITION (SURVEY §3.1, wrf_voronoi.py:107-183) with
+    * TRUE Voronoi on a CURVILINEAR grid — every stage in one plan:
+    * long-form scan → per-domain Voronoi tessellation → st_within bbox
+    * filter → tumbling daily stats → equi-join stats onto geometry →
+    * distributed GeoJSON sink → scan back.
+    *
+    * The grid is curvilinear the way WRF output is: lon AND lat each
+    * derive from BOTH indices (wrf_voronoi.py:121-127's 2-D XLONG/XLAT),
+    * here a sheared lattice lon = 2·x + 0.3·y, lat = 1.5·y + 0.2·x per
+    * domain, two domains offset 1000° apart tessellating in parallel
+    * (`tessellateByDomain`, one task per domain).
+    *
+    * Oracle-exactness comes from lattice geometry: a Voronoi cell of an
+    * interior lattice seed is the translated fundamental cell, so its
+    * area is |det(u,v)| = 2·1.5 − 0.3·0.2 = 2.94 exactly and its
+    * centroid is the seed itself (central symmetry); boundary-ring cells
+    * are clipped by the domain envelope (extent+5°), so a bbox at
+    * extent+3° passes EXACTLY the interior index ring (1 ≤ x%15 ≤ 13,
+    * 1 ≤ y ≤ 10) — all closed-form for DuckDB, while Spark must get the
+    * actual geometry right to match. */
+  val qGridPipelineVoronoi: Q = (spark, dir) => {
+    import graft.operators.Voronoi
+    val ev = Tables(spark, dir, "events").select(
+      (col("event_id") % 12).as("y"),
+      (((col("event_id") / 12).cast("long") % 2) * 15 + col("user_id") % 15).as("x"),
+      col("ts"), col("value"))
+    val stats = Pipelines.temporalDailyStats(ev, cfg)
+    val seeds = ev.select("y", "x").distinct()
+      .withColumn("d", (col("x") / 15).cast("long"))
+      .withColumn("xl", col("x") % 15)
+      .withColumn("lon",
+        col("xl") * 2.0 + col("y") * 0.3 + 1.0 + col("d") * 1000.0)
+      .withColumn("lat", col("y") * 1.5 + col("xl") * 0.2 + 0.75)
+      .withColumn("__vid", col("y") * 1000000L + col("x"))
+    val cells = Voronoi.tessellateByDomain(
+      seeds, "d", "__vid", "lon", "lat", margin = 5.0)
+    // J5 re-key: cell geometry back onto the (y, x) grid index
+    val keyed = seeds.join(cells, Seq("d", "__vid"))
+    // P3: per-domain bbox = seed extent + 3° (inside the 5° envelope)
+    val bbox = st.makeBox(col("d") * 1000.0 - 2.0, lit(-2.25),
+      col("d") * 1000.0 + 35.3, lit(23.05))
+    val joined = keyed.filter(st.within(col("geom"), bbox))
+      .join(stats, Seq("y", "x"))
+      .select(col("y"), col("x"), col("lon"), col("lat"), col("n_days"),
+        col("tmin_mean"), col("tmax_mean"), col("tmean_mean"), col("geom"))
+    // S3 sink: executor-side GeoJSON part files, scanned back through
+    // the stock JSON datasource — the emitted stats/geometry below are
+    // computed from the ROUNDTRIPPED layer
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vor")
+      .resolve("cells").toString
+    graft.io.GeoJson.writeParts(joined, "geom", tmp)
+    graft.io.GeoJson.read(spark, tmp)
+      .select(col("y"), col("x"),
+        round(st.area(col("geom")) * 100).cast("long").as("area100"),
+        round(st.stx(st.centroid(col("geom"))) * 20).cast("long").as("cx20"),
+        round(st.sty(st.centroid(col("geom"))) * 20).cast("long").as("cy20"),
+        st.contains(col("geom"), st.point(col("lon"), col("lat"))).as("seed_inside"),
+        col("n_days"), col("tmin_mean"), col("tmax_mean"), col("tmean_mean"))
+      .orderBy("y", "x")
+  }
+
+  val qGridPipelineVoronoiSql: String =
+    """WITH g AS (
+      |  SELECT event_id%12 AS y,
+      |    ((event_id//12)%2)*15 + user_id%15 AS x,
+      |    cast(date_trunc('day', ts) as date) AS day, value FROM events),
+      |d AS (
+      |  SELECT y, x, day, min(value) AS dmin, max(value) AS dmax,
+      |    sum(cast(round(value*100) as bigint)) / (count(*) * 100.0) AS dmean
+      |  FROM g GROUP BY 1, 2, 3),
+      |s AS (
+      |  SELECT y, x, count(*) AS n_days,
+      |    sum(cast(round(dmin*100) as bigint)) / (count(*) * 100.0) AS tmin_mean,
+      |    sum(cast(round(dmax*100) as bigint)) / (count(*) * 100.0) AS tmax_mean,
+      |    sum(cast(round(round(dmean,4)*10000) as bigint)) / (count(*) * 10000.0) AS tmean_mean
+      |  FROM d GROUP BY 1, 2)
+      |SELECT y, x,
+      |  cast(294 as bigint) AS area100,
+      |  cast(40*(x%15) + 6*y + 20 + 20000*(x//15) as bigint) AS cx20,
+      |  cast(30*y + 4*(x%15) + 15 as bigint) AS cy20,
+      |  true AS seed_inside,
+      |  n_days, tmin_mean, tmax_mean, tmean_mean
+      |FROM s
+      |WHERE x%15 BETWEEN 1 AND 13 AND y BETWEEN 1 AND 10
+      |ORDER BY y, x""".stripMargin
+
   /** S1+S4 (NetCDF): sink + scan roundtrip through the from-scratch
     * CDF-1 codec — a dense rectilinear grid (supplier balances on a
     * 10-wide lattice, 1-D coordinate variables, row-major data var,
@@ -214,6 +300,7 @@ object GridQueries {
     "grid_netcdf_roundtrip" -> qNetcdfRoundtrip,
     "grid_pipeline_haduk" -> qGridPipelineHaduk,
     "grid_pipeline" -> qGridPipeline,
+    "grid_pipeline_voronoi" -> qGridPipelineVoronoi,
     "grid_source_scan" -> qGridSourceScan,
     "p_drop_cast_slice" -> qDropCastSlice)
 
@@ -221,6 +308,7 @@ object GridQueries {
     "grid_netcdf_roundtrip" -> qNetcdfRoundtripSql,
     "grid_pipeline_haduk" -> qGridPipelineHadukSql,
     "grid_pipeline" -> qGridPipelineSql,
+    "grid_pipeline_voronoi" -> qGridPipelineVoronoiSql,
     "grid_source_scan" -> qGridSourceScanSql,
     "p_drop_cast_slice" -> qDropCastSliceSql)
 }
