@@ -4,6 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Queries measured as median-of-N instead of a single trial: one
+    // run is subject to JIT/run-order variance (round-3 saw 2.8-5.5×
+    // phantom "regressions" on untouched queries). Default set = the
+    // queries that showed order noise; override via env.
+    val repeatSet = sys.env.getOrElse("SPARK_GRAFT_REPEAT",
+      "q3_top_revenue,text_quality,ann_bruteforce_topk").split(",").toSet
+    val trials = math.max(sys.env.getOrElse("SPARK_GRAFT_TRIALS", "5").toInt, 1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,17 +27,22 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet")
       .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // Each query is measured from a clean cache: operators persist
-      // intermediate frames (signature/bucket tables) that would
-      // otherwise accumulate across all 40+ queries and evict each other
-      // under memory pressure, charging later queries for earlier ones.
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      // noop-format write forces full evaluation of every column (count()
-      // would let Catalyst prune projection-only plans to a row count).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val nRuns = if (repeatSet(name)) trials else 1
+      val times = (0 until nRuns).map { _ =>
+        // Each trial runs from a clean cache: operators persist
+        // intermediate frames (signature/bucket tables) that would
+        // otherwise accumulate across all 60+ queries and evict each
+        // other under memory pressure, charging later queries for
+        // earlier ones.
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        // noop-format write forces full evaluation of every column
+        // (count() would let Catalyst prune projection-only plans).
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2) // median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

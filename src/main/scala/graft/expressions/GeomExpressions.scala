@@ -220,27 +220,26 @@ case class STGeomFromText(children: Seq[Expression]) extends GeomExpression {
 }
 
 /** st_transform(g, fromSrid, toSrid) — CRS reprojection of every vertex
-  * (G9; the reference's `to_crs(27700)`, wrf_voronoi.py:188). Supported
-  * pairs: 4326 ↔ 27700 via [[graft.geom.Osgb]]. Geometry coordinates
+  * (G9; the reference's `to_crs(27700)`, wrf_voronoi.py:188). The
+  * supported registry lives in [[graft.geom.Crs]]: 4326, 27700,
+  * 3857 (Web Mercator) and the WGS84 UTM zones 326zz/327zz, any pair
+  * (projected → projected routes through 4326). Geometry coordinates
   * follow the (x=lon/E, y=lat/N) axis convention. */
 case class STTransform(children: Seq[Expression]) extends GeomExpression {
   override def dataType: DataType = BinaryType
   override protected def evalNotNull(vs: Seq[Any]): Any = {
     val from = vs(1).asInstanceOf[Int]
     val to = vs(2).asInstanceOf[Int]
+    val f = graft.geom.Crs.convert(from, to).getOrElse(
+      throw new IllegalArgumentException(
+        s"st_transform: unsupported CRS pair $from -> $to " +
+          "(supported: 4326, 27700, 3857, UTM 32601-32660/32701-32760)"))
     val g = geom(vs(0)).copy()
-    val filter: org.locationtech.jts.geom.CoordinateFilter = (from, to) match {
-      case (4326, 27700) => c => {
-        val (e, n) = graft.geom.Osgb.wgs84ToOsgb(c.y, c.x); c.x = e; c.y = n
+    g.apply(new org.locationtech.jts.geom.CoordinateFilter {
+      override def filter(c: org.locationtech.jts.geom.Coordinate): Unit = {
+        val (nx, ny) = f(c.x, c.y); c.x = nx; c.y = ny
       }
-      case (27700, 4326) => c => {
-        val (lat, lon) = graft.geom.Osgb.osgbToWgs84(c.x, c.y); c.x = lon; c.y = lat
-      }
-      case (a, b) if a == b => c => ()
-      case (a, b) => throw new IllegalArgumentException(
-        s"st_transform: unsupported CRS pair $a -> $b (supported: 4326 <-> 27700)")
-    }
-    g.apply(filter)
+    })
     g.geometryChanged()
     Wkb.write(g)
   }

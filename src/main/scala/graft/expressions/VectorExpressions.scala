@@ -191,3 +191,79 @@ case class SignLshBucket(children: Seq[Expression], planes: Int)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(children = c)
   override def prettyName: String = "sign_lsh_bucket"
 }
+
+/** centroid_cells(vec) — the `nprobe` IVF cells whose centroids have
+  * highest cosine similarity to `vec`, best first (ties → larger cell
+  * id), as one tight pass over the nlist×dim model.
+  *
+  * Centroids are L2-normalized once at construction, so the ranking
+  * score is a plain dot product (the query's own norm is a common
+  * positive factor — dividing by it cannot change the order). Exists
+  * because the Column formulation built nlist independent cosine trees
+  * per row — at nlist = 64 the generated projection fell out of
+  * JIT-able method size and evaluation collapsed to interpreted tree
+  * walks (measured: minutes instead of seconds on a 1M-row pass). */
+case class CentroidCells(children: Seq[Expression],
+    cents: Array[Array[Float]], nprobe: Int)
+  extends Expression with CodegenFallback {
+
+  require(cents.nonEmpty && nprobe >= 1, s"centroid_cells nlist=${cents.length} nprobe=$nprobe")
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val unit: Array[Array[Double]] = cents.map { c =>
+    var ss = 0.0
+    var i = 0
+    while (i < c.length) { ss += c(i).toDouble * c(i).toDouble; i += 1 }
+    val s = math.sqrt(ss)
+    val d = if (s == 0) 1.0 else s
+    c.map(_.toDouble / d)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = children(0).eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) { x(i) = a.getFloat(i).toDouble; i += 1 }
+    val k = unit.length
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val u = unit(c)
+      if (u.length != n) return null // dimensionality bug → NULL, like VecDot
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += x(j) * u(j); j += 1 }
+      scores(c) = s
+      c += 1
+    }
+    val m = math.min(nprobe, k)
+    val out = new Array[Any](m)
+    val taken = new Array[Boolean](k)
+    var r = 0
+    while (r < m) {
+      var best = -1
+      var bs = Double.NegativeInfinity
+      var cc = 0
+      while (cc < k) {
+        if (!taken(cc) && (scores(cc) > bs ||
+            (scores(cc) == bs && cc > best))) {
+          best = cc; bs = scores(cc)
+        }
+        cc += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(children = c)
+  override def prettyName: String = "centroid_cells"
+}

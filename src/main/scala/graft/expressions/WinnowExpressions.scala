@@ -90,6 +90,35 @@ case class WinnowFingerprints(children: Seq[Expression], k: Int, w: Int)
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** fixed_point_longs(a, scale) — round(v·scale) per float element, as
+  * one compiled pass (the `transform` higher-order function evaluates
+  * its lambda interpreted per element — 64M interpreted+boxed lambda
+  * steps per 1M×64-dim pass in the IVF Lloyd step). */
+case class FixedPointLongs(children: Seq[Expression], scale: Long)
+  extends Expression with CodegenFallback {
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def eval(input: InternalRow): Any = {
+    val v = children(0).eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.round(a.getFloat(i).toDouble * scale)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(children = c)
+  override def prettyName: String = "fixed_point_longs"
+}
+
 /** long_array_sum(a) — sum of a long array in a tight compiled loop
   * (the `aggregate` higher-order function evaluates its lambda
   * interpreted per element). */

@@ -1,0 +1,156 @@
+package graft.geom
+
+/** CRS registry behind `st_transform` — G9 breadth beyond the
+  * reference's single `to_crs(27700)` pair (wrf_voronoi.py:188), all
+  * from published closed-form projection math:
+  *
+  *  - 4326 ↔ 27700 — [[Osgb]] (7-param Helmert + Airy transverse
+  *    Mercator, Ordnance Survey guide Annexe C)
+  *  - 4326 ↔ 3857 — spherical Web Mercator (the EPSG-published
+  *    formulas: x = R·λ, y = R·ln tan(π/4 + φ/2) on the WGS84 datum)
+  *  - 4326 ↔ 32601-32660 / 32701-32760 — WGS84 UTM north/south zones
+  *    (Redfearn-series transverse Mercator — the same series as the OS
+  *    guide, on the WGS84 ellipsoid, k0 = 0.9996, per-zone central
+  *    meridian, false easting 500 km, false northing 10 000 km south)
+  *
+  * Any supported pair converts; non-4326 → non-4326 routes through
+  * 4326. All functions operate in geometry axis order (x = lon/E,
+  * y = lat/N).
+  */
+object Crs {
+
+  /** (x, y) → (x', y') in geometry axis order. */
+  type XY = (Double, Double) => (Double, Double)
+
+  private val R = 6378137.0 // WGS84 semi-major = Web Mercator radius
+  private val aW = 6378137.0
+  private val fW = 1.0 / 298.257223563
+  private val bW = aW * (1.0 - fW)
+
+  /** Generic transverse Mercator on an ellipsoid (a, b) with scale k0,
+    * true origin (lat0, lon0) radians and false origin (e0, n0) —
+    * the published Redfearn series (OS guide eqs. C3-C9 with the
+    * ellipsoid parameterized). */
+  final case class Tm(a: Double, b: Double, k0: Double,
+      lat0: Double, lon0: Double, e0: Double, n0: Double) {
+
+    private val e2 = (a * a - b * b) / (a * a)
+
+    private def meridionalArc(lat: Double): Double = {
+      val n = (a - b) / (a + b)
+      val n2 = n * n; val n3 = n2 * n
+      val dphi = lat - lat0; val sphi = lat + lat0
+      b * k0 * (
+        (1.0 + n + 1.25 * n2 + 1.25 * n3) * dphi
+          - (3.0 * n + 3.0 * n2 + (21.0 / 8.0) * n3) * math.sin(dphi) * math.cos(sphi)
+          + ((15.0 / 8.0) * (n2 + n3)) * math.sin(2.0 * dphi) * math.cos(2.0 * sphi)
+          - (35.0 / 24.0) * n3 * math.sin(3.0 * dphi) * math.cos(3.0 * sphi))
+    }
+
+    /** Geodetic (radians) → (E, N) metres. */
+    def forward(lat: Double, lon: Double): (Double, Double) = {
+      val sinL = math.sin(lat); val cosL = math.cos(lat); val tanL = math.tan(lat)
+      val nu = a * k0 / math.sqrt(1.0 - e2 * sinL * sinL)
+      val rho = a * k0 * (1.0 - e2) * math.pow(1.0 - e2 * sinL * sinL, -1.5)
+      val eta2 = nu / rho - 1.0
+      val i1 = meridionalArc(lat) + n0
+      val ii = nu / 2.0 * sinL * cosL
+      val iii = nu / 24.0 * sinL * math.pow(cosL, 3) *
+        (5.0 - tanL * tanL + 9.0 * eta2)
+      val iiia = nu / 720.0 * sinL * math.pow(cosL, 5) *
+        (61.0 - 58.0 * tanL * tanL + math.pow(tanL, 4))
+      val iv = nu * cosL
+      val v = nu / 6.0 * math.pow(cosL, 3) * (nu / rho - tanL * tanL)
+      val vi = nu / 120.0 * math.pow(cosL, 5) *
+        (5.0 - 18.0 * tanL * tanL + math.pow(tanL, 4) +
+          14.0 * eta2 - 58.0 * tanL * tanL * eta2)
+      val dl = lon - lon0
+      (e0 + iv * dl + v * math.pow(dl, 3) + vi * math.pow(dl, 5),
+        i1 + ii * dl * dl + iii * math.pow(dl, 4) + iiia * math.pow(dl, 6))
+    }
+
+    /** (E, N) metres → geodetic (radians). */
+    def inverse(e: Double, n: Double): (Double, Double) = {
+      var latP = lat0 + (n - n0) / (a * k0)
+      var m = meridionalArc(latP)
+      var i = 0
+      while (math.abs(n - n0 - m) >= 0.00001 && i < 30) {
+        latP += (n - n0 - m) / (a * k0)
+        m = meridionalArc(latP)
+        i += 1
+      }
+      val sinL = math.sin(latP); val tanL = math.tan(latP)
+      val secL = 1.0 / math.cos(latP)
+      val nu = a * k0 / math.sqrt(1.0 - e2 * sinL * sinL)
+      val rho = a * k0 * (1.0 - e2) * math.pow(1.0 - e2 * sinL * sinL, -1.5)
+      val eta2 = nu / rho - 1.0
+      val t2 = tanL * tanL; val t4 = t2 * t2; val t6 = t4 * t2
+      val vii = tanL / (2.0 * rho * nu)
+      val viii = tanL / (24.0 * rho * math.pow(nu, 3)) *
+        (5.0 + 3.0 * t2 + eta2 - 9.0 * t2 * eta2)
+      val ix = tanL / (720.0 * rho * math.pow(nu, 5)) *
+        (61.0 + 90.0 * t2 + 45.0 * t4)
+      val x10 = secL / nu
+      val xi = secL / (6.0 * math.pow(nu, 3)) * (nu / rho + 2.0 * t2)
+      val xii = secL / (120.0 * math.pow(nu, 5)) * (5.0 + 28.0 * t2 + 24.0 * t4)
+      val xiia = secL / (5040.0 * math.pow(nu, 7)) *
+        (61.0 + 662.0 * t2 + 1320.0 * t4 + 720.0 * t6)
+      val de = e - e0
+      (latP - vii * de * de + viii * math.pow(de, 4) - ix * math.pow(de, 6),
+        lon0 + x10 * de - xi * math.pow(de, 3) +
+          xii * math.pow(de, 5) - xiia * math.pow(de, 7))
+    }
+  }
+
+  /** UTM zone parameters for EPSG 326zz (north) / 327zz (south). */
+  private def utmZone(srid: Int): Option[Tm] = {
+    val zone =
+      if (srid >= 32601 && srid <= 32660) Some((srid - 32600, false))
+      else if (srid >= 32701 && srid <= 32760) Some((srid - 32700, true))
+      else None
+    zone.map { case (z, south) =>
+      Tm(aW, bW, 0.9996, 0.0, math.toRadians(-183.0 + 6.0 * z),
+        500000.0, if (south) 10000000.0 else 0.0)
+    }
+  }
+
+  /** 4326 → srid, in (x=lon, y=lat) axis order. */
+  private def from4326(srid: Int): Option[XY] = srid match {
+    case 4326 => Some((x, y) => (x, y))
+    case 27700 => Some { (lon, lat) => Osgb.wgs84ToOsgb(lat, lon) }
+    case 3857 => Some { (lon, lat) =>
+      (R * math.toRadians(lon),
+        R * math.log(math.tan(math.Pi / 4.0 + math.toRadians(lat) / 2.0)))
+    }
+    case _ => utmZone(srid).map { tm => (lon, lat) =>
+      tm.forward(math.toRadians(lat), math.toRadians(lon))
+    }
+  }
+
+  /** srid → 4326, in (x=E/lon, y=N/lat) axis order. */
+  private def to4326(srid: Int): Option[XY] = srid match {
+    case 4326 => Some((x, y) => (x, y))
+    case 27700 => Some { (e, n) =>
+      val (lat, lon) = Osgb.osgbToWgs84(e, n); (lon, lat)
+    }
+    case 3857 => Some { (x, y) =>
+      (math.toDegrees(x / R),
+        math.toDegrees(2.0 * math.atan(math.exp(y / R)) - math.Pi / 2.0))
+    }
+    case _ => utmZone(srid).map { tm => (e, n) =>
+      val (lat, lon) = tm.inverse(e, n)
+      (math.toDegrees(lon), math.toDegrees(lat))
+    }
+  }
+
+  /** Coordinate converter between two supported CRSs (through 4326 for
+    * projected→projected pairs), or None if either side is unknown. */
+  def convert(from: Int, to: Int): Option[XY] =
+    if (from == to) Some((x, y) => (x, y))
+    else for (i <- to4326(from); f <- from4326(to)) yield { (x, y) =>
+      val (lon, lat) = i(x, y)
+      f(lon, lat)
+    }
+
+  def supported(srid: Int): Boolean = from4326(srid).isDefined
+}

@@ -79,38 +79,60 @@ object Ann {
     * them. Candidate generation is an equi-join on a 4-byte cell id
     * (same skeleton as LSH/spatial buckets); recall grows with nprobe.
     *
-    * Centroids here are deterministic stride-seeded corpus vectors (a
-    * k-means++-style init without the random refinement — Lloyd
-    * iterations would introduce bit-level nondeterminism from float
-    * summation order; a production build would train offline and
-    * broadcast the model). */
+    * Centroids: deterministic stride-seeded init, refined by
+    * `lloydIters` Lloyd iterations over FIXED-POINT component sums —
+    * each vector component is scaled to a ×2^24 long before the
+    * per-(cell, dim) sum, so the trained centroids are order-independent
+    * and bit-identical under any partitioning (double/float summation
+    * order would not be). One iteration costs one corpus pass (nlist
+    * compiled cosines per row) plus a map-side-combined shuffle of
+    * nlist·dims long partials; the driver only holds the nlist×dims
+    * model. Empty cells keep their previous centroid. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      lloydIters: Int = 1): DataFrame = {
     val n = corpus.count()
     val stride = math.max(n / nlist, 1L)
-    val centroids: Array[Array[Float]] = corpus
+    var centroids: Array[Array[Float]] = corpus
       .filter(col(idCol).cast("long") % stride === 0)
       .orderBy(col(idCol))
       .limit(nlist)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)
 
-    def centroidSims(vec: Column): Seq[Column] =
-      centroids.toSeq.map(c => cosine(vec, array(c.map(v => lit(v)): _*)))
+    /** Best `m` cells under `cents`, best first (compiled kernel —
+      * [[graft.expressions.CentroidCells]]; ties → larger cell id). */
+    def cellsFor(cents: Array[Array[Float]], m: Int)(vec: Column): Column =
+      Bridge.column(graft.expressions.CentroidCells(
+        Seq(Bridge.expression(vec)), cents, m))
 
-    /** Nearest cell id (ties → larger index, deterministic). */
-    def cellOf(vec: Column): Column =
-      array_max(array(centroidSims(vec).zipWithIndex.map { case (s, i) =>
-        struct(s.as("sim"), lit(i).as("cell"))
-      }: _*)).getField("cell")
+    /** Nearest cell under `cents`. */
+    def cellFor(cents: Array[Array[Float]])(vec: Column): Column =
+      element_at(cellsFor(cents, 1)(vec), 1)
+
+    val fpScale = 1L << 24
+    for (_ <- 0 until lloydIters) {
+      val parts = corpus
+        .select(cellFor(centroids)(col(vecCol)).as("cell"),
+          posexplode(Bridge.column(graft.expressions.FixedPointLongs(
+            Seq(Bridge.expression(col(vecCol))), fpScale))))
+        .groupBy("cell", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = centroids.map(_.clone())
+      parts.groupBy(_.getInt(0)).foreach { case (cell, rs) =>
+        rs.foreach { r =>
+          next(cell)(r.getInt(1)) =
+            (r.getLong(2).toDouble / r.getLong(3) / fpScale).toFloat
+        }
+      }
+      centroids = next
+    }
+
+    def cellOf(vec: Column): Column = cellFor(centroids)(vec)
 
     /** The query's nprobe nearest cells. */
-    def probeCells(vec: Column): Column =
-      slice(transform(
-        array_sort(array(centroidSims(vec).zipWithIndex.map { case (s, i) =>
-          struct((-s).as("neg"), lit(i).as("cell"))
-        }: _*)),
-        s => s.getField("cell")), 1, nprobe)
+    def probeCells(vec: Column): Column = cellsFor(centroids, nprobe)(vec)
 
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))

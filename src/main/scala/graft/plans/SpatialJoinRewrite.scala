@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
 
-import graft.expressions.{STIntersects, STXMax, STXMin, STYMax, STYMin}
+import graft.expressions.{STContains, STIntersects, STWithin, STXMax, STXMin, STYMax, STYMin}
 
 /** Optimizer rule planning spatial-predicate joins (SURVEY §4
   * "spatial-index join", approach (a)): an inner join whose condition is
@@ -24,8 +24,15 @@ import graft.expressions.{STIntersects, STXMax, STXMin, STYMax, STYMin}
   * so Catalyst plans a stock shuffled/broadcast HASH join on the 16-byte
   * bucket key (AQE skew-splitting included) with exact refine after.
   * Bucket resolution comes from `spark.graft.spatialJoin.cellSize`
-  * (default 1.0). Conditions other than a bare st_intersects (e.g.
-  * conjunctions) are left untouched.
+  * (default 1.0).
+  *
+  * Matched shapes: the join condition's conjuncts are split and the
+  * FIRST st_intersects / st_contains / st_within conjunct with one
+  * geometry per side drives the rewrite (envelope overlap is a
+  * necessary condition for all three predicates); the spatial predicate
+  * AND every remaining conjunct move into the refine filter above the
+  * bucket join. Disjunctions and predicates mixing both sides' columns
+  * inside one geometry argument are left untouched.
   *
   * Activate per session via `spark.experimental.extraOptimizations ++=
   * Seq(SpatialJoinRewrite)` or cluster-wide through [[graft.GraftExtensions]].
@@ -68,19 +75,51 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
       Literal("bx"), floorDiv(Greatest(Seq(STXMin(Seq(a)), STXMin(Seq(b)))), cell),
       Literal("by"), floorDiv(Greatest(Seq(STYMin(Seq(a)), STYMin(Seq(b)))), cell)))
 
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConj(l) ++ splitConj(r)
+    case other => Seq(other)
+  }
+
+  /** (leftGeom, rightGeom) when `e` is a supported spatial predicate
+    * with one geometry argument per join side. Envelope overlap is
+    * necessary for st_intersects AND for st_contains/st_within (the
+    * contained geometry's envelope lies inside the container's), so the
+    * same covering-bucket equi-join is a sound candidate generator for
+    * all three; the exact predicate always re-runs in the refine. */
+  private def spatialPair(e: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression)] = {
+    val args = e match {
+      case STIntersects(Seq(a, b)) => Some((a, b))
+      case STContains(Seq(a, b)) => Some((a, b))
+      case STWithin(Seq(a, b)) => Some((a, b))
+      case _ => None
+    }
+    args.flatMap { case (a, b) =>
+      if (a.references.subsetOf(left.outputSet) &&
+          b.references.subsetOf(right.outputSet)) Some((a, b))
+      else if (b.references.subsetOf(left.outputSet) &&
+          a.references.subsetOf(right.outputSet)) Some((b, a))
+      else None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(STIntersects(Seq(a, b))), hint)
-        if a.references.subsetOf(left.outputSet) &&
-          b.references.subsetOf(right.outputSet) =>
-      rewrite(j, left, right, a, b, hint)
-    case j @ Join(left, right, Inner, Some(STIntersects(Seq(a, b))), hint)
-        if b.references.subsetOf(left.outputSet) &&
-          a.references.subsetOf(right.outputSet) =>
-      rewrite(j, left, right, b, a, hint)
+    case j @ Join(left, right, Inner, Some(cond), hint) =>
+      val conjuncts = splitConj(cond)
+      val hit = conjuncts.iterator.zipWithIndex
+        .map { case (c, i) => (i, spatialPair(c, left, right)) }
+        .collectFirst { case (i, Some(pair)) => (i, pair) }
+      hit match {
+        case Some((i, (lGeom, rGeom))) =>
+          rewrite(j, left, right, lGeom, rGeom,
+            conjuncts(i), conjuncts.patch(i, Nil, 1), hint)
+        case None => j
+      }
   }
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
-      lGeom: Expression, rGeom: Expression, hint: JoinHint): LogicalPlan = {
+      lGeom: Expression, rGeom: Expression, spatial: Expression,
+      rest: Seq[Expression], hint: JoinHint): LogicalPlan = {
     val cell = cellSize
     val lBucket = AttributeReference("__bucket_l", bucketType, nullable = false)()
     val rBucket = AttributeReference("__bucket_r", bucketType, nullable = false)()
@@ -90,9 +129,11 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
       outer = false, qualifier = None, generatorOutput = Seq(rBucket), child = right)
     val bucketJoin = Join(lGen, rGen, Inner,
       Some(EqualTo(lBucket, rBucket)), hint)
+    // emit-once dedup ∧ the exact spatial predicate ∧ every carried
+    // conjunct of the original join condition
     val refined = Filter(
-      And(EqualTo(lBucket, refBucket(lGeom, rGeom, cell)),
-        STIntersects(Seq(lGeom, rGeom))),
+      (EqualTo(lBucket, refBucket(lGeom, rGeom, cell)) +: spatial +: rest)
+        .reduce(And),
       bucketJoin)
     Project(j.output, refined)
   }

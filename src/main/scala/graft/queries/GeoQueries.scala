@@ -363,6 +363,38 @@ object GeoQueries {
     """SELECT s_suppkey, true AS roundtrip_ok, true AS bounds_ok
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** G9 breadth: the CRS registry beyond the reference's single 27700
+    * pair — Web Mercator (3857) and WGS84 UTM zone 30N (32630)
+    * roundtrips + physical-range invariants the oracle can assert; the
+    * projections themselves are pinned to published constants in
+    * `CrsSpec` (π·R world bound, central-meridian/false-origin
+    * invariants, k0 scale). */
+  val qTransformCrs: Q = (spark, dir) => {
+    val s = Tables(spark, dir, "supplier").select(col("s_suppkey"),
+      (lit(50.0) + (col("s_suppkey") % 60) * 0.1).as("lat"),
+      (lit(-5.0) + (col("s_suppkey") % 71) * 0.1).as("lon"))
+    val pt = st.point(col("lon"), col("lat"))
+    val merc = st.transform(pt, 4326, 3857)
+    val mercBack = st.transform(merc, 3857, 4326)
+    val utm = st.transform(pt, 4326, 32630)
+    val utmBack = st.transform(utm, 32630, 4326)
+    s.select(col("s_suppkey"),
+      (abs(st.stx(mercBack) - col("lon")) < 1e-9 &&
+        abs(st.sty(mercBack) - col("lat")) < 1e-9).as("merc_roundtrip_ok"),
+      (abs(st.stx(utmBack) - col("lon")) < 1e-6 &&
+        abs(st.sty(utmBack) - col("lat")) < 1e-6).as("utm_roundtrip_ok"),
+      (st.stx(merc).between(-600000.0, 250000.0) &&
+        st.sty(merc).between(6400000.0, 7600000.0)).as("merc_bounds_ok"),
+      (st.stx(utm).between(100000.0, 1100000.0) &&
+        st.sty(utm).between(5000000.0, 6600000.0)).as("utm_bounds_ok"))
+      .orderBy("s_suppkey")
+  }
+
+  val qTransformCrsSql: String =
+    """SELECT s_suppkey, true AS merc_roundtrip_ok, true AS utm_roundtrip_ok,
+      |  true AS merc_bounds_ok, true AS utm_bounds_ok
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   /** Spatial nearest-neighbor: for each sampled event point the nearest
     * supplier cell center, with exact planar distance (st_distance,
     * G-function breadth). Brute-force scored baseline (the ANN
@@ -526,6 +558,7 @@ object GeoQueries {
     "geo_gpkg_roundtrip" -> qGpkgRoundtrip,
     "geo_geojson_roundtrip" -> qGeojsonRoundtrip,
     "geo_transform_roundtrip" -> qTransformRoundtrip,
+    "geo_transform_crs" -> qTransformCrs,
     "geo_voronoi_rect" -> qVoronoiRect,
     "geo_voronoi_partition" -> qVoronoiPartition,
     "geo_cells_area" -> qCellsArea,
@@ -543,6 +576,7 @@ object GeoQueries {
     "geo_gpkg_roundtrip" -> qGpkgRoundtripSql,
     "geo_geojson_roundtrip" -> qGeojsonRoundtripSql,
     "geo_transform_roundtrip" -> qTransformRoundtripSql,
+    "geo_transform_crs" -> qTransformCrsSql,
     "geo_voronoi_rect" -> qVoronoiRectSql,
     "geo_voronoi_partition" -> qVoronoiPartitionSql,
     "geo_cells_area" -> qCellsAreaSql,

@@ -91,21 +91,24 @@ object GridQueries {
       |                 ORDER BY d LIMIT 2) ORDER BY d DESC LIMIT 1)
       |ORDER BY event_id""".stripMargin
 
-  /** S1: the DataSource V2 dense-grid scan — a deterministic .ggrd
-    * fixture (24×10×20 cells, closed-form values) is written to a temp
-    * file, scanned through the custom source with y/x filters pushed to
-    * the decoder and the time predicate pruning 18 of 24 IO slabs, then
-    * aggregated. The oracle recomputes everything from `range()` cross
-    * joins — the dense file and the scan must agree cell-for-cell. */
+  /** S1: the DataSource V2 dense-grid scan — a deterministic MULTI-FILE
+    * .ggrd dataset (24×10×20 cells over 4 slab files of 6 time steps
+    * each, closed-form values) is written to a temp directory, scanned
+    * through the custom source with y/x filters pushed to the decoder
+    * and the time predicate pruning file 0 entirely plus nothing of
+    * files 1-3 (6 of 24 IO slabs skipped, one InputPartition per
+    * surviving (file, slab)), then aggregated. The oracle recomputes
+    * everything from `range()` cross joins — the dense files and the
+    * scan must agree cell-for-cell. */
   val qGridSourceScan: Q = (spark, dir) => {
-    val p = java.nio.file.Files.createTempDirectory("ggrd_q")
-      .resolve("var.ggrd").toString
-    graft.sources.GridBinary.write(p,
-      times = Array.tabulate(24)(t => t * 3600L * 1000000L),
-      lats = Array.tabulate(10)(_ * 0.5),
-      lons = Array.tabulate(20)(_ * 0.25),
-      value = (t, y, x) => ((t * 31 + y * 7 + x) % 100) / 4.0)
-    spark.read.format("graft.sources.GridSource").load(p)
+    val tmp = java.nio.file.Files.createTempDirectory("ggrd_q")
+    for (k <- 0 until 4)
+      graft.sources.GridBinary.write(tmp.resolve(f"slab-$k%02d.ggrd").toString,
+        times = Array.tabulate(6)(i => (k * 6 + i) * 3600L * 1000000L),
+        lats = Array.tabulate(10)(_ * 0.5),
+        lons = Array.tabulate(20)(_ * 0.25),
+        value = (tl, y, x) => (((k * 6 + tl) * 31 + y * 7 + x) % 100) / 4.0)
+    spark.read.format("graft.sources.GridSource").load(tmp.toString)
       .filter(col("x").between(5, 14) && col("y") >= 2 &&
         col("time") >= lit("1970-01-01 06:00:00").cast("timestamp"))
       .groupBy(col("y").cast("long").as("y"))

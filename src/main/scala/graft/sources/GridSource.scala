@@ -21,7 +21,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    materialized (a value-only projection never decodes axes).
   *  - `SupportsPushDownFilters` on the dim keys: y/x range predicates
   *    skip rows at the decoder; time predicates PRUNE whole input
-  *    partitions (one partition per time slab — the unit of IO).
+  *    partitions (one partition per (file, time-slab) — the unit of IO).
+  *
+  * `load(path)` accepts a single `.ggrd` file OR a directory of slab
+  * files — a multi-file dataset parallelizes across files exactly like
+  * the Parquet source (one InputPartition per (file, time-slab), headers
+  * read driver-side like Parquet footers, pruned slabs never opened).
   *
   * Usage: `spark.read.format("graft.sources.GridSource").load(path)`.
   */
@@ -99,11 +104,23 @@ private class GridScan(path: String, required: StructType,
 
   private def micros(v: Any): Long = GridSource.tsMicros(v)
 
-  /** One partition per time slab, pruned by pushed time predicates. */
+  /** The dataset's slab files: `path` itself, or every `.ggrd` under it
+    * when it is a directory (sorted for deterministic partition order). */
+  private def files: Seq[String] = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p)) {
+      val fs = java.nio.file.Files.list(p).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".ggrd")).toSeq.sorted
+      require(fs.nonEmpty, s"no .ggrd files under $path")
+      fs
+    } else Seq(path)
+  }
+
+  /** One partition per (file, time slab), pruned by pushed time
+    * predicates — headers are metadata-only reads (Parquet-footer
+    * analogue); a pruned slab's data bytes are never opened. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val header = GridBinary.readHeader(path)
-    val keepT: Int => Boolean = t => {
-      val m = header.times(t)
+    val keep: (Long) => Boolean = m =>
       pushed.forall {
         case EqualTo("time", v) => m == micros(v)
         case GreaterThan("time", v) => m > micros(v)
@@ -112,22 +129,25 @@ private class GridScan(path: String, required: StructType,
         case LessThanOrEqual("time", v) => m <= micros(v)
         case _ => true
       }
-    }
-    (0 until header.nt).filter(keepT)
-      .map(t => GridPartition(t): InputPartition).toArray
+    files.flatMap { f =>
+      val header = GridBinary.readHeader(f)
+      (0 until header.nt).filter(t => keep(header.times(t)))
+        .map(t => GridPartition(f, t): InputPartition)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GridReaderFactory(path, required, pushed)
+    new GridReaderFactory(required, pushed)
 }
 
-private case class GridPartition(t: Int) extends InputPartition
+private case class GridPartition(file: String, t: Int) extends InputPartition
 
-private class GridReaderFactory(path: String, required: StructType,
+private class GridReaderFactory(required: StructType,
     pushed: Array[Filter]) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GridPartitionReader(path, required, pushed,
-      partition.asInstanceOf[GridPartition].t)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GridPartition]
+    new GridPartitionReader(p.file, required, pushed, p.t)
+  }
 }
 
 private class GridPartitionReader(path: String, required: StructType,

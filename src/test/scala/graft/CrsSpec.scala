@@ -1,0 +1,87 @@
+package graft
+
+import graft.geom.Crs
+
+/** CRS registry: Web Mercator against its published constants, UTM
+  * structural invariants + roundtrips, and projected→projected routing
+  * through 4326. (The OSGB pair is pinned separately in OsgbSpec
+  * against the OS worked example.) */
+class CrsSpec extends SparkSpec {
+
+  private def xy(from: Int, to: Int)(x: Double, y: Double): (Double, Double) =
+    Crs.convert(from, to).get(x, y)
+
+  test("web mercator matches the published constants") {
+    // the world bound: 180° → π·R exactly
+    val (xMax, _) = xy(4326, 3857)(180.0, 0.0)
+    assert(math.abs(xMax - 20037508.342789244) < 1e-6)
+    val (x0, y0) = xy(4326, 3857)(0.0, 0.0)
+    assert(x0 == 0.0 && math.abs(y0) < 1e-8) // tan(π/4) ≠ 1 in the last ulp
+    // sanity: London ≈ (-0.1276, 51.5072)
+    val (xl, yl) = xy(4326, 3857)(-0.1276, 51.5072)
+    assert(math.abs(xl - -14205.0) < 50.0)
+    assert(math.abs(yl - 6711744.0) < 2000.0)
+  }
+
+  test("web mercator roundtrip is exact to 1e-9 degrees") {
+    for (li <- -5 to 5; pi <- -4 to 4) {
+      val lon = li * 35.0; val lat = pi * 20.0
+      val (x, y) = xy(4326, 3857)(lon, lat)
+      val (lon2, lat2) = xy(3857, 4326)(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+        s"($lon,$lat) -> ($lon2,$lat2)")
+    }
+  }
+
+  test("UTM: central meridian / equator invariants and roundtrip") {
+    // zone 30 north: central meridian -3°
+    val (e0, n0) = xy(4326, 32630)(-3.0, 0.0)
+    assert(math.abs(e0 - 500000.0) < 1e-6)
+    assert(math.abs(n0) < 1e-6)
+    // easting grows with longitude, northing with latitude
+    val (eE, _) = xy(4326, 32630)(-1.0, 50.0)
+    val (eW, _) = xy(4326, 32630)(-5.0, 50.0)
+    assert(eE > 500000.0 && eW < 500000.0)
+    // south zone false northing: equator maps to 10,000,000
+    val (_, nS) = xy(4326, 32730)(-3.0, 0.0)
+    assert(math.abs(nS - 10000000.0) < 1e-6)
+    val (_, nS2) = xy(4326, 32730)(-3.0, -35.0)
+    assert(nS2 < 10000000.0 && nS2 > 5000000.0)
+    // roundtrips across the zone (and a bit beyond its edges)
+    for (li <- -7 to 1; pi <- -4 to 4) {
+      val lon = li * 1.0; val lat = pi * 15.0
+      val (e, n) = xy(4326, 32630)(lon, lat)
+      val (lon2, lat2) = xy(32630, 4326)(e, n)
+      // ≈ 1 cm even 4° outside the zone edge
+      assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7,
+        s"($lon,$lat) -> ($lon2,$lat2)")
+    }
+  }
+
+  test("UTM scale at the central meridian is k0") {
+    // 0.1° of latitude along the central meridian spans
+    // ≈ k0 × (meridional arc length); check within 0.1%
+    val (_, n1) = xy(4326, 32630)(-3.0, 45.0)
+    val (_, n2) = xy(4326, 32630)(-3.0, 45.1)
+    val arcPerDeg = 111131.0 // meridional metres/degree near 45°
+    val expected = 0.9996 * arcPerDeg * 0.1
+    assert(math.abs((n2 - n1) - expected) < expected * 0.001,
+      s"dN = ${n2 - n1}, expected ≈ $expected")
+  }
+
+  test("projected → projected routes through 4326") {
+    // 27700 → 3857 must equal (27700 → 4326) ∘ (4326 → 3857)
+    val (e, n) = (530000.0, 180000.0) // central London-ish
+    val (x1, y1) = xy(27700, 3857)(e, n)
+    val (lon, lat) = xy(27700, 4326)(e, n)
+    val (x2, y2) = xy(4326, 3857)(lon, lat)
+    assert(x1 == x2 && y1 == y2)
+  }
+
+  test("unknown CRS is rejected") {
+    assert(Crs.convert(4326, 99999).isEmpty)
+    assert(!Crs.supported(12345))
+    assert(Crs.supported(32701) && Crs.supported(32760))
+    assert(!Crs.supported(32661) && !Crs.supported(32600))
+  }
+}

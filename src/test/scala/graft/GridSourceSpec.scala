@@ -58,6 +58,29 @@ class GridSourceSpec extends SparkSpec {
     assert(q.agg(sum("value")).head().getDouble(0) > 0)
   }
 
+  test("multi-file directory: one InputPartition per (file, slab), pruned per file") {
+    val dir = Files.createTempDirectory("ggrd_multi")
+    for (k <- 0 until 4)
+      GridBinary.write(dir.resolve(f"slab-$k%02d.ggrd").toString,
+        times = Array.tabulate(6)(i => (k * 6 + i) * 3600L * 1000000L),
+        lats = Array.tabulate(10)(_ * 0.5),
+        lons = Array.tabulate(20)(_ * 0.25),
+        value = (tl, y, x) => (((k * 6 + tl) * 31 + y * 7 + x) % 100) / 4.0)
+    val multi = spark.read.format("graft.sources.GridSource").load(dir.toString)
+    // same logical dataset as the single-file fixture
+    assert(multi.rdd.getNumPartitions == 24) // 4 files × 6 slabs
+    assert(multi.count() == 24 * 10 * 20)
+    val a = multi.select("time", "y", "x", "value").as[(java.sql.Timestamp, Int, Int, Double)]
+      .collect().toSet
+    val b = grid.select("time", "y", "x", "value").as[(java.sql.Timestamp, Int, Int, Double)]
+      .collect().toSet
+    assert(a == b)
+    // a time predicate prunes file 0 and 1 wholly, file 2 partially
+    val sliced = multi.filter($"time" >= lit("1970-01-01 15:00:00").cast("timestamp"))
+    assert(sliced.rdd.getNumPartitions == 9) // slabs 15..23
+    assert(sliced.count() == 9 * 10 * 20)
+  }
+
   test("feeds the standard pipeline: daily stats over the grid source") {
     import graft.grid.GridConfig
     val stats = graft.pipelines.Pipelines.temporalDailyStats(

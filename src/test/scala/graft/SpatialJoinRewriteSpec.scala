@@ -54,12 +54,49 @@ class SpatialJoinRewriteSpec extends SparkSpec {
     assert(j.count() == 1)
   }
 
-  test("conjunction conditions are left to Catalyst (documented limit)") {
+  test("conjunction conditions rewrite, carrying the rest into the refine") {
     val j = boxesA.join(boxesB,
-      st.intersects($"ga", $"gb") && $"aid" < 10)
-    // not rewritten — still correct, just nested-loop planned
-    val viaApi = SpatialJoin.join(boxesA.filter($"aid" < 10), boxesB,
+      st.intersects($"ga", $"gb") && $"aid" < 10 && $"bid" =!= 105L)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"nested-loop join survived the conjunction rewrite:\n$plan")
+    val viaRule = j.select("aid", "bid").as[(Long, Long)].collect().toSet
+    val viaApi = SpatialJoin.join(
+      boxesA.filter($"aid" < 10), boxesB.filter($"bid" =!= 105L),
       "ga", "gb", 1.0, (l, r) => st.intersects(l, r))
-    assert(j.count() == viaApi.count())
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(viaRule == viaApi)
+    assert(viaRule.nonEmpty)
+  }
+
+  test("st_contains / st_within joins rewrite to bucketed equi-joins") {
+    // big A boxes containing small B boxes
+    val contains = boxesA.join(boxesB, st.contains($"ga", $"gb"))
+    val withinSwapped = boxesA.join(boxesB, st.within($"gb", $"ga"))
+    for (j <- Seq(contains, withinSwapped)) {
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+        s"nested-loop join survived the contains/within rewrite:\n$plan")
+    }
+    val gotContains = contains.select("aid", "bid")
+      .as[(Long, Long)].collect().toSet
+    val gotWithin = withinSwapped.select("aid", "bid")
+      .as[(Long, Long)].collect().toSet
+    // within(b, a) ⇔ contains(a, b)
+    assert(gotContains == gotWithin)
+    // brute-force truth over collected geometries
+    val as = boxesA.select($"aid", st.xmin($"ga"), st.ymin($"ga"),
+      st.xmax($"ga"), st.ymax($"ga"))
+      .as[(Long, Double, Double, Double, Double)].collect()
+    val bs = boxesB.select($"bid", st.xmin($"gb"), st.ymin($"gb"),
+      st.xmax($"gb"), st.ymax($"gb"))
+      .as[(Long, Double, Double, Double, Double)].collect()
+    val brute = (for {
+      (aid, ax0, ay0, ax1, ay1) <- as
+      (bid, bx0, by0, bx1, by1) <- bs
+      if bx0 >= ax0 && by0 >= ay0 && bx1 <= ax1 && by1 <= ay1
+    } yield (aid, bid)).toSet
+    assert(gotContains == brute)
+    assert(gotContains.nonEmpty)
   }
 }
