@@ -9,7 +9,8 @@ object Bench {
     // phantom "regressions" on untouched queries). Default set = the
     // queries that showed order noise; override via env.
     val repeatSet = sys.env.getOrElse("SPARK_GRAFT_REPEAT",
-      "q3_top_revenue,text_quality,ann_bruteforce_topk").split(",").toSet
+      "q3_top_revenue,text_quality,ann_bruteforce_topk,q1_pricing_salted")
+      .split(",").toSet
     val trials = math.max(sys.env.getOrElse("SPARK_GRAFT_TRIALS", "5").toInt, 1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

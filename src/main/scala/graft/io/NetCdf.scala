@@ -5,119 +5,139 @@ import java.nio.file.{Files, Paths}
 
 import scala.collection.mutable.ArrayBuffer
 
-/** Minimal NetCDF-3 classic (CDF-1) writer/reader, from the published
-  * format spec (the reference's native interchange: `xr.open_dataset`
-  * wrf_voronoi.py:115, haduk_voronoi.py:33, delphine/regrid.py:208,249;
-  * `to_netcdf` sink delphine/regrid.py:330 — SURVEY §2.1 S1/S4).
+/** Minimal NetCDF-3 classic writer/reader — CDF-1, CDF-2 (64-bit
+  * offsets) and CDF-5 (64-bit sizes + INT64), from the published
+  * classic-format spec (the reference's native interchange:
+  * `xr.open_dataset` wrf_voronoi.py:115, haduk_voronoi.py:33,
+  * delphine/regrid.py:208,249; `to_netcdf` sink delphine/regrid.py:330
+  * — SURVEY §2.1 S1/S4).
+  *
+  * Format deltas per the spec's grammar: CDF-2 widens only the variable
+  * `begin` offset to 64 bits; CDF-5 widens every NON_NEG entity
+  * (numrecs, list counts, name lengths, dim sizes, dimids, vsize) to 64
+  * bits and adds the extended types (INT64 here). Tags and nc_type stay
+  * 4 bytes; padding stays 4-byte alignment.
   *
   * Scope: fixed-size dimensions only (no record dimension — the
   * reference's grids are materialized model output, not appended
-  * series), types CHAR/BYTE/SHORT/INT/FLOAT/DOUBLE, dimension +
-  * variable + attribute headers. All values big-endian per the spec.
+  * series), types CHAR/BYTE/SHORT/INT/FLOAT/DOUBLE (+INT64 in CDF-5),
+  * dimension + variable + attribute headers. All values big-endian.
   */
 object NetCdf {
 
   final case class Dim(name: String, size: Int)
   /** `data` length must be the product of the dim sizes; element type
     * must match `ncType` (Double for DOUBLE, Float for FLOAT, Int for
-    * INT/SHORT/BYTE, Byte for CHAR). */
+    * INT/SHORT/BYTE, Byte for CHAR, Long for INT64). */
   final case class Var(name: String, dimIds: Seq[Int], ncType: Int,
     attrs: Seq[(String, String)], data: Array[_])
 
   val NcByte = 1; val NcChar = 2; val NcShort = 3
   val NcInt = 4; val NcFloat = 5; val NcDouble = 6
+  val NcInt64 = 10 // CDF-5 extended type
 
   private def typeSize(t: Int): Int = t match {
     case NcByte | NcChar => 1
     case NcShort => 2
     case NcInt | NcFloat => 4
-    case NcDouble => 8
+    case NcDouble | NcInt64 => 8
     case other => throw new IllegalArgumentException(s"nc_type $other")
   }
 
-  private def pad4(n: Int): Int = (n + 3) & ~3
+  private def pad4(n: Long): Long = (n + 3) & ~3L
 
   // ------------------------------------------------------------ writer
 
-  private def putName(out: ArrayBuffer[Byte], s: String): Unit = {
-    val b = s.getBytes("UTF-8")
-    putU32(out, b.length)
-    out ++= b
-    (b.length until pad4(b.length)).foreach(_ => out += 0)
+  private final class W(version: Int) {
+    val out = new ArrayBuffer[Byte](1 << 16)
+    private val wide = version == 5 // NON_NEG width
+    def u32(v: Int): Unit =
+      out += (v >>> 24).toByte += (v >>> 16).toByte += (v >>> 8).toByte += v.toByte
+    def u64(v: Long): Unit = { u32((v >>> 32).toInt); u32(v.toInt) }
+    /** NON_NEG: 32-bit in CDF-1/2, 64-bit in CDF-5. */
+    def size(v: Long): Unit = if (wide) u64(v) else u32(v.toInt)
+    /** OFFSET: 32-bit in CDF-1, 64-bit in CDF-2/5. */
+    def offsetWidth: Int = if (version == 1) 4 else 8
+    def name(s: String): Unit = {
+      val b = s.getBytes("UTF-8")
+      size(b.length)
+      out ++= b
+      (b.length until pad4(b.length).toInt).foreach(_ => out += 0)
+    }
+    def textAttr(k: String, v: String): Unit = {
+      name(k)
+      u32(NcChar)
+      val b = v.getBytes("UTF-8")
+      size(b.length)
+      out ++= b
+      (b.length until pad4(b.length).toInt).foreach(_ => out += 0)
+    }
+    def attrList(attrs: Seq[(String, String)]): Unit =
+      if (attrs.isEmpty) { u32(0); size(0) }
+      else {
+        u32(0x0C); size(attrs.size)
+        attrs.foreach { case (k, v) => textAttr(k, v) }
+      }
   }
 
-  private def putU32(out: ArrayBuffer[Byte], v: Int): Unit = {
-    out += (v >>> 24).toByte += (v >>> 16).toByte += (v >>> 8).toByte += v.toByte
-  }
-
-  private def putTextAttr(out: ArrayBuffer[Byte], name: String, value: String): Unit = {
-    putName(out, name)
-    putU32(out, NcChar)
-    val b = value.getBytes("UTF-8")
-    putU32(out, b.length)
-    out ++= b
-    (b.length until pad4(b.length)).foreach(_ => out += 0)
-  }
-
+  /** Write a classic NetCDF file; `version` ∈ {1 (CDF-1), 2 (CDF-2),
+    * 5 (CDF-5)}. */
   def write(path: String, dims: Seq[Dim], globalAttrs: Seq[(String, String)],
-      vars: Seq[Var]): Unit = {
+      vars: Seq[Var], version: Int = 1): Unit = {
+    require(Set(1, 2, 5)(version), s"CDF version $version")
     vars.foreach { v =>
       val n = v.dimIds.map(dims(_).size.toLong).product
       require(v.data.length == n, s"${v.name}: ${v.data.length} values for $n cells")
+      require(v.ncType != NcInt64 || version == 5,
+        s"${v.name}: INT64 requires CDF-5")
     }
-    val out = new ArrayBuffer[Byte](1 << 16)
-    out += 'C'.toByte += 'D'.toByte += 'F'.toByte += 1.toByte
-    putU32(out, 0) // numrecs (no record dimension)
+    val w = new W(version)
+    w.out += 'C'.toByte += 'D'.toByte += 'F'.toByte += version.toByte
+    w.size(0) // numrecs (no record dimension)
     // dim_list
-    if (dims.isEmpty) { putU32(out, 0); putU32(out, 0) }
+    if (dims.isEmpty) { w.u32(0); w.size(0) }
     else {
-      putU32(out, 0x0A); putU32(out, dims.size)
-      dims.foreach { d => putName(out, d.name); putU32(out, d.size) }
+      w.u32(0x0A); w.size(dims.size)
+      dims.foreach { d => w.name(d.name); w.size(d.size) }
     }
-    // gatt_list
-    if (globalAttrs.isEmpty) { putU32(out, 0); putU32(out, 0) }
-    else {
-      putU32(out, 0x0C); putU32(out, globalAttrs.size)
-      globalAttrs.foreach { case (k, v) => putTextAttr(out, k, v) }
-    }
+    w.attrList(globalAttrs)
     // var_list with begin offsets patched after layout
     val beginPos = new ArrayBuffer[Int]
-    if (vars.isEmpty) { putU32(out, 0); putU32(out, 0) }
+    if (vars.isEmpty) { w.u32(0); w.size(0) }
     else {
-      putU32(out, 0x0B); putU32(out, vars.size)
+      w.u32(0x0B); w.size(vars.size)
       vars.foreach { v =>
-        putName(out, v.name)
-        putU32(out, v.dimIds.size)
-        v.dimIds.foreach(putU32(out, _))
-        if (v.attrs.isEmpty) { putU32(out, 0); putU32(out, 0) }
-        else {
-          putU32(out, 0x0C); putU32(out, v.attrs.size)
-          v.attrs.foreach { case (k, a) => putTextAttr(out, k, a) }
-        }
-        putU32(out, v.ncType)
-        putU32(out, pad4(v.data.length * typeSize(v.ncType))) // vsize
-        beginPos += out.length
-        putU32(out, 0) // begin, patched below
+        w.name(v.name)
+        w.size(v.dimIds.size)
+        v.dimIds.foreach(d => w.size(d))
+        w.attrList(v.attrs)
+        w.u32(v.ncType)
+        w.size(pad4(v.data.length.toLong * typeSize(v.ncType)))
+        beginPos += w.out.length
+        if (w.offsetWidth == 8) w.u64(0L) else w.u32(0) // begin, patched
       }
     }
     // data layout
-    var offset = out.length
+    var offset = w.out.length.toLong
     val begins = vars.map { v =>
       val b = offset
-      offset += pad4(v.data.length * typeSize(v.ncType))
+      offset += pad4(v.data.length.toLong * typeSize(v.ncType))
       b
     }
-    val bytes = new Array[Byte](offset)
-    out.copyToArray(bytes)
+    val bytes = new Array[Byte](offset.toInt)
+    w.out.copyToArray(bytes)
     beginPos.zip(begins).foreach { case (pos, b) =>
-      ByteBuffer.wrap(bytes, pos, 4).putInt(b)
+      if (w.offsetWidth == 8) ByteBuffer.wrap(bytes, pos, 8).putLong(b)
+      else ByteBuffer.wrap(bytes, pos, 4).putInt(b.toInt)
     }
     vars.zip(begins).foreach { case (v, b) =>
-      val buf = ByteBuffer.wrap(bytes, b, pad4(v.data.length * typeSize(v.ncType)))
+      val buf = ByteBuffer.wrap(bytes, b.toInt,
+        pad4(v.data.length.toLong * typeSize(v.ncType)).toInt)
       v.ncType match {
         case NcDouble => v.data.asInstanceOf[Array[Double]].foreach(buf.putDouble)
         case NcFloat => v.data.asInstanceOf[Array[Float]].foreach(buf.putFloat)
         case NcInt => v.data.asInstanceOf[Array[Int]].foreach(buf.putInt)
+        case NcInt64 => v.data.asInstanceOf[Array[Long]].foreach(buf.putLong)
         case NcShort => v.data.asInstanceOf[Array[Int]].foreach(x => buf.putShort(x.toShort))
         case NcByte | NcChar => buf.put(v.data.asInstanceOf[Array[Byte]])
       }
@@ -138,53 +158,60 @@ object NetCdf {
     val buf = ByteBuffer.wrap(bytes)
     require(buf.get() == 'C' && buf.get() == 'D' && buf.get() == 'F',
       "not a NetCDF classic file")
-    val version = buf.get()
-    require(version == 1, s"only CDF-1 supported (got version $version)")
-    val numrecs = buf.getInt
+    val version = buf.get().toInt
+    require(version == 1 || version == 2 || version == 5,
+      s"unsupported CDF version $version")
+    val wide = version == 5
+
+    def size(): Long = if (wide) buf.getLong else buf.getInt.toLong
+    def begin(): Long = if (version == 1) buf.getInt.toLong else buf.getLong
+
+    val numrecs = size()
     require(numrecs == 0, "record dimension not supported")
 
     def name(): String = {
-      val n = buf.getInt
+      val n = size().toInt
       val b = new Array[Byte](n)
       buf.get(b)
-      buf.position(buf.position() + (pad4(n) - n))
+      buf.position(buf.position() + (pad4(n).toInt - n))
       new String(b, "UTF-8")
     }
     def attrList(): Seq[(String, String)] = {
-      val tag = buf.getInt; val n = buf.getInt
+      val tag = buf.getInt; val n = size()
       require(tag == 0x0C || (tag == 0 && n == 0), s"attr tag $tag")
-      (0 until n).map { _ =>
+      (0L until n).map { _ =>
         val k = name()
         val t = buf.getInt
-        val cnt = buf.getInt
+        val cnt = size().toInt
         require(t == NcChar, s"only text attributes supported (type $t)")
         val b = new Array[Byte](cnt)
         buf.get(b)
-        buf.position(buf.position() + (pad4(cnt) - cnt))
+        buf.position(buf.position() + (pad4(cnt).toInt - cnt))
         k -> new String(b, "UTF-8")
       }
     }
 
-    val dimTag = buf.getInt; val nDims = buf.getInt
+    val dimTag = buf.getInt; val nDims = size()
     require(dimTag == 0x0A || (dimTag == 0 && nDims == 0), s"dim tag $dimTag")
-    val dims = (0 until nDims).map(_ => Dim(name(), buf.getInt))
+    val dims = (0L until nDims).map(_ => Dim(name(), size().toInt))
     val gatts = attrList()
-    val varTag = buf.getInt; val nVars = buf.getInt
+    val varTag = buf.getInt; val nVars = size()
     require(varTag == 0x0B || (varTag == 0 && nVars == 0), s"var tag $varTag")
-    val vars = (0 until nVars).map { _ =>
+    val vars = (0L until nVars).map { _ =>
       val vn = name()
-      val nd = buf.getInt
-      val dimIds = (0 until nd).map(_ => buf.getInt)
+      val nd = size().toInt
+      val dimIds = (0 until nd).map(_ => size().toInt)
       val vatts = attrList()
       val t = buf.getInt
-      val vsize = buf.getInt
-      val begin = buf.getInt
+      val vsize = size()
+      val b0 = begin()
       val n = dimIds.map(dims(_).size.toLong).product.toInt
-      val db = ByteBuffer.wrap(bytes, begin, vsize)
+      val db = ByteBuffer.wrap(bytes, b0.toInt, vsize.toInt)
       val data: Array[_] = t match {
         case NcDouble => Array.fill(n)(db.getDouble)
         case NcFloat => Array.fill(n)(db.getFloat)
         case NcInt => Array.fill(n)(db.getInt)
+        case NcInt64 => Array.fill(n)(db.getLong)
         case NcShort => Array.fill(n)(db.getShort.toInt)
         case NcByte | NcChar =>
           val b = new Array[Byte](n); db.get(b); b

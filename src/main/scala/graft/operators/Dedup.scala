@@ -274,11 +274,18 @@ object Dedup {
     // make downstream recompute impossible, so only plain persists are
     // released when superseded
     var labelsCheckpointed = false
+    // delta propagation: labels only DECREASE, so a neighbor whose label
+    // did not change this round already contributed its value to every
+    // neighbor's running min in an earlier round — only the changed
+    // frontier needs to ride the neighbor-min join. The frontier shrinks
+    // geometrically (dense components converge in a round or two), so
+    // late rounds join near-empty frames instead of the full label set.
+    var frontier = labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
       val jump = pointerJumping || iter >= autoJumpAfter
-      val nbrMin = edges.join(labels, col("dst") === col("id"))
+      val nbrMin = edges.join(frontier, col("dst") === col("id"))
         .groupBy(col("src")).agg(min("lbl").as("nbr_lbl"))
       val joined = labels.join(nbrMin, col("id") === col("src"), "left")
       val withHop =
@@ -302,6 +309,7 @@ object Dedup {
       // populated every cached partition) — the prior round is now dead
       if (!labelsCheckpointed) labels.unpersist(false)
       labels = next.select("id", "lbl")
+      frontier = next.filter(col("lbl") =!= col("prev")).select("id", "lbl")
       labelsCheckpointed = truncate
       iter += 1
     }

@@ -57,6 +57,52 @@ class NetCdfSpec extends AnyFunSuite {
     assert(nc.globalAttrs == Seq("k" -> "xyz"))
   }
 
+  test("CDF-2 roundtrip: version byte 2, 64-bit begin offsets") {
+    val path = tmp("v2.nc")
+    NetCdf.write(path,
+      dims = Seq(Dim("y", 2), Dim("x", 3)),
+      globalAttrs = Seq("conv" -> "CF"),
+      vars = Seq(
+        Var("lat", Seq(0), NcDouble, Nil, Array(0.5, 1.5)),
+        Var("v", Seq(0, 1), NcFloat, Seq("units" -> "K"),
+          Array.tabulate(6)(_ * 0.5f))),
+      version = 2)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    assert(bytes(3) == 2)
+    val nc = NetCdf.read(path)
+    assert(nc.dims == Seq(Dim("y", 2), Dim("x", 3)))
+    assert(nc.variable("v").data.asInstanceOf[Array[Float]].toSeq ==
+      (0 until 6).map(_ * 0.5f))
+    assert(nc.variable("v").attrs == Seq("units" -> "K"))
+  }
+
+  test("CDF-5 roundtrip: 64-bit sizes and INT64 variables") {
+    val path = tmp("v5.nc")
+    NetCdf.write(path,
+      dims = Seq(Dim("t", 4)),
+      globalAttrs = Seq("title" -> "wide"),
+      vars = Seq(
+        Var("micros", Seq(0), NcInt64, Seq("units" -> "us"),
+          Array(0L, 3600000000L, 7200000000L, 1L << 40)),
+        Var("v", Seq(0), NcDouble, Nil, Array(1.0, 2.0, 3.0, 4.0))),
+      version = 5)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    assert(bytes(3) == 5)
+    val nc = NetCdf.read(path)
+    assert(nc.variable("micros").data.asInstanceOf[Array[Long]].toSeq ==
+      Seq(0L, 3600000000L, 7200000000L, 1L << 40))
+    assert(nc.variable("v").data.asInstanceOf[Array[Double]].toSeq ==
+      Seq(1.0, 2.0, 3.0, 4.0))
+    assert(nc.globalAttrs == Seq("title" -> "wide"))
+  }
+
+  test("INT64 variables are rejected outside CDF-5") {
+    intercept[IllegalArgumentException] {
+      NetCdf.write(tmp("bad.nc"), Seq(Dim("t", 1)), Nil,
+        Seq(Var("x", Seq(0), NcInt64, Nil, Array(1L))), version = 1)
+    }
+  }
+
   test("size validation rejects mismatched data arrays") {
     intercept[IllegalArgumentException] {
       NetCdf.write(tmp("bad.nc"), Seq(Dim("x", 3)), Nil,
