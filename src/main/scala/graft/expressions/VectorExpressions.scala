@@ -142,11 +142,13 @@ case class VecSumSq(children: Seq[Expression])
 /** sign_lsh_bucket(vec, planes) — random-hyperplane sign bits packed
   * into an int. Hyperplane weight w(p,d) = ±1 from the low bit of
   * murmur3 over (p, d), exactly the value of Spark's
-  * `hash(lit(p), d)` (seed 42, ints folded left to right), so buckets
-  * are bit-identical to the Column formulation
+  * `hash(lit(p), d)` (default seed 42, ints folded left to right), so
+  * buckets are bit-identical to the Column formulation
   * `when(hash(lit(p), d).bitwiseAND(1) === 1, 1.0, -1.0)` dotted
-  * against the vector with sequential double accumulation. */
-case class SignLshBucket(children: Seq[Expression], planes: Int)
+  * against the vector with sequential double accumulation. A non-default
+  * `seed` yields an independent plane family (banded cosine LSH). */
+case class SignLshBucket(children: Seq[Expression], planes: Int,
+    seed: Int = 42)
   extends Expression with CodegenFallback {
 
   require(planes >= 1 && planes <= 30, s"planes=$planes")
@@ -174,7 +176,7 @@ case class SignLshBucket(children: Seq[Expression], planes: Int)
     var bucket = 0
     var p = 0
     while (p < planes) {
-      val seedP = hashInt(p, 42)
+      val seedP = hashInt(p, seed)
       var acc = 0.0
       var d = 0
       while (d < n) {

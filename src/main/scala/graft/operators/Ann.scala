@@ -73,6 +73,42 @@ object Ann {
     Bridge.column(graft.expressions.SignLshBucket(
       Seq(Bridge.expression(vec)), planes))
 
+  /** Bucket under an independent plane family — band `seed` of a banded
+    * cosine-LSH scheme. */
+  def lshBucketSeeded(vec: Column, planes: Int, seed: Int): Column =
+    Bridge.column(graft.expressions.SignLshBucket(
+      Seq(Bridge.expression(vec)), planes, seed))
+
+  /** Embedding-cosine NEAR-DUP pairs — the dedup-by-embedding mode of a
+    * training-data pipeline: all pairs (id_a < id_b) with exact cosine ≥
+    * `threshold`, found by BANDED sign-LSH (AND over `planesPerBand`
+    * hyperplane signs within a band, OR over `bands` independent plane
+    * families — the cosine analogue of MinHash banding) + exact-cosine
+    * refine of candidates.
+    *
+    * Scale shape: membership rows are (id, band, 4-byte bucket); pairs
+    * come from the guarded bucket self-join ([[Dedup.pairsFromBuckets]]);
+    * vectors ride only the candidate refine joins. Miss probability per
+    * true pair = (1 − (1 − θ/π)^p)^b — at cosine 0.99 with the defaults
+    * (p=12, b=24) ≈ 1e-13. */
+  def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 24, planesPerBand: Int = 12,
+      maxBucket: Int = 4096): DataFrame = {
+    val ids = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val memb = ids.select(col("id"), posexplode(array((0 until bands).map(b =>
+      lshBucketSeeded(col("v"), planesPerBand, 1000 + b)): _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bval"))
+    val cand = Dedup.pairsFromBuckets(memb, Seq("band", "bval"), maxBucket)
+    val a = ids.select(col("id").as("id_a"), col("v").as("va"))
+    val b = ids.select(col("id").as("id_b"), col("v").as("vb"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(col("va"), col("vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** IVF (inverted-file) ANN — the other classic scale path: a coarse
     * quantizer of `nlist` centroid cells partitions the corpus; a query
     * probes only its `nprobe` nearest cells and scores exactly within

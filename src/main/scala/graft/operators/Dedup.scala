@@ -174,7 +174,7 @@ object Dedup {
     * pairing: a degenerate bucket (templated/near-empty content hashing
     * together) would otherwise go quadratic — a recall-vs-blowup guard
     * to size so it never triggers on healthy data. */
-  private def pairsFromBuckets(memb: DataFrame, bucketCols: Seq[String],
+  private[operators] def pairsFromBuckets(memb: DataFrame, bucketCols: Seq[String],
       maxBucket: Int): DataFrame = {
     // bucket-size guard via a windowed count — one shuffle on the bucket
     // key, reused by the self-join below (no groupBy + semi-join round

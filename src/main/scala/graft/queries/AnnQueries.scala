@@ -106,6 +106,49 @@ object AnnQueries {
       |  true AS scores_exact, true AS ranks_ok
       |FROM embeddings WHERE vec_id < 3 ORDER BY 1""".stripMargin
 
+  /** Embedding-cosine near-dup dedup — the dedup-by-embedding mode of a
+    * training-data pipeline. The corpus has no natural near-dups (max
+    * pairwise cosine 0.513 at sf0.01), so one near-dup per vector is
+    * PLANTED: odd components scaled ×1.2 in double then narrowed back to
+    * float (bit-identical construction in both engines), giving cosine
+    * ≈ 0.996 to the original vs ≤ 0.52 to everything else. The
+    * banded-LSH + exact-refine pipeline must find exactly those planted
+    * pairs with exact scores (miss probability ≈ 1e-13/pair). */
+  val qDedupEmbedding: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings")
+    val pert = e.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i % 2 === 1, (x.cast("double") * lit(1.2)).cast("float"))
+          .otherwise(x)).as("embedding"))
+    val aug = e.select(col("vec_id"), col("embedding")).union(pert)
+    Ann.cosineNearDups(aug, "vec_id", "embedding", 0.97)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val qDedupEmbeddingSql: String =
+    """WITH aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_transform(range(1, len(embedding) + 1),
+      |      i -> CASE WHEN i % 2 = 0
+      |        THEN cast(cast(embedding[i] as double) * 1.2 as real)
+      |        ELSE embedding[i] END)
+      |  FROM embeddings),
+      |v AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> cast(x as double) * cast(x as double)))) AS nrm
+      |  FROM aug),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> cast(a.embedding[i] as double) * cast(b.embedding[i] as double)))
+      |      / (a.nrm * b.nrm) AS c
+      |  FROM v a, v b WHERE a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, round(c, 6) AS cos_sim FROM p
+      |WHERE c >= 0.97 ORDER BY 1, 2""".stripMargin
+
   /** Per-label embedding centroids — the array-aggregation pattern of
     * an IVF/k-means training step: explode dimensions, fixed-point
     * partial sums per (label, dim) — map-side combined, so the shuffle
@@ -135,12 +178,14 @@ object AnnQueries {
     "embed_norms" -> qEmbedNorms,
     "ann_bruteforce_topk" -> qAnnBruteForce,
     "ann_lsh_topk" -> qAnnLsh,
-    "ann_ivf_topk" -> qAnnIvf)
+    "ann_ivf_topk" -> qAnnIvf,
+    "dedup_embedding" -> qDedupEmbedding)
 
   val oracles: Map[String, String] = Map(
     "embed_centroids" -> qEmbedCentroidsSql,
     "embed_norms" -> qEmbedNormsSql,
     "ann_bruteforce_topk" -> qAnnBruteForceSql,
     "ann_lsh_topk" -> qAnnLshSql,
-    "ann_ivf_topk" -> qAnnIvfSql)
+    "ann_ivf_topk" -> qAnnIvfSql,
+    "dedup_embedding" -> qDedupEmbeddingSql)
 }
