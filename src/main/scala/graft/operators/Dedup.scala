@@ -272,7 +272,11 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // a localCheckpoint's lineage is truncated — unpersisting it would
     // make downstream recompute impossible, so only plain persists are
-    // released when superseded
+    // released when superseded. Unpersist must target the frame that
+    // was ACTUALLY persisted: calling it on a derived projection is a
+    // silent no-op (CacheManager matches on sameResult of the exact
+    // cached plan).
+    var prevPersisted = labels
     var labelsCheckpointed = false
     // delta propagation: labels only DECREASE, so a neighbor whose label
     // did not change this round already contributed its value to every
@@ -307,16 +311,28 @@ object Dedup {
       changed = next.filter(col("lbl") =!= col("prev")).count()
       // next is fully materialized (eager checkpoint, or the count above
       // populated every cached partition) — the prior round is now dead
-      if (!labelsCheckpointed) labels.unpersist(false)
+      if (!labelsCheckpointed) prevPersisted.unpersist(false)
+      prevPersisted = next
       labels = next.select("id", "lbl")
       frontier = next.filter(col("lbl") =!= col("prev")).select("id", "lbl")
       labelsCheckpointed = truncate
       iter += 1
     }
+    // detach the result from all loop state: truncate lineage once more
+    // if the last round was only persisted, then release that round's
+    // cache and the edge frame
+    val finalLabels =
+      if (labelsCheckpointed) labels
+      else {
+        val f = labels.localCheckpoint(true)
+        prevPersisted.unpersist(false)
+        f
+      }
+    edges.unpersist(false)
     val untouched = ids.select(col("id"))
-      .join(labels, Seq("id"), "left_anti")
+      .join(finalLabels, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("lbl"))
-    labels.union(untouched).select(col("id"), col("lbl").as("cluster_rep"))
+    finalLabels.union(untouched).select(col("id"), col("lbl").as("cluster_rep"))
   }
 
   /** md5-derived per-token hashes for SimHash — md5 (not murmur3) so the
