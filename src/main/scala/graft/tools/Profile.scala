@@ -59,6 +59,18 @@ object Profile {
       Dedup.jaccardPairsIndexed(docs, "doc_id", "text", 3, 0.5)
     }
 
+    // --- connected components stages
+    time("components: pairs only") {
+      Dedup.jaccardPairsIndexed(docs, "doc_id", "text", 3, 0.5)
+        .select("id_a", "id_b")
+    }
+    time("components: full") {
+      Dedup.connectedComponents(
+        docs.select(col("doc_id").cast("long").as("id")),
+        Dedup.jaccardPairsIndexed(docs, "doc_id", "text", 3, 0.5)
+          .select("id_a", "id_b"))
+    }
+
     // --- ann stages
     val emb = Tables(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") % 667 === 0)

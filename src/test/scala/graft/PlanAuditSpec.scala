@@ -51,6 +51,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("flagship curvilinear Voronoi pipeline avoids nested-loop fallbacks") {
+    // The returned frame is the GeoJSON sink read-back; the compute
+    // stages (tessellate -> filter -> daily stats -> join) run before
+    // the sink and are covered by the sweep tests above. Here we pin
+    // that nothing in the returned plan degenerated to a nested loop.
+    val p = plans("grid_pipeline_voronoi")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"flagship plan fell back to a nested loop:\n$p")
+  }
+
   test("aggregations run partial (map-side combine) before the shuffle") {
     Seq("q1_pricing_summary", "w1_events_daily").foreach { q =>
       assert(plans(q).contains("partial_"),
