@@ -24,6 +24,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++
       TextQueries.queries ++
+      TrainPrepQueries.queries ++
       AnnQueries.queries ++
       GeoQueries.queries ++
       MultimodalQueries.queries ++
@@ -33,6 +34,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
       TextQueries.oracles ++
+      TrainPrepQueries.oracles ++
       AnnQueries.oracles ++
       GeoQueries.oracles ++
       MultimodalQueries.oracles ++

@@ -425,4 +425,36 @@ object Dedup {
         hammingDist(col("fp_a"), col("fp_b")).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Benchmark DECONTAMINATION: flag corpus documents that share at
+    * least one word n-gram with a benchmark/eval set (the n-gram-overlap
+    * test used to scrub training corpora before pretraining). Returns
+    * one row per NON-benchmark document: (id, n_shared, contaminated).
+    *
+    * Plan shape for 100 TB: per-document distinct n-grams come from the
+    * compiled [[shingles]] pass, hashed to 60-bit longs (md5-derived so
+    * the oracle recomputes them) — the join key is 8 bytes, the text
+    * never leaves its scan. The benchmark gram set (eval suites are
+    * ~10⁴-10⁶ grams) is distinct-ed and BROADCAST, so the corpus side
+    * joins map-side with zero shuffle of corpus rows; the only shuffle
+    * is the final per-doc count aggregation, which is output-bound. */
+  def ngramContamination(df: DataFrame, idCol: String, textCol: String,
+      isBenchmark: Column, n: Int): DataFrame = {
+    val grams = df.select(col(idCol).as("id"), isBenchmark.as("is_bench"),
+      explode(shingles(col(textCol), n)).as("g"))
+      .select(col("id"), col("is_bench"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+    val benchGrams = grams.filter(col("is_bench")).select("gh").distinct()
+    // shingles() emits per-doc DISTINCT grams, so count(*) per id is the
+    // distinct shared-gram count
+    val hits = grams.filter(!col("is_bench"))
+      .join(broadcast(benchGrams), "gh")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shared"))
+    df.filter(!isBenchmark).select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_shared").isNotNull.as("contaminated"))
+  }
 }

@@ -278,6 +278,41 @@ object RelationalQueries {
       |  sum(cast(round(value*100) as bigint)) / (count(*) * 100.0) AS avg_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** SESSIONIZATION via Spark's native `session_window`: per-user
+    * sessions split at ≥ 6-hour gaps. The gap-merge runs inside the
+    * session-window aggregate (one shuffle on user_id, map-side
+    * partials), so no per-event window-function sort is needed — and
+    * the identical plan replays as a stream (`stream_sessions`).
+    * Session bounds are emitted as exact epoch-microsecond longs
+    * (`unix_micros` == DuckDB `epoch_us`); the end bound is max(ts),
+    * not window.end (which adds the gap by convention). */
+  val qSessions: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+    ev.groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        max("ts").as("max_ts"),
+        Exact.fixedSum(col("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("max_ts")).as("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+  }
+
+  /** Gap-and-island reformulation of the same sessions — what an engine
+    * without session windows runs. Spark merges an event into the open
+    * session while ts < prev + gap, so a new session starts at >= gap. */
+  val qSessionsSql: String =
+    """WITH x AS (SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM x)
+      |SELECT user_id, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+      |  count(*) AS n_events,
+      |  sum(cast(round(value*100) as bigint)) / 100.0 AS sum_value
+      |FROM s GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin
+
   /** Distinct aggregation: exact distinct users per event type. */
   val qEventsDistinct: Q = (spark, dir) => {
     val ev = Tables(spark, dir, "events")
@@ -530,6 +565,7 @@ object RelationalQueries {
     "w_top_per_customer" -> qWindowTopPerCustomer,
     "w_lag_gaps" -> qWindowLag,
     "w1_events_daily" -> qEventsDaily,
+    "w_sessions" -> qSessions,
     "a_events_distinct" -> qEventsDistinct,
     "o_top_parts" -> qTopParts,
     "p_filter_scan" -> qFilterScan,
@@ -552,6 +588,7 @@ object RelationalQueries {
     "w_top_per_customer" -> qWindowTopPerCustomerSql,
     "w_lag_gaps" -> qWindowLagSql,
     "w1_events_daily" -> qEventsDailySql,
+    "w_sessions" -> qSessionsSql,
     "a_events_distinct" -> qEventsDistinctSql,
     "o_top_parts" -> qTopPartsSql,
     "p_filter_scan" -> qFilterScanSql,

@@ -140,6 +140,32 @@ object StreamingQueries {
         min("user_id").as("min_user"), max("user_id").as("max_user"))
   }
 
+  /** Streaming SESSIONIZATION: the same native `session_window` plan as
+    * the batch `w_sessions`, run as a watermarked stream — gap-merge
+    * happens in the streaming state store, sessions merge across
+    * micro-batches. Complete output mode re-emits the merged session
+    * set each batch (update mode is unsupported for session-window
+    * aggregations), so the sink's final table IS the batch answer.
+    * Identical output contract (and oracle) to `w_sessions` —
+    * stream/batch parity is the claim. */
+  val qStreamSessions: Q = (spark, dir) => {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        max("ts").as("max_ts"),
+        Exact.fixedSum(col("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("max_ts")).as("end_us"),
+        col("n_events"), col("sum_value"))
+    val name = s"graft_stream_sessions_${runId.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "start_us")
+  }
+
   val qStreamDedupSql: String =
     """SELECT count(DISTINCT user_id) AS n_users,
       |  cast(min(user_id) as bigint) AS min_user,
@@ -158,11 +184,13 @@ object StreamingQueries {
     "stream_events_daily" -> qStreamEventsDaily,
     "stream_dedup" -> qStreamDedup,
     "stream_geo_pip" -> qStreamGeoPip,
-    "stream_running_stats" -> qStreamRunningStats)
+    "stream_running_stats" -> qStreamRunningStats,
+    "stream_sessions" -> qStreamSessions)
 
   val oracles: Map[String, String] = Map(
     "stream_events_daily" -> qStreamEventsDailySql,
     "stream_dedup" -> qStreamDedupSql,
     "stream_geo_pip" -> GeoQueries.qPipJoinSql,
-    "stream_running_stats" -> qStreamRunningStatsSql)
+    "stream_running_stats" -> qStreamRunningStatsSql,
+    "stream_sessions" -> RelationalQueries.qSessionsSql)
 }

@@ -256,7 +256,11 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  val qDedupComponentsSql: String =
+  /** The WITH RECURSIVE body computing connected components over the
+    * exact near-dup graph — shared by the components oracle and the
+    * leakage-safe split oracle ([[TrainPrepQueries]]). Ends with a
+    * `comp(doc_id, cluster_rep)` CTE. */
+  val componentsCtesSql: String =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id, list_sort(list_distinct(
       |    list_transform(range(1, greatest(len(toks) - 3, 0) + 2),
@@ -273,8 +277,12 @@ object TextQueries {
       |reach(a, b) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
-      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-      |SELECT a AS doc_id, min(b) AS cluster_rep FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS doc_id, min(b) AS cluster_rep FROM reach GROUP BY 1)""".stripMargin
+
+  val qDedupComponentsSql: String =
+    componentsCtesSql +
+      "\nSELECT doc_id, cluster_rep FROM comp ORDER BY 1"
 
   val queries: Map[String, Q] = Map(
     "dedup_components" -> qDedupComponents,

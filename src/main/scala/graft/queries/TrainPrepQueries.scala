@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+
+/** Training-data preparation over the `documents` table: deterministic
+  * leakage-safe splits, benchmark decontamination, and the end-to-end
+  * corpus-prep pipeline (the LLM-side flagship composition, mirroring
+  * the geo-side `grid_pipeline_voronoi`).
+  */
+object TrainPrepQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** LEAKAGE-SAFE train/val/test split: hash the near-dup CLUSTER
+    * representative (connected components over the exact Jaccard ≥ 0.5
+    * graph), not the document id — near-duplicate documents land in the
+    * same split by construction, so eval can't see training near-copies.
+    * The assignment itself is a pure hash column (no shuffle beyond the
+    * components computation; reproducible across engines and reruns). */
+  val qSampleSplit: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val ids = docs.select(col("doc_id").cast("long").as("id"))
+    val pairs = Dedup.jaccardPairsIndexed(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b")
+    val bucket = Sampling.hashBucket(col("cluster_rep"), "split:", 100)
+    Dedup.connectedComponents(ids, pairs)
+      .select(col("id").as("doc_id"), col("cluster_rep"),
+        bucket.as("bucket"))
+      .withColumn("split", Sampling.assignSplit(col("bucket"), 80, 10))
+      .orderBy("doc_id")
+  }
+
+  val qSampleSplitSql: String =
+    TextQueries.componentsCtesSql + """
+      |SELECT doc_id, cluster_rep, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id, cluster_rep,
+      |  ('0x'||substr(md5('split:'||cluster_rep),1,15))::BIGINT % 100 AS bucket
+      |  FROM comp)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination: every corpus document sharing ≥1 word
+    * 8-gram with the benchmark set (here: doc_id ≡ 0 mod 10 plays the
+    * held-out eval suite) is flagged with its shared-gram count. */
+  val qTextContamination: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    Dedup.ngramContamination(docs, "doc_id", "text",
+        col("doc_id") % 10 === 0, n = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val qTextContaminationSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |           FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |    ('0x'||substr(md5(array_to_string(list_slice(toks, i, i+7), ' ')),1,15))::BIGINT AS gh
+      |  FROM t, unnest(range(1, greatest(len(toks)-8, 0)+2)) AS u(i)),
+      |bg AS (SELECT DISTINCT gh FROM g WHERE doc_id % 10 = 0),
+      |hits AS (SELECT g.doc_id, count(*) AS n_shared FROM g JOIN bg USING (gh)
+      |         WHERE g.doc_id % 10 <> 0 GROUP BY 1)
+      |SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
+      |  h.doc_id IS NOT NULL AS contaminated
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id % 10 <> 0 ORDER BY 1""".stripMargin
+
+  /** The END-TO-END corpus-prep pipeline as ONE plan: language-ID →
+    * quality gate (token count ≥ 20, ≥ 1 stopword) → exact dedup (min
+    * doc_id per content digest, quality survivors only) → near-dup
+    * dedup (MinHash-LSH candidates, exact-Jaccard refined, keep iff no
+    * lower-id survivor is a near-dup) → per-document verdict trail.
+    * Output is O(corpus): one row per document with every stage's flag,
+    * which is exactly what a 100 TB prep job materializes for audit.
+    *
+    * Stage order matters and is the one a real pipeline uses: quality
+    * first (cheap, codegen'd, prunes the corpus before any shuffle),
+    * exact dedup second (one 16-byte-digest shuffle), near-dup last
+    * (LSH banding over the by-then-smallest survivor set). */
+  val qPipelineDocprep: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val flags = docs.select(col("doc_id"), col("text"),
+      TextAnalysis.languageId(col("text")).as("lang_pred"),
+      (TextAnalysis.tokenCount(col("text")) >= 20 &&
+        TextAnalysis.stopwordCount(col("text")) >= 1).as("keep_quality"))
+    // digest groups are tiny (exact copies), so a window min is one
+    // shuffle on the digest — same cost as groupBy+join, half the plan
+    val exact = flags.filter(col("keep_quality"))
+      .withColumn("keep_exact",
+        col("doc_id") === min("doc_id").over(Window.partitionBy(md5(col("text")))))
+    val survivors = exact.filter(col("keep_exact"))
+      .select(col("doc_id"), col("text"))
+    val dupIds = Dedup.minhashNearDups(survivors, "doc_id", "text", 3, 0.5)
+      .select(col("id_b").as("dup_id")).distinct()
+    flags.select(col("doc_id"), col("lang_pred"), col("keep_quality"))
+      .join(exact.select(col("doc_id"), col("keep_exact")), Seq("doc_id"), "left")
+      .join(dupIds, col("doc_id") === col("dup_id"), "left")
+      .select(col("doc_id"), col("lang_pred"), col("keep_quality"),
+        coalesce(col("keep_exact"), lit(false)).as("keep_exact"),
+        (coalesce(col("keep_exact"), lit(false)) && col("dup_id").isNull)
+          .as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val qPipelineDocprepSql: String = {
+    val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
+    val scoreDefs = langs.map { l =>
+      val list = TextAnalysis.langMarkers(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, t -> list_contains([$list], t))) AS s_$l"
+    }.mkString(",\n      ")
+    val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.reverse.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    s"""WITH flags AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN m <= 0 THEN 'und' $cases END AS lang_pred,
+       |    keep_quality
+       |  FROM (SELECT doc_id, text, $m AS m, keep_quality, * FROM (
+       |    SELECT doc_id, text,
+       |      $scoreDefs,
+       |      (len(regexp_split_to_array(trim(text), '\\s+')) >= 20 AND
+       |       len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |         t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) >= 1)
+       |        AS keep_quality
+       |    FROM (SELECT doc_id, text,
+       |            regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |          FROM documents)))),
+       |exact AS (
+       |  SELECT doc_id, text,
+       |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep_exact
+       |  FROM flags WHERE keep_quality),
+       |sh AS (
+       |  SELECT doc_id, list_sort(list_distinct(
+       |    list_transform(range(1, greatest(len(toks) - 3, 0) + 2),
+       |      i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |        FROM exact WHERE keep_exact)),
+       |dups AS (
+       |  SELECT DISTINCT b.doc_id FROM sh a, sh b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND len(a.s) >= 0.5*len(b.s) AND len(b.s) >= 0.5*len(a.s)
+       |    AND len(list_intersect(a.s, b.s)) /
+       |      greatest(len(list_distinct(list_concat(a.s, b.s))), 1)::DOUBLE >= 0.5)
+       |SELECT f.doc_id, f.lang_pred, f.keep_quality,
+       |  coalesce(e.keep_exact, false) AS keep_exact,
+       |  (coalesce(e.keep_exact, false) AND d.doc_id IS NULL) AS kept
+       |FROM flags f
+       |LEFT JOIN exact e ON f.doc_id = e.doc_id
+       |LEFT JOIN dups d ON f.doc_id = d.doc_id
+       |ORDER BY 1""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sample_split" -> qSampleSplit,
+    "text_contamination" -> qTextContamination,
+    "pipeline_docprep" -> qPipelineDocprep)
+
+  val oracles: Map[String, String] = Map(
+    "sample_split" -> qSampleSplitSql,
+    "text_contamination" -> qTextContaminationSql,
+    "pipeline_docprep" -> qPipelineDocprepSql)
+}
