@@ -313,6 +313,31 @@ object RelationalQueries {
       |  sum(cast(round(value*100) as bigint)) / 100.0 AS sum_value
       |FROM s GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin
 
+  /** Z-ORDER clustering key: Morton interleave of (l_partkey,
+    * l_suppkey) — the write-path layout value ([[Layout.zorderValue]],
+    * a compiled expression) that makes one file layout serve range
+    * predicates on EITHER key. The query emits the 100 smallest
+    * z-values over the distinct key pairs; `ZOrderSpec` proves the
+    * locality claim (a box predicate touches ~√N of the files under a
+    * z-clustered layout vs all of them under insertion order). */
+  val qLayoutZorder: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey").distinct()
+    li.withColumn("z",
+        graft.operators.Layout.zorderValue(
+          Seq(col("l_partkey"), col("l_suppkey")), bits = 16))
+      .orderBy("z")
+      .limit(100)
+  }
+
+  val qLayoutZorderSql: String =
+    """SELECT l_partkey, l_suppkey,
+      |  cast(list_sum(list_transform(range(16), b ->
+      |    (((l_partkey >> b) & 1) << (b*2)) +
+      |    (((l_suppkey >> b) & 1) << (b*2+1)))) as bigint) AS z
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |ORDER BY z LIMIT 100""".stripMargin
+
   /** Distinct aggregation: exact distinct users per event type. */
   val qEventsDistinct: Q = (spark, dir) => {
     val ev = Tables(spark, dir, "events")
@@ -566,6 +591,7 @@ object RelationalQueries {
     "w_lag_gaps" -> qWindowLag,
     "w1_events_daily" -> qEventsDaily,
     "w_sessions" -> qSessions,
+    "layout_zorder" -> qLayoutZorder,
     "a_events_distinct" -> qEventsDistinct,
     "o_top_parts" -> qTopParts,
     "p_filter_scan" -> qFilterScan,
@@ -589,6 +615,7 @@ object RelationalQueries {
     "w_lag_gaps" -> qWindowLagSql,
     "w1_events_daily" -> qEventsDailySql,
     "w_sessions" -> qSessionsSql,
+    "layout_zorder" -> qLayoutZorderSql,
     "a_events_distinct" -> qEventsDistinctSql,
     "o_top_parts" -> qTopPartsSql,
     "p_filter_scan" -> qFilterScanSql,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Packing, Sampling, TextAnalysis}
 
 /** Training-data preparation over the `documents` table: deterministic
   * leakage-safe splits, benchmark decontamination, and the end-to-end
@@ -154,13 +154,41 @@ object TrainPrepQueries {
        |ORDER BY 1""".stripMargin
   }
 
+  /** Sequence PACKING: every document's global token offset in the
+    * id-ordered corpus and its fixed-budget training shard, via the
+    * two-level scalable prefix sum ([[Packing.packByBudget]] — no
+    * global window; bucketSize 64 exercises the multi-bucket path even
+    * at sf0.001). */
+  val qPackShards: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val withTok = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    Packing.packByBudget(withTok, "doc_id", "n_tokens",
+        budget = 2048, bucketSize = 64)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val qPackShardsSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+      |  FROM documents)
+      |SELECT doc_id, n_tokens,
+      |  cast(coalesce(sum(n_tokens) OVER w, 0) as bigint) AS "offset",
+      |  cast(coalesce(sum(n_tokens) OVER w, 0) // 2048 as bigint) AS shard
+      |FROM t
+      |WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sample_split" -> qSampleSplit,
     "text_contamination" -> qTextContamination,
-    "pipeline_docprep" -> qPipelineDocprep)
+    "pipeline_docprep" -> qPipelineDocprep,
+    "pack_shards" -> qPackShards)
 
   val oracles: Map[String, String] = Map(
     "sample_split" -> qSampleSplitSql,
     "text_contamination" -> qTextContaminationSql,
-    "pipeline_docprep" -> qPipelineDocprepSql)
+    "pipeline_docprep" -> qPipelineDocprepSql,
+    "pack_shards" -> qPackShardsSql)
 }
