@@ -138,11 +138,60 @@ object ScaleBench {
     }
     assert(ivfRecall >= 0.9, s"IVF recall@10 = $ivfRecall < 0.9")
 
+    // --- stage 7 (north-star): corpus prep over 1M synthetic documents
+    // — quality gate + exact-dedup decision + 8-gram benchmark
+    // decontamination, all codegen'd scans + compact-key joins (the
+    // text itself never shuffles). 25-word docs built from 25 plain
+    // concat columns (codegen'd, no interpreted HOF): 23 positions come
+    // from the doc's template (10 docs/template → rich near-dup and
+    // contamination structure), the last 2 from the doc id, except the
+    // last doc per template which is an EXACT copy of its neighbor.
+    val (prepStats, tPrep) = timed {
+      val docsN = 1000000L
+      val base = expr("id div 10") // template id (col/lit would be DOUBLE division)
+      def word(seed: org.apache.spark.sql.Column, i: Int) =
+        concat(lit("w"), pmod(hash(seed, lit(i)), lit(5000)).cast("string"))
+      val tailSeed = when(col("id") % 10 === 9, col("id") - 1)
+        .otherwise(col("id"))
+      val text = concat_ws(" ",
+        ((0 until 23).map(i => word(base, i)) ++
+          (23 until 25).map(i => word(tailSeed, i))): _*)
+      val docs = spark.range(docsN).select(col("id"), text.as("text"))
+      val quality = docs.filter(
+        graft.operators.TextAnalysis.tokenCount(col("text")) >= 20)
+      val exactKept = quality
+        .withColumn("keep",
+          col("id") === min("id").over(
+            org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+        .filter(col("keep")).count()
+      val contaminated = graft.operators.Dedup
+        .ngramContamination(docs, "id", "text", col("id") % 1000 === 0, 8)
+        .filter(col("contaminated")).count()
+      (exactKept, contaminated)
+    }
+
+    // --- stage 8 (north-star): sequence packing over 10M documents —
+    // the two-level prefix sum (no global window; the only ordered
+    // window over all rows runs per 65k-id bucket)
+    val (packStats, tPack) = timed {
+      val docs = spark.range(10000000L)
+        .select(col("id").as("doc_id"),
+          (pmod(hash(col("id")), lit(400)) + 1).cast("long").as("n_tokens"))
+      graft.operators.Packing
+        .packByBudget(docs, "doc_id", "n_tokens", budget = 2048)
+        .agg(count(lit(1)), max("shard"), max("offset"))
+        .as[(Long, Long, Long)].head()
+    }
+
     println(
       s"""{"metric":"reference_scale","overlay_sec":$tOverlay,""" +
         s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
         s""""ann_1m_sec":$tAnn,"ann_rows":$annRows,""" +
         s""""ivf_recall_at_10":$ivfRecall,"ivf_1m_sec":$tIvf,""" +
+        s""""prep_1m_sec":$tPrep,"prep_exact_kept":${prepStats._1},""" +
+        s""""prep_contaminated":${prepStats._2},""" +
+        s""""pack_10m_sec":$tPack,"pack_rows":${packStats._1},""" +
+        s""""pack_max_shard":${packStats._2},""" +
         s""""regrid_cells":$regridRows,"voronoi_cells":$vorCells,""" +
         s""""conservation_ratio":$ratio}""")
     spark.stop()
