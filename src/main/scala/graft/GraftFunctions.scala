@@ -47,6 +47,9 @@ object GraftFunctions {
     "vec_sumsq" -> (VecSumSq(_)),
     "word_shingles" -> (cs => WordShingles(Seq(cs.head), intArg(cs, 1, "word_shingles"))),
     "sign_lsh_bucket" -> (cs => SignLshBucket(Seq(cs.head), intArg(cs, 1, "sign_lsh_bucket"))),
+    "winnow_fingerprints" -> (cs => WinnowFingerprints(Seq(cs.head),
+      intArg(cs, 1, "winnow_fingerprints"), intArg(cs, 2, "winnow_fingerprints"))),
+    "zorder_value" -> (cs => ZOrderValue(cs.init, intArg(cs, cs.length - 1, "zorder_value"))),
     "decode_bytes" -> (BytesToIntArray(_)))
 
   /** Constant integer argument of a SQL call (e.g. the shingle width). */

@@ -56,6 +56,24 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getInt(3) == apiBucket)
   }
 
+  test("layout and fingerprint kernels from SQL match the Column/eval API") {
+    val r = spark.sql(
+      """SELECT
+        |  zorder_value(5L, 3L, 16) AS z,
+        |  winnow_fingerprints('abcdefghijklmnop', 4, 4) AS fps
+        |""".stripMargin).head()
+    // interleave of 5 (101) and 3 (011): bits 0,2 from 5 -> 1+4? -> even
+    // positions 0,4; bits 0,1 of 3 -> odd positions 1,3 => 1+2+8+16 = 27
+    assert(r.getLong(0) == 27L)
+    val api = spark.sql("SELECT 1").sparkSession.range(1)
+      .select(org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expressions.WinnowFingerprints(Seq(
+          org.apache.spark.sql.graftbridge.Bridge.expression(
+            org.apache.spark.sql.functions.lit("abcdefghijklmnop"))), 4, 4)))
+      .head().getSeq[Long](0)
+    assert(r.getSeq[Long](1) == api)
+  }
+
   test("a reference-shaped SQL query over a registered view") {
     import spark.implicits._
     Seq((0L, 3.0, 1.0), (1L, 7.0, 1.0), (2L, 12.0, 1.0))
