@@ -4,16 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Queries measured as median-of-N instead of a single trial: one
-    // run is subject to JIT/run-order variance (round-3 saw 2.8-5.5×
-    // phantom "regressions" on untouched queries). Default set = the
-    // queries that showed order noise; override via env.
-    val repeatSet = sys.env.getOrElse("SPARK_GRAFT_REPEAT",
-      "q3_top_revenue,text_quality,ann_bruteforce_topk,q1_pricing_salted," +
-        // iterative (round-count-sensitive) and composition queries:
-        // first-trial JIT noise measured at 2-3x on these
-        "dedup_components,sample_split,pipeline_docprep")
-      .split(",").toSet
+    // EVERY query is measured as median-of-N (default 3): single trials
+    // are dominated by JIT/run-order/machine-contention variance — the
+    // round-4 snapshot recorded 2-15× phantom "regressions" on untouched
+    // queries that vanished on an idle re-run of the same commit. A
+    // median over trials from a cleared cache is the cheapest estimator
+    // that survives a loaded box.
     val trials = math.max(sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt, 1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,8 +27,7 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet")
       .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val nRuns = if (repeatSet(name)) trials else 1
-      val times = (0 until nRuns).map { _ =>
+      val times = (0 until trials).map { _ =>
         // Each trial runs from a clean cache: operators persist
         // intermediate frames (signature/bucket tables) that would
         // otherwise accumulate across all 60+ queries and evict each

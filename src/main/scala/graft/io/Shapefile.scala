@@ -1,6 +1,5 @@
 package graft.io
 
-import java.io.{DataOutputStream, FileOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.file.{Files, Paths}
 
@@ -21,11 +20,15 @@ import graft.geom.Wkb
   * fields len 18 dec 0 (ints) and len 24 dec 15 (doubles), mirrored
   * here.
   *
-  * The single-file `write` collects to the driver (reference artifacts
-  * are ≤ 33,286 polygons); [[writeParts]]/[[readParts]] are the scale
-  * path — every partition writes an independent, complete part layer
-  * (the format has no cross-file state, so parts parallelize like
-  * Parquet files), and nothing is ever materialized on the driver.
+  * The single-file `write` STREAMS through `toLocalIterator` — one
+  * partition's rows in driver memory at a time, never the frame: the
+  * shp/shx record offsets accumulate incrementally and the three
+  * headers (file length, bbox, record count) are back-patched after
+  * the pass, so the driver is a constant-memory relay.
+  * [[writeParts]]/[[readParts]] are the fully-parallel scale path —
+  * every partition writes an independent, complete part layer (the
+  * format has no cross-file state, so parts parallelize like Parquet
+  * files) directly from its executor.
   */
 object Shapefile {
 
@@ -47,25 +50,67 @@ object Shapefile {
       }
     }
 
-  /** Write one complete .shp/.shx/.dbf/.prj layer from materialized
-    * rows — the executor-safe core shared by [[write]] (driver, one
-    * layer) and [[writeParts]] (one call per partition). */
-  private def writeLayer(rows: Array[Row], schema: StructType,
-      geomCol: String, base: String): Unit = {
+  /** Single-pass streaming layer writer — the core shared by [[write]]
+    * (driver relay over `toLocalIterator`) and [[writeParts]] (one call
+    * per partition iterator, on the executor). Writes placeholder
+    * headers, streams records while accumulating offsets/extent/count,
+    * then seeks back and patches the shp/shx/dbf headers — so memory is
+    * O(1 record), never O(layer). Returns the record count. */
+  private def writeLayer(rows: Iterator[Row], schema: StructType,
+      geomCol: String, base: String): Long = {
     val attrs = schema.fields.filter(_.name != geomCol).toSeq
     val fields = fieldsFor(attrs)
-    val geoms = rows.map(r => Wkb.read(r.getAs[Array[Byte]](geomCol))).toSeq
-    writeShpShx(geoms, base)
-    writeDbf(rows, attrs.map(_.name), fields, schema, base)
-    Files.write(Paths.get(base + ".prj"), Wgs84Prj.getBytes("US-ASCII"))
+    val names = attrs.map(_.name)
+    val shp = new java.io.RandomAccessFile(base + ".shp", "rw")
+    val shx = new java.io.RandomAccessFile(base + ".shx", "rw")
+    val dbf = new java.io.RandomAccessFile(base + ".dbf", "rw")
+    try {
+      shp.setLength(0); shx.setLength(0); dbf.setLength(0)
+      shp.write(new Array[Byte](100)) // headers patched after the pass
+      shx.write(new Array[Byte](100))
+      dbf.write(dbfHeader(fields, nRecords = 0))
+      val env = new org.locationtech.jts.geom.Envelope()
+      var n = 0
+      var offWords = 50
+      while (rows.hasNext) {
+        val r = rows.next()
+        val g = Wkb.read(r.getAs[Array[Byte]](geomCol))
+        env.expandToInclude(g.getEnvelopeInternal)
+        val c = polygonContent(g)
+        val words = c.length / 2
+        val hdr = ByteBuffer.allocate(16) // BIG_ENDIAN default
+          .putInt(offWords).putInt(words) // shx record
+          .putInt(n + 1).putInt(words)    // shp record header
+          .array()
+        shx.write(hdr, 0, 8)
+        shp.write(hdr, 8, 8)
+        shp.write(c)
+        dbf.write(dbfRecord(r, names, fields, schema))
+        offWords += 4 + words
+        n += 1
+      }
+      dbf.write(Array(0x1a.toByte))
+      val bounds =
+        if (n == 0) (0.0, 0.0, 0.0, 0.0)
+        else (env.getMinX, env.getMinY, env.getMaxX, env.getMaxY)
+      shp.seek(0); shp.write(mainHeader(offWords, bounds))
+      shx.seek(0); shx.write(mainHeader(50 + n * 4, bounds))
+      dbf.seek(0); dbf.write(dbfHeader(fields, n))
+      Files.write(Paths.get(base + ".prj"), Wgs84Prj.getBytes("US-ASCII"))
+      n.toLong
+    } finally { shp.close(); shx.close(); dbf.close() }
   }
 
   /** Write a DataFrame with one WKB geometry column (Polygon /
     * MultiPolygon rows) and scalar attribute columns as `base`.shp/
-    * .shx/.dbf/.prj. Driver-side (single layer); use [[writeParts]]
-    * for frames that don't fit one machine. */
-  def write(df: DataFrame, geomCol: String, base: String): Unit =
-    writeLayer(df.collect(), df.schema, geomCol, base)
+    * .shx/.dbf/.prj. Streams partition-by-partition through
+    * `toLocalIterator` — the frame is never materialized on the driver;
+    * use [[writeParts]] when even single-file output is too big. */
+  def write(df: DataFrame, geomCol: String, base: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    writeLayer(df.toLocalIterator().asScala, df.schema, geomCol, base)
+    ()
+  }
 
   /** Distributed sink: each partition writes its own complete
     * `part-NNNNN` shapefile layer under `dir`, directly from the
@@ -76,10 +121,10 @@ object Shapefile {
     val schema = df.schema
     Files.createDirectories(Paths.get(dir))
     df.rdd.mapPartitionsWithIndex { (p, it) =>
-      val rows = it.toArray
-      if (rows.nonEmpty)
-        writeLayer(rows, schema, geomCol, f"$dir/part-$p%05d")
-      Iterator.single(rows.length)
+      val n = if (it.hasNext)
+        writeLayer(it, schema, geomCol, f"$dir/part-$p%05d")
+      else 0L
+      Iterator.single(n)
     }.count() // one job; per-partition side effect is the write
     ()
   }
@@ -118,35 +163,12 @@ object Shapefile {
     b.array()
   }
 
-  private def writeShpShx(geoms: Seq[Geometry], base: String): Unit = {
-    val contents = geoms.map(polygonContent)
-    val env = new org.locationtech.jts.geom.Envelope()
-    geoms.foreach(g => env.expandToInclude(g.getEnvelopeInternal))
-    val bounds = (env.getMinX, env.getMinY, env.getMaxX, env.getMaxY)
-    val shpWords = 50 + contents.map(c => 4 + c.length / 2).sum
-    val shp = new DataOutputStream(new FileOutputStream(base + ".shp"))
-    val shx = new DataOutputStream(new FileOutputStream(base + ".shx"))
-    try {
-      shp.write(mainHeader(shpWords, bounds))
-      shx.write(mainHeader(50 + geoms.length * 4, bounds))
-      var offWords = 50
-      contents.zipWithIndex.foreach { case (c, i) =>
-        shx.writeInt(offWords); shx.writeInt(c.length / 2)
-        shp.writeInt(i + 1); shp.writeInt(c.length / 2)
-        shp.write(c)
-        offWords += 4 + c.length / 2
-      }
-    } finally { shp.close(); shx.close() }
-  }
-
-  private def writeDbf(rows: Array[Row], names: Seq[String],
-      fields: Seq[Field], schema: StructType, base: String): Unit = {
+  private def dbfHeader(fields: Seq[Field], nRecords: Int): Array[Byte] = {
     val recordSize = 1 + fields.map(_.len).sum
     val headerSize = 32 + fields.length * 32 + 1
-    val out = ByteBuffer.allocate(headerSize + rows.length * recordSize + 1)
-      .order(ByteOrder.LITTLE_ENDIAN)
+    val out = ByteBuffer.allocate(headerSize).order(ByteOrder.LITTLE_ENDIAN)
     out.put(0x03.toByte).put(24.toByte).put(1.toByte).put(1.toByte)
-    out.putInt(rows.length)
+    out.putInt(nRecords)
     out.putShort(headerSize.toShort).putShort(recordSize.toShort)
     out.put(new Array[Byte](20))
     fields.foreach { f =>
@@ -156,24 +178,28 @@ object Shapefile {
       out.put(f.len.toByte).put(f.dec.toByte).put(new Array[Byte](14))
     }
     out.put(0x0d.toByte)
-    rows.foreach { r =>
-      out.put(' '.toByte) // not deleted
-      names.zip(fields).foreach { case (n, f) =>
-        val idx = schema.fieldIndex(n)
-        val s = (f.ftype, schema(idx).dataType) match {
-          case ('N', LongType) => r.getLong(idx).toString.reverse.padTo(f.len, ' ').reverse
-          case ('N', IntegerType) => r.getInt(idx).toString.reverse.padTo(f.len, ' ').reverse
-          case ('N', _) =>
-            val fmt = s"%${f.len}.${f.dec}f".format(r.getDouble(idx))
-            fmt.takeRight(f.len).reverse.padTo(f.len, ' ').reverse
-          case ('C', _) => Option(r.getString(idx)).getOrElse("").padTo(f.len, ' ').take(f.len)
-          case _ => " " * f.len
-        }
-        out.put(s.getBytes("US-ASCII"))
+    out.array()
+  }
+
+  private def dbfRecord(r: Row, names: Seq[String], fields: Seq[Field],
+      schema: StructType): Array[Byte] = {
+    val recordSize = 1 + fields.map(_.len).sum
+    val out = ByteBuffer.allocate(recordSize)
+    out.put(' '.toByte) // not deleted
+    names.zip(fields).foreach { case (n, f) =>
+      val idx = schema.fieldIndex(n)
+      val s = (f.ftype, schema(idx).dataType) match {
+        case ('N', LongType) => r.getLong(idx).toString.reverse.padTo(f.len, ' ').reverse
+        case ('N', IntegerType) => r.getInt(idx).toString.reverse.padTo(f.len, ' ').reverse
+        case ('N', _) =>
+          val fmt = s"%${f.len}.${f.dec}f".format(r.getDouble(idx))
+          fmt.takeRight(f.len).reverse.padTo(f.len, ' ').reverse
+        case ('C', _) => Option(r.getString(idx)).getOrElse("").padTo(f.len, ' ').take(f.len)
+        case _ => " " * f.len
       }
+      out.put(s.getBytes("US-ASCII"))
     }
-    out.put(0x1a.toByte)
-    Files.write(Paths.get(base + ".dbf"), out.array())
+    out.array()
   }
 
   // ----------------------------------------------------------------- read

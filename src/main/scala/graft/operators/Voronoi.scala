@@ -89,9 +89,13 @@ object Voronoi {
     * Interior cells match the global diagram whenever every Voronoi
     * neighbor of an interior seed lies within `halo` of the tile — the
     * standard halo-sufficiency condition (halo ≳ 2× the largest
-    * seed-spacing gap). Cells that touch their tile's halo-inflated
-    * bounds would need a wider halo; callers pick `halo` from known grid
-    * spacing (the reference's grids are near-uniform).
+    * seed-spacing gap). Callers pick `halo` from known grid spacing
+    * (the reference's grids are near-uniform) — and the condition is
+    * VERIFIED per tile, not trusted: any interior seed whose cell
+    * touches the tile's halo-inflated envelope on a non-clip side
+    * proves the halo too small (the true cell could extend further,
+    * bounded by unseen seeds), and the tile fails loudly with the
+    * offending seed instead of silently returning a wrong geometry.
     */
   def tessellateTiled(points: DataFrame, idCol: String, xCol: String,
       yCol: String, clip: (Double, Double, Double, Double),
@@ -132,8 +136,33 @@ object Voronoi {
             math.min((tx + 1) * tileSize + halo, cx1),
             math.max(ty * tileSize - halo, cy0),
             math.min((ty + 1) * tileSize + halo, cy1))
+          // which envelope sides are HALO bounds (vs the global clip,
+          // which cells legitimately touch)
+          val haloLeft = tx * tileSize - halo > cx0
+          val haloRight = (tx + 1) * tileSize + halo < cx1
+          val haloBottom = ty * tileSize - halo > cy0
+          val haloTop = (ty + 1) * tileSize + halo < cy1
+          val eps = 1e-9 * math.max(tileSize, halo)
           cellsOf(seeds, tileEnv)
             .filter { case (id, _) => interior.contains(id) }
+            .map { case (id, wkb) =>
+              // halo-sufficiency guard: a cell clipped by a halo bound
+              // would (in the global diagram) be shaped by seeds this
+              // tile never saw — fail loudly instead of corrupting
+              val e = Wkb.read(wkb).getEnvelopeInternal
+              val touches =
+                (haloLeft && e.getMinX <= tileEnv.getMinX + eps) ||
+                (haloRight && e.getMaxX >= tileEnv.getMaxX - eps) ||
+                (haloBottom && e.getMinY <= tileEnv.getMinY + eps) ||
+                (haloTop && e.getMaxY >= tileEnv.getMaxY - eps)
+              if (touches) throw new IllegalStateException(
+                s"tessellateTiled: halo=$halo is insufficient — interior seed " +
+                  s"$id's cell in tile ($tx,$ty) touches the halo boundary; " +
+                  "its true Voronoi cell may be bounded by seeds outside the " +
+                  "halo. Re-run with a larger halo (>= 2x the largest " +
+                  "seed-spacing gap).")
+              (id, wkb)
+            }
         }
       }
       .toDF(idCol, "geom")

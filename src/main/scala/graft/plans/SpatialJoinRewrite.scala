@@ -32,7 +32,10 @@ import graft.expressions.{STContains, STIntersects, STWithin, STXMax, STXMin, ST
   * necessary condition for all three predicates); the spatial predicate
   * AND every remaining conjunct move into the refine filter above the
   * bucket join. Disjunctions and predicates mixing both sides' columns
-  * inside one geometry argument are left untouched.
+  * inside one geometry argument are left untouched — as is any join
+  * whose condition ALSO carries an equi conjunct across the two sides
+  * (hash join on the selective key + spatial filter beats the bucket
+  * plan; see [[isEquiAcrossSides]]).
   *
   * Activate per session via `spark.experimental.extraOptimizations ++=
   * Seq(SpatialJoinRewrite)` or cluster-wide through [[graft.GraftExtensions]].
@@ -103,8 +106,30 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** True when `e` is an equi-join conjunct (`l.k = r.k`) referencing
+    * both sides. If the original condition carries one, Catalyst's stock
+    * plan — hash join on the selective equi key with the spatial
+    * predicate as a post-join filter — strictly beats the bucket-explode
+    * rewrite, which replicates every row per covering cell and joins on
+    * the far-less-selective bucket key. Leave such joins untouched. */
+  private def isEquiAcrossSides(e: Expression, left: LogicalPlan,
+      right: LogicalPlan): Boolean = e match {
+    case EqualTo(a, b) =>
+      val (ra, rb) = (a.references, b.references)
+      (ra.nonEmpty && rb.nonEmpty) &&
+        ((ra.subsetOf(left.outputSet) && rb.subsetOf(right.outputSet)) ||
+          (rb.subsetOf(left.outputSet) && ra.subsetOf(right.outputSet)))
+    case EqualNullSafe(a, b) =>
+      val (ra, rb) = (a.references, b.references)
+      (ra.nonEmpty && rb.nonEmpty) &&
+        ((ra.subsetOf(left.outputSet) && rb.subsetOf(right.outputSet)) ||
+          (rb.subsetOf(left.outputSet) && ra.subsetOf(right.outputSet)))
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(cond), hint) =>
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if !splitConj(cond).exists(isEquiAcrossSides(_, left, right)) =>
       val conjuncts = splitConj(cond)
       val hit = conjuncts.iterator.zipWithIndex
         .map { case (c, i) => (i, spatialPair(c, left, right)) }

@@ -141,15 +141,24 @@ object StreamingQueries {
   }
 
   /** Streaming SESSIONIZATION: the same native `session_window` plan as
-    * the batch `w_sessions`, run as a watermarked stream — gap-merge
-    * happens in the streaming state store, sessions merge across
-    * micro-batches. Complete output mode re-emits the merged session
-    * set each batch (update mode is unsupported for session-window
-    * aggregations), so the sink's final table IS the batch answer.
-    * Identical output contract (and oracle) to `w_sessions` —
+    * the batch `w_sessions`, run as a watermarked stream in APPEND
+    * mode — gap-merge happens in the streaming state store and each
+    * session is emitted EXACTLY ONCE, when the watermark passes its
+    * close, after which its state is evicted. (Complete mode would
+    * re-emit every session ever seen each micro-batch and retain all of
+    * them in state forever — a scale-killer on an unbounded stream;
+    * update mode is unsupported for session-window aggregations.)
+    *
+    * A finite replay needs the watermark to pass the LAST real session,
+    * so the source appends a far-future sentinel event (user_id = -1)
+    * as a second file: `maxFilesPerTrigger=1` makes it a later
+    * micro-batch, the watermark jumps past every real event, and the
+    * no-data flush batch emits + evicts all remaining sessions. The
+    * sentinel's own session stays unemitted (the watermark never passes
+    * it). Identical output contract (and oracle) to `w_sessions` —
     * stream/batch parity is the claim. */
   val qStreamSessions: Q = (spark, dir) => {
-    val agg = eventsStream(spark, dir)
+    val agg = sessionEventsStream(spark, dir)
       .withWatermark("ts", "1 day")
       .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("sw"))
       .agg(count(lit(1)).as("n_events"),
@@ -161,9 +170,46 @@ object StreamingQueries {
         col("n_events"), col("sum_value"))
     val name = s"graft_stream_sessions_${runId.incrementAndGet()}"
     val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name).orderBy("user_id", "start_us")
+    spark.table(name).filter(col("user_id") >= 0)
+      .orderBy("user_id", "start_us")
+  }
+
+  /** The events stream plus a one-row far-future sentinel file (raw ts
+    * 30 days past the real max, user_id = -1), mod-timed to list after
+    * the real file so `maxFilesPerTrigger=1` replays it as a later
+    * micro-batch — the finite-replay watermark-flush device for
+    * append-mode session/window queries. */
+  private def sessionEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables(spark, dir, "events").schema
+    val rawSchema = org.apache.spark.sql.types.StructType(schema.map {
+      case f if f.name == "ts" =>
+        f.copy(dataType = org.apache.spark.sql.types.LongType)
+      case f => f
+    })
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_sess")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath)
+    val raw = spark.read.schema(rawSchema).parquet(s"$dir/events.parquet")
+    val maxTs = raw.agg(max("ts")).first().getLong(0)
+    val sentinel = raw.limit(1)
+      .withColumn("ts", lit(maxTs + 30L * 86400L * 1000000000L))
+      .withColumn("user_id",
+        lit(-1).cast(rawSchema("user_id").dataType))
+    val tmpOut = java.nio.file.Files.createTempDirectory("graft_stream_sent")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val part = java.nio.file.Files.list(tmpOut).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
+    // plain file (not a directory) so the file stream source lists it;
+    // copied second so its mod time sorts it after the real events
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(part), streamDir.resolve("zz_sentinel.parquet"))
+    spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
   val qStreamDedupSql: String =

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -88,11 +87,21 @@ object TrainPrepQueries {
       TextAnalysis.languageId(col("text")).as("lang_pred"),
       (TextAnalysis.tokenCount(col("text")) >= 20 &&
         TextAnalysis.stopwordCount(col("text")) >= 1).as("keep_quality"))
-    // digest groups are tiny (exact copies), so a window min is one
-    // shuffle on the digest — same cost as groupBy+join, half the plan
-    val exact = flags.filter(col("keep_quality"))
-      .withColumn("keep_exact",
-        col("doc_id") === min("doc_id").over(Window.partitionBy(md5(col("text")))))
+    // Exact dedup in the Dedup.exact shape: shuffle ONLY the 16-byte
+    // digest + id (map-side projection), min-agg the winner per digest,
+    // then join the compact winner-id frame back on doc_id. The text
+    // column never enters an Exchange: the winner frame broadcasts at
+    // bench scale, and at 100 TB a doc_id-bucketed corpus makes the
+    // join storage-partitioned (a window over md5(text) can never avoid
+    // pushing the full corpus text through one shuffle+sort).
+    val quality = flags.filter(col("keep_quality"))
+    val winners = quality
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .groupBy("digest").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(true).as("keep_exact"))
+    val exact = quality.select(col("doc_id"), col("text"))
+      .join(winners, Seq("doc_id"), "left")
+      .withColumn("keep_exact", coalesce(col("keep_exact"), lit(false)))
     val survivors = exact.filter(col("keep_exact"))
       .select(col("doc_id"), col("text"))
     val dupIds = Dedup.minhashNearDups(survivors, "doc_id", "text", 3, 0.5)

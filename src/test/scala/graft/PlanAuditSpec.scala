@@ -61,6 +61,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"flagship plan fell back to a nested loop:\n$p")
   }
 
+  test("pipeline_docprep keeps document text out of every shuffle") {
+    // The exact-dedup stage must shuffle only (doc_id, digest) — at
+    // 100 TB an Exchange whose input carries the text column moves the
+    // whole corpus through one shuffle. AQE is disabled for the audit
+    // so the physical tree exposes raw ShuffleExchangeExec nodes.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("pipeline_docprep")(spark, dir)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "expected at least one shuffle in the plan")
+      val offenders = exchanges.filter(
+        _.child.output.exists(_.name.toLowerCase.contains("text")))
+      assert(offenders.isEmpty,
+        s"shuffles carrying document text:\n${offenders.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("aggregations run partial (map-side combine) before the shuffle") {
     Seq("q1_pricing_summary", "w1_events_daily").foreach { q =>
       assert(plans(q).contains("partial_"),

@@ -29,6 +29,27 @@ class ShapefileSpec extends SparkSpec {
     assert(back(1) == ((2L, -3.75, "beta gamma", 2.0)))
   }
 
+  test("single-file write streams a multi-partition frame partition-by-partition") {
+    // `write` relays toLocalIterator — one partition in driver memory
+    // at a time, headers back-patched after the pass; the result must
+    // be a byte-valid layer regardless of partition count.
+    val df = spark.range(300).select(
+      col("id"),
+      (col("id") * 1.5).as("score"),
+      st.makeBox(col("id") % 20, col("id") % 11,
+        col("id") % 20 + 2.0, col("id") % 11 + 1.0).as("geom"))
+      .repartition(5)
+    val base = Files.createTempDirectory("shp_stream").resolve("layer").toString
+    Shapefile.write(df, "geom", base)
+    val back = Shapefile.read(spark, base)
+    val got = back.select($"id", $"score", st.area($"geom").as("area"))
+      .as[(Long, Double, Double)].collect().toSet
+    assert(got == (0L until 300L).map(i => (i, i * 1.5, 2.0)).toSet)
+    // the back-patched bbox covers the data extent exactly
+    val env = back.agg(min(st.xmin($"geom")), max(st.xmax($"geom"))).head()
+    assert(env.getDouble(0) == 0.0 && env.getDouble(1) == 21.0)
+  }
+
   test("writeParts/readParts: multi-partition roundtrip, no driver materialization") {
     val df = spark.range(500).select(
       col("id"),

@@ -69,6 +69,33 @@ class SpatialJoinRewriteSpec extends SparkSpec {
     assert(viaRule.nonEmpty)
   }
 
+  test("equi+spatial conjunction joins keep the hash join on the key") {
+    // When the condition carries a selective equi conjunct, Catalyst's
+    // stock plan (hash join on the key, spatial predicate as join
+    // filter) beats the bucket-explode rewrite (which replicates rows
+    // per covering cell and joins on the less-selective bucket key) —
+    // the rule must leave the join untouched.
+    val l = boxesA.withColumn("k", $"aid" % 7)
+    val r = boxesB.withColumn("k", $"bid" % 7)
+    val j = l.join(r, l("k") === r("k") && st.intersects($"ga", $"gb"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("__bucket"), s"bucket rewrite hijacked an equi join:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a hash/sort-merge join on the equi key:\n$plan")
+    // and the results are the brute-force truth
+    val got = j.select("aid", "bid").as[(Long, Long)].collect().toSet
+    val truth = boxesA.crossJoin(boxesB)
+      .filter(($"aid" % 7 === $"bid" % 7) && st.intersects($"ga", $"gb"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(got == truth)
+    assert(got.nonEmpty)
+    // the spatial-only shape still rewrites (no nested loop) in the
+    // same session — the bail-out is per-join, not global
+    val spatialOnly = boxesA.join(boxesB, st.intersects($"ga", $"gb"))
+    val p2 = spatialOnly.queryExecution.executedPlan.toString
+    assert(!p2.contains("BroadcastNestedLoop") && !p2.contains("CartesianProduct"))
+  }
+
   test("st_contains / st_within joins rewrite to bucketed equi-joins") {
     // big A boxes containing small B boxes
     val contains = boxesA.join(boxesB, st.contains($"ga", $"gb"))

@@ -12,6 +12,55 @@ import graft.streaming.Stateful.KeyedValue
 class StatefulStreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("append-mode session windows emit once on watermark pass and evict state") {
+    val dir = Files.createTempDirectory("sess_evict")
+    def ev(rows: Seq[(Long, String, Double)]) = rows
+      .toDF("user_id", "s", "value")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"value")
+    // micro-batch 0: user 1 has two sessions (>6h gap), user 2 one
+    ev(Seq(
+      (1L, "2024-01-01 00:00:00", 1.0),
+      (1L, "2024-01-01 01:00:00", 2.0),
+      (1L, "2024-01-01 10:00:00", 3.0),
+      (2L, "2024-01-01 00:30:00", 4.0)))
+      .coalesce(1).write.parquet(dir.resolve("b0").toString)
+    // micro-batch 1: far-future sentinel pushes the watermark past
+    // every real session's close
+    ev(Seq((-1L, "2025-01-01 00:00:00", 0.0)))
+      .coalesce(1).write.parquet(dir.resolve("b1").toString)
+
+    val stream = spark.readStream
+      .schema(ev(Seq((0L, "2024-01-01 00:00:00", 0.0))).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*/")
+    val agg = stream.withWatermark("ts", "1 hour")
+      .groupBy($"user_id", session_window($"ts", "6 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("sum_value"))
+      .select($"user_id", $"sw.start".as("start"), $"n_events", $"sum_value")
+
+    val q = agg.writeStream.format("memory")
+      .queryName("sess_evict").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.table("sess_evict")
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+      .map(t => (t._1, t._2.toString, t._3, t._4)).toSet
+    // every REAL session emitted exactly once; the sentinel's own
+    // session never closes past the watermark, so it is never emitted
+    assert(out == Set(
+      (1L, "2024-01-01 00:00:00.0", 2L, 3.0),
+      (1L, "2024-01-01 10:00:00.0", 1L, 3.0),
+      (2L, "2024-01-01 00:30:00.0", 1L, 4.0)), s"got $out")
+    // state EVICTION across micro-batches: after the watermark passed,
+    // only the sentinel's open session remains in the state store
+    val stateTotals = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal)
+    assert(stateTotals.nonEmpty)
+    assert(stateTotals.max >= 3, s"state never held the open sessions: $stateTotals")
+    assert(stateTotals.last <= 1,
+      s"closed sessions were not evicted from state: $stateTotals")
+  }
+
   test("running per-user stats across two micro-batches match batch") {
     val ev = Tables(spark, "/root/testdata/sf0.001", "events")
       .select($"user_id".as("key"), $"value")

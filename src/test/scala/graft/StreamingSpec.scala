@@ -55,4 +55,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size >= batch.size - 10,
       s"too few finalized windows: ${streamed.size} of ${batch.size}")
   }
+
+  test("append-mode streaming sessions equal batch sessionization exactly") {
+    // The full declared queries: stream_sessions (append mode, sentinel
+    // watermark flush, state evicted per session) must reproduce
+    // w_sessions row-for-row — the stream/batch parity contract the
+    // shared oracle checks.
+    val dir = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("stream_sessions")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("w_sessions")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"stream/batch divergence: ${streamed.take(2)} vs ${batch.take(2)}")
+  }
 }

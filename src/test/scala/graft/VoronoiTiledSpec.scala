@@ -48,6 +48,22 @@ class VoronoiTiledSpec extends SparkSpec {
     }
   }
 
+  test("undersized halo fails loudly instead of returning wrong cells") {
+    // halo 0.2 ≪ the ~1.0 grid spacing: boundary-adjacent interior
+    // cells get clipped at the halo-inflated tile envelope, which the
+    // per-tile sufficiency guard detects — silent corruption becomes a
+    // loud failure telling the caller to widen the halo.
+    val pts = jitteredGrid(10).toDF("id", "x", "y")
+    val ex = intercept[Exception] {
+      Voronoi.tessellateTiled(pts, "id", "x", "y", (0.0, 0.0, 10.0, 10.0),
+        tileSize = 4.0, halo = 0.2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("halo")),
+      s"expected a halo-sufficiency failure, got: $ex")
+  }
+
   test("tiled cells still partition the clip box") {
     val pts = lcgSeeds(50).toDF("id", "x", "y")
     val cells = Voronoi.tessellateTiled(pts, "id", "x", "y",

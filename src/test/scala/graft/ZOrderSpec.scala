@@ -72,6 +72,47 @@ class ZOrderSpec extends SparkSpec {
       s"z=$nZ naive=$nNaive — z-order lost locality")
   }
 
+  test("z-clustered Parquet write prunes real file reads under box predicates") {
+    // End-to-end: write both layouts to ACTUAL parquet, read back with
+    // predicates, and count the files that surface rows
+    // (input_file_name) — parquet footer min/max stats make a file
+    // invisible to the scan when the predicate excludes its whole range.
+    val grid = spark.range(64L * 64L)
+      .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val zDir = s"$tmp/z"; val nDir = s"$tmp/naive"
+    Layout.clusterByZ(grid, Seq(col("x"), col("y")), 6, 16)
+      .write.mode("overwrite").parquet(zDir)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(nDir)
+
+    def touched(dir: String, pred: org.apache.spark.sql.Column): (Long, Long) = {
+      val df = spark.read.parquet(dir).filter(pred)
+      // the range predicates must reach the parquet reader
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [") &&
+        plan.contains("GreaterThanOrEqual"), s"filters not pushed:\n$plan")
+      (df.select(input_file_name()).distinct().count(), df.count())
+    }
+    val box = col("x").between(8, 15) && col("y").between(40, 47)
+    val yOnly = col("y").between(40, 47)
+
+    val (zBoxFiles, zBoxRows) = touched(zDir, box)
+    val (nBoxFiles, nBoxRows) = touched(nDir, box)
+    assert(zBoxRows == 64 && nBoxRows == 64) // both layouts, same answer
+    assert(zBoxFiles <= 2, s"box predicate surfaced $zBoxFiles z files")
+
+    // the discriminating case: a y-only predicate. The x-sorted layout
+    // spreads every y across all 16 files; the z layout pins y's high
+    // bits per file, so only the files whose z range admits y∈[40,47]
+    // surface rows.
+    val (zYFiles, _) = touched(zDir, yOnly)
+    val (nYFiles, _) = touched(nDir, yOnly)
+    assert(zYFiles <= 4, s"y-only predicate surfaced $zYFiles of 16 z files")
+    assert(nYFiles >= 12, s"expected the x-sorted layout to touch ~all files, got $nYFiles")
+    assert(zYFiles < nYFiles)
+  }
+
   test("packByBudget equals the single-window prefix sum") {
     val rng = new scala.util.Random(11)
     val docs = (0L until 1000L).map(i => (i, 1L + rng.nextInt(400).toLong))
