@@ -1,0 +1,787 @@
+package graft.io
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable.{ArrayBuffer, LinkedHashMap}
+
+import NetCdf.{Dim, NcFile, Var}
+
+/** Minimal HDF5 reader/writer for the NetCDF-4 profile — from the
+  * published HDF5 File Format Specification (version 0 superblock,
+  * version 1/2 object headers, old-style symbol-table groups, CONTIGUOUS
+  * data layout) and the netCDF-4 dimension-scale conventions
+  * (CLASS="DIMENSION_SCALE" datasets + DIMENSION_LIST vlen-of-reference
+  * attributes). Real WRF output is frequently NetCDF-4
+  * (`xr.open_dataset` wrf_voronoi.py:115 opens either format
+  * transparently); [[NetCdf.read]] dispatches here on the \x89HDF
+  * signature so the grid sources accept both containers.
+  *
+  * Scope (documented, fails loudly outside it): contiguous and compact
+  * layouts only — CHUNKED/compressed datasets and dense (fractal-heap)
+  * group storage raise with a clear message. Types: fixed-point 1/2/4/8
+  * bytes, IEEE float 4/8, fixed strings, object references, and vlen
+  * sequences of references (DIMENSION_LIST). Metadata is little-endian
+  * per the spec; dataset values honor the datatype's byte-order bit.
+  */
+object Hdf5 {
+
+  private val Signature: Array[Byte] =
+    Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+  private val Undef = -1L // 0xFFFF_FFFF_FFFF_FFFF: the undefined address
+
+  /** netCDF's marker NAME for a dimension without a coordinate
+    * variable (a "phantom" dimension scale). */
+  private val PhantomPrefix = "This is a netCDF dimension but not a netCDF variable"
+
+  def isHdf5(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && bytes.take(8).sameElements(Signature)
+
+  // ===================================================== writer =====
+
+  private final class Buf {
+    val out = new ArrayBuffer[Byte](1 << 16)
+    def u8(v: Int): Unit = out += v.toByte
+    def u16(v: Int): Unit = { out += v.toByte += (v >>> 8).toByte }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16(v >>> 16) }
+    def u64(v: Long): Unit = { u32(v.toInt); u32((v >>> 32).toInt) }
+    def bytes(b: Array[Byte]): Unit = out ++= b
+    def zeros(n: Int): Unit = (0 until n).foreach(_ => out += 0)
+    def padTo8(): Unit = while (out.length % 8 != 0) out += 0
+    def result(): Array[Byte] = out.toArray
+  }
+
+  private def pad8(b: Array[Byte]): Array[Byte] =
+    if (b.length % 8 == 0) b else b ++ new Array[Byte](8 - b.length % 8)
+
+  // --- datatype message encodings (class+version high/low nibbles) ---
+
+  private def dtFixed(size: Int): Array[Byte] = {
+    val b = new Buf
+    b.u8(0x10); b.u8(0x08); b.u8(0); b.u8(0) // v1 class 0, LE, signed
+    b.u32(size); b.u16(0); b.u16(size * 8)
+    b.result()
+  }
+
+  private def dtFloat(size: Int): Array[Byte] = {
+    val b = new Buf
+    b.u8(0x11); b.u8(0x20) // v1 class 1, LE, implied-msb mantissa norm
+    b.u8(if (size == 4) 31 else 63) // sign bit location
+    b.u8(0); b.u32(size)
+    b.u16(0); b.u16(size * 8)
+    if (size == 4) { b.u8(23); b.u8(8); b.u8(0); b.u8(23); b.u32(127) }
+    else { b.u8(52); b.u8(11); b.u8(0); b.u8(52); b.u32(1023) }
+    b.result()
+  }
+
+  private def dtString(n: Int): Array[Byte] = {
+    val b = new Buf
+    b.u8(0x13); b.u8(0); b.u8(0); b.u8(0) // null-terminated, ASCII
+    b.u32(n)
+    b.result()
+  }
+
+  private def dtObjRef: Array[Byte] = {
+    val b = new Buf
+    b.u8(0x17); b.u8(0); b.u8(0); b.u8(0) // reference type 0 = object
+    b.u32(8)
+    b.result()
+  }
+
+  private def dtVlenRefSeq: Array[Byte] = {
+    val b = new Buf
+    b.u8(0x19); b.u8(0); b.u8(0); b.u8(0) // vlen type 0 = sequence
+    b.u32(16) // in-file descriptor: len(4) + gheap addr(8) + index(4)
+    b.bytes(dtObjRef)
+    b.result()
+  }
+
+  private def dsSimple(dims: Seq[Long]): Array[Byte] = {
+    val b = new Buf
+    b.u8(1); b.u8(dims.length); b.u8(0); b.zeros(5)
+    dims.foreach(b.u64)
+    b.result()
+  }
+
+  private def dsScalar: Array[Byte] = {
+    val b = new Buf
+    b.u8(1); b.u8(0); b.u8(0); b.zeros(5)
+    b.result()
+  }
+
+  /** Attribute message v1 body: name/datatype/dataspace (each padded to
+    * 8) then raw data. */
+  private def attrBody(name: String, dt: Array[Byte], ds: Array[Byte],
+      data: Array[Byte]): Array[Byte] = {
+    val nb = name.getBytes("US-ASCII") :+ 0.toByte
+    val b = new Buf
+    b.u8(1); b.u8(0)
+    b.u16(nb.length); b.u16(dt.length); b.u16(ds.length)
+    b.bytes(pad8(nb)); b.bytes(pad8(dt)); b.bytes(pad8(ds)); b.bytes(data)
+    b.result()
+  }
+
+  private def textAttr(name: String, value: String): (Int, Array[Byte]) = {
+    val vb = value.getBytes("US-ASCII") :+ 0.toByte
+    (0x000C, attrBody(name, dtString(vb.length), dsScalar, vb))
+  }
+
+  private def intAttr(name: String, value: Int): (Int, Array[Byte]) = {
+    val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(value)
+    (0x000C, attrBody(name, dtFixed(4), dsScalar, b.array()))
+  }
+
+  /** Serialize an object header v1 from (message type, body) pairs. */
+  private def objectHeader(msgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+    val b = new Buf
+    val bodies = msgs.map { case (t, body) => (t, pad8(body)) }
+    val total = bodies.map(_._2.length + 8).sum
+    b.u8(1); b.u8(0); b.u16(msgs.length); b.u32(1); b.u32(total); b.u32(0)
+    bodies.foreach { case (t, body) =>
+      b.u16(t); b.u16(body.length); b.u8(0); b.zeros(3); b.bytes(body)
+    }
+    b.result()
+  }
+
+  private def dataBytes(v: Var): Array[Byte] = {
+    val n = v.data.length
+    val size = n * NetCdf.typeSize(v.ncType)
+    val buf = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    v.ncType match {
+      case NetCdf.NcDouble => v.data.asInstanceOf[Array[Double]].foreach(buf.putDouble)
+      case NetCdf.NcFloat => v.data.asInstanceOf[Array[Float]].foreach(buf.putFloat)
+      case NetCdf.NcInt => v.data.asInstanceOf[Array[Int]].foreach(buf.putInt)
+      case NetCdf.NcInt64 => v.data.asInstanceOf[Array[Long]].foreach(buf.putLong)
+      case NetCdf.NcShort => v.data.asInstanceOf[Array[Int]].foreach(x => buf.putShort(x.toShort))
+      case NetCdf.NcByte | NetCdf.NcChar => buf.put(v.data.asInstanceOf[Array[Byte]])
+    }
+    buf.array()
+  }
+
+  private def dtFor(ncType: Int): Array[Byte] = ncType match {
+    case NetCdf.NcDouble => dtFloat(8)
+    case NetCdf.NcFloat => dtFloat(4)
+    case NetCdf.NcInt64 => dtFixed(8)
+    case NetCdf.NcInt => dtFixed(4)
+    case NetCdf.NcShort => dtFixed(2)
+    case NetCdf.NcByte | NetCdf.NcChar => dtFixed(1)
+  }
+
+  /** Write a NetCDF-4-profile HDF5 file: every dim becomes a
+    * DIMENSION_SCALE dataset (the variable of the same name if one
+    * exists, else a phantom int scale), every variable a contiguous
+    * dataset with a DIMENSION_LIST attribute referencing its scales —
+    * the same object graph libnetcdf emits for flat files. */
+  def write(path: String, dims: Seq[Dim], globalAttrs: Seq[(String, String)],
+      vars: Seq[Var]): Unit = {
+    vars.foreach { v =>
+      val n = v.dimIds.map(dims(_).size.toLong).product
+      require(v.data.length == n, s"${v.name}: ${v.data.length} values for $n cells")
+    }
+    val coordNames = vars.map(_.name).toSet
+    // one dataset per dim (coordinate var or phantom) + per non-coord var
+    case class Ds(name: String, v: Var, isScale: Boolean, dimid: Int)
+    val scaleDs = dims.zipWithIndex.map { case (d, i) =>
+      vars.find(v => v.name == d.name && v.dimIds == Seq(i)) match {
+        case Some(v) => Ds(d.name, v, isScale = true, i)
+        case None => Ds(d.name,
+          Var(d.name, Seq(i), NetCdf.NcFloat, Nil,
+            Array.fill(d.size)(0.0f)), isScale = true, i)
+      }
+    }
+    val dataDs = vars.filterNot(v => scaleDs.exists(_.v eq v))
+      .map(v => Ds(v.name, v, isScale = false, -1))
+    val all = (scaleDs ++ dataDs).sortBy(_.name) // SNOD requires name order
+
+    // ---- pass 1: serialize headers with dummy addresses to get sizes
+    val needGheap = dataDs.exists(_.v.dimIds.nonEmpty)
+    def dsHeader(d: Ds, dataAddr: Long, gheapAddr: Long): Array[Byte] = {
+      val shape = d.v.dimIds.map(dims(_).size.toLong)
+      val msgs = ArrayBuffer.empty[(Int, Array[Byte])]
+      msgs += ((0x0001, dsSimple(shape)))
+      msgs += ((0x0003, dtFor(d.v.ncType)))
+      val layout = new Buf
+      layout.u8(3); layout.u8(1) // v3, contiguous
+      layout.u64(dataAddr); layout.u64(dataBytes(d.v).length.toLong)
+      msgs += ((0x0008, layout.result()))
+      if (d.isScale) {
+        msgs += textAttr("CLASS", "DIMENSION_SCALE")
+        val nm = if (coordNames(d.name)) d.name
+          else f"$PhantomPrefix.%%10d".format(dims(d.dimid).size)
+        msgs += textAttr("NAME", nm)
+        msgs += intAttr("_Netcdf4Dimid", d.dimid)
+      } else if (d.v.dimIds.nonEmpty) {
+        // DIMENSION_LIST: rank vlen descriptors into the global heap,
+        // gheap object k+1 = the ref list for axis k of this variable
+        val base = gheapIndexBase(dataDs, d)
+        val data = new Buf
+        d.v.dimIds.indices.foreach { k =>
+          data.u32(1); data.u64(gheapAddr); data.u32(base + k + 1)
+        }
+        msgs += ((0x000C, attrBody("DIMENSION_LIST", dtVlenRefSeq,
+          dsSimple(Seq(d.v.dimIds.length.toLong)), data.result())))
+      }
+      d.v.attrs.foreach { case (k, v2) => msgs += textAttr(k, v2) }
+      objectHeader(msgs.toSeq)
+    }
+    def gheapIndexBase(ds: Seq[Ds], d: Ds): Int =
+      ds.takeWhile(_ ne d).map(_.v.dimIds.length).sum
+
+    val rootHeader0 = objectHeader(
+      ((0x0011, { val b = new Buf; b.u64(0L); b.u64(0L); b.result() })) +:
+        globalAttrs.map { case (k, v) => textAttr(k, v) })
+    val headerSizes = all.map(d => dsHeader(d, 0L, 0L).length)
+
+    // ---- layout: superblock | root hdr | heap hdr | heap data |
+    //      btree | SNOD | dataset headers | gheap | raw data
+    val heapData = new Buf
+    heapData.zeros(8) // offset 0 = the empty string
+    val nameOff = LinkedHashMap.empty[String, Long]
+    all.foreach { d =>
+      nameOff(d.name) = heapData.out.length.toLong
+      heapData.bytes(d.name.getBytes("US-ASCII") :+ 0.toByte)
+      heapData.padTo8()
+    }
+    val heapDataBytes = heapData.result()
+
+    val rootHdrAddr = 96L
+    val heapHdrAddr = rootHdrAddr + rootHeader0.length
+    val heapDataAddr = heapHdrAddr + 32
+    val btreeAddr = heapDataAddr + heapDataBytes.length
+    val btreeSize = 24 + 3 * 8 // 1 entry: key0, child0, key1
+    val snodAddr = btreeAddr + btreeSize
+    val snodSize = 8 + 40 * all.length
+    val dsHdrAddrs = headerSizes.scanLeft(snodAddr + snodSize)(_ + _)
+    val gheapAddr = dsHdrAddrs.last
+    val gheapSize = if (needGheap) 4096 else 0
+    val dataAddrs = all.map(d => dataBytes(d.v).length)
+      .scanLeft(gheapAddr + gheapSize)(_ + _)
+    val eof = dataAddrs.last
+
+    val addrOf: Map[String, Long] = all.zip(dsHdrAddrs).map {
+      case (d, a) => d.name -> a
+    }.toMap
+
+    // ---- pass 2: assemble
+    val out = new Buf
+    out.bytes(Signature)
+    out.u8(0); out.u8(0); out.u8(0); out.u8(0) // sb v0, fs v0, root v0
+    out.u8(0); out.u8(8); out.u8(8); out.u8(0) // shared v0, offs 8, len 8
+    out.u16(4); out.u16(16); out.u32(0) // leaf k, internal k, flags
+    out.u64(0L); out.u64(Undef); out.u64(eof); out.u64(Undef)
+    // root symbol table entry: name "", header addr, no cache
+    out.u64(0L); out.u64(rootHdrAddr); out.u32(0); out.u32(0); out.zeros(16)
+
+    out.bytes(objectHeader(
+      ((0x0011, { val b = new Buf; b.u64(btreeAddr); b.u64(heapHdrAddr); b.result() })) +:
+        globalAttrs.map { case (k, v) => textAttr(k, v) }))
+
+    out.bytes("HEAP".getBytes("US-ASCII")); out.u8(0); out.zeros(3)
+    out.u64(heapDataBytes.length.toLong); out.u64(Undef); out.u64(heapDataAddr)
+    out.bytes(heapDataBytes)
+
+    out.bytes("TREE".getBytes("US-ASCII")); out.u8(0); out.u8(0)
+    out.u16(1); out.u64(Undef); out.u64(Undef)
+    out.u64(0L) // key 0: the empty string
+    out.u64(snodAddr)
+    out.u64(nameOff(all.last.name)) // key 1: greatest name in the node
+
+    out.bytes("SNOD".getBytes("US-ASCII")); out.u16(1); out.u16(all.length)
+    all.foreach { d =>
+      out.u64(nameOff(d.name)); out.u64(addrOf(d.name))
+      out.u32(0); out.u32(0); out.zeros(16)
+    }
+
+    all.zip(dataAddrs).foreach { case (d, dataAddr) =>
+      out.bytes(dsHeader(d, dataAddr, gheapAddr))
+    }
+
+    if (needGheap) {
+      val g = new Buf
+      g.bytes("GCOL".getBytes("US-ASCII")); g.u8(1); g.zeros(3)
+      g.u64(gheapSize.toLong)
+      var idx = 0
+      dataDs.foreach { d =>
+        d.v.dimIds.foreach { dimId =>
+          idx += 1
+          g.u16(idx); g.u16(1); g.u32(0); g.u64(8L)
+          g.u64(addrOf(dims(dimId).name)) // one object reference
+        }
+      }
+      // free-space object (index 0): size includes its own 16-byte header
+      val free = gheapSize - g.out.length
+      g.u16(0); g.u16(0); g.u32(0); g.u64(free.toLong)
+      g.zeros(gheapSize - g.out.length)
+      out.bytes(g.result())
+    }
+
+    all.foreach(d => out.bytes(dataBytes(d.v)))
+    Files.write(Paths.get(path), out.result())
+  }
+
+  // ===================================================== reader =====
+
+  private final class R(val bytes: Array[Byte], val base: Long) {
+    var szOff = 8
+    var szLen = 8
+    def at(addr: Long): ByteBuffer = {
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      b.position((base + addr).toInt)
+      b
+    }
+    def offset(b: ByteBuffer): Long =
+      if (szOff == 8) b.getLong else b.getInt.toLong & 0xffffffffL
+    def length(b: ByteBuffer): Long =
+      if (szLen == 8) b.getLong else b.getInt.toLong & 0xffffffffL
+  }
+
+  private case class Dtype(clazz: Int, size: Int, littleEndian: Boolean,
+    base: Option[Dtype])
+
+  private case class Dataset(name: String, addr: Long, shape: Seq[Long],
+    dtype: Dtype, data: Array[_],
+    textAttrs: Seq[(String, String)], intAttrs: Map[String, Long],
+    dimRefs: Seq[Long])
+
+  private def cstr(b: Array[Byte]): String =
+    new String(b.takeWhile(_ != 0), "US-ASCII")
+
+  private def parseDtype(b: ByteBuffer): Dtype = {
+    val start = b.position()
+    val cv = b.get() & 0xff
+    val clazz = cv & 0x0f
+    val bits0 = b.get() & 0xff; b.get(); b.get()
+    val size = b.getInt
+    val le = (bits0 & 1) == 0
+    val base = clazz match {
+      case 9 => // vlen: properties = base datatype
+        Some(parseDtype(b))
+      case _ =>
+        // skip fixed-size properties we don't need beyond class+size
+        clazz match {
+          case 0 => b.position(b.position() + 4)
+          case 1 => b.position(b.position() + 12)
+          case _ => ()
+        }
+        None
+    }
+    val _ = (cv, start)
+    Dtype(clazz, size, le, base)
+  }
+
+  private def parseDataspace(b: ByteBuffer): Seq[Long] = {
+    val ver = b.get() & 0xff
+    val rank = b.get() & 0xff
+    val flags = b.get() & 0xff
+    if (ver == 1) b.position(b.position() + 5)
+    else b.get() // v2: type byte
+    val dims = (0 until rank).map(_ => b.getLong)
+    if ((flags & 1) != 0) b.position(b.position() + rank * 8) // max dims
+    dims
+  }
+
+  /** All (type, bodyBuffer) messages of an object header, v1 or v2,
+    * following continuation blocks. */
+  private def headerMessages(r: R, addr: Long): Seq[(Int, ByteBuffer)] = {
+    val out = ArrayBuffer.empty[(Int, ByteBuffer)]
+    val b0 = r.at(addr)
+    val first = b0.get(b0.position()) & 0xff
+    if (first == 'O') { // v2: "OHDR"
+      val sig = new Array[Byte](4); b0.get(sig)
+      require(new String(sig, "US-ASCII") == "OHDR", "bad object header")
+      require((b0.get() & 0xff) == 2, "object header version")
+      val flags = b0.get() & 0xff
+      if ((flags & 0x20) != 0) b0.position(b0.position() + 16) // times
+      if ((flags & 0x10) != 0) b0.position(b0.position() + 4) // phase
+      val chunkSize = (flags & 0x3) match {
+        case 0 => b0.get() & 0xffL
+        case 1 => b0.getShort & 0xffffL
+        case 2 => b0.getInt & 0xffffffffL
+        case _ => b0.getLong
+      }
+      val end = b0.position() + chunkSize.toInt
+      val track = (flags & 0x04) != 0
+      while (b0.position() < end - 3) { // gap may be < message header
+        val t = b0.get() & 0xff
+        val sz = b0.getShort & 0xffff
+        b0.get() // message flags
+        if (track) b0.position(b0.position() + 2)
+        val body = b0.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+        out += ((t, body))
+        b0.position(b0.position() + sz)
+      }
+    } else { // v1
+      require((b0.get() & 0xff) == 1, "object header version")
+      b0.get()
+      val nMsgs = b0.getShort & 0xffff
+      b0.getInt // reference count
+      val hdrSize = b0.getInt // size of chunk-0 message data
+      b0.getInt // padding to 8
+      var remaining = nMsgs
+      var cursor = b0
+      val continuations = ArrayBuffer.empty[(Long, Long)]
+      var limit = b0.position().toLong + hdrSize
+      while (remaining > 0) {
+        if (cursor.position() + 8 > limit && continuations.nonEmpty) {
+          val (ca, cl) = continuations.remove(0)
+          cursor = r.at(ca); limit = r.base + ca + cl
+        }
+        val t = cursor.getShort & 0xffff
+        val sz = cursor.getShort & 0xffff
+        cursor.get(); cursor.position(cursor.position() + 3)
+        val body = cursor.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+        if (t == 0x0010) { // continuation
+          continuations += ((r.offset(body), r.length(body)))
+        } else out += ((t, body))
+        cursor.position(cursor.position() + sz)
+        remaining -= 1
+      }
+    }
+    out.toSeq
+  }
+
+  private case class Attr(name: String, dtype: Dtype, shape: Seq[Long],
+    data: ByteBuffer)
+
+  private def parseAttr(b: ByteBuffer): Attr = {
+    val ver = b.get() & 0xff
+    require(ver >= 1 && ver <= 3, s"attribute message v$ver")
+    val flags = b.get() & 0xff // v1: reserved (0)
+    val nameSize = b.getShort & 0xffff
+    val dtSize = b.getShort & 0xffff
+    val dsSize = b.getShort & 0xffff
+    if (ver == 3) b.get() // name charset
+    require(ver == 1 || (flags & 0x3) == 0, "shared attr dt/ds unsupported")
+    def block(n: Int): ByteBuffer = {
+      val d = b.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+      val padded = if (ver == 1) (n + 7) & ~7 else n
+      b.position(b.position() + padded)
+      d
+    }
+    val nameBuf = block(nameSize)
+    val nb = new Array[Byte](nameSize); nameBuf.get(nb)
+    val dt = parseDtype(block(dtSize))
+    val shape = parseDataspace(block(dsSize))
+    Attr(cstr(nb), dt, shape, b.duplicate().order(ByteOrder.LITTLE_ENDIAN))
+  }
+
+  /** Read one vlen-of-object-reference attribute value (DIMENSION_LIST):
+    * per element, the first reference of its sequence. */
+  private def readVlenRefs(r: R, a: Attr): Seq[Long] = {
+    val n = a.shape.product.toInt
+    val b = a.data
+    (0 until n).map { _ =>
+      val len = b.getInt
+      val gaddr = r.offset(b)
+      val idx = b.getInt
+      require(len >= 1, "empty DIMENSION_LIST entry")
+      val g = r.at(gaddr)
+      val sig = new Array[Byte](4); g.get(sig)
+      require(new String(sig, "US-ASCII") == "GCOL", "bad global heap")
+      g.get(); g.position(g.position() + 3)
+      r.length(g) // collection size
+      var found = Undef
+      var continue = true
+      while (continue) {
+        val oIdx = g.getShort & 0xffff
+        g.getShort; g.getInt
+        val oSize = r.length(g)
+        if (oIdx == 0) { continue = false }
+        else if (oIdx == idx) { found = r.offset(g); continue = false }
+        else g.position(g.position() + ((oSize + 7) & ~7L).toInt)
+      }
+      require(found != Undef, s"global heap object $idx not found")
+      found
+    }
+  }
+
+  private def decode(dtype: Dtype, shape: Seq[Long], raw: ByteBuffer): Array[_] = {
+    val n = shape.product.toInt max (if (shape.isEmpty) 1 else 0)
+    val b = raw.order(
+      if (dtype.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    (dtype.clazz, dtype.size) match {
+      case (1, 8) => Array.fill(n)(b.getDouble)
+      case (1, 4) => Array.fill(n)(b.getFloat)
+      case (0, 8) => Array.fill(n)(b.getLong)
+      case (0, 4) => Array.fill(n)(b.getInt)
+      case (0, 2) => Array.fill(n)(b.getShort.toInt)
+      case (0, 1) | (3, 1) => val a = new Array[Byte](n); b.get(a); a
+      case (3, sz) => // fixed strings → concatenated char payload
+        val a = new Array[Byte](n * sz); b.get(a); a
+      case (c, s) => throw new IllegalArgumentException(
+        s"unsupported HDF5 datatype class $c size $s")
+    }
+  }
+
+  private def ncTypeOf(d: Dtype): Int = (d.clazz, d.size) match {
+    case (1, 8) => NetCdf.NcDouble
+    case (1, 4) => NetCdf.NcFloat
+    case (0, 8) => NetCdf.NcInt64
+    case (0, 4) => NetCdf.NcInt
+    case (0, 2) => NetCdf.NcShort
+    case (0, 1) => NetCdf.NcByte
+    case (3, _) => NetCdf.NcChar
+    case (c, s) => throw new IllegalArgumentException(
+      s"unsupported HDF5 datatype class $c size $s")
+  }
+
+  /** Recursively collect datasets reachable from a group header. */
+  private def collect(r: R, addr: Long, prefix: String,
+      out: ArrayBuffer[Dataset], gattrs: ArrayBuffer[(String, String)],
+      isRoot: Boolean): Unit = {
+    val msgs = headerMessages(r, addr)
+    val types = msgs.map(_._1).toSet
+
+    if (types.contains(0x0001) || types.contains(0x0008)) {
+      // ---- dataset
+      var shape: Seq[Long] = Nil
+      var dtype: Dtype = null
+      var dataAddr = Undef
+      var dataSize = 0L
+      var compact: ByteBuffer = null
+      val tattrs = ArrayBuffer.empty[(String, String)]
+      val iattrs = scala.collection.mutable.Map.empty[String, Long]
+      var dimRefs: Seq[Long] = Nil
+      msgs.foreach {
+        case (0x0001, b) => shape = parseDataspace(b)
+        case (0x0003, b) => dtype = parseDtype(b)
+        case (0x000B, _) => throw new IllegalArgumentException(
+          s"$prefix: filtered (compressed) dataset unsupported — " +
+            "contiguous NetCDF-4 only")
+        case (0x0008, b) =>
+          val ver = b.get() & 0xff
+          if (ver == 3) {
+            val clazz = b.get() & 0xff
+            clazz match {
+              case 1 => dataAddr = r.offset(b); dataSize = r.length(b)
+              case 0 =>
+                val sz = b.getShort & 0xffff
+                compact = b.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+                dataSize = sz.toLong
+              case _ => throw new IllegalArgumentException(
+                s"$prefix: chunked dataset layout unsupported — " +
+                  "contiguous NetCDF-4 only")
+            }
+          } else { // v1/v2
+            val rank = b.get() & 0xff
+            val clazz = b.get() & 0xff
+            b.position(b.position() + 5)
+            require(clazz == 1,
+              s"$prefix: layout v$ver class $clazz unsupported")
+            dataAddr = r.offset(b)
+            b.position(b.position() + 4 * rank)
+            dataSize = -1
+          }
+        case (0x000C, b) =>
+          val a = parseAttr(b)
+          a.dtype.clazz match {
+            case 3 =>
+              val bytes = new Array[Byte](
+                (a.shape.product.toInt max 1) * a.dtype.size)
+              a.data.get(bytes)
+              tattrs += ((a.name, cstr(bytes)))
+            case 0 if a.shape.isEmpty || a.shape.product == 1 =>
+              iattrs(a.name) = a.dtype.size match {
+                case 8 => a.data.getLong
+                case 4 => a.data.getInt.toLong
+                case 2 => a.data.getShort.toLong
+                case _ => (a.data.get() & 0xff).toLong
+              }
+            case 9 if a.name == "DIMENSION_LIST" =>
+              dimRefs = readVlenRefs(r, a)
+            case _ => () // REFERENCE_LIST and friends: ignore
+          }
+        case _ => ()
+      }
+      require(dtype != null, s"$prefix: dataset without datatype")
+      val elems = (shape.product max 1L) * dtype.size
+      val raw =
+        if (compact != null) compact
+        else if (dataAddr == Undef) // never-written data: zeros
+          ByteBuffer.wrap(new Array[Byte](elems.toInt))
+        else {
+          if (dataSize >= 0 && dataSize != elems)
+            require(dataSize >= elems, s"$prefix: truncated data")
+          r.at(dataAddr)
+        }
+      out += Dataset(prefix, addr, shape, dtype,
+        decode(dtype, shape, raw), tattrs.toSeq, iattrs.toMap, dimRefs)
+    } else {
+      // ---- group
+      if (isRoot) msgs.foreach {
+        case (0x000C, b) =>
+          val a = parseAttr(b)
+          if (a.dtype.clazz == 3) {
+            val bytes = new Array[Byte](
+              (a.shape.product.toInt max 1) * a.dtype.size)
+            a.data.get(bytes)
+            gattrs += ((a.name, cstr(bytes)))
+          }
+        case _ => ()
+      }
+      def child(name: String, a: Long): Unit = {
+        val p = if (prefix.isEmpty) name else s"$prefix/$name"
+        collect(r, a, p, out, gattrs, isRoot = false)
+      }
+      var sawLinks = false
+      msgs.foreach {
+        case (0x0011, b) => // old-style group: B-tree v1 + local heap
+          sawLinks = true
+          val btree = r.offset(b); val heap = r.offset(b)
+          val hb = r.at(heap)
+          val sig = new Array[Byte](4); hb.get(sig)
+          require(new String(sig, "US-ASCII") == "HEAP", "bad local heap")
+          hb.getInt // version + reserved
+          r.length(hb); r.length(hb)
+          val heapData = r.offset(hb)
+          def nameAt(off: Long): String = {
+            val nb = r.at(heapData + off)
+            val sb = new StringBuilder
+            var c = nb.get()
+            while (c != 0) { sb.append(c.toChar); c = nb.get() }
+            sb.toString
+          }
+          def walkBtree(a: Long): Unit = {
+            val tb = r.at(a)
+            val ts = new Array[Byte](4); tb.get(ts)
+            require(new String(ts, "US-ASCII") == "TREE", "bad btree node")
+            tb.get() // node type
+            val level = tb.get() & 0xff
+            val used = tb.getShort & 0xffff
+            r.offset(tb); r.offset(tb) // siblings
+            val children = (0 until used).map { _ =>
+              r.length(tb) // key i
+              r.offset(tb) // child i
+            }
+            // trailing key ignored
+            children.foreach { c =>
+              if (level > 0) walkBtree(c)
+              else {
+                val sb2 = r.at(c)
+                val ss = new Array[Byte](4); sb2.get(ss)
+                require(new String(ss, "US-ASCII") == "SNOD", "bad SNOD")
+                sb2.getShort
+                val nSyms = sb2.getShort & 0xffff
+                (0 until nSyms).foreach { _ =>
+                  val nOff = r.offset(sb2)
+                  val hAddr = r.offset(sb2)
+                  sb2.getInt; sb2.getInt
+                  sb2.position(sb2.position() + 16)
+                  child(nameAt(nOff), hAddr)
+                }
+              }
+            }
+          }
+          walkBtree(btree)
+        case (0x0006, b) => // new-style compact link message
+          sawLinks = true
+          require((b.get() & 0xff) == 1, "link message version")
+          val flags = b.get() & 0xff
+          val ltype = if ((flags & 0x08) != 0) b.get() & 0xff else 0
+          if ((flags & 0x04) != 0) b.position(b.position() + 8)
+          if ((flags & 0x10) != 0) b.get()
+          val nameLen = (flags & 0x3) match {
+            case 0 => b.get() & 0xffL
+            case 1 => b.getShort & 0xffffL
+            case 2 => b.getInt & 0xffffffffL
+            case _ => b.getLong
+          }
+          val nb = new Array[Byte](nameLen.toInt); b.get(nb)
+          if (ltype == 0) child(new String(nb, "UTF-8"), r.offset(b))
+        case (0x0002, b) => // link info: only reject if links are DENSE
+          b.get(); val liFlags = b.get() & 0xff
+          if ((liFlags & 1) != 0) b.position(b.position() + 8)
+          val fheap = r.offset(b)
+          if (fheap != Undef) throw new IllegalArgumentException(
+            "dense (fractal-heap) group storage unsupported")
+        case _ => ()
+      }
+      val _ = sawLinks
+    }
+  }
+
+  /** Read a NetCDF-4 (HDF5) file into the same [[NetCdf.NcFile]] model
+    * as the classic reader: dimensions from DIMENSION_SCALE datasets
+    * (ordered by _Netcdf4Dimid when present), variables with dim ids
+    * resolved through DIMENSION_LIST references, phantom scales
+    * excluded from the variable list. */
+  def read(path: String): NcFile = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    // superblock at 0 or at a 512*2^n byte boundary
+    var sbOff = 0L
+    if (!isHdf5(bytes)) {
+      var probe = 512L
+      var found = -1L
+      while (found < 0 && probe + 8 < bytes.length) {
+        if (bytes.slice(probe.toInt, probe.toInt + 8).sameElements(Signature))
+          found = probe
+        else probe *= 2
+      }
+      require(found >= 0, "not an HDF5 file")
+      sbOff = found
+    }
+    val r = new R(bytes, 0L)
+    val sb = r.at(sbOff + 8)
+    val sbVer = sb.get() & 0xff
+    val rootAddr: Long = sbVer match {
+      case 0 | 1 =>
+        sb.get(); sb.get(); sb.get(); sb.get()
+        r.szOff = sb.get() & 0xff
+        r.szLen = sb.get() & 0xff
+        sb.get()
+        sb.getShort; sb.getShort; sb.getInt
+        if (sbVer == 1) sb.getInt
+        val baseAddr = r.offset(sb)
+        r.offset(sb); r.offset(sb); r.offset(sb)
+        r.offset(sb) // root STE: link name offset
+        val hdr = r.offset(sb)
+        require(baseAddr == sbOff, "unexpected base address")
+        hdr + baseAddr - sbOff // addresses are relative to base
+      case 2 | 3 =>
+        r.szOff = sb.get() & 0xff
+        r.szLen = sb.get() & 0xff
+        sb.get() // consistency flags
+        val baseAddr = r.offset(sb)
+        r.offset(sb) // superblock extension
+        r.offset(sb) // eof
+        val hdr = r.offset(sb)
+        require(baseAddr == sbOff, "unexpected base address")
+        hdr
+      case v => throw new IllegalArgumentException(s"superblock v$v")
+    }
+    val rBase = new R(bytes, sbOff)
+    rBase.szOff = r.szOff; rBase.szLen = r.szLen
+
+    val datasets = ArrayBuffer.empty[Dataset]
+    val gattrs = ArrayBuffer.empty[(String, String)]
+    collect(rBase, rootAddr, "", datasets, gattrs, isRoot = true)
+
+    val scales = datasets.filter(_.textAttrs.exists {
+      case ("CLASS", v) => v == "DIMENSION_SCALE"
+      case _ => false
+    })
+    val ordered = scales.sortBy(d =>
+      d.intAttrs.getOrElse("_Netcdf4Dimid", Long.MaxValue))
+    val dims = ordered.map(d => Dim(d.name, d.shape.headOption.getOrElse(0L).toInt))
+    val addrToDimId = ordered.zipWithIndex.map { case (d, i) => d.addr -> i }.toMap
+    val sizeToDimId = dims.zipWithIndex.map { case (d, i) => d.size.toLong -> i }.toMap
+
+    def isPhantom(d: Dataset): Boolean = d.textAttrs.exists {
+      case ("NAME", v) => v.startsWith(PhantomPrefix)
+      case _ => false
+    }
+    val internal = Set("CLASS", "NAME", "DIMENSION_LIST", "REFERENCE_LIST",
+      "_Netcdf4Dimid", "_Netcdf4Coordinates", "_NCProperties")
+    val vars = datasets.filterNot(isPhantom).map { d =>
+      val dimIds: Seq[Int] =
+        if (d.dimRefs.nonEmpty) d.dimRefs.map(addrToDimId)
+        else if (addrToDimId.contains(d.addr)) Seq(addrToDimId(d.addr))
+        else d.shape.map(s => sizeToDimId.getOrElse(s,
+          throw new IllegalArgumentException(
+            s"${d.name}: no dimension of size $s")))
+      Var(d.name, dimIds, ncTypeOf(d.dtype),
+        d.textAttrs.filterNot(a => internal(a._1)), d.data)
+    }
+    NcFile(dims.toSeq, gattrs.toSeq.filterNot(a => internal(a._1)), vars.toSeq)
+  }
+}

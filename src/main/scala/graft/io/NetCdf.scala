@@ -36,7 +36,7 @@ object NetCdf {
   val NcInt = 4; val NcFloat = 5; val NcDouble = 6
   val NcInt64 = 10 // CDF-5 extended type
 
-  private def typeSize(t: Int): Int = t match {
+  private[io] def typeSize(t: Int): Int = t match {
     case NcByte | NcChar => 1
     case NcShort => 2
     case NcInt | NcFloat => 4
@@ -153,11 +153,14 @@ object NetCdf {
       .getOrElse(throw new IllegalArgumentException(s"no variable $name"))
   }
 
+  /** Read either container: classic CDF-1/2/5 or NetCDF-4 (HDF5,
+    * dispatched to [[Hdf5.read]] on the \x89HDF signature). */
   def read(path: String): NcFile = {
     val bytes = Files.readAllBytes(Paths.get(path))
+    if (Hdf5.isHdf5(bytes)) return Hdf5.read(path)
     val buf = ByteBuffer.wrap(bytes)
     require(buf.get() == 'C' && buf.get() == 'D' && buf.get() == 'F',
-      "not a NetCDF classic file")
+      "not a NetCDF file (neither CDF classic nor HDF5 signature)")
     val version = buf.get().toInt
     require(version == 1 || version == 2 || version == 5,
       s"unsupported CDF version $version")

@@ -259,8 +259,16 @@ object GridQueries {
     * 10-wide lattice, 1-D coordinate variables, row-major data var,
     * the to_netcdf output shape of delphine/regrid.py:330) written as
     * a real .nc file, read back, re-expanded to long form. */
-  val qNetcdfRoundtrip: Q = (spark, dir) => {
-    import graft.io.NetCdf
+  val qNetcdfRoundtrip: Q = netcdfRoundtrip(hdf5 = false)
+
+  /** Same roundtrip through the NetCDF-4 (HDF5) container: dimension
+    * scales + DIMENSION_LIST references written and read by the
+    * from-scratch [[graft.io.Hdf5]] codec, auto-dispatched by
+    * [[graft.io.NetCdf.read]] on the \x89HDF signature. */
+  val qNetcdf4Roundtrip: Q = netcdfRoundtrip(hdf5 = true)
+
+  private def netcdfRoundtrip(hdf5: Boolean): Q = (spark, dir) => {
+    import graft.io.{Hdf5, NetCdf}
     val supp = Tables(spark, dir, "supplier")
       .select(col("s_suppkey"), round(col("s_acctbal") * 100).as("cents"))
       .orderBy("s_suppkey")
@@ -269,15 +277,16 @@ object GridQueries {
     val cents = supp.take(ny * 10).map(_.getDouble(1))
     val tmp = java.nio.file.Files.createTempDirectory("graft_nc")
       .resolve("pop.nc").toString
-    NetCdf.write(tmp,
-      dims = Seq(NetCdf.Dim("y", ny), NetCdf.Dim("x", 10)),
-      globalAttrs = Seq("title" -> "graft regrid output"),
-      vars = Seq(
-        NetCdf.Var("lat", Seq(0), NetCdf.NcDouble, Seq("units" -> "degrees_north"),
-          Array.tabulate(ny)(_ + 0.5)),
-        NetCdf.Var("lon", Seq(1), NetCdf.NcDouble, Seq("units" -> "degrees_east"),
-          Array.tabulate(10)(_ * 2.0 + 1.0)),
-        NetCdf.Var("pop_cents", Seq(0, 1), NetCdf.NcDouble, Nil, cents)))
+    val dims = Seq(NetCdf.Dim("y", ny), NetCdf.Dim("x", 10))
+    val gattrs = Seq("title" -> "graft regrid output")
+    val vars = Seq(
+      NetCdf.Var("lat", Seq(0), NetCdf.NcDouble, Seq("units" -> "degrees_north"),
+        Array.tabulate(ny)(_ + 0.5)),
+      NetCdf.Var("lon", Seq(1), NetCdf.NcDouble, Seq("units" -> "degrees_east"),
+        Array.tabulate(10)(_ * 2.0 + 1.0)),
+      NetCdf.Var("pop_cents", Seq(0, 1), NetCdf.NcDouble, Nil, cents))
+    if (hdf5) Hdf5.write(tmp, dims, gattrs, vars)
+    else NetCdf.write(tmp, dims, gattrs, vars)
     val nc = NetCdf.read(tmp)
     val lat = nc.variable("lat").data.asInstanceOf[Array[Double]]
     val lon = nc.variable("lon").data.asInstanceOf[Array[Double]]
@@ -301,6 +310,7 @@ object GridQueries {
 
   val queries: Map[String, Q] = Map(
     "grid_netcdf_roundtrip" -> qNetcdfRoundtrip,
+    "grid_netcdf4_roundtrip" -> qNetcdf4Roundtrip,
     "grid_pipeline_haduk" -> qGridPipelineHaduk,
     "grid_pipeline" -> qGridPipeline,
     "grid_pipeline_voronoi" -> qGridPipelineVoronoi,
@@ -309,6 +319,7 @@ object GridQueries {
 
   val oracles: Map[String, String] = Map(
     "grid_netcdf_roundtrip" -> qNetcdfRoundtripSql,
+    "grid_netcdf4_roundtrip" -> qNetcdfRoundtripSql,
     "grid_pipeline_haduk" -> qGridPipelineHadukSql,
     "grid_pipeline" -> qGridPipelineSql,
     "grid_pipeline_voronoi" -> qGridPipelineVoronoiSql,

@@ -96,6 +96,59 @@ class NetCdfSpec extends AnyFunSuite {
     assert(nc.globalAttrs == Seq("title" -> "wide"))
   }
 
+  test("NetCDF-4/HDF5 roundtrip: superblock, dim scales, DIMENSION_LIST") {
+    val path = tmp("v4.h5")
+    graft.io.Hdf5.write(path,
+      dims = Seq(Dim("y", 3), Dim("x", 4)),
+      globalAttrs = Seq("title" -> "t4", "history" -> "graft"),
+      vars = Seq(
+        Var("y", Seq(0), NcDouble, Seq("units" -> "degrees_north"),
+          Array(0.5, 1.5, 2.5)), // coordinate variable = dim scale
+        Var("mask", Seq(0, 1), NcInt, Nil, Array.tabulate(12)(identity)),
+        Var("t2", Seq(0, 1), NcFloat, Seq("units" -> "K"),
+          Array.tabulate(12)(_ * 0.25f)),
+        Var("wide", Seq(1), NcInt64, Nil,
+          Array(1L, 2L, 3L, 1L << 40))))
+    // HDF5 signature, not CDF
+    val b = Files.readAllBytes(java.nio.file.Paths.get(path))
+    assert((b(0) & 0xff) == 0x89 && b(1) == 'H' && b(2) == 'D' && b(3) == 'F')
+    // NetCdf.read auto-dispatches on the signature
+    val nc = NetCdf.read(path)
+    assert(nc.dims == Seq(Dim("y", 3), Dim("x", 4)))
+    assert(nc.globalAttrs.toSet == Set("title" -> "t4", "history" -> "graft"))
+    // phantom scale for x is not a variable; coordinate var y is
+    assert(nc.vars.map(_.name).toSet == Set("y", "mask", "t2", "wide"))
+    val t2 = nc.variable("t2")
+    assert(t2.dimIds == Seq(0, 1)) // resolved via DIMENSION_LIST refs
+    assert(t2.attrs == Seq("units" -> "K"))
+    assert(t2.data.asInstanceOf[Array[Float]].toSeq ==
+      (0 until 12).map(_ * 0.25f))
+    assert(nc.variable("mask").data.asInstanceOf[Array[Int]].toSeq ==
+      (0 until 12))
+    assert(nc.variable("wide").dimIds == Seq(1))
+    assert(nc.variable("wide").data.asInstanceOf[Array[Long]].toSeq ==
+      Seq(1L, 2L, 3L, 1L << 40))
+    assert(nc.variable("y").data.asInstanceOf[Array[Double]].toSeq ==
+      Seq(0.5, 1.5, 2.5))
+  }
+
+  test("HDF5 reader walks multi-SNOD symbol tables (many datasets)") {
+    // 40 variables forces several heap/SNOD entries and exercises name
+    // ordering + btree traversal
+    val path = tmp("many.h5")
+    val dims = Seq(Dim("x", 5))
+    val vars = (0 until 40).map(i =>
+      Var(f"v$i%02d", Seq(0), NcDouble, Nil,
+        Array.tabulate(5)(j => i * 10.0 + j)))
+    graft.io.Hdf5.write(path, dims, Nil, vars)
+    val nc = NetCdf.read(path)
+    assert(nc.vars.map(_.name).toSet == vars.map(_.name).toSet)
+    (0 until 40).foreach { i =>
+      assert(nc.variable(f"v$i%02d").data.asInstanceOf[Array[Double]].toSeq ==
+        (0 until 5).map(j => i * 10.0 + j))
+    }
+  }
+
   test("INT64 variables are rejected outside CDF-5") {
     intercept[IllegalArgumentException] {
       NetCdf.write(tmp("bad.nc"), Seq(Dim("t", 1)), Nil,
