@@ -17,12 +17,14 @@ import NetCdf.{Dim, NcFile, Var}
   * transparently); [[NetCdf.read]] dispatches here on the \x89HDF
   * signature so the grid sources accept both containers.
   *
-  * Scope (documented, fails loudly outside it): contiguous and compact
-  * layouts only — CHUNKED/compressed datasets and dense (fractal-heap)
-  * group storage raise with a clear message. Types: fixed-point 1/2/4/8
-  * bytes, IEEE float 4/8, fixed strings, object references, and vlen
-  * sequences of references (DIMENSION_LIST). Metadata is little-endian
-  * per the spec; dataset values honor the datatype's byte-order bit.
+  * Layouts: contiguous, compact, and CHUNKED (v1 chunk B-trees) with
+  * the deflate (zlib), shuffle, and fletcher32 filters — the default
+  * netCDF-4 compression stack, so realistically-written files open.
+  * Dense (fractal-heap) group storage and other filters raise with a
+  * clear message. Types: fixed-point 1/2/4/8 bytes, IEEE float 4/8,
+  * fixed strings, object references, and vlen sequences of references
+  * (DIMENSION_LIST). Metadata is little-endian per the spec; dataset
+  * values honor the datatype's byte-order bit.
   */
 object Hdf5 {
 
@@ -36,6 +38,64 @@ object Hdf5 {
 
   def isHdf5(bytes: Array[Byte]): Boolean =
     bytes.length >= 8 && bytes.take(8).sameElements(Signature)
+
+  // ------------------------------------------- filters (shared) -----
+
+  /** HDF5 shuffle filter: byte k of every element grouped together —
+    * turns similar values into long runs for deflate. */
+  private def shuffleBytes(in: Array[Byte], elem: Int): Array[Byte] = {
+    if (elem <= 1) return in
+    val n = in.length / elem
+    val out = new Array[Byte](in.length)
+    var i = 0
+    while (i < n) {
+      var k = 0
+      while (k < elem) { out(k * n + i) = in(i * elem + k); k += 1 }
+      i += 1
+    }
+    out
+  }
+
+  private def unshuffleBytes(in: Array[Byte], elem: Int): Array[Byte] = {
+    if (elem <= 1) return in
+    val n = in.length / elem
+    val out = new Array[Byte](in.length)
+    var i = 0
+    while (i < n) {
+      var k = 0
+      while (k < elem) { out(i * elem + k) = in(k * n + i); k += 1 }
+      i += 1
+    }
+    out
+  }
+
+  private def deflateBytes(in: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(in); d.finish()
+    val out = new ArrayBuffer[Byte](in.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      out ++= buf.take(n)
+    }
+    d.end()
+    out.toArray
+  }
+
+  private def inflateBytes(in: Array[Byte], outLen: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(in)
+    val out = new Array[Byte](outLen)
+    var off = 0
+    while (off < outLen && !inf.finished()) {
+      val n = inf.inflate(out, off, outLen - off)
+      require(n > 0 || inf.finished(), "truncated deflate stream")
+      off += n
+    }
+    inf.end()
+    require(off == outLen, s"deflate chunk: got $off of $outLen bytes")
+    out
+  }
 
   // ===================================================== writer =====
 
@@ -167,13 +227,71 @@ object Hdf5 {
     case NetCdf.NcByte | NetCdf.NcChar => dtFixed(1)
   }
 
+  /** Row-major overlap copy between a full array and one chunk buffer
+    * at `offset` — `toChunk` extracts (writer), else scatters (reader).
+    * Edge chunks clip to the dataset shape; the rest of the chunk
+    * buffer stays zero (HDF5 stores full-size edge chunks). */
+  private def ndCopy(full: Array[Byte], shape: Seq[Long], elem: Int,
+      chunk: Array[Byte], chunkDims: Seq[Int], offset: Seq[Long],
+      toChunk: Boolean): Unit = {
+    val rank = shape.length
+    val copyLast = math.min(chunkDims(rank - 1).toLong,
+      shape(rank - 1) - offset(rank - 1)).toInt
+    if (copyLast <= 0) return
+    val outer = (0 until rank - 1).map(d =>
+      math.min(chunkDims(d).toLong, shape(d) - offset(d)).toInt)
+    if (outer.exists(_ <= 0)) return
+    val fullStr = new Array[Long](rank)
+    val chStr = new Array[Long](rank)
+    fullStr(rank - 1) = 1; chStr(rank - 1) = 1
+    var d = rank - 2
+    while (d >= 0) {
+      fullStr(d) = fullStr(d + 1) * shape(d + 1)
+      chStr(d) = chStr(d + 1) * chunkDims(d + 1)
+      d -= 1
+    }
+    val idx = new Array[Int](math.max(rank - 1, 0))
+    var done = false
+    while (!done) {
+      var fPos = offset(rank - 1)
+      var cPos = 0L
+      var k = 0
+      while (k < rank - 1) {
+        fPos += (offset(k) + idx(k)) * fullStr(k)
+        cPos += idx(k).toLong * chStr(k)
+        k += 1
+      }
+      if (toChunk)
+        System.arraycopy(full, (fPos * elem).toInt, chunk, (cPos * elem).toInt,
+          copyLast * elem)
+      else
+        System.arraycopy(chunk, (cPos * elem).toInt, full, (fPos * elem).toInt,
+          copyLast * elem)
+      var j = rank - 2
+      var carry = true
+      while (carry && j >= 0) {
+        idx(j) += 1
+        if (idx(j) < outer(j)) carry = false else { idx(j) = 0; j -= 1 }
+      }
+      if (carry) done = true
+    }
+  }
+
+  private def cartesian(counts: Seq[Long]): Seq[Seq[Long]] =
+    counts.foldLeft(Seq(Seq.empty[Long])) { (acc, c) =>
+      acc.flatMap(p => (0L until c).map(p :+ _))
+    }
+
   /** Write a NetCDF-4-profile HDF5 file: every dim becomes a
     * DIMENSION_SCALE dataset (the variable of the same name if one
-    * exists, else a phantom int scale), every variable a contiguous
-    * dataset with a DIMENSION_LIST attribute referencing its scales —
-    * the same object graph libnetcdf emits for flat files. */
+    * exists, else a phantom int scale), every variable a dataset with a
+    * DIMENSION_LIST attribute referencing its scales — the same object
+    * graph libnetcdf emits for flat files. With `chunkDeflate`, data
+    * variables are written CHUNKED (≥2 chunks per dimension) through
+    * the shuffle+deflate filter pipeline — netCDF-4's default
+    * compression — instead of contiguous. */
   def write(path: String, dims: Seq[Dim], globalAttrs: Seq[(String, String)],
-      vars: Seq[Var]): Unit = {
+      vars: Seq[Var], chunkDeflate: Boolean = false): Unit = {
     vars.foreach { v =>
       val n = v.dimIds.map(dims(_).size.toLong).product
       require(v.data.length == n, s"${v.name}: ${v.data.length} values for $n cells")
@@ -193,6 +311,33 @@ object Hdf5 {
       .map(v => Ds(v.name, v, isScale = false, -1))
     val all = (scaleDs ++ dataDs).sortBy(_.name) // SNOD requires name order
 
+    // ---- chunk plans (chunkDeflate): split each data variable into
+    // ≥2 chunks per dimension, shuffle + deflate each chunk
+    case class ChunkPlan(chunkDims: Seq[Int], elemSize: Int,
+        chunks: Seq[(Seq[Long], Array[Byte])]) {
+      def rank: Int = chunkDims.length
+      def keySize: Int = 8 + 8 * (rank + 1)
+      def btreeSize: Int = 24 + chunks.length * (keySize + 8) + keySize
+      def regionSize: Int = btreeSize + chunks.map(_._2.length).sum
+    }
+    val plans: Map[String, ChunkPlan] =
+      if (!chunkDeflate) Map.empty
+      else dataDs.filter(_.v.dimIds.nonEmpty).map { d =>
+        val shape = d.v.dimIds.map(dims(_).size.toLong)
+        val elem = NetCdf.typeSize(d.v.ncType)
+        val data = dataBytes(d.v)
+        val cd = shape.map(s => ((s + 1) / 2).toInt)
+        val fullChunk = cd.map(_.toLong).product.toInt * elem
+        val grid = shape.zip(cd).map { case (s, c) => (s + c - 1) / c }
+        val chunks = cartesian(grid).map { ix =>
+          val off = ix.zip(cd).map { case (i, c) => i * c }
+          val buf = new Array[Byte](fullChunk)
+          ndCopy(data, shape, elem, buf, cd, off, toChunk = true)
+          (off, deflateBytes(shuffleBytes(buf, elem)))
+        }
+        d.name -> ChunkPlan(cd, elem, chunks)
+      }.toMap
+
     // ---- pass 1: serialize headers with dummy addresses to get sizes
     val needGheap = dataDs.exists(_.v.dimIds.nonEmpty)
     def dsHeader(d: Ds, dataAddr: Long, gheapAddr: Long): Array[Byte] = {
@@ -200,10 +345,27 @@ object Hdf5 {
       val msgs = ArrayBuffer.empty[(Int, Array[Byte])]
       msgs += ((0x0001, dsSimple(shape)))
       msgs += ((0x0003, dtFor(d.v.ncType)))
-      val layout = new Buf
-      layout.u8(3); layout.u8(1) // v3, contiguous
-      layout.u64(dataAddr); layout.u64(dataBytes(d.v).length.toLong)
-      msgs += ((0x0008, layout.result()))
+      plans.get(d.name) match {
+        case Some(p) =>
+          val layout = new Buf
+          layout.u8(3); layout.u8(2) // v3, chunked
+          layout.u8(p.rank + 1)
+          layout.u64(dataAddr) // chunk B-tree address
+          p.chunkDims.foreach(layout.u32)
+          layout.u32(p.elemSize)
+          msgs += ((0x0008, layout.result()))
+          // filter pipeline v1: shuffle (id 2) then deflate (id 1)
+          val f = new Buf
+          f.u8(1); f.u8(2); f.u16(0); f.u32(0)
+          f.u16(2); f.u16(0); f.u16(0); f.u16(1); f.u32(p.elemSize); f.u32(0)
+          f.u16(1); f.u16(0); f.u16(0); f.u16(1); f.u32(6); f.u32(0)
+          msgs += ((0x000B, f.result()))
+        case None =>
+          val layout = new Buf
+          layout.u8(3); layout.u8(1) // v3, contiguous
+          layout.u64(dataAddr); layout.u64(dataBytes(d.v).length.toLong)
+          msgs += ((0x0008, layout.result()))
+      }
       if (d.isScale) {
         msgs += textAttr("CLASS", "DIMENSION_SCALE")
         val nm = if (coordNames(d.name)) d.name
@@ -254,7 +416,8 @@ object Hdf5 {
     val dsHdrAddrs = headerSizes.scanLeft(snodAddr + snodSize)(_ + _)
     val gheapAddr = dsHdrAddrs.last
     val gheapSize = if (needGheap) 4096 else 0
-    val dataAddrs = all.map(d => dataBytes(d.v).length)
+    val dataAddrs = all.map(d => plans.get(d.name)
+        .map(_.regionSize).getOrElse(dataBytes(d.v).length))
       .scanLeft(gheapAddr + gheapSize)(_ + _)
     val eof = dataAddrs.last
 
@@ -315,7 +478,29 @@ object Hdf5 {
       out.bytes(g.result())
     }
 
-    all.foreach(d => out.bytes(dataBytes(d.v)))
+    all.zip(dataAddrs).foreach { case (d, addr) =>
+      plans.get(d.name) match {
+        case Some(p) =>
+          // chunk B-tree (v1, node type 1, single level-0 node)
+          val t = new Buf
+          t.bytes("TREE".getBytes("US-ASCII"))
+          t.u8(1); t.u8(0); t.u16(p.chunks.length)
+          t.u64(Undef); t.u64(Undef)
+          var chunkAddr = addr + p.btreeSize
+          p.chunks.foreach { case (off, bytes) =>
+            t.u32(bytes.length); t.u32(0) // stored size, filter mask
+            off.foreach(t.u64); t.u64(0L)
+            t.u64(chunkAddr)
+            chunkAddr += bytes.length
+          }
+          // trailing key: the dataset extent (ignored by readers)
+          t.u32(0); t.u32(0)
+          d.v.dimIds.foreach(i => t.u64(dims(i).size.toLong)); t.u64(0L)
+          out.bytes(t.result())
+          p.chunks.foreach { case (_, bytes) => out.bytes(bytes) }
+        case None => out.bytes(dataBytes(d.v))
+      }
+    }
     Files.write(Paths.get(path), out.result())
   }
 
@@ -525,6 +710,51 @@ object Hdf5 {
       s"unsupported HDF5 datatype class $c size $s")
   }
 
+  /** Read a chunked dataset: walk the v1 chunk B-tree (node type 1),
+    * reverse each chunk's filter pipeline (fletcher32 / deflate /
+    * shuffle), and scatter the full-size chunks into the row-major
+    * output, clipping edge chunks to the dataset shape. */
+  private def readChunks(r: R, btree: Long, chunkDims: Seq[Int], elem: Int,
+      shape: Seq[Long], filters: Seq[(Int, Seq[Int])], name: String): Array[Byte] = {
+    val out = new Array[Byte]((shape.product * elem).toInt)
+    val fullChunk = chunkDims.map(_.toLong).product.toInt * elem
+    def walk(a: Long): Unit = {
+      val tb = r.at(a)
+      val sig = new Array[Byte](4); tb.get(sig)
+      require(new String(sig, "US-ASCII") == "TREE", s"$name: bad chunk btree")
+      require((tb.get() & 0xff) == 1, s"$name: wrong btree node type")
+      val level = tb.get() & 0xff
+      val used = tb.getShort & 0xffff
+      r.offset(tb); r.offset(tb) // siblings
+      (0 until used).foreach { _ =>
+        val storedSize = tb.getInt
+        val mask = tb.getInt
+        val offs = (0 to chunkDims.length).map(_ => tb.getLong).init
+        val child = r.offset(tb)
+        if (level > 0) walk(child)
+        else {
+          var bytes = new Array[Byte](storedSize)
+          r.at(child).get(bytes)
+          filters.zipWithIndex.reverse.foreach { case ((id, cdata), i) =>
+            if ((mask & (1 << i)) == 0) id match {
+              case 1 => bytes = inflateBytes(bytes, fullChunk)
+              case 2 => bytes = unshuffleBytes(bytes,
+                cdata.headOption.getOrElse(elem))
+              case 3 => bytes = bytes.dropRight(4) // fletcher32 checksum
+              case o => throw new IllegalArgumentException(
+                s"$name: unsupported HDF5 filter id $o")
+            }
+          }
+          require(bytes.length == fullChunk,
+            s"$name: chunk decoded to ${bytes.length} bytes, expected $fullChunk")
+          ndCopy(out, shape, elem, bytes, chunkDims, offs, toChunk = false)
+        }
+      }
+    }
+    if (btree != Undef) walk(btree)
+    out
+  }
+
   /** Recursively collect datasets reachable from a group header. */
   private def collect(r: R, addr: Long, prefix: String,
       out: ArrayBuffer[Dataset], gattrs: ArrayBuffer[(String, String)],
@@ -539,15 +769,30 @@ object Hdf5 {
       var dataAddr = Undef
       var dataSize = 0L
       var compact: ByteBuffer = null
+      var chunked: (Long, Seq[Int], Int) = null // btree addr, chunk dims, elem size
+      var filters: Seq[(Int, Seq[Int])] = Nil
       val tattrs = ArrayBuffer.empty[(String, String)]
       val iattrs = scala.collection.mutable.Map.empty[String, Long]
       var dimRefs: Seq[Long] = Nil
       msgs.foreach {
         case (0x0001, b) => shape = parseDataspace(b)
         case (0x0003, b) => dtype = parseDtype(b)
-        case (0x000B, _) => throw new IllegalArgumentException(
-          s"$prefix: filtered (compressed) dataset unsupported — " +
-            "contiguous NetCDF-4 only")
+        case (0x000B, b) => // filter pipeline
+          val ver = b.get() & 0xff
+          val nf = b.get() & 0xff
+          if (ver == 1) { b.getShort; b.getInt }
+          filters = (0 until nf).map { _ =>
+            val id = b.getShort & 0xffff
+            val nameLen =
+              if (ver == 1 || id >= 256) b.getShort & 0xffff else 0
+            b.getShort // flags
+            val nvals = b.getShort & 0xffff
+            val skip = if (ver == 1) (nameLen + 7) & ~7 else nameLen
+            b.position(b.position() + skip)
+            val vals = (0 until nvals).map(_ => b.getInt)
+            if (ver == 1 && nvals % 2 == 1) b.getInt // pad
+            (id, vals)
+          }
         case (0x0008, b) =>
           val ver = b.get() & 0xff
           if (ver == 3) {
@@ -558,9 +803,13 @@ object Hdf5 {
                 val sz = b.getShort & 0xffff
                 compact = b.duplicate().order(ByteOrder.LITTLE_ENDIAN)
                 dataSize = sz.toLong
-              case _ => throw new IllegalArgumentException(
-                s"$prefix: chunked dataset layout unsupported — " +
-                  "contiguous NetCDF-4 only")
+              case 2 =>
+                val ndim = b.get() & 0xff
+                val btree = r.offset(b)
+                val sizes = (0 until ndim).map(_ => b.getInt)
+                chunked = (btree, sizes.init, sizes.last)
+              case c => throw new IllegalArgumentException(
+                s"$prefix: layout class $c unsupported")
             }
           } else { // v1/v2
             val rank = b.get() & 0xff
@@ -596,7 +845,12 @@ object Hdf5 {
       require(dtype != null, s"$prefix: dataset without datatype")
       val elems = (shape.product max 1L) * dtype.size
       val raw =
-        if (compact != null) compact
+        if (chunked != null) {
+          val (btree, chunkDims, elemSize) = chunked
+          if (btree == Undef) ByteBuffer.wrap(new Array[Byte](elems.toInt))
+          else ByteBuffer.wrap(
+            readChunks(r, btree, chunkDims, elemSize, shape, filters, prefix))
+        } else if (compact != null) compact
         else if (dataAddr == Undef) // never-written data: zeros
           ByteBuffer.wrap(new Array[Byte](elems.toInt))
         else {

@@ -262,9 +262,11 @@ object GridQueries {
   val qNetcdfRoundtrip: Q = netcdfRoundtrip(hdf5 = false)
 
   /** Same roundtrip through the NetCDF-4 (HDF5) container: dimension
-    * scales + DIMENSION_LIST references written and read by the
-    * from-scratch [[graft.io.Hdf5]] codec, auto-dispatched by
-    * [[graft.io.NetCdf.read]] on the \x89HDF signature. */
+    * scales + DIMENSION_LIST references, CHUNKED data variables through
+    * the shuffle+deflate filter pipeline (netCDF-4's default
+    * compression), written and read by the from-scratch
+    * [[graft.io.Hdf5]] codec, auto-dispatched by [[graft.io.NetCdf.read]]
+    * on the \x89HDF signature. */
   val qNetcdf4Roundtrip: Q = netcdfRoundtrip(hdf5 = true)
 
   private def netcdfRoundtrip(hdf5: Boolean): Q = (spark, dir) => {
@@ -285,7 +287,7 @@ object GridQueries {
       NetCdf.Var("lon", Seq(1), NetCdf.NcDouble, Seq("units" -> "degrees_east"),
         Array.tabulate(10)(_ * 2.0 + 1.0)),
       NetCdf.Var("pop_cents", Seq(0, 1), NetCdf.NcDouble, Nil, cents))
-    if (hdf5) Hdf5.write(tmp, dims, gattrs, vars)
+    if (hdf5) Hdf5.write(tmp, dims, gattrs, vars, chunkDeflate = true)
     else NetCdf.write(tmp, dims, gattrs, vars)
     val nc = NetCdf.read(tmp)
     val lat = nc.variable("lat").data.asInstanceOf[Array[Double]]

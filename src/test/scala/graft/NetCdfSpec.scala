@@ -132,6 +132,38 @@ class NetCdfSpec extends AnyFunSuite {
       Seq(0.5, 1.5, 2.5))
   }
 
+  test("HDF5 chunked + shuffle + deflate roundtrip with edge chunks") {
+    // odd shape (5,7) against chunk dims (3,4): 2x2 chunk grid with
+    // clipped edge chunks; filters: shuffle then deflate, reversed on
+    // read — netCDF-4's default compression stack
+    val path = tmp("chunked.h5")
+    graft.io.Hdf5.write(path,
+      dims = Seq(Dim("y", 5), Dim("x", 7)),
+      globalAttrs = Nil,
+      vars = Seq(
+        Var("t2", Seq(0, 1), NcDouble, Seq("units" -> "K"),
+          Array.tabulate(35)(i => 250.0 + i * 0.5)),
+        Var("mask", Seq(0, 1), NcInt, Nil, Array.tabulate(35)(_ * 3)),
+        Var("row", Seq(0), NcFloat, Nil, Array.tabulate(5)(_ * 1.5f))),
+      chunkDeflate = true)
+    // the data variables must actually be stored compressed
+    val raw = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val asDoubles = (0 until 35).map(i => 250.0 + i * 0.5)
+    val plain = java.nio.ByteBuffer.allocate(16 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    asDoubles.take(16).foreach(plain.putDouble)
+    assert(!raw.containsSlice(plain.array().toSeq),
+      "t2 appears uncompressed in the file")
+    val nc = NetCdf.read(path)
+    assert(nc.variable("t2").data.asInstanceOf[Array[Double]].toSeq == asDoubles)
+    assert(nc.variable("t2").dimIds == Seq(0, 1))
+    assert(nc.variable("mask").data.asInstanceOf[Array[Int]].toSeq ==
+      (0 until 35).map(_ * 3))
+    assert(nc.variable("row").data.asInstanceOf[Array[Float]].toSeq ==
+      (0 until 5).map(_ * 1.5f))
+    assert(nc.dims == Seq(Dim("y", 5), Dim("x", 7)))
+  }
+
   test("HDF5 reader walks multi-SNOD symbol tables (many datasets)") {
     // 40 variables forces several heap/SNOD entries and exercises name
     // ordering + btree traversal
