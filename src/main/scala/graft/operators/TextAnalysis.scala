@@ -39,6 +39,32 @@ object TextAnalysis {
     size(filter(toks, t => t.isInCollection(stopwords)))
   }
 
+  /** PII patterns (emails, North-American phone numbers, IPv4
+    * addresses) — deliberately restricted to regex constructs with
+    * identical semantics in Java regex (Spark codegen) and RE2 (the
+    * DuckDB oracle): character classes, bounded repetition, `\b`,
+    * non-capturing groups. Redaction + counting are standard corpus-prep
+    * stages before LLM training. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Count of PII matches per kind. */
+  def piiEmailCount(text: Column): Column = regexp_count(text, lit(EmailRe))
+  def piiPhoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe))
+  def piiIpCount(text: Column): Column = regexp_count(text, lit(Ipv4Re))
+
+  /** Replace every PII match with a typed placeholder. Order matters:
+    * emails first (their local parts can contain digit runs), then IPs
+    * (dotted digit groups), then phones. Pure codegen'd regexp_replace
+    * chain — no UDF, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Normalized fingerprint: lowercase, strip all non-alphanumerics, md5.
     * Near-identical docs (same words, different spacing/punct/case) get
     * equal fingerprints — the exact-dedup key for "normalized" dedup. */

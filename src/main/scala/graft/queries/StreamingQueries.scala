@@ -47,11 +47,16 @@ object StreamingQueries {
   }
 
   /** W1-W3 as a stream: tumbling 1-day window min/max/mean per event
-    * type with a watermark — the reference's resample(1D) replayed as
-    * Structured Streaming. Identical output contract (and oracle) to
-    * the batch `w1_events_daily`. */
+    * type with a watermark, in APPEND mode — each window emits exactly
+    * once when the watermark passes its close, then its state is
+    * evicted (complete mode would retain and re-emit every window ever
+    * seen — unbounded state on an unbounded stream). The sentinel
+    * micro-batch (see [[sentinelEventsStream]]) flushes the final
+    * windows of the finite replay; the sentinel's own far-future window
+    * never closes, so it never surfaces. Identical output contract (and
+    * oracle) to the batch `w1_events_daily`. */
   val qStreamEventsDaily: Q = (spark, dir) => {
-    val agg = eventsStream(spark, dir)
+    val agg = sentinelEventsStream(spark, dir)
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(
@@ -63,7 +68,7 @@ object StreamingQueries {
         col("n"), col("min_value"), col("max_value"), col("avg_value"))
     val name = s"graft_stream_daily_${runId.incrementAndGet()}"
     val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(name).orderBy("day", "event_type")
   }
@@ -101,6 +106,10 @@ object StreamingQueries {
     * st_contains-refine plan as the batch spatial join (a broadcast
     * theta join would nested-loop events × cells per micro-batch —
     * measured 50× slower), then a streaming aggregation per cell.
+    * Complete mode is the right mode HERE (unlike sessions/windows):
+    * an unwindowed per-key aggregate's state is exactly its result —
+    * O(cells), fixed by the static side, not growing with the stream;
+    * there is no watermark under which rows could ever be evicted.
     * Identical output contract (and oracle) to the batch
     * `geo_pip_join`. */
   val qStreamGeoPip: Q = (spark, dir) => {
@@ -158,7 +167,7 @@ object StreamingQueries {
     * it). Identical output contract (and oracle) to `w_sessions` —
     * stream/batch parity is the claim. */
   val qStreamSessions: Q = (spark, dir) => {
-    val agg = sessionEventsStream(spark, dir)
+    val agg = sentinelEventsStream(spark, dir)
       .withWatermark("ts", "1 day")
       .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("sw"))
       .agg(count(lit(1)).as("n_events"),
@@ -181,7 +190,7 @@ object StreamingQueries {
     * the real file so `maxFilesPerTrigger=1` replays it as a later
     * micro-batch — the finite-replay watermark-flush device for
     * append-mode session/window queries. */
-  private def sessionEventsStream(spark: SparkSession, dir: String): DataFrame = {
+  private def sentinelEventsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = Tables(spark, dir, "events").schema
     val rawSchema = org.apache.spark.sql.types.StructType(schema.map {
       case f if f.name == "ts" =>

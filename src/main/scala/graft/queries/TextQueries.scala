@@ -56,6 +56,48 @@ object TextQueries {
       |  cast(sum(len(regexp_split_to_array(trim(text), '\s+'))) as bigint) AS total_tokens
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** PII detection + redaction: every document is augmented with a
+    * deterministic synthetic contact line (so the oracle has real
+    * matches to agree on), then emails / phone numbers / IPv4 addresses
+    * are counted and replaced with typed placeholders — the standard
+    * scrub stage before LLM training. Pure codegen'd regexp chain;
+    * patterns restricted to Java-regex/RE2-identical constructs so the
+    * DuckDB oracle is bit-exact. */
+  val qTextPii: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val aug = concat(col("text"), lit(" Contact user"),
+      col("doc_id").cast("string"),
+      lit("@mail.example.com or 555-123-4567 at 10.0.0."),
+      (col("doc_id") % 256).cast("string"))
+    d.select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        TextAnalysis.piiEmailCount(col("aug")).cast("long").as("n_emails"),
+        TextAnalysis.piiPhoneCount(col("aug")).cast("long").as("n_phones"),
+        TextAnalysis.piiIpCount(col("aug")).cast("long").as("n_ips"),
+        TextAnalysis.redactPii(col("aug")).as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  val qTextPiiSql: String = {
+    val e = TextAnalysis.EmailRe
+    val p = TextAnalysis.PhoneRe
+    val ip = TextAnalysis.Ipv4Re
+    s"""WITH a AS (SELECT doc_id,
+       |  text || ' Contact user' || cast(doc_id as varchar) ||
+       |    '@mail.example.com or 555-123-4567 at 10.0.0.' ||
+       |    cast(doc_id % 256 as varchar) AS aug
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(aug, '$e')) AS n_emails,
+       |  len(regexp_extract_all(aug, '$p')) AS n_phones,
+       |  len(regexp_extract_all(aug, '$ip')) AS n_ips,
+       |  regexp_replace(regexp_replace(regexp_replace(aug,
+       |    '$e', '<EMAIL>', 'g'),
+       |    '$ip', '<IP>', 'g'),
+       |    '$p', '<PHONE>', 'g') AS redacted
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
+
   /** Language-ID heuristic: predicted language per document. */
   val qTextLangId: Q = (spark, dir) => {
     val d = Tables(spark, dir, "documents")
@@ -290,6 +332,7 @@ object TextQueries {
     "text_stats" -> qTextStats,
     "text_quality" -> qTextQuality,
     "text_langid" -> qTextLangId,
+    "text_pii" -> qTextPii,
     "dedup_exact" -> qDedupExact,
     "dedup_normalized" -> qDedupNormalized,
     "dedup_jaccard" -> qDedupJaccard,
@@ -303,6 +346,7 @@ object TextQueries {
     "text_stats" -> qTextStatsSql,
     "text_quality" -> qTextQualitySql,
     "text_langid" -> qTextLangIdSql,
+    "text_pii" -> qTextPiiSql,
     "dedup_exact" -> qDedupExactSql,
     "dedup_normalized" -> qDedupNormalizedSql,
     "dedup_jaccard" -> qDedupJaccardSql,
