@@ -506,25 +506,101 @@ object Hdf5 {
 
   // ===================================================== reader =====
 
-  private final class R(val bytes: Array[Byte], val base: Long) {
+  /** Seek-based file access: every metadata structure is read as a
+    * bounded window and data as an exact range — a scan task never
+    * loads the whole file (the property that makes per-(file, slab)
+    * partition pruning real for multi-GB NetCDF-4 inputs). */
+  private final class R(file: java.io.RandomAccessFile, val base: Long) {
     var szOff = 8
     var szLen = 8
-    def at(addr: Long): ByteBuffer = {
-      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-      b.position((base + addr).toInt)
-      b
+    private val fileLen = file.length()
+    def window(addr: Long, len: Long): ByteBuffer = {
+      val n = math.max(math.min(len, fileLen - (base + addr)), 0L).toInt
+      val b = new Array[Byte](n)
+      file.seek(base + addr)
+      file.readFully(b)
+      ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
     }
+    /** Default metadata window. Structures that can outgrow it (SNODs,
+      * B-tree nodes, object headers) re-window to their exact size. */
+    def at(addr: Long): ByteBuffer = window(addr, 1 << 16)
+    def atLen(addr: Long, len: Long): ByteBuffer = window(addr, len)
     def offset(b: ByteBuffer): Long =
       if (szOff == 8) b.getLong else b.getInt.toLong & 0xffffffffL
     def length(b: ByteBuffer): Long =
       if (szLen == 8) b.getLong else b.getInt.toLong & 0xffffffffL
   }
 
-  private case class Dtype(clazz: Int, size: Int, littleEndian: Boolean,
+  private def withFile[T](path: String)(f: (R, Long) => T): T = {
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      val head = new Array[Byte](8)
+      raf.readFully(head)
+      var sbOff = 0L
+      if (!head.sameElements(Signature)) {
+        var probe = 512L
+        var found = -1L
+        while (found < 0 && probe + 8 < raf.length()) {
+          raf.seek(probe)
+          val b = new Array[Byte](8); raf.readFully(b)
+          if (b.sameElements(Signature)) found = probe else probe *= 2
+        }
+        require(found >= 0, "not an HDF5 file")
+        sbOff = found
+      }
+      val (r, rootAddr) = openSuperblock(raf, sbOff)
+      f(r, rootAddr)
+    } finally raf.close()
+  }
+
+  private def openSuperblock(raf: java.io.RandomAccessFile,
+      sbOff: Long): (R, Long) = {
+    val r0 = new R(raf, 0L)
+    val sb = r0.window(sbOff + 8, 64)
+    val sbVer = sb.get() & 0xff
+    val (szOff, szLen, rootAddr) = sbVer match {
+      case 0 | 1 =>
+        sb.get(); sb.get(); sb.get(); sb.get()
+        val so = sb.get() & 0xff
+        val sl = sb.get() & 0xff
+        sb.get()
+        sb.getShort; sb.getShort; sb.getInt
+        if (sbVer == 1) sb.getInt
+        r0.szOff = so; r0.szLen = sl
+        val baseAddr = r0.offset(sb)
+        r0.offset(sb); r0.offset(sb); r0.offset(sb)
+        r0.offset(sb) // root STE: link name offset
+        val hdr = r0.offset(sb)
+        require(baseAddr == sbOff, "unexpected base address")
+        (so, sl, hdr)
+      case 2 | 3 =>
+        val so = sb.get() & 0xff
+        val sl = sb.get() & 0xff
+        sb.get() // consistency flags
+        r0.szOff = so; r0.szLen = sl
+        val baseAddr = r0.offset(sb)
+        r0.offset(sb) // superblock extension
+        r0.offset(sb) // eof
+        val hdr = r0.offset(sb)
+        require(baseAddr == sbOff, "unexpected base address")
+        (so, sl, hdr)
+      case v => throw new IllegalArgumentException(s"superblock v$v")
+    }
+    val r = new R(raf, sbOff)
+    r.szOff = szOff; r.szLen = szLen
+    (r, rootAddr)
+  }
+
+  private[io] case class Dtype(clazz: Int, size: Int, littleEndian: Boolean,
     base: Option[Dtype])
 
-  private case class Dataset(name: String, addr: Long, shape: Seq[Long],
-    dtype: Dtype, data: Array[_],
+  /** Dataset METADATA — everything needed to decode data later via
+    * ranged reads (the Parquet-footer analogue). Exactly one of
+    * (dataAddr, compactBytes, chunked) describes the layout. */
+  private[io] case class Dataset(name: String, addr: Long, shape: Seq[Long],
+    dtype: Dtype, dataAddr: Long, dataSize: Long,
+    compactBytes: Array[Byte], chunked: (Long, Seq[Int], Int),
+    filters: Seq[(Int, Seq[Int])],
     textAttrs: Seq[(String, String)], intAttrs: Map[String, Long],
     dimRefs: Seq[Long])
 
@@ -566,50 +642,57 @@ object Hdf5 {
   }
 
   /** All (type, bodyBuffer) messages of an object header, v1 or v2,
-    * following continuation blocks. */
+    * following continuation blocks. Each header area is read as one
+    * exact-size window. */
   private def headerMessages(r: R, addr: Long): Seq[(Int, ByteBuffer)] = {
     val out = ArrayBuffer.empty[(Int, ByteBuffer)]
-    val b0 = r.at(addr)
-    val first = b0.get(b0.position()) & 0xff
+    val probe = r.window(addr, 48)
+    val first = probe.get(0) & 0xff
     if (first == 'O') { // v2: "OHDR"
-      val sig = new Array[Byte](4); b0.get(sig)
+      val sig = new Array[Byte](4); probe.get(sig)
       require(new String(sig, "US-ASCII") == "OHDR", "bad object header")
-      require((b0.get() & 0xff) == 2, "object header version")
-      val flags = b0.get() & 0xff
-      if ((flags & 0x20) != 0) b0.position(b0.position() + 16) // times
-      if ((flags & 0x10) != 0) b0.position(b0.position() + 4) // phase
+      require((probe.get() & 0xff) == 2, "object header version")
+      val flags = probe.get() & 0xff
+      if ((flags & 0x20) != 0) probe.position(probe.position() + 16) // times
+      if ((flags & 0x10) != 0) probe.position(probe.position() + 4) // phase
       val chunkSize = (flags & 0x3) match {
-        case 0 => b0.get() & 0xffL
-        case 1 => b0.getShort & 0xffffL
-        case 2 => b0.getInt & 0xffffffffL
-        case _ => b0.getLong
+        case 0 => probe.get() & 0xffL
+        case 1 => probe.getShort & 0xffffL
+        case 2 => probe.getInt & 0xffffffffL
+        case _ => probe.getLong
       }
-      val end = b0.position() + chunkSize.toInt
       val track = (flags & 0x04) != 0
-      while (b0.position() < end - 3) { // gap may be < message header
-        val t = b0.get() & 0xff
-        val sz = b0.getShort & 0xffff
-        b0.get() // message flags
-        if (track) b0.position(b0.position() + 2)
-        val body = b0.duplicate().order(ByteOrder.LITTLE_ENDIAN)
-        out += ((t, body))
-        b0.position(b0.position() + sz)
-      }
+      def scan(b: ByteBuffer, end: Int): Unit =
+        while (b.position() < end - 3) { // gap may be < message header
+          val t = b.get() & 0xff
+          val sz = b.getShort & 0xffff
+          b.get() // message flags
+          if (track) b.position(b.position() + 2)
+          val body = b.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+          if (t == 0x0010) { // OCHK continuation block
+            val ca = r.offset(body); val cl = r.length(body)
+            val cb = r.window(ca, cl)
+            val cs = new Array[Byte](4); cb.get(cs)
+            require(new String(cs, "US-ASCII") == "OCHK", "bad continuation")
+            scan(cb, (cl - 4).toInt) // trailing checksum
+          } else out += ((t, body))
+          b.position(b.position() + sz)
+        }
+      scan(r.window(addr + probe.position(), chunkSize), chunkSize.toInt)
     } else { // v1
-      require((b0.get() & 0xff) == 1, "object header version")
-      b0.get()
-      val nMsgs = b0.getShort & 0xffff
-      b0.getInt // reference count
-      val hdrSize = b0.getInt // size of chunk-0 message data
-      b0.getInt // padding to 8
+      require((probe.get() & 0xff) == 1, "object header version")
+      probe.get()
+      val nMsgs = probe.getShort & 0xffff
+      probe.getInt // reference count
+      val hdrSize = probe.getInt // size of chunk-0 message data
       var remaining = nMsgs
-      var cursor = b0
+      var cursor = r.window(addr + 16, hdrSize.toLong) // after 4-byte pad
+      var limit = hdrSize.toLong
       val continuations = ArrayBuffer.empty[(Long, Long)]
-      var limit = b0.position().toLong + hdrSize
       while (remaining > 0) {
         if (cursor.position() + 8 > limit && continuations.nonEmpty) {
           val (ca, cl) = continuations.remove(0)
-          cursor = r.at(ca); limit = r.base + ca + cl
+          cursor = r.window(ca, cl); limit = cl
         }
         val t = cursor.getShort & 0xffff
         val sz = cursor.getShort & 0xffff
@@ -710,48 +793,64 @@ object Hdf5 {
       s"unsupported HDF5 datatype class $c size $s")
   }
 
-  /** Read a chunked dataset: walk the v1 chunk B-tree (node type 1),
-    * reverse each chunk's filter pipeline (fletcher32 / deflate /
-    * shuffle), and scatter the full-size chunks into the row-major
-    * output, clipping edge chunks to the dataset shape. */
-  private def readChunks(r: R, btree: Long, chunkDims: Seq[Int], elem: Int,
-      shape: Seq[Long], filters: Seq[(Int, Seq[Int])], name: String): Array[Byte] = {
-    val out = new Array[Byte]((shape.product * elem).toInt)
-    val fullChunk = chunkDims.map(_.toLong).product.toInt * elem
+  /** Walk a v1 chunk B-tree (node type 1), calling `f(offsets,
+    * storedSize, filterMask, chunkAddr)` per leaf chunk. Nodes are read
+    * as exact-size windows. */
+  private def forEachChunk(r: R, btree: Long, rank: Int, name: String)(
+      f: (Seq[Long], Int, Int, Long) => Unit): Unit = {
+    val keySize = 8 + 8 * (rank + 1)
     def walk(a: Long): Unit = {
-      val tb = r.at(a)
-      val sig = new Array[Byte](4); tb.get(sig)
+      val probe = r.window(a, 8)
+      val sig = new Array[Byte](4); probe.get(sig)
       require(new String(sig, "US-ASCII") == "TREE", s"$name: bad chunk btree")
-      require((tb.get() & 0xff) == 1, s"$name: wrong btree node type")
-      val level = tb.get() & 0xff
-      val used = tb.getShort & 0xffff
+      require((probe.get() & 0xff) == 1, s"$name: wrong btree node type")
+      val level = probe.get() & 0xff
+      val used = probe.getShort & 0xffff
+      val tb = r.window(a, 24L + used.toLong * (keySize + r.szOff) + keySize)
+      tb.position(8)
       r.offset(tb); r.offset(tb) // siblings
       (0 until used).foreach { _ =>
         val storedSize = tb.getInt
         val mask = tb.getInt
-        val offs = (0 to chunkDims.length).map(_ => tb.getLong).init
+        val offs = (0 to rank).map(_ => tb.getLong).init
         val child = r.offset(tb)
-        if (level > 0) walk(child)
-        else {
-          var bytes = new Array[Byte](storedSize)
-          r.at(child).get(bytes)
-          filters.zipWithIndex.reverse.foreach { case ((id, cdata), i) =>
-            if ((mask & (1 << i)) == 0) id match {
-              case 1 => bytes = inflateBytes(bytes, fullChunk)
-              case 2 => bytes = unshuffleBytes(bytes,
-                cdata.headOption.getOrElse(elem))
-              case 3 => bytes = bytes.dropRight(4) // fletcher32 checksum
-              case o => throw new IllegalArgumentException(
-                s"$name: unsupported HDF5 filter id $o")
-            }
-          }
-          require(bytes.length == fullChunk,
-            s"$name: chunk decoded to ${bytes.length} bytes, expected $fullChunk")
-          ndCopy(out, shape, elem, bytes, chunkDims, offs, toChunk = false)
-        }
+        if (level > 0) walk(child) else f(offs, storedSize, mask, child)
       }
     }
     if (btree != Undef) walk(btree)
+  }
+
+  /** Reverse a chunk's filter pipeline (fletcher32 / deflate / shuffle)
+    * down to `fullChunk` raw bytes. */
+  private def unfilterChunk(stored: Array[Byte], mask: Int,
+      filters: Seq[(Int, Seq[Int])], fullChunk: Int, elem: Int,
+      name: String): Array[Byte] = {
+    var bytes = stored
+    filters.zipWithIndex.reverse.foreach { case ((id, cdata), i) =>
+      if ((mask & (1 << i)) == 0) id match {
+        case 1 => bytes = inflateBytes(bytes, fullChunk)
+        case 2 => bytes = unshuffleBytes(bytes, cdata.headOption.getOrElse(elem))
+        case 3 => bytes = bytes.dropRight(4) // fletcher32 checksum
+        case o => throw new IllegalArgumentException(
+          s"$name: unsupported HDF5 filter id $o")
+      }
+    }
+    require(bytes.length == fullChunk,
+      s"$name: chunk decoded to ${bytes.length} bytes, expected $fullChunk")
+    bytes
+  }
+
+  /** Read a whole chunked dataset into row-major raw bytes. */
+  private def readChunks(r: R, btree: Long, chunkDims: Seq[Int], elem: Int,
+      shape: Seq[Long], filters: Seq[(Int, Seq[Int])], name: String): Array[Byte] = {
+    val out = new Array[Byte]((shape.product * elem).toInt)
+    val fullChunk = chunkDims.map(_.toLong).product.toInt * elem
+    forEachChunk(r, btree, chunkDims.length, name) { (offs, storedSize, mask, child) =>
+      val stored = new Array[Byte](storedSize)
+      r.atLen(child, storedSize.toLong).get(stored)
+      val bytes = unfilterChunk(stored, mask, filters, fullChunk, elem, name)
+      ndCopy(out, shape, elem, bytes, chunkDims, offs, toChunk = false)
+    }
     out
   }
 
@@ -768,7 +867,7 @@ object Hdf5 {
       var dtype: Dtype = null
       var dataAddr = Undef
       var dataSize = 0L
-      var compact: ByteBuffer = null
+      var compact: Array[Byte] = null
       var chunked: (Long, Seq[Int], Int) = null // btree addr, chunk dims, elem size
       var filters: Seq[(Int, Seq[Int])] = Nil
       val tattrs = ArrayBuffer.empty[(String, String)]
@@ -801,7 +900,8 @@ object Hdf5 {
               case 1 => dataAddr = r.offset(b); dataSize = r.length(b)
               case 0 =>
                 val sz = b.getShort & 0xffff
-                compact = b.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+                compact = new Array[Byte](sz)
+                b.get(compact)
                 dataSize = sz.toLong
               case 2 =>
                 val ndim = b.get() & 0xff
@@ -843,23 +943,8 @@ object Hdf5 {
         case _ => ()
       }
       require(dtype != null, s"$prefix: dataset without datatype")
-      val elems = (shape.product max 1L) * dtype.size
-      val raw =
-        if (chunked != null) {
-          val (btree, chunkDims, elemSize) = chunked
-          if (btree == Undef) ByteBuffer.wrap(new Array[Byte](elems.toInt))
-          else ByteBuffer.wrap(
-            readChunks(r, btree, chunkDims, elemSize, shape, filters, prefix))
-        } else if (compact != null) compact
-        else if (dataAddr == Undef) // never-written data: zeros
-          ByteBuffer.wrap(new Array[Byte](elems.toInt))
-        else {
-          if (dataSize >= 0 && dataSize != elems)
-            require(dataSize >= elems, s"$prefix: truncated data")
-          r.at(dataAddr)
-        }
-      out += Dataset(prefix, addr, shape, dtype,
-        decode(dtype, shape, raw), tattrs.toSeq, iattrs.toMap, dimRefs)
+      out += Dataset(prefix, addr, shape, dtype, dataAddr, dataSize,
+        compact, chunked, filters, tattrs.toSeq, iattrs.toMap, dimRefs)
     } else {
       // ---- group
       if (isRoot) msgs.foreach {
@@ -954,62 +1039,26 @@ object Hdf5 {
     }
   }
 
-  /** Read a NetCDF-4 (HDF5) file into the same [[NetCdf.NcFile]] model
-    * as the classic reader: dimensions from DIMENSION_SCALE datasets
-    * (ordered by _Netcdf4Dimid when present), variables with dim ids
-    * resolved through DIMENSION_LIST references, phantom scales
-    * excluded from the variable list. */
-  def read(path: String): NcFile = {
-    val bytes = Files.readAllBytes(Paths.get(path))
-    // superblock at 0 or at a 512*2^n byte boundary
-    var sbOff = 0L
-    if (!isHdf5(bytes)) {
-      var probe = 512L
-      var found = -1L
-      while (found < 0 && probe + 8 < bytes.length) {
-        if (bytes.slice(probe.toInt, probe.toInt + 8).sameElements(Signature))
-          found = probe
-        else probe *= 2
-      }
-      require(found >= 0, "not an HDF5 file")
-      sbOff = found
+  /** Decode a dataset's full contents via ranged reads. */
+  private def readRaw(r: R, d: Dataset): ByteBuffer = {
+    val elems = (d.shape.product max 1L) * d.dtype.size
+    if (d.chunked != null) {
+      val (btree, chunkDims, elemSize) = d.chunked
+      if (btree == Undef) ByteBuffer.wrap(new Array[Byte](elems.toInt))
+      else ByteBuffer.wrap(
+        readChunks(r, btree, chunkDims, elemSize, d.shape, d.filters, d.name))
+    } else if (d.compactBytes != null) ByteBuffer.wrap(d.compactBytes)
+    else if (d.dataAddr == Undef) // never-written data: zeros
+      ByteBuffer.wrap(new Array[Byte](elems.toInt))
+    else {
+      if (d.dataSize >= 0)
+        require(d.dataSize >= elems, s"${d.name}: truncated data")
+      r.atLen(d.dataAddr, elems)
     }
-    val r = new R(bytes, 0L)
-    val sb = r.at(sbOff + 8)
-    val sbVer = sb.get() & 0xff
-    val rootAddr: Long = sbVer match {
-      case 0 | 1 =>
-        sb.get(); sb.get(); sb.get(); sb.get()
-        r.szOff = sb.get() & 0xff
-        r.szLen = sb.get() & 0xff
-        sb.get()
-        sb.getShort; sb.getShort; sb.getInt
-        if (sbVer == 1) sb.getInt
-        val baseAddr = r.offset(sb)
-        r.offset(sb); r.offset(sb); r.offset(sb)
-        r.offset(sb) // root STE: link name offset
-        val hdr = r.offset(sb)
-        require(baseAddr == sbOff, "unexpected base address")
-        hdr + baseAddr - sbOff // addresses are relative to base
-      case 2 | 3 =>
-        r.szOff = sb.get() & 0xff
-        r.szLen = sb.get() & 0xff
-        sb.get() // consistency flags
-        val baseAddr = r.offset(sb)
-        r.offset(sb) // superblock extension
-        r.offset(sb) // eof
-        val hdr = r.offset(sb)
-        require(baseAddr == sbOff, "unexpected base address")
-        hdr
-      case v => throw new IllegalArgumentException(s"superblock v$v")
-    }
-    val rBase = new R(bytes, sbOff)
-    rBase.szOff = r.szOff; rBase.szLen = r.szLen
+  }
 
-    val datasets = ArrayBuffer.empty[Dataset]
-    val gattrs = ArrayBuffer.empty[(String, String)]
-    collect(rBase, rootAddr, "", datasets, gattrs, isRoot = true)
-
+  /** Shared dims/vars assembly from collected dataset metadata. */
+  private def assemble(datasets: Seq[Dataset]): (Seq[Dim], Seq[(Dataset, Seq[Int])]) = {
     val scales = datasets.filter(_.textAttrs.exists {
       case ("CLASS", v) => v == "DIMENSION_SCALE"
       case _ => false
@@ -1019,13 +1068,10 @@ object Hdf5 {
     val dims = ordered.map(d => Dim(d.name, d.shape.headOption.getOrElse(0L).toInt))
     val addrToDimId = ordered.zipWithIndex.map { case (d, i) => d.addr -> i }.toMap
     val sizeToDimId = dims.zipWithIndex.map { case (d, i) => d.size.toLong -> i }.toMap
-
     def isPhantom(d: Dataset): Boolean = d.textAttrs.exists {
       case ("NAME", v) => v.startsWith(PhantomPrefix)
       case _ => false
     }
-    val internal = Set("CLASS", "NAME", "DIMENSION_LIST", "REFERENCE_LIST",
-      "_Netcdf4Dimid", "_Netcdf4Coordinates", "_NCProperties")
     val vars = datasets.filterNot(isPhantom).map { d =>
       val dimIds: Seq[Int] =
         if (d.dimRefs.nonEmpty) d.dimRefs.map(addrToDimId)
@@ -1033,9 +1079,117 @@ object Hdf5 {
         else d.shape.map(s => sizeToDimId.getOrElse(s,
           throw new IllegalArgumentException(
             s"${d.name}: no dimension of size $s")))
-      Var(d.name, dimIds, ncTypeOf(d.dtype),
-        d.textAttrs.filterNot(a => internal(a._1)), d.data)
+      (d, dimIds)
     }
-    NcFile(dims.toSeq, gattrs.toSeq.filterNot(a => internal(a._1)), vars.toSeq)
+    (dims.toSeq, vars)
   }
+
+  private val InternalAttrs = Set("CLASS", "NAME", "DIMENSION_LIST",
+    "REFERENCE_LIST", "_Netcdf4Dimid", "_Netcdf4Coordinates", "_NCProperties")
+
+  /** Read a NetCDF-4 (HDF5) file into the same [[NetCdf.NcFile]] model
+    * as the classic reader: dimensions from DIMENSION_SCALE datasets
+    * (ordered by _Netcdf4Dimid when present), variables with dim ids
+    * resolved through DIMENSION_LIST references, phantom scales
+    * excluded from the variable list. */
+  def read(path: String): NcFile = withFile(path) { (r, rootAddr) =>
+    val datasets = ArrayBuffer.empty[Dataset]
+    val gattrs = ArrayBuffer.empty[(String, String)]
+    collect(r, rootAddr, "", datasets, gattrs, isRoot = true)
+    val (dims, vars) = assemble(datasets.toSeq)
+    val out = vars.map { case (d, dimIds) =>
+      Var(d.name, dimIds, ncTypeOf(d.dtype),
+        d.textAttrs.filterNot(a => InternalAttrs(a._1)),
+        decode(d.dtype, d.shape, readRaw(r, d)))
+    }
+    NcFile(dims, gattrs.toSeq.filterNot(a => InternalAttrs(a._1)), out)
+  }
+
+  // ------------------------------------ distributed-scan meta API -----
+
+  final case class H5VarMeta private[io] (name: String, dimIds: Seq[Int],
+    ncType: Int, attrs: Seq[(String, String)], private[io] ds: Dataset)
+  final case class H5Meta private[io] (dims: Seq[Dim],
+      globalAttrs: Seq[(String, String)], varsMeta: Seq[H5VarMeta]) {
+    def varMeta(name: String): H5VarMeta = varsMeta.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no variable $name"))
+  }
+
+  /** Metadata-only read: group traversal + dataset headers, no data
+    * decode — the planning step of a distributed .nc scan. */
+  def readMeta(path: String): H5Meta = withFile(path) { (r, rootAddr) =>
+    val datasets = ArrayBuffer.empty[Dataset]
+    val gattrs = ArrayBuffer.empty[(String, String)]
+    collect(r, rootAddr, "", datasets, gattrs, isRoot = true)
+    val (dims, vars) = assemble(datasets.toSeq)
+    H5Meta(dims, gattrs.toSeq.filterNot(a => InternalAttrs(a._1)),
+      vars.map { case (d, dimIds) =>
+        H5VarMeta(d.name, dimIds, ncTypeOf(d.dtype),
+          d.textAttrs.filterNot(a => InternalAttrs(a._1)), d)
+      })
+  }
+
+  private def toDoubles(a: Array[_]): Array[Double] = a match {
+    case d: Array[Double] => d
+    case f: Array[Float] => f.map(_.toDouble)
+    case i: Array[Int] => i.map(_.toDouble)
+    case l: Array[Long] => l.map(_.toDouble)
+    case s: Array[Short] => s.map(_.toDouble)
+    case b: Array[Byte] => b.map(_.toDouble)
+    case other => throw new IllegalArgumentException(
+      s"not a numeric array: ${other.getClass}")
+  }
+
+  /** Whole numeric variable as doubles (used for coordinate axes). */
+  def readVarDouble(path: String, vm: H5VarMeta): Array[Double] =
+    withFile(path) { (r, _) =>
+      toDoubles(decode(vm.ds.dtype, vm.ds.shape, readRaw(r, vm.ds)))
+    }
+
+  /** One leading-dimension slab (e.g. one time step of a (t,y,x)
+    * variable) as doubles. Contiguous layout reads exactly the slab's
+    * byte range; chunked layout reads and unfilters ONLY the chunks
+    * whose leading-dim extent covers the slab — a pruned slab's other
+    * chunks are never touched. */
+  def readVarSlabDouble(path: String, vm: H5VarMeta, slab: Int): Array[Double] =
+    withFile(path) { (r, _) =>
+      val ds = vm.ds
+      require(ds.shape.nonEmpty, s"${ds.name}: scalar variable has no slabs")
+      val restShape = ds.shape.tail
+      val rest = (restShape.product max 1L).toInt
+      val elem = ds.dtype.size
+      val outBytes =
+        if (ds.chunked != null) {
+          val (btree, chunkDims, elemSize) = ds.chunked
+          val fullChunk = chunkDims.map(_.toLong).product.toInt * elemSize
+          val cdRest = chunkDims.tail.map(_.toLong).product.toInt
+          val out = new Array[Byte](rest * elem)
+          forEachChunk(r, btree, chunkDims.length, ds.name) {
+            (offs, storedSize, mask, child) =>
+              if (offs.head <= slab && slab < offs.head + chunkDims.head) {
+                val stored = new Array[Byte](storedSize)
+                r.atLen(child, storedSize.toLong).get(stored)
+                val bytes = unfilterChunk(stored, mask, ds.filters,
+                  fullChunk, elemSize, ds.name)
+                val k = (slab - offs.head).toInt
+                val slice = java.util.Arrays.copyOfRange(bytes,
+                  k * cdRest * elem, (k + 1) * cdRest * elem)
+                if (restShape.isEmpty)
+                  System.arraycopy(slice, 0, out, 0, elem)
+                else ndCopy(out, restShape, elem, slice, chunkDims.tail,
+                  offs.tail, toChunk = false)
+              }
+          }
+          out
+        } else if (ds.compactBytes != null)
+          java.util.Arrays.copyOfRange(ds.compactBytes,
+            slab * rest * elem, (slab + 1) * rest * elem)
+        else if (ds.dataAddr == Undef) new Array[Byte](rest * elem)
+        else {
+          val b = new Array[Byte](rest * elem)
+          r.atLen(ds.dataAddr + slab.toLong * rest * elem, rest.toLong * elem).get(b)
+          b
+        }
+      toDoubles(decode(ds.dtype, restShape, ByteBuffer.wrap(outBytes)))
+    }
 }

@@ -153,12 +153,19 @@ object NetCdf {
       .getOrElse(throw new IllegalArgumentException(s"no variable $name"))
   }
 
-  /** Read either container: classic CDF-1/2/5 or NetCDF-4 (HDF5,
-    * dispatched to [[Hdf5.read]] on the \x89HDF signature). */
-  def read(path: String): NcFile = {
-    val bytes = Files.readAllBytes(Paths.get(path))
-    if (Hdf5.isHdf5(bytes)) return Hdf5.read(path)
-    val buf = ByteBuffer.wrap(bytes)
+  /** Header-only metadata of a classic-format variable: everything
+    * needed to plan and execute RANGED data reads (the Parquet-footer
+    * analogue for distributed .nc scans). */
+  final case class VarMeta(name: String, dimIds: Seq[Int], ncType: Int,
+    attrs: Seq[(String, String)], begin: Long, vsize: Long)
+  final case class Meta(dims: Seq[Dim], globalAttrs: Seq[(String, String)],
+    varsMeta: Seq[VarMeta]) {
+    def varMeta(name: String): VarMeta = varsMeta.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no variable $name"))
+  }
+
+  /** Parse the classic header from a buffer positioned at byte 0. */
+  private def parseMeta(buf: ByteBuffer): Meta = {
     require(buf.get() == 'C' && buf.get() == 'D' && buf.get() == 'F',
       "not a NetCDF file (neither CDF classic nor HDF5 signature)")
     val version = buf.get().toInt
@@ -208,9 +215,78 @@ object NetCdf {
       val t = buf.getInt
       val vsize = size()
       val b0 = begin()
-      val n = dimIds.map(dims(_).size.toLong).product.toInt
-      val db = ByteBuffer.wrap(bytes, b0.toInt, vsize.toInt)
-      val data: Array[_] = t match {
+      VarMeta(vn, dimIds, t, vatts, b0, vsize)
+    }
+    Meta(dims.toSeq, gatts, vars.toSeq)
+  }
+
+  /** Metadata-only read of a classic file: parses a growing prefix
+    * until the header fits — data bytes are never touched (the
+    * Parquet-footer analogue; used by the distributed GridSource). */
+  def readMeta(path: String): Meta = {
+    val total = Files.size(Paths.get(path))
+    var take = math.min(total, 1L << 16).toInt
+    while (true) {
+      val f = new java.io.RandomAccessFile(path, "r")
+      val bytes = new Array[Byte](take)
+      try { f.readFully(bytes) } finally f.close()
+      try return parseMeta(ByteBuffer.wrap(bytes))
+      catch {
+        case _: java.nio.BufferUnderflowException
+            | _: IndexOutOfBoundsException if take < total =>
+          take = math.min(total, take.toLong * 4).toInt
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def decodeNumeric(bytes: Array[Byte], ncType: Int, n: Int): Array[Double] = {
+    val db = ByteBuffer.wrap(bytes)
+    ncType match {
+      case NcDouble => Array.fill(n)(db.getDouble)
+      case NcFloat => Array.fill(n)(db.getFloat.toDouble)
+      case NcInt => Array.fill(n)(db.getInt.toDouble)
+      case NcInt64 => Array.fill(n)(db.getLong.toDouble)
+      case NcShort => Array.fill(n)(db.getShort.toDouble)
+      case NcByte => Array.fill(n)(db.get().toDouble)
+      case other => throw new IllegalArgumentException(s"nc_type $other is not numeric")
+    }
+  }
+
+  private def ranged(path: String, offset: Long, len: Int): Array[Byte] = {
+    val f = new java.io.RandomAccessFile(path, "r")
+    try { f.seek(offset); val b = new Array[Byte](len); f.readFully(b); b }
+    finally f.close()
+  }
+
+  /** Whole numeric variable as doubles, via one ranged read. */
+  def readVarDouble(path: String, meta: Meta, vm: VarMeta): Array[Double] = {
+    val n = vm.dimIds.map(meta.dims(_).size.toLong).product.toInt
+    decodeNumeric(ranged(path, vm.begin, n * typeSize(vm.ncType)), vm.ncType, n)
+  }
+
+  /** One leading-dimension slab (e.g. one time step of a (t,y,x) var)
+    * as doubles — reads ONLY that slab's byte range. */
+  def readVarSlabDouble(path: String, meta: Meta, vm: VarMeta,
+      slab: Int): Array[Double] = {
+    require(vm.dimIds.nonEmpty, s"${vm.name}: scalar variable has no slabs")
+    val rest = vm.dimIds.tail.map(meta.dims(_).size.toLong).product.toInt
+    val es = typeSize(vm.ncType)
+    decodeNumeric(
+      ranged(path, vm.begin + slab.toLong * rest * es, rest * es),
+      vm.ncType, rest)
+  }
+
+  /** Read either container: classic CDF-1/2/5 or NetCDF-4 (HDF5,
+    * dispatched to [[Hdf5.read]] on the \x89HDF signature). */
+  def read(path: String): NcFile = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    if (Hdf5.isHdf5(bytes)) return Hdf5.read(path)
+    val meta = parseMeta(ByteBuffer.wrap(bytes))
+    val vars = meta.varsMeta.map { vm =>
+      val n = vm.dimIds.map(meta.dims(_).size.toLong).product.toInt
+      val db = ByteBuffer.wrap(bytes, vm.begin.toInt, vm.vsize.toInt)
+      val data: Array[_] = vm.ncType match {
         case NcDouble => Array.fill(n)(db.getDouble)
         case NcFloat => Array.fill(n)(db.getFloat)
         case NcInt => Array.fill(n)(db.getInt)
@@ -220,8 +296,8 @@ object NetCdf {
           val b = new Array[Byte](n); db.get(b); b
         case other => throw new IllegalArgumentException(s"nc_type $other")
       }
-      Var(vn, dimIds, t, vatts, data)
+      Var(vm.name, vm.dimIds, vm.ncType, vm.attrs, data)
     }
-    NcFile(dims, gatts, vars)
+    NcFile(meta.dims, meta.globalAttrs, vars)
   }
 }

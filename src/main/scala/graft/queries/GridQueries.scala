@@ -124,6 +124,41 @@ object GridQueries {
       |WHERE x.x BETWEEN 5 AND 14 AND y.y >= 2 AND t.t >= 6
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** S1 over REAL NetCDF inputs: the same scan + slab-pruned aggregate
+    * as [[qGridSourceScan]], but the directory holds a MIX of classic
+    * CDF files and chunked shuffle+deflate NetCDF-4 files — the
+    * GridSource treats all three containers identically (one
+    * InputPartition per (file, time-slab), pruned slabs never read,
+    * pruned chunks never inflated). Same oracle. */
+  val qGridSourceScanNc: Q = (spark, dir) => {
+    import graft.io.{Hdf5, NetCdf}
+    val tmp = java.nio.file.Files.createTempDirectory("ncgrid_q")
+    val dims = Seq(NetCdf.Dim("time", 6), NetCdf.Dim("y", 10), NetCdf.Dim("x", 20))
+    def vars(k: Int) = Seq(
+      NetCdf.Var("time", Seq(0), NetCdf.NcDouble, Nil,
+        Array.tabulate(6)(i => ((k * 6 + i) * 3600L * 1000000L).toDouble)),
+      NetCdf.Var("y", Seq(1), NetCdf.NcDouble, Nil, Array.tabulate(10)(_ * 0.5)),
+      NetCdf.Var("x", Seq(2), NetCdf.NcDouble, Nil, Array.tabulate(20)(_ * 0.25)),
+      NetCdf.Var("t2", Seq(0, 1, 2), NetCdf.NcDouble, Nil,
+        Array.tabulate(6 * 10 * 20) { i =>
+          val tl = i / 200; val y = i % 200 / 20; val x = i % 20
+          (((k * 6 + tl) * 31 + y * 7 + x) % 100) / 4.0
+        }))
+    for (k <- 0 until 4)
+      if (k % 2 == 0)
+        NetCdf.write(tmp.resolve(f"slab-$k%02d.nc").toString, dims, Nil, vars(k))
+      else
+        Hdf5.write(tmp.resolve(f"slab-$k%02d.h5").toString, dims, Nil, vars(k),
+          chunkDeflate = true)
+    spark.read.format("graft.sources.GridSource").load(tmp.toString)
+      .filter(col("x").between(5, 14) && col("y") >= 2 &&
+        col("time") >= lit("1970-01-01 06:00:00").cast("timestamp"))
+      .groupBy(col("y").cast("long").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 4).cast("long")).as("sum4"))
+      .orderBy("y")
+  }
+
   /** Pipeline 3.2 (`haduk_voronoi.py`, the "portable variant"): the
     * SAME pipeline template as [[qGridPipeline]] with a different
     * grid config — different dims (y = user_id mod 15, x = event_id
@@ -317,6 +352,7 @@ object GridQueries {
     "grid_pipeline" -> qGridPipeline,
     "grid_pipeline_voronoi" -> qGridPipelineVoronoi,
     "grid_source_scan" -> qGridSourceScan,
+    "grid_source_scan_nc" -> qGridSourceScanNc,
     "p_drop_cast_slice" -> qDropCastSlice)
 
   val oracles: Map[String, String] = Map(
@@ -326,5 +362,6 @@ object GridQueries {
     "grid_pipeline" -> qGridPipelineSql,
     "grid_pipeline_voronoi" -> qGridPipelineVoronoiSql,
     "grid_source_scan" -> qGridSourceScanSql,
+    "grid_source_scan_nc" -> qGridSourceScanSql,
     "p_drop_cast_slice" -> qDropCastSliceSql)
 }

@@ -3,12 +3,12 @@ package graft.sources
 import java.io.{DataOutputStream, FileOutputStream, RandomAccessFile}
 import java.nio.ByteBuffer
 
-/** The `.ggrd` dense-grid container: the engine's stand-in for a NetCDF
-  * variable (SURVEY §2.1 S1 — no NetCDF library ships in this
-  * environment, so the DENSE-ARRAY-to-long-form expansion the reference
-  * gets from `xr.open_dataset` is exercised against this minimal
-  * deterministic format instead; swapping in a NetCDF reader changes
-  * only the byte-level parsing, not the DataSource V2 machinery).
+/** The `.ggrd` dense-grid container: a minimal deterministic grid
+  * format (SURVEY §2.1 S1). Originally the stand-in for NetCDF input;
+  * [[GridFile]] now also scans real NetCDF (classic via
+  * `graft.io.NetCdf`, NetCDF-4/HDF5 via `graft.io.Hdf5`) through the
+  * same DataSource V2 machinery — this format remains as the simplest
+  * fixture and a fast uncompressed interchange.
   *
   * Layout (big-endian):
   *   int32 magic "GGRD" | int32 version=1 | int32 nt | int32 ny | int32 nx

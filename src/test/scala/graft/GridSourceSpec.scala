@@ -81,6 +81,44 @@ class GridSourceSpec extends SparkSpec {
     assert(sliced.count() == 9 * 10 * 20)
   }
 
+  test("scans classic NetCDF and chunked NetCDF-4 identically to .ggrd") {
+    import graft.io.{Hdf5, NetCdf}
+    val dir = Files.createTempDirectory("nc_grid")
+    val dims = Seq(NetCdf.Dim("time", 24), NetCdf.Dim("y", 10), NetCdf.Dim("x", 20))
+    val vars = Seq(
+      // time coordinate carries epoch micros (INT64 in the classic
+      // file, so exercise CDF-5; DOUBLE works in both containers)
+      NetCdf.Var("time", Seq(0), NetCdf.NcDouble, Nil,
+        Array.tabulate(24)(t => (t * 3600L * 1000000L).toDouble)),
+      NetCdf.Var("y", Seq(1), NetCdf.NcDouble, Nil, Array.tabulate(10)(_ * 0.5)),
+      NetCdf.Var("x", Seq(2), NetCdf.NcDouble, Nil, Array.tabulate(20)(_ * 0.25)),
+      NetCdf.Var("t2", Seq(0, 1, 2), NetCdf.NcDouble, Seq("units" -> "K"),
+        Array.tabulate(24 * 10 * 20) { i =>
+          val t = i / 200; val y = i % 200 / 20; val x = i % 20
+          ((t * 31 + y * 7 + x) % 100) / 4.0
+        }))
+    val ncPath = dir.resolve("t2.nc").toString
+    NetCdf.write(ncPath, dims, Nil, vars)
+    val h5Path = dir.resolve("t2.h5").toString
+    Hdf5.write(h5Path, dims, Nil, vars, chunkDeflate = true)
+
+    val want = grid.select("time", "y", "x", "lat", "lon", "value")
+      .as[(java.sql.Timestamp, Int, Int, Double, Double, Double)].collect().toSet
+    for (p <- Seq(ncPath, h5Path)) {
+      val nc = spark.read.format("graft.sources.GridSource").load(p)
+      val got = nc.select("time", "y", "x", "lat", "lon", "value")
+        .as[(java.sql.Timestamp, Int, Int, Double, Double, Double)].collect().toSet
+      assert(got == want, s"$p diverges from the .ggrd scan")
+      // slab pruning works identically: time predicate drops partitions
+      val sliced = nc.filter($"time" >= lit("1970-01-01 18:00:00").cast("timestamp"))
+      assert(sliced.rdd.getNumPartitions == 6, s"$p: slab pruning broken")
+      // pushdown reaches the scan
+      val desc = nc.filter($"y" >= 2 && $"y" <= 4).queryExecution
+        .executedPlan.toString
+      assert(desc.contains("GreaterThanOrEqual(y,2)"), s"$p: pushdown missing")
+    }
+  }
+
   test("feeds the standard pipeline: daily stats over the grid source") {
     import graft.grid.GridConfig
     val stats = graft.pipelines.Pipelines.temporalDailyStats(
