@@ -183,6 +183,31 @@ object ScaleBench {
         .as[(Long, Long, Long)].head()
     }
 
+    // --- stage 9: distributed NetCDF-4 scan — 4 chunked shuffle+deflate
+    // .h5 files, 12 time slabs x 1000x1000 cells = 12M grid points,
+    // expanded to long form through the DataSource V2 GridSource (write
+    // cost excluded; the timed path is scan + slab pruning + aggregate)
+    val ncDir = java.nio.file.Files.createTempDirectory("scale_nc")
+    locally {
+      import graft.io.{Hdf5, NetCdf}
+      val (gy, gx) = (1000, 1000)
+      val dims = Seq(NetCdf.Dim("time", 3), NetCdf.Dim("y", gy), NetCdf.Dim("x", gx))
+      for (k <- 0 until 4) {
+        val vars = Seq(
+          NetCdf.Var("time", Seq(0), NetCdf.NcDouble, Nil,
+            Array.tabulate(3)(i => ((k * 3 + i) * 3600L * 1000000L).toDouble)),
+          NetCdf.Var("t2", Seq(0, 1, 2), NetCdf.NcDouble, Nil,
+            Array.tabulate(3 * gy * gx)(i => ((i * 2654435761L) % 1000) / 10.0)))
+        Hdf5.write(ncDir.resolve(f"part-$k%02d.h5").toString, dims, Nil, vars,
+          chunkDeflate = true)
+      }
+    }
+    val (ncStats, tNcScan) = timed {
+      val g = spark.read.format("graft.sources.GridSource").load(ncDir.toString)
+        .filter(col("time") >= lit("1970-01-01 03:00:00").cast("timestamp"))
+      g.agg(count(lit(1)), sum(col("value"))).as[(Long, Double)].head()
+    }
+
     println(
       s"""{"metric":"reference_scale","overlay_sec":$tOverlay,""" +
         s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
@@ -192,6 +217,7 @@ object ScaleBench {
         s""""prep_contaminated":${prepStats._2},""" +
         s""""pack_10m_sec":$tPack,"pack_rows":${packStats._1},""" +
         s""""pack_max_shard":${packStats._2},""" +
+        s""""nc4_scan_sec":$tNcScan,"nc4_rows":${ncStats._1},""" +
         s""""regrid_cells":$regridRows,"voronoi_cells":$vorCells,""" +
         s""""conservation_ratio":$ratio}""")
     spark.stop()
