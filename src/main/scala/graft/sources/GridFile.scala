@@ -41,8 +41,48 @@ private[sources] object GridFile {
   private def axisOrDefault(coord: Option[Array[Double]], n: Int): Array[Double] =
     coord.getOrElse(Array.tabulate(n)(_ + 0.5))
 
-  private def timesOrDefault(coord: Option[Array[Double]], n: Int): Array[Long] =
-    coord.map(_.map(_.toLong)).getOrElse(Array.tabulate(n)(_.toLong))
+  /** CF-convention time decode: a `units` attribute of the form
+    * "<seconds|minutes|hours|days> since <ISO date[ time]>" converts
+    * coordinate values to epoch micros (the reference gets this from
+    * xarray's CF decoding, wrf_voronoi.py:115). Without a parseable
+    * units attribute, values are taken as epoch micros directly;
+    * without a time coordinate at all, slab index. */
+  private val CfUnitsRe =
+    """(?i)\s*(second|sec|s|minute|min|hour|hr|h|day|d)s?\s+since\s+(.+?)\s*""".r
+
+  private def cfScaleMicros(unit: String): Long = unit.toLowerCase match {
+    case "second" | "sec" | "s" => 1000000L
+    case "minute" | "min" => 60L * 1000000L
+    case "hour" | "hr" | "h" => 3600L * 1000000L
+    case "day" | "d" => 86400L * 1000000L
+  }
+
+  private def parseEpochMicros(s: String): Option[Long] = {
+    val t = s.trim.replace("T", " ")
+    val full = if (t.contains(" ")) t else t + " 00:00:00"
+    try {
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-M-d H:m[:s[.SSS]]")
+      Some(java.time.LocalDateTime.parse(full, fmt)
+        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L)
+    } catch { case _: Exception => None }
+  }
+
+  private def timesOrDefault(coord: Option[(Array[Double], Seq[(String, String)])],
+      n: Int): Array[Long] =
+    coord match {
+      case None => Array.tabulate(n)(_.toLong)
+      case Some((vals, attrs)) =>
+        val cf = attrs.collectFirst { case ("units", u) => u }.flatMap {
+          case CfUnitsRe(unit, epoch) =>
+            parseEpochMicros(epoch).map(e => (cfScaleMicros(unit), e))
+          case _ => None
+        }
+        cf match {
+          case Some((scale, epoch)) => vals.map(v => epoch + (v * scale).toLong)
+          case None => vals.map(_.toLong) // raw epoch micros
+        }
+    }
 
   private final class NcClassic(path: String) extends GridFile {
     private val meta = NetCdf.readMeta(path)
@@ -50,13 +90,15 @@ private[sources] object GridFile {
       .getOrElse(throw new IllegalArgumentException(
         s"$path: no rank-3 (time, y, x) variable"))
     private val Seq(dt, dy, dx) = dataVm.dimIds
-    private def coord(dimId: Int): Option[Array[Double]] =
+    private def coordVm(dimId: Int): Option[NetCdf.VarMeta] =
       meta.varsMeta.find(v =>
-          v.name == meta.dims(dimId).name && v.dimIds == Seq(dimId))
-        .map(NetCdf.readVarDouble(path, meta, _))
+        v.name == meta.dims(dimId).name && v.dimIds == Seq(dimId))
+    private def coord(dimId: Int): Option[Array[Double]] =
+      coordVm(dimId).map(NetCdf.readVarDouble(path, meta, _))
     val header: GridBinary.Header = GridBinary.Header(
       meta.dims(dt).size, meta.dims(dy).size, meta.dims(dx).size,
-      timesOrDefault(coord(dt), meta.dims(dt).size),
+      timesOrDefault(coordVm(dt).map(vm =>
+        (NetCdf.readVarDouble(path, meta, vm), vm.attrs)), meta.dims(dt).size),
       axisOrDefault(coord(dy), meta.dims(dy).size),
       axisOrDefault(coord(dx), meta.dims(dx).size))
     def readSlab(t: Int): Array[Double] =
@@ -69,13 +111,15 @@ private[sources] object GridFile {
       .getOrElse(throw new IllegalArgumentException(
         s"$path: no rank-3 (time, y, x) variable"))
     private val Seq(dt, dy, dx) = dataVm.dimIds
-    private def coord(dimId: Int): Option[Array[Double]] =
+    private def coordVm(dimId: Int): Option[Hdf5.H5VarMeta] =
       meta.varsMeta.find(v =>
-          v.name == meta.dims(dimId).name && v.dimIds == Seq(dimId))
-        .map(Hdf5.readVarDouble(path, _))
+        v.name == meta.dims(dimId).name && v.dimIds == Seq(dimId))
+    private def coord(dimId: Int): Option[Array[Double]] =
+      coordVm(dimId).map(Hdf5.readVarDouble(path, _))
     val header: GridBinary.Header = GridBinary.Header(
       meta.dims(dt).size, meta.dims(dy).size, meta.dims(dx).size,
-      timesOrDefault(coord(dt), meta.dims(dt).size),
+      timesOrDefault(coordVm(dt).map(vm =>
+        (Hdf5.readVarDouble(path, vm), vm.attrs)), meta.dims(dt).size),
       axisOrDefault(coord(dy), meta.dims(dy).size),
       axisOrDefault(coord(dx), meta.dims(dx).size))
     def readSlab(t: Int): Array[Double] =

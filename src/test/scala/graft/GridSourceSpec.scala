@@ -119,6 +119,30 @@ class GridSourceSpec extends SparkSpec {
     }
   }
 
+  test("CF time units decode: 'hours since <epoch>' coordinates") {
+    import graft.io.NetCdf
+    val dir = Files.createTempDirectory("nc_cf")
+    val p = dir.resolve("cf.nc").toString
+    NetCdf.write(p,
+      Seq(NetCdf.Dim("time", 4), NetCdf.Dim("y", 2), NetCdf.Dim("x", 3)),
+      Nil,
+      Seq(
+        NetCdf.Var("time", Seq(0), NetCdf.NcDouble,
+          Seq("units" -> "hours since 2024-03-01 06:00:00"),
+          Array(0.0, 1.0, 2.5, 24.0)),
+        NetCdf.Var("t2", Seq(0, 1, 2), NetCdf.NcFloat, Nil,
+          Array.tabulate(24)(_.toFloat))))
+    val g = spark.read.format("graft.sources.GridSource").load(p)
+    val times = g.select($"time").distinct().orderBy("time")
+      .as[java.sql.Timestamp].collect().map(_.toString)
+    assert(times.toSeq == Seq(
+      "2024-03-01 06:00:00.0", "2024-03-01 07:00:00.0",
+      "2024-03-01 08:30:00.0", "2024-03-02 06:00:00.0"))
+    // slab pruning keyed on the decoded times
+    val sliced = g.filter($"time" >= lit("2024-03-01 08:00:00").cast("timestamp"))
+    assert(sliced.rdd.getNumPartitions == 2)
+  }
+
   test("feeds the standard pipeline: daily stats over the grid source") {
     import graft.grid.GridConfig
     val stats = graft.pipelines.Pipelines.temporalDailyStats(
