@@ -39,6 +39,39 @@ object TextAnalysis {
     size(filter(toks, t => t.isInCollection(stopwords)))
   }
 
+  /** Word n-grams as a MULTISET (order kept, duplicates kept — unlike
+    * [[Dedup.shingles]]' sorted-distinct sets): the unit of the
+    * repetition quality signals below. Empty when the document has
+    * fewer than `n` tokens. */
+  def wordGrams(text: Column, n: Int): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Repetition signals (the Gopher-rule family): highly repetitive
+    * documents — boilerplate, keyword stuffing, generation loops — show
+    * a dominant n-gram or a low distinct-token ratio and are filtered
+    * before training. Pure column expressions; the per-row cost is
+    * O(distinct-grams × grams), fine for document-sized rows. */
+  def topGramCount(text: Column, n: Int): Column = {
+    val grams = wordGrams(text, n)
+    coalesce(
+      array_max(transform(array_distinct(grams),
+        g => size(filter(grams, x => x === g)))),
+      lit(0))
+  }
+
+  /** Fraction of tokens that repeat an earlier token:
+    * (n_tokens − n_distinct) / n_tokens. */
+  def dupTokenFraction(text: Column): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    (size(toks) - size(array_distinct(toks))) /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
   /** PII patterns (emails, North-American phone numbers, IPv4
     * addresses) — deliberately restricted to regex constructs with
     * identical semantics in Java regex (Spark codegen) and RE2 (the

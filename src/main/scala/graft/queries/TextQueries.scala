@@ -98,6 +98,51 @@ object TextQueries {
        |FROM a ORDER BY doc_id""".stripMargin
   }
 
+  /** Repetition quality signals (Gopher-rule family): dominant-2-gram
+    * fraction and duplicate-token fraction per document, plus the
+    * resulting keep/drop verdict at the standard thresholds (top-2-gram
+    * fraction < 0.20 — documents past that are boilerplate/stuffing).
+    * Fractions are exact IEEE divisions of integer counts, so the
+    * DuckDB oracle hash-matches bit-for-bit. */
+  val qTextRepetition: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val nGrams = greatest(TextAnalysis.tokenCount(col("text")) - 1, lit(0))
+    val top2 = TextAnalysis.topGramCount(col("text"), 2)
+    d.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"),
+      TextAnalysis.dupTokenFraction(col("text")).as("dup_tok_frac"),
+      nGrams.cast("long").as("n_2grams"),
+      top2.cast("long").as("top2_n"),
+      (top2 / greatest(nGrams, lit(1)).cast("double")).as("top2_frac"))
+      .withColumn("keep_repetition", col("top2_frac") < 0.20)
+      .orderBy("doc_id")
+  }
+
+  val qTextRepetitionSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
+      |  FROM documents),
+      |g AS (SELECT doc_id, n_toks, toks,
+      |    CASE WHEN len(toks) >= 2 THEN
+      |      list_transform(range(1, len(toks)), i ->
+      |        array_to_string(list_slice(toks, i, i + 1), ' '))
+      |    ELSE [] END AS grams
+      |  FROM t)
+      |SELECT doc_id, n_toks,
+      |  (len(toks) - len(list_distinct(toks))) /
+      |    greatest(len(toks), 1)::DOUBLE AS dup_tok_frac,
+      |  cast(greatest(n_toks - 1, 0) as bigint) AS n_2grams,
+      |  cast(coalesce(list_max(list_transform(list_distinct(grams), x ->
+      |    len(list_filter(grams, y -> y = x)))), 0) as bigint) AS top2_n,
+      |  coalesce(list_max(list_transform(list_distinct(grams), x ->
+      |    len(list_filter(grams, y -> y = x)))), 0) /
+      |    greatest(greatest(n_toks - 1, 0), 1)::DOUBLE AS top2_frac,
+      |  coalesce(list_max(list_transform(list_distinct(grams), x ->
+      |    len(list_filter(grams, y -> y = x)))), 0) /
+      |    greatest(greatest(n_toks - 1, 0), 1)::DOUBLE < 0.20 AS keep_repetition
+      |FROM g ORDER BY doc_id""".stripMargin
+
   /** Language-ID heuristic: predicted language per document. */
   val qTextLangId: Q = (spark, dir) => {
     val d = Tables(spark, dir, "documents")
@@ -333,6 +378,7 @@ object TextQueries {
     "text_quality" -> qTextQuality,
     "text_langid" -> qTextLangId,
     "text_pii" -> qTextPii,
+    "text_repetition" -> qTextRepetition,
     "dedup_exact" -> qDedupExact,
     "dedup_normalized" -> qDedupNormalized,
     "dedup_jaccard" -> qDedupJaccard,
@@ -347,6 +393,7 @@ object TextQueries {
     "text_quality" -> qTextQualitySql,
     "text_langid" -> qTextLangIdSql,
     "text_pii" -> qTextPiiSql,
+    "text_repetition" -> qTextRepetitionSql,
     "dedup_exact" -> qDedupExactSql,
     "dedup_normalized" -> qDedupNormalizedSql,
     "dedup_jaccard" -> qDedupJaccardSql,
