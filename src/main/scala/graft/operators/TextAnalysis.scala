@@ -54,14 +54,22 @@ object TextAnalysis {
   /** Repetition signals (the Gopher-rule family): highly repetitive
     * documents — boilerplate, keyword stuffing, generation loops — show
     * a dominant n-gram or a low distinct-token ratio and are filtered
-    * before training. Pure column expressions; the per-row cost is
-    * O(distinct-grams × grams), fine for document-sized rows. */
+    * before training. Max multiplicity = max run length over the SORTED
+    * gram array, so the per-row cost is O(g log g) — a naive
+    * count-each-distinct-gram formulation is O(distinct × g), quadratic
+    * on exactly the long repetitive documents this signal exists to
+    * catch. Pure column expressions, no shuffle. */
   def topGramCount(text: Column, n: Int): Column = {
-    val grams = wordGrams(text, n)
-    coalesce(
-      array_max(transform(array_distinct(grams),
-        g => size(filter(grams, x => x === g)))),
-      lit(0))
+    val grams = array_sort(wordGrams(text, n))
+    aggregate(
+      grams,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      }).getField("best")
   }
 
   /** Fraction of tokens that repeat an earlier token:

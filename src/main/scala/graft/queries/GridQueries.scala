@@ -230,7 +230,13 @@ object GridQueries {
       (((col("event_id") / 12).cast("long") % 2) * 15 + col("user_id") % 15).as("x"),
       col("ts"), col("value"))
     val stats = Pipelines.temporalDailyStats(ev, cfg)
-    val seeds = ev.select("y", "x").distinct()
+    // The lattice is FIXED and dense (12 × 30 = two 15-wide domains), as
+    // a WRF grid is — deriving seeds from observed events would let a
+    // sparse sample punch holes in the tessellation and inflate the
+    // neighbouring cells, breaking the closed-form interior-cell oracle
+    // at low SF. 360 rows: negligible, and Voronoi cost is data-free.
+    val seeds = spark.range(12L * 30L).select(
+      (col("id") / 30).cast("long").as("y"), (col("id") % 30).as("x"))
       .withColumn("d", (col("x") / 15).cast("long"))
       .withColumn("xl", col("x") % 15)
       .withColumn("lon",
