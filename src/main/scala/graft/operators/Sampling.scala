@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / split assignment for training-data
@@ -44,4 +44,42 @@ object Sampling {
     * as [[hashBucket]]. */
   def sampleFilter(key: Column, salt: String, pct: Int): Column =
     hashBucket(key, salt, 100) < pct
+
+  /** Temperature-weighted domain mixing: per-source acceptance
+    * thresholds that reshape the corpus toward a token budget with
+    * up-weighted small domains (the standard p^α multinomial mixture;
+    * α = 0.5 fixed, i.e. weights ∝ √tokens — sqrt is correctly-rounded
+    * IEEE so every engine computes the identical weight, which a general
+    * pow(p, α) would not guarantee).
+    *
+    * Shape at 100 TB: ONE map-side-partial groupBy over the corpus to
+    * get per-source token totals (the only shuffle, #sources rows out),
+    * then pure arithmetic on that tiny frame. Callers broadcast-join
+    * the result back onto the corpus and keep rows where
+    * [[hashBucket]](id, salt, buckets) < threshold — no second shuffle,
+    * no RNG, reproducible on backfill.
+    *
+    * Exactness contract (the DuckDB oracle matches bit-for-bit):
+    * √tokens is fixed-pointed to 1e-6 and summed as integers
+    * (order-free), all cross products are decimal(38,0) (no bigint
+    * overflow at 100 TB token counts), and the final rate is ONE
+    * correctly-rounded double division of two exact operands.
+    *
+    * Returns one row per source: (source, n_docs, n_toks, threshold)
+    * where threshold ∈ [0, buckets] approximates
+    * buckets · min(1, budget·q_s/T_s), q_s = √T_s / Σ√T. */
+  def domainMixThresholds(perSourceToks: DataFrame, tokenBudget: Long,
+      buckets: Int = 10000): DataFrame = {
+    val s6 = round(sqrt(col("n_toks")) * 1e6).cast("long")
+    val withSqrt = perSourceToks.withColumn("sqrt6", s6)
+    val total = withSqrt.agg(sum("sqrt6").cast("long").as("sqrt6_total"))
+    withSqrt.crossJoin(broadcast(total))
+      .withColumn("thr",
+        least(lit(buckets).cast("long"), round(
+          (col("sqrt6").cast("decimal(38,0)") * tokenBudget * buckets)
+            .cast("double") /
+          (col("n_toks").cast("decimal(38,0)") * col("sqrt6_total"))
+            .cast("double")).cast("long")))
+      .drop("sqrt6", "sqrt6_total")
+  }
 }

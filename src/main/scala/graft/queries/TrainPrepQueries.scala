@@ -189,14 +189,88 @@ object TrainPrepQueries {
       |WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
       |ORDER BY doc_id""".stripMargin
 
+  /** Temperature-weighted DOMAIN MIXING ([[Sampling.domainMixThresholds]]):
+    * per-source √token-share acceptance thresholds toward a 20k-token
+    * budget, then a deterministic per-document keep decision. One
+    * groupBy over the corpus, thresholds broadcast back — the keep
+    * column is a pure hash comparison, so re-running the mix on a
+    * backfilled 100 TB corpus reproduces the same sample. */
+  val qDomainMix: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val perSource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_toks"))
+    val thr = Sampling.domainMixThresholds(perSource, tokenBudget = 20000)
+      .select(col("source"), col("thr"))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(thr), Seq("source"))
+      .select(col("doc_id"), col("source"), col("thr"),
+        (Sampling.hashBucket(col("doc_id"), "mix:", 10000) < col("thr"))
+          .as("keep_mix"))
+      .orderBy("doc_id")
+  }
+
+  val qDomainMixSql: String =
+    """WITH s AS (
+      |  SELECT source,
+      |    sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS n_toks
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT source, n_toks,
+      |    cast(round(sqrt(n_toks) * 1e6) as bigint) AS sqrt6 FROM s),
+      |tot AS (SELECT sum(sqrt6)::BIGINT AS sqrt6_total FROM w),
+      |thr AS (SELECT source,
+      |    least(cast(10000 as bigint), cast(round(
+      |      (sqrt6::DECIMAL(38,0) * 20000 * 10000)::DOUBLE /
+      |      (n_toks::DECIMAL(38,0) * sqrt6_total)::DOUBLE) as bigint)) AS thr
+      |  FROM w, tot)
+      |SELECT d.doc_id, d.source, t.thr,
+      |  ('0x'||substr(md5('mix:'||d.doc_id),1,15))::BIGINT % 10000 < t.thr
+      |    AS keep_mix
+      |FROM documents d JOIN thr t USING (source)
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** CORPUS COMPOSITION: per (source, language) document/token counts
+    * and shares — the mixture report every training-data pipeline
+    * publishes next to its shards. One map-side-partial groupBy; the
+    * global totals re-aggregate the tiny grouped frame and broadcast
+    * back, so shares are single exact-operand double divisions (no
+    * order-dependent double accumulation — hash-stable vs the oracle). */
+  val qCorpusMix: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val g = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_toks"))
+    val tot = g.agg(sum("n_docs").as("td"), sum("n_toks").as("tt"))
+    g.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_toks"),
+        (col("n_docs").cast("double") / col("td")).as("doc_share"),
+        (col("n_toks").cast("double") / col("tt")).as("tok_share"))
+      .orderBy("source", "lang")
+  }
+
+  val qCorpusMixSql: String =
+    """WITH g AS (
+      |  SELECT source, lang, count(*)::BIGINT AS n_docs,
+      |    sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS n_toks
+      |  FROM documents GROUP BY 1, 2),
+      |t AS (SELECT sum(n_docs)::BIGINT AS td, sum(n_toks)::BIGINT AS tt FROM g)
+      |SELECT source, lang, n_docs, n_toks,
+      |  n_docs / td::DOUBLE AS doc_share,
+      |  n_toks / tt::DOUBLE AS tok_share
+      |FROM g, t ORDER BY source, lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sample_split" -> qSampleSplit,
+    "sample_domain_mix" -> qDomainMix,
+    "corpus_mix" -> qCorpusMix,
     "text_contamination" -> qTextContamination,
     "pipeline_docprep" -> qPipelineDocprep,
     "pack_shards" -> qPackShards)
 
   val oracles: Map[String, String] = Map(
     "sample_split" -> qSampleSplitSql,
+    "sample_domain_mix" -> qDomainMixSql,
+    "corpus_mix" -> qCorpusMixSql,
     "text_contamination" -> qTextContaminationSql,
     "pipeline_docprep" -> qPipelineDocprepSql,
     "pack_shards" -> qPackShardsSql)

@@ -66,6 +66,27 @@ class TrainPrepSpec extends SparkSpec {
       Row(2L, "2024-01-01 00:00:00", 1L, 4.0)))
   }
 
+  test("domainMixThresholds up-weights small domains at alpha=0.5") {
+    // big domain has 100x the tokens: with q ∝ √T the acceptance RATE
+    // ratio small/big must be √100 = 10 (rate_s ∝ 1/√T_s), and the
+    // threshold must never exceed the bucket count.
+    val per = Seq(("big", 1000000L), ("small", 10000L)).toDF("source", "n_toks")
+    val thr = Sampling.domainMixThresholds(per, tokenBudget = 100000)
+      .select(col("source"), col("thr")).as[(String, Long)].collect().toMap
+    assert(thr("small") <= 10000 && thr("big") <= 10000)
+    assert(thr("small") > 0 && thr("big") > 0)
+    val ratio = thr("small").toDouble / thr("big")
+    assert(math.abs(ratio - 10.0) < 0.05, s"ratio $ratio")
+  }
+
+  test("domainMixThresholds caps the rate at 1") {
+    // budget far above the corpus: every domain saturates at buckets
+    val per = Seq(("a", 100L), ("b", 400L)).toDF("source", "n_toks")
+    val thr = Sampling.domainMixThresholds(per, tokenBudget = 1000000)
+      .select(col("thr")).as[Long].collect()
+    assert(thr.forall(_ == 10000L))
+  }
+
   test("leakage safety: split is constant within a near-dup cluster") {
     // two clusters: {0,1} near-dups, {2} alone — reps hash identically
     val comp = Seq((0L, 0L), (1L, 0L), (2L, 2L)).toDF("id", "cluster_rep")
