@@ -106,14 +106,24 @@ object TextQueries {
     * DuckDB oracle hash-matches bit-for-bit. */
   val qTextRepetition: Q = (spark, dir) => {
     val d = Tables(spark, dir, "documents")
-    val nGrams = greatest(TextAnalysis.tokenCount(col("text")) - 1, lit(0))
-    val top2 = TextAnalysis.topGramCount(col("text"), 2)
-    d.select(col("doc_id"),
-      TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"),
-      TextAnalysis.dupTokenFraction(col("text")).as("dup_tok_frac"),
-      nGrams.cast("long").as("n_2grams"),
-      top2.cast("long").as("top2_n"),
-      (top2 / greatest(nGrams, lit(1)).cast("double")).as("top2_frac"))
+    // ONE compiled tokenize pass per document ([[RepetitionStats]]);
+    // every signal below is arithmetic over its struct fields. The
+    // Column formulation (TextAnalysis.topGramCount/dupTokenFraction)
+    // is semantically identical but re-splits the text and runs
+    // interpreted lambdas per signal — 4× slower at sf0.1.
+    import org.apache.spark.sql.graftbridge.Bridge
+    val r = Bridge.column(graft.expressions.RepetitionStats(
+      Seq(Bridge.expression(col("text"))), 2))
+    val nGrams = greatest(col("r.n_toks") - 1, lit(0))
+    d.select(col("doc_id"), r.as("r"))
+      .select(col("doc_id"),
+        col("r.n_toks").cast("long").as("n_toks"),
+        ((col("r.n_toks") - col("r.n_distinct")) /
+          greatest(col("r.n_toks"), lit(1)).cast("double")).as("dup_tok_frac"),
+        nGrams.cast("long").as("n_2grams"),
+        col("r.top_gram").cast("long").as("top2_n"),
+        (col("r.top_gram") / greatest(nGrams, lit(1)).cast("double"))
+          .as("top2_frac"))
       .withColumn("keep_repetition", col("top2_frac") < 0.20)
       .orderBy("doc_id")
   }

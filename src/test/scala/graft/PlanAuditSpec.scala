@@ -29,9 +29,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   test("nested-loop joins only where a tiny broadcast side is intended") {
     // brute-force ANN scores corpus x queries (queries: 3 rows,
     // broadcast); the heat-island extract and the conservation ratio
-    // cross-join one single-row aggregate into the stream.
+    // cross-join one single-row aggregate into the stream; the mix
+    // queries cross-join their single-row global-totals aggregate the
+    // same way (sqrt6_total / corpus totals — 1 row by construction).
     val allowed = Set("ann_bruteforce_topk", "geo_heat_island",
-      "geo_regrid_conservation", "geo_nearest_cell")
+      "geo_regrid_conservation", "geo_nearest_cell",
+      "sample_domain_mix", "corpus_mix")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(n) => n
     }
@@ -78,6 +81,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
         _.child.output.exists(_.name.toLowerCase.contains("text")))
       assert(offenders.isEmpty,
         s"shuffles carrying document text:\n${offenders.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("domain-mix thresholds broadcast back onto the corpus") {
+    // The per-source threshold frame is #sources rows — joining it back
+    // must be a broadcast hash join, never a shuffle of the corpus side
+    // on `source` (a low-cardinality, skew-prone key at 100 TB).
+    assert(plans("sample_domain_mix").contains("BroadcastHashJoin"),
+      s"sample_domain_mix: threshold join did not broadcast\n${plans("sample_domain_mix")}")
+  }
+
+  test("mix/composition aggregations never shuffle document text") {
+    // tokenCount is computed map-side; the groupBy Exchanges must carry
+    // only the grouping keys + partial sums.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Seq("sample_domain_mix", "corpus_mix").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      val offenders = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+            if e.child.output.exists(_.name.toLowerCase.contains("text")) => e
+      }
+      assert(offenders.isEmpty,
+        s"$q: shuffles carrying document text:\n${offenders.mkString("\n")}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 

@@ -42,6 +42,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.as[Int].collect().forall(_ == 0))
   }
 
+  test("RepetitionStats expression equals the Column formulation on real docs") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val r = Bridge.column(graft.expressions.RepetitionStats(
+      Seq(Bridge.expression(col("text"))), 2))
+    val both = docs.select(col("doc_id"), r.as("r"),
+        TextAnalysis.tokenCount(col("text")).as("c_toks"),
+        TextAnalysis.topGramCount(col("text"), 2).as("c_top"),
+        TextAnalysis.dupTokenFraction(col("text")).as("c_dup"))
+      .select(col("doc_id"),
+        (col("r.n_toks") === col("c_toks")).as("toks_eq"),
+        (col("r.top_gram") === col("c_top")).as("top_eq"),
+        (((col("r.n_toks") - col("r.n_distinct")) /
+          greatest(col("r.n_toks"), lit(1)).cast("double")) === col("c_dup"))
+          .as("dup_eq"))
+    val bad = both.filter(!col("toks_eq") || !col("top_eq") || !col("dup_eq"))
+    assert(bad.count() == 0, bad.take(3).mkString("\n"))
+  }
+
   test("dupTokenFraction matches definitional value") {
     val df = Seq("a a a a", "a b c d", "").toDF("text")
       .select(TextAnalysis.dupTokenFraction(col("text")).as("f"))
