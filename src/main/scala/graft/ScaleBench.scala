@@ -208,6 +208,45 @@ object ScaleBench {
       g.agg(count(lit(1)), sum(col("value"))).as[(Long, Double)].head()
     }
 
+    // --- stage 10 (north-star): repetition quality + domain mixing
+    // over 1M docs, 10% of them pathological boilerplate (one phrase
+    // repeated 40x) — the adversarial input for a quadratic top-gram
+    // count; RepetitionStats stays O(tokens) per doc. The mixing pass
+    // is ONE groupBy over the survivors + a broadcast threshold join.
+    val (mixStats, tMix) = timed {
+      import org.apache.spark.sql.graftbridge.Bridge
+      import graft.expressions.RepetitionStats
+      import graft.operators.Sampling
+      val docsN = 1000000L
+      def mword(seed: org.apache.spark.sql.Column, i: Int) =
+        concat(lit("w"), pmod(hash(seed, lit(i)), lit(5000)).cast("string"))
+      val normal = concat_ws(" ", (0 until 50).map(i => mword(col("id"), i)): _*)
+      val spam = trim(repeat(
+        concat(lit("buy now w"), pmod(col("id"), lit(7)).cast("string"),
+          lit(" ")), 40))
+      val docs = spark.range(docsN).select(col("id"),
+        when(col("id") % 10 === 0, spam).otherwise(normal).as("text"),
+        concat(lit("src"), pmod(col("id"), lit(16)).cast("string"))
+          .as("source"))
+      val r = Bridge.column(RepetitionStats(
+        Seq(Bridge.expression(col("text"))), 2))
+      val flagged = docs.select(col("id"), col("source"), r.as("r"))
+        .withColumn("keep_rep",
+          (col("r.top_gram") /
+            greatest(col("r.n_toks") - 1, lit(1)).cast("double")) < 0.20)
+      val perSource = flagged.filter(col("keep_rep"))
+        .groupBy("source")
+        .agg(sum(col("r.n_toks").cast("long")).as("n_toks"))
+      val thr = Sampling.domainMixThresholds(perSource, tokenBudget = 10000000L)
+      val kept = flagged.filter(col("keep_rep"))
+        .join(broadcast(thr.select("source", "thr")), Seq("source"))
+        .filter(Sampling.hashBucket(col("id"), "mix:", 10000) < col("thr"))
+        .count()
+      val dropped = flagged.filter(!col("keep_rep")).count()
+      (dropped, kept)
+    }
+    assert(mixStats._1 == 100000L, s"expected 100k boilerplate drops: $mixStats")
+
     println(
       s"""{"metric":"reference_scale","overlay_sec":$tOverlay,""" +
         s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
@@ -218,6 +257,8 @@ object ScaleBench {
         s""""pack_10m_sec":$tPack,"pack_rows":${packStats._1},""" +
         s""""pack_max_shard":${packStats._2},""" +
         s""""nc4_scan_sec":$tNcScan,"nc4_rows":${ncStats._1},""" +
+        s""""mix_1m_sec":$tMix,"mix_dropped":${mixStats._1},""" +
+        s""""mix_kept":${mixStats._2},""" +
         s""""regrid_cells":$regridRows,"voronoi_cells":$vorCells,""" +
         s""""conservation_ratio":$ratio}""")
     spark.stop()
