@@ -508,6 +508,37 @@ object RelationalQueries {
       |  ON e.user_id = r.k AND e.ts >= r.t
       |ORDER BY e.event_id""".stripMargin
 
+  /** Interval-containment join ([[graft.operators.IntervalJoin]]): per
+    * event, how many of the user's high-value windows (2 h after any
+    * value > 180 event) cover it. Bucketized equi-join on
+    * (user, hour-bucket) + exact refine — per-task fan-in stays
+    * bounded however hot a user key is, unlike the stock
+    * hash-join-on-key + range-filter plan. The oracle compares in
+    * exact epoch micros (events.ts is ns in parquet; both engines
+    * truncate identically). */
+  val qIntervalWindows: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val windows = ev.filter(col("value") > 180)
+      .select(col("user_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+    graft.operators.IntervalJoin.pointsInIntervals(
+        ev.select(col("event_id"), col("user_id"), col("ts")), "ts",
+        windows, "w_start", "w_end", Seq("user_id"), bucketSeconds = 3600)
+      .groupBy("event_id").agg(count(lit(1)).as("n_windows"))
+      .orderBy("event_id")
+  }
+
+  val qIntervalWindowsSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS tus, value
+      |           FROM events),
+      |w AS (SELECT user_id, tus AS w_start, tus + 7200000000 AS w_end
+      |      FROM e WHERE value > 180)
+      |SELECT e.event_id, count(*) AS n_windows
+      |FROM e JOIN w ON e.user_id = w.user_id
+      |  AND w.w_start <= e.tus AND e.tus < w.w_end
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Range-frame analytic window: per event, count + exact sum of
     * same-type events in the trailing 3 days, tie-safe over exact
     * epoch-microsecond longs.
@@ -577,6 +608,7 @@ object RelationalQueries {
     "w_trailing_3d" -> qTrailing3d,
     "q17_small_quantity" -> q17SmallQuantity,
     "j_asof_last_order" -> qAsofLastOrder,
+    "j_interval_windows" -> qIntervalWindows,
     "a_quantiles" -> qQuantiles,
     "a_rollup_pricing" -> qRollupPricing,
     "q1_pricing_salted" -> q1Salted,
@@ -601,6 +633,7 @@ object RelationalQueries {
     "w_trailing_3d" -> qTrailing3dSql,
     "q17_small_quantity" -> q17Sql,
     "j_asof_last_order" -> qAsofLastOrderSql,
+    "j_interval_windows" -> qIntervalWindowsSql,
     "a_quantiles" -> qQuantilesSql,
     "a_rollup_pricing" -> qRollupPricingSql,
     "q1_pricing_salted" -> q1Sql,
