@@ -247,6 +247,23 @@ object ScaleBench {
     }
     assert(mixStats._1 == 100000L, s"expected 100k boilerplate drops: $mixStats")
 
+    // --- stage 11: interval join under TOTAL key skew — 1M points and
+    // 10k one-hour windows, ALL on one key. The stock plan (hash join
+    // on the key + range filter) would evaluate 1M × 10k = 10^10 pairs
+    // in a single task; the bucketized join spreads (key, hour-bucket)
+    // across ~280 buckets with ~260k refine pairs each.
+    val (ivPairs, tInterval) = timed {
+      import graft.operators.IntervalJoin
+      val pts = spark.range(1000000L).select(lit(1L).as("k"),
+        col("id").as("event_id"),
+        expr("timestamp_micros(id * 1000000)").as("t"))
+      val ivs = spark.range(10000L).select(lit(1L).as("k"),
+        expr("timestamp_micros(id * 100 * 1000000)").as("s"),
+        expr("timestamp_micros((id * 100 + 3600) * 1000000)").as("e"))
+      IntervalJoin.pointsInIntervals(pts, "t", ivs, "s", "e",
+        Seq("k"), bucketSeconds = 3600).count()
+    }
+
     println(
       s"""{"metric":"reference_scale","overlay_sec":$tOverlay,""" +
         s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
@@ -259,6 +276,7 @@ object ScaleBench {
         s""""nc4_scan_sec":$tNcScan,"nc4_rows":${ncStats._1},""" +
         s""""mix_1m_sec":$tMix,"mix_dropped":${mixStats._1},""" +
         s""""mix_kept":${mixStats._2},""" +
+        s""""interval_skew_sec":$tInterval,"interval_pairs":$ivPairs,""" +
         s""""regrid_cells":$regridRows,"voronoi_cells":$vorCells,""" +
         s""""conservation_ratio":$ratio}""")
     spark.stop()
