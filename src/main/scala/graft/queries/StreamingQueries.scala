@@ -131,6 +131,32 @@ object StreamingQueries {
     spark.table(name).orderBy("s_suppkey")
   }
 
+  /** Stream-static INTERVAL JOIN: arriving events attributed to the
+    * static high-value windows that cover them — the same bucketized
+    * equi-join plan as the batch `j_interval_windows`
+    * ([[graft.operators.IntervalJoin]]), which is exactly why it
+    * streams: the containment range predicate rides on a plain
+    * (key, bucket) equi-join that Structured Streaming supports
+    * stream-static, with the static side's bucket explosion planned
+    * once per micro-batch. Same oracle as the batch query. */
+  val qStreamIntervalWindows: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+    val windows = ev.filter(col("value") > 180)
+      .select(col("user_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+    val pts = eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val joined = graft.operators.IntervalJoin.pointsInIntervals(
+        pts, "ts", windows, "w_start", "w_end", Seq("user_id"),
+        bucketSeconds = 3600)
+      .groupBy("event_id").agg(count(lit(1)).as("n_windows"))
+    val name = s"graft_stream_interval_${runId.incrementAndGet()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("event_id")
+  }
+
   /** Streaming dedup: `dropDuplicates` backed by the streaming state
     * store — the first-seen event per user survives, state carried
     * across micro-batches. WHICH event arrives first is batch-order
@@ -240,12 +266,14 @@ object StreamingQueries {
     "stream_dedup" -> qStreamDedup,
     "stream_geo_pip" -> qStreamGeoPip,
     "stream_running_stats" -> qStreamRunningStats,
-    "stream_sessions" -> qStreamSessions)
+    "stream_sessions" -> qStreamSessions,
+    "stream_interval" -> qStreamIntervalWindows)
 
   val oracles: Map[String, String] = Map(
     "stream_events_daily" -> qStreamEventsDailySql,
     "stream_dedup" -> qStreamDedupSql,
     "stream_geo_pip" -> GeoQueries.qPipJoinSql,
     "stream_running_stats" -> qStreamRunningStatsSql,
-    "stream_sessions" -> RelationalQueries.qSessionsSql)
+    "stream_sessions" -> RelationalQueries.qSessionsSql,
+    "stream_interval" -> RelationalQueries.qIntervalWindowsSql)
 }
