@@ -45,6 +45,30 @@ object Sampling {
   def sampleFilter(key: Column, salt: String, pct: Int): Column =
     hashBucket(key, salt, 100) < pct
 
+  /** STRATIFIED fixed-k sample: the k rows with the smallest salted
+    * 48-bit content hash per stratum — deterministic and order-free
+    * like every sampler here, and executed with the bounded-heap top-k
+    * AGGREGATE ([[graft.expressions.TopKByScore]] via [[Ann.topK]]):
+    * map-side partials keep ≤ k rows per stratum per task and the
+    * shuffle carries k·strata rows — never the per-stratum sort window
+    * that funnels a hot stratum into one task. 48 bits fit a double
+    * exactly, so the negated-score heap ranks identically to any
+    * engine's `ORDER BY hash, id`.
+    *
+    * Returns (stratum, rank 1..k, id, h48). */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      salt: String, k: Int): DataFrame = {
+    val h48 = conv(
+      substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 12),
+      16, 10).cast("long")
+    df.groupBy(col(stratumCol))
+      .agg(Ann.topK(-h48.cast("double"), col(idCol), k).as("top"))
+      .select(col(stratumCol), posexplode(col("top")))
+      .select(col(stratumCol), (col("pos") + 1).cast("long").as("rank"),
+        col("col.neighbor_id").as(idCol),
+        (-col("col.cos_sim")).cast("long").as("h48"))
+  }
+
   /** Temperature-weighted domain mixing: per-source acceptance
     * thresholds that reshape the corpus toward a token budget with
     * up-weighted small domains (the standard p^α multinomial mixture;

@@ -80,6 +80,27 @@ object TextAnalysis {
       greatest(size(toks), lit(1)).cast("double")
   }
 
+  /** Token offsets where fixed-size training chunks start: 0, stride,
+    * 2·stride, … plus a final tail-aligned start at n−chunk so the last
+    * tokens are never dropped when the stride doesn't divide evenly
+    * (the standard sliding-window chunking for long-document training /
+    * retrieval indexing). Documents shorter than `chunk` yield the
+    * single start 0. Pure column expressions; pairs with a posexplode
+    * so chunking stays one linear scan, no shuffle. */
+  def chunkStarts(text: Column, chunk: Int, stride: Int): Column = {
+    require(chunk > 0 && stride > 0 && stride <= chunk,
+      s"chunk=$chunk stride=$stride")
+    val tail = greatest(tokenCount(text) - chunk, lit(0))
+    array_sort(array_distinct(concat(
+      sequence(lit(0), tail, lit(stride)), array(tail))))
+  }
+
+  /** The chunk's text: `chunk` tokens from 0-based token offset
+    * `start`, re-joined with single spaces (slice caps at the document
+    * end). */
+  def chunkText(text: Column, start: Column, chunk: Int): Column =
+    concat_ws(" ", slice(split(trim(text), "\\s+"), start + 1, lit(chunk)))
+
   /** PII patterns (emails, North-American phone numbers, IPv4
     * addresses) — deliberately restricted to regex constructs with
     * identical semantics in Java regex (Spark codegen) and RE2 (the

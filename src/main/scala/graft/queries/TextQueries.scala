@@ -153,6 +153,35 @@ object TextQueries {
       |    greatest(greatest(n_toks - 1, 0), 1)::DOUBLE < 0.20 AS keep_repetition
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** Sliding-window CHUNKING for long-document training / retrieval
+    * indexing: 32-token chunks at stride 24, tail-aligned so no token
+    * is dropped ([[TextAnalysis.chunkStarts]]). One linear scan +
+    * posexplode — chunking never shuffles. */
+  val qTextChunks: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"), col("text"),
+        posexplode(TextAnalysis.chunkStarts(col("text"), 32, 24)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("tok_start"),
+        TextAnalysis.chunkText(col("text"), col("col"), 32).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val qTextChunksSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |           FROM documents),
+      |s AS (SELECT doc_id, toks,
+      |    list_sort(list_distinct(list_append(
+      |      range(0, greatest(len(toks) - 32, 0) + 1, 24),
+      |      greatest(len(toks) - 32, 0)))) AS starts
+      |  FROM t)
+      |SELECT doc_id, cast(i - 1 as bigint) AS chunk_id,
+      |  cast(starts[i] as bigint) AS tok_start,
+      |  array_to_string(list_slice(toks, starts[i] + 1, starts[i] + 32), ' ')
+      |    AS chunk_text
+      |FROM s, unnest(range(1, len(starts) + 1)) AS u(i)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Language-ID heuristic: predicted language per document. */
   val qTextLangId: Q = (spark, dir) => {
     val d = Tables(spark, dir, "documents")
@@ -389,6 +418,7 @@ object TextQueries {
     "text_langid" -> qTextLangId,
     "text_pii" -> qTextPii,
     "text_repetition" -> qTextRepetition,
+    "text_chunks" -> qTextChunks,
     "dedup_exact" -> qDedupExact,
     "dedup_normalized" -> qDedupNormalized,
     "dedup_jaccard" -> qDedupJaccard,
@@ -404,6 +434,7 @@ object TextQueries {
     "text_langid" -> qTextLangIdSql,
     "text_pii" -> qTextPiiSql,
     "text_repetition" -> qTextRepetitionSql,
+    "text_chunks" -> qTextChunksSql,
     "dedup_exact" -> qDedupExactSql,
     "dedup_normalized" -> qDedupNormalizedSql,
     "dedup_jaccard" -> qDedupJaccardSql,

@@ -229,6 +229,27 @@ object TrainPrepQueries {
       |FROM documents d JOIN thr t USING (source)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** STRATIFIED fixed-k sample ([[Sampling.stratifiedSample]]): the 20
+    * smallest-salted-hash documents per language — eval-set drawing
+    * with per-stratum quotas, via the bounded-heap top-k aggregate
+    * (map-side partials, k·strata shuffle rows; no per-stratum sort
+    * window). */
+  val qStratifiedSample: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    Sampling.stratifiedSample(docs, "lang", "doc_id", "strat:", 20)
+      .orderBy("lang", "rank")
+  }
+
+  val qStratifiedSampleSql: String =
+    """WITH h AS (SELECT lang, doc_id,
+      |    ('0x'||substr(md5('strat:'||doc_id),1,12))::BIGINT AS h48
+      |  FROM documents),
+      |r AS (SELECT lang, doc_id, h48,
+      |    row_number() OVER (PARTITION BY lang ORDER BY h48, doc_id) AS rank
+      |  FROM h)
+      |SELECT lang, rank, doc_id, h48 FROM r WHERE rank <= 20
+      |ORDER BY lang, rank""".stripMargin
+
   /** CORPUS COMPOSITION: per (source, language) document/token counts
     * and shares — the mixture report every training-data pipeline
     * publishes next to its shards. One map-side-partial groupBy; the
@@ -262,6 +283,7 @@ object TrainPrepQueries {
   val queries: Map[String, Q] = Map(
     "sample_split" -> qSampleSplit,
     "sample_domain_mix" -> qDomainMix,
+    "sample_stratified" -> qStratifiedSample,
     "corpus_mix" -> qCorpusMix,
     "text_contamination" -> qTextContamination,
     "pipeline_docprep" -> qPipelineDocprep,
@@ -270,6 +292,7 @@ object TrainPrepQueries {
   val oracles: Map[String, String] = Map(
     "sample_split" -> qSampleSplitSql,
     "sample_domain_mix" -> qDomainMixSql,
+    "sample_stratified" -> qStratifiedSampleSql,
     "corpus_mix" -> qCorpusMixSql,
     "text_contamination" -> qTextContaminationSql,
     "pipeline_docprep" -> qPipelineDocprepSql,

@@ -62,6 +62,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bad.count() == 0, bad.take(3).mkString("\n"))
   }
 
+  test("chunkStarts tail-aligns the final chunk, never drops tokens") {
+    // 50 tokens, chunk 32, stride 24 -> starts 0 and 18 (tail-aligned,
+    // NOT 24 which would leave tokens 48..49 unreachable at full width)
+    val doc = (1 to 50).map(i => s"t$i").mkString(" ")
+    val starts = Seq(doc).toDF("text")
+      .select(TextAnalysis.chunkStarts(col("text"), 32, 24).as("s"))
+      .as[Seq[Int]].head()
+    assert(starts == Seq(0, 18))
+    // short doc: single chunk from 0, slice caps at the end
+    val short = Seq("a b c").toDF("text")
+      .select(TextAnalysis.chunkStarts(col("text"), 32, 24).as("s"),
+        TextAnalysis.chunkText(col("text"), lit(0), 32).as("c"))
+      .as[(Seq[Int], String)].head()
+    assert(short == ((Seq(0), "a b c")))
+  }
+
+  test("stratifiedSample is deterministic and respects quotas") {
+    import graft.operators.Sampling
+    val rows = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "g")
+    val a = Sampling.stratifiedSample(rows, "g", "id", "x:", 5)
+      .orderBy("g", "rank").collect().toSeq
+    val b = Sampling.stratifiedSample(rows.orderBy(col("id").desc), "g", "id", "x:", 5)
+      .orderBy("g", "rank").collect().toSeq
+    assert(a == b)                      // input-order free
+    assert(a.size == 15)                // 3 strata x 5
+    // ranks agree with a full sort by (h48, id) within each stratum
+    val naive = rows.select(col("g"), col("id"),
+        conv(substring(md5(concat(lit("x:"), col("id").cast("string"))), 1, 12),
+          16, 10).cast("long").as("h"))
+      .orderBy("g", "h", "id").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.take(5).map(_.getLong(1)).toSeq)
+    a.groupBy(_.getString(0)).foreach { case (g, rws) =>
+      assert(rws.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq == naive(g), s"stratum $g")
+    }
+  }
+
   test("dupTokenFraction matches definitional value") {
     val df = Seq("a a a a", "a b c d", "").toDF("text")
       .select(TextAnalysis.dupTokenFraction(col("text")).as("f"))
