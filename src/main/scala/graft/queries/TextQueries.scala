@@ -182,6 +182,51 @@ object TextQueries {
       |FROM s, unnest(range(1, len(starts) + 1)) AS u(i)
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** TF-IDF keyword extraction: top-5 terms per document from the
+    * inverted-index shape — explode tokens once, (doc, term) tf counts
+    * and per-term document frequencies are both map-side-partial
+    * aggregations, df joins back on the term key, and the final rank
+    * window partitions by doc_id (bounded by a document's distinct
+    * terms — no hot key). The idf is the INTEGER proxy (N·10⁶) div df:
+    * monotone in N/df like ln but bit-identical in every engine
+    * (Math.log vs libm differs in ulps, which would break hash
+    * equality); scores are exact longs. */
+  val qTfIdf: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir, "documents")
+    val terms = d.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score", expr("tf * ((n_docs * 1000000) div df)"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val qTfIdfSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+      |    AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    tf.tf * ((n.n_docs * 1000000) // df.df) AS score
+      |  FROM tf JOIN df USING (term), n),
+      |r AS (SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, term, tf, df, score
+      |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
   /** Language-ID heuristic: predicted language per document. */
   val qTextLangId: Q = (spark, dir) => {
     val d = Tables(spark, dir, "documents")
@@ -419,6 +464,7 @@ object TextQueries {
     "text_pii" -> qTextPii,
     "text_repetition" -> qTextRepetition,
     "text_chunks" -> qTextChunks,
+    "text_tfidf" -> qTfIdf,
     "dedup_exact" -> qDedupExact,
     "dedup_normalized" -> qDedupNormalized,
     "dedup_jaccard" -> qDedupJaccard,
@@ -435,6 +481,7 @@ object TextQueries {
     "text_pii" -> qTextPiiSql,
     "text_repetition" -> qTextRepetitionSql,
     "text_chunks" -> qTextChunksSql,
+    "text_tfidf" -> qTfIdfSql,
     "dedup_exact" -> qDedupExactSql,
     "dedup_normalized" -> qDedupNormalizedSql,
     "dedup_jaccard" -> qDedupJaccardSql,

@@ -34,7 +34,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // same way (sqrt6_total / corpus totals — 1 row by construction).
     val allowed = Set("ann_bruteforce_topk", "geo_heat_island",
       "geo_regrid_conservation", "geo_nearest_cell",
-      "sample_domain_mix", "corpus_mix")
+      "sample_domain_mix", "corpus_mix", "text_tfidf")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(n) => n
     }
