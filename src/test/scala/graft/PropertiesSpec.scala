@@ -166,4 +166,44 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  // -------------------------------------------------------- IntervalJoin
+
+  test("bucketized interval join equals the naive range join on random data") {
+    val sp = spark
+    import sp.implicits._
+    val dayUs = 86400000000L
+    val gen = for {
+      pts <- Gen.listOfN(200, Gen.zip(
+        Gen.choose(0L, 3L), Gen.choose(0L, dayUs)))
+      ivs <- Gen.listOfN(60, Gen.zip(
+        Gen.choose(0L, 3L), Gen.choose(0L, dayUs),
+        Gen.choose(1L, 7200000000L)))
+      bs <- Gen.oneOf(60L, 977L, 3600L) // incl. a prime width: misaligned buckets
+    } yield (pts, ivs, bs)
+    forAllN(gen, 5) { case (ptsRaw, ivsRaw, bs) =>
+      val pts = ptsRaw.zipWithIndex
+        .map { case ((k, us), i) => (i.toLong, k, us) }
+        .toDF("event_id", "k", "us")
+        .select(col("event_id"), col("k"),
+          expr("timestamp_micros(us)").as("t"))
+      val ivs = ivsRaw.zipWithIndex
+        .map { case ((k, s, len), i) => (i.toLong, k, s, s + len) }
+        .toDF("iv_id", "k", "sus", "eus")
+        .select(col("iv_id"), col("k"),
+          expr("timestamp_micros(sus)").as("s"),
+          expr("timestamp_micros(eus)").as("e"))
+      val naive = pts.join(ivs.withColumnRenamed("k", "k2"),
+          col("k") === col("k2") &&
+            col("s") <= col("t") && col("t") < col("e"))
+        .select("event_id", "iv_id")
+      val bucketed = graft.operators.IntervalJoin
+        .pointsInIntervals(pts, "t", ivs, "s", "e", Seq("k"),
+          bucketSeconds = bs)
+        .select("event_id", "iv_id")
+      assert(naive.exceptAll(bucketed).isEmpty &&
+        bucketed.exceptAll(naive).isEmpty,
+        s"mismatch at bucketSeconds=$bs")
+    }
+  }
 }
