@@ -50,6 +50,8 @@ object GraftFunctions {
     "winnow_fingerprints" -> (cs => WinnowFingerprints(Seq(cs.head),
       intArg(cs, 1, "winnow_fingerprints"), intArg(cs, 2, "winnow_fingerprints"))),
     "zorder_value" -> (cs => ZOrderValue(cs.init, intArg(cs, cs.length - 1, "zorder_value"))),
+    "repetition_stats" -> (cs => RepetitionStats(Seq(cs.head),
+      intArg(cs, 1, "repetition_stats"))),
     "decode_bytes" -> (BytesToIntArray(_)))
 
   /** Constant integer argument of a SQL call (e.g. the shingle width). */

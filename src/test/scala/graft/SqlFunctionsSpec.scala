@@ -56,6 +56,15 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getInt(3) == apiBucket)
   }
 
+  test("repetition_stats from SQL matches the compiled expression") {
+    val r = spark.sql(
+      "SELECT repetition_stats('buy now buy now buy now', 2) AS s").head()
+    val s = r.getStruct(0)
+    assert(s.getInt(0) == 6)  // n_toks
+    assert(s.getInt(1) == 2)  // n_distinct
+    assert(s.getInt(2) == 3)  // 'buy now' x3
+  }
+
   test("layout and fingerprint kernels from SQL match the Column/eval API") {
     val r = spark.sql(
       """SELECT
