@@ -157,6 +157,45 @@ object StreamingQueries {
     spark.table(name).orderBy("event_id")
   }
 
+  /** STREAM-STREAM time-range join — the hardest Structured Streaming
+    * join shape: high-value anchor events joined to the SAME USER's
+    * follow-up events arriving within the next hour, both sides real
+    * streams. Both inputs carry a watermark and the join condition
+    * bounds the match window in event time, so each side's state
+    * evicts once the other side's watermark passes the window — the
+    * state-retention contract an unbounded stream needs (an
+    * unconstrained stream-stream join buffers both streams forever).
+    * Inner join emits on match, so the AvailableNow replay equals the
+    * batch range join and the DuckDB oracle checks it exactly. */
+  val qStreamStreamJoin: Q = (spark, dir) => {
+    val anchors = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .filter(col("value") > 180)
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        col("ts").as("a_ts"))
+    val follows = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"))
+    val joined = anchors.join(follows, expr(
+      """a_user = b_user AND
+        |b_ts >= a_ts AND b_ts < a_ts + INTERVAL 1 HOUR""".stripMargin))
+      .select(col("a_id"), col("b_id"))
+    val name = s"graft_stream_ssj_${runId.incrementAndGet()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("a_id", "b_id")
+  }
+
+  val qStreamStreamJoinSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS tus, value
+      |           FROM events)
+      |SELECT a.event_id AS a_id, b.event_id AS b_id
+      |FROM e a JOIN e b ON a.user_id = b.user_id AND a.value > 180
+      |  AND b.tus >= a.tus AND b.tus < a.tus + 3600000000
+      |ORDER BY 1, 2""".stripMargin
+
   /** Streaming dedup: `dropDuplicates` backed by the streaming state
     * store — the first-seen event per user survives, state carried
     * across micro-batches. WHICH event arrives first is batch-order
@@ -267,7 +306,8 @@ object StreamingQueries {
     "stream_geo_pip" -> qStreamGeoPip,
     "stream_running_stats" -> qStreamRunningStats,
     "stream_sessions" -> qStreamSessions,
-    "stream_interval" -> qStreamIntervalWindows)
+    "stream_interval" -> qStreamIntervalWindows,
+    "stream_join_pairs" -> qStreamStreamJoin)
 
   val oracles: Map[String, String] = Map(
     "stream_events_daily" -> qStreamEventsDailySql,
@@ -275,5 +315,6 @@ object StreamingQueries {
     "stream_geo_pip" -> GeoQueries.qPipJoinSql,
     "stream_running_stats" -> qStreamRunningStatsSql,
     "stream_sessions" -> RelationalQueries.qSessionsSql,
-    "stream_interval" -> RelationalQueries.qIntervalWindowsSql)
+    "stream_interval" -> RelationalQueries.qIntervalWindowsSql,
+    "stream_join_pairs" -> qStreamStreamJoinSql)
 }
