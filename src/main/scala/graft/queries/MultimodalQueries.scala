@@ -102,6 +102,69 @@ object MultimodalQueries {
       |  cast(64 as bigint) AS n_px, cast(list_sum(thumb) as bigint) AS thumb_sum
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** The multimodal END-TO-END pipeline as ONE plan (the mm-side
+    * analogue of `pipeline_docprep`): decode → zero-pad to the metadata
+    * frame → nearest-neighbor 8×8 thumbnail → three integer-mask
+    * "centroid" scores over the thumbnail (the stride kernels double as
+    * masked sums) → argmax cluster assignment. Every stage is a
+    * compiled kernel; scores are exact integer sums so the DuckDB
+    * oracle replays the whole chain bit-for-bit (ties → smaller
+    * cluster id). */
+  val qMmPipeline: Q = (spark, dir) => {
+    val d = Multimodal.withPayload(Tables(spark, dir, "documents"), "text")
+      .select(col("doc_id"),
+        col("meta.width").as("w"), col("meta.height").as("h"),
+        Multimodal.decode(col("payload")).as("px"))
+      .withColumn("pad", Multimodal.padToImage(col("px"), col("w"), col("h")))
+      .select(col("doc_id"),
+        Multimodal.resizeNearest(col("pad"), col("w"), col("h"), 8, 8)
+          .as("thumb"))
+      .withColumn("s0", Multimodal.checksum(
+        Multimodal.frameSample(col("thumb"), 2)))            // i%2==0 mask
+      .withColumn("s1", Multimodal.checksum(
+        Multimodal.frameSample(slice(col("thumb"), 2, 63), 2))) // i%2==1
+      .withColumn("s2", Multimodal.checksum(
+        Multimodal.frameSample(col("thumb"), 3)))            // i%3==0
+    d.select(col("doc_id"),
+        Multimodal.checksum(col("thumb")).as("thumb_sum"),
+        col("s0"), col("s1"), col("s2"),
+        when(col("s0") >= col("s1") && col("s0") >= col("s2"), 0L)
+          .when(col("s1") >= col("s2"), 1L).otherwise(2L).as("assigned"),
+        greatest(col("s0"), col("s1"), col("s2")).as("best"))
+      .orderBy("doc_id")
+  }
+
+  val qMmPipelineSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, length(text) AS n, length(text)%64 + 1 AS w,
+      |    (length(text) + length(text)%64) // (length(text)%64 + 1) AS h,
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> ord(substr(text, i, 1))) AS bs
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, w, h,
+      |    list_concat(bs, list_transform(range(greatest(w*h - n, 0)), x -> 0)) AS px
+      |  FROM b),
+      |r AS (
+      |  SELECT doc_id, list_transform(range(0, 64), i ->
+      |    px[((i//8) * h) // 8 * w + ((i%8) * w) // 8 + 1]) AS thumb
+      |  FROM p),
+      |s AS (
+      |  SELECT doc_id,
+      |    cast(list_sum(thumb) as bigint) AS thumb_sum,
+      |    cast(list_sum(list_transform(range(1, 65, 2), i -> thumb[i]))
+      |      as bigint) AS s0,
+      |    cast(list_sum(list_transform(range(2, 65, 2), i -> thumb[i]))
+      |      as bigint) AS s1,
+      |    cast(list_sum(list_transform(range(1, 65, 3), i -> thumb[i]))
+      |      as bigint) AS s2
+      |  FROM r)
+      |SELECT doc_id, thumb_sum, s0, s1, s2,
+      |  CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
+      |       WHEN s1 >= s2 THEN 1 ELSE 2 END AS assigned,
+      |  greatest(s0, s1, s2) AS best
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** Batched "model inference" over payload bytes via mapPartitions —
     * the Spark-side plumbing of a batched UDF stage (the mapInPandas
     * pattern): fixed-size batches drawn from each partition's iterator,
@@ -140,11 +203,13 @@ object MultimodalQueries {
     "mm_features" -> qMmFeatures,
     "mm_resize" -> qMmResize,
     "mm_batch_infer" -> qMmBatchInfer,
-    "mm_frame_sample" -> qMmFrameSample)
+    "mm_frame_sample" -> qMmFrameSample,
+    "pipeline_multimodal" -> qMmPipeline)
 
   val oracles: Map[String, String] = Map(
     "mm_features" -> qMmFeaturesSql,
     "mm_resize" -> qMmResizeSql,
     "mm_batch_infer" -> qMmBatchInferSql,
-    "mm_frame_sample" -> qMmFrameSampleSql)
+    "mm_frame_sample" -> qMmFrameSampleSql,
+    "pipeline_multimodal" -> qMmPipelineSql)
 }
