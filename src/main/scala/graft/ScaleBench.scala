@@ -264,6 +264,18 @@ object ScaleBench {
         Seq("k"), bucketSeconds = 3600).count()
     }
 
+    // --- stage 12: stratified fixed-k sampling over 10M rows, 4
+    // strata — the bounded-heap top-k aggregate keeps ≤ k rows per
+    // stratum per task (a row_number window would sort 2.5M rows per
+    // stratum in single tasks).
+    val (stratRows, tStrat) = timed {
+      import graft.operators.Sampling
+      val rows = spark.range(10000000L)
+        .select(col("id"), concat(lit("s"), pmod(col("id"), lit(4))).as("g"))
+      Sampling.stratifiedSample(rows, "g", "id", "sb:", 100).count()
+    }
+    assert(stratRows == 400L, s"expected 4x100 sampled rows: $stratRows")
+
     println(
       s"""{"metric":"reference_scale","overlay_sec":$tOverlay,""" +
         s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
@@ -277,6 +289,7 @@ object ScaleBench {
         s""""mix_1m_sec":$tMix,"mix_dropped":${mixStats._1},""" +
         s""""mix_kept":${mixStats._2},""" +
         s""""interval_skew_sec":$tInterval,"interval_pairs":$ivPairs,""" +
+        s""""strat_10m_sec":$tStrat,"strat_rows":$stratRows,""" +
         s""""regrid_cells":$regridRows,"voronoi_cells":$vorCells,""" +
         s""""conservation_ratio":$ratio}""")
     spark.stop()

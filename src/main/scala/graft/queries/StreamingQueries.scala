@@ -166,7 +166,13 @@ object StreamingQueries {
     * state-retention contract an unbounded stream needs (an
     * unconstrained stream-stream join buffers both streams forever).
     * Inner join emits on match, so the AvailableNow replay equals the
-    * batch range join and the DuckDB oracle checks it exactly. */
+    * batch range join and the DuckDB oracle checks it exactly.
+    *
+    * Caveat (asserted in `StatefulStreamingSpec`): the anchor-side
+    * `value > 180` predicate is pushed below the watermark node, so
+    * that side's watermark advances only as anchors arrive — the
+    * standard idle-side behavior; eviction lags until the next anchor,
+    * never blocks emission. */
   val qStreamStreamJoin: Q = (spark, dir) => {
     val anchors = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")

@@ -61,6 +61,62 @@ class StatefulStreamingSpec extends SparkSpec {
       s"closed sessions were not evicted from state: $stateTotals")
   }
 
+  test("stream-stream range join emits pairs and evicts both sides' state") {
+    val dir = Files.createTempDirectory("ssj_evict")
+    def ev(rows: Seq[(Long, Long, String, Double)]) = rows
+      .toDF("event_id", "user_id", "s", "value")
+      .select($"event_id", $"user_id", to_timestamp($"s").as("ts"), $"value")
+    // batch 0: one anchor (value > 180) and follows inside/outside 1 h
+    ev(Seq(
+      (0L, 1L, "2024-01-01 00:00:00", 200.0), // anchor (also its own follow)
+      (1L, 1L, "2024-01-01 00:10:00", 5.0),   // inside the window
+      (2L, 1L, "2024-01-01 02:00:00", 6.0),   // outside
+      (3L, 2L, "2024-01-01 00:20:00", 7.0)))  // other user
+      .coalesce(1).write.parquet(dir.resolve("b0").toString)
+    // batch 1: far-future sentinel pushes the watermark past every
+    // 2024 row's eviction horizon; batch 2 triggers the state-cleanup
+    // pass that runs under the batch-1 watermark (join state removal
+    // happens one batch after the watermark advances). The sentinels
+    // must THEMSELVES be anchors (value > 180): the anchor-side
+    // predicate is pushed below the watermark node, so only rows
+    // surviving it advance that side's watermark — the documented
+    // idle-side caveat; in production anchors advance the watermark by
+    // arriving, here the sentinel plays that role.
+    ev(Seq((9L, 99L, "2025-01-01 00:00:00", 999.0)))
+      .coalesce(1).write.parquet(dir.resolve("b1").toString)
+    ev(Seq((10L, 99L, "2025-01-02 00:00:00", 999.0)))
+      .coalesce(1).write.parquet(dir.resolve("b2").toString)
+
+    val schema = ev(Seq((0L, 0L, "2024-01-01 00:00:00", 0.0))).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString + "/*/")
+    val anchors = stream.withWatermark("ts", "1 hour")
+      .filter($"value" > 180)
+      .select($"event_id".as("a_id"), $"user_id".as("a_user"), $"ts".as("a_ts"))
+    val follows = stream.withWatermark("ts", "1 hour")
+      .select($"event_id".as("b_id"), $"user_id".as("b_user"), $"ts".as("b_ts"))
+    val joined = anchors.join(follows, expr(
+      "a_user = b_user AND b_ts >= a_ts AND b_ts < a_ts + INTERVAL 1 HOUR"))
+      .select($"a_id", $"b_id")
+
+    val q = joined.writeStream.format("memory")
+      .queryName("ssj_evict").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.table("ssj_evict").as[(Long, Long)].collect().toSet
+    // real pairs + each sentinel anchor matching itself
+    assert(out == Set((0L, 0L), (0L, 1L), (9L, 9L), (10L, 10L)), s"got $out")
+    // both join sides' buffered 2024 rows must be evicted once the
+    // sentinel advanced the watermark past their match horizon; only
+    // the sentinels themselves (2 anchors + 2 follows max) may remain
+    val stateTotals = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal)
+    assert(stateTotals.nonEmpty)
+    assert(stateTotals.max >= 5, s"state never buffered batch 0: $stateTotals")
+    assert(stateTotals.last <= 4,
+      s"join state was not evicted: $stateTotals")
+  }
+
   test("running per-user stats across two micro-batches match batch") {
     val ev = Tables(spark, "/root/testdata/sf0.001", "events")
       .select($"user_id".as("key"), $"value")
