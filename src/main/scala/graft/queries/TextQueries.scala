@@ -182,6 +182,33 @@ object TextQueries {
       |FROM s, unnest(range(1, len(starts) + 1)) AS u(i)
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** INCREMENTAL dedup — the daily-ingestion shape: today's batch
+    * (doc_id ≡ 0 mod 5 plays the incoming slice) checked against the
+    * standing corpus's digest index. Only 16-byte digests join (text
+    * never shuffles); the incoming side is O(batch), and at 100 TB the
+    * historical digest index is exactly what a prep pipeline keeps
+    * materialized between runs. */
+  val qDedupIncremental: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val seen = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(md5(col("text")).as("digest")).distinct()
+      .withColumn("known", lit(true))
+    docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .join(seen, Seq("digest"), "left")
+      .select(col("doc_id"), coalesce(!col("known"), lit(true)).as("is_new"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupIncrementalSql: String =
+    """WITH h AS (SELECT DISTINCT md5(text) AS digest FROM documents
+      |           WHERE doc_id % 5 <> 0),
+      |i AS (SELECT doc_id, md5(text) AS digest FROM documents
+      |      WHERE doc_id % 5 = 0)
+      |SELECT i.doc_id, h.digest IS NULL AS is_new
+      |FROM i LEFT JOIN h ON i.digest = h.digest
+      |ORDER BY i.doc_id""".stripMargin
+
   /** TF-IDF keyword extraction: top-5 terms per document from the
     * inverted-index shape — explode tokens once, (doc, term) tf counts
     * and per-term document frequencies are both map-side-partial
@@ -466,6 +493,7 @@ object TextQueries {
     "text_chunks" -> qTextChunks,
     "text_tfidf" -> qTfIdf,
     "dedup_exact" -> qDedupExact,
+    "dedup_incremental" -> qDedupIncremental,
     "dedup_normalized" -> qDedupNormalized,
     "dedup_jaccard" -> qDedupJaccard,
     "dedup_minhash_lsh" -> qDedupMinhash,
@@ -483,6 +511,7 @@ object TextQueries {
     "text_chunks" -> qTextChunksSql,
     "text_tfidf" -> qTfIdfSql,
     "dedup_exact" -> qDedupExactSql,
+    "dedup_incremental" -> qDedupIncrementalSql,
     "dedup_normalized" -> qDedupNormalizedSql,
     "dedup_jaccard" -> qDedupJaccardSql,
     "dedup_minhash_lsh" -> qDedupMinhashSql,
