@@ -276,6 +276,29 @@ object ScaleBench {
     }
     assert(stratRows == 400L, s"expected 4x100 sampled rows: $stratRows")
 
+    // --- stage 13: TF-IDF inverted index over 1M docs × 25 tokens
+    // (5000-word vocab): 25M (doc, term) pairs through one explode,
+    // map-side-partial tf/df aggregations, the 5000-row df frame
+    // broadcast back, rank windows bounded by per-doc distinct terms.
+    val (tfidfRows, tTfidf) = timed {
+      val docsN = 1000000L
+      def tword(seed: org.apache.spark.sql.Column, i: Int) =
+        concat(lit("w"), pmod(hash(seed, lit(i)), lit(5000)).cast("string"))
+      val text = concat_ws(" ", (0 until 25).map(i => tword(col("id"), i)): _*)
+      val docs = spark.range(docsN).select(col("id").as("doc_id"), text.as("text"))
+      val terms = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(dfq), Seq("term"))
+        .withColumn("score", expr(s"tf * ((${docsN}L * 1000000) div df)"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5).count()
+    }
+    assert(tfidfRows == 5000000L, s"expected 5 terms x 1M docs: $tfidfRows")
+
     println(
       s"""{"metric":"reference_scale","overlay_sec":$tOverlay,""" +
         s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
@@ -290,6 +313,7 @@ object ScaleBench {
         s""""mix_kept":${mixStats._2},""" +
         s""""interval_skew_sec":$tInterval,"interval_pairs":$ivPairs,""" +
         s""""strat_10m_sec":$tStrat,"strat_rows":$stratRows,""" +
+        s""""tfidf_1m_sec":$tTfidf,"tfidf_rows":$tfidfRows,""" +
         s""""regrid_cells":$regridRows,"voronoi_cells":$vorCells,""" +
         s""""conservation_ratio":$ratio}""")
     spark.stop()
