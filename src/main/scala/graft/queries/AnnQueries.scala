@@ -173,7 +173,50 @@ object AnnQueries {
       |FROM embeddings, unnest(range(1, 65)) AS t(i)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Scalar-quantization (SQ8) codes — the embedding-compression
+    * baseline a 100 TB vector store actually persists (4 bytes/dim →
+    * 1 byte/dim): per-dimension min/max bounds from ONE map-side-partial
+    * aggregation (64 rows out), broadcast back, then pure arithmetic
+    * codes + reconstruction error per (vector, dim). Float→double casts
+    * are exact and every step is a single correctly-rounded double op
+    * mirrored in the oracle, so codes and errors hash-match. */
+  val qEmbedSqCodes: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings")
+    val dims = e.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        col("col").cast("double").as("x"))
+    val bounds = dims.groupBy("dim")
+      .agg(min("x").as("mn"), max("x").as("mx"))
+    dims.join(broadcast(bounds), Seq("dim"))
+      .withColumn("code", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(round((col("x") - col("mn")) / (col("mx") - col("mn")) * 255)
+          .cast("long")))
+      .withColumn("recon",
+        col("mn") + col("code") / 255.0 * (col("mx") - col("mn")))
+      .select(col("vec_id"), col("dim"), col("code"),
+        round(abs(col("x") - col("recon")) * 1000000).cast("long")
+          .as("err_micro"))
+      .orderBy("vec_id", "dim")
+  }
+
+  val qEmbedSqCodesSql: String =
+    """WITH d AS (
+      |  SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS x
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+      |b AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM d GROUP BY 1),
+      |c AS (
+      |  SELECT vec_id, d.dim, x, mn, mx,
+      |    CASE WHEN mx = mn THEN cast(0 as bigint)
+      |         ELSE cast(round(((x - mn) / (mx - mn)) * 255) as bigint)
+      |    END AS code
+      |  FROM d JOIN b ON d.dim = b.dim)
+      |SELECT vec_id, cast(dim as bigint) AS dim, code,
+      |  cast(round(abs(x - (mn + ((code / 255.0) * (mx - mn)))) * 1000000)
+      |    as bigint) AS err_micro
+      |FROM c ORDER BY vec_id, dim""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "embed_sq_codes" -> qEmbedSqCodes,
     "embed_centroids" -> qEmbedCentroids,
     "embed_norms" -> qEmbedNorms,
     "ann_bruteforce_topk" -> qAnnBruteForce,
@@ -182,6 +225,7 @@ object AnnQueries {
     "dedup_embedding" -> qDedupEmbedding)
 
   val oracles: Map[String, String] = Map(
+    "embed_sq_codes" -> qEmbedSqCodesSql,
     "embed_centroids" -> qEmbedCentroidsSql,
     "embed_norms" -> qEmbedNormsSql,
     "ann_bruteforce_topk" -> qAnnBruteForceSql,
