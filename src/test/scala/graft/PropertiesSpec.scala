@@ -130,6 +130,27 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("hdf5 codec roundtrips random dims/values, contiguous and chunked") {
+    val gen = for {
+      ny <- Gen.choose(1, 9)
+      nx <- Gen.choose(1, 9)
+      vals <- Gen.listOfN(ny * nx, Gen.choose(-1e6, 1e6))
+      chunked <- Gen.oneOf(true, false)
+    } yield (ny, nx, vals.toArray, chunked)
+    forAllN(gen, 15) { case (ny, nx, vals, chunked) =>
+      val path = Files.createTempDirectory("h5fuzz").resolve("g.h5").toString
+      graft.io.Hdf5.write(path,
+        Seq(NetCdf.Dim("y", ny), NetCdf.Dim("x", nx)),
+        Seq("note" -> "fuzz"),
+        Seq(NetCdf.Var("v", Seq(0, 1), NetCdf.NcDouble, Nil, vals)),
+        chunkDeflate = chunked)
+      val nc = graft.io.Hdf5.read(path)
+      assert(nc.dims.map(_.size) == Seq(ny, nx), s"chunked=$chunked")
+      assert(nc.variable("v").data.asInstanceOf[Array[Double]].toSeq == vals.toSeq,
+        s"chunked=$chunked ny=$ny nx=$nx")
+    }
+  }
+
   // ------------------------------------------------------ conservation
 
   test("conservative regrid preserves total mass on random grids") {
