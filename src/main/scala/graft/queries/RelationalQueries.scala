@@ -455,6 +455,50 @@ object RelationalQueries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY 1, 2""".stripMargin
 
+  /** Semi-structured JSON column: per-type stats over a property
+    * extracted from the events `props` JSON string (`get_json_object`
+    * is codegen'd; the payload never shuffles — only the extracted
+    * long rides the aggregation). */
+  val qJsonProps: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+    ev.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+  }
+
+  val qJsonPropsSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  cast(sum(json_extract(props, '$.k')::BIGINT) as bigint) AS sum_k,
+      |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
+      |  max(json_extract(props, '$.k')::BIGINT) AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Wide-form PIVOT: daily value totals per event type as columns —
+    * `groupBy().pivot(values)` compiles to one pass of conditional
+    * aggregates (no extra shuffle vs the long form); the explicit value
+    * list keeps the schema static, as a production pivot should. */
+  val qPivotDaily: Q = (spark, dir) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables(spark, dir, "events")
+      .withColumn("day", col("ts").cast("date"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy("day").pivot("event_type", types)
+      .agg(sum("cents"))
+      .orderBy("day")
+  }
+
+  val qPivotDailySql: String =
+    """SELECT cast(date_trunc('day', ts) as date) AS day,
+      |  cast(sum(CASE WHEN event_type = 'click' THEN cast(round(value*100) as bigint) END) as bigint) AS click,
+      |  cast(sum(CASE WHEN event_type = 'error' THEN cast(round(value*100) as bigint) END) as bigint) AS error,
+      |  cast(sum(CASE WHEN event_type = 'purchase' THEN cast(round(value*100) as bigint) END) as bigint) AS purchase,
+      |  cast(sum(CASE WHEN event_type = 'signup' THEN cast(round(value*100) as bigint) END) as bigint) AS signup,
+      |  cast(sum(CASE WHEN event_type = 'view' THEN cast(round(value*100) as bigint) END) as bigint) AS view
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Exact continuous quantiles (sort-based `percentile`): p25/median/
     * p75 of event values per type. Both engines interpolate at
     * p·(n−1); emitting 4·q25, 2·median, 4·q75 makes every output an
@@ -611,6 +655,8 @@ object RelationalQueries {
     "j_interval_windows" -> qIntervalWindows,
     "a_quantiles" -> qQuantiles,
     "a_rollup_pricing" -> qRollupPricing,
+    "a_json_props" -> qJsonProps,
+    "a_pivot_daily" -> qPivotDaily,
     "q1_pricing_salted" -> q1Salted,
     "a_events_approx_distinct" -> qEventsApproxDistinct,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -636,6 +682,8 @@ object RelationalQueries {
     "j_interval_windows" -> qIntervalWindowsSql,
     "a_quantiles" -> qQuantilesSql,
     "a_rollup_pricing" -> qRollupPricingSql,
+    "a_json_props" -> qJsonPropsSql,
+    "a_pivot_daily" -> qPivotDailySql,
     "q1_pricing_salted" -> q1Sql,
     "a_events_approx_distinct" -> qEventsApproxDistinctSql,
     "q1_pricing_summary" -> q1Sql,
