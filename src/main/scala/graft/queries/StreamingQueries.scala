@@ -61,6 +61,72 @@ object StreamingQueries {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  private def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables(spark, dir, "documents").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(dir, "documents.parquet").toAbsolutePath)
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
+  /** STATELESS streaming corpus-prep filter: quality gate, repetition
+    * verdict and PII counts over a document stream — every signal is a
+    * codegen'd column ([[graft.expressions.RepetitionStats]],
+    * `TextAnalysis.*`), so the plan has NO state store, no watermark
+    * and no shuffle: the ideal streaming shape, it scales with input
+    * splits alone. Append mode emits each document exactly once.
+    * Oracle: the batch formulas over the same table. */
+  val qStreamDocFilter: Q = (spark, dir) => {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.operators.TextAnalysis
+    val r = Bridge.column(graft.expressions.RepetitionStats(
+      Seq(Bridge.expression(col("text"))), 2))
+    val flagged = documentsStream(spark, dir)
+      .select(col("doc_id"), col("text"), r.as("r"),
+        (TextAnalysis.tokenCount(col("text")) >= 20 &&
+          TextAnalysis.stopwordCount(col("text")) >= 1).as("keep_quality"))
+      .select(col("doc_id"), col("keep_quality"),
+        ((col("r.top_gram") /
+          greatest(col("r.n_toks") - 1, lit(1)).cast("double")) < 0.20)
+          .as("keep_repetition"),
+        (TextAnalysis.piiEmailCount(col("text")) +
+          TextAnalysis.piiPhoneCount(col("text")) +
+          TextAnalysis.piiIpCount(col("text"))).cast("long").as("n_pii"))
+    val name = s"graft_stream_docfilter_${runId.incrementAndGet()}"
+    val q = flagged.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("doc_id")
+  }
+
+  val qStreamDocFilterSql: String = {
+    val e = graft.operators.TextAnalysis.EmailRe
+    val p = graft.operators.TextAnalysis.PhoneRe
+    val ip = graft.operators.TextAnalysis.Ipv4Re
+    s"""WITH t AS (SELECT doc_id, text,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks
+       |  FROM documents),
+       |g AS (SELECT doc_id, text, toks, n_toks,
+       |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+       |      i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+       |    ELSE [] END AS grams
+       |  FROM t)
+       |SELECT doc_id,
+       |  (n_toks >= 20 AND len(list_filter(toks,
+       |     t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) >= 1)
+       |    AS keep_quality,
+       |  coalesce(list_max(list_transform(list_distinct(grams), x ->
+       |      len(list_filter(grams, y -> y = x)))), 0) /
+       |    greatest(greatest(n_toks - 1, 0), 1)::DOUBLE < 0.20
+       |    AS keep_repetition,
+       |  cast(len(regexp_extract_all(text, '$e')) +
+       |    len(regexp_extract_all(text, '$p')) +
+       |    len(regexp_extract_all(text, '$ip')) as bigint) AS n_pii
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   /** W1-W3 as a stream: tumbling 1-day window min/max/mean per event
     * type with a watermark, in APPEND mode — each window emits exactly
     * once when the watermark passes its close, then its state is
@@ -342,7 +408,8 @@ object StreamingQueries {
     "stream_running_stats" -> qStreamRunningStats,
     "stream_sessions" -> qStreamSessions,
     "stream_interval" -> qStreamIntervalWindows,
-    "stream_join_pairs" -> qStreamStreamJoin)
+    "stream_join_pairs" -> qStreamStreamJoin,
+    "stream_doc_filter" -> qStreamDocFilter)
 
   val oracles: Map[String, String] = Map(
     "stream_events_daily" -> qStreamEventsDailySql,
@@ -351,5 +418,6 @@ object StreamingQueries {
     "stream_running_stats" -> qStreamRunningStatsSql,
     "stream_sessions" -> RelationalQueries.qSessionsSql,
     "stream_interval" -> RelationalQueries.qIntervalWindowsSql,
-    "stream_join_pairs" -> qStreamStreamJoinSql)
+    "stream_join_pairs" -> qStreamStreamJoinSql,
+    "stream_doc_filter" -> qStreamDocFilterSql)
 }
