@@ -455,6 +455,60 @@ object RelationalQueries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY 1, 2""".stripMargin
 
+  /** Returned-item revenue per customer — TPC-H Q10 shape: fact-fact
+    * join filtered on the return flag, dimension joins broadcast,
+    * exact-integer revenue, top-20. */
+  val q10Returns: Q = (spark, dir) => {
+    val cust = Tables(spark, dir, "customer")
+    val ord = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val nat = Tables(spark, dir, "nation")
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg((sum((round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100) - round(col("l_discount") * 100).cast("long")))
+        .cast("decimal(38,0)")).cast("double") / lit(10000.0))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  sum(cast(round(l_extendedprice*100) as bigint) * (100 - cast(round(l_discount*100) as bigint))) / 10000.0 AS revenue
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+      |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** Distribution-rank analytics: quartile (`ntile`) and `percent_rank`
+    * of each event within its type, ordered by exact cents with the
+    * event id as a unique tie-break (rank functions over ties are
+    * order-dependent; a total order makes them deterministic).
+    * percent_rank = (rank−1)/(n−1) — one exact-operand division,
+    * identical in both engines. */
+  val qNtileRanks: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ev.select(col("event_id"), col("event_type"), col("cents"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"))
+      .orderBy("event_id")
+  }
+
+  val qNtileRanksSql: String =
+    """SELECT event_id, event_type,
+      |  cast(round(value*100) as bigint) AS cents,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pct_rank
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type
+      |             ORDER BY cast(round(value*100) as bigint), event_id)
+      |ORDER BY event_id""".stripMargin
+
   /** Semi-structured JSON column: per-type stats over a property
     * extracted from the events `props` JSON string (`get_json_object`
     * is codegen'd; the payload never shuffles — only the extracted
@@ -657,6 +711,8 @@ object RelationalQueries {
     "a_rollup_pricing" -> qRollupPricing,
     "a_json_props" -> qJsonProps,
     "a_pivot_daily" -> qPivotDaily,
+    "q10_returns" -> q10Returns,
+    "w_ntile_ranks" -> qNtileRanks,
     "q1_pricing_salted" -> q1Salted,
     "a_events_approx_distinct" -> qEventsApproxDistinct,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -684,6 +740,8 @@ object RelationalQueries {
     "a_rollup_pricing" -> qRollupPricingSql,
     "a_json_props" -> qJsonPropsSql,
     "a_pivot_daily" -> qPivotDailySql,
+    "q10_returns" -> q10Sql,
+    "w_ntile_ranks" -> qNtileRanksSql,
     "q1_pricing_salted" -> q1Sql,
     "a_events_approx_distinct" -> qEventsApproxDistinctSql,
     "q1_pricing_summary" -> q1Sql,
