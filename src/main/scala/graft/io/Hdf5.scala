@@ -415,7 +415,14 @@ object Hdf5 {
     val snodSize = 8 + 40 * all.length
     val dsHdrAddrs = headerSizes.scanLeft(snodAddr + snodSize)(_ + _)
     val gheapAddr = dsHdrAddrs.last
-    val gheapSize = if (needGheap) 4096 else 0
+    // GCOL sized from the actual reference count (16-byte collection
+    // header + 24 bytes per object reference + 16-byte free-space
+    // object), rounded up to a 4096-byte quantum — a fixed 4096 heap
+    // silently shifts every later data address once a WRF-scale file
+    // carries more than ~169 var→dim references.
+    val gheapRefs = dataDs.map(_.v.dimIds.length).sum
+    val gheapSize =
+      if (needGheap) ((16 + 24 * gheapRefs + 16 + 4095) / 4096) * 4096 else 0
     val dataAddrs = all.map(d => plans.get(d.name)
         .map(_.regionSize).getOrElse(dataBytes(d.v).length))
       .scanLeft(gheapAddr + gheapSize)(_ + _)
@@ -430,7 +437,11 @@ object Hdf5 {
     out.bytes(Signature)
     out.u8(0); out.u8(0); out.u8(0); out.u8(0) // sb v0, fs v0, root v0
     out.u8(0); out.u8(8); out.u8(8); out.u8(0) // shared v0, offs 8, len 8
-    out.u16(4); out.u16(16); out.u32(0) // leaf k, internal k, flags
+    // group-leaf K must satisfy 2K >= entries in the single SNOD we
+    // emit — libhdf5 sizes symbol-table nodes from this K, so a file
+    // with >8 objects under the default K=4 reads garbage past entry 8.
+    val leafK = math.max(4, (all.length + 1) / 2)
+    out.u16(leafK); out.u16(16); out.u32(0) // leaf k, internal k, flags
     out.u64(0L); out.u64(Undef); out.u64(eof); out.u64(Undef)
     // root symbol table entry: name "", header addr, no cache
     out.u64(0L); out.u64(rootHdrAddr); out.u32(0); out.u32(0); out.zeros(16)
@@ -472,6 +483,8 @@ object Hdf5 {
         }
       }
       // free-space object (index 0): size includes its own 16-byte header
+      require(g.out.length + 16 <= gheapSize,
+        s"global heap overflow: ${g.out.length + 16} > $gheapSize bytes")
       val free = gheapSize - g.out.length
       g.u16(0); g.u16(0); g.u32(0); g.u64(free.toLong)
       g.zeros(gheapSize - g.out.length)
@@ -1067,7 +1080,8 @@ object Hdf5 {
       d.intAttrs.getOrElse("_Netcdf4Dimid", Long.MaxValue))
     val dims = ordered.map(d => Dim(d.name, d.shape.headOption.getOrElse(0L).toInt))
     val addrToDimId = ordered.zipWithIndex.map { case (d, i) => d.addr -> i }.toMap
-    val sizeToDimId = dims.zipWithIndex.map { case (d, i) => d.size.toLong -> i }.toMap
+    val sizeToDimIds: Map[Long, Seq[Int]] = dims.zipWithIndex
+      .groupBy(_._1.size.toLong).map { case (s, ds) => s -> ds.map(_._2).toSeq }
     def isPhantom(d: Dataset): Boolean = d.textAttrs.exists {
       case ("NAME", v) => v.startsWith(PhantomPrefix)
       case _ => false
@@ -1076,9 +1090,14 @@ object Hdf5 {
       val dimIds: Seq[Int] =
         if (d.dimRefs.nonEmpty) d.dimRefs.map(addrToDimId)
         else if (addrToDimId.contains(d.addr)) Seq(addrToDimId(d.addr))
-        else d.shape.map(s => sizeToDimId.getOrElse(s,
-          throw new IllegalArgumentException(
-            s"${d.name}: no dimension of size $s")))
+        else d.shape.map(s => sizeToDimIds.get(s) match {
+          case Some(Seq(one)) => one
+          case Some(many) => throw new IllegalArgumentException(
+            s"${d.name}: no DIMENSION_LIST and dimension size $s is " +
+              s"ambiguous (${many.map(dims(_).name).mkString(", ")})")
+          case None => throw new IllegalArgumentException(
+            s"${d.name}: no dimension of size $s")
+        })
       (d, dimIds)
     }
     (dims.toSeq, vars)

@@ -46,12 +46,15 @@ object IntervalJoin {
     val sb = expr(s"unix_micros($startCol) div ${w}L")
     val eb = expr(s"unix_micros($endCol) div ${w}L")
     // assert_true is NULL on success — adding its long cast to the end
-    // bucket keeps the guard inside the same codegen'd projection.
+    // bucket keeps the guard inside the same codegen'd projection. A
+    // NULL or inverted (end < start) interval makes the conjunction
+    // non-true, so those fail loudly too instead of silently dropping
+    // (NULL) or exploding a descending bucket sequence (inverted).
     val guarded = eb + coalesce(
-      assert_true(eb - sb < maxBucketsPerInterval,
-        lit(s"interval spans more than $maxBucketsPerInterval buckets " +
-          s"of ${bucketSeconds}s — raise bucketSeconds or cap the " +
-          "interval length upstream")).cast("long"),
+      assert_true(sb <= eb && eb - sb < maxBucketsPerInterval,
+        lit(s"interval is NULL, inverted (end < start), or spans more " +
+          s"than $maxBucketsPerInterval buckets of ${bucketSeconds}s — " +
+          "fix the interval or raise bucketSeconds")).cast("long"),
       lit(0L))
     val ib = intervals.withColumn("__bucket", explode(sequence(sb, guarded)))
     pb.join(ib, keys :+ "__bucket")

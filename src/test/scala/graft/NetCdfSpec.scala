@@ -164,19 +164,25 @@ class NetCdfSpec extends AnyFunSuite {
     assert(nc.dims == Seq(Dim("y", 5), Dim("x", 7)))
   }
 
-  test("HDF5 reader walks multi-SNOD symbol tables (many datasets)") {
-    // 40 variables forces several heap/SNOD entries and exercises name
-    // ordering + btree traversal
+  test("HDF5 writer sizes symbol-table K and global heap for many datasets") {
+    // 200 variables: the SNOD carries 201 entries (dims+vars), so the
+    // superblock's group-leaf K must be raised above the default 4
+    // (libhdf5 sizes nodes as 2K entries), and the 200 var→dim
+    // DIMENSION_LIST references overflow a fixed 4096-byte GCOL —
+    // the heap must grow instead of silently shifting data addresses.
     val path = tmp("many.h5")
     val dims = Seq(Dim("x", 5))
-    val vars = (0 until 40).map(i =>
-      Var(f"v$i%02d", Seq(0), NcDouble, Nil,
+    val vars = (0 until 200).map(i =>
+      Var(f"v$i%03d", Seq(0), NcDouble, Nil,
         Array.tabulate(5)(j => i * 10.0 + j)))
     graft.io.Hdf5.write(path, dims, Nil, vars)
+    val head = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val leafK = ((head(17) & 0xff) << 8) | (head(16) & 0xff) // u16 LE at sb+16
+    assert(2 * leafK >= 201, s"declared leaf K=$leafK covers < 201 entries")
     val nc = NetCdf.read(path)
     assert(nc.vars.map(_.name).toSet == vars.map(_.name).toSet)
-    (0 until 40).foreach { i =>
-      assert(nc.variable(f"v$i%02d").data.asInstanceOf[Array[Double]].toSeq ==
+    (0 until 200).foreach { i =>
+      assert(nc.variable(f"v$i%03d").data.asInstanceOf[Array[Double]].toSeq ==
         (0 until 5).map(j => i * 10.0 + j))
     }
   }

@@ -70,6 +70,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // whole corpus through one shuffle. AQE is disabled for the audit
     // so the physical tree exposes raw ShuffleExchangeExec nodes.
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val df = SparkEntry.queries("pipeline_docprep")(spark, dir)
@@ -81,7 +82,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
         _.child.output.exists(_.name.toLowerCase.contains("text")))
       assert(offenders.isEmpty,
         s"shuffles carrying document text:\n${offenders.mkString("\n")}")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
   test("domain-mix thresholds broadcast back onto the corpus") {
@@ -96,6 +97,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // tokenCount is computed map-side; the groupBy Exchanges must carry
     // only the grouping keys + partial sums.
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try Seq("sample_domain_mix", "corpus_mix").foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
@@ -105,7 +107,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       }
       assert(offenders.isEmpty,
         s"$q: shuffles carrying document text:\n${offenders.mkString("\n")}")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
   test("aggregations run partial (map-side combine) before the shuffle") {
