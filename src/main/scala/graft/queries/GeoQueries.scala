@@ -397,12 +397,16 @@ object GeoQueries {
 
   /** Spatial nearest-neighbor: for each sampled event point the nearest
     * supplier cell center, with exact planar distance (st_distance,
-    * G-function breadth). Brute-force scored baseline (the ANN
-    * pattern: tiny broadcast side + bounded-heap top-1 per point —
-    * same contract as ann_bruteforce_topk; the bucket join is the
-    * scale path). */
+    * G-function breadth). Runs the bucketed ring-search
+    * [[graft.operators.SpatialKnn]] — centers hash to grid cells, each
+    * point equi-joins its expanding cell ring and keeps a bounded-heap
+    * top-1, so nothing crossJoins and the plan survives a center frame
+    * too big to broadcast (the brute-force score stays as the oracle in
+    * `SpatialKnnSpec`). The distance is the closed form (the oracle's
+    * exact doubles); st_dist_ok pins JTS's st_distance to it (< 1e-12,
+    * not always the last ulp) on the winning pair. */
   val qNearestCell: Q = (spark, dir) => {
-    import graft.operators.Ann
+    import graft.operators.SpatialKnn
     val pts = eventPoints(spark, dir)
       .filter(col("event_id") % 97 === 0)
       .select(col("event_id"), col("pt_geom"))
@@ -410,24 +414,15 @@ object GeoQueries {
       col("s_suppkey"),
       st.point((col("s_suppkey") % 10) * 5.0 + 2.5,
         (col("s_suppkey") / 10).cast("long") * 4.0 + 2.0).as("ctr"))
-    // closed-form distance (the oracle's exact doubles) + an invariant
-    // pinning st_distance to it: JTS's DistanceOp agrees to < 1e-12
-    // but not always to the last ulp, so the hash-compared column is
-    // the closed form
-    val dx = st.stx(col("pt_geom")) - st.stx(col("ctr"))
-    val dy = st.sty(col("pt_geom")) - st.sty(col("ctr"))
-    val dist = sqrt(dx * dx + dy * dy)
-    val scored = pts.crossJoin(broadcast(centers))
-      .select(col("event_id"), dist.as("dist"), col("s_suppkey"),
-        (abs(st.distance(col("pt_geom"), col("ctr")) - dist) < 1e-12)
+    val nn = SpatialKnn.knn(pts, "event_id", "pt_geom",
+      centers, "s_suppkey", "ctr", k = 1, cellSize = 5.0)
+      .select(col("event_id"), col("s_suppkey").as("nearest_suppkey"),
+        col("dist"))
+    nn.join(broadcast(centers), nn("nearest_suppkey") === centers("s_suppkey"))
+      .join(pts, Seq("event_id"))
+      .select(col("event_id"), col("nearest_suppkey"), col("dist"),
+        (abs(st.distance(col("pt_geom"), col("ctr")) - col("dist")) < 1e-12)
           .as("st_dist_ok"))
-    scored.groupBy("event_id")
-      .agg(Ann.topK(-col("dist"), col("s_suppkey"), 1).as("top"),
-        (min(col("st_dist_ok").cast("int")) === 1).as("st_dist_ok"))
-      .select(col("event_id"),
-        col("top").getItem(0).getField("neighbor_id").as("nearest_suppkey"),
-        (-col("top").getItem(0).getField("cos_sim")).as("dist"),
-        col("st_dist_ok"))
       .orderBy("event_id")
   }
 

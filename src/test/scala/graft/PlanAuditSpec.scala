@@ -33,12 +33,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // queries cross-join their single-row global-totals aggregate the
     // same way (sqrt6_total / corpus totals — 1 row by construction).
     val allowed = Set("ann_bruteforce_topk", "geo_heat_island",
-      "geo_regrid_conservation", "geo_nearest_cell",
+      "geo_regrid_conservation",
       "sample_domain_mix", "corpus_mix", "text_tfidf")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(n) => n
     }
     assert(offenders.isEmpty, s"unexpected nested-loop joins in: $offenders")
+  }
+
+  test("nearest-cell runs the bucketed ring search, not a cross join") {
+    // geo_nearest_cell formerly crossJoin(broadcast(centers))-scored
+    // every pair; the ring-search kNN must keep every stage on hash
+    // equi-joins (cell buckets + the winner join-back).
+    val p = plans("geo_nearest_cell")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"geo_nearest_cell fell back to a cross join:\n$p")
   }
 
   test("selective scan pushes its filters into the parquet reader") {
