@@ -12,6 +12,10 @@ package graft.geom
   *    (Redfearn-series transverse Mercator — the same series as the OS
   *    guide, on the WGS84 ellipsoid, k0 = 0.9996, per-zone central
   *    meridian, false easting 500 km, false northing 10 000 km south)
+  *  - 4326 ↔ 2154 — RGF93 / Lambert-93, the secant two-parallel
+  *    Lambert conformal conic (EPSG method 9802) on GRS80; the same
+  *    [[Lcc]] math with e² = 0 is WRF's native spherical projection,
+  *    exposed as [[wrfLcc]] for model-domain headers
   *
   * Any supported pair converts; non-4326 → non-4326 routes through
   * 4326. All functions operate in geometry axis order (x = lon/E,
@@ -102,6 +106,88 @@ object Crs {
     }
   }
 
+  /** Lambert conformal conic, secant two-parallel form (EPSG Guidance
+    * Note 7-2 method 9802) on an ellipsoid (a, e²); e² = 0 gives the
+    * spherical form WRF uses natively (the model's map projection for
+    * mid-latitude domains — the grid the reference's wrf_voronoi.py
+    * tessellates is defined in these coordinates). Angles in radians,
+    * (lat1, lat2) the standard parallels, (lat0, lon0) the false
+    * origin's latitude/central meridian, (fe, fn) false easting and
+    * northing in the unit of `a`. */
+  final case class Lcc(a: Double, e2: Double, lat1: Double, lat2: Double,
+      lat0: Double, lon0: Double, fe: Double, fn: Double) {
+
+    private val e = math.sqrt(e2)
+
+    private def m(lat: Double): Double = {
+      val s = math.sin(lat)
+      math.cos(lat) / math.sqrt(1.0 - e2 * s * s)
+    }
+
+    private def t(lat: Double): Double = {
+      val s = math.sin(lat)
+      math.tan(math.Pi / 4.0 - lat / 2.0) /
+        math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0)
+    }
+
+    /** Cone constant; the tangent (1SP) limit when lat1 == lat2. */
+    val n: Double =
+      if (lat1 == lat2) math.sin(lat1)
+      else (math.log(m(lat1)) - math.log(m(lat2))) /
+        (math.log(t(lat1)) - math.log(t(lat2)))
+    private val f = m(lat1) / (n * math.pow(t(lat1), n))
+    private val r0 = a * f * math.pow(t(lat0), n)
+
+    /** Point scale factor — 1 on the standard parallels. */
+    def scale(lat: Double): Double =
+      a * f * math.pow(t(lat), n) * n / (a * m(lat))
+
+    /** Geodetic (radians) → (E, N). */
+    def forward(lat: Double, lon: Double): (Double, Double) = {
+      val r = a * f * math.pow(t(lat), n)
+      val th = n * (lon - lon0)
+      (fe + r * math.sin(th), fn + r0 - r * math.cos(th))
+    }
+
+    /** (E, N) → geodetic (radians). */
+    def inverse(east: Double, north: Double): (Double, Double) = {
+      val de = east - fe
+      val dn = r0 - (north - fn)
+      val sgn = math.signum(n)
+      val rp = sgn * math.sqrt(de * de + dn * dn)
+      val tp = math.pow(rp / (a * f), 1.0 / n)
+      val th = math.atan2(sgn * de, sgn * dn)
+      var lat = math.Pi / 2.0 - 2.0 * math.atan(tp)
+      var i = 0
+      while (i < 15) { // converges in ~4 iterations; e=0 in one
+        val s = math.sin(lat)
+        val next = math.Pi / 2.0 - 2.0 * math.atan(
+          tp * math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0))
+        if (math.abs(next - lat) < 1e-14) i = 15 else i += 1
+        lat = next
+      }
+      (lat, th / n + lon0)
+    }
+  }
+
+  /** WRF's native projection for a given domain header: LCC on the
+    * model's spherical earth (DX/DY are true at the standard
+    * parallels TRUELAT1/2; STAND_LON the central meridian; the false
+    * origin at the domain center latitude, no false easting). */
+  def wrfLcc(truelat1: Double, truelat2: Double, standLon: Double,
+      cenLat: Double): Lcc =
+    Lcc(6370000.0, 0.0, math.toRadians(truelat1), math.toRadians(truelat2),
+      math.toRadians(cenLat), math.toRadians(standLon), 0.0, 0.0)
+
+  /** EPSG:2154 — RGF93 / Lambert-93 (GRS80; the national CRS of
+    * France): SP 44°/49°N, origin 46.5°N 3°E, FE 700 km, FN 6600 km. */
+  private val lambert93: Lcc = {
+    val fG = 1.0 / 298.257222101 // GRS80 flattening
+    Lcc(6378137.0, 2.0 * fG - fG * fG,
+      math.toRadians(44.0), math.toRadians(49.0),
+      math.toRadians(46.5), math.toRadians(3.0), 700000.0, 6600000.0)
+  }
+
   /** UTM zone parameters for EPSG 326zz (north) / 327zz (south). */
   private def utmZone(srid: Int): Option[Tm] = {
     val zone =
@@ -122,6 +208,9 @@ object Crs {
       (R * math.toRadians(lon),
         R * math.log(math.tan(math.Pi / 4.0 + math.toRadians(lat) / 2.0)))
     }
+    case 2154 => Some { (lon, lat) =>
+      lambert93.forward(math.toRadians(lat), math.toRadians(lon))
+    }
     case _ => utmZone(srid).map { tm => (lon, lat) =>
       tm.forward(math.toRadians(lat), math.toRadians(lon))
     }
@@ -136,6 +225,10 @@ object Crs {
     case 3857 => Some { (x, y) =>
       (math.toDegrees(x / R),
         math.toDegrees(2.0 * math.atan(math.exp(y / R)) - math.Pi / 2.0))
+    }
+    case 2154 => Some { (e, n) =>
+      val (lat, lon) = lambert93.inverse(e, n)
+      (math.toDegrees(lon), math.toDegrees(lat))
     }
     case _ => utmZone(srid).map { tm => (e, n) =>
       val (lat, lon) = tm.inverse(e, n)

@@ -395,6 +395,37 @@ object GeoQueries {
       |  true AS merc_bounds_ok, true AS utm_bounds_ok
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** G9 breadth: Lambert conformal conic (secant 2SP, EPSG method
+    * 9802) — WRF's native projection family; EPSG:2154 (Lambert-93) is
+    * the registered ellipsoidal instance. The oracle cannot recompute
+    * the conic, so the emitted columns are invariants it can assert:
+    * roundtrip to < 1e-9°, France-domain physical bounds, and the
+    * definitional false-origin identity (3°E, 46.5°N) → exactly
+    * (700 000, 6 600 000). The projection math itself is pinned to the
+    * EPSG Guidance Note 7-2 worked example in `CrsSpec`. */
+  val qTransformLcc: Q = (spark, dir) => {
+    val s = Tables(spark, dir, "supplier").select(col("s_suppkey"),
+      (lit(42.0) + (col("s_suppkey") % 80) * 0.1).as("lat"),
+      (lit(-4.0) + (col("s_suppkey") % 90) * 0.1).as("lon"))
+    val pt = st.point(col("lon"), col("lat"))
+    val lcc = st.transform(pt, 4326, 2154)
+    val back = st.transform(lcc, 2154, 4326)
+    val origin = st.transform(st.point(lit(3.0), lit(46.5)), 4326, 2154)
+    s.select(col("s_suppkey"),
+      (abs(st.stx(back) - col("lon")) < 1e-9 &&
+        abs(st.sty(back) - col("lat")) < 1e-9).as("lcc_roundtrip_ok"),
+      (st.stx(lcc).between(0.0, 1400000.0) &&
+        st.sty(lcc).between(6000000.0, 7200000.0)).as("lcc_bounds_ok"),
+      (abs(st.stx(origin) - 700000.0) < 1e-6 &&
+        abs(st.sty(origin) - 6600000.0) < 1e-6).as("lcc_origin_ok"))
+      .orderBy("s_suppkey")
+  }
+
+  val qTransformLccSql: String =
+    """SELECT s_suppkey, true AS lcc_roundtrip_ok, true AS lcc_bounds_ok,
+      |  true AS lcc_origin_ok
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   /** Spatial nearest-neighbor: for each sampled event point the nearest
     * supplier cell center, with exact planar distance (st_distance,
     * G-function breadth). Runs the bucketed ring-search
@@ -554,6 +585,7 @@ object GeoQueries {
     "geo_geojson_roundtrip" -> qGeojsonRoundtrip,
     "geo_transform_roundtrip" -> qTransformRoundtrip,
     "geo_transform_crs" -> qTransformCrs,
+    "geo_transform_lcc" -> qTransformLcc,
     "geo_voronoi_rect" -> qVoronoiRect,
     "geo_voronoi_partition" -> qVoronoiPartition,
     "geo_cells_area" -> qCellsArea,
@@ -572,6 +604,7 @@ object GeoQueries {
     "geo_geojson_roundtrip" -> qGeojsonRoundtripSql,
     "geo_transform_roundtrip" -> qTransformRoundtripSql,
     "geo_transform_crs" -> qTransformCrsSql,
+    "geo_transform_lcc" -> qTransformLccSql,
     "geo_voronoi_rect" -> qVoronoiRectSql,
     "geo_voronoi_partition" -> qVoronoiPartitionSql,
     "geo_cells_area" -> qCellsAreaSql,

@@ -78,6 +78,54 @@ class CrsSpec extends SparkSpec {
     assert(x1 == x2 && y1 == y2)
   }
 
+  test("LCC 2SP matches the EPSG Guidance Note 7-2 worked example") {
+    // Method 9802's published example — NAD27 / Texas South Central
+    // (Clarke 1866 in US survey feet): 28°30'N 96°W must project to
+    // E 2,963,503.91 ft, N 254,759.80 ft.
+    val lcc = Crs.Lcc(20925832.16, 0.00676866,
+      math.toRadians(28.0 + 23.0 / 60), math.toRadians(30.0 + 17.0 / 60),
+      math.toRadians(27.0 + 50.0 / 60), math.toRadians(-99.0),
+      2000000.0, 0.0)
+    val (e, n) = lcc.forward(math.toRadians(28.5), math.toRadians(-96.0))
+    assert(math.abs(e - 2963503.91) < 0.02, s"E=$e")
+    assert(math.abs(n - 254759.80) < 0.02, s"N=$n")
+    val (lat, lon) = lcc.inverse(e, n)
+    assert(math.abs(math.toDegrees(lat) - 28.5) < 1e-9)
+    assert(math.abs(math.toDegrees(lon) + 96.0) < 1e-9)
+  }
+
+  test("Lambert-93: false origin identity, scale, and roundtrip") {
+    // by definition of EPSG:2154, (3°E, 46.5°N) is exactly the false
+    // origin (700000, 6600000); scale is 1 on the standard parallels
+    val (e0, n0) = xy(4326, 2154)(3.0, 46.5)
+    assert(math.abs(e0 - 700000.0) < 1e-6 && math.abs(n0 - 6600000.0) < 1e-6)
+    for (li <- -4 to 7; pi <- 0 to 10) {
+      val lon = li * 1.0; val lat = 41.0 + pi * 1.0
+      val (e, n) = xy(4326, 2154)(lon, lat)
+      val (lon2, lat2) = xy(2154, 4326)(e, n)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+        s"($lon,$lat) -> ($lon2,$lat2)")
+    }
+  }
+
+  test("WRF spherical LCC: scale 1 at the standard parallels, roundtrip") {
+    // a CONUS-style domain: truelat 30/60, stand_lon -97
+    val lcc = Crs.wrfLcc(30.0, 60.0, -97.0, 40.0)
+    assert(math.abs(lcc.scale(math.toRadians(30.0)) - 1.0) < 1e-12)
+    assert(math.abs(lcc.scale(math.toRadians(60.0)) - 1.0) < 1e-12)
+    assert(lcc.scale(math.toRadians(45.0)) < 1.0) // secant cone dips between
+    // domain center projects onto the central meridian (x = 0)
+    val (x0, _) = lcc.forward(math.toRadians(40.0), math.toRadians(-97.0))
+    assert(math.abs(x0) < 1e-9)
+    for (li <- -12 to 12; pi <- 0 to 8) {
+      val lon = -97.0 + li * 2.0; val lat = 25.0 + pi * 4.0
+      val (x, y) = lcc.forward(math.toRadians(lat), math.toRadians(lon))
+      val (lat2, lon2) = lcc.inverse(x, y)
+      assert(math.abs(math.toDegrees(lon2) - lon) < 1e-9 &&
+        math.abs(math.toDegrees(lat2) - lat) < 1e-9, s"($lon,$lat)")
+    }
+  }
+
   test("unknown CRS is rejected") {
     assert(Crs.convert(4326, 99999).isEmpty)
     assert(!Crs.supported(12345))
