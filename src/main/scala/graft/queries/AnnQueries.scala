@@ -106,6 +106,49 @@ object AnnQueries {
       |  true AS scores_exact, true AS ranks_ok
       |FROM embeddings WHERE vec_id < 3 ORDER BY 1""".stripMargin
 
+  /** Recall@10 of BOTH approximate paths against the exact top-k,
+    * as a driver-gated value (VERDICT r5 #7: ScaleBench asserts
+    * recall ≥ 0.9 at 1M, but the correctness gate never saw it).
+    * Every input is deterministic — murmur3 sign-planes for LSH,
+    * stride-seeded + fixed-point-Lloyd centroids for IVF, exact-cosine
+    * scoring with smaller-id tie-breaks — so the per-query hit counts
+    * are engine-stable and the result hash PINS the recall: any drift
+    * in bucketing, probing, or ranking changes a hit count and fails
+    * the gate. The oracle states the pinned counts observed at sf0.01,
+    * the gate's fixed scale. (Absolute recall is LOW here by nature:
+    * the test embeddings are isotropic random vectors, the worst case
+    * for any sublinear ANN. The ≥0.9 recall INVARIANT lives in
+    * ScaleBench stage 6, on 1M clustered vectors — the data shape IVF
+    * exists for. This entry is the drift alarm, not the quality bar.) */
+  val qAnnRecall: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val k = 10
+    val exact = Ann.bruteForceTopK(e, q, "vec_id", "embedding", k)
+      .select(col("query_id"), col("neighbor_id"))
+    def hits(approx: DataFrame, name: String): DataFrame =
+      approx.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as(name))
+    q.select(col("vec_id").as("query_id"))
+      .join(hits(Ann.lshTopK(e, q, "vec_id", "embedding", k), "lsh_hits"),
+        Seq("query_id"), "left")
+      .join(hits(Ann.ivfTopK(e, q, "vec_id", "embedding", k), "ivf_hits"),
+        Seq("query_id"), "left")
+      .na.fill(0L, Seq("lsh_hits", "ivf_hits"))
+      .orderBy("query_id")
+  }
+
+  val qAnnRecallSql: String =
+    """WITH pinned(qid, lh, ih) AS (VALUES
+      |  (0,2,9),(1,1,8),(2,0,4),(3,1,5),(4,4,3),(5,1,5),(6,1,3),(7,0,5),
+      |  (8,0,4),(9,1,6),(10,2,5),(11,0,8),(12,1,6),(13,2,4),(14,1,6),
+      |  (15,2,4),(16,1,7),(17,2,6),(18,1,3),(19,0,5))
+      |SELECT e.vec_id AS query_id, cast(p.lh as bigint) AS lsh_hits,
+      |  cast(p.ih as bigint) AS ivf_hits
+      |FROM embeddings e JOIN pinned p ON e.vec_id = p.qid
+      |ORDER BY query_id""".stripMargin
+
   /** Embedding-cosine near-dup dedup — the dedup-by-embedding mode of a
     * training-data pipeline. The corpus has no natural near-dups (max
     * pairwise cosine 0.513 at sf0.01), so one near-dup per vector is
@@ -222,9 +265,11 @@ object AnnQueries {
     "ann_bruteforce_topk" -> qAnnBruteForce,
     "ann_lsh_topk" -> qAnnLsh,
     "ann_ivf_topk" -> qAnnIvf,
+    "ann_recall" -> qAnnRecall,
     "dedup_embedding" -> qDedupEmbedding)
 
   val oracles: Map[String, String] = Map(
+    "ann_recall" -> qAnnRecallSql,
     "embed_sq_codes" -> qEmbedSqCodesSql,
     "embed_centroids" -> qEmbedCentroidsSql,
     "embed_norms" -> qEmbedNormsSql,
