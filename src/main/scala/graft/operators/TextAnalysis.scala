@@ -17,9 +17,55 @@ object TextAnalysis {
 
   /** BPE-ish subword proxy: count of letter-runs, digit-runs and
     * single punctuation marks (a cheap deterministic stand-in for a real
-    * tokenizer's piece count). */
+    * tokenizer's piece count — superseded by [[subwordTokenize]] for
+    * anything that BUDGETS by tokens; kept for the text_stats signal). */
   def subwordCount(text: Column): Column =
     regexp_count(text, lit("([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])"))
+
+  /** Vocab-driven greedy longest-match subword encoding
+    * ([[graft.expressions.SubwordTokenize]]): array of piece ids
+    * (indices into `vocab`; −1 = UNK). Pass a real model's piece list
+    * to tokenize with its vocabulary. */
+  def subwordTokenize(text: Column, vocab: Seq[String]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.SubwordTokenize(
+        Seq(org.apache.spark.sql.graftbridge.Bridge.expression(text)), vocab))
+
+  /** Piece count under `vocab` — the unit of account for packing
+    * budgets and domain-mix token totals. */
+  def subwordTokenCount(text: Column, vocab: Seq[String]): Column =
+    size(subwordTokenize(text, vocab))
+
+  /** Demo vocabulary for the oracle-checked queries: every ASCII
+    * lowercase letter, digit and common punctuation mark (so no ASCII
+    * text ever hits UNK), frequent English bigrams, and whole-word /
+    * split-piece entries tuned so the synthetic corpus exercises both
+    * single-piece words and real multi-piece splits (cust+omer,
+    * tab+le, quer+y, wind+ow, filt+er, val+ue, col+umn, vect+or).
+    * Ids are positions in this list — the DuckDB oracles embed the
+    * same (id, piece) pairs. */
+  val demoVocab: Seq[String] =
+    (('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString) ++
+      Seq(".", ",", "!", "?", "'", "\"", "-", ":", ";", "(", ")") ++
+      Seq("th", "he", "in", "an", "re", "on", "at", "en", "st", "ar",
+        "te", "ed", "es", "nd", "to", "is", "it", "ou", "ng", "se",
+        "le", "er", "or", "ow",
+        "the", "and", "data", "key", "row", "scan", "sort", "join",
+        "hash", "batch", "small", "slow", "merge", "order", "line",
+        "agg", "stream", "spark", "group", "part", "big", "fast",
+        "cust", "omer", "col", "umn", "val", "ue", "tab", "quer",
+        "wind", "filt", "vect")).toIndexedSeq
+
+  /** The demo vocab as SQL VALUES rows `(id,'piece'),…` — shared by
+    * every oracle that re-derives piece counts in DuckDB. */
+  def demoVocabSqlValues: String =
+    demoVocab.zipWithIndex.map { case (p, i) =>
+      s"($i,'${p.replace("'", "''")}')"
+    }.mkString(",")
+
+  /** Piece-only VALUES rows `('piece'),…` for count-only oracles. */
+  def demoVocabSqlPieces: String =
+    demoVocab.map(p => s"('${p.replace("'", "''")}')").mkString(",")
 
   /** Character-class counts used by quality heuristics. */
   def alphaCount(text: Column): Column =

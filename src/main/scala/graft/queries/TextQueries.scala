@@ -36,6 +36,59 @@ object TextQueries {
       |  length(text) AS n_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Vocab-driven subword tokenization ([[TextAnalysis.subwordTokenize]],
+    * VERDICT r5 #1): greedy longest-match encode under the demo vocab.
+    * Each document is deterministically augmented with a digit/punct/
+    * UNK tail (` 4242-v<doc_id>~`) so the gate exercises digit runs,
+    * punctuation pieces and the UNK path, not just letter runs. The
+    * oracle re-derives the encoding with a recursive CTE over DISTINCT
+    * pre-tokens (greedy longest vocab prefix per step — piece counts,
+    * UNK counts and piece-ID sums all hash-match, pinning both the
+    * split points and the id assignment). */
+  val qTextTokenize: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val aug = concat(col("text"), lit(" 4242-v"), col("doc_id"), lit("~"))
+    val ids = TextAnalysis.subwordTokenize(aug, TextAnalysis.demoVocab)
+    d.select(col("doc_id"), ids.as("ids"))
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_pieces"),
+        size(filter(col("ids"), i => i === -1)).cast("long").as("n_unk"),
+        aggregate(col("ids"), lit(0L),
+          (acc, i) => acc + greatest(i, lit(0)).cast("long")).as("id_sum"))
+      .orderBy("doc_id")
+  }
+
+  val qTextTokenizeSql: String =
+    s"""WITH RECURSIVE
+       |vocab(id, piece) AS (VALUES ${TextAnalysis.demoVocabSqlValues}),
+       |aug AS (SELECT doc_id, text || ' 4242-v' || doc_id || '~' AS t
+       |  FROM documents),
+       |pre AS (SELECT doc_id, unnest(regexp_extract_all(lower(t),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w FROM aug),
+       |occ AS (SELECT doc_id, w, count(*) AS c FROM pre GROUP BY 1, 2),
+       |dw AS (SELECT DISTINCT w FROM pre),
+       |step(w, rest, k, u, idsum) AS (
+       |  SELECT w, w, 0, 0, 0 FROM dw
+       |  UNION ALL
+       |  SELECT s.w,
+       |    substr(s.rest, 1 + coalesce((SELECT max(length(v.piece)) FROM vocab v
+       |      WHERE substr(s.rest, 1, length(v.piece)) = v.piece), 1)),
+       |    s.k + 1,
+       |    s.u + CASE WHEN (SELECT max(length(v.piece)) FROM vocab v
+       |      WHERE substr(s.rest, 1, length(v.piece)) = v.piece) IS NULL
+       |      THEN 1 ELSE 0 END,
+       |    s.idsum + coalesce((SELECT v.id FROM vocab v
+       |      WHERE substr(s.rest, 1, length(v.piece)) = v.piece
+       |      ORDER BY length(v.piece) DESC LIMIT 1), 0)
+       |  FROM step s WHERE s.rest <> ''),
+       |enc AS (SELECT w, k, u, idsum FROM step WHERE rest = '')
+       |SELECT o.doc_id,
+       |  cast(sum(o.c * e.k) as bigint) AS n_pieces,
+       |  cast(sum(o.c * e.u) as bigint) AS n_unk,
+       |  cast(sum(o.c * e.idsum) as bigint) AS id_sum
+       |FROM occ o JOIN enc e ON o.w = e.w
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Quality scoring: stopword hits + aggregate quality stats by lang. */
   val qTextQuality: Q = (spark, dir) => {
     val d = Tables(spark, dir, "documents")
@@ -486,6 +539,7 @@ object TextQueries {
     "dedup_components" -> qDedupComponents,
     "text_winnowing" -> qTextWinnowing,
     "text_stats" -> qTextStats,
+    "text_tokenize" -> qTextTokenize,
     "text_quality" -> qTextQuality,
     "text_langid" -> qTextLangId,
     "text_pii" -> qTextPii,
@@ -504,6 +558,7 @@ object TextQueries {
     "dedup_components" -> qDedupComponentsSql,
     "text_winnowing" -> qTextWinnowingSql,
     "text_stats" -> qTextStatsSql,
+    "text_tokenize" -> qTextTokenizeSql,
     "text_quality" -> qTextQualitySql,
     "text_langid" -> qTextLangIdSql,
     "text_pii" -> qTextPiiSql,

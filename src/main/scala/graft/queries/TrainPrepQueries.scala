@@ -163,15 +163,41 @@ object TrainPrepQueries {
        |ORDER BY 1""".stripMargin
   }
 
+  /** Shared oracle snippet (append inside a `WITH RECURSIVE`): per-doc
+    * subword piece counts under the demo vocab — greedy longest-match
+    * restated as a recursion over DISTINCT words, weighted back by
+    * occurrence count. The packing/mixing oracles consume `tok(doc_id,
+    * n_tokens)` exactly where they previously used the whitespace
+    * count. */
+  private val tokCte: String =
+    s"""vocab(piece) AS (VALUES ${TextAnalysis.demoVocabSqlPieces}),
+       |pre AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w FROM documents),
+       |occ AS (SELECT doc_id, w, count(*) AS c FROM pre GROUP BY 1, 2),
+       |dw AS (SELECT DISTINCT w FROM pre),
+       |step(w, rest, k) AS (
+       |  SELECT w, w, 0 FROM dw
+       |  UNION ALL
+       |  SELECT s.w, substr(s.rest, 1 + coalesce((SELECT max(length(v.piece))
+       |      FROM vocab v WHERE substr(s.rest, 1, length(v.piece)) = v.piece), 1)),
+       |    s.k + 1
+       |  FROM step s WHERE s.rest <> ''),
+       |enc AS (SELECT w, k FROM step WHERE rest = ''),
+       |tok AS (SELECT o.doc_id, cast(sum(o.c * e.k) as bigint) AS n_tokens
+       |  FROM occ o JOIN enc e ON o.w = e.w GROUP BY 1)""".stripMargin
+
   /** Sequence PACKING: every document's global token offset in the
     * id-ordered corpus and its fixed-budget training shard, via the
     * two-level scalable prefix sum ([[Packing.packByBudget]] — no
     * global window; bucketSize 64 exercises the multi-bucket path even
-    * at sf0.001). */
+    * at sf0.001). Budgets count REAL subword pieces
+    * ([[TextAnalysis.subwordTokenCount]] under the demo vocab, VERDICT
+    * r5 #1) — the unit a training pipeline actually packs by. */
   val qPackShards: Q = (spark, dir) => {
     val docs = Tables(spark, dir, "documents")
     val withTok = docs.select(col("doc_id"),
-      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      TextAnalysis.subwordTokenCount(col("text"), TextAnalysis.demoVocab)
+        .as("n_tokens"))
     Packing.packByBudget(withTok, "doc_id", "n_tokens",
         budget = 2048, bucketSize = 64)
       .withColumnRenamed("id", "doc_id")
@@ -179,15 +205,14 @@ object TrainPrepQueries {
   }
 
   val qPackShardsSql: String =
-    """WITH t AS (SELECT doc_id,
-      |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
-      |  FROM documents)
-      |SELECT doc_id, n_tokens,
-      |  cast(coalesce(sum(n_tokens) OVER w, 0) as bigint) AS "offset",
-      |  cast(coalesce(sum(n_tokens) OVER w, 0) // 2048 as bigint) AS shard
-      |FROM t
-      |WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-      |ORDER BY doc_id""".stripMargin
+    s"""WITH RECURSIVE
+       |$tokCte
+       |SELECT doc_id, n_tokens,
+       |  cast(coalesce(sum(n_tokens) OVER w, 0) as bigint) AS "offset",
+       |  cast(coalesce(sum(n_tokens) OVER w, 0) // 2048 as bigint) AS shard
+       |FROM tok
+       |WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |ORDER BY doc_id""".stripMargin
 
   /** Temperature-weighted DOMAIN MIXING ([[Sampling.domainMixThresholds]]):
     * per-source √token-share acceptance thresholds toward a 20k-token
@@ -199,7 +224,8 @@ object TrainPrepQueries {
     val docs = Tables(spark, dir, "documents")
     val perSource = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_toks"))
+        sum(TextAnalysis.subwordTokenCount(col("text"), TextAnalysis.demoVocab)
+          .cast("long")).as("n_toks"))
     val thr = Sampling.domainMixThresholds(perSource, tokenBudget = 20000)
       .select(col("source"), col("thr"))
     docs.select(col("doc_id"), col("source"))
@@ -211,10 +237,11 @@ object TrainPrepQueries {
   }
 
   val qDomainMixSql: String =
-    """WITH s AS (
-      |  SELECT source,
-      |    sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS n_toks
-      |  FROM documents GROUP BY 1),
+    s"""WITH RECURSIVE
+      |$tokCte,
+      |s AS (
+      |  SELECT d.source, sum(t.n_tokens)::BIGINT AS n_toks
+      |  FROM documents d JOIN tok t USING (doc_id) GROUP BY 1),
       |w AS (SELECT source, n_toks,
       |    cast(round(sqrt(n_toks) * 1e6) as bigint) AS sqrt6 FROM s),
       |tot AS (SELECT sum(sqrt6)::BIGINT AS sqrt6_total FROM w),
@@ -260,7 +287,8 @@ object TrainPrepQueries {
     val docs = Tables(spark, dir, "documents")
     val g = docs.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_toks"))
+        sum(TextAnalysis.subwordTokenCount(col("text"), TextAnalysis.demoVocab)
+          .cast("long")).as("n_toks"))
     val tot = g.agg(sum("n_docs").as("td"), sum("n_toks").as("tt"))
     g.crossJoin(broadcast(tot))
       .select(col("source"), col("lang"), col("n_docs"), col("n_toks"),
@@ -270,10 +298,12 @@ object TrainPrepQueries {
   }
 
   val qCorpusMixSql: String =
-    """WITH g AS (
-      |  SELECT source, lang, count(*)::BIGINT AS n_docs,
-      |    sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS n_toks
-      |  FROM documents GROUP BY 1, 2),
+    s"""WITH RECURSIVE
+      |$tokCte,
+      |g AS (
+      |  SELECT d.source, d.lang, count(*)::BIGINT AS n_docs,
+      |    sum(t.n_tokens)::BIGINT AS n_toks
+      |  FROM documents d JOIN tok t USING (doc_id) GROUP BY 1, 2),
       |t AS (SELECT sum(n_docs)::BIGINT AS td, sum(n_toks)::BIGINT AS tt FROM g)
       |SELECT source, lang, n_docs, n_toks,
       |  n_docs / td::DOUBLE AS doc_share,

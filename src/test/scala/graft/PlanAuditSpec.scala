@@ -32,7 +32,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // cross-join one single-row aggregate into the stream; the mix
     // queries cross-join their single-row global-totals aggregate the
     // same way (sqrt6_total / corpus totals — 1 row by construction).
-    val allowed = Set("ann_bruteforce_topk", "geo_heat_island",
+    // ann_recall embeds the brute-force scorer as its exact reference
+    // (tiny broadcast query side, same contract as ann_bruteforce_topk)
+    val allowed = Set("ann_bruteforce_topk", "ann_recall", "geo_heat_island",
       "geo_regrid_conservation",
       "sample_domain_mix", "corpus_mix", "text_tfidf")
     val offenders = plans.collect {
