@@ -299,6 +299,30 @@ object ScaleBench {
     }
     assert(tfidfRows == 5000000L, s"expected 5 terms x 1M docs: $tfidfRows")
 
+    // --- stage 14: cross-document repeated-substring dedup over 1M
+    // docs — 100k of them carry an 8-word licence header planted at
+    // the front. 25M gram rows ride an 8-byte hash + int position
+    // through one countDistinct aggregation and one join-back; the
+    // merge fold runs per doc. Expect exactly the planted [0, 8) span
+    // on every tenth document and nothing else.
+    val (subStats, tSub) = timed {
+      val docsN = 1000000L
+      def sword(seed: org.apache.spark.sql.Column, i: Int) =
+        concat(lit("w"), pmod(hash(seed, lit(i + 77)), lit(5000000)).cast("string"))
+      val unique = concat_ws(" ", (0 until 25).map(i => sword(col("id"), i)): _*)
+      val boiler = "this shared license header appears verbatim across documents"
+      val text = when(col("id") % 10 === 0,
+        concat(lit(boiler + " "), unique)).otherwise(unique)
+      val docs = spark.range(docsN).select(col("id"), text.as("text"))
+      graft.operators.Dedup
+        .repeatedSubstringSpans(docs, "id", "text", gramLen = 5, minDocs = 100)
+        .agg(count(lit(1)), min("span_start"), max("span_start"),
+          max("span_end"))
+        .as[(Long, Int, Int, Int)].head()
+    }
+    assert(subStats == ((100000L, 0, 0, 8)),
+      s"expected 100k exact [0,8) planted spans: $subStats")
+
     println(
       s"""{"metric":"reference_scale","overlay_sec":$tOverlay,""" +
         s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
@@ -314,6 +338,7 @@ object ScaleBench {
         s""""interval_skew_sec":$tInterval,"interval_pairs":$ivPairs,""" +
         s""""strat_10m_sec":$tStrat,"strat_rows":$stratRows,""" +
         s""""tfidf_1m_sec":$tTfidf,"tfidf_rows":$tfidfRows,""" +
+        s""""substr_1m_sec":$tSub,"substr_spans":${subStats._1},""" +
         s""""regrid_cells":$regridRows,"voronoi_cells":$vorCells,""" +
         s""""conservation_ratio":$ratio}""")
     spark.stop()

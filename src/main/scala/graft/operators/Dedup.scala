@@ -438,6 +438,61 @@ object Dedup {
     * ~10⁴-10⁶ grams) is distinct-ed and BROADCAST, so the corpus side
     * joins map-side with zero shuffle of corpus rows; the only shuffle
     * is the final per-doc count aggregation, which is output-bound. */
+  /** Cross-document REPEATED-SUBSTRING spans — the dedup step document-
+    * level near-dup misses: licence blocks, boilerplate headers and
+    * templated paragraphs shared verbatim ACROSS otherwise-distinct
+    * documents (the published "Deduplicating Training Data" recipe's
+    * suffix-array pass, re-expressed as gram-fingerprint buckets).
+    *
+    * A token position is CUT when its `gramLen`-word gram (the window
+    * starting there) occurs in ≥ `minDocs` distinct documents; maximal
+    * runs of overlapping cut windows merge into one span per document:
+    * `(id, span_start, span_end)` in 0-based token offsets, end
+    * exclusive — the caller removes or collapses those token ranges.
+    *
+    * Plan shape for 100 TB: grams are xxhash64 longs (the oracle
+    * groups the gram STRINGS — identical modulo 2^-64-probability
+    * collisions; unlike [[ngramContamination]] the oracle never needs
+    * to reproduce the hash, so the cheap codegen'd hash wins over the
+    * md5-derived one), so the repeated-gram aggregation and the hit
+    * join-back both ride an 8-byte key + an int position; document
+    * text never shuffles. countDistinct is a two-stage partial
+    * aggregation; the repeated-gram set is boilerplate-sized, so AQE
+    * broadcasts the join-back when it can. Span merging folds each
+    * document's sorted hit positions in ONE pass per doc — no window
+    * over the corpus. */
+  def repeatedSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+      gramLen: Int, minDocs: Int): DataFrame = {
+    require(gramLen >= 2, s"gramLen=$gramLen")
+    require(minDocs >= 2, s"minDocs=$minDocs")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val gramHashes = when(size(toks) >= gramLen,
+      transform(sequence(lit(0), size(toks) - gramLen), i =>
+        xxhash64(concat_ws(" ", slice(toks, i + 1, lit(gramLen))))))
+      .otherwise(array().cast("array<long>"))
+    val grams = df.select(col(idCol).as("id"), posexplode(gramHashes))
+      .select(col("id"), col("pos"), col("col").as("gh"))
+    val rep = grams.groupBy("gh")
+      .agg(countDistinct("id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gh")
+    val hits = grams.join(rep, "gh").select("id", "pos")
+    val emptySpans = array().cast("array<struct<s:int,e:int>>")
+    hits.groupBy("id")
+      .agg(array_sort(collect_set(col("pos"))).as("ps"))
+      .select(col("id"), explode(aggregate(col("ps"), emptySpans, (acc, p) => {
+        val last = element_at(acc, -1)
+        when(size(acc) > 0 && p <= last.getField("e"),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last.getField("s").as("s"),
+              greatest(last.getField("e"), p + gramLen).as("e")))))
+          .otherwise(concat(acc,
+            array(struct(p.as("s"), (p + gramLen).as("e")))))
+      })).as("span"))
+      .select(col("id"), col("span.s").as("span_start"),
+        col("span.e").as("span_end"))
+  }
+
   def ngramContamination(df: DataFrame, idCol: String, textCol: String,
       isBenchmark: Column, n: Int): DataFrame = {
     val grams = df.select(col(idCol).as("id"), isBenchmark.as("is_bench"),

@@ -89,6 +89,65 @@ object TextQueries {
        |FROM occ o JOIN enc e ON o.w = e.w
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Cross-document repeated-substring dedup
+    * ([[Dedup.repeatedSubstringSpans]], VERDICT r5 #2): two boilerplate
+    * paragraphs are PLANTED deterministically — a 10-word licence
+    * header prepended to every doc_id % 5 == 0 document, a 7-word
+    * export footer appended to every doc_id % 7 == 0 document — and
+    * the operator must recover exactly those token spans: [0, 10) for
+    * the header, [n−7, n) for the footer, both spans on documents
+    * divisible by 35. minDocs = 10 sits far above any natural 5-gram
+    * repetition in the synthetic corpus, so the planted spans are the
+    * complete expected answer, and the oracle recomputes them from the
+    * gram strings (the engine's 60-bit gram hashes are collision-free
+    * at this scale by construction). */
+  val qDedupSubstring: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val boilerA =
+      "this license text is shared boilerplate across many documents verbatim"
+    val boilerB = "generated by the export tool version seven"
+    val t1 = when(col("doc_id") % 5 === 0,
+      concat(lit(boilerA + " "), col("text"))).otherwise(col("text"))
+    val t2 = when(col("doc_id") % 7 === 0,
+      concat(t1, lit(" " + boilerB))).otherwise(t1)
+    val aug = d.select(col("doc_id"), t2.as("t"))
+    Dedup.repeatedSubstringSpans(aug, "doc_id", "t", gramLen = 5, minDocs = 10)
+      .select(col("id").as("doc_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start")).cast("long").as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  val qDedupSubstringSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+      |      THEN t1 || ' generated by the export tool version seven'
+      |      ELSE t1 END AS t
+      |  FROM (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+      |      THEN 'this license text is shared boilerplate across many documents verbatim ' || text
+      |      ELSE text END AS t1
+      |    FROM documents)),
+      |tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(t)), '\s+') AS toks
+      |  FROM aug),
+      |grams AS (
+      |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+4], ' ') AS g
+      |  FROM tk, unnest(range(1, len(toks) - 3)) AS u(i)),
+      |rep AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 10),
+      |hits AS (SELECT DISTINCT doc_id, pos FROM grams JOIN rep USING (g)),
+      |brks AS (SELECT doc_id, pos,
+      |    CASE WHEN pos > coalesce(max(pos + 5) OVER (PARTITION BY doc_id
+      |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM hits),
+      |isl AS (SELECT doc_id, pos,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM brks)
+      |SELECT doc_id, min(pos) AS span_start, max(pos) + 5 AS span_end,
+      |  max(pos) + 5 - min(pos) AS span_tokens
+      |FROM isl GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
   /** Quality scoring: stopword hits + aggregate quality stats by lang. */
   val qTextQuality: Q = (spark, dir) => {
     val d = Tables(spark, dir, "documents")
@@ -552,6 +611,7 @@ object TextQueries {
     "dedup_jaccard" -> qDedupJaccard,
     "dedup_minhash_lsh" -> qDedupMinhash,
     "dedup_decision" -> qDedupDecision,
+    "dedup_substring" -> qDedupSubstring,
     "dedup_simhash" -> qDedupSimhash)
 
   val oracles: Map[String, String] = Map(
@@ -571,5 +631,6 @@ object TextQueries {
     "dedup_jaccard" -> qDedupJaccardSql,
     "dedup_minhash_lsh" -> qDedupMinhashSql,
     "dedup_decision" -> qDedupDecisionSql,
+    "dedup_substring" -> qDedupSubstringSql,
     "dedup_simhash" -> qDedupSimhashSql)
 }

@@ -96,6 +96,43 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
+  test("docprep exact-dedup join-back is shuffle-free on a bucketed corpus") {
+    // pipeline_docprep's scaladoc claims a doc_id-bucketed corpus makes
+    // the winner join-back storage-partitioned at 100 TB. Prove it:
+    // bucket the corpus by doc_id, run the docprep exact-dedup shape
+    // (digest min-agg winners joined back on doc_id) with broadcast
+    // DISABLED — the text side must flow from the bucketed scan into
+    // the join with ZERO Exchange; the only shuffles carry the compact
+    // (digest, doc_id) frames.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, dir, "documents")
+    spark.sql("DROP TABLE IF EXISTS docs_b")
+    docs.write.bucketBy(8, "doc_id").sortBy("doc_id")
+      .mode("overwrite").saveAsTable("docs_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val corpus = spark.table("docs_b")
+      val winners = corpus
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+        .groupBy("digest").agg(min("doc_id").as("doc_id"))
+        .select(col("doc_id"), lit(true).as("keep_exact"))
+      val joined = corpus.select(col("doc_id"), col("text"))
+        .join(winners, Seq("doc_id"), "left")
+      joined.collect()
+      val offenders = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+            if e.child.output.exists(_.name.toLowerCase.contains("text")) => e
+      }
+      assert(offenders.isEmpty,
+        s"bucketed join-back shuffled document text:\n${offenders.mkString("\n")}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS docs_b")
+    }
+  }
+
   test("domain-mix thresholds broadcast back onto the corpus") {
     // The per-source threshold frame is #sources rows — joining it back
     // must be a broadcast hash join, never a shuffle of the corpus side
