@@ -323,6 +323,44 @@ object ScaleBench {
     assert(subStats == ((100000L, 0, 0, 8)),
       s"expected 100k exact [0,8) planted spans: $subStats")
 
+    // --- stage 15: RocksDB state-store soak — 2M streamed events where
+    // EVERY row is its own (window, key) state entry, so the stateful
+    // aggregation holds 2M live entries at once. On the default
+    // heap-backed provider that entry count is bounded by executor
+    // memory; RocksDBStateStoreProvider keeps it on executor-local
+    // disk (the 100 TB keyspace path). Update-mode memory sink: each
+    // pair is updated in exactly one micro-batch, so the sink must
+    // hold exactly 2M rows.
+    val (rocksRows, tRocks) = timed {
+      val rdir = java.nio.file.Files.createTempDirectory("scale_rocks")
+      spark.range(2000000L).select(
+        (col("id") % 200000).as("k"),
+        expr("timestamp_micros(id * 1000000)").as("ts"))
+        .write.mode("overwrite").parquet(rdir.toString)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set(provKey, graft.queries.StreamingQueries.RocksDbProvider)
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val st = spark.readStream.schema("k LONG, ts TIMESTAMP")
+          .parquet(rdir.toString)
+        val agg = st.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("k"))
+          .agg(count(lit(1)).as("n"))
+        val q = agg.writeStream.format("memory").queryName("rocks_soak")
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table("rocks_soak").count()
+      } finally {
+        spark.conf.unset(provKey)
+        spark.conf.set("spark.sql.shuffle.partitions", prevPart)
+      }
+    }
+    assert(rocksRows == 2000000L,
+      s"expected 2M RocksDB state entries emitted: $rocksRows")
+
     println(
       s"""{"metric":"reference_scale","overlay_sec":$tOverlay,""" +
         s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
@@ -339,6 +377,7 @@ object ScaleBench {
         s""""strat_10m_sec":$tStrat,"strat_rows":$stratRows,""" +
         s""""tfidf_1m_sec":$tTfidf,"tfidf_rows":$tfidfRows,""" +
         s""""substr_1m_sec":$tSub,"substr_spans":${subStats._1},""" +
+        s""""rocksdb_soak_sec":$tRocks,"rocksdb_state_rows":$rocksRows,""" +
         s""""regrid_cells":$regridRows,"voronoi_cells":$vorCells,""" +
         s""""conservation_ratio":$ratio}""")
     spark.stop()

@@ -82,6 +82,48 @@ object Hdf5 {
     out.toArray
   }
 
+  /** Bob Jenkins' lookup3 `hashlittle` (public domain; the hash HDF5's
+    * v2 structures use for metadata checksums and link-name index
+    * keys). Operates on the whole byte array with an initial value. */
+  private[io] def lookup3(data: Array[Byte], init: Int): Int = {
+    var a = 0xdeadbeef + data.length + init
+    var b = a
+    var c = a
+    def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
+    var i = 0
+    var len = data.length
+    def u32at(p: Int, n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) { v |= (data(p + k) & 0xff) << (8 * k); k += 1 }
+      v
+    }
+    while (len > 12) {
+      a += u32at(i, 4); b += u32at(i + 4, 4); c += u32at(i + 8, 4)
+      // mix
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      i += 12; len -= 12
+    }
+    if (len == 0) return c
+    a += u32at(i, math.min(len, 4))
+    if (len > 4) b += u32at(i + 4, math.min(len - 4, 4))
+    if (len > 8) c += u32at(i + 8, len - 8)
+    // final
+    c ^= b; c -= rot(b, 14)
+    a ^= c; a -= rot(c, 11)
+    b ^= a; b -= rot(a, 25)
+    c ^= b; c -= rot(b, 16)
+    a ^= c; a -= rot(c, 4)
+    b ^= a; b -= rot(a, 14)
+    c ^= b; c -= rot(b, 24)
+    c
+  }
+
   private def inflateBytes(in: Array[Byte], outLen: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(in)

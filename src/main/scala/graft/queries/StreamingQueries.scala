@@ -26,6 +26,18 @@ object StreamingQueries {
 
   private val runId = new AtomicLong()
 
+  /** Fully-qualified RocksDB state-store provider (ships in Spark's
+    * sql jar + rocksdbjni). */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** True when the suite should run its stateful queries on RocksDB
+    * instead of the default in-memory provider — flipped by the JVM
+    * property `graft.stateStore=rocksdb` (or env GRAFT_STATE_STORE). */
+  private[graft] def useRocksDb: Boolean =
+    sys.props.get("graft.stateStore").orElse(sys.env.get("GRAFT_STATE_STORE"))
+      .exists(_.equalsIgnoreCase("rocksdb"))
+
   /** Run a streaming query with `spark.sql.shuffle.partitions` sized to
     * the STATE, restoring the batch default after. Every shuffle
     * partition materializes its own state-store instances (a
@@ -34,11 +46,31 @@ object StreamingQueries {
     * ~constant overhead PER PARTITION: the stream-stream join measured
     * 13.8 s at the batch default of 32 partitions vs 3.1 s at 8 on the
     * same sf0.1 replay. At cluster scale the same sizing applies, just
-    * against stream volume rather than a local replay. */
-  private def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    * against stream volume rather than a local replay.
+    *
+    * STATE-SIZE BOUND: the default HDFSBackedStateStoreProvider holds
+    * every partition's state map on the executor HEAP — total state is
+    * bounded by executor memory, and a 100 TB keyspace (billions of
+    * session/join keys) OOMs. With [[useRocksDb]] the same queries run
+    * on [[RocksDbProvider]] (set here, restored after): state lives in
+    * per-partition RocksDB instances on executor-local disk with a
+    * block-cache in native memory, so the bound becomes local DISK
+    * (plus `spark.sql.streaming.stateStore.rocksdb.*` cache knobs),
+    * not heap. ScaleBench's RocksDB soak stage pushes 2M state entries
+    * through one query to pin this path. */
+  private[graft] def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProv = spark.conf.getOption(provKey)
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if (useRocksDb) spark.conf.set(provKey, RocksDbProvider)
+    try f finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
   }
 
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
