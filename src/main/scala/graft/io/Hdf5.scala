@@ -20,11 +20,15 @@ import NetCdf.{Dim, NcFile, Var}
   * Layouts: contiguous, compact, and CHUNKED (v1 chunk B-trees) with
   * the deflate (zlib), shuffle, and fletcher32 filters — the default
   * netCDF-4 compression stack, so realistically-written files open.
-  * Dense (fractal-heap) group storage and other filters raise with a
-  * clear message. Types: fixed-point 1/2/4/8 bytes, IEEE float 4/8,
-  * fixed strings, object references, and vlen sequences of references
-  * (DIMENSION_LIST). Metadata is little-endian per the spec; dataset
-  * values honor the datatype's byte-order bit.
+  * Groups read from BOTH old-style symbol tables and "latest-format"
+  * DENSE link storage (fractal heap + v2 name-index B-tree — what
+  * libnetcdf/libhdf5 emit with latest-version bounds); the writer can
+  * emit either (`denseGroups`). Dense ATTRIBUTE storage and other
+  * filters raise with a clear message. Types: fixed-point 1/2/4/8
+  * bytes, IEEE float 4/8, fixed strings, object references, and vlen
+  * sequences of references (DIMENSION_LIST). Metadata is
+  * little-endian per the spec; dataset values honor the datatype's
+  * byte-order bit.
   */
 object Hdf5 {
 
@@ -85,7 +89,7 @@ object Hdf5 {
   /** Bob Jenkins' lookup3 `hashlittle` (public domain; the hash HDF5's
     * v2 structures use for metadata checksums and link-name index
     * keys). Operates on the whole byte array with an initial value. */
-  private[io] def lookup3(data: Array[Byte], init: Int): Int = {
+  private[graft] def lookup3(data: Array[Byte], init: Int): Int = {
     var a = 0xdeadbeef + data.length + init
     var b = a
     var c = a
@@ -333,7 +337,8 @@ object Hdf5 {
     * the shuffle+deflate filter pipeline — netCDF-4's default
     * compression — instead of contiguous. */
   def write(path: String, dims: Seq[Dim], globalAttrs: Seq[(String, String)],
-      vars: Seq[Var], chunkDeflate: Boolean = false): Unit = {
+      vars: Seq[Var], chunkDeflate: Boolean = false,
+      denseGroups: Boolean = false): Unit = {
     vars.foreach { v =>
       val n = v.dimIds.map(dims(_).size.toLong).product
       require(v.data.length == n, s"${v.name}: ${v.data.length} values for $n cells")
@@ -431,13 +436,22 @@ object Hdf5 {
     def gheapIndexBase(ds: Seq[Ds], d: Ds): Int =
       ds.takeWhile(_ ne d).map(_.v.dimIds.length).sum
 
+    // group storage message: old-style symbol table (0x0011) or, in
+    // dense mode, a Link Info message (0x0002) pointing at the fractal
+    // heap + name-index v2 btree
+    def linkInfoBody(fh: Long, bt: Long): Array[Byte] = {
+      val b = new Buf; b.u8(0); b.u8(0); b.u64(fh); b.u64(bt); b.result()
+    }
     val rootHeader0 = objectHeader(
-      ((0x0011, { val b = new Buf; b.u64(0L); b.u64(0L); b.result() })) +:
+      (if (denseGroups) ((0x0002, linkInfoBody(0L, 0L)))
+       else ((0x0011, { val b = new Buf; b.u64(0L); b.u64(0L); b.result() }))) +:
         globalAttrs.map { case (k, v) => textAttr(k, v) })
     val headerSizes = all.map(d => dsHeader(d, 0L, 0L).length)
 
-    // ---- layout: superblock | root hdr | heap hdr | heap data |
-    //      btree | SNOD | dataset headers | gheap | raw data
+    // ---- layout (classic):  superblock | root hdr | heap hdr | heap
+    //      data | btree | SNOD | dataset headers | gheap | raw data
+    // ---- layout (dense):    superblock | root hdr | dataset headers |
+    //      gheap | FRHP | FHDB | BTHD | BTLF | raw data
     val heapData = new Buf
     heapData.zeros(8) // offset 0 = the empty string
     val nameOff = LinkedHashMap.empty[String, Long]
@@ -455,7 +469,10 @@ object Hdf5 {
     val btreeSize = 24 + 3 * 8 // 1 entry: key0, child0, key1
     val snodAddr = btreeAddr + btreeSize
     val snodSize = 8 + 40 * all.length
-    val dsHdrAddrs = headerSizes.scanLeft(snodAddr + snodSize)(_ + _)
+    val dsHdrStart =
+      if (denseGroups) rootHdrAddr + rootHeader0.length
+      else snodAddr + snodSize
+    val dsHdrAddrs = headerSizes.scanLeft(dsHdrStart)(_ + _)
     val gheapAddr = dsHdrAddrs.last
     // GCOL sized from the actual reference count (16-byte collection
     // header + 24 bytes per object reference + 16-byte free-space
@@ -465,9 +482,37 @@ object Hdf5 {
     val gheapRefs = dataDs.map(_.v.dimIds.length).sum
     val gheapSize =
       if (needGheap) ((16 + 24 * gheapRefs + 16 + 4095) / 4096) * 4096 else 0
+
+    // ---- dense-mode structures (fractal heap + v2 name-index btree),
+    // sized before data so data addresses follow them. The heap keeps
+    // every link message in ONE root direct block (link heaps are
+    // boilerplate-sized: libhdf5's own group-heap geometry caps direct
+    // blocks at 64 KiB).
+    val linkNameBytes = all.map(_.name.getBytes("UTF-8"))
+    val linkSizes = linkNameBytes.map { nb =>
+      require(nb.length <= 255, "link name longer than 255 bytes")
+      3 + nb.length + 8
+    }
+    val fhdbHeaderSize = 17 // sig + version + heap hdr addr + 4-byte offset
+    val heapNeeded = fhdbHeaderSize + linkSizes.sum
+    require(!denseGroups || heapNeeded <= 65536,
+      s"dense group links need $heapNeeded bytes > one 64 KiB direct block")
+    val heapStartBlock = math.max(512L,
+      java.lang.Long.highestOneBit(math.max(heapNeeded - 1, 1)) * 2)
+    val heapObjOffsets = linkSizes.scanLeft(fhdbHeaderSize.toLong)(_ + _)
+    val frhpSize = 146
+    val bthdSize = 38
+    val btlfSize = 10 + 11 * all.length
+    val fheapAddr = gheapAddr + gheapSize
+    val fhdbAddr = fheapAddr + frhpSize
+    val bthdAddr = fhdbAddr + heapStartBlock
+    val btlfAddr = bthdAddr + bthdSize
+
+    val dataStart =
+      if (denseGroups) btlfAddr + btlfSize else gheapAddr + gheapSize
     val dataAddrs = all.map(d => plans.get(d.name)
         .map(_.regionSize).getOrElse(dataBytes(d.v).length))
-      .scanLeft(gheapAddr + gheapSize)(_ + _)
+      .scanLeft(dataStart)(_ + _)
     val eof = dataAddrs.last
 
     val addrOf: Map[String, Long] = all.zip(dsHdrAddrs).map {
@@ -489,23 +534,27 @@ object Hdf5 {
     out.u64(0L); out.u64(rootHdrAddr); out.u32(0); out.u32(0); out.zeros(16)
 
     out.bytes(objectHeader(
-      ((0x0011, { val b = new Buf; b.u64(btreeAddr); b.u64(heapHdrAddr); b.result() })) +:
+      (if (denseGroups) ((0x0002, linkInfoBody(fheapAddr, bthdAddr)))
+       else ((0x0011, { val b = new Buf
+         b.u64(btreeAddr); b.u64(heapHdrAddr); b.result() }))) +:
         globalAttrs.map { case (k, v) => textAttr(k, v) }))
 
-    out.bytes("HEAP".getBytes("US-ASCII")); out.u8(0); out.zeros(3)
-    out.u64(heapDataBytes.length.toLong); out.u64(Undef); out.u64(heapDataAddr)
-    out.bytes(heapDataBytes)
+    if (!denseGroups) {
+      out.bytes("HEAP".getBytes("US-ASCII")); out.u8(0); out.zeros(3)
+      out.u64(heapDataBytes.length.toLong); out.u64(Undef); out.u64(heapDataAddr)
+      out.bytes(heapDataBytes)
 
-    out.bytes("TREE".getBytes("US-ASCII")); out.u8(0); out.u8(0)
-    out.u16(1); out.u64(Undef); out.u64(Undef)
-    out.u64(0L) // key 0: the empty string
-    out.u64(snodAddr)
-    out.u64(nameOff(all.last.name)) // key 1: greatest name in the node
+      out.bytes("TREE".getBytes("US-ASCII")); out.u8(0); out.u8(0)
+      out.u16(1); out.u64(Undef); out.u64(Undef)
+      out.u64(0L) // key 0: the empty string
+      out.u64(snodAddr)
+      out.u64(nameOff(all.last.name)) // key 1: greatest name in the node
 
-    out.bytes("SNOD".getBytes("US-ASCII")); out.u16(1); out.u16(all.length)
-    all.foreach { d =>
-      out.u64(nameOff(d.name)); out.u64(addrOf(d.name))
-      out.u32(0); out.u32(0); out.zeros(16)
+      out.bytes("SNOD".getBytes("US-ASCII")); out.u16(1); out.u16(all.length)
+      all.foreach { d =>
+        out.u64(nameOff(d.name)); out.u64(addrOf(d.name))
+        out.u32(0); out.u32(0); out.zeros(16)
+      }
     }
 
     all.zip(dataAddrs).foreach { case (d, dataAddr) =>
@@ -531,6 +580,60 @@ object Hdf5 {
       g.u16(0); g.u16(0); g.u32(0); g.u64(free.toLong)
       g.zeros(gheapSize - g.out.length)
       out.bytes(g.result())
+    }
+
+    if (denseGroups) {
+      def checksummed(b: Buf): Array[Byte] = {
+        val body = b.result(); b.u32(lookup3(body, 0)); b.result()
+      }
+      // FRHP header — geometry mirrors libhdf5's group-link heap
+      // defaults (width 4, 64 KiB max direct block, 32-bit heap space,
+      // 4 KiB max managed object ⇒ 7-byte heap ids)
+      val fr = new Buf
+      fr.bytes("FRHP".getBytes("US-ASCII")); fr.u8(0)
+      fr.u16(7); fr.u16(0); fr.u8(0) // id len, filter len, flags
+      fr.u32(4096) // max managed object size
+      fr.u64(0L); fr.u64(Undef) // next huge id, huge btree
+      fr.u64(heapStartBlock - heapNeeded); fr.u64(Undef) // free space, fs mgr
+      fr.u64(heapStartBlock); fr.u64(heapStartBlock) // managed, allocated
+      fr.u64(heapStartBlock) // iterator offset
+      fr.u64(all.length.toLong) // managed object count
+      fr.u64(0L); fr.u64(0L); fr.u64(0L); fr.u64(0L) // huge/tiny sizes+counts
+      fr.u16(4) // table width
+      fr.u64(heapStartBlock); fr.u64(65536L) // start / max direct block
+      fr.u16(32); fr.u16(1) // max heap bits, starting rows
+      fr.u64(fhdbAddr); fr.u16(0) // root block addr, current rows (direct)
+      out.bytes(checksummed(fr))
+      // FHDB root direct block with every link message packed
+      val db = new Buf
+      db.bytes("FHDB".getBytes("US-ASCII")); db.u8(0)
+      db.u64(fheapAddr); db.u32(0) // heap header addr, block offset
+      all.zip(linkNameBytes).foreach { case (d, nb) =>
+        db.u8(1); db.u8(0) // link message v1, flags: 1-byte name length
+        db.u8(nb.length); db.bytes(nb)
+        db.u64(addrOf(d.name))
+      }
+      db.zeros((heapStartBlock - heapNeeded).toInt)
+      out.bytes(db.result())
+      // BTHD name-index header + single BTLF leaf of (hash, heap id)
+      // records in hash order (11-byte records: 4 hash + 7 heap id)
+      val bh = new Buf
+      bh.bytes("BTHD".getBytes("US-ASCII")); bh.u8(0); bh.u8(5)
+      bh.u32(2048); bh.u16(11); bh.u16(0) // node size, record size, depth
+      bh.u8(100); bh.u8(40) // split / merge percent
+      bh.u64(btlfAddr); bh.u16(all.length)
+      bh.u64(all.length.toLong)
+      out.bytes(checksummed(bh))
+      val lf = new Buf
+      lf.bytes("BTLF".getBytes("US-ASCII")); lf.u8(0); lf.u8(5)
+      all.indices.map { i =>
+        (lookup3(linkNameBytes(i), 0) & 0xffffffffL, i)
+      }.sortBy(_._1).foreach { case (hash, i) =>
+        lf.u32(hash.toInt)
+        lf.u8(0) // heap id flags: version 0, managed
+        lf.u32(heapObjOffsets(i).toInt); lf.u16(linkSizes(i))
+      }
+      out.bytes(checksummed(lf))
     }
 
     all.zip(dataAddrs).foreach { case (d, addr) =>
@@ -818,6 +921,208 @@ object Hdf5 {
     }
   }
 
+  // -------------------- dense (fractal-heap) group link storage -----
+  // "Latest-format" libhdf5 (which libnetcdf enables for NetCDF-4
+  // files) stores group links in a FRACTAL HEAP indexed by a v2
+  // B-tree of (name-hash, heap id) records instead of the old
+  // symbol-table node — reader support per the published File Format
+  // Specification IV.A.2 (v2 B-trees) and III.F/G (fractal heaps).
+
+  /** `H5VM_limit_enc_size`: bytes needed to encode values ≤ v. */
+  private def encSize(v: Long): Int = {
+    require(v > 0)
+    ((63 - java.lang.Long.numberOfLeadingZeros(v)) / 8) + 1
+  }
+
+  private def uintAt(b: ByteBuffer, n: Int): Long = {
+    var v = 0L
+    var k = 0
+    while (k < n) { v |= (b.get() & 0xffL) << (8 * k); k += 1 }
+    v
+  }
+
+  /** Fractal heap geometry from an FRHP header — enough to resolve a
+    * managed heap id to a file address. */
+  private final case class FHeap(idLen: Int, offSize: Int, lenSize: Int,
+      width: Int, startBlock: Long, maxDirect: Long,
+      rootAddr: Long, curRows: Int, blockChecksums: Boolean,
+      children: Seq[Long]) {
+
+    private def rowSize(row: Int): Long =
+      if (row < 2) startBlock else startBlock << (row - 1)
+
+    /** File address of the managed object at heap offset `off` (heap
+      * offsets include each direct block's header bytes, so resolving
+      * is pure block arithmetic). */
+    def resolve(off: Long): Long = {
+      if (curRows == 0) { // root IS a single direct block
+        require(off < startBlock, s"heap offset $off beyond root block")
+        return rootAddr + off
+      }
+      var row = 0
+      var rowStart = 0L
+      while (off >= rowStart + width * rowSize(row)) {
+        rowStart += width * rowSize(row)
+        row += 1
+        require(row < curRows, s"heap offset $off beyond indirect rows")
+      }
+      val col = ((off - rowStart) / rowSize(row)).toInt
+      val within = (off - rowStart) % rowSize(row)
+      val child = children(row * width + col)
+      require(child != Undef, s"heap offset $off in unallocated block")
+      child + within
+    }
+  }
+
+  private def parseFractalHeap(r: R, addr: Long): FHeap = {
+    val szOff = r.szOff; val szLen = r.szLen
+    val hdrSize = 14 + 2 * szOff + 10 * szLen + 2 + 2 * szLen + 2 + 2 + szOff + 2 + 4
+    val b = r.window(addr, hdrSize.toLong)
+    val sig = new Array[Byte](4); b.get(sig)
+    require(new String(sig, "US-ASCII") == "FRHP", "bad fractal heap header")
+    require((b.get() & 0xff) == 0, "fractal heap version")
+    val idLen = b.getShort & 0xffff
+    val ioFilterLen = b.getShort & 0xffff
+    require(ioFilterLen == 0, "filtered fractal heap unsupported")
+    val flags = b.get() & 0xff
+    val maxManaged = b.getInt & 0xffffffffL
+    uintAt(b, szLen) // next huge id
+    r.offset(b) // huge-object btree
+    uintAt(b, szLen) // free space
+    r.offset(b) // free-space manager
+    uintAt(b, szLen); uintAt(b, szLen); uintAt(b, szLen) // managed/alloc/iter
+    uintAt(b, szLen) // n managed
+    uintAt(b, szLen); uintAt(b, szLen); uintAt(b, szLen); uintAt(b, szLen)
+    val width = b.getShort & 0xffff
+    val startBlock = uintAt(b, szLen)
+    val maxDirect = uintAt(b, szLen)
+    val maxHeapBits = b.getShort & 0xffff
+    b.getShort // starting rows
+    val rootAddr = r.offset(b)
+    val curRows = b.getShort & 0xffff
+    val offSize = (maxHeapBits + 7) / 8
+    // heap_len_size = min(bytes for log2(maxDirect) bits, enc size of
+    // the max managed object size) — libhdf5's H5HF_hdr math
+    val maxDirBlkOffSize =
+      (63 - java.lang.Long.numberOfLeadingZeros(maxDirect) + 7) / 8
+    val lenSz = math.min(maxDirBlkOffSize, encSize(maxManaged))
+    val maxDirectRows =
+      (63 - java.lang.Long.numberOfLeadingZeros(maxDirect)) -
+        (63 - java.lang.Long.numberOfLeadingZeros(startBlock)) + 2
+    val children: Seq[Long] =
+      if (curRows == 0) Nil
+      else {
+        require(curRows <= maxDirectRows,
+          "multi-level fractal heap (indirect children) unsupported")
+        val n = curRows * width
+        val ib = r.window(rootAddr, (4 + 1 + szOff + offSize + n * szOff + 4).toLong)
+        val is = new Array[Byte](4); ib.get(is)
+        require(new String(is, "US-ASCII") == "FHIB", "bad root indirect block")
+        require((ib.get() & 0xff) == 0, "indirect block version")
+        r.offset(ib) // heap header address
+        uintAt(ib, offSize) // block offset
+        (0 until n).map(_ => r.offset(ib))
+      }
+    // sanity-check the root direct block when the root is direct
+    if (curRows == 0 && rootAddr != Undef) {
+      val db = r.window(rootAddr, 5)
+      val ds = new Array[Byte](4); db.get(ds)
+      require(new String(ds, "US-ASCII") == "FHDB", "bad root direct block")
+    }
+    FHeap(idLen, offSize, lenSz, width, startBlock, maxDirect,
+      rootAddr, curRows, (flags & 0x2) != 0, children)
+  }
+
+  /** All records of a v2 B-tree as raw record buffers (depth ≤ 1 —
+    * tens of thousands of links; deeper trees raise loudly). */
+  private def v2BtreeRecords(r: R, addr: Long): Seq[Array[Byte]] = {
+    val szOff = r.szOff; val szLen = r.szLen
+    val hb = r.window(addr, (4 + 1 + 1 + 4 + 2 + 2 + 1 + 1 + szOff + 2 + szLen + 4).toLong)
+    val sig = new Array[Byte](4); hb.get(sig)
+    require(new String(sig, "US-ASCII") == "BTHD", "bad v2 btree header")
+    require((hb.get() & 0xff) == 0, "v2 btree version")
+    val btype = hb.get() & 0xff
+    val nodeSize = hb.getInt
+    val recSize = hb.getShort & 0xffff
+    val depth = hb.getShort & 0xffff
+    hb.get(); hb.get() // split/merge percent
+    val rootAddr = r.offset(hb)
+    val rootNRec = hb.getShort & 0xffff
+    uintAt(hb, szLen) // total records
+    val _ = btype
+
+    def leafRecords(a: Long, nrec: Int): Seq[Array[Byte]] = {
+      val b = r.window(a, (4 + 1 + 1 + nrec * recSize + 4).toLong)
+      val s = new Array[Byte](4); b.get(s)
+      require(new String(s, "US-ASCII") == "BTLF", "bad v2 btree leaf")
+      b.get(); b.get() // version, type
+      (0 until nrec).map { _ =>
+        val rec = new Array[Byte](recSize); b.get(rec); rec
+      }
+    }
+
+    depth match {
+      case 0 => leafRecords(rootAddr, rootNRec)
+      case 1 =>
+        val maxLeafRec = (nodeSize - 10) / recSize
+        val cntSize = encSize(maxLeafRec.toLong)
+        val n = rootNRec
+        val b = r.window(rootAddr,
+          (4 + 1 + 1 + n * recSize + (n + 1) * (szOff + cntSize) + 4).toLong)
+        val s = new Array[Byte](4); b.get(s)
+        require(new String(s, "US-ASCII") == "BTIN", "bad v2 btree internal")
+        b.get(); b.get()
+        val recs = (0 until n).map { _ =>
+          val rec = new Array[Byte](recSize); b.get(rec); rec
+        }
+        val kids = (0 to n).map { _ =>
+          val a = r.offset(b)
+          val c = uintAt(b, cntSize).toInt
+          (a, c)
+        }
+        kids.flatMap { case (a, c) => leafRecords(a, c) } ++ recs
+      case d => throw new IllegalArgumentException(
+        s"v2 btree depth $d unsupported")
+    }
+  }
+
+  /** Parse one link message body: Some(name -> object header address)
+    * for hard links, None otherwise. */
+  private def parseLinkMessage(r: R, b: ByteBuffer): Option[(String, Long)] = {
+    require((b.get() & 0xff) == 1, "link message version")
+    val flags = b.get() & 0xff
+    val ltype = if ((flags & 0x08) != 0) b.get() & 0xff else 0
+    if ((flags & 0x04) != 0) b.position(b.position() + 8) // creation order
+    if ((flags & 0x10) != 0) b.get() // charset
+    val nameLen = (flags & 0x3) match {
+      case 0 => b.get() & 0xffL
+      case 1 => b.getShort & 0xffffL
+      case 2 => b.getInt & 0xffffffffL
+      case _ => b.getLong
+    }
+    val nb = new Array[Byte](nameLen.toInt); b.get(nb)
+    if (ltype == 0) Some((new String(nb, "UTF-8"), r.offset(b))) else None
+  }
+
+  /** (name, object header address) pairs of a DENSE group: iterate the
+    * name-index v2 B-tree's (hash, heap id) records and resolve each
+    * managed heap id into the fractal heap's direct blocks. */
+  private def readDenseLinks(r: R, fheapAddr: Long, nameBt: Long): Seq[(String, Long)] = {
+    val heap = parseFractalHeap(r, fheapAddr)
+    require(nameBt != Undef, "dense group without name index btree")
+    v2BtreeRecords(r, nameBt).flatMap { rec =>
+      val b = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
+      b.getInt // name hash (lookup3) — unused: we read every record
+      val idFlags = b.get() & 0xff
+      require(((idFlags >> 4) & 0x3) == 0,
+        "huge/tiny fractal heap object unsupported")
+      val off = uintAt(b, heap.offSize)
+      val len = uintAt(b, heap.lenSize)
+      val body = r.window(heap.resolve(off), len)
+      parseLinkMessage(r, body)
+    }
+  }
+
   private def decode(dtype: Dtype, shape: Seq[Long], raw: ByteBuffer): Array[_] = {
     val n = shape.product.toInt max (if (shape.isEmpty) 1 else 0)
     val b = raw.order(
@@ -1069,25 +1374,24 @@ object Hdf5 {
           walkBtree(btree)
         case (0x0006, b) => // new-style compact link message
           sawLinks = true
-          require((b.get() & 0xff) == 1, "link message version")
-          val flags = b.get() & 0xff
-          val ltype = if ((flags & 0x08) != 0) b.get() & 0xff else 0
-          if ((flags & 0x04) != 0) b.position(b.position() + 8)
-          if ((flags & 0x10) != 0) b.get()
-          val nameLen = (flags & 0x3) match {
-            case 0 => b.get() & 0xffL
-            case 1 => b.getShort & 0xffffL
-            case 2 => b.getInt & 0xffffffffL
-            case _ => b.getLong
-          }
-          val nb = new Array[Byte](nameLen.toInt); b.get(nb)
-          if (ltype == 0) child(new String(nb, "UTF-8"), r.offset(b))
-        case (0x0002, b) => // link info: only reject if links are DENSE
+          parseLinkMessage(r, b).foreach { case (n, a) => child(n, a) }
+        case (0x0002, b) => // link info: walk DENSE links when present
           b.get(); val liFlags = b.get() & 0xff
           if ((liFlags & 1) != 0) b.position(b.position() + 8)
           val fheap = r.offset(b)
-          if (fheap != Undef) throw new IllegalArgumentException(
-            "dense (fractal-heap) group storage unsupported")
+          val nameBt = r.offset(b)
+          if (fheap != Undef) {
+            sawLinks = true
+            // hash-index order is not name order — sort for the same
+            // deterministic traversal the symbol-table path yields
+            readDenseLinks(r, fheap, nameBt).sortBy(_._1)
+              .foreach { case (n, a) => child(n, a) }
+          }
+        case (0x0015, b) => // attribute info: reject DENSE attributes
+          b.get(); val aiFlags = b.get() & 0xff
+          if ((aiFlags & 1) != 0) b.getShort // max creation index
+          if (r.offset(b) != Undef) throw new IllegalArgumentException(
+            "dense attribute storage unsupported")
         case _ => ()
       }
       val _ = sawLinks

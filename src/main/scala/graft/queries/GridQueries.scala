@@ -328,7 +328,10 @@ object GridQueries {
       NetCdf.Var("lon", Seq(1), NetCdf.NcDouble, Seq("units" -> "degrees_east"),
         Array.tabulate(10)(_ * 2.0 + 1.0)),
       NetCdf.Var("pop_cents", Seq(0, 1), NetCdf.NcDouble, Nil, cents))
-    if (hdf5) Hdf5.write(tmp, dims, gattrs, vars, chunkDeflate = true)
+    // denseGroups: latest-format fractal-heap link storage — the gate
+    // exercises the dense read path end-to-end, not just NetCdfSpec
+    if (hdf5) Hdf5.write(tmp, dims, gattrs, vars, chunkDeflate = true,
+      denseGroups = true)
     else NetCdf.write(tmp, dims, gattrs, vars)
     val nc = NetCdf.read(tmp)
     val lat = nc.variable("lat").data.asInstanceOf[Array[Double]]

@@ -187,6 +187,60 @@ class NetCdfSpec extends AnyFunSuite {
     }
   }
 
+  test("dense (fractal-heap) group storage roundtrips") {
+    // latest-format libhdf5/libnetcdf store group links in a fractal
+    // heap indexed by a v2 B-tree; the writer's dense mode emits that
+    // layout (Link Info message, FRHP + FHDB, BTHD + BTLF) and the
+    // reader must resolve every heap id back to its dataset.
+    val path = tmp("dense.h5")
+    val dims = Seq(Dim("t", 2), Dim("x", 3))
+    val vars = Seq(
+      Var("t", Seq(0), NcDouble, Nil, Array(0.0, 1.0)),
+      Var("temp", Seq(0, 1), NcFloat, Seq("units" -> "K"),
+        Array.tabulate(6)(_ * 0.5f)),
+      Var("count", Seq(1), NcInt, Nil, Array(7, 8, 9)))
+    graft.io.Hdf5.write(path, dims, Seq("title" -> "dense"), vars,
+      denseGroups = true)
+    val nc = NetCdf.read(path)
+    assert(nc.dims == dims)
+    assert(nc.globalAttrs == Seq("title" -> "dense"))
+    assert(nc.variable("temp").data.asInstanceOf[Array[Float]].toSeq ==
+      (0 until 6).map(_ * 0.5f))
+    assert(nc.variable("temp").attrs == Seq("units" -> "K"))
+    assert(nc.variable("count").data.asInstanceOf[Array[Int]].toSeq ==
+      Seq(7, 8, 9))
+    assert(nc.variable("t").data.asInstanceOf[Array[Double]].toSeq ==
+      Seq(0.0, 1.0))
+  }
+
+  test("dense groups survive many links and chunked+deflate data") {
+    // 120 variables → 120 link messages packed in the direct block
+    // (multi-KiB heap, hash-ordered btree records), with the chunked
+    // shuffle+deflate layout on every variable
+    val path = tmp("dense_many.h5")
+    val dims = Seq(Dim("x", 6))
+    val vars = (0 until 120).map(i =>
+      Var(f"v$i%03d", Seq(0), NcDouble, Nil,
+        Array.tabulate(6)(j => i * 100.0 + j)))
+    graft.io.Hdf5.write(path, dims, Nil, vars,
+      chunkDeflate = true, denseGroups = true)
+    val nc = NetCdf.read(path)
+    assert(nc.vars.map(_.name).toSet == vars.map(_.name).toSet)
+    (0 until 120).foreach { i =>
+      assert(nc.variable(f"v$i%03d").data.asInstanceOf[Array[Double]].toSeq ==
+        (0 until 6).map(j => i * 100.0 + j))
+    }
+  }
+
+  test("lookup3 matches the published self-test vectors") {
+    // Bob Jenkins' lookup3.c driver vectors for hashlittle()
+    def h(s: String, init: Int) =
+      graft.io.Hdf5.lookup3(s.getBytes("US-ASCII"), init)
+    assert(h("", 0) == 0xdeadbeef)
+    assert(h("Four score and seven years ago", 0) == 0x17770551)
+    assert(h("Four score and seven years ago", 1) == 0xcd628161)
+  }
+
   test("INT64 variables are rejected outside CDF-5") {
     intercept[IllegalArgumentException] {
       NetCdf.write(tmp("bad.nc"), Seq(Dim("t", 1)), Nil,
