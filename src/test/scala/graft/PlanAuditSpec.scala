@@ -142,12 +142,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("mix/composition aggregations never shuffle document text") {
-    // tokenCount is computed map-side; the groupBy Exchanges must carry
-    // only the grouping keys + partial sums.
+    // token counts are computed map-side (incl. the subword tokenizer);
+    // the groupBy/window Exchanges must carry only grouping keys +
+    // partial sums — and the substring-dedup gram pipeline only 8-byte
+    // gram hashes + int positions.
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try Seq("sample_domain_mix", "corpus_mix").foreach { q =>
+    try Seq("sample_domain_mix", "corpus_mix", "pack_shards",
+      "text_tokenize", "dedup_substring").foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       val offenders = df.queryExecution.executedPlan.collect {
         case e: ShuffleExchangeExec
