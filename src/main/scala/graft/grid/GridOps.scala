@@ -1,0 +1,110 @@
+package graft.grid
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** WRF post-processing operators over the long-form grid model — the
+  * transforms a user of the reference runs BEFORE `wrf_voronoi.py`'s
+  * tessellation sees the data (the reference consumes already-
+  * destaggered 2-D diagnostics like T2/U10/V10, wrf_voronoi.py:109-111;
+  * these operators produce such fields from raw staggered / 3-D model
+  * output):
+  *
+  *  - [[destagger]] — Arakawa-C staggered wind components onto mass
+  *    points (the average of the two adjacent staggered faces);
+  *  - [[interpLevels]] — vertical interpolation of a 3-D field to
+  *    constant-pressure surfaces (the `interplevel` post-processing
+  *    step; linear in the vertical coordinate);
+  *  - [[resampleTime]] — calendar resampling (the generalization of
+  *    pipeline 3.1's `resample(XTIME="1D")`, wrf_voronoi.py:156-173,
+  *    to any `date_trunc` unit);
+  *  - [[anomaly]] — departure of each timestep from the per-cell
+  *    period climatology (the standard "mean over time, subtract"
+  *    two-step fused into one window pass).
+  *
+  * 100 TB shape: every operator is ONE hash shuffle on its grouping
+  * key — destagger/interpLevels window-partition by grid column (the
+  * vertical/staggered dim stays inside a partition, which is exactly
+  * how a 1000-executor cluster wants a (time, y, x) panel cut),
+  * resampleTime is a plain partial-aggregated groupBy, anomaly is a
+  * single unbounded window per cell. No collect, no cross join; the
+  * tiny target-levels frame in [[interpLevels]] broadcasts.
+  */
+object GridOps {
+
+  /** Destagger a variable along its staggered dimension: the value at
+    * mass point i is the mean of staggered faces i and i+1
+    * (Arakawa-C grid, the U/V → mass-point average every WRF reader
+    * applies before plotting winds).
+    *
+    * `keys` identify one 1-D pencil along the staggered dim (e.g.
+    * (time, y) for U staggered in x). Sparse pencils destagger only
+    * where BOTH adjacent faces exist — the `lead(stag)==stag+1`
+    * adjacency filter, so holes never average non-neighbours.
+    */
+  def destagger(df: DataFrame, keys: Seq[String], stagCol: String,
+      varCol: String, massCol: String = "mass"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(stagCol))
+    df.withColumn("__vn", lead(col(varCol), 1).over(w))
+      .withColumn("__sn", lead(col(stagCol), 1).over(w))
+      .filter(col("__sn") === col(stagCol) + 1)
+      .select(keys.map(col) ++ Seq(
+        col(stagCol).as(massCol),
+        ((col(varCol) + col("__vn")) / 2.0).as(varCol)): _*)
+  }
+
+  /** Linear vertical interpolation to constant surfaces of a MONOTONE
+    * DECREASING vertical coordinate (pressure: decreases upward, the
+    * wrf-python `interplevel` contract).
+    *
+    * For each grid column (`keys`) and each target t, finds the
+    * bracketing pair p0 ≥ t > p1 of adjacent-in-sort-order coordinate
+    * values and emits v0 + (v1−v0)·(p0−t)/(p0−p1). Targets outside
+    * the column's range produce no row (the NaN of the dense-array
+    * formulation). `targets` is driver-side tiny by construction
+    * (a handful of standard pressure surfaces) and broadcasts.
+    */
+  def interpLevels(df: DataFrame, keys: Seq[String], vertCol: String,
+      varCol: String, targets: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(vertCol).desc)
+    val brackets = df
+      .withColumn("__p1", lead(col(vertCol), 1).over(w))
+      .withColumn("__v1", lead(col(varCol), 1).over(w))
+      .filter(col("__p1").isNotNull)
+    val t = broadcast(targets.toDF("target"))
+    brackets
+      .join(t, col("target") <= col(vertCol) && col("target") > col("__p1"))
+      .select(keys.map(col) ++ Seq(
+        col("target"),
+        (col(varCol) + (col("__v1") - col(varCol)) *
+          ((col(vertCol) - col("target")) / (col(vertCol) - col("__p1"))))
+          .as(varCol)): _*)
+  }
+
+  /** Calendar resample: per-cell mean of the variable over
+    * `date_trunc(unit)` buckets, order-independent fixed-point
+    * accumulation (see [[graft.util.Exact]]) so the result is
+    * oracle-exact. `dec` is the variable's fixed decimal precision. */
+  def resampleTime(df: DataFrame, cfg: GridConfig, unit: String,
+      dec: Int): DataFrame =
+    df.groupBy(col(cfg.yCol), col(cfg.xCol),
+        date_trunc(unit, col(cfg.timeCol)).cast("date").as("bucket"))
+      .agg(graft.util.Exact.fixedAvg(col(cfg.varCol), dec).as("vmean"),
+        count(lit(1)).as("n"))
+
+  /** Departure from the per-cell period mean: one unbounded window per
+    * (y, x) computes the climatology with the same fixed-point-exact
+    * accumulation as [[resampleTime]]; the anomaly is a single IEEE
+    * subtraction. No join-back — climatology and departure come out of
+    * the same shuffle. */
+  def anomaly(cfg: GridConfig, dec: Int): Column = {
+    val unit = math.pow(10, dec)
+    val w = Window.partitionBy(col(cfg.yCol), col(cfg.xCol))
+    val clim = sum(round(col(cfg.varCol) * unit).cast("decimal(38,0)")).over(w)
+      .cast("double") / (count(lit(1)).over(w) * lit(unit))
+    col(cfg.varCol) - clim
+  }
+}

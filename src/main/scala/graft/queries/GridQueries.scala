@@ -354,7 +354,135 @@ object GridQueries {
       |WHERE i < 10 * ((SELECT count(*) FROM supplier) // 10)
       |ORDER BY 1, 2""".stripMargin
 
+  /** WRF destaggering (GridOps.destagger): a staggered-in-x wind
+    * component U(day, y, xs) averaged onto mass points — the
+    * Arakawa-C pre-step that produces the U10-like fields the
+    * reference consumes (wrf_voronoi.py:109-111). The grid derives
+    * from events (xs = user_id mod 31 — 31 staggered faces for 30
+    * mass points); sparse pencils destagger only where both adjacent
+    * faces exist. (u0+u1)/2 of identical doubles is the same IEEE op
+    * on both engines — hash-exact without rounding tricks. */
+  val qGridDestagger: Q = (spark, dir) => {
+    import graft.grid.GridOps
+    val u = Tables(spark, dir, "events")
+      .groupBy(col("ts").cast("date").as("day"),
+        (col("event_id") % 20).as("y"),
+        (col("user_id") % 31).as("xs"))
+      .agg(min(col("value")).as("u"))
+    GridOps.destagger(u, Seq("day", "y"), "xs", "u", massCol = "x")
+      .orderBy("day", "y", "x")
+  }
+
+  val qGridDestaggerSql: String =
+    """WITH g AS (
+      |  SELECT cast(ts as date) AS day, event_id%20 AS y,
+      |    user_id%31 AS xs, min(value) AS u
+      |  FROM events GROUP BY 1, 2, 3),
+      |d AS (
+      |  SELECT day, y, xs, u,
+      |    lead(u)  OVER (PARTITION BY day, y ORDER BY xs) AS un,
+      |    lead(xs) OVER (PARTITION BY day, y ORDER BY xs) AS xn
+      |  FROM g)
+      |SELECT day, y, xs AS x, (u + un)/2 AS u
+      |FROM d WHERE xn = xs + 1 ORDER BY day, y, x""".stripMargin
+
+  /** Vertical interpolation to constant-pressure surfaces
+    * (GridOps.interpLevels — the wrf-python `interplevel` step): a
+    * 3-D field T(y, x, lev) on model levels with pressure
+    * p = 1000 − 100·lev is interpolated to 975/850/625 hPa. Linear
+    * bracketing in the DESCENDING vertical coordinate; targets
+    * broadcast. The interpolation weights are exact binary fractions
+    * of the level spacing, and every arithmetic step is the same IEEE
+    * sequence in DuckDB — hash-exact. */
+  val qGridInterpLevels: Q = (spark, dir) => {
+    import graft.grid.GridOps
+    val t3d = Tables(spark, dir, "events")
+      .groupBy((col("event_id") % 10).as("y"),
+        (col("user_id") % 10).as("x"),
+        ((col("event_id") + col("user_id")) % 5).as("lev"))
+      .agg(min(col("value")).as("t"))
+      .withColumn("p", lit(1000.0) - col("lev") * 100.0)
+    GridOps.interpLevels(t3d, Seq("y", "x"), "p", "t",
+        Seq(975.0, 850.0, 625.0))
+      .orderBy("y", "x", "target")
+  }
+
+  val qGridInterpLevelsSql: String =
+    """WITH g AS (
+      |  SELECT event_id%10 AS y, user_id%10 AS x,
+      |    (event_id + user_id)%5 AS lev, min(value) AS t
+      |  FROM events GROUP BY 1, 2, 3),
+      |p AS (SELECT y, x, 1000.0 - lev*100.0 AS p, t FROM g),
+      |b AS (
+      |  SELECT y, x, p, t,
+      |    lead(p) OVER (PARTITION BY y, x ORDER BY p DESC) AS p1,
+      |    lead(t) OVER (PARTITION BY y, x ORDER BY p DESC) AS t1
+      |  FROM p),
+      |tg AS (SELECT unnest([975.0, 850.0, 625.0]) AS target)
+      |SELECT b.y, b.x, tg.target,
+      |  b.t + (b.t1 - b.t) * ((b.p - tg.target) / (b.p - b.p1)) AS t
+      |FROM b JOIN tg ON tg.target <= b.p AND tg.target > b.p1
+      |ORDER BY y, x, target""".stripMargin
+
+  /** Calendar resample (GridOps.resampleTime): the reference's
+    * `resample(XTIME="1D")` generalized — weekly per-cell means over
+    * the events grid, fixed-point-exact accumulation. */
+  val qGridResample: Q = (spark, dir) => {
+    import graft.grid.GridOps
+    val grid = Tables(spark, dir, "events").select(
+      (col("event_id") % 6).as("y"), (col("user_id") % 8).as("x"),
+      col("ts"), col("value"))
+    GridOps.resampleTime(grid, cfg.copy(timeCol = "ts"), "week", dec = 2)
+      .orderBy("y", "x", "bucket")
+  }
+
+  val qGridResampleSql: String =
+    """SELECT event_id%6 AS y, user_id%8 AS x,
+      |  cast(date_trunc('week', ts) as date) AS bucket,
+      |  sum(cast(round(value*100) as bigint)) / (count(*) * 100.0) AS vmean,
+      |  count(*) AS n
+      |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Climatology departure (GridOps.anomaly): per-cell daily means,
+    * then each day's departure from the cell's period mean — the
+    * "subtract the time mean" step of every anomaly map. One window
+    * pass; no join-back. */
+  val qGridAnomaly: Q = (spark, dir) => {
+    import graft.grid.GridOps
+    // Daily mean quantized to 4 decimals by INTEGER DIVISION of exact
+    // cent sums — not round(x, 4): Spark rounds the decimal string of
+    // the double, DuckDB rounds the binary value, and they disagree on
+    // .xxxx5 ties. `div` is exact and identical in both engines.
+    val daily = Tables(spark, dir, "events")
+      .groupBy((col("event_id") % 6).as("y"), (col("user_id") % 8).as("x"),
+        col("ts").cast("date").as("day"))
+      .agg(sum(round(col("value") * 100).cast("decimal(38,0)"))
+        .cast("long").as("s100"), count(lit(1)).as("c"))
+      .withColumn("dmean",
+        expr("cast(s100 * 100 div c as double) / 10000.0d"))
+      .drop("s100", "c")
+    daily
+      .withColumn("anom",
+        GridOps.anomaly(cfg.copy(varCol = "dmean"), dec = 4))
+      .orderBy("y", "x", "day")
+  }
+
+  val qGridAnomalySql: String =
+    """WITH d AS (
+      |  SELECT event_id%6 AS y, user_id%8 AS x, cast(ts as date) AS day,
+      |    ((sum(cast(round(value*100) as bigint)) * 100) // count(*))
+      |      / 10000.0 AS dmean
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT y, x, day, dmean,
+      |  dmean - sum(cast(round(dmean*10000) as bigint)) OVER (PARTITION BY y, x)
+      |    / (count(*) OVER (PARTITION BY y, x) * 10000.0) AS anom
+      |FROM d ORDER BY y, x, day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "grid_anomaly" -> qGridAnomaly,
+    "grid_destagger" -> qGridDestagger,
+    "grid_interp_levels" -> qGridInterpLevels,
+    "grid_resample" -> qGridResample,
     "grid_netcdf_roundtrip" -> qNetcdfRoundtrip,
     "grid_netcdf4_roundtrip" -> qNetcdf4Roundtrip,
     "grid_pipeline_haduk" -> qGridPipelineHaduk,
@@ -365,6 +493,10 @@ object GridQueries {
     "p_drop_cast_slice" -> qDropCastSlice)
 
   val oracles: Map[String, String] = Map(
+    "grid_anomaly" -> qGridAnomalySql,
+    "grid_destagger" -> qGridDestaggerSql,
+    "grid_interp_levels" -> qGridInterpLevelsSql,
+    "grid_resample" -> qGridResampleSql,
     "grid_netcdf_roundtrip" -> qNetcdfRoundtripSql,
     "grid_netcdf4_roundtrip" -> qNetcdfRoundtripSql,
     "grid_pipeline_haduk" -> qGridPipelineHadukSql,

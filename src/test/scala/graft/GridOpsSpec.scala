@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.grid.{GridConfig, GridOps}
+
+class GridOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("destagger averages adjacent staggered faces onto mass points") {
+    // one pencil (t=0, y=0), faces 0..3 with a hole at 2
+    val u = Seq((0, 0, 0, 10.0), (0, 0, 1, 20.0), (0, 0, 3, 50.0),
+      (0, 1, 0, 1.0), (0, 1, 1, 3.0))
+      .toDF("t", "y", "xs", "u")
+    val out = GridOps.destagger(u, Seq("t", "y"), "xs", "u", "x")
+      .orderBy("t", "y", "x")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    // face pair (0,1) -> mass 0; (1,3) skipped (not adjacent); (3,_) none
+    assert(out.toSeq === Seq((0, 0, 0, 15.0), (0, 1, 0, 2.0)))
+  }
+
+  test("interpLevels brackets a descending coordinate and interpolates linearly") {
+    // column (y=0,x=0): p 1000->600 step 100, v = 0,10,20,30,40
+    val col3d = (0 to 4).map(l => (0, 0, 1000.0 - 100.0 * l, 10.0 * l))
+      .toDF("y", "x", "p", "v")
+    val out = GridOps.interpLevels(col3d, Seq("y", "x"), "p", "v",
+        Seq(975.0, 850.0, 625.0, 1000.0, 599.0))
+      .orderBy(desc("target"))
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    // 1000 is the top bracket's inclusive end (p0 >= t > p1): v = 0
+    // 975 -> 2.5; 850 -> 15; 625 -> 37.5; 599 below range -> no row
+    assert(out.toSeq === Seq((1000.0, 0.0), (975.0, 2.5), (850.0, 15.0),
+      (625.0, 37.5)))
+  }
+
+  test("interpLevels emits nothing for an out-of-range target") {
+    val col3d = Seq((0, 0, 900.0, 1.0), (0, 0, 800.0, 2.0)).toDF("y", "x", "p", "v")
+    assert(GridOps.interpLevels(col3d, Seq("y", "x"), "p", "v",
+      Seq(950.0, 700.0)).count() === 0)
+  }
+
+  test("resampleTime buckets by calendar unit with exact means") {
+    val cfg = GridConfig("x", "y", "lon", "lat", "ts", "value")
+    val df = Seq(
+      (0, 0, "2024-01-01 05:00:00", 1.25),
+      (0, 0, "2024-01-03 05:00:00", 2.75), // same ISO week (Mon Jan 1)
+      (0, 0, "2024-01-08 05:00:00", 10.0)) // next week
+      .toDF("y", "x", "s", "value")
+      .withColumn("ts", col("s").cast("timestamp"))
+    val out = GridOps.resampleTime(df, cfg, "week", dec = 2)
+      .orderBy("bucket")
+      .collect().map(r => (r.getDate(2).toString, r.getDouble(3), r.getLong(4)))
+    assert(out.toSeq === Seq(("2024-01-01", 2.0, 2L), ("2024-01-08", 10.0, 1L)))
+  }
+
+  test("anomaly is the departure from the per-cell period mean") {
+    val cfg = GridConfig("x", "y", "lon", "lat", "ts", "v")
+    val df = Seq((0, 0, 1.0), (0, 0, 3.0), (1, 0, 7.0))
+      .toDF("y", "x", "v")
+    val out = df.withColumn("a", GridOps.anomaly(cfg, dec = 2))
+      .orderBy("y", "v")
+      .collect().map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((0, 1.0, -1.0), (0, 3.0, 1.0), (1, 7.0, 0.0)))
+  }
+}
