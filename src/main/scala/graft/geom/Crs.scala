@@ -170,6 +170,137 @@ object Crs {
     }
   }
 
+  /** Polar stereographic "variant B" (EPSG method 9829): standard
+    * parallel latC (sign selects the pole), central meridian lon0,
+    * false origin (fe, fn); ellipsoid (a, e²), e² = 0 giving the
+    * spherical form WRF uses for high-latitude domains (map_proj = 2,
+    * TRUELAT1 the standard parallel). Snyder's t/ρ series (eqs.
+    * 15-9, 21-34); the south-pole aspect mirrors the north math about
+    * the false northing, which reproduces EPSG's published south
+    * formulas exactly. */
+  final case class Ps(a: Double, e2: Double, latC: Double,
+      lon0: Double, fe: Double, fn: Double) {
+
+    require(latC != 0.0, "polar stereographic needs a polar standard parallel")
+    private val south = latC < 0.0
+    private val e = math.sqrt(e2)
+
+    // Snyder 15-9 on the |north| aspect
+    private def t(lat: Double): Double = {
+      val s = math.sin(lat)
+      math.tan(math.Pi / 4.0 - lat / 2.0) /
+        math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0)
+    }
+    private val latCn = math.abs(latC)
+    private val mC = {
+      val s = math.sin(latCn)
+      math.cos(latCn) / math.sqrt(1.0 - e2 * s * s)
+    }
+    private val tC = t(latCn)
+
+    /** Geodetic (radians) → (E, N). The pole maps exactly to (fe, fn). */
+    def forward(lat: Double, lon: Double): (Double, Double) = {
+      val latN = if (south) -lat else lat
+      val rho = a * mC * t(latN) / tC
+      val th = lon - lon0
+      val n = fn - rho * math.cos(th)
+      (fe + rho * math.sin(th), if (south) 2.0 * fn - n else n)
+    }
+
+    /** (E, N) → geodetic (radians). */
+    def inverse(east: Double, north: Double): (Double, Double) = {
+      val nN = if (south) 2.0 * fn - north else north
+      val de = east - fe; val dn = fn - nN
+      val rho = math.sqrt(de * de + dn * dn)
+      val tp = rho * tC / (a * mC)
+      var lat = math.Pi / 2.0 - 2.0 * math.atan(tp)
+      var i = 0
+      while (i < 15) { // e = 0 converges immediately
+        val s = math.sin(lat)
+        val next = math.Pi / 2.0 - 2.0 * math.atan(
+          tp * math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0))
+        if (math.abs(next - lat) < 1e-14) i = 15 else i += 1
+        lat = next
+      }
+      var lon = if (rho == 0.0) lon0 else lon0 + math.atan2(de, dn)
+      // lon0 + atan2 can leave (−π, π] when lon0 is nonzero — normalize
+      while (lon <= -math.Pi) lon += 2.0 * math.Pi
+      while (lon > math.Pi) lon -= 2.0 * math.Pi
+      (if (south) -lat else lat, lon)
+    }
+  }
+
+  /** Mercator on an ellipsoid (EPSG methods 9804/9805): either a
+    * variant-A scale k0 at the equator or a variant-B standard
+    * parallel lat1 (kEff = m(lat1)); e² = 0 gives WRF's spherical
+    * Mercator (map_proj = 3, TRUELAT1 the true-scale latitude). */
+  final case class Merc(a: Double, e2: Double, k0: Double,
+      lat1: Double, lon0: Double, fe: Double, fn: Double) {
+
+    private val e = math.sqrt(e2)
+    private val kEff = {
+      val s = math.sin(lat1)
+      k0 * math.cos(lat1) / math.sqrt(1.0 - e2 * s * s)
+    }
+
+    /** Geodetic (radians) → (E, N). */
+    def forward(lat: Double, lon: Double): (Double, Double) = {
+      val s = math.sin(lat)
+      val n = a * kEff * math.log(math.tan(math.Pi / 4.0 + lat / 2.0) *
+        math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0))
+      (fe + a * kEff * (lon - lon0), fn + n)
+    }
+
+    /** (E, N) → geodetic (radians). */
+    def inverse(east: Double, north: Double): (Double, Double) = {
+      val tp = math.exp(-(north - fn) / (a * kEff))
+      var lat = math.Pi / 2.0 - 2.0 * math.atan(tp)
+      var i = 0
+      while (i < 15) {
+        val s = math.sin(lat)
+        val next = math.Pi / 2.0 - 2.0 * math.atan(
+          tp * math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0))
+        if (math.abs(next - lat) < 1e-14) i = 15 else i += 1
+        lat = next
+      }
+      (lat, lon0 + (east - fe) / (a * kEff))
+    }
+  }
+
+  /** WRF polar stereographic (map_proj = 2) on the model sphere. */
+  def wrfPs(truelat1: Double, standLon: Double): Ps =
+    Ps(6370000.0, 0.0, math.toRadians(truelat1), math.toRadians(standLon),
+      0.0, 0.0)
+
+  /** WRF Mercator (map_proj = 3) on the model sphere. */
+  def wrfMercator(truelat1: Double, standLon: Double): Merc =
+    Merc(6370000.0, 0.0, 1.0, math.toRadians(truelat1),
+      math.toRadians(standLon), 0.0, 0.0)
+
+  /** EPSG:3413 — WGS 84 / NSIDC Sea Ice Polar Stereographic North
+    * (SP 70°N, CM 45°W); EPSG:3976 — the Antarctic twin (SP 70°S,
+    * CM 0°); EPSG:3032 — WGS 84 / Australian Antarctic Polar
+    * Stereographic (SP 71°S, CM 70°E, FE/FN 6 000 km) — the method's
+    * published worked example, pinned in CrsSpec. */
+  private def psRegistry(srid: Int): Option[Ps] = {
+    val e2W = 2.0 * fW - fW * fW
+    srid match {
+      case 3413 => Some(Ps(aW, e2W, math.toRadians(70.0),
+        math.toRadians(-45.0), 0.0, 0.0))
+      case 3976 => Some(Ps(aW, e2W, math.toRadians(-70.0),
+        math.toRadians(0.0), 0.0, 0.0))
+      case 3032 => Some(Ps(aW, e2W, math.toRadians(-71.0),
+        math.toRadians(70.0), 6000000.0, 6000000.0))
+      case _ => None
+    }
+  }
+
+  /** EPSG:3395 — WGS 84 / World Mercator (variant A, k0 = 1). */
+  private def mercRegistry(srid: Int): Option[Merc] = srid match {
+    case 3395 => Some(Merc(aW, 2.0 * fW - fW * fW, 1.0, 0.0, 0.0, 0.0, 0.0))
+    case _ => None
+  }
+
   /** WRF's native projection for a given domain header: LCC on the
     * model's spherical earth (DX/DY are true at the standard
     * parallels TRUELAT1/2; STAND_LON the central meridian; the false
@@ -211,9 +342,14 @@ object Crs {
     case 2154 => Some { (lon, lat) =>
       lambert93.forward(math.toRadians(lat), math.toRadians(lon))
     }
-    case _ => utmZone(srid).map { tm => (lon, lat) =>
-      tm.forward(math.toRadians(lat), math.toRadians(lon))
-    }
+    case _ =>
+      utmZone(srid).map[XY] { tm => (lon, lat) =>
+        tm.forward(math.toRadians(lat), math.toRadians(lon))
+      }.orElse(psRegistry(srid).map[XY] { ps => (lon, lat) =>
+        ps.forward(math.toRadians(lat), math.toRadians(lon))
+      }).orElse(mercRegistry(srid).map[XY] { m => (lon, lat) =>
+        m.forward(math.toRadians(lat), math.toRadians(lon))
+      })
   }
 
   /** srid → 4326, in (x=E/lon, y=N/lat) axis order. */
@@ -230,10 +366,17 @@ object Crs {
       val (lat, lon) = lambert93.inverse(e, n)
       (math.toDegrees(lon), math.toDegrees(lat))
     }
-    case _ => utmZone(srid).map { tm => (e, n) =>
-      val (lat, lon) = tm.inverse(e, n)
-      (math.toDegrees(lon), math.toDegrees(lat))
-    }
+    case _ =>
+      utmZone(srid).map[XY] { tm => (e, n) =>
+        val (lat, lon) = tm.inverse(e, n)
+        (math.toDegrees(lon), math.toDegrees(lat))
+      }.orElse(psRegistry(srid).map[XY] { ps => (e, n) =>
+        val (lat, lon) = ps.inverse(e, n)
+        (math.toDegrees(lon), math.toDegrees(lat))
+      }).orElse(mercRegistry(srid).map[XY] { m => (e, n) =>
+        val (lat, lon) = m.inverse(e, n)
+        (math.toDegrees(lon), math.toDegrees(lat))
+      })
   }
 
   /** Coordinate converter between two supported CRSs (through 4326 for

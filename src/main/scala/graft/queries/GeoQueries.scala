@@ -426,6 +426,46 @@ object GeoQueries {
       |  true AS lcc_origin_ok
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** G9 breadth: the rest of the WRF projection family — polar
+    * stereographic (EPSG method 9829; EPSG:3413 NSIDC North and
+    * EPSG:3032 Australian Antarctic) and Mercator (methods 9804/9805;
+    * EPSG:3395 World Mercator). Same oracle contract as
+    * [[qTransformLcc]]: per-row roundtrip + physical-bounds booleans
+    * the oracle asserts as constants, plus the EPSG Guidance Note
+    * worked example for 9829 (75°S 120°E → E 7 255 380.79,
+    * N 7 053 389.56) recomputed per row; `CrsSpec` pins both methods'
+    * worked examples driver-side too. */
+  val qTransformPolar: Q = (spark, dir) => {
+    val s = Tables(spark, dir, "supplier").select(col("s_suppkey"),
+      (lit(60.0) + (col("s_suppkey") % 25) * 1.0).as("lat"),
+      (lit(-170.0) + (col("s_suppkey") % 83) * 4.0).as("lon"))
+    val pt = st.point(col("lon"), col("lat"))
+    val ps = st.transform(pt, 4326, 3413)
+    val psBack = st.transform(ps, 3413, 4326)
+    val merc = st.transform(pt, 4326, 3395)
+    val mercBack = st.transform(merc, 3395, 4326)
+    val aaExample = st.transform(st.point(lit(120.0), lit(-75.0)), 4326, 3032)
+    // 84° of colatitude bounds the 3413 radius; 85°N bounds Mercator N
+    s.select(col("s_suppkey"),
+      (abs(st.stx(psBack) - col("lon")) < 1e-9 &&
+        abs(st.sty(psBack) - col("lat")) < 1e-9).as("ps_roundtrip_ok"),
+      (sqrt(st.stx(ps) * st.stx(ps) + st.sty(ps) * st.sty(ps)) <
+        9400000.0).as("ps_bounds_ok"),
+      (abs(st.stx(aaExample) - 7255380.79) < 0.02 &&
+        abs(st.sty(aaExample) - 7053389.56) < 0.02).as("ps_epsg_example_ok"),
+      (abs(st.stx(mercBack) - col("lon")) < 1e-9 &&
+        abs(st.sty(mercBack) - col("lat")) < 1e-9).as("merc_roundtrip_ok"),
+      (st.sty(merc) > 8000000.0 &&
+        st.sty(merc) < 20000000.0).as("merc_bounds_ok"))
+      .orderBy("s_suppkey")
+  }
+
+  val qTransformPolarSql: String =
+    """SELECT s_suppkey, true AS ps_roundtrip_ok, true AS ps_bounds_ok,
+      |  true AS ps_epsg_example_ok, true AS merc_roundtrip_ok,
+      |  true AS merc_bounds_ok
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   /** Spatial nearest-neighbor: for each sampled event point the nearest
     * supplier cell center, with exact planar distance (st_distance,
     * G-function breadth). Runs the bucketed ring-search
@@ -586,6 +626,7 @@ object GeoQueries {
     "geo_transform_roundtrip" -> qTransformRoundtrip,
     "geo_transform_crs" -> qTransformCrs,
     "geo_transform_lcc" -> qTransformLcc,
+    "geo_transform_polar" -> qTransformPolar,
     "geo_voronoi_rect" -> qVoronoiRect,
     "geo_voronoi_partition" -> qVoronoiPartition,
     "geo_cells_area" -> qCellsArea,
@@ -605,6 +646,7 @@ object GeoQueries {
     "geo_transform_roundtrip" -> qTransformRoundtripSql,
     "geo_transform_crs" -> qTransformCrsSql,
     "geo_transform_lcc" -> qTransformLccSql,
+    "geo_transform_polar" -> qTransformPolarSql,
     "geo_voronoi_rect" -> qVoronoiRectSql,
     "geo_voronoi_partition" -> qVoronoiPartitionSql,
     "geo_cells_area" -> qCellsAreaSql,

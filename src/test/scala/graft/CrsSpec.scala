@@ -126,6 +126,89 @@ class CrsSpec extends SparkSpec {
     }
   }
 
+  test("polar stereographic B matches the EPSG Guidance Note worked example") {
+    // Method 9829's published example — WGS 84 / Australian Antarctic
+    // Polar Stereographic (EPSG:3032): 75°S 120°E must project to
+    // E 7 255 380.79 m, N 7 053 389.56 m.
+    val (e, n) = xy(4326, 3032)(120.0, -75.0)
+    assert(math.abs(e - 7255380.79) < 0.02, s"E=$e")
+    assert(math.abs(n - 7053389.56) < 0.02, s"N=$n")
+    val (lon, lat) = xy(3032, 4326)(e, n)
+    assert(math.abs(lon - 120.0) < 1e-9 && math.abs(lat + 75.0) < 1e-9)
+  }
+
+  test("NSIDC north/south polar stereographic: pole identity and roundtrip") {
+    // the projection pole is exactly the false origin
+    val (xN, yN) = xy(4326, 3413)(37.0, 90.0)
+    assert(math.abs(xN) < 1e-9 && math.abs(yN) < 1e-9)
+    val (xS, yS) = xy(4326, 3976)(-12.0, -90.0)
+    assert(math.abs(xS) < 1e-9 && math.abs(yS) < 1e-9)
+    // northing decreases away from the north pole along the CM; the
+    // stereographic radius at 20° colatitude is a bit under the arc
+    // length × sec²(colat/2) stretch — bound it physically
+    val (_, n70) = xy(4326, 3413)(-45.0, 70.0)
+    assert(n70 < -2100000.0 && n70 > -2300000.0, s"n70=$n70")
+    for (li <- -5 to 5; pi <- 0 to 4) {
+      val lon = li * 35.0 - 1.0; val lat = 55.0 + pi * 8.0
+      val (x, y) = xy(4326, 3413)(lon, lat)
+      val (lon2, lat2) = xy(3413, 4326)(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+        s"($lon,$lat) -> ($lon2,$lat2)")
+      val (xs2, ys2) = xy(4326, 3976)(lon, -lat)
+      val (lonS, latS) = xy(3976, 4326)(xs2, ys2)
+      assert(math.abs(lonS - lon) < 1e-9 && math.abs(latS + lat) < 1e-9)
+    }
+  }
+
+  test("Mercator B matches the EPSG Guidance Note worked example") {
+    // Method 9805's published example — Pulkovo 1942 / Caspian Sea
+    // Mercator (Krassowsky 1940): 53°N 53°E must project to
+    // E 165 704.29 m, N 5 171 848.07 m.
+    val f = 1.0 / 298.3
+    val m = Crs.Merc(6378245.0, 2.0 * f - f * f, 1.0,
+      math.toRadians(42.0), math.toRadians(51.0), 0.0, 0.0)
+    val (e, n) = m.forward(math.toRadians(53.0), math.toRadians(53.0))
+    assert(math.abs(e - 165704.29) < 0.02, s"E=$e")
+    assert(math.abs(n - 5171848.07) < 0.02, s"N=$n")
+    val (lat, lon) = m.inverse(e, n)
+    assert(math.abs(math.toDegrees(lat) - 53.0) < 1e-9)
+    assert(math.abs(math.toDegrees(lon) - 53.0) < 1e-9)
+  }
+
+  test("World Mercator: equator invariants and roundtrip") {
+    // variant A, k0 = 1: the equator maps to N 0 with E = a·λ
+    val (e, n) = xy(4326, 3395)(90.0, 0.0)
+    assert(math.abs(n) < 1e-8)
+    assert(math.abs(e - 6378137.0 * math.Pi / 2.0) < 1e-6)
+    for (li <- -4 to 4; pi <- -4 to 4) {
+      val lon = li * 45.0; val lat = pi * 19.0
+      val (x, y) = xy(4326, 3395)(lon, lat)
+      val (lon2, lat2) = xy(3395, 4326)(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+        s"($lon,$lat) -> ($lon2,$lat2)")
+    }
+  }
+
+  test("WRF spherical polar stereographic and Mercator roundtrip") {
+    val ps = Crs.wrfPs(60.0, -150.0) // an Alaska-style domain
+    val (x0, y0) = ps.forward(math.toRadians(90.0), math.toRadians(11.0))
+    assert(math.abs(x0) < 1e-9 && math.abs(y0) < 1e-9)
+    val merc = Crs.wrfMercator(20.0, 100.0) // a tropical channel
+    val (_, yEq) = merc.forward(0.0, math.toRadians(120.0))
+    assert(math.abs(yEq) < 1e-9)
+    for (li <- -1 to 6; pi <- 1 to 6) {
+      val lon = -150.0 + li * 20.0; val lat = 30.0 + pi * 9.9
+      val (x, y) = ps.forward(math.toRadians(lat), math.toRadians(lon))
+      val (lat2, lon2) = ps.inverse(x, y)
+      assert(math.abs(math.toDegrees(lon2) - lon) < 1e-9 &&
+        math.abs(math.toDegrees(lat2) - lat) < 1e-9, s"ps ($lon,$lat)")
+      val (xm, ym) = merc.forward(math.toRadians(lat - 60.0), math.toRadians(lon))
+      val (latM, lonM) = merc.inverse(xm, ym)
+      assert(math.abs(math.toDegrees(lonM) - lon) < 1e-9 &&
+        math.abs(math.toDegrees(latM) - (lat - 60.0)) < 1e-9, s"merc ($lon,$lat)")
+    }
+  }
+
   test("unknown CRS is rejected") {
     assert(Crs.convert(4326, 99999).isEmpty)
     assert(!Crs.supported(12345))
