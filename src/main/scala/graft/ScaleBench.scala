@@ -361,6 +361,29 @@ object ScaleBench {
     assert(rocksRows == 2000000L,
       s"expected 2M RocksDB state entries emitted: $rocksRows")
 
+    // --- stage 16: paragraph-level dedup over 1M documents — 10% carry
+    // a shared header paragraph, 1-in-15 a shared footer. Digests and
+    // positions are the only shuffled payloads; the cleaned corpus is
+    // rebuilt in place. Expect exactly the planted paragraphs removed
+    // (100000 headers + 66667 footers) and no body paragraph touched.
+    val (paraRemoved, tPara) = timed {
+      def pword(seed: org.apache.spark.sql.Column, i: Int) =
+        concat(lit("w"), pmod(hash(seed, lit(i + 311)), lit(5000000)).cast("string"))
+      val body = concat_ws(" ", (0 until 25).map(i => pword(col("id"), i)): _*)
+      val header = "subscribe to this newsletter for weekly updates"
+      val footer = "all rights reserved by the publisher"
+      val text = concat(
+        when(col("id") % 10 === 0, lit(header + "\n\n")).otherwise(lit("")),
+        body,
+        when(col("id") % 15 === 0, lit("\n\n" + footer)).otherwise(lit("")))
+      val docs = spark.range(1000000L).select(col("id"), text.as("text"))
+      graft.operators.Dedup
+        .dedupParagraphs(docs, "id", "text", "\n\n", "\n\n", minDocs = 100)
+        .agg(sum("n_removed")).head().getLong(0)
+    }
+    assert(paraRemoved == 166667L,
+      s"expected 100000+66667 planted paragraphs removed: $paraRemoved")
+
     println(
       s"""{"metric":"reference_scale","overlay_sec":$tOverlay,""" +
         s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
@@ -377,6 +400,7 @@ object ScaleBench {
         s""""strat_10m_sec":$tStrat,"strat_rows":$stratRows,""" +
         s""""tfidf_1m_sec":$tTfidf,"tfidf_rows":$tfidfRows,""" +
         s""""substr_1m_sec":$tSub,"substr_spans":${subStats._1},""" +
+        s""""para_1m_sec":$tPara,"para_removed":$paraRemoved,""" +
         s""""rocksdb_soak_sec":$tRocks,"rocksdb_state_rows":$rocksRows,""" +
         s""""regrid_cells":$regridRows,"voronoi_cells":$vorCells,""" +
         s""""conservation_ratio":$ratio}""")

@@ -493,6 +493,47 @@ object Dedup {
         col("span.e").as("span_end"))
   }
 
+  /** Paragraph-level exact dedup (the MassiveText/Gopher recipe's
+    * "remove repeated paragraphs" pass): a paragraph is CUT when its
+    * exact text occurs in ≥ `minDocs` distinct documents; surviving
+    * paragraphs are reassembled in order. Complements
+    * [[repeatedSubstringSpans]] (which catches shared runs that do not
+    * align to paragraph boundaries) with the cheap aligned case.
+    *
+    * Emits one row per input document: (id, cleaned text, n_removed).
+    *
+    * 100 TB shape: the repeated-paragraph aggregation and the hit
+    * join-back ride (16-byte digest, int position) — paragraph TEXT
+    * never shuffles. Reassembly joins the per-doc cut-position list
+    * back to the corpus and rebuilds the document IN PLACE with an
+    * indexed array filter; the cut list is boilerplate-sized, so AQE
+    * broadcasts it and the text side of the final join never moves
+    * (a doc_id-bucketed corpus makes it exchange-free even without
+    * the broadcast — the docprep pattern, PlanAuditSpec).
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sepRegex: String, joiner: String, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs")
+    val parts = split(col(textCol), sepRegex)
+    val paras = df.select(col(idCol).as("__pid"), posexplode(parts))
+      .select(col("__pid"), col("pos"), md5(col("col")).as("ph"))
+    val rep = paras.groupBy("ph")
+      .agg(countDistinct("__pid").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("ph")
+    val cuts = paras.join(rep, "ph")
+      .groupBy("__pid").agg(collect_set("pos").as("cut_pos"))
+    df.join(cuts, df(idCol) === cuts("__pid"), "left")
+      .select(col(idCol),
+        array_join(
+          filter(parts, (_, i) =>
+            !array_contains(coalesce(col("cut_pos"),
+              array().cast("array<int>")), i)),
+          joiner).as(textCol),
+        when(col("cut_pos").isNull, lit(0))
+          .otherwise(size(col("cut_pos"))).as("n_removed"))
+  }
+
   def ngramContamination(df: DataFrame, idCol: String, textCol: String,
       isBenchmark: Column, n: Int): DataFrame = {
     val grams = df.select(col(idCol).as("id"), isBenchmark.as("is_bench"),

@@ -148,6 +148,61 @@ object TextQueries {
       |FROM isl GROUP BY doc_id, island
       |ORDER BY doc_id, span_start""".stripMargin
 
+  /** Paragraph-level exact dedup (Dedup.dedupParagraphs — the
+    * MassiveText "repeated paragraph" pass): two boilerplate
+    * paragraphs planted into 25% / 16% of documents must come out
+    * again, with the rest of each document byte-identical. Cleaned
+    * text is rebuilt in place; only digests and positions shuffle. */
+  val qDedupParagraph: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val pHead =
+      "subscribe to our newsletter for updates and exclusive offers every week"
+    val pTail =
+      "copyright two thousand twenty four all rights reserved by the publisher"
+    val t1 = when(col("doc_id") % 4 === 0,
+      concat(lit(pHead + "\n\n"), col("text"))).otherwise(col("text"))
+    val t2 = when(col("doc_id") % 6 === 0,
+      concat(t1, lit("\n\n" + pTail))).otherwise(t1)
+    val aug = d.select(col("doc_id"), t2.as("t"))
+    Dedup.dedupParagraphs(aug, "doc_id", "t", "\n\n", "\n\n", minDocs = 3)
+      .select(col("doc_id"), col("t"), col("n_removed").cast("long")
+        .as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupParagraphSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 6 = 0
+      |      THEN t1 || chr(10) || chr(10) ||
+      |        'copyright two thousand twenty four all rights reserved by the publisher'
+      |      ELSE t1 END AS t
+      |  FROM (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+      |      THEN 'subscribe to our newsletter for updates and exclusive offers every week'
+      |        || chr(10) || chr(10) || text
+      |      ELSE text END AS t1
+      |    FROM documents)),
+      |p AS (
+      |  SELECT doc_id, i - 1 AS pos, ps[i] AS para
+      |  FROM (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ps
+      |        FROM aug) s,
+      |    unnest(range(1, len(ps) + 1)) AS u(i)),
+      |rep AS (
+      |  SELECT md5(para) AS ph FROM p
+      |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+      |cut AS (SELECT doc_id, pos FROM p JOIN rep ON md5(p.para) = rep.ph),
+      |keep AS (
+      |  SELECT p.doc_id, p.pos, p.para
+      |  FROM p LEFT JOIN cut ON p.doc_id = cut.doc_id AND p.pos = cut.pos
+      |  WHERE cut.pos IS NULL),
+      |asm AS (
+      |  SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS t
+      |  FROM keep GROUP BY 1),
+      |nc AS (SELECT doc_id, count(*) AS n_removed FROM cut GROUP BY 1)
+      |SELECT a.doc_id, coalesce(asm.t, '') AS t,
+      |  coalesce(nc.n_removed, 0) AS n_removed
+      |FROM aug a LEFT JOIN asm USING (doc_id) LEFT JOIN nc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Quality scoring: stopword hits + aggregate quality stats by lang. */
   val qTextQuality: Q = (spark, dir) => {
     val d = Tables(spark, dir, "documents")
@@ -612,6 +667,7 @@ object TextQueries {
     "dedup_minhash_lsh" -> qDedupMinhash,
     "dedup_decision" -> qDedupDecision,
     "dedup_substring" -> qDedupSubstring,
+    "dedup_paragraph" -> qDedupParagraph,
     "dedup_simhash" -> qDedupSimhash)
 
   val oracles: Map[String, String] = Map(
@@ -632,5 +688,6 @@ object TextQueries {
     "dedup_minhash_lsh" -> qDedupMinhashSql,
     "dedup_decision" -> qDedupDecisionSql,
     "dedup_substring" -> qDedupSubstringSql,
+    "dedup_paragraph" -> qDedupParagraphSql,
     "dedup_simhash" -> qDedupSimhashSql)
 }
