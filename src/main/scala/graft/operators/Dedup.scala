@@ -534,6 +534,37 @@ object Dedup {
           .otherwise(size(col("cut_pos"))).as("n_removed"))
   }
 
+  /** [[ngramContamination]] with a broadcast-Bloom prefilter on the
+    * corpus side — the 100 TB formulation. The exact variant shuffles
+    * every corpus gram into the bench-gram join; here the corpus scan
+    * probes a [[Bloom]] filter built (distributed) over the benchmark
+    * grams and only survivors — true hits plus ~1% false positives —
+    * reach the exact-refine join, so the corpus-side shuffle shrinks
+    * to ≈ the contaminated fraction while results stay EXACT (the
+    * refine join removes every false positive; same output as
+    * [[ngramContamination]] modulo the 2⁻⁶⁴ gram-hash collision the
+    * substring-dedup oracle already accepts). Gram hashes are
+    * xxhash64: the oracle recomputes from gram strings, so the cheap
+    * codegen'd hash wins over a reproducible one. */
+  def ngramContaminationBloom(df: DataFrame, idCol: String, textCol: String,
+      isBenchmark: Column, n: Int, expectedBenchGrams: Long): DataFrame = {
+    val grams = df.select(col(idCol).as("id"), isBenchmark.as("is_bench"),
+      explode(shingles(col(textCol), n)).as("g"))
+      .select(col("id"), col("is_bench"), xxhash64(col("g")).as("gh"))
+    val benchGrams = grams.filter(col("is_bench")).select("gh").distinct()
+    val bloom = Bloom.build(benchGrams, col("gh"), expectedBenchGrams)
+    val hits = grams.filter(!col("is_bench"))
+      .filter(Bloom.mightContain(bloom, col("gh"))) // map-side prefilter
+      .join(broadcast(benchGrams), "gh") // exact refine: kills the ~1% fps
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shared"))
+    df.filter(!isBenchmark).select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_shared").isNotNull.as("contaminated"))
+  }
+
   def ngramContamination(df: DataFrame, idCol: String, textCol: String,
       isBenchmark: Column, n: Int): DataFrame = {
     val grams = df.select(col(idCol).as("id"), isBenchmark.as("is_bench"),

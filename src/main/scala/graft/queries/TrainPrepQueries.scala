@@ -69,6 +69,34 @@ object TrainPrepQueries {
       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
       |WHERE d.doc_id % 10 <> 0 ORDER BY 1""".stripMargin
 
+  /** Decontamination through the broadcast-Bloom prefilter
+    * ([[Dedup.ngramContaminationBloom]]): same exact output contract
+    * as [[qTextContamination]] — the Bloom pass only thins the corpus
+    * side before the exact-refine join, so the oracle is the plain
+    * exact-join SQL over gram strings. 6-grams, doc_id ≡ 0 mod 9 as
+    * the held-out benchmark. */
+  val qTextContaminationBloom: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    Dedup.ngramContaminationBloom(docs, "doc_id", "text",
+        col("doc_id") % 9 === 0, n = 6, expectedBenchGrams = 100000L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val qTextContaminationBloomSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |           FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |    array_to_string(list_slice(toks, i, i+5), ' ') AS gs
+      |  FROM t, unnest(range(1, greatest(len(toks)-6, 0)+2)) AS u(i)),
+      |bg AS (SELECT DISTINCT gs FROM g WHERE doc_id % 9 = 0),
+      |hits AS (SELECT g.doc_id, count(*) AS n_shared FROM g JOIN bg USING (gs)
+      |         WHERE g.doc_id % 9 <> 0 GROUP BY 1)
+      |SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
+      |  h.doc_id IS NOT NULL AS contaminated
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id % 9 <> 0 ORDER BY 1""".stripMargin
+
   /** The END-TO-END corpus-prep pipeline as ONE plan: language-ID →
     * quality gate (token count ≥ 20, ≥ 1 stopword) → exact dedup (min
     * doc_id per content digest, quality survivors only) → near-dup
@@ -316,6 +344,7 @@ object TrainPrepQueries {
     "sample_stratified" -> qStratifiedSample,
     "corpus_mix" -> qCorpusMix,
     "text_contamination" -> qTextContamination,
+    "text_contamination_bloom" -> qTextContaminationBloom,
     "pipeline_docprep" -> qPipelineDocprep,
     "pack_shards" -> qPackShards)
 
@@ -325,6 +354,7 @@ object TrainPrepQueries {
     "sample_stratified" -> qStratifiedSampleSql,
     "corpus_mix" -> qCorpusMixSql,
     "text_contamination" -> qTextContaminationSql,
+    "text_contamination_bloom" -> qTextContaminationBloomSql,
     "pipeline_docprep" -> qPipelineDocprepSql,
     "pack_shards" -> qPackShardsSql)
 }

@@ -34,8 +34,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // same way (sqrt6_total / corpus totals — 1 row by construction).
     // ann_recall embeds the brute-force scorer as its exact reference
     // (tiny broadcast query side, same contract as ann_bruteforce_topk)
+    // grid_interp_levels brackets against a broadcast handful of target
+    // pressure surfaces on an inequality condition — tiny side by
+    // construction (a few standard levels)
     val allowed = Set("ann_bruteforce_topk", "ann_recall", "geo_heat_island",
-      "geo_regrid_conservation",
+      "geo_regrid_conservation", "grid_interp_levels",
       "sample_domain_mix", "corpus_mix", "text_tfidf")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(n) => n
@@ -158,6 +161,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       }
       assert(offenders.isEmpty,
         s"$q: shuffles carrying document text:\n${offenders.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  test("bloom decontamination probes map-side, below the refine join") {
+    // The bloom_might_contain filter must sit in the corpus-gram scan
+    // stage (no Exchange between the gram explode and the probe), so a
+    // 100 TB corpus is thinned before anything shuffles; document text
+    // stays out of every Exchange; and the refine join broadcasts the
+    // benchmark grams.
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("text_contamination_bloom")(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      val probeFilters = plan.collect {
+        case f: FilterExec if f.condition.toString.contains("bloom_might_contain") => f
+      }
+      assert(probeFilters.nonEmpty, s"no bloom probe in plan:\n$plan")
+      // the probe's subtree must be exchange-free: it runs in the scan stage
+      probeFilters.foreach { f =>
+        val below = f.collect { case e: ShuffleExchangeExec => e }
+        assert(below.isEmpty,
+          s"bloom probe sits above a shuffle (not map-side):\n$f")
+      }
+      val textShuffles = plan.collect {
+        case e: ShuffleExchangeExec
+            if e.child.output.exists(_.name.toLowerCase.contains("text")) => e
+      }
+      assert(textShuffles.isEmpty,
+        s"shuffles carrying document text:\n${textShuffles.mkString("\n")}")
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        s"refine join did not broadcast the benchmark grams:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
