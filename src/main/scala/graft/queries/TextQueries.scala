@@ -203,6 +203,39 @@ object TextQueries {
       |FROM aug a LEFT JOIN asm USING (doc_id) LEFT JOIN nc USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus heavy-hitter 3-grams ([[graft.operators.HeavyHitters]]):
+    * per-partition Misra-Gries candidates + exact refine — the exact
+    * GROUP BY/HAVING answer without ever shuffling the corpus-sized
+    * gram stream. A 7-word phrase planted into every third document
+    * guarantees heavy grams exist at every SF; the support threshold
+    * sits above the synthetic corpus's natural trigram ceiling. */
+  val qTextHeavyHitters: Q = (spark, dir) => {
+    import graft.operators.HeavyHitters
+    val d = Tables(spark, dir, "documents")
+    val phrase = "breaking news update from the wire service"
+    val aug = when(col("doc_id") % 3 === 0,
+      concat(lit(phrase + " "), col("text"))).otherwise(col("text"))
+    val grams = d.select(explode(HeavyHitters.ngrams(aug, 3)).as("gram"))
+    HeavyHitters.frequentItems(grams, col("gram"), support = 50L,
+        capacity = 32768)
+      .select(col("item").as("gram"), col("n"))
+      .orderBy(desc("n"), col("gram"))
+  }
+
+  val qTextHeavyHittersSql: String =
+    """WITH aug AS (
+      |  SELECT CASE WHEN doc_id % 3 = 0
+      |    THEN 'breaking news update from the wire service ' || text
+      |    ELSE text END AS t
+      |  FROM documents),
+      |tk AS (SELECT regexp_split_to_array(trim(lower(t)), '\s+') AS toks
+      |       FROM aug),
+      |g AS (SELECT array_to_string(toks[i:i+2], ' ') AS gram
+      |      FROM tk, unnest(range(1, greatest(len(toks)-3, 0)+2)) AS u(i))
+      |SELECT gram, count(*) AS n FROM g
+      |GROUP BY gram HAVING count(*) >= 50
+      |ORDER BY n DESC, gram""".stripMargin
+
   /** Quality scoring: stopword hits + aggregate quality stats by lang. */
   val qTextQuality: Q = (spark, dir) => {
     val d = Tables(spark, dir, "documents")
@@ -668,6 +701,7 @@ object TextQueries {
     "dedup_decision" -> qDedupDecision,
     "dedup_substring" -> qDedupSubstring,
     "dedup_paragraph" -> qDedupParagraph,
+    "text_heavy_hitters" -> qTextHeavyHitters,
     "dedup_simhash" -> qDedupSimhash)
 
   val oracles: Map[String, String] = Map(
@@ -689,5 +723,6 @@ object TextQueries {
     "dedup_decision" -> qDedupDecisionSql,
     "dedup_substring" -> qDedupSubstringSql,
     "dedup_paragraph" -> qDedupParagraphSql,
+    "text_heavy_hitters" -> qTextHeavyHittersSql,
     "dedup_simhash" -> qDedupSimhashSql)
 }
