@@ -702,7 +702,181 @@ object RelationalQueries {
       |WHERE p_partkey = l_partkey AND pk = l_partkey AND l_quantity < lim
       |  AND p_size = 1""".stripMargin
 
+  /** TPC-H Q6 shape: forecasting-revenue-change — the pure filter+agg
+    * plan every warehouse benchmarks first. All three predicates reach
+    * the parquet reader as pushed filters; one partial-aggregated scan,
+    * no shuffle beyond the single-row final agg. */
+  val q6ForecastRevenue: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg((sum((round(col("l_extendedprice") * 100).cast("long") *
+        round(col("l_discount") * 100).cast("long")).cast("decimal(38,0)"))
+        .cast("double") / lit(10000.0)).as("revenue"))
+  }
+
+  val q6Sql: String =
+    """SELECT sum(cast(round(l_extendedprice*100) as bigint) *
+      |           cast(round(l_discount*100) as bigint)) / 10000.0 AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q13 shape: customer order-count distribution — the
+    * left-outer join + double aggregation (per-customer count, then
+    * histogram of counts). */
+  val q13OrderCounts: Q = (spark, dir) => {
+    val cust = Tables(spark, dir, "customer")
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY 1)
+      |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q14 shape: promotion revenue share — conditional aggregate
+    * over a fact⋈dimension join; part broadcasts. The ratio is one
+    * IEEE division of two exactly-accumulated integer-unit sums. */
+  val q14PromoShare: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val p = Tables(spark, dir, "part")
+    val discPrice = (round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100) - round(col("l_discount") * 100).cast("long")))
+      .cast("decimal(38,0)")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(((sum(when(col("p_type") === "PROMO", discPrice)
+        .otherwise(lit(0).cast("decimal(38,0)"))) * 100).cast("double") /
+        sum(discPrice).cast("double")).as("promo_revenue_pct"))
+  }
+
+  val q14Sql: String =
+    """SELECT (sum(CASE WHEN p_type = 'PROMO'
+      |        THEN cast(round(l_extendedprice*100) as bigint) *
+      |             (100 - cast(round(l_discount*100) as bigint))
+      |        ELSE 0 END) * 100)::DOUBLE /
+      |  sum(cast(round(l_extendedprice*100) as bigint) *
+      |      (100 - cast(round(l_discount*100) as bigint)))::DOUBLE
+      |  AS promo_revenue_pct
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1996-03-01'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin
+
+  /** TPC-H Q18 shape: large-volume customers — a semi-join against a
+    * HAVING aggregate (orders whose lineitems sum past a threshold),
+    * then the customer/order detail, top-100. Quantities are
+    * integer-valued, so the double sums are order-independent. */
+  val q18LargeVolume: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    val big = li.groupBy(col("l_orderkey").as("bok"))
+      .agg(sum("l_quantity").as("total_qty"))
+      .filter(col("total_qty") > 150)
+    val ord = Tables(spark, dir, "orders")
+    val cust = Tables(spark, dir, "customer")
+    big.join(ord, col("bok") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  total_qty
+      |FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150) b
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** TPC-H Q19 shape: discounted revenue under a DISJUNCTION of
+    * brand/size/quantity windows — the classic test that a composite
+    * OR predicate still runs as ONE broadcast hash join on the equi
+    * part with the disjunction as a post-join filter (not a fallback
+    * to a nested loop). */
+  val q19Disjunctive: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#11" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg((sum((round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100) - round(col("l_discount") * 100).cast("long")))
+        .cast("decimal(38,0)")).cast("double") / lit(10000.0))
+        .as("revenue"))
+  }
+
+  val q19Sql: String =
+    """SELECT sum(cast(round(l_extendedprice*100) as bigint) *
+      |  (100 - cast(round(l_discount*100) as bigint))) / 10000.0 AS revenue
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey AND (
+      |  (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+      |    AND l_quantity BETWEEN 1 AND 11) OR
+      |  (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+      |    AND l_quantity BETWEEN 10 AND 20) OR
+      |  (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+      |    AND l_quantity BETWEEN 20 AND 30))""".stripMargin
+
+  /** TPC-H Q22 shape: global-sales-opportunity — customers above the
+    * positive-balance average with no orders at all: a single-row
+    * broadcast threshold (the decorrelated scalar subquery) + an
+    * anti join, grouped by a derived country code. */
+  val q22GlobalSales: Q = (spark, dir) => {
+    val cust = Tables(spark, dir, "customer")
+    val ord = Tables(spark, dir, "orders")
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(Exact.fixedAvg(col("c_acctbal"), 2).as("abal"))
+    cust.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("abal"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy((col("c_nationkey") % 10).as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        Exact.fixedSum(col("c_acctbal"), 2).as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  val q22Sql: String =
+    """WITH a AS (
+      |  SELECT sum(cast(round(c_acctbal*100) as bigint)) / (count(*) * 100.0)
+      |    AS abal
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c_nationkey % 10 AS cntrycode, count(*) AS numcust,
+      |  sum(cast(round(c_acctbal*100) as bigint)) / 100.0 AS totacctbal
+      |FROM customer, a
+      |WHERE c_acctbal > abal
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q6_forecast_revenue" -> q6ForecastRevenue,
+    "q13_order_counts" -> q13OrderCounts,
+    "q14_promo_share" -> q14PromoShare,
+    "q18_large_volume" -> q18LargeVolume,
+    "q19_disjunctive" -> q19Disjunctive,
+    "q22_global_sales" -> q22GlobalSales,
     "w_trailing_3d" -> qTrailing3d,
     "q17_small_quantity" -> q17SmallQuantity,
     "j_asof_last_order" -> qAsofLastOrder,
@@ -732,6 +906,12 @@ object RelationalQueries {
     "a4_weighted_mean" -> qWeightedMean)
 
   val oracles: Map[String, String] = Map(
+    "q6_forecast_revenue" -> q6Sql,
+    "q13_order_counts" -> q13Sql,
+    "q14_promo_share" -> q14Sql,
+    "q18_large_volume" -> q18Sql,
+    "q19_disjunctive" -> q19Sql,
+    "q22_global_sales" -> q22Sql,
     "w_trailing_3d" -> qTrailing3dSql,
     "q17_small_quantity" -> q17Sql,
     "j_asof_last_order" -> qAsofLastOrderSql,

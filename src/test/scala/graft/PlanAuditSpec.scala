@@ -37,8 +37,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // grid_interp_levels brackets against a broadcast handful of target
     // pressure surfaces on an inequality condition — tiny side by
     // construction (a few standard levels)
+    // q22 crosses the single-row decorrelated average-balance threshold
+    // into the customer scan — 1 row by construction
     val allowed = Set("ann_bruteforce_topk", "ann_recall", "geo_heat_island",
-      "geo_regrid_conservation", "grid_interp_levels",
+      "geo_regrid_conservation", "grid_interp_levels", "q22_global_sales",
       "sample_domain_mix", "corpus_mix", "text_tfidf")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(n) => n
