@@ -384,6 +384,46 @@ object ScaleBench {
     assert(paraRemoved == 166667L,
       s"expected 100000+66667 planted paragraphs removed: $paraRemoved")
 
+    // --- stage 17: WRF post-processing ops at model-output scale —
+    // destagger a 1000×1001-face staggered wind field (1M mass
+    // points), interpolate a 200×200×25-level 3-D field to three
+    // pressure surfaces (1M input rows), and 3×3-smooth a 1000×1000
+    // field. Each is one or two window shuffles over pencil keys; no
+    // joins beyond the broadcast target levels.
+    val (gridOpsRows, tGridOps) = timed {
+      import graft.grid.{GridConfig, GridOps}
+      val destag = {
+        val faces = spark.range(1000L * 1001L).select(
+          (col("id") / 1001L).cast("long").as("y"),
+          (col("id") % 1001L).as("xs"),
+          (pmod(hash(col("id")), lit(1000)) / 10.0).as("u"))
+          .withColumn("t", lit(0))
+        GridOps.destagger(faces, Seq("t", "y"), "xs", "u", "x").count()
+      }
+      val interp = {
+        val cols3d = spark.range(200L * 200L * 25L).select(
+          (col("id") / 5000L).cast("long").as("y"),
+          (col("id") % 5000L / 25L).cast("long").as("x"),
+          (col("id") % 25L).as("lev"),
+          (pmod(hash(col("id")), lit(10000)) / 100.0).as("tv"))
+          .withColumn("p", lit(1000.0) - col("lev") * 25.0)
+        GridOps.interpLevels(cols3d, Seq("y", "x"), "p", "tv",
+          Seq(987.5, 700.0, 412.5)).count()
+      }
+      val smoothed = {
+        val cfg = GridConfig("x", "y", "lon", "lat", "t", "v")
+        val cells = spark.range(1000L * 1000L).select(
+          lit(0).as("t"),
+          (col("id") / 1000L).cast("long").as("y"),
+          (col("id") % 1000L).as("x"),
+          (pmod(hash(col("id")), lit(1000)) / 10.0).as("v"))
+        GridOps.smooth(cells, cfg, dec = 1).count()
+      }
+      (destag, interp, smoothed)
+    }
+    assert(gridOpsRows == ((1000000L, 120000L, 1000000L)),
+      s"wrong grid-op row counts: $gridOpsRows")
+
     println(
       s"""{"metric":"reference_scale","overlay_sec":$tOverlay,""" +
         s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
@@ -401,6 +441,7 @@ object ScaleBench {
         s""""tfidf_1m_sec":$tTfidf,"tfidf_rows":$tfidfRows,""" +
         s""""substr_1m_sec":$tSub,"substr_spans":${subStats._1},""" +
         s""""para_1m_sec":$tPara,"para_removed":$paraRemoved,""" +
+        s""""gridops_1m_sec":$tGridOps,""" +
         s""""rocksdb_soak_sec":$tRocks,"rocksdb_state_rows":$rocksRows,""" +
         s""""regrid_cells":$regridRows,"voronoi_cells":$vorCells,""" +
         s""""conservation_ratio":$ratio}""")

@@ -95,6 +95,39 @@ object GridOps {
       .agg(graft.util.Exact.fixedAvg(col(cfg.varCol), dec).as("vmean"),
         count(lit(1)).as("n"))
 
+  /** 3×3 neighbor-mean smoothing (the `smooth2d` post-processing pass)
+    * as a SEPARABLE box filter: sum/count over a ±1 RANGE frame along
+    * x, then the same along y — two cascaded window passes instead of
+    * a 9-way self-join. RANGE (not ROWS) frames keep far cells out of
+    * the kernel across index holes, and boundary cells divide by
+    * their real neighbor count. On a DENSE grid (every (y, x) present
+    * — the WRF case) this is exactly the 3×3 mean; on a sparse grid
+    * row (y±1, x±1) only contributes when its pivot (y±1, x) exists,
+    * because the second pass composes through the first pass's rows.
+    *
+    * Exactness: values accumulate as integer fixed-point units inside
+    * the windows (`dec` decimals) and divide back once — the same
+    * order-independence contract as [[graft.util.Exact]].
+    *
+    * 100 TB shape: two hash shuffles — one per pencil orientation —
+    * each a full-width window over short pencils; no join, no
+    * explode. */
+  def smooth(df: DataFrame, cfg: GridConfig, dec: Int): DataFrame = {
+    val unit = math.pow(10, dec)
+    val wx = Window.partitionBy(col(cfg.timeCol), col(cfg.yCol))
+      .orderBy(col(cfg.xCol)).rangeBetween(-1, 1)
+    val wy = Window.partitionBy(col(cfg.timeCol), col(cfg.xCol))
+      .orderBy(col(cfg.yCol)).rangeBetween(-1, 1)
+    df.withColumn("__sx",
+        sum(round(col(cfg.varCol) * unit).cast("decimal(38,0)")).over(wx))
+      .withColumn("__nx", count(lit(1)).over(wx))
+      .withColumn("__sxy", sum(col("__sx")).over(wy))
+      .withColumn("__nxy", sum(col("__nx")).over(wy))
+      .withColumn("smoothed",
+        col("__sxy").cast("double") / (col("__nxy") * lit(unit)))
+      .drop("__sx", "__nx", "__sxy", "__nxy")
+  }
+
   /** Departure from the per-cell period mean: one unbounded window per
     * (y, x) computes the climatology with the same fixed-point-exact
     * accumulation as [[resampleTime]]; the anomaly is a single IEEE

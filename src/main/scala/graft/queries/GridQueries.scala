@@ -478,8 +478,43 @@ object GridQueries {
       |    / (count(*) OVER (PARTITION BY y, x) * 10000.0) AS anom
       |FROM d ORDER BY y, x, day""".stripMargin
 
+  /** 3×3 neighbor-mean smoothing (GridOps.smooth — the smooth2d pass)
+    * over per-day grids: two cascaded ±1 RANGE windows, fixed-point
+    * accumulation. The oracle restates the identical cascade, pinning
+    * both the kernel arithmetic and the sparse-pivot semantics. */
+  val qGridSmooth: Q = (spark, dir) => {
+    import graft.grid.GridOps
+    val grid = Tables(spark, dir, "events")
+      .groupBy(col("ts").cast("date").as("day"),
+        (col("event_id") % 12).as("y"), (col("user_id") % 15).as("x"))
+      .agg(min(col("value")).as("v"))
+    GridOps.smooth(grid, cfg.copy(timeCol = "day", varCol = "v"), dec = 2)
+      .orderBy("day", "y", "x")
+  }
+
+  val qGridSmoothSql: String =
+    """WITH g AS (
+      |  SELECT cast(ts as date) AS day, event_id%12 AS y, user_id%15 AS x,
+      |    min(value) AS v
+      |  FROM events GROUP BY 1, 2, 3),
+      |sx AS (
+      |  SELECT day, y, x, v,
+      |    sum(cast(round(v*100) as bigint)) OVER (PARTITION BY day, y
+      |      ORDER BY x RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s,
+      |    count(*) OVER (PARTITION BY day, y
+      |      ORDER BY x RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS n
+      |  FROM g)
+      |SELECT day, y, x, v,
+      |  sum(s) OVER (PARTITION BY day, x
+      |    ORDER BY y RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)::DOUBLE /
+      |  (sum(n) OVER (PARTITION BY day, x
+      |    ORDER BY y RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) * 100.0)
+      |  AS smoothed
+      |FROM sx ORDER BY day, y, x""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "grid_anomaly" -> qGridAnomaly,
+    "grid_smooth" -> qGridSmooth,
     "grid_destagger" -> qGridDestagger,
     "grid_interp_levels" -> qGridInterpLevels,
     "grid_resample" -> qGridResample,
@@ -494,6 +529,7 @@ object GridQueries {
 
   val oracles: Map[String, String] = Map(
     "grid_anomaly" -> qGridAnomalySql,
+    "grid_smooth" -> qGridSmoothSql,
     "grid_destagger" -> qGridDestaggerSql,
     "grid_interp_levels" -> qGridInterpLevelsSql,
     "grid_resample" -> qGridResampleSql,

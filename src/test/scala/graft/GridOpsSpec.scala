@@ -54,6 +54,30 @@ class GridOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq(("2024-01-01", 2.0, 2L), ("2024-01-08", 10.0, 1L)))
   }
 
+  test("smooth is the exact 3x3 neighbor mean on a dense grid") {
+    val cfg = GridConfig("x", "y", "lon", "lat", "t", "v")
+    // 3x3 grid with values 1..9 (v = 3y + x + 1), one time slice
+    val df = (for (y <- 0 to 2; x <- 0 to 2)
+      yield (0, y, x, (3 * y + x + 1).toDouble)).toDF("t", "y", "x", "v")
+    val got = GridOps.smooth(df, cfg, dec = 2)
+      .collect().map(r => ((r.getInt(1), r.getInt(2)), r.getDouble(4))).toMap
+    // center: mean of 1..9 = 5; corner (0,0): mean(1,2,4,5) = 3;
+    // edge (0,1): mean(1,2,3,4,5,6) = 3.5
+    assert(got((1, 1)) === 5.0)
+    assert(got((0, 0)) === 3.0)
+    assert(got((0, 1)) === 3.5)
+    assert(got((2, 2)) === (5.0 + 6 + 8 + 9) / 4)
+  }
+
+  test("smooth range frames skip across index holes") {
+    val cfg = GridConfig("x", "y", "lon", "lat", "t", "v")
+    // one pencil with a hole at x=1: x=0 and x=2 are NOT neighbors
+    val df = Seq((0, 0, 0, 10.0), (0, 0, 2, 30.0)).toDF("t", "y", "x", "v")
+    val got = GridOps.smooth(df, cfg, dec = 2)
+      .collect().map(r => (r.getInt(2), r.getDouble(4))).toMap
+    assert(got(0) === 10.0 && got(2) === 30.0)
+  }
+
   test("anomaly is the departure from the per-cell period mean") {
     val cfg = GridConfig("x", "y", "lon", "lat", "ts", "v")
     val df = Seq((0, 0, 1.0), (0, 0, 3.0), (1, 0, 7.0))
