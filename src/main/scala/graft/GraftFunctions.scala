@@ -42,6 +42,13 @@ object GraftFunctions {
     "st_astext" -> (STAsText(_)),
     "st_geomfromtext" -> (STGeomFromText(_)),
     "st_transform" -> (STTransform(_)),
+    "st_buffer" -> (STBuffer(_)),
+    "st_simplify" -> (STSimplify(_)),
+    "st_convexhull" -> (STConvexHull(_)),
+    "st_envelope" -> (STEnvelope(_)),
+    "st_length" -> (STLength(_)),
+    "st_boundary" -> (STBoundary(_)),
+    "st_union" -> (STUnion(_)),
     "sorted_intersect_count" -> (SortedIntersectCount(_)),
     "vec_dot" -> (VecDot(_)),
     "vec_sumsq" -> (VecSumSq(_)),

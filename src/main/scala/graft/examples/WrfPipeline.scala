@@ -55,8 +55,20 @@ object WrfPipeline {
     // --- 2. native scan: long-form (time, y, x, lat, lon, value)
     val grid = spark.read.format("graft.sources.GridSource").load(ncPath)
 
-    // --- 3. daily stats per cell (tmin/tmax/tmean over day windows)
+    // --- 2b. post-processing the reference assumes already happened
+    // (wrf-python territory): smooth the field (smooth2d) and compute
+    // each timestep's departure from the per-cell period mean. A
+    // staggered wind component would destagger the same way:
+    //   GridOps.destagger(u, Seq("time", "y"), "xs", "u")
+    // and a 3-D field interpolates to pressure surfaces with
+    //   GridOps.interpLevels(t3d, Seq("time","y","x"), "p", "t", Seq(850, 700))
     val cfg = GridConfig("x", "y", "lon", "lat", "time", "value")
+    val smoothed = graft.grid.GridOps.smooth(grid, cfg, dec = 1)
+    val withAnom = smoothed.withColumn("anom",
+      graft.grid.GridOps.anomaly(cfg, dec = 1))
+    require(withAnom.filter(col("anom").isNotNull).count() > 0)
+
+    // --- 3. daily stats per cell (tmin/tmax/tmean over day windows)
     val stats = Pipelines.temporalDailyStats(grid, cfg)
 
     // --- 4. Voronoi cells of the (curvilinear) cell centers: both

@@ -150,6 +150,77 @@ case class STY(children: Seq[Expression]) extends GeomExpression {
   override def prettyName: String = "st_y"
 }
 
+/** st_buffer(geom, dist) — JTS positive/negative offset (the
+  * GeoPandas `buffer` every margin/corridor query uses; dist in the
+  * geometry's CRS units, default quadrant segments). */
+case class STBuffer(children: Seq[Expression]) extends GeomExpression {
+  override def dataType: DataType = BinaryType
+  override protected def evalNotNull(vs: Seq[Any]): Any =
+    Wkb.write(geom(vs(0)).buffer(dbl(vs(1))))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c)
+  override def prettyName: String = "st_buffer"
+}
+
+/** st_simplify(geom, tolerance) — Douglas-Peucker (GeoPandas
+  * `simplify(preserve_topology=False)` semantics; per-geometry, so a
+  * shared boundary may diverge — the caller's contract, as in
+  * GeoPandas). */
+case class STSimplify(children: Seq[Expression]) extends GeomExpression {
+  override def dataType: DataType = BinaryType
+  override protected def evalNotNull(vs: Seq[Any]): Any =
+    Wkb.write(org.locationtech.jts.simplify.DouglasPeuckerSimplifier
+      .simplify(geom(vs(0)), dbl(vs(1))))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c)
+  override def prettyName: String = "st_simplify"
+}
+
+/** st_convexhull(geom). */
+case class STConvexHull(children: Seq[Expression]) extends GeomExpression {
+  override def dataType: DataType = BinaryType
+  override protected def evalNotNull(vs: Seq[Any]): Any =
+    Wkb.write(geom(vs(0)).convexHull())
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c)
+  override def prettyName: String = "st_convexhull"
+}
+
+/** st_envelope(geom) — the axis-aligned bounding geometry. */
+case class STEnvelope(children: Seq[Expression]) extends GeomExpression {
+  override def dataType: DataType = BinaryType
+  override protected def evalNotNull(vs: Seq[Any]): Any =
+    Wkb.write(geom(vs(0)).getEnvelope)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c)
+  override def prettyName: String = "st_envelope"
+}
+
+/** st_length(geom) — perimeter for polygons, length for lines (JTS
+  * getLength, the GeoPandas `length` property). */
+case class STLength(children: Seq[Expression]) extends GeomExpression {
+  override def dataType: DataType = DoubleType
+  override protected def evalNotNull(vs: Seq[Any]): Any =
+    geom(vs(0)).getLength
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c)
+  override def prettyName: String = "st_length"
+}
+
+/** st_boundary(geom). */
+case class STBoundary(children: Seq[Expression]) extends GeomExpression {
+  override def dataType: DataType = BinaryType
+  override protected def evalNotNull(vs: Seq[Any]): Any =
+    Wkb.write(geom(vs(0)).getBoundary)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c)
+  override def prettyName: String = "st_boundary"
+}
+
+/** st_union(a, b) — binary union (the aggregate form is
+  * [[STUnionAggr]]). */
+case class STUnion(children: Seq[Expression]) extends GeomExpression {
+  override def dataType: DataType = BinaryType
+  override protected def evalNotNull(vs: Seq[Any]): Any =
+    Wkb.write(geom(vs(0)).union(geom(vs(1))))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c)
+  override def prettyName: String = "st_union"
+}
+
 /** Envelope bounds — the building block of the bucket-explode spatial
   * join (SURVEY §4) and the bbox extent aggregation (A5). */
 case class STXMin(children: Seq[Expression]) extends GeomExpression {

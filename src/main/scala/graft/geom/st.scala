@@ -30,6 +30,13 @@ object st {
   def intersection(a: Column, b: Column): Column = c(STIntersection(Seq(x(a), x(b))))
 
   def area(g: Column): Column = c(STArea(Seq(x(g))))
+  def buffer(g: Column, dist: Column): Column = c(STBuffer(Seq(x(g), dx(dist))))
+  def simplify(g: Column, tol: Column): Column = c(STSimplify(Seq(x(g), dx(tol))))
+  def convexHull(g: Column): Column = c(STConvexHull(Seq(x(g))))
+  def envelope(g: Column): Column = c(STEnvelope(Seq(x(g))))
+  def length(g: Column): Column = c(STLength(Seq(x(g))))
+  def boundary(g: Column): Column = c(STBoundary(Seq(x(g))))
+  def union(a: Column, b: Column): Column = c(STUnion(Seq(x(a), x(b))))
   def distance(a: Column, b: Column): Column = c(STDistance(Seq(x(a), x(b))))
   def centroid(g: Column): Column = c(STCentroid(Seq(x(g))))
   def stx(g: Column): Column = c(STX(Seq(x(g))))

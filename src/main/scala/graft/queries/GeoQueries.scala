@@ -466,6 +466,53 @@ object GeoQueries {
       |  true AS merc_bounds_ok
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** G-function breadth: the GeoPandas unary toolbox — buffer,
+    * simplify, convex hull, envelope, length, boundary, binary union.
+    * Exact outputs where closed-form (perimeter 2(w+h), envelope area
+    * w·h, Douglas-Peucker vertex counts 9 → 5 on a box with
+    * ε-offset edge midpoints); invariant booleans where the JTS
+    * result has no closed form (buffer containment + area ordering,
+    * hull of a convex box = the box, boundary length = perimeter,
+    * union with a contained box = identity). */
+  val qShapeOps: Q = (spark, dir) => {
+    val s = Tables(spark, dir, "supplier").select(col("s_suppkey"),
+      (col("s_suppkey") % 5 + 1).cast("double").as("w"),
+      (col("s_suppkey") % 3 + 1).cast("double").as("h"))
+    val box = st.makeBox(lit(0.0), lit(0.0), col("w"), col("h"))
+    // the same box with an ε-bumped midpoint on each edge: DP-simplify
+    // at tol 0.1 >> ε must restore exactly the 4 corners
+    val eps = 0.01
+    val xs = array(lit(0.0), col("w") / 2, col("w"), col("w") + eps,
+      col("w"), col("w") / 2, lit(0.0), lit(-eps))
+    val ys = array(lit(0.0), lit(-eps), lit(0.0), col("h") / 2,
+      col("h"), col("h") + eps, col("h"), col("h") / 2)
+    val bumpy = st.polygon(xs, ys)
+    val buf = st.buffer(box, lit(0.5))
+    val shrunk = st.buffer(box, lit(-0.25))
+    s.select(col("s_suppkey"),
+      st.length(box).as("perimeter"),
+      // shoelace vs direct-product low bits differ: compare, don't emit
+      (abs(st.area(st.envelope(bumpy)) -
+        (col("w") + 0.02) * (col("h") + 0.02)) < 1e-9).as("env_ok"),
+      (st.area(st.convexHull(box)) === st.area(box)).as("hull_ok"),
+      (st.contains(buf, box) && st.area(buf) > st.area(box) &&
+        st.area(shrunk) < st.area(box)).as("buffer_ok"),
+      st.npoints(bumpy).as("np_before"),
+      st.npoints(st.simplify(bumpy, lit(0.1))).as("np_after"),
+      (st.length(st.boundary(box)) === st.length(box)).as("boundary_ok"),
+      (st.area(st.union(box, st.makeBox(lit(0.25), lit(0.25), col("w") / 2,
+        col("h") / 2))) === st.area(box)).as("union_ok"))
+      .orderBy("s_suppkey")
+  }
+
+  val qShapeOpsSql: String =
+    """SELECT s_suppkey,
+      |  2*((s_suppkey%5 + 1) + (s_suppkey%3 + 1))::DOUBLE AS perimeter,
+      |  true AS env_ok, true AS hull_ok, true AS buffer_ok,
+      |  9 AS np_before, 5 AS np_after,
+      |  true AS boundary_ok, true AS union_ok
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   /** Spatial nearest-neighbor: for each sampled event point the nearest
     * supplier cell center, with exact planar distance (st_distance,
     * G-function breadth). Runs the bucketed ring-search
@@ -627,6 +674,7 @@ object GeoQueries {
     "geo_transform_crs" -> qTransformCrs,
     "geo_transform_lcc" -> qTransformLcc,
     "geo_transform_polar" -> qTransformPolar,
+    "geo_shape_ops" -> qShapeOps,
     "geo_voronoi_rect" -> qVoronoiRect,
     "geo_voronoi_partition" -> qVoronoiPartition,
     "geo_cells_area" -> qCellsArea,
@@ -647,6 +695,7 @@ object GeoQueries {
     "geo_transform_crs" -> qTransformCrsSql,
     "geo_transform_lcc" -> qTransformLccSql,
     "geo_transform_polar" -> qTransformPolarSql,
+    "geo_shape_ops" -> qShapeOpsSql,
     "geo_voronoi_rect" -> qVoronoiRectSql,
     "geo_voronoi_partition" -> qVoronoiPartitionSql,
     "geo_cells_area" -> qCellsAreaSql,

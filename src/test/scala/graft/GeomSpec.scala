@@ -116,6 +116,43 @@ class GeomSpec extends SparkSpec {
     assert(r.getDouble(0) == 100.0)
   }
 
+  test("unary toolbox: buffer / simplify / hull / envelope / length / boundary / union") {
+    val box = st.makeBox(lit(0.0), lit(0.0), lit(2.0), lit(3.0))
+    val r = spark.range(1).select(
+      st.length(box).as("len"),
+      st.area(st.buffer(box, lit(1.0))).as("buf_area"),
+      st.area(st.buffer(box, lit(-0.5))).as("shrunk_area"),
+      st.area(st.convexHull(box)).as("hull_area"),
+      st.area(st.envelope(box)).as("env_area"),
+      st.length(st.boundary(box)).as("blen"),
+      st.area(st.union(box, st.makeBox(lit(1.0), lit(0.0), lit(3.0), lit(3.0))))
+        .as("union_area")).head()
+    assert(r.getDouble(0) == 10.0) // perimeter 2(2+3)
+    // buffered area: rect grows by d on each side + 4 polygonal corner
+    // fans (8 segments/quadrant) — bounded by the exact-circle value
+    assert(r.getDouble(1) > 6.0 + 10.0 && r.getDouble(1) <= 6.0 + 10.0 + math.Pi)
+    assert(r.getDouble(2) == 2.0) // (2-1)x(3-1)
+    assert(r.getDouble(3) == 6.0)
+    assert(r.getDouble(4) == 6.0)
+    assert(r.getDouble(5) == 10.0)
+    assert(r.getDouble(6) == 9.0) // [0,3]x[0,3]
+  }
+
+  test("st_simplify removes sub-tolerance vertices, keeps corners") {
+    // a 2x2 box with an ε-bumped midpoint per edge: 9 ring points → 5
+    val xs = array(lit(0.0), lit(1.0), lit(2.0), lit(2.01), lit(2.0),
+      lit(1.0), lit(0.0), lit(-0.01))
+    val ys = array(lit(0.0), lit(-0.01), lit(0.0), lit(1.0), lit(2.0),
+      lit(2.01), lit(2.0), lit(1.0))
+    val r = spark.range(1).select(
+      st.npoints(st.polygon(xs, ys)).as("before"),
+      st.npoints(st.simplify(st.polygon(xs, ys), lit(0.1))).as("after"),
+      st.area(st.simplify(st.polygon(xs, ys), lit(0.1))).as("area")).head()
+    assert(r.getInt(0) == 9)
+    assert(r.getInt(1) == 5)
+    assert(r.getDouble(2) == 4.0)
+  }
+
   test("wkt bridge: st_geomfromtext ∘ st_astext is identity") {
     val wkt = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
     val r = spark.range(1)
