@@ -53,6 +53,7 @@ object GraftFunctions {
     "vec_dot" -> (VecDot(_)),
     "vec_sumsq" -> (VecSumSq(_)),
     "word_shingles" -> (cs => WordShingles(Seq(cs.head), intArg(cs, 1, "word_shingles"))),
+    "word_ngrams" -> (cs => WordNgrams(Seq(cs.head), intArg(cs, 1, "word_ngrams"))),
     "sign_lsh_bucket" -> (cs => SignLshBucket(Seq(cs.head), intArg(cs, 1, "sign_lsh_bucket"))),
     "winnow_fingerprints" -> (cs => WinnowFingerprints(Seq(cs.head),
       intArg(cs, 1, "winnow_fingerprints"), intArg(cs, 2, "winnow_fingerprints"))),

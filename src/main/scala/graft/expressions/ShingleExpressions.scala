@@ -85,3 +85,57 @@ case class WordShingles(children: Seq[Expression], n: Int)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(children = c)
   override def prettyName: String = "word_shingles"
 }
+
+/** word_ngrams(text, n) — word n-grams WITH multiplicity, in document
+  * order: the counting complement of [[WordShingles]] (whose distinct
+  * set feeds similarity operators). Same tokenization contract
+  * (space-trim + lowercase + `\s+` split, one all-token gram when the
+  * document is shorter than n). One compiled pass per row — the HOF
+  * chain (`transform(sequence(...), i => concat_ws(slice(...)))`)
+  * evaluates interpreted per element and rebuilds the slice per
+  * position, which dominated the heavy-hitter scan cost. */
+case class WordNgrams(children: Seq[Expression], n: Int)
+  extends Expression with CodegenFallback {
+
+  require(n >= 1, s"ngram n=$n")
+
+  private val ws = Pattern.compile("\\s+")
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def eval(input: InternalRow): Any = {
+    val v = children(0).eval(input)
+    if (v == null) return null
+    val lowered = v.asInstanceOf[UTF8String].toLowerCase.toString
+    var from = 0
+    var until = lowered.length
+    while (from < until && lowered.charAt(from) == ' ') from += 1
+    while (until > from && lowered.charAt(until - 1) == ' ') until -= 1
+    val toks = ws.split(lowered.substring(from, until), -1)
+    val nToks = toks.length
+    if (nToks <= n) {
+      new GenericArrayData(Array[Any](UTF8String.fromString(toks.mkString(" "))))
+    } else {
+      val arr = new Array[Any](nToks - n + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= nToks - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        arr(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(arr)
+    }
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(children = c)
+  override def prettyName: String = "word_ngrams"
+}

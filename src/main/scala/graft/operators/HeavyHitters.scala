@@ -53,35 +53,47 @@ object HeavyHitters {
   /** All `exprCol` values with exact corpus count ≥ `support`.
     * Output: (item, n) — identical to the plain GROUP BY / HAVING,
     * guaranteed by requiring capacity ≥ N/support (checked against
-    * the true N, loudly). */
+    * the true N, loudly).
+    *
+    * Exactly TWO corpus scans: the MG pass emits one
+    * (partitionCount, candidates) row per partition, so both the
+    * candidate set and the true N come out of scan 1 (cached — it is
+    * #partitions rows); scan 2 is the broadcast-filtered exact
+    * count. */
   def frequentItems(df: DataFrame, itemCol: Column, support: Long,
       capacity: Int): DataFrame = {
     require(support >= 1 && capacity >= 1)
     val spark = df.sparkSession
     import spark.implicits._
     val items = df.select(itemCol.cast("string").as("item"))
-    val candidates = items.as[String]
-      .mapPartitions(it => misraGries(it, capacity))
-      .toDF("item").distinct()
-    val counted = items.join(broadcast(candidates), "item")
-      .groupBy("item").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= support)
-    // guarantee check: one extra scan-free aggregate over the SAME
-    // frame Spark already planned; N/(capacity+1) must be < support
-    val n = items.count()
+    val summaries = items.as[String]
+      .mapPartitions { it =>
+        var n = 0L
+        val counted = it.map { x => n += 1; x }
+        val cands = misraGries(counted, capacity).toArray
+        Iterator.single((n, cands))
+      }.toDF("part_n", "cands")
+      .cache()
+    val n = summaries.agg(coalesce(sum("part_n"), lit(0L))).head().getLong(0)
     require(n / (capacity + 1L) < support,
       s"capacity $capacity cannot guarantee support $support at N=$n " +
         s"(need capacity ≥ ${n / support + 1})")
+    val candidates = summaries.select(explode(col("cands")).as("item")).distinct()
+    val counted = items.join(broadcast(candidates), "item")
+      .groupBy("item").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= support)
     counted
   }
 
   /** Word n-grams with multiplicity (NOT the per-doc distinct shingle
-    * set): the gram stream feeding [[frequentItems]]. */
-  def ngrams(text: Column, n: Int): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n), i =>
-        concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * set): the gram stream feeding [[frequentItems]]. One compiled
+    * pass per row ([[graft.expressions.WordNgrams]]) — the equivalent
+    * transform/slice/concat_ws HOF chain evaluates interpreted per
+    * element and was the dominant cost of the heavy-hitter scans.
+    * Documents shorter than n emit one all-token gram (the
+    * [[Dedup.shingles]] contract). */
+  def ngrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.WordNgrams(
+        Seq(org.apache.spark.sql.graftbridge.Bridge.expression(text)), n))
 }

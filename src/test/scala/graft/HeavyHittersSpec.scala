@@ -59,4 +59,22 @@ class HeavyHittersSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(grams === Map("a b" -> 3L, "b a" -> 2L))
   }
+
+  test("compiled ngrams equals the HOF formulation, incl. short docs") {
+    val docs = Seq("a b c d e", "  Mixed CASE  words HERE  ", "one two",
+      "solo", "", "x y z").toDF("t")
+    val hof = {
+      val toks = split(trim(lower(col("t"))), "\\s+")
+      when(size(toks) > 3,
+        transform(sequence(lit(0), size(toks) - 3), i =>
+          concat_ws(" ", slice(toks, i + 1, lit(3)))))
+        .otherwise(array(concat_ws(" ", toks)))
+    }
+    val rows = docs.select(col("t"), HeavyHitters.ngrams(col("t"), 3).as("a"),
+        hof.as("b"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2), s"doc='${r.getString(0)}'")
+    }
+  }
 }
