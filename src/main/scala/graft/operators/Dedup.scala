@@ -465,13 +465,17 @@ object Dedup {
       gramLen: Int, minDocs: Int): DataFrame = {
     require(gramLen >= 2, s"gramLen=$gramLen")
     require(minDocs >= 2, s"minDocs=$minDocs")
+    // gram strings come from ONE compiled pass (WordNgrams — the HOF
+    // transform/slice/concat_ws chain evaluated interpreted per gram
+    // and dominated this operator's scan cost); the short-doc
+    // all-token gram is filtered out to keep the strict
+    // windows-only contract (docs shorter than gramLen emit nothing)
     val toks = split(trim(lower(col(textCol))), "\\s+")
-    val gramHashes = when(size(toks) >= gramLen,
-      transform(sequence(lit(0), size(toks) - gramLen), i =>
-        xxhash64(concat_ws(" ", slice(toks, i + 1, lit(gramLen))))))
-      .otherwise(array().cast("array<long>"))
-    val grams = df.select(col(idCol).as("id"), posexplode(gramHashes))
-      .select(col("id"), col("pos"), col("col").as("gh"))
+    val gramsArr = when(size(toks) >= gramLen,
+      HeavyHitters.ngrams(col(textCol), gramLen))
+      .otherwise(array().cast("array<string>"))
+    val grams = df.select(col(idCol).as("id"), posexplode(gramsArr))
+      .select(col("id"), col("pos"), xxhash64(col("col")).as("gh"))
     val rep = grams.groupBy("gh")
       .agg(countDistinct("id").as("nd"))
       .filter(col("nd") >= minDocs)
