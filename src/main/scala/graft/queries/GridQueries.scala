@@ -124,14 +124,15 @@ object GridQueries {
       |WHERE x.x BETWEEN 5 AND 14 AND y.y >= 2 AND t.t >= 6
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** S1 over REAL NetCDF inputs: the same scan + slab-pruned aggregate
-    * as [[qGridSourceScan]], but the directory holds a MIX of classic
-    * CDF files and chunked shuffle+deflate NetCDF-4 files — the
-    * GridSource treats all three containers identically (one
-    * InputPartition per (file, time-slab), pruned slabs never read,
-    * pruned chunks never inflated). Same oracle. */
+  /** S1 over REAL self-describing inputs: the same scan + slab-pruned
+    * aggregate as [[qGridSourceScan]], but the directory holds a MIX
+    * of classic CDF files, chunked shuffle+deflate NetCDF-4 files AND
+    * a chunked zlib Zarr v2 store — the GridSource treats all four
+    * containers identically (one InputPartition per (file, time-slab),
+    * pruned slabs never read, pruned chunks never inflated). Same
+    * oracle. */
   val qGridSourceScanNc: Q = (spark, dir) => {
-    import graft.io.{Hdf5, NetCdf}
+    import graft.io.{Hdf5, NetCdf, Zarr}
     val tmp = java.nio.file.Files.createTempDirectory("ncgrid_q")
     val dims = Seq(NetCdf.Dim("time", 6), NetCdf.Dim("y", 10), NetCdf.Dim("x", 20))
     def vars(k: Int) = Seq(
@@ -145,7 +146,10 @@ object GridQueries {
           (((k * 6 + tl) * 31 + y * 7 + x) % 100) / 4.0
         }))
     for (k <- 0 until 4)
-      if (k % 2 == 0)
+      if (k == 3)
+        Zarr.write(tmp.resolve(f"slab-$k%02d.zarr").toString, dims, Nil,
+          vars(k), compress = true, chunk0 = 2)
+      else if (k % 2 == 0)
         NetCdf.write(tmp.resolve(f"slab-$k%02d.nc").toString, dims, Nil, vars(k))
       else
         Hdf5.write(tmp.resolve(f"slab-$k%02d.h5").toString, dims, Nil, vars(k),
@@ -309,6 +313,39 @@ object GridQueries {
     * [[graft.io.Hdf5]] codec, auto-dispatched by [[graft.io.NetCdf.read]]
     * on the \x89HDF signature. */
   val qNetcdf4Roundtrip: Q = netcdfRoundtrip(hdf5 = true)
+
+  /** Same roundtrip through a Zarr v2 store ([[graft.io.Zarr]] —
+    * chunked, zlib, `_ARRAY_DIMENSIONS` names): the xarray
+    * ecosystem's other container, sharing the NetCdf in-memory model
+    * so the long-form expansion below is container-agnostic. */
+  val qZarrRoundtrip: Q = (spark, dir) => {
+    import graft.io.{NetCdf, Zarr}
+    val supp = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey"), round(col("s_acctbal") * 100).as("cents"))
+      .orderBy("s_suppkey")
+      .collect()
+    val ny = supp.length / 10
+    val cents = supp.take(ny * 10).map(_.getDouble(1))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zarr")
+      .resolve("pop.zarr").toString
+    val dims = Seq(NetCdf.Dim("y", ny), NetCdf.Dim("x", 10))
+    val vars = Seq(
+      NetCdf.Var("lat", Seq(0), NetCdf.NcDouble, Seq("units" -> "degrees_north"),
+        Array.tabulate(ny)(_ + 0.5)),
+      NetCdf.Var("lon", Seq(1), NetCdf.NcDouble, Seq("units" -> "degrees_east"),
+        Array.tabulate(10)(_ * 2.0 + 1.0)),
+      NetCdf.Var("pop_cents", Seq(0, 1), NetCdf.NcDouble, Nil, cents))
+    Zarr.write(tmp, dims, Seq("title" -> "graft regrid output"), vars,
+      compress = true, chunk0 = 7)
+    val nc = Zarr.read(tmp)
+    val lat = nc.variable("lat").data.asInstanceOf[Array[Double]]
+    val lon = nc.variable("lon").data.asInstanceOf[Array[Double]]
+    val pop = nc.variable("pop_cents").data.asInstanceOf[Array[Double]]
+    val rows = for (y <- 0 until ny; x <- 0 until 10)
+      yield (y.toLong, x.toLong, lat(y), lon(x), pop(y * 10 + x))
+    import spark.implicits._
+    rows.toDF("y", "x", "lat", "lon", "pop_cents").orderBy("y", "x")
+  }
 
   private def netcdfRoundtrip(hdf5: Boolean): Q = (spark, dir) => {
     import graft.io.{Hdf5, NetCdf}
@@ -520,6 +557,7 @@ object GridQueries {
     "grid_resample" -> qGridResample,
     "grid_netcdf_roundtrip" -> qNetcdfRoundtrip,
     "grid_netcdf4_roundtrip" -> qNetcdf4Roundtrip,
+    "grid_zarr_roundtrip" -> qZarrRoundtrip,
     "grid_pipeline_haduk" -> qGridPipelineHaduk,
     "grid_pipeline" -> qGridPipeline,
     "grid_pipeline_voronoi" -> qGridPipelineVoronoi,
@@ -535,6 +573,7 @@ object GridQueries {
     "grid_resample" -> qGridResampleSql,
     "grid_netcdf_roundtrip" -> qNetcdfRoundtripSql,
     "grid_netcdf4_roundtrip" -> qNetcdfRoundtripSql,
+    "grid_zarr_roundtrip" -> qNetcdfRoundtripSql,
     "grid_pipeline_haduk" -> qGridPipelineHadukSql,
     "grid_pipeline" -> qGridPipelineSql,
     "grid_pipeline_voronoi" -> qGridPipelineVoronoiSql,

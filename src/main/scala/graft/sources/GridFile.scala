@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.io.{Hdf5, NetCdf}
+import graft.io.{Hdf5, NetCdf, Zarr}
 
 /** Per-file access behind [[GridSource]]: a header (axes + slab count,
   * the Parquet-footer analogue read at planning time) and ranged
@@ -25,7 +25,8 @@ private[sources] object GridFile {
   val Extensions: Seq[String] = Seq(".ggrd", ".nc", ".nc4", ".h5")
 
   def open(path: String): GridFile =
-    if (path.endsWith(".ggrd")) new Ggrd(path)
+    if (Zarr.isZarr(path)) new Zr(path)
+    else if (path.endsWith(".ggrd")) new Ggrd(path)
     else {
       val f = new java.io.RandomAccessFile(path, "r")
       val head = new Array[Byte](8)
@@ -124,5 +125,60 @@ private[sources] object GridFile {
       axisOrDefault(coord(dx), meta.dims(dx).size))
     def readSlab(t: Int): Array[Double] =
       Hdf5.readVarSlabDouble(path, dataVm, t)
+  }
+
+  /** Zarr v2 store (a DIRECTORY with `.zgroup`): the same rank-3
+    * (time, y, x) convention, dimension names from
+    * `_ARRAY_DIMENSIONS`, 1-D coordinate arrays named like their
+    * dimension. Slab reads gather the chunks intersecting one time
+    * row — chunks of pruned time rows are never opened — with a
+    * one-entry chunk memo so consecutive slabs of the same time-chunk
+    * inflate it once. */
+  private final class Zr(dir: String) extends GridFile {
+    private val m = Zarr.meta(dir)
+    private val dataAm = m.arrays.find(_.shape.length == 3)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$dir: no rank-3 (time, y, x) array"))
+    private val Seq(tName, yName, xName) = dataAm.dimNames
+    private val Seq(nt, ny, nx) = dataAm.shape
+    private def coord(name: String, n: Int): Option[Zarr.ArrayMeta] =
+      m.arrays.find(a => a.name == name && a.shape == Seq(n))
+    private def coordData(name: String, n: Int): Option[Array[Double]] =
+      coord(name, n).map(Zarr.assembleDouble(dir, _))
+    val header: GridBinary.Header = GridBinary.Header(
+      nt, ny, nx,
+      timesOrDefault(coord(tName, nt).map(am =>
+        (Zarr.assembleDouble(dir, am), am.attrs)), nt),
+      axisOrDefault(coordData(yName, ny), ny),
+      axisOrDefault(coordData(xName, nx), nx))
+
+    private var memoKey: Seq[Int] = null
+    private var memoChunk: Array[Double] = null
+    private def chunk(idx: Seq[Int]): Array[Double] = {
+      if (idx != memoKey) {
+        memoChunk = Zarr.readChunkDouble(dir, dataAm, idx)
+        memoKey = idx
+      }
+      memoChunk
+    }
+
+    def readSlab(t: Int): Array[Double] = {
+      val Seq(c0, c1, c2) = dataAm.chunks
+      val Seq(_, nCy, nCx) = dataAm.nChunks
+      val tin = t % c0
+      val out = new Array[Double](ny * nx)
+      for (cy <- 0 until nCy; cx <- 0 until nCx) {
+        val ch = chunk(Seq(t / c0, cy, cx))
+        val liveY = math.min(c1, ny - cy * c1)
+        val liveX = math.min(c2, nx - cx * c2)
+        var yy = 0
+        while (yy < liveY) {
+          System.arraycopy(ch, (tin * c1 + yy) * c2,
+            out, (cy * c1 + yy) * nx + cx * c2, liveX)
+          yy += 1
+        }
+      }
+      out
+    }
   }
 }

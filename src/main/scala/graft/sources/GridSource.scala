@@ -112,11 +112,18 @@ private class GridScan(path: String, required: StructType,
   private def files: Seq[String] = {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.isDirectory(p)) {
-      val fs = java.nio.file.Files.list(p).iterator().asScala
-        .map(_.toString)
-        .filter(f => GridFile.Extensions.exists(f.endsWith)).toSeq.sorted
-      require(fs.nonEmpty, s"no grid files (.ggrd/.nc/.nc4/.h5) under $path")
-      fs
+      // a directory that IS a zarr group is one "file"; otherwise list
+      // grid files and child zarr stores
+      if (graft.io.Zarr.isZarr(path)) Seq(path)
+      else {
+        val fs = java.nio.file.Files.list(p).iterator().asScala
+          .map(_.toString)
+          .filter(f => GridFile.Extensions.exists(f.endsWith) ||
+            graft.io.Zarr.isZarr(f)).toSeq.sorted
+        require(fs.nonEmpty,
+          s"no grid files (.ggrd/.nc/.nc4/.h5/zarr) under $path")
+        fs
+      }
     } else Seq(path)
   }
 

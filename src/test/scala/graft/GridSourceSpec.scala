@@ -119,6 +119,37 @@ class GridSourceSpec extends SparkSpec {
     }
   }
 
+  test("scans a chunked Zarr v2 store identically to .ggrd") {
+    import graft.io.{NetCdf, Zarr}
+    val dir = Files.createTempDirectory("zarr_grid")
+    val dims = Seq(NetCdf.Dim("time", 24), NetCdf.Dim("y", 10), NetCdf.Dim("x", 20))
+    val vars = Seq(
+      NetCdf.Var("time", Seq(0), NetCdf.NcDouble, Nil,
+        Array.tabulate(24)(t => (t * 3600L * 1000000L).toDouble)),
+      NetCdf.Var("y", Seq(1), NetCdf.NcDouble, Nil, Array.tabulate(10)(_ * 0.5)),
+      NetCdf.Var("x", Seq(2), NetCdf.NcDouble, Nil, Array.tabulate(20)(_ * 0.25)),
+      NetCdf.Var("t2", Seq(0, 1, 2), NetCdf.NcDouble, Seq("units" -> "K"),
+        Array.tabulate(24 * 10 * 20) { i =>
+          val t = i / 200; val y = i % 200 / 20; val x = i % 20
+          ((t * 31 + y * 7 + x) % 100) / 4.0
+        }))
+    val zPath = dir.resolve("t2.zarr").toString
+    // chunk0 = 5: slabs straddle chunk boundaries, edge chunk padded
+    Zarr.write(zPath, dims, Nil, vars, compress = true, chunk0 = 5)
+
+    val want = grid.select("time", "y", "x", "lat", "lon", "value")
+      .as[(java.sql.Timestamp, Int, Int, Double, Double, Double)].collect().toSet
+    val z = spark.read.format("graft.sources.GridSource").load(zPath)
+    val got = z.select("time", "y", "x", "lat", "lon", "value")
+      .as[(java.sql.Timestamp, Int, Int, Double, Double, Double)].collect().toSet
+    assert(got == want, "zarr scan diverges from the .ggrd scan")
+    val sliced = z.filter($"time" >= lit("1970-01-01 18:00:00").cast("timestamp"))
+    assert(sliced.rdd.getNumPartitions == 6, "zarr slab pruning broken")
+    val desc = z.filter($"y" >= 2 && $"y" <= 4).queryExecution
+      .executedPlan.toString
+    assert(desc.contains("GreaterThanOrEqual(y,2)"), "zarr pushdown missing")
+  }
+
   test("CF time units decode: 'hours since <epoch>' coordinates") {
     import graft.io.NetCdf
     val dir = Files.createTempDirectory("nc_cf")

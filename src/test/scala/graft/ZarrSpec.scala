@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{NetCdf, Zarr}
+
+class ZarrSpec extends AnyFunSuite {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("zarr_spec").resolve("g.zarr").toString
+
+  test("3-D double roundtrip, chunked along time, zlib") {
+    val (nt, ny, nx) = (7, 4, 5)
+    val dims = Seq(NetCdf.Dim("time", nt), NetCdf.Dim("y", ny), NetCdf.Dim("x", nx))
+    val data = Array.tabulate(nt * ny * nx)(i => i * 0.25)
+    val vars = Seq(
+      NetCdf.Var("time", Seq(0), NetCdf.NcDouble, Nil,
+        Array.tabulate(nt)(_ * 3600.0)),
+      NetCdf.Var("t2", Seq(0, 1, 2), NetCdf.NcDouble,
+        Seq("units" -> "K"), data))
+    val dir = tmp()
+    // chunk0 = 3 -> chunks of 3/3/1 along time (edge chunk padded)
+    Zarr.write(dir, dims, Seq("title" -> "zarr roundtrip"), vars, chunk0 = 3)
+    assert(Zarr.isZarr(dir))
+    val back = Zarr.read(dir)
+    assert(back.dims === dims)
+    assert(back.globalAttrs === Seq("title" -> "zarr roundtrip"))
+    val t2 = back.variable("t2")
+    assert(t2.dimIds === Seq(0, 1, 2))
+    assert(t2.attrs === Seq("units" -> "K"))
+    assert(t2.data.asInstanceOf[Array[Double]].toSeq === data.toSeq)
+    assert(back.variable("time").data.asInstanceOf[Array[Double]].toSeq ===
+      (0 until nt).map(_ * 3600.0))
+  }
+
+  test("uncompressed store and every numeric dtype roundtrip") {
+    val dims = Seq(NetCdf.Dim("n", 6))
+    val vars = Seq(
+      NetCdf.Var("d", Seq(0), NetCdf.NcDouble, Nil, Array.tabulate(6)(_ * 1.5)),
+      NetCdf.Var("f", Seq(0), NetCdf.NcFloat, Nil, Array.tabulate(6)(_ * 0.5f)),
+      NetCdf.Var("i", Seq(0), NetCdf.NcInt, Nil, Array.tabulate(6)(_ * 3)),
+      NetCdf.Var("l", Seq(0), NetCdf.NcInt64, Nil,
+        Array.tabulate(6)(_ * 1000000007L)),
+      NetCdf.Var("s", Seq(0), NetCdf.NcShort, Nil, Array.tabulate(6)(_ - 3)),
+      NetCdf.Var("b", Seq(0), NetCdf.NcByte, Nil,
+        Array.tabulate(6)(i => (i - 2).toByte)))
+    val dir = tmp()
+    Zarr.write(dir, dims, Nil, vars, compress = false)
+    val back = Zarr.read(dir)
+    assert(back.variable("d").data.asInstanceOf[Array[Double]].toSeq ===
+      Seq(0.0, 1.5, 3.0, 4.5, 6.0, 7.5))
+    assert(back.variable("f").data.asInstanceOf[Array[Float]].toSeq ===
+      Seq(0f, 0.5f, 1f, 1.5f, 2f, 2.5f))
+    assert(back.variable("i").data.asInstanceOf[Array[Int]].toSeq ===
+      Seq(0, 3, 6, 9, 12, 15))
+    assert(back.variable("l").data.asInstanceOf[Array[Long]].toSeq ===
+      (0 until 6).map(_ * 1000000007L))
+    assert(back.variable("s").data.asInstanceOf[Array[Int]].toSeq ===
+      Seq(-3, -2, -1, 0, 1, 2))
+    assert(back.variable("b").data.asInstanceOf[Array[Byte]].toSeq ===
+      Seq[Byte](-2, -1, 0, 1, 2, 3))
+  }
+
+  test("chunk-level read returns padded edge chunks; pruning never touches them") {
+    val dims = Seq(NetCdf.Dim("t", 5), NetCdf.Dim("x", 3))
+    val data = Array.tabulate(15)(_ + 100.0)
+    val dir = tmp()
+    Zarr.write(dir, dims, Nil,
+      Seq(NetCdf.Var("v", Seq(0, 1), NetCdf.NcDouble, Nil, data)), chunk0 = 2)
+    val am = Zarr.meta(dir).array("v")
+    assert(am.shape === Seq(5, 3) && am.chunks === Seq(2, 3))
+    assert(am.nChunks === Seq(3, 1))
+    // chunk 1 covers t = 2,3
+    val c1 = Zarr.readChunkDouble(dir, am, Seq(1, 0))
+    assert(c1.toSeq === (6 until 12).map(_ + 100.0))
+    // edge chunk 2 covers t = 4 + one padded row of fill zeros
+    val c2 = Zarr.readChunkDouble(dir, am, Seq(2, 0))
+    assert(c2.take(3).toSeq === (12 until 15).map(_ + 100.0))
+    assert(c2.drop(3).toSeq === Seq(0.0, 0.0, 0.0))
+  }
+
+  test("missing chunk file reads as fill; unsupported layouts fail loudly") {
+    val dims = Seq(NetCdf.Dim("t", 4))
+    val dir = tmp()
+    Zarr.write(dir, dims, Nil,
+      Seq(NetCdf.Var("v", Seq(0), NetCdf.NcDouble, Nil,
+        Array(1.0, 2.0, 3.0, 4.0))), chunk0 = 2)
+    val vdir = java.nio.file.Paths.get(dir).resolve("v")
+    java.nio.file.Files.delete(vdir.resolve("1")) // second chunk vanishes
+    val am = Zarr.meta(dir).array("v")
+    assert(Zarr.assembleDouble(dir, am).toSeq === Seq(1.0, 2.0, 0.0, 0.0))
+    // F-order must be rejected, not silently transposed
+    val za = new String(java.nio.file.Files.readAllBytes(vdir.resolve(".zarray")), "UTF-8")
+    java.nio.file.Files.write(vdir.resolve(".zarray"),
+      za.replace("\"order\": \"C\"", "\"order\": \"F\"").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](Zarr.meta(dir))
+    assert(e.getMessage.contains("F-order"))
+  }
+
+  test("conflicting dimension sizes across arrays fail loudly") {
+    val dir = tmp()
+    Zarr.write(dir, Seq(NetCdf.Dim("n", 3)), Nil,
+      Seq(NetCdf.Var("a", Seq(0), NetCdf.NcDouble, Nil, Array(1.0, 2.0, 3.0))))
+    // hand-write a second array claiming n has size 4
+    val bdir = java.nio.file.Paths.get(dir).resolve("b")
+    java.nio.file.Files.createDirectories(bdir)
+    java.nio.file.Files.write(bdir.resolve(".zarray"),
+      ("""{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8", """ +
+        """"compressor": null, "fill_value": 0, "order": "C", "filters": null}""")
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(bdir.resolve(".zattrs"),
+      """{"_ARRAY_DIMENSIONS": ["n"]}""".getBytes("UTF-8"))
+    java.nio.file.Files.write(bdir.resolve("0"), new Array[Byte](32))
+    val e = intercept[IllegalArgumentException](Zarr.read(dir))
+    assert(e.getMessage.contains("conflicting"))
+  }
+}
