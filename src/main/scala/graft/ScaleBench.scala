@@ -208,6 +208,31 @@ object ScaleBench {
       g.agg(count(lit(1)), sum(col("value"))).as[(Long, Double)].head()
     }
 
+    // --- stage 9b: the same 12M-point scan from a chunked zlib Zarr
+    // v2 store (3 time rows per chunk, slab pruning straddles chunk
+    // boundaries) — container-agnostic plan, chunk IO per partition
+    val zarrDir = java.nio.file.Files.createTempDirectory("scale_zarr")
+      .resolve("grid.zarr")
+    locally {
+      import graft.io.{NetCdf, Zarr}
+      val (nt, n) = (12, 1000)
+      val dims = Seq(NetCdf.Dim("time", nt), NetCdf.Dim("y", n), NetCdf.Dim("x", n))
+      val vars = Seq(
+        NetCdf.Var("time", Seq(0), NetCdf.NcDouble, Nil,
+          Array.tabulate(nt)(t => (t * 3600L * 1000000L).toDouble)),
+        NetCdf.Var("y", Seq(1), NetCdf.NcDouble, Nil, Array.tabulate(n)(_ * 1.0)),
+        NetCdf.Var("x", Seq(2), NetCdf.NcDouble, Nil, Array.tabulate(n)(_ * 1.0)),
+        NetCdf.Var("t2", Seq(0, 1, 2), NetCdf.NcDouble, Nil,
+          Array.tabulate(nt * n * n)(i => (i % 1000) / 4.0)))
+      Zarr.write(zarrDir.toString, dims, Nil, vars, compress = true, chunk0 = 3)
+    }
+    val (zrStats, tZrScan) = timed {
+      val g = spark.read.format("graft.sources.GridSource").load(zarrDir.toString)
+        .filter(col("time") >= lit("1970-01-01 03:00:00").cast("timestamp"))
+      g.agg(count(lit(1)), sum(col("value"))).as[(Long, Double)].head()
+    }
+    assert(zrStats._1 == 9000000L, s"zarr scan rows: ${zrStats._1}")
+
     // --- stage 10 (north-star): repetition quality + domain mixing
     // over 1M docs, 10% of them pathological boilerplate (one phrase
     // repeated 40x) — the adversarial input for a quadratic top-gram
@@ -434,6 +459,7 @@ object ScaleBench {
         s""""pack_10m_sec":$tPack,"pack_rows":${packStats._1},""" +
         s""""pack_max_shard":${packStats._2},""" +
         s""""nc4_scan_sec":$tNcScan,"nc4_rows":${ncStats._1},""" +
+        s""""zarr_scan_sec":$tZrScan,"zarr_rows":${zrStats._1},""" +
         s""""mix_1m_sec":$tMix,"mix_dropped":${mixStats._1},""" +
         s""""mix_kept":${mixStats._2},""" +
         s""""interval_skew_sec":$tInterval,"interval_pairs":$ivPairs,""" +

@@ -236,6 +236,55 @@ object TextQueries {
       |GROUP BY gram HAVING count(*) >= 50
       |ORDER BY n DESC, gram""".stripMargin
 
+  /** Unigram-rarity quality filter (the CCNet/perplexity-filter proxy):
+    * score each document by the mean rarity of its tokens under the
+    * corpus's own unigram counts — documents dominated by tokens the
+    * corpus has never seen score high and get flagged. Rarity is the
+    * integer proxy `10¹² div count(token)` (the [[qTfIdf]] trick: no
+    * logs, so scores are bit-identical across engines; monotone in
+    * 1/count, which is all a threshold needs).
+    *
+    * Plan shape for 100 TB: one token explode → map-side-partial token
+    * counts (vocabulary-sized result, broadcast back onto the token
+    * stream) → per-doc re-aggregation of (doc_id, partial sums).
+    * Document text never shuffles; no scalar cross join (the constant
+    * numerator replaces the corpus-total join). */
+  val qTextRarity: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    // plant a unique (count-1) token into every 11th document: its
+    // rarity 10¹² dominates the mean and must flag exactly those docs
+    val aug = when(col("doc_id") % 11 === 0,
+      concat(col("text"), lit(" jx"), col("doc_id"), lit("q")))
+      .otherwise(col("text"))
+    val toks = d.select(col("doc_id"),
+      explode(split(trim(lower(aug)), "\\s+")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rarity", expr("1000000000000L div cnt"))
+    toks.join(broadcast(counts), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("rarity").as("rarity_sum"))
+      .select(col("doc_id"), col("n_toks"),
+        expr("rarity_sum div n_toks").as("rarity_mean"),
+        (expr("rarity_sum div n_toks") < 5000000000L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val qTextRaritySql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 11 = 0
+      |    THEN text || ' jx' || doc_id || 'q' ELSE text END AS t
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(t)), '\s+')) AS tok
+      |  FROM aug),
+      |c AS (SELECT tok, 1000000000000 // count(*) AS rarity
+      |      FROM tok GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_toks,
+      |  (sum(rarity) // count(*))::BIGINT AS rarity_mean,
+      |  (sum(rarity) // count(*)) < 5000000000 AS keep
+      |FROM tok JOIN c USING (tok)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Quality scoring: stopword hits + aggregate quality stats by lang. */
   val qTextQuality: Q = (spark, dir) => {
     val d = Tables(spark, dir, "documents")
@@ -702,6 +751,7 @@ object TextQueries {
     "dedup_substring" -> qDedupSubstring,
     "dedup_paragraph" -> qDedupParagraph,
     "text_heavy_hitters" -> qTextHeavyHitters,
+    "text_rarity" -> qTextRarity,
     "dedup_simhash" -> qDedupSimhash)
 
   val oracles: Map[String, String] = Map(
@@ -724,5 +774,6 @@ object TextQueries {
     "dedup_substring" -> qDedupSubstringSql,
     "dedup_paragraph" -> qDedupParagraphSql,
     "text_heavy_hitters" -> qTextHeavyHittersSql,
+    "text_rarity" -> qTextRaritySql,
     "dedup_simhash" -> qDedupSimhashSql)
 }
