@@ -162,6 +162,28 @@ object TextAnalysis {
   def piiPhoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe))
   def piiIpCount(text: Column): Column = regexp_count(text, lit(Ipv4Re))
 
+  /** URL pattern — same Java/RE2-identical construct discipline as the
+    * PII patterns. Scheme + host (+ optional path up to whitespace);
+    * the capturing host group feeds [[urlHosts]]. */
+  val UrlRe = "https?://([A-Za-z0-9.-]+)(?:/[^\\s]*)?"
+
+  /** All URLs / their lowercased hosts in a document — the extraction
+    * stage of web-corpus curation (per-host stats, blocklists, source
+    * attribution). Pure codegen'd regexp columns. */
+  def urls(text: Column): Column = regexp_extract_all(text, lit(UrlRe), lit(0))
+  def urlHosts(text: Column): Column =
+    transform(regexp_extract_all(text, lit(UrlRe), lit(1)), h => lower(h))
+
+  /** True when any of the document's URL hosts is on the blocklist or
+    * a subdomain of a blocked host (the domain-blocklist gate every
+    * web pipeline applies; blocklist is tiny — it rides the plan). */
+  def hostBlocked(text: Column, blocklist: Seq[String]): Column = {
+    require(blocklist.nonEmpty)
+    val bl = blocklist.map(_.toLowerCase)
+    exists(urlHosts(text), h =>
+      bl.map(b => h === b || h.endsWith("." + b)).reduce(_ || _))
+  }
+
   /** Replace every PII match with a typed placeholder. Order matters:
     * emails first (their local parts can contain digit runs), then IPs
     * (dotted digit groups), then phones. Pure codegen'd regexp_replace

@@ -285,6 +285,53 @@ object TextQueries {
       |FROM tok JOIN c USING (tok)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** URL extraction + domain blocklist (TextAnalysis.urls/urlHosts/
+    * hostBlocked — the web-corpus curation gate): planted URLs with
+    * mixed-case hosts and a blocked-subdomain case must extract,
+    * lowercase and flag exactly. Pure codegen'd regexp columns; the
+    * blocklist rides the plan. */
+  val qTextUrlHosts: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val t1 = when(col("doc_id") % 6 === 0,
+      concat(col("text"), lit(" visit https://Spam.Example.com/offer?id="),
+        col("doc_id"))).otherwise(col("text"))
+    val t2 = when(col("doc_id") % 8 === 0,
+      concat(t1, lit(" see https://cdn.spam.example.com/a"),
+        lit(" and https://good.example.org/page"))).otherwise(t1)
+    val aug = d.select(col("doc_id"), t2.as("t"))
+    aug.select(col("doc_id"),
+      size(TextAnalysis.urls(col("t"))).cast("long").as("n_urls"),
+      concat_ws(",", TextAnalysis.urlHosts(col("t"))).as("hosts"),
+      TextAnalysis.hostBlocked(col("t"),
+        Seq("spam.example.com", "ads.net")).as("blocked"))
+      .orderBy("doc_id")
+  }
+
+  val qTextUrlHostsSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 8 = 0
+      |      THEN t1 || ' see https://cdn.spam.example.com/a' ||
+      |        ' and https://good.example.org/page'
+      |      ELSE t1 END AS t
+      |  FROM (SELECT doc_id, CASE WHEN doc_id % 6 = 0
+      |      THEN text || ' visit https://Spam.Example.com/offer?id=' || doc_id
+      |      ELSE text END AS t1
+      |    FROM documents)),
+      |h AS (
+      |  SELECT doc_id, t,
+      |    list_transform(regexp_extract_all(t,
+      |      'https?://([A-Za-z0-9.-]+)(?:/[^\s]*)?', 1),
+      |      x -> lower(x)) AS hosts
+      |  FROM aug)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(t,
+      |    'https?://([A-Za-z0-9.-]+)(?:/[^\s]*)?', 0))::BIGINT AS n_urls,
+      |  coalesce(array_to_string(hosts, ','), '') AS hosts,
+      |  len(list_filter(hosts, x ->
+      |    x = 'spam.example.com' OR ends_with(x, '.spam.example.com') OR
+      |    x = 'ads.net' OR ends_with(x, '.ads.net'))) > 0 AS blocked
+      |FROM h ORDER BY doc_id""".stripMargin
+
   /** Quality scoring: stopword hits + aggregate quality stats by lang. */
   val qTextQuality: Q = (spark, dir) => {
     val d = Tables(spark, dir, "documents")
@@ -752,6 +799,7 @@ object TextQueries {
     "dedup_paragraph" -> qDedupParagraph,
     "text_heavy_hitters" -> qTextHeavyHitters,
     "text_rarity" -> qTextRarity,
+    "text_url_hosts" -> qTextUrlHosts,
     "dedup_simhash" -> qDedupSimhash)
 
   val oracles: Map[String, String] = Map(
@@ -775,5 +823,6 @@ object TextQueries {
     "dedup_paragraph" -> qDedupParagraphSql,
     "text_heavy_hitters" -> qTextHeavyHittersSql,
     "text_rarity" -> qTextRaritySql,
+    "text_url_hosts" -> qTextUrlHostsSql,
     "dedup_simhash" -> qDedupSimhashSql)
 }

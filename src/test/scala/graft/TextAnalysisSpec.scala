@@ -103,4 +103,28 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.dupTokenFraction(col("text")).as("f"))
     assert(df.as[Double].collect().toSeq == Seq(0.75, 0.0, 0.0))
   }
+
+  test("url extraction lowercases hosts; blocklist catches subdomains") {
+    val docs = Seq(
+      "go to https://Spam.Example.COM/x?q=1 now",
+      "both https://cdn.spam.example.com/a and http://good.org/p",
+      "bare mention of spam.example.com without scheme",
+      "no links at all").toDF("text")
+    val got = docs.select(
+      size(TextAnalysis.urls(col("text"))).as("n"),
+      concat_ws(",", TextAnalysis.urlHosts(col("text"))).as("hosts"),
+      TextAnalysis.hostBlocked(col("text"), Seq("spam.example.com")).as("b"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getBoolean(2)))
+    assert(got(0) === ((1, "spam.example.com", true)))
+    assert(got(1) === ((2, "cdn.spam.example.com,good.org", true)))
+    // schemeless mentions are not URLs, and must not trip the blocklist
+    assert(got(2) === ((0, "", false)))
+    assert(got(3) === ((0, "", false)))
+    // an unrelated host that merely ENDS with the blocked string is safe
+    val tricky = Seq("https://notspam.example.com/a https://xspam.example.com/b")
+      .toDF("text")
+      .select(TextAnalysis.hostBlocked(col("text"), Seq("spam.example.com")))
+      .head().getBoolean(0)
+    assert(!tricky)
+  }
 }
