@@ -128,6 +128,52 @@ object GridOps {
       .drop("__sx", "__nx", "__sxy", "__nxy")
   }
 
+  /** Wind diagnostics from destaggered U/V on mass points — the
+    * wrf-python `uvmet`/`avo` family reduced to its grid-arithmetic
+    * core: wind speed per cell plus centered-difference relative
+    * vorticity ζ = ∂v/∂x − ∂u/∂y and divergence δ = ∂u/∂x + ∂v/∂y
+    * (unit grid spacing; the map-factor scaling of a real WRF run is
+    * a per-cell multiply the caller applies).
+    *
+    * Centered differences need both index neighbors: cells whose
+    * x±1 or y±1 neighbor is absent (domain boundary, sparse pencil)
+    * emit no row, the interior-only contract of the dense-array
+    * `np.gradient` formulation.
+    *
+    * Exactness: sqrt/add/subtract/divide-by-2 of identical doubles
+    * are single correctly-rounded IEEE ops — hash-exact across
+    * engines with no rounding tricks.
+    *
+    * 100 TB shape: two hash shuffles, one per pencil orientation
+    * (x-derivatives ride a (time, y) window, y-derivatives a
+    * (time, x) window) — the same cascade as [[smooth]]; no join, no
+    * explode, speed is a pure map. */
+  def windDiagnostics(df: DataFrame, timeCol: String, yCol: String,
+      xCol: String, uCol: String, vCol: String): DataFrame = {
+    val wx = Window.partitionBy(col(timeCol), col(yCol)).orderBy(col(xCol))
+    val wy = Window.partitionBy(col(timeCol), col(xCol)).orderBy(col(yCol))
+    df.withColumn("__xp", lead(col(xCol), 1).over(wx))
+      .withColumn("__xm", lag(col(xCol), 1).over(wx))
+      .withColumn("__vxp", lead(col(vCol), 1).over(wx))
+      .withColumn("__vxm", lag(col(vCol), 1).over(wx))
+      .withColumn("__uxp", lead(col(uCol), 1).over(wx))
+      .withColumn("__uxm", lag(col(uCol), 1).over(wx))
+      .withColumn("__yp", lead(col(yCol), 1).over(wy))
+      .withColumn("__ym", lag(col(yCol), 1).over(wy))
+      .withColumn("__uyp", lead(col(uCol), 1).over(wy))
+      .withColumn("__uym", lag(col(uCol), 1).over(wy))
+      .withColumn("__vyp", lead(col(vCol), 1).over(wy))
+      .withColumn("__vym", lag(col(vCol), 1).over(wy))
+      .filter(col("__xp") === col(xCol) + 1 && col("__xm") === col(xCol) - 1 &&
+        col("__yp") === col(yCol) + 1 && col("__ym") === col(yCol) - 1)
+      .select(col(timeCol), col(yCol), col(xCol),
+        sqrt(col(uCol) * col(uCol) + col(vCol) * col(vCol)).as("speed"),
+        ((col("__vxp") - col("__vxm")) / 2.0 -
+          (col("__uyp") - col("__uym")) / 2.0).as("vort"),
+        ((col("__uxp") - col("__uxm")) / 2.0 +
+          (col("__vyp") - col("__vym")) / 2.0).as("div"))
+  }
+
   /** Departure from the per-cell period mean: one unbounded window per
     * (y, x) computes the climatology with the same fixed-point-exact
     * accumulation as [[resampleTime]]; the anomaly is a single IEEE

@@ -423,6 +423,46 @@ object GridQueries {
       |SELECT day, y, xs AS x, (u + un)/2 AS u
       |FROM d WHERE xn = xs + 1 ORDER BY day, y, x""".stripMargin
 
+  /** Wind diagnostics (GridOps.windDiagnostics): speed + centered-
+    * difference relative vorticity and divergence over a destaggered
+    * (day, y, x) U/V panel — the wrf-python `avo`-family step after
+    * the reference's destagger. Interior cells only (all four index
+    * neighbors present). sqrt/±/÷2 of identical doubles are single
+    * IEEE ops on both engines — hash-exact. */
+  val qGridWind: Q = (spark, dir) => {
+    import graft.grid.GridOps
+    val uv = Tables(spark, dir, "events")
+      .groupBy(col("ts").cast("date").as("day"),
+        (col("event_id") % 20).as("y"),
+        (col("user_id") % 30).as("x"))
+      .agg(min(col("value")).as("u"), max(col("value")).as("v"))
+    GridOps.windDiagnostics(uv, "day", "y", "x", "u", "v")
+      .orderBy("day", "y", "x")
+  }
+
+  val qGridWindSql: String =
+    """WITH g AS (
+      |  SELECT cast(ts as date) AS day, event_id%20 AS y,
+      |    user_id%30 AS x, min(value) AS u, max(value) AS v
+      |  FROM events GROUP BY 1, 2, 3),
+      |dx AS (
+      |  SELECT day, y, x, u, v,
+      |    lead(x) OVER wx AS xp,  lag(x) OVER wx AS xm,
+      |    lead(v) OVER wx AS vxp, lag(v) OVER wx AS vxm,
+      |    lead(u) OVER wx AS uxp, lag(u) OVER wx AS uxm
+      |  FROM g WINDOW wx AS (PARTITION BY day, y ORDER BY x)),
+      |dy AS (
+      |  SELECT *, lead(y) OVER wy AS yp,  lag(y) OVER wy AS ym,
+      |    lead(u) OVER wy AS uyp, lag(u) OVER wy AS uym,
+      |    lead(v) OVER wy AS vyp, lag(v) OVER wy AS vym
+      |  FROM dx WINDOW wy AS (PARTITION BY day, x ORDER BY y))
+      |SELECT day, y, x, sqrt(u*u + v*v) AS speed,
+      |  (vxp - vxm)/2 - (uyp - uym)/2 AS vort,
+      |  (uxp - uxm)/2 + (vyp - vym)/2 AS div
+      |FROM dy
+      |WHERE xp = x + 1 AND xm = x - 1 AND yp = y + 1 AND ym = y - 1
+      |ORDER BY day, y, x""".stripMargin
+
   /** Vertical interpolation to constant-pressure surfaces
     * (GridOps.interpLevels — the wrf-python `interplevel` step): a
     * 3-D field T(y, x, lev) on model levels with pressure
@@ -553,6 +593,7 @@ object GridQueries {
     "grid_anomaly" -> qGridAnomaly,
     "grid_smooth" -> qGridSmooth,
     "grid_destagger" -> qGridDestagger,
+    "grid_wind" -> qGridWind,
     "grid_interp_levels" -> qGridInterpLevels,
     "grid_resample" -> qGridResample,
     "grid_netcdf_roundtrip" -> qNetcdfRoundtrip,
@@ -569,6 +610,7 @@ object GridQueries {
     "grid_anomaly" -> qGridAnomalySql,
     "grid_smooth" -> qGridSmoothSql,
     "grid_destagger" -> qGridDestaggerSql,
+    "grid_wind" -> qGridWindSql,
     "grid_interp_levels" -> qGridInterpLevelsSql,
     "grid_resample" -> qGridResampleSql,
     "grid_netcdf_roundtrip" -> qNetcdfRoundtripSql,

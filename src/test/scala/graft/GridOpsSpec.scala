@@ -78,6 +78,35 @@ class GridOpsSpec extends SparkSpec {
     assert(got(0) === 10.0 && got(2) === 30.0)
   }
 
+  test("windDiagnostics: speed everywhere it emits, centered vort/div on interior cells") {
+    // u = x, v = y over a 3x3 panel: dv/dx = 0, du/dy = 0 -> vort = 0;
+    // du/dx = 1, dv/dy = 1 -> div = 2. Only (1,1) has all 4 neighbors.
+    val df = (for (y <- 0 to 2; x <- 0 to 2)
+      yield (0, y, x, x.toDouble, y.toDouble)).toDF("t", "y", "x", "u", "v")
+    val got = GridOps.windDiagnostics(df, "t", "y", "x", "u", "v").collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getInt(1), r.getInt(2)) === ((1, 1)))
+    assert(r.getDouble(3) === math.sqrt(2.0)) // speed at (1,1): |(1,1)|
+    assert(r.getDouble(4) === 0.0)            // vort
+    assert(r.getDouble(5) === 2.0)            // div
+  }
+
+  test("windDiagnostics: rotational field has vorticity, no divergence") {
+    // solid-body rotation u = -y, v = x: vort = 2, div = 0
+    val df = (for (y <- 0 to 2; x <- 0 to 2)
+      yield (0, y, x, -y.toDouble, x.toDouble)).toDF("t", "y", "x", "u", "v")
+    val r = GridOps.windDiagnostics(df, "t", "y", "x", "u", "v").collect().head
+    assert(r.getDouble(4) === 2.0 && r.getDouble(5) === 0.0)
+  }
+
+  test("windDiagnostics: a missing neighbor suppresses the cell") {
+    // 3x3 panel with (1,0) removed: (1,1) loses its x-1 neighbor
+    val df = (for (y <- 0 to 2; x <- 0 to 2; if !(y == 1 && x == 0))
+      yield (0, y, x, 1.0, 1.0)).toDF("t", "y", "x", "u", "v")
+    assert(GridOps.windDiagnostics(df, "t", "y", "x", "u", "v").count() === 0)
+  }
+
   test("anomaly is the departure from the per-cell period mean") {
     val cfg = GridConfig("x", "y", "lon", "lat", "ts", "v")
     val df = Seq((0, 0, 1.0), (0, 0, 3.0), (1, 0, 7.0))
