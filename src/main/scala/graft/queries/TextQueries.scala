@@ -550,6 +550,78 @@ object TextQueries {
       |SELECT doc_id, rank, term, tf, df, score
       |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
 
+  /** Okapi BM25 retrieval (Scoring.bm25): top-20 documents for a
+    * three-term query. Integer idf proxy + cleared-denominator length
+    * normalization (the Scoring scaladoc contract) keep every score a
+    * single integer division — hash-exact across engines. One
+    * map-side-combined groupBy with conditional per-term tf
+    * aggregates; text never shuffles. */
+  val qBm25: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    graft.operators.Scoring.bm25(d, "doc_id", "text",
+      Seq("spark", "merge", "window"), 20)
+  }
+
+  val qBm25Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+      |    AS tok FROM documents),
+      |pd AS (
+      |  SELECT doc_id, cast(count(*) as bigint) AS dl,
+      |    cast(sum(CASE WHEN tok='spark'  THEN 1 ELSE 0 END) as bigint) AS tf0,
+      |    cast(sum(CASE WHEN tok='merge'  THEN 1 ELSE 0 END) as bigint) AS tf1,
+      |    cast(sum(CASE WHEN tok='window' THEN 1 ELSE 0 END) as bigint) AS tf2
+      |  FROM toks GROUP BY 1),
+      |tot AS (
+      |  SELECT cast(sum(dl) as bigint) AS t, cast(count(*) as bigint) AS n,
+      |    cast(sum(CASE WHEN tf0>0 THEN 1 ELSE 0 END) as bigint) AS df0,
+      |    cast(sum(CASE WHEN tf1>0 THEN 1 ELSE 0 END) as bigint) AS df1,
+      |    cast(sum(CASE WHEN tf2>0 THEN 1 ELSE 0 END) as bigint) AS df2
+      |  FROM pd),
+      |s AS (
+      |  SELECT doc_id, dl,
+      |    cast(CASE WHEN tf0>0 THEN (((n-df0)*1000000//(df0+1))+1)
+      |        * ((22*tf0*t)//(10*t*tf0+3*t+9*dl*n)) ELSE 0 END
+      |      + CASE WHEN tf1>0 THEN (((n-df1)*1000000//(df1+1))+1)
+      |        * ((22*tf1*t)//(10*t*tf1+3*t+9*dl*n)) ELSE 0 END
+      |      + CASE WHEN tf2>0 THEN (((n-df2)*1000000//(df2+1))+1)
+      |        * ((22*tf2*t)//(10*t*tf2+3*t+9*dl*n)) ELSE 0 END
+      |      as bigint) AS score
+      |  FROM pd, tot)
+      |SELECT cast(row_number() OVER (ORDER BY score DESC, doc_id) as bigint)
+      |    AS rank, doc_id, dl, score
+      |FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Linear bag-of-words quality classifier (Scoring.linearScore):
+    * the fastText-style filter shape — broadcast (term, weight)
+    * vocabulary, exact integer margin per document, keep gate at the
+    * decision threshold. The margin is monotone in the sigmoid
+    * probability, so the integer threshold IS the classifier
+    * decision. */
+  val qTextClassifier: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    graft.operators.Scoring.linearScore(d, "doc_id", "text",
+      Seq("spark" -> 3L, "data" -> 2L, "query" -> 2L, "fast" -> 1L,
+        "slow" -> -3L, "dup" -> -4L, "the" -> -1L),
+      bias = 0L, threshold = 0L)
+      .orderBy("doc_id")
+  }
+
+  val qTextClassifierSql: String =
+    """WITH v(tok, w) AS (VALUES
+      |  ('spark', 3), ('data', 2), ('query', 2), ('fast', 1),
+      |  ('slow', -3), ('dup', -4), ('the', -1)),
+      |toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+      |    AS tok FROM documents),
+      |hits AS (
+      |  SELECT doc_id, cast(sum(w) as bigint) AS dot
+      |  FROM toks JOIN v USING (tok) GROUP BY 1)
+      |SELECT d.doc_id, coalesce(h.dot, 0) AS score,
+      |  coalesce(h.dot, 0) >= 0 AS keep
+      |FROM documents d LEFT JOIN hits h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Language-ID heuristic: predicted language per document. */
   val qTextLangId: Q = (spark, dir) => {
     val d = Tables(spark, dir, "documents")
@@ -789,6 +861,8 @@ object TextQueries {
     "text_repetition" -> qTextRepetition,
     "text_chunks" -> qTextChunks,
     "text_tfidf" -> qTfIdf,
+    "text_bm25" -> qBm25,
+    "text_classifier" -> qTextClassifier,
     "dedup_exact" -> qDedupExact,
     "dedup_incremental" -> qDedupIncremental,
     "dedup_normalized" -> qDedupNormalized,
@@ -813,6 +887,8 @@ object TextQueries {
     "text_repetition" -> qTextRepetitionSql,
     "text_chunks" -> qTextChunksSql,
     "text_tfidf" -> qTfIdfSql,
+    "text_bm25" -> qBm25Sql,
+    "text_classifier" -> qTextClassifierSql,
     "dedup_exact" -> qDedupExactSql,
     "dedup_incremental" -> qDedupIncrementalSql,
     "dedup_normalized" -> qDedupNormalizedSql,
