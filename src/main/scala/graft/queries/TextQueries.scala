@@ -622,6 +622,68 @@ object TextQueries {
       |FROM documents d LEFT JOIN hits h USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Domain PageRank (PageRank.ranks): rank the host graph a crawl's
+    * documents imply — each document's source site links to the hosts
+    * planted in it (the [[qTextUrlHosts]] pattern) plus a hub site
+    * with edges both ways. Three fixed-point power steps; the oracle
+    * unrolls them as CTEs, every division integral, so the iterative
+    * ranks are hash-exact. */
+  val qDomainRank: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), concat(col("source"), lit(".example.org")).as("site"))
+    def planted(m: Int, dst: String) = d.filter(col("doc_id") % m === 0)
+      .select(col("site").as("src"), lit(dst).as("dst"))
+    val edges = planted(6, "spam.example.com")
+      .union(planted(8, "cdn.spam.example.com"))
+      .union(planted(8, "good.example.org"))
+      .union(planted(3, "hub.example.org"))
+      .union(d.filter(col("doc_id") % 4 === 0)
+        .select(lit("hub.example.org").as("src"), col("site").as("dst")))
+    graft.operators.PageRank.ranks(edges, "src", "dst", iterations = 3)
+      .orderBy("node")
+  }
+
+  val qDomainRankSql: String =
+    """WITH sites AS (
+      |  SELECT doc_id, source || '.example.org' AS site FROM documents),
+      |e AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT site AS src, 'spam.example.com' AS dst FROM sites
+      |      WHERE doc_id % 6 = 0
+      |    UNION ALL SELECT site, 'cdn.spam.example.com' FROM sites
+      |      WHERE doc_id % 8 = 0
+      |    UNION ALL SELECT site, 'good.example.org' FROM sites
+      |      WHERE doc_id % 8 = 0
+      |    UNION ALL SELECT site, 'hub.example.org' FROM sites
+      |      WHERE doc_id % 3 = 0
+      |    UNION ALL SELECT 'hub.example.org', site FROM sites
+      |      WHERE doc_id % 4 = 0)),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT cast(count(*) as bigint) AS n FROM nodes),
+      |deg AS (SELECT src, cast(count(*) as bigint) AS outdeg
+      |  FROM e GROUP BY 1),
+      |r0 AS (SELECT node, 1000000000000 // nn.n AS r FROM nodes, nn),
+      |c1 AS (SELECT e.dst AS node, cast(sum(r0.r // deg.outdeg) as bigint) AS c
+      |  FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+      |  GROUP BY 1),
+      |r1 AS (SELECT n.node, (15000000000000 // (100 * nn.n))
+      |    + (85 * coalesce(c1.c, 0)) // 100 AS r
+      |  FROM nodes n LEFT JOIN c1 ON n.node = c1.node, nn),
+      |c2 AS (SELECT e.dst AS node, cast(sum(r1.r // deg.outdeg) as bigint) AS c
+      |  FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+      |  GROUP BY 1),
+      |r2 AS (SELECT n.node, (15000000000000 // (100 * nn.n))
+      |    + (85 * coalesce(c2.c, 0)) // 100 AS r
+      |  FROM nodes n LEFT JOIN c2 ON n.node = c2.node, nn),
+      |c3 AS (SELECT e.dst AS node, cast(sum(r2.r // deg.outdeg) as bigint) AS c
+      |  FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+      |  GROUP BY 1),
+      |r3 AS (SELECT n.node, (15000000000000 // (100 * nn.n))
+      |    + (85 * coalesce(c3.c, 0)) // 100 AS r
+      |  FROM nodes n LEFT JOIN c3 ON n.node = c3.node, nn)
+      |SELECT node, cast(r as bigint) AS rank FROM r3
+      |ORDER BY node""".stripMargin
+
   /** Language-ID heuristic: predicted language per document. */
   val qTextLangId: Q = (spark, dir) => {
     val d = Tables(spark, dir, "documents")
@@ -863,6 +925,7 @@ object TextQueries {
     "text_tfidf" -> qTfIdf,
     "text_bm25" -> qBm25,
     "text_classifier" -> qTextClassifier,
+    "graph_domain_rank" -> qDomainRank,
     "dedup_exact" -> qDedupExact,
     "dedup_incremental" -> qDedupIncremental,
     "dedup_normalized" -> qDedupNormalized,
@@ -889,6 +952,7 @@ object TextQueries {
     "text_tfidf" -> qTfIdfSql,
     "text_bm25" -> qBm25Sql,
     "text_classifier" -> qTextClassifierSql,
+    "graph_domain_rank" -> qDomainRankSql,
     "dedup_exact" -> qDedupExactSql,
     "dedup_incremental" -> qDedupIncrementalSql,
     "dedup_normalized" -> qDedupNormalizedSql,
