@@ -209,4 +209,46 @@ object Ann {
       .groupBy("query_id", "neighbor_id").agg(first("cos_sim").as("cos_sim"))
     rankTopK(scored, k)
   }
+
+  /** Semantic dedup — the SemDeDup recipe's cluster-then-refine shape:
+    * assign every vector to its nearest of `numSeeds` DETERMINISTIC
+    * seed centroids (the vectors with the smallest ids — seeded
+    * assignment, no Lloyd, so the oracle can replicate it), then mark
+    * as duplicate any vector whose cosine to a SMALLER-id vector in
+    * the same cluster reaches `threshold`. The drop rule is the
+    * "similar to any earlier item" contract (order-deterministic,
+    * engine-replayable), not the kept-set greedy — documented here as
+    * the semantics.
+    *
+    * Argmax determinism: both engines compute the identical IEEE
+    * cosine sequence (sequential compiled dot), ties break on the
+    * smaller seed id.
+    *
+    * 100 TB shape: assignment is a broadcast of numSeeds vectors +
+    * one map-side-combined argmax groupBy per vector id; the
+    * quadratic sits INSIDE clusters — the SemDeDup cost model, where
+    * cluster granularity bounds the pairwise work. For clusters too
+    * large to pair exactly, compose [[cosineNearDups]] with the
+    * cluster id added to the band key (same plan, banded candidates);
+    * this exact-within-cluster form is the oracle-checkable core. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      numSeeds: Int, threshold: Double): DataFrame = {
+    val ids = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = broadcast(ids.filter(col("id") < numSeeds)
+      .select(col("id").as("sid"), col("v").as("sv")))
+    val asg = ids.crossJoin(seeds)
+      .select(col("id"), cosine(col("v"), col("sv")).as("c"), col("sid"))
+      .groupBy("id").agg(topK(col("c"), col("sid"), 1).as("top"))
+      .select(col("id"), col("top").getItem(0).getField("neighbor_id").as("cluster"))
+    val withC = ids.join(asg, "id")
+    val a = withC.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
+    val b = withC.select(col("cluster"), col("id").as("id_b"), col("v").as("vb"))
+    val dropped = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    withC.join(dropped.withColumn("__dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        not(coalesce(col("__dup"), lit(false))).as("keep"))
+  }
 }

@@ -169,6 +169,61 @@ object AnnQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Semantic dedup (Ann.semanticDedup — the SemDeDup cluster-then-
+    * refine shape): nearest-of-8-seed-centroids assignment, then the
+    * within-cluster "similar to any earlier item ≥ 0.95" drop rule,
+    * over the corpus plus its perturbed copies (the [[qDedupEmbedding]]
+    * augmentation, so real near-dups exist). Assignment AND refine are
+    * replayed by the oracle — the full pipeline hashes, not just the
+    * pair list. */
+  val qDedupSemantic: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings")
+    val pert = e.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i % 2 === 1, (x.cast("double") * lit(1.2)).cast("float"))
+          .otherwise(x)).as("embedding"))
+    val aug = e.select(col("vec_id"), col("embedding")).union(pert)
+    Ann.semanticDedup(aug, "vec_id", "embedding", numSeeds = 8, threshold = 0.95)
+      .select(col("id").as("vec_id"), col("cluster"), col("keep"))
+      .orderBy("vec_id")
+  }
+
+  val qDedupSemanticSql: String =
+    """WITH aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_transform(range(1, len(embedding) + 1),
+      |      i -> CASE WHEN i % 2 = 0
+      |        THEN cast(cast(embedding[i] as double) * 1.2 as real)
+      |        ELSE embedding[i] END)
+      |  FROM embeddings),
+      |v AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> cast(x as double) * cast(x as double)))) AS nrm
+      |  FROM aug),
+      |s AS (SELECT vec_id AS sid, embedding AS sv, nrm AS snrm
+      |  FROM v WHERE vec_id < 8),
+      |sim AS (
+      |  SELECT v.vec_id, s.sid,
+      |    list_sum(list_transform(range(1, len(v.embedding) + 1),
+      |      i -> cast(v.embedding[i] as double) * cast(s.sv[i] as double)))
+      |      / (v.nrm * s.snrm) AS c
+      |  FROM v, s),
+      |asg AS (SELECT vec_id, sid AS cluster FROM (
+      |    SELECT vec_id, sid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, sid) AS rn
+      |    FROM sim) WHERE rn = 1),
+      |m AS (SELECT v.vec_id, v.embedding, v.nrm, asg.cluster
+      |  FROM v JOIN asg USING (vec_id)),
+      |p AS (SELECT DISTINCT b.vec_id AS id
+      |  FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> cast(a.embedding[i] as double) * cast(b.embedding[i] as double)))
+      |      / (a.nrm * b.nrm) >= 0.95)
+      |SELECT vec_id, cluster, vec_id NOT IN (SELECT id FROM p) AS keep
+      |FROM m ORDER BY vec_id""".stripMargin
+
   val qDedupEmbeddingSql: String =
     """WITH aug AS (
       |  SELECT vec_id, embedding FROM embeddings
@@ -266,7 +321,8 @@ object AnnQueries {
     "ann_lsh_topk" -> qAnnLsh,
     "ann_ivf_topk" -> qAnnIvf,
     "ann_recall" -> qAnnRecall,
-    "dedup_embedding" -> qDedupEmbedding)
+    "dedup_embedding" -> qDedupEmbedding,
+    "dedup_semantic" -> qDedupSemantic)
 
   val oracles: Map[String, String] = Map(
     "ann_recall" -> qAnnRecallSql,
@@ -276,5 +332,6 @@ object AnnQueries {
     "ann_bruteforce_topk" -> qAnnBruteForceSql,
     "ann_lsh_topk" -> qAnnLshSql,
     "ann_ivf_topk" -> qAnnIvfSql,
-    "dedup_embedding" -> qDedupEmbeddingSql)
+    "dedup_embedding" -> qDedupEmbeddingSql,
+    "dedup_semantic" -> qDedupSemanticSql)
 }

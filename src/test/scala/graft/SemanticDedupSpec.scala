@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.Ann
+
+class SemanticDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("semanticDedup: seed assignment, within-cluster drop, cross-cluster immunity") {
+    // seeds 0=(1,0) and 1=(0,1); 2 is near seed 0 but below threshold,
+    // 3 near seed 1, 4 collinear with 0 (cos = 1) -> dropped.
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(0.99f, 0.14f)), (3L, Array(0.14f, 0.99f)),
+      (4L, Array(2f, 0f))).toDF("vec_id", "embedding")
+    val got = Ann.semanticDedup(vecs, "vec_id", "embedding",
+        numSeeds = 2, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(0L) === ((0L, true)))
+    assert(got(1L) === ((1L, true)))
+    assert(got(2L) === ((0L, true)))  // similar but under threshold
+    assert(got(3L) === ((1L, true)))
+    assert(got(4L) === ((0L, false))) // exact-direction dup of id 0
+  }
+
+  test("semanticDedup: the drop rule is 'any earlier item', ids beyond seeds keep clusters") {
+    // three collinear vectors in one cluster: 2 and 3 both drop against 0
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(3f, 0f)), (3L, Array(5f, 0f))).toDF("vec_id", "embedding")
+    val keep = Ann.semanticDedup(vecs, "vec_id", "embedding", 2, 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep === Map(0L -> true, 1L -> true, 2L -> false, 3L -> false))
+  }
+}
