@@ -449,6 +449,47 @@ object ScaleBench {
     assert(gridOpsRows == ((1000000L, 120000L, 1000000L)),
       s"wrong grid-op row counts: $gridOpsRows")
 
+    // --- stage 18: corpus ranking + graph ops at 1M scale — BM25
+    // top-100 over 1M docs (one conditional-agg groupBy + TakeOrdered),
+    // the linear quality classifier over the same corpus (broadcast
+    // vocab join; planted term arithmetic makes the keep count exact),
+    // and 3 PageRank power steps over a 1M-edge / ~100k-host graph
+    // with a total-skew hub (1 in 3 edges point at it).
+    val (rankStats, tRank) = timed {
+      import graft.operators.{PageRank, Scoring}
+      def rword(seed: org.apache.spark.sql.Column, i: Int) =
+        concat(lit("t"), pmod(hash(seed, lit(i + 77)), lit(200000)).cast("string"))
+      val body = concat_ws(" ", (0 until 30).map(i => rword(col("id"), i)): _*)
+      val text = concat(body,
+        when(col("id") % 10 === 0, lit(" spark")).otherwise(lit("")),
+        when(col("id") % 4 === 0, lit(" dup dup")).otherwise(lit("")))
+      val docs = spark.range(1000000L).select(col("id"), text.as("text"))
+        .persist()
+      val top = Scoring.bm25(docs, "id", "text", Seq("spark", "t42"), 100)
+        .count()
+      // +5 on 1-in-10 docs, -6 on 1-in-4: keep = neither (700k) or
+      // spark-only (50k) -> exactly 750000
+      val kept = Scoring.linearScore(docs, "id", "text",
+        Seq("spark" -> 5L, "dup" -> -3L), bias = 0L, threshold = 0L)
+        .filter(col("keep")).count()
+      docs.unpersist()
+      val edges = spark.range(1000000L).select(
+        concat(lit("h"), pmod(hash(col("id")), lit(100000)).cast("string"))
+          .as("src"),
+        when(col("id") % 3 === 0, lit("hub"))
+          .otherwise(concat(lit("h"),
+            pmod(hash(col("id"), lit(1)), lit(100000)).cast("string")))
+          .as("dst"))
+      val ranks = PageRank.ranks(edges, "src", "dst", iterations = 3).persist()
+      val topHost = ranks.orderBy(col("rank").desc, col("node")).head().getString(0)
+      val nNodes = ranks.count()
+      ranks.unpersist()
+      (top, kept, topHost, nNodes)
+    }
+    assert(rankStats._1 == 100L, s"bm25 top-k rows: ${rankStats._1}")
+    assert(rankStats._2 == 750000L, s"classifier kept: ${rankStats._2}")
+    assert(rankStats._3 == "hub", s"pagerank winner: ${rankStats._3}")
+
     println(
       s"""{"metric":"reference_scale","overlay_sec":$tOverlay,""" +
         s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
@@ -468,6 +509,8 @@ object ScaleBench {
         s""""substr_1m_sec":$tSub,"substr_spans":${subStats._1},""" +
         s""""para_1m_sec":$tPara,"para_removed":$paraRemoved,""" +
         s""""gridops_1m_sec":$tGridOps,""" +
+        s""""rank_1m_sec":$tRank,"rank_kept":${rankStats._2},""" +
+        s""""rank_nodes":${rankStats._4},""" +
         s""""rocksdb_soak_sec":$tRocks,"rocksdb_state_rows":$rocksRows,""" +
         s""""regrid_cells":$regridRows,"voronoi_cells":$vorCells,""" +
         s""""conservation_ratio":$ratio}""")

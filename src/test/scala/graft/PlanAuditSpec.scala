@@ -39,9 +39,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // construction (a few standard levels)
     // q22 crosses the single-row decorrelated average-balance threshold
     // into the customer scan — 1 row by construction
+    // text_bm25 / graph_domain_rank cross their single-row totals frame
+    // (T/N/df, node count) into compact aggregates — 1 row by
+    // construction; dedup_semantic broadcasts its numSeeds (=8) seed
+    // vectors for the assignment argmax — driver-bounded by contract
     val allowed = Set("ann_bruteforce_topk", "ann_recall", "geo_heat_island",
       "geo_regrid_conservation", "grid_interp_levels", "q22_global_sales",
-      "sample_domain_mix", "corpus_mix", "text_tfidf")
+      "sample_domain_mix", "corpus_mix", "text_tfidf",
+      "text_bm25", "graph_domain_rank", "dedup_semantic")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(n) => n
     }
@@ -155,7 +160,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try Seq("sample_domain_mix", "corpus_mix", "pack_shards",
-      "text_tokenize", "dedup_substring").foreach { q =>
+      "text_tokenize", "dedup_substring", "text_bm25",
+      "text_classifier").foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       val offenders = df.queryExecution.executedPlan.collect {
         case e: ShuffleExchangeExec
@@ -198,6 +204,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       assert(plan.toString.contains("BroadcastHashJoin"),
         s"refine join did not broadcast the benchmark grams:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  test("pagerank iterations reuse the edge-side exchange, not re-shuffle it") {
+    // PageRank.ranks' scaladoc claims the identical edge→outdeg join
+    // subtree appearing in every iteration is deduplicated by Spark's
+    // ReuseExchange rule. Pin it: the executed 3-iteration plan must
+    // contain at least one ReusedExchange node.
+    val p = plans("graph_domain_rank")
+    assert(p.contains("ReusedExchange"),
+      s"graph_domain_rank re-shuffles the edge list per iteration:\n$p")
   }
 
   test("aggregations run partial (map-side combine) before the shuffle") {
