@@ -92,6 +92,51 @@ object Sampling {
     * Returns one row per source: (source, n_docs, n_toks, threshold)
     * where threshold ∈ [0, buckets] approximates
     * buckets · min(1, budget·q_s/T_s), q_s = √T_s / Σ√T. */
+  /** DSIR-style importance resampling: re-weight a raw corpus toward a
+    * TARGET distribution by the per-document ratio of target to raw
+    * token probabilities, then accept each document with probability
+    * proportional to its (capped) importance — the published
+    * importance-resampling recipe for domain-targeted data selection,
+    * in this suite's exact-integer form.
+    *
+    * Importance proxy (no logs, the [[graft.queries.TextQueries]]
+    * oracle discipline): per token, `(target_count+1)·10⁶ div
+    * (raw_count+1)` — add-one smoothed and monotone in the real
+    * probability ratio; per document, the integer mean over its
+    * tokens. Acceptance: `accept_ppm = min(10⁶, score div scale)`
+    * parts-per-million against the salted-md5 hash bucket of the id —
+    * the same deterministic-Bernoulli contract as [[sampleFilter]],
+    * so the sample is engine-reproducible row for row.
+    *
+    * 100 TB shape: raw counts are ONE map-side-combined vocabulary
+    * aggregate broadcast back onto the token stream (the
+    * [[graft.queries.TextQueries]] rarity pattern), the target vocab
+    * is a driver-supplied broadcast literal, and the per-doc score is
+    * one groupBy(id) of (id, ratio) longs — document text never
+    * shuffles. */
+  def importanceResample(docs: DataFrame, idCol: String, textCol: String,
+      targetVocab: Seq[(String, Long)], salt: String,
+      scale: Long = 1L): DataFrame = {
+    require(scale >= 1, s"scale=$scale")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("__tok"))
+    val raw = toks.groupBy("__tok").agg(count(lit(1)).as("__rc"))
+    val tgt = broadcast(targetVocab.toDF("__tok", "__tc"))
+    toks.join(broadcast(raw), "__tok")
+      .join(tgt, Seq("__tok"), "left")
+      .select(col(idCol),
+        expr("((coalesce(__tc, 0L) + 1L) * 1000000L) div (__rc + 1L)").as("__r"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__r")).as("__s"))
+      .select(col(idCol), expr("__s div __n").as("score"))
+      .withColumn("accept_ppm",
+        least(lit(1000000L), expr(s"score div ${scale}L")))
+      .withColumn("keep",
+        hashBucket(col(idCol), salt, 1000000) < col("accept_ppm"))
+  }
+
   def domainMixThresholds(perSourceToks: DataFrame, tokenBudget: Long,
       buckets: Int = 10000): DataFrame = {
     val s6 = round(sqrt(col("n_toks")) * 1e6).cast("long")

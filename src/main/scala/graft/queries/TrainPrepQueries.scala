@@ -305,6 +305,38 @@ object TrainPrepQueries {
       |SELECT lang, rank, doc_id, h48 FROM r WHERE rank <= 20
       |ORDER BY lang, rank""".stripMargin
 
+  /** DSIR-style importance resampling (Sampling.importanceResample):
+    * re-weight the corpus toward a target unigram distribution — the
+    * data-selection recipe for domain-targeted training mixes. The
+    * target vocab up-weights three query-ish tokens; scores, capped
+    * acceptance rates and the salted-hash keep verdicts are all exact
+    * integers, so the oracle replays the sample row for row. */
+  val qImportanceResample: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    Sampling.importanceResample(docs, "doc_id", "text",
+        Seq("spark" -> 500L, "window" -> 300L, "query" -> 200L), "dsir:")
+      .orderBy("doc_id")
+  }
+
+  val qImportanceResampleSql: String =
+    """WITH tv(tok, tc) AS (VALUES
+      |  ('spark', 500), ('window', 300), ('query', 200)),
+      |toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+      |    AS tok FROM documents),
+      |raw AS (SELECT tok, cast(count(*) as bigint) AS rc
+      |  FROM toks GROUP BY 1),
+      |r AS (SELECT t.doc_id,
+      |    ((coalesce(v.tc, 0) + 1) * 1000000) // (raw.rc + 1) AS ratio
+      |  FROM toks t JOIN raw ON t.tok = raw.tok
+      |  LEFT JOIN tv v ON t.tok = v.tok),
+      |s AS (SELECT doc_id, cast(sum(ratio) // count(*) as bigint) AS score
+      |  FROM r GROUP BY 1)
+      |SELECT doc_id, score, least(1000000, score) AS accept_ppm,
+      |  ('0x'||substr(md5('dsir:'||doc_id),1,15))::BIGINT % 1000000
+      |    < least(1000000, score) AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** CORPUS COMPOSITION: per (source, language) document/token counts
     * and shares — the mixture report every training-data pipeline
     * publishes next to its shards. One map-side-partial groupBy; the
@@ -342,6 +374,7 @@ object TrainPrepQueries {
     "sample_split" -> qSampleSplit,
     "sample_domain_mix" -> qDomainMix,
     "sample_stratified" -> qStratifiedSample,
+    "sample_importance" -> qImportanceResample,
     "corpus_mix" -> qCorpusMix,
     "text_contamination" -> qTextContamination,
     "text_contamination_bloom" -> qTextContaminationBloom,
@@ -352,6 +385,7 @@ object TrainPrepQueries {
     "sample_split" -> qSampleSplitSql,
     "sample_domain_mix" -> qDomainMixSql,
     "sample_stratified" -> qStratifiedSampleSql,
+    "sample_importance" -> qImportanceResampleSql,
     "corpus_mix" -> qCorpusMixSql,
     "text_contamination" -> qTextContaminationSql,
     "text_contamination_bloom" -> qTextContaminationBloomSql,

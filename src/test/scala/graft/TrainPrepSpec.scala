@@ -87,6 +87,22 @@ class TrainPrepSpec extends SparkSpec {
     assert(thr.forall(_ == 10000L))
   }
 
+  test("importanceResample: target-heavy docs saturate, others gate on the hash") {
+    // raw counts: aa and bb both 2. ratio(aa) = 10*10^6 div 3 = 3333333,
+    // ratio(bb) = 1*10^6 div 3 = 333333. Doc 1 saturates accept_ppm at
+    // 10^6 (always kept); doc 2 keeps iff its hash bucket < 333333.
+    val docs = Seq((1L, "aa aa"), (2L, "bb bb")).toDF("doc_id", "text")
+    val got = Sampling.importanceResample(docs, "doc_id", "text",
+        Seq("aa" -> 9L), "dsir:")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) === ((3333333L, 1000000L, true)))
+    val h2 = docs.filter(col("doc_id") === 2)
+      .select(Sampling.hashBucket(col("doc_id"), "dsir:", 1000000))
+      .as[Long].collect().head
+    assert(got(2L) === ((333333L, 333333L, h2 < 333333L)))
+  }
+
   test("leakage safety: split is constant within a near-dup cluster") {
     // two clusters: {0,1} near-dups, {2} alone — reps hash identically
     val comp = Seq((0L, 0L), (1L, 0L), (2L, 2L)).toDF("id", "cluster_rep")
