@@ -622,6 +622,30 @@ object TextQueries {
       |FROM documents d LEFT JOIN hits h USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** JSONL corpus interchange: write the documents table as JSON Lines
+    * (the de-facto LLM corpus format), read it back through the
+    * schema'd distributed reader, and prove the roundtrip lossless —
+    * every scalar column plus an md5 digest of the text must match the
+    * parquet original byte for byte. Write and read are both
+    * partition-parallel Spark-native paths (one JSONL part per task;
+    * no driver funnel). */
+  val qJsonlRoundtrip: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("jsonl_q")
+      .resolve("docs").toString
+    d.write.mode("overwrite").json(tmp)
+    spark.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .json(tmp)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("digest"))
+      .orderBy("doc_id")
+  }
+
+  val qJsonlRoundtripSql: String =
+    """SELECT doc_id, lang, source, n_chars, md5(text) AS digest
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Domain PageRank (PageRank.ranks): rank the host graph a crawl's
     * documents imply — each document's source site links to the hosts
     * planted in it (the [[qTextUrlHosts]] pattern) plus a hub site
@@ -926,6 +950,7 @@ object TextQueries {
     "text_bm25" -> qBm25,
     "text_classifier" -> qTextClassifier,
     "graph_domain_rank" -> qDomainRank,
+    "text_jsonl_roundtrip" -> qJsonlRoundtrip,
     "dedup_exact" -> qDedupExact,
     "dedup_incremental" -> qDedupIncremental,
     "dedup_normalized" -> qDedupNormalized,
@@ -953,6 +978,7 @@ object TextQueries {
     "text_bm25" -> qBm25Sql,
     "text_classifier" -> qTextClassifierSql,
     "graph_domain_rank" -> qDomainRankSql,
+    "text_jsonl_roundtrip" -> qJsonlRoundtripSql,
     "dedup_exact" -> qDedupExactSql,
     "dedup_incremental" -> qDedupIncrementalSql,
     "dedup_normalized" -> qDedupNormalizedSql,
