@@ -622,6 +622,54 @@ object TextQueries {
       |FROM documents d LEFT JOIN hits h USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM surprisal filter — the perplexity-proxy quality gate in
+    * BIGRAM form (the CCNet shape one order up from [[qTextRarity]]'s
+    * unigram rarity): total integer surprisal `Σ 10¹² div count(bigram)`
+    * under the corpus's own bigram counts. Every 13th document gets an
+    * 8-token gibberish tail (8 count-1 bigrams ≈ +8·10¹² surprisal);
+    * the 6·10¹² keep threshold separates them from every natural
+    * document at BOTH gate scales (measured: natural max ≈ 4.1·10¹²,
+    * planted min ≈ 8.3·10¹²) — the planted docs are recovered exactly.
+    * Bigrams come from the compiled [[HeavyHitters.ngrams]] pass;
+    * counts are a vocabulary-sized aggregate broadcast back; text
+    * never shuffles. */
+  val qTextLmBigram: Q = (spark, dir) => {
+    import graft.operators.HeavyHitters
+    val d = Tables(spark, dir, "documents")
+    val tail = Seq("zq", "zr", "zs", "zt", "zu", "zv", "zw", "zx")
+      .map(p => concat(lit(" " + p), col("doc_id")))
+    val aug = when(col("doc_id") % 13 === 0,
+      concat(col("text") +: tail: _*)).otherwise(col("text"))
+    val bg = d.select(col("doc_id"),
+      explode(HeavyHitters.ngrams(aug, 2)).as("b"))
+    val cnt = bg.groupBy("b").agg(count(lit(1)).as("c"))
+    bg.join(broadcast(cnt), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("1000000000000L div c")).as("surprisal_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("surprisal_sum"),
+        (col("surprisal_sum") < 6000000000000L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val qTextLmBigramSql: String =
+    """WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
+      |    THEN text || ' zq' || doc_id || ' zr' || doc_id || ' zs' || doc_id
+      |      || ' zt' || doc_id || ' zu' || doc_id || ' zv' || doc_id
+      |      || ' zw' || doc_id || ' zx' || doc_id
+      |    ELSE text END AS t FROM documents),
+      |tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(t)), '\s+')
+      |  AS toks FROM aug),
+      |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS b
+      |  FROM tk, unnest(range(1, len(toks))) u(i)),
+      |cnt AS (SELECT b, cast(count(*) as bigint) AS c FROM bg GROUP BY 1),
+      |s AS (SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
+      |    cast(sum(1000000000000 // c) as bigint) AS surprisal_sum
+      |  FROM bg JOIN cnt USING (b) GROUP BY 1)
+      |SELECT doc_id, n_bigrams, surprisal_sum,
+      |  surprisal_sum < 6000000000000 AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** JSONL corpus interchange: write the documents table as JSON Lines
     * (the de-facto LLM corpus format), read it back through the
     * schema'd distributed reader, and prove the roundtrip lossless —
@@ -951,6 +999,7 @@ object TextQueries {
     "text_classifier" -> qTextClassifier,
     "graph_domain_rank" -> qDomainRank,
     "text_jsonl_roundtrip" -> qJsonlRoundtrip,
+    "text_lm_bigram" -> qTextLmBigram,
     "dedup_exact" -> qDedupExact,
     "dedup_incremental" -> qDedupIncremental,
     "dedup_normalized" -> qDedupNormalized,
@@ -979,6 +1028,7 @@ object TextQueries {
     "text_classifier" -> qTextClassifierSql,
     "graph_domain_rank" -> qDomainRankSql,
     "text_jsonl_roundtrip" -> qJsonlRoundtripSql,
+    "text_lm_bigram" -> qTextLmBigramSql,
     "dedup_exact" -> qDedupExactSql,
     "dedup_incremental" -> qDedupIncrementalSql,
     "dedup_normalized" -> qDedupNormalizedSql,
