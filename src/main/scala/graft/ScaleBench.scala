@@ -480,7 +480,10 @@ object ScaleBench {
           .otherwise(concat(lit("h"),
             pmod(hash(col("id"), lit(1)), lit(100000)).cast("string")))
           .as("dst"))
-      val ranks = PageRank.ranks(edges, "src", "dst", iterations = 3).persist()
+      // deep iteration count exercises the localCheckpoint lineage cut
+      // (bit-identical ranks with it on or off — PageRankSpec)
+      val ranks = PageRank.ranks(edges, "src", "dst", iterations = 10,
+        checkpointEvery = 4).persist()
       val topHost = ranks.orderBy(col("rank").desc, col("node")).head().getString(0)
       val nNodes = ranks.count()
       ranks.unpersist()
@@ -489,6 +492,31 @@ object ScaleBench {
     assert(rankStats._1 == 100L, s"bm25 top-k rows: ${rankStats._1}")
     assert(rankStats._2 == 750000L, s"classifier kept: ${rankStats._2}")
     assert(rankStats._3 == "hub", s"pagerank winner: ${rankStats._3}")
+
+    // --- stage 19: banded semantic dedup over 1M isotropic 64-dim
+    // vectors + 10k planted same-direction copies (cosine exactly 1).
+    // Assignment is the broadcast-64-seed argmax; candidates come from
+    // (cluster, band, bucket) cells — the oversized-cluster path never
+    // pairs exactly. Exactly the planted copies must drop.
+    val (semStats, tSem) = timed {
+      val dim = 64
+      val vec = array((0 until dim).map(d =>
+        (hash(col("id"), lit(d)).cast("double") / 2147483647.0).cast("float")): _*)
+      val base = spark.range(1000000L).select(col("id"), vec.as("embedding"))
+      val planted = base.filter(col("id") % 100 === 0)
+        .select((col("id") + 2000000L).as("id"),
+          transform(col("embedding"), x => x * 2.0f).as("embedding"))
+      val verdicts = graft.operators.Ann.semanticDedupBanded(
+        base.union(planted), "id", "embedding",
+        numSeeds = 64, threshold = 0.99, bands = 16, planesPerBand = 16)
+        .persist()
+      val dropped = verdicts.filter(!col("keep")).count()
+      val total = verdicts.count()
+      verdicts.unpersist()
+      (dropped, total)
+    }
+    assert(semStats == ((10000L, 1010000L)),
+      s"expected exactly the 10k planted copies dropped: $semStats")
 
     println(
       s"""{"metric":"reference_scale","overlay_sec":$tOverlay,""" +
@@ -511,6 +539,7 @@ object ScaleBench {
         s""""gridops_1m_sec":$tGridOps,""" +
         s""""rank_1m_sec":$tRank,"rank_kept":${rankStats._2},""" +
         s""""rank_nodes":${rankStats._4},""" +
+        s""""semdedup_1m_sec":$tSem,"semdedup_dropped":${semStats._1},""" +
         s""""rocksdb_soak_sec":$tRocks,"rocksdb_state_rows":$rocksRows,""" +
         s""""regrid_cells":$regridRows,"voronoi_cells":$vorCells,""" +
         s""""conservation_ratio":$ratio}""")

@@ -233,6 +233,48 @@ object Ann {
     * this exact-within-cluster form is the oracle-checkable core. */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       numSeeds: Int, threshold: Double): DataFrame = {
+    val withC = assignToSeeds(corpus, idCol, vecCol, numSeeds)
+    val a = withC.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
+    val b = withC.select(col("cluster"), col("id").as("id_b"), col("v").as("vb"))
+    val dropped = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    keepVerdict(withC, dropped)
+  }
+
+  /** The 100 TB form of [[semanticDedup]]: identical assignment and
+    * drop contract, but within-cluster candidates come from BANDED
+    * sign-LSH with the cluster id prepended to the band key — an
+    * oversized cluster never pairs exactly, it pairs inside (cluster,
+    * band, bucket) cells under the [[Dedup.pairsFromBuckets]] size
+    * guard. Same miss-probability algebra as [[cosineNearDups]]
+    * (≈1e-13 per true pair at the defaults near the threshold), so
+    * the exact within-cluster operator remains the test oracle. */
+  def semanticDedupBanded(corpus: DataFrame, idCol: String, vecCol: String,
+      numSeeds: Int, threshold: Double, bands: Int = 24,
+      planesPerBand: Int = 12, maxBucket: Int = 4096): DataFrame = {
+    val withC = assignToSeeds(corpus, idCol, vecCol, numSeeds)
+    val memb = withC.select(col("id"), col("cluster"),
+      posexplode(array((0 until bands).map(b =>
+        lshBucketSeeded(col("v"), planesPerBand, 1000 + b)): _*)))
+      .select(col("id"), col("cluster"),
+        col("pos").as("band"), col("col").as("bval"))
+    val cand = Dedup.pairsFromBuckets(memb, Seq("cluster", "band", "bval"),
+      maxBucket)
+    val a = withC.select(col("id").as("id_a"), col("v").as("va"))
+    val b = withC.select(col("id").as("id_b"), col("v").as("vb"))
+    val dropped = cand.join(a, "id_a").join(b, "id_b")
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    keepVerdict(withC, dropped)
+  }
+
+  /** Shared assignment stage: nearest-of-numSeeds smallest-id seed
+    * vectors by cosine, ties to the smaller seed id. Returns
+    * (id, v, cluster), persisted — both the pairing stage and the
+    * verdict join reuse it. */
+  private def assignToSeeds(corpus: DataFrame, idCol: String,
+      vecCol: String, numSeeds: Int): DataFrame = {
     val ids = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = broadcast(ids.filter(col("id") < numSeeds)
@@ -241,14 +283,11 @@ object Ann {
       .select(col("id"), cosine(col("v"), col("sv")).as("c"), col("sid"))
       .groupBy("id").agg(topK(col("c"), col("sid"), 1).as("top"))
       .select(col("id"), col("top").getItem(0).getField("neighbor_id").as("cluster"))
-    val withC = ids.join(asg, "id")
-    val a = withC.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
-    val b = withC.select(col("cluster"), col("id").as("id_b"), col("v").as("vb"))
-    val dropped = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
-      .filter(cosine(col("va"), col("vb")) >= threshold)
-      .select(col("id_b").as("id")).distinct()
+    ids.join(asg, "id")
+  }
+
+  private def keepVerdict(withC: DataFrame, dropped: DataFrame): DataFrame =
     withC.join(dropped.withColumn("__dup", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cluster"),
         not(coalesce(col("__dup"), lit(false))).as("keep"))
-  }
 }

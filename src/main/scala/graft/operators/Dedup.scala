@@ -497,6 +497,44 @@ object Dedup {
         col("span.e").as("span_end"))
   }
 
+  /** Materialize the cleaned corpus from [[repeatedSubstringSpans]]:
+    * cut every repeated span out of each document and rebuild the text
+    * in place — the apply step of the suffix-array dedup recipe (the
+    * spans operator is the detector; a real pipeline ships the cleaned
+    * text). Emits one row per input document: (id, text, n_removed
+    * tokens).
+    *
+    * Contract: spans index the `\s+` tokenization, so the rebuilt text
+    * is the kept tokens joined by single spaces (inter-token
+    * whitespace normalizes — inherent to token-span surgery; the
+    * paragraph-level pass [[dedupParagraphs]] is the byte-preserving
+    * complement). Case is preserved: lowercasing affects gram
+    * MATCHING only, never token boundaries, so detector positions
+    * apply directly to the original tokens.
+    *
+    * 100 TB shape: the detector's discipline unchanged (gram hashes +
+    * int positions shuffle, text never does) plus ONE left join of the
+    * boilerplate-sized span list back to the corpus — AQE broadcasts
+    * it, and a doc_id-bucketed corpus makes it exchange-free (the
+    * docprep pattern). */
+  def removeRepeatedSubstrings(df: DataFrame, idCol: String, textCol: String,
+      gramLen: Int, minDocs: Int): DataFrame = {
+    val spans = repeatedSubstringSpans(df, idCol, textCol, gramLen, minDocs)
+      .groupBy("id")
+      .agg(collect_list(struct(col("span_start").as("s"),
+          col("span_end").as("e"))).as("__spans"),
+        sum(col("span_end") - col("span_start")).cast("long").as("__cut"))
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol).as("id"), col(textCol))
+      .join(spans, Seq("id"), "left")
+      .select(col("id"),
+        concat_ws(" ", filter(toks, (t, i) =>
+          not(coalesce(exists(col("__spans"),
+            sp => i >= sp.getField("s") && i < sp.getField("e")),
+            lit(false))))).as(textCol),
+        coalesce(col("__cut"), lit(0L)).as("n_removed"))
+  }
+
   /** Paragraph-level exact dedup (the MassiveText/Gopher recipe's
     * "remove repeated paragraphs" pass): a paragraph is CUT when its
     * exact text occurs in ≥ `minDocs` distinct documents; surviving

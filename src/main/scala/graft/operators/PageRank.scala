@@ -35,9 +35,17 @@ object PageRank {
 
   /** Fixed-point PageRank after `iterations` power steps. Input edges
     * are deduplicated (a link graph, not a multigraph). Returns
-    * (node, rank) with rank in parts-per-`scale`. */
+    * (node, rank) with rank in parts-per-`scale`.
+    *
+    * `checkpointEvery` > 0 cuts lineage with a `localCheckpoint` every
+    * that many steps — the [[Dedup]] connected-components discipline
+    * for deep iteration counts, where an uncut plan tree grows one
+    * join+agg layer per step and eventually dominates planning time.
+    * Checkpointing does not change the fixed-point arithmetic, so
+    * ranks are bit-identical with it on or off. */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, scale: Long = 1000000000000L): DataFrame = {
+      iterations: Int, scale: Long = 1000000000000L,
+      checkpointEvery: Int = 0): DataFrame = {
     require(iterations >= 1 && iterations <= 100, "1..100 iterations")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
@@ -48,7 +56,7 @@ object PageRank {
     val ed = e.join(deg, "src")
     var r = nodes.crossJoin(nF)
       .select(col("node"), expr(s"${scale}L div __n").as("r"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = ed.join(r, ed("src") === r("node"))
         .select(col("dst").as("node"), expr("r div outdeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("c"))
@@ -56,6 +64,8 @@ object PageRank {
         .select(col("node"),
           (expr(s"(15L * ${scale}L) div (100L * __n)") +
             expr("(85L * coalesce(c, 0L)) div 100L")).as("r"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
+        r = r.localCheckpoint()
     }
     r.select(col("node"), col("r").as("rank"))
   }

@@ -148,6 +148,67 @@ object TextQueries {
       |FROM isl GROUP BY doc_id, island
       |ORDER BY doc_id, span_start""".stripMargin
 
+  /** The APPLY step of substring dedup ([[Dedup.removeRepeatedSubstrings]]):
+    * the [[qDedupSubstring]] plant, but shipping the cleaned corpus —
+    * planted spans cut, every other token byte-identical (case
+    * preserved, whitespace normalized to the token joiner). The oracle
+    * rebuilds each document independently and compares the md5 of the
+    * full cleaned text, so the cut positions AND the surviving bytes
+    * both hash. */
+  val qDedupSubstringApply: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val boilerA =
+      "this license text is shared boilerplate across many documents verbatim"
+    val boilerB = "generated by the export tool version seven"
+    val t1 = when(col("doc_id") % 5 === 0,
+      concat(lit(boilerA + " "), col("text"))).otherwise(col("text"))
+    val t2 = when(col("doc_id") % 7 === 0,
+      concat(t1, lit(" " + boilerB))).otherwise(t1)
+    val aug = d.select(col("doc_id"), t2.as("t"))
+    Dedup.removeRepeatedSubstrings(aug, "doc_id", "t", gramLen = 5, minDocs = 10)
+      .select(col("id").as("doc_id"), col("n_removed"),
+        md5(col("t")).as("digest"),
+        size(split(col("t"), "\\s+")).cast("long").as("n_tokens_after"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupSubstringApplySql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+      |      THEN t1 || ' generated by the export tool version seven'
+      |      ELSE t1 END AS t
+      |  FROM (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+      |      THEN 'this license text is shared boilerplate across many documents verbatim ' || text
+      |      ELSE text END AS t1
+      |    FROM documents)),
+      |tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(t)), '\s+') AS toks
+      |  FROM aug),
+      |grams AS (
+      |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+4], ' ') AS g
+      |  FROM tk, unnest(range(1, len(toks) - 3)) AS u(i)),
+      |rep AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 10),
+      |hits AS (SELECT DISTINCT doc_id, pos FROM grams JOIN rep USING (g)),
+      |cut AS (SELECT DISTINCT h.doc_id, u.p
+      |  FROM hits h, unnest(range(h.pos, h.pos + 5)) AS u(p)),
+      |otk AS (SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS toks
+      |  FROM aug),
+      |pos AS (SELECT doc_id, i - 1 AS p, toks[i] AS tok
+      |  FROM otk, unnest(range(1, len(toks) + 1)) AS u(i)),
+      |keep AS (SELECT pos.doc_id, pos.p, pos.tok
+      |  FROM pos LEFT JOIN cut ON pos.doc_id = cut.doc_id AND pos.p = cut.p
+      |  WHERE cut.p IS NULL),
+      |re AS (SELECT doc_id, coalesce(string_agg(tok, ' ' ORDER BY p), '') AS clean,
+      |    cast(count(*) as bigint) AS n_after
+      |  FROM keep GROUP BY 1),
+      |nr AS (SELECT doc_id, cast(count(*) as bigint) AS n_removed
+      |  FROM cut GROUP BY 1)
+      |SELECT a.doc_id, coalesce(nr.n_removed, 0) AS n_removed,
+      |  md5(coalesce(re.clean, '')) AS digest,
+      |  coalesce(re.n_after, 0) AS n_tokens_after
+      |FROM aug a LEFT JOIN re ON a.doc_id = re.doc_id
+      |LEFT JOIN nr ON a.doc_id = nr.doc_id
+      |ORDER BY a.doc_id""".stripMargin
+
   /** Paragraph-level exact dedup (Dedup.dedupParagraphs — the
     * MassiveText "repeated paragraph" pass): two boilerplate
     * paragraphs planted into 25% / 16% of documents must come out
@@ -1007,6 +1068,7 @@ object TextQueries {
     "dedup_minhash_lsh" -> qDedupMinhash,
     "dedup_decision" -> qDedupDecision,
     "dedup_substring" -> qDedupSubstring,
+    "dedup_substring_apply" -> qDedupSubstringApply,
     "dedup_paragraph" -> qDedupParagraph,
     "text_heavy_hitters" -> qTextHeavyHitters,
     "text_rarity" -> qTextRarity,
@@ -1036,6 +1098,7 @@ object TextQueries {
     "dedup_minhash_lsh" -> qDedupMinhashSql,
     "dedup_decision" -> qDedupDecisionSql,
     "dedup_substring" -> qDedupSubstringSql,
+    "dedup_substring_apply" -> qDedupSubstringApplySql,
     "dedup_paragraph" -> qDedupParagraphSql,
     "text_heavy_hitters" -> qTextHeavyHittersSql,
     "text_rarity" -> qTextRaritySql,

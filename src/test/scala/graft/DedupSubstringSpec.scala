@@ -56,4 +56,22 @@ class DedupSubstringSpec extends SparkSpec {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, ""), (4L, "a b"))
     assert(spans(docs, gramLen = 3, minDocs = 2).isEmpty)
   }
+
+  test("removeRepeatedSubstrings cuts the spans and preserves the rest, case intact") {
+    // shared 3-gram across 3 docs; surrounding tokens unique per doc.
+    // Mixed case in the UNIQUE part must survive byte-identical
+    // (matching is lowercased, surgery is not).
+    val docs = Seq(
+      (1L, "Keep1 shared run here Tail1"),
+      (2L, "Keep2 shared run here Tail2"),
+      (3L, "Keep3 shared run here Tail3"),
+      (4L, "solo document without repeats"))
+    val got = Dedup.removeRepeatedSubstrings(
+        docs.toDF("doc_id", "text"), "doc_id", "text", gramLen = 3, minDocs = 3)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, "Keep1 Tail1", 3L)))
+    assert(got(1) === ((2L, "Keep2 Tail2", 3L)))
+    assert(got(2) === ((3L, "Keep3 Tail3", 3L)))
+    assert(got(3) === ((4L, "solo document without repeats", 0L)))
+  }
 }

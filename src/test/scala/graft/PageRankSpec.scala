@@ -17,6 +17,16 @@ class PageRankSpec extends SparkSpec {
       "c" -> 191666666666L))
   }
 
+  test("checkpointed deep iteration is bit-identical to the uncut plan") {
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")).toDF("src", "dst")
+    val plain = PageRank.ranks(e, "src", "dst", iterations = 9)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val cut = PageRank.ranks(e, "src", "dst", iterations = 9,
+        checkpointEvery = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(cut === plain)
+  }
+
   test("duplicate edges collapse and rank mass flows to the sink hub") {
     // every node links to hub (some edges repeated); hub links back to a
     val e = Seq(("a", "hub"), ("a", "hub"), ("b", "hub"), ("c", "hub"),

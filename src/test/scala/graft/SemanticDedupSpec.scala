@@ -22,6 +22,27 @@ class SemanticDedupSpec extends SparkSpec {
     assert(got(4L) === ((0L, false))) // exact-direction dup of id 0
   }
 
+  test("semanticDedupBanded matches the exact within-cluster operator") {
+    // 40 deterministic 8-dim vectors + a scaled copy of every 4th
+    // (cosine exactly 1 to its original) — the banded scale path must
+    // produce the identical verdict frame as the exact quadratic.
+    val base = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => (((i * 97 + d * 13) % 101) - 50).toFloat / 25f))
+    }
+    val planted = base.filter(_._1 % 4 == 0)
+      .map { case (i, v) => (i + 1000L, v.map(_ * 2f)) }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val exact = Ann.semanticDedup(corpus, "vec_id", "embedding", 4, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val banded = Ann.semanticDedupBanded(corpus, "vec_id", "embedding", 4, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(banded === exact)
+    // every planted copy drops (naturals may too if genuinely near-dup;
+    // both paths must agree on those, which the frame equality pins)
+    val droppedIds = exact.collect { case (id, _, false) => id }
+    assert(planted.map(_._1).toSet.subsetOf(droppedIds))
+  }
+
   test("semanticDedup: the drop rule is 'any earlier item', ids beyond seeds keep clusters") {
     // three collinear vectors in one cluster: 2 and 3 both drop against 0
     val vecs = Seq(
