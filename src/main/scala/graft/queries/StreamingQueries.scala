@@ -218,6 +218,45 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** Streaming per-key top-k leaderboard ([[Stateful.topKPerKey]]):
+    * k-bounded sorted collections as custom flatMapGroupsWithState
+    * state. Keeping the k best is mergeable, so the final snapshot
+    * per key (max monotone `seen`) equals the batch top-k row for
+    * row — one oracle serves both engines and both execution modes. */
+  val qStreamTopK: Q = (spark, dir) => {
+    import graft.streaming.Stateful
+    val spark2 = spark
+    import spark2.implicits._
+    val keyed = eventsStream(spark, dir)
+      .select((col("user_id") % 50).cast("long").as("key"),
+        col("event_id").cast("long").as("id"),
+        col("value").cast("double").as("score"))
+      .as[Stateful.KeyedScored]
+    val name = s"graft_stream_state_${runId.incrementAndGet()}"
+    withStatePartitions(spark, 8) {
+      val q = Stateful.topKPerKey(keyed, 5).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .groupBy("key")
+      .agg(max(struct(col("seen"), col("ids"), col("scores"))).as("s"))
+      .select(col("key"), posexplode(arrays_zip(col("s.ids"), col("s.scores"))))
+      .select(col("key"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.ids").as("event_id"), col("col.scores").as("value"))
+      .orderBy("key", "rank")
+  }
+
+  val qStreamTopKSql: String =
+    """WITH r AS (
+      |  SELECT user_id % 50 AS key, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id % 50
+      |      ORDER BY value DESC, event_id) AS rank
+      |  FROM events)
+      |SELECT key, cast(rank as bigint) AS rank, event_id, value
+      |FROM r WHERE rank <= 5 ORDER BY key, rank""".stripMargin
+
   /** Stream-STATIC spatial join: streaming event points against the
     * static supplier-cell layer through the SAME bucket-explode +
     * st_contains-refine plan as the batch spatial join (a broadcast
@@ -438,6 +477,7 @@ object StreamingQueries {
     "stream_dedup" -> qStreamDedup,
     "stream_geo_pip" -> qStreamGeoPip,
     "stream_running_stats" -> qStreamRunningStats,
+    "stream_topk" -> qStreamTopK,
     "stream_sessions" -> qStreamSessions,
     "stream_interval" -> qStreamIntervalWindows,
     "stream_join_pairs" -> qStreamStreamJoin,
@@ -448,6 +488,7 @@ object StreamingQueries {
     "stream_dedup" -> qStreamDedupSql,
     "stream_geo_pip" -> GeoQueries.qPipJoinSql,
     "stream_running_stats" -> qStreamRunningStatsSql,
+    "stream_topk" -> qStreamTopKSql,
     "stream_sessions" -> RelationalQueries.qSessionsSql,
     "stream_interval" -> RelationalQueries.qIntervalWindowsSql,
     "stream_join_pairs" -> qStreamStreamJoinSql,

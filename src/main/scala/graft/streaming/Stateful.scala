@@ -14,6 +14,40 @@ object Stateful {
   case class KeyedValue(key: Long, value: Double)
   case class RunningStats(key: Long, n: Long, total: Double, max: Double)
 
+  case class KeyedScored(key: Long, id: Long, score: Double)
+  case class TopSnapshot(key: Long, seen: Long, ids: Seq[Long],
+    scores: Seq[Double])
+
+  /** Per-key BOUNDED top-k as custom stream state — the state shape the
+    * engine's built-ins don't offer (grouped aggregates keep scalars,
+    * windows keep time buckets; a leaderboard keeps a k-bounded sorted
+    * collection). Keeping the k best is mergeable, so folding each
+    * micro-batch into the bounded state is order-insensitive across
+    * batch boundaries: the final snapshot equals the batch top-k.
+    * State is O(k) per key — no timeout needed, nothing grows with the
+    * stream. Emits the running snapshot after every touched batch
+    * (Append-compatible); `seen` is monotone, so "the row with max
+    * seen per key" is the final leaderboard. Ties break on the smaller
+    * id — the [[graft.expressions.TopKByScore]] contract, making the
+    * streaming and batch rankings bit-identical. */
+  def topKPerKey(events: Dataset[KeyedScored], k: Int): Dataset[TopSnapshot] = {
+    require(k >= 1 && k <= 1024, s"k=$k")
+    implicit val snapEnc = Encoders.product[TopSnapshot]
+    events.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[KeyedScored], state: GroupState[TopSnapshot]) => {
+          val prev = state.getOption.getOrElse(TopSnapshot(key, 0L, Nil, Nil))
+          val fresh = rows.map(r => (r.score, r.id)).toSeq
+          val top = (prev.scores.zip(prev.ids) ++ fresh)
+            .sortBy { case (s, i) => (-s, i) }.take(k)
+          val next = TopSnapshot(key, prev.seen + fresh.size,
+            top.map(_._2), top.map(_._1))
+          state.update(next)
+          Iterator.single(next)
+        })
+  }
+
   /** Per-key cumulative (count, sum, max) emitted after every
     * micro-batch that touches the key. Append-mode compatible. */
   def runningStats(events: Dataset[KeyedValue]): Dataset[RunningStats] = {
