@@ -174,6 +174,69 @@ object GridOps {
           (col("__vyp") - col("__vym")) / 2.0).as("div"))
   }
 
+  /** Bilinear regridding onto a finer/coarser RECTILINEAR index grid —
+    * the interpolating remap that complements the conservative overlay
+    * regrid (delphine/regrid.py's integral-preserving path preserves
+    * mass; bilinear preserves smooth fields — the two standard WRF
+    * post-processing remaps). Target cell (ty, tx) samples source
+    * index space at (ty·ry, tx·rx) and blends the 4 bracketing cells
+    * with the usual tensor-product weights.
+    *
+    * Exactness contract: choose ry/rx and `wScale` so every weight
+    * times wScale is an exact integer (e.g. r = 0.5 → quarters,
+    * wScale = 4); values enter as `dec`-decimal fixed-point longs, so
+    * the blend is an integer dot product and ONE final division —
+    * order-independent, hash-exact (the [[graft.util.Exact]]
+    * discipline). Targets whose in-range corners are incomplete in a
+    * sparse source (weight mass < wScale) emit no row, the NaN of the
+    * dense-array formulation.
+    *
+    * 100 TB shape: the target frame is generated (no scan), corners
+    * explode 4-way map-side, then ONE equi-join on the (y, x) cell key
+    * against the source and one map-side-combined groupBy(ty, tx) —
+    * compact int/long rows in both shuffles; at cluster scale
+    * co-partition source and corners on the cell key (the bucketed
+    * docprep pattern) and neither side re-shuffles. */
+  def regridBilinear(src: DataFrame, yCol: String, xCol: String,
+      varCol: String, ry: Double, rx: Double, nTy: Int, nTx: Int,
+      dec: Int, wScale: Int): DataFrame = {
+    val spark = src.sparkSession
+    val unit = math.pow(10, dec)
+    def w(e: Column): Column = {
+      val scaled = e * wScale
+      scaled.cast("long")
+    }
+    val tgt = spark.range(nTy.toLong * nTx)
+      .select((col("id") / nTx).cast("int").as("ty"),
+        (col("id") % nTx).cast("int").as("tx"))
+      .withColumn("sy", col("ty") * ry)
+      .withColumn("sx", col("tx") * rx)
+      .withColumn("y0", floor(col("sy")).cast("int"))
+      .withColumn("x0", floor(col("sx")).cast("int"))
+      .withColumn("fy", col("sy") - col("y0"))
+      .withColumn("fx", col("sx") - col("x0"))
+    val corners = tgt.select(col("ty"), col("tx"), explode(array(
+        struct(col("y0").as("y"), col("x0").as("x"),
+          w((lit(1.0) - col("fy")) * (lit(1.0) - col("fx"))).as("w")),
+        struct(col("y0").as("y"), (col("x0") + 1).as("x"),
+          w((lit(1.0) - col("fy")) * col("fx")).as("w")),
+        struct((col("y0") + 1).as("y"), col("x0").as("x"),
+          w(col("fy") * (lit(1.0) - col("fx"))).as("w")),
+        struct((col("y0") + 1).as("y"), (col("x0") + 1).as("x"),
+          w(col("fy") * col("fx")).as("w")))).as("c"))
+      .select(col("ty"), col("tx"), col("c.y").as("y"), col("c.x").as("x"),
+        col("c.w").as("w"))
+      .filter(col("w") > 0)
+    corners
+      .join(src.select(col(yCol).as("y"), col(xCol).as("x"),
+        round(col(varCol) * unit).cast("long").as("__v")), Seq("y", "x"))
+      .groupBy("ty", "tx")
+      .agg(sum(col("w") * col("__v")).as("__s"), sum(col("w")).as("__wsum"))
+      .filter(col("__wsum") === wScale)
+      .select(col("ty"), col("tx"),
+        (col("__s").cast("double") / (unit * wScale)).as(varCol))
+  }
+
   /** Departure from the per-cell period mean: one unbounded window per
     * (y, x) computes the climatology with the same fixed-point-exact
     * accumulation as [[resampleTime]]; the anomaly is a single IEEE

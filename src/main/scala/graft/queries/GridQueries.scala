@@ -423,6 +423,44 @@ object GridQueries {
       |SELECT day, y, xs AS x, (u + un)/2 AS u
       |FROM d WHERE xn = xs + 1 ORDER BY day, y, x""".stripMargin
 
+  /** Bilinear regrid (GridOps.regridBilinear): the interpolating remap
+    * onto a 2×-finer index grid (r = 0.5 → quarter weights, wScale 4).
+    * Values blend as fixed-point integer dot products with one final
+    * division — hash-exact; incomplete-corner targets emit no row. */
+  val qGridRegridBilinear: Q = (spark, dir) => {
+    import graft.grid.GridOps
+    val g = Tables(spark, dir, "events")
+      .groupBy((col("event_id") % 20).as("y"), (col("user_id") % 30).as("x"))
+      .agg(min(col("value")).as("v"))
+    GridOps.regridBilinear(g, "y", "x", "v", ry = 0.5, rx = 0.5,
+        nTy = 39, nTx = 59, dec = 2, wScale = 4)
+      .orderBy("ty", "tx")
+  }
+
+  val qGridRegridBilinearSql: String =
+    """WITH g AS (
+      |  SELECT event_id%20 AS y, user_id%30 AS x, min(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT cast(idx // 59 as int) AS ty, cast(idx % 59 as int) AS tx
+      |  FROM range(0, 2301) r(idx)),
+      |c1 AS (SELECT ty, tx,
+      |    cast(floor(ty*0.5) as int) AS y0, cast(floor(tx*0.5) as int) AS x0,
+      |    ty*0.5 - floor(ty*0.5) AS fy, tx*0.5 - floor(tx*0.5) AS fx
+      |  FROM t),
+      |corners AS (
+      |  SELECT ty, tx, y0 AS y, x0 AS x,
+      |    cast((1-fy)*(1-fx)*4 as bigint) AS w FROM c1
+      |  UNION ALL SELECT ty, tx, y0, x0+1, cast((1-fy)*fx*4 as bigint) FROM c1
+      |  UNION ALL SELECT ty, tx, y0+1, x0, cast(fy*(1-fx)*4 as bigint) FROM c1
+      |  UNION ALL SELECT ty, tx, y0+1, x0+1, cast(fy*fx*4 as bigint) FROM c1),
+      |j AS (SELECT ty, tx, w, cast(round(v*100) as bigint) AS v100
+      |  FROM corners JOIN g USING (y, x) WHERE w > 0),
+      |s AS (SELECT ty, tx, cast(sum(w*v100) as bigint) AS sv,
+      |    cast(sum(w) as bigint) AS wsum
+      |  FROM j GROUP BY 1, 2)
+      |SELECT ty, tx, sv / 400.0 AS v FROM s WHERE wsum = 4
+      |ORDER BY ty, tx""".stripMargin
+
   /** Wind diagnostics (GridOps.windDiagnostics): speed + centered-
     * difference relative vorticity and divergence over a destaggered
     * (day, y, x) U/V panel — the wrf-python `avo`-family step after
@@ -594,6 +632,7 @@ object GridQueries {
     "grid_smooth" -> qGridSmooth,
     "grid_destagger" -> qGridDestagger,
     "grid_wind" -> qGridWind,
+    "grid_regrid_bilinear" -> qGridRegridBilinear,
     "grid_interp_levels" -> qGridInterpLevels,
     "grid_resample" -> qGridResample,
     "grid_netcdf_roundtrip" -> qNetcdfRoundtrip,
@@ -611,6 +650,7 @@ object GridQueries {
     "grid_smooth" -> qGridSmoothSql,
     "grid_destagger" -> qGridDestaggerSql,
     "grid_wind" -> qGridWindSql,
+    "grid_regrid_bilinear" -> qGridRegridBilinearSql,
     "grid_interp_levels" -> qGridInterpLevelsSql,
     "grid_resample" -> qGridResampleSql,
     "grid_netcdf_roundtrip" -> qNetcdfRoundtripSql,

@@ -107,6 +107,28 @@ class GridOpsSpec extends SparkSpec {
     assert(GridOps.windDiagnostics(df, "t", "y", "x", "u", "v").count() === 0)
   }
 
+  test("regridBilinear blends the 4 corners with exact tensor weights") {
+    // 2x2 source, v = (1,2,3,4); 2x-finer target: midpoints blend
+    val src = Seq((0, 0, 1.0), (0, 1, 2.0), (1, 0, 3.0), (1, 1, 4.0))
+      .toDF("y", "x", "v")
+    val got = GridOps.regridBilinear(src, "y", "x", "v", 0.5, 0.5,
+        nTy = 3, nTx = 3, dec = 2, wScale = 4)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(got.size === 9)
+    assert(got((0, 0)) === 1.0 && got((2, 2)) === 4.0)  // on-node copies
+    assert(got((0, 1)) === 1.5 && got((1, 0)) === 2.0)  // edge midpoints
+    assert(got((1, 1)) === 2.5)                          // center: mean of 4
+  }
+
+  test("regridBilinear drops targets with incomplete corner mass") {
+    // missing source cell (1,1): every target needing it emits no row
+    val src = Seq((0, 0, 1.0), (0, 1, 2.0), (1, 0, 3.0)).toDF("y", "x", "v")
+    val got = GridOps.regridBilinear(src, "y", "x", "v", 0.5, 0.5,
+        nTy = 3, nTx = 3, dec = 2, wScale = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got === Set((0, 0), (0, 1), (0, 2), (1, 0), (2, 0)))
+  }
+
   test("anomaly is the departure from the per-cell period mean") {
     val cfg = GridConfig("x", "y", "lon", "lat", "ts", "v")
     val df = Seq((0, 0, 1.0), (0, 0, 3.0), (1, 0, 7.0))
