@@ -237,6 +237,54 @@ object GridOps {
         (col("__s").cast("double") / (unit * wScale)).as(varCol))
   }
 
+  /** Nearest-neighbor regridding onto a RECTILINEAR index grid — the
+    * third standard remap (conservative preserves mass, bilinear
+    * preserves smooth fields, nearest preserves CATEGORICAL fields:
+    * land-use class, dominant soil type — values that must never
+    * blend). Target (ty, tx) copies the source cell nearest to
+    * (ty·ry, tx·rx); values pass through untouched, so exactness is
+    * free. Ties round half-up via `floor(s + 0.5)` — spelled the same
+    * way in the oracle, sidestepping round-half-even divergence.
+    *
+    * 100 TB shape: generated target frame, ONE equi-join on the
+    * (y, x) cell key — no explode, no groupBy; targets mapping to a
+    * missing source cell emit no row. */
+  def regridNearest(src: DataFrame, yCol: String, xCol: String,
+      varCol: String, ry: Double, rx: Double, nTy: Int,
+      nTx: Int): DataFrame = {
+    val spark = src.sparkSession
+    val tgt = spark.range(nTy.toLong * nTx)
+      .select((col("id") / nTx).cast("int").as("ty"),
+        (col("id") % nTx).cast("int").as("tx"))
+      .withColumn("y", floor(col("ty") * ry + 0.5).cast("int"))
+      .withColumn("x", floor(col("tx") * rx + 0.5).cast("int"))
+    tgt.join(src.select(col(yCol).as("y"), col(xCol).as("x"),
+        col(varCol)), Seq("y", "x"))
+      .select(col("ty"), col("tx"), col(varCol))
+  }
+
+  /** Block-mean coarsening by an integer factor along both index dims
+    * (xarray's `coarsen(y=k, x=k).mean()` — the downsample every
+    * high-resolution model run gets before archiving). Each coarse
+    * cell (y/k, x/k) averages the k×k block with the fixed-point
+    * order-independent accumulation of [[graft.util.Exact]]; `n`
+    * carries the real block population so partial edge blocks (and
+    * sparse grids) divide by what is actually present.
+    *
+    * 100 TB shape: ONE map-side-combined groupBy on the coarse key —
+    * the k²-fold reduction happens in the combiner, so the shuffle
+    * carries the COARSE grid, not the fine one. */
+  def coarsen(df: DataFrame, keys: Seq[String], yCol: String,
+      xCol: String, varCol: String, k: Int, dec: Int): DataFrame = {
+    require(k >= 1, s"coarsen factor must be >= 1, got $k")
+    val groups = keys.map(col) ++ Seq(
+      floor(col(yCol) / k).cast("int").as(yCol),
+      floor(col(xCol) / k).cast("int").as(xCol))
+    df.groupBy(groups: _*)
+      .agg(graft.util.Exact.fixedAvg(col(varCol), dec).as(varCol),
+        count(lit(1)).as("n"))
+  }
+
   /** Departure from the per-cell period mean: one unbounded window per
     * (y, x) computes the climatology with the same fixed-point-exact
     * accumulation as [[resampleTime]]; the anomaly is a single IEEE

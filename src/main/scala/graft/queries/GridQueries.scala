@@ -461,6 +461,54 @@ object GridQueries {
       |SELECT ty, tx, sv / 400.0 AS v FROM s WHERE wsum = 4
       |ORDER BY ty, tx""".stripMargin
 
+  /** Nearest-neighbor regrid (GridOps.regridNearest): the categorical
+    * remap — each target cell copies the nearest source value
+    * untouched (exactness free). r = 0.4 exercises non-trivial
+    * rounding; half-up ties spelled floor(s + 0.5) on both engines. */
+  val qGridRegridNearest: Q = (spark, dir) => {
+    import graft.grid.GridOps
+    val g = Tables(spark, dir, "events")
+      .groupBy((col("event_id") % 20).as("y"), (col("user_id") % 30).as("x"))
+      .agg(min(col("value")).as("v"))
+    GridOps.regridNearest(g, "y", "x", "v", ry = 0.4, rx = 0.4,
+        nTy = 48, nTx = 73)
+      .orderBy("ty", "tx")
+  }
+
+  val qGridRegridNearestSql: String =
+    """WITH g AS (
+      |  SELECT event_id%20 AS y, user_id%30 AS x, min(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT cast(idx // 73 as int) AS ty, cast(idx % 73 as int) AS tx
+      |  FROM range(0, 3504) r(idx)),
+      |n AS (SELECT ty, tx,
+      |    cast(floor(ty*0.4 + 0.5) as int) AS y,
+      |    cast(floor(tx*0.4 + 0.5) as int) AS x
+      |  FROM t)
+      |SELECT ty, tx, v FROM n JOIN g USING (y, x) ORDER BY ty, tx""".stripMargin
+
+  /** Block-mean coarsening (GridOps.coarsen): xarray's
+    * `coarsen(y=3, x=3).mean()` — the archive downsample. Fixed-point
+    * exact mean; `n` carries real block population so partial edge
+    * blocks divide by what is present. */
+  val qGridCoarsen: Q = (spark, dir) => {
+    import graft.grid.GridOps
+    val g = Tables(spark, dir, "events")
+      .groupBy((col("event_id") % 20).as("y"), (col("user_id") % 30).as("x"))
+      .agg(min(col("value")).as("v"))
+    GridOps.coarsen(g, Seq.empty, "y", "x", "v", k = 3, dec = 2)
+      .orderBy("y", "x")
+  }
+
+  val qGridCoarsenSql: String =
+    """WITH g AS (
+      |  SELECT event_id%20 AS y, user_id%30 AS x, min(value) AS v
+      |  FROM events GROUP BY 1, 2)
+      |SELECT cast(floor(y/3) as int) AS y, cast(floor(x/3) as int) AS x,
+      |  sum(cast(round(v*100) as bigint)) / (count(*) * 100.0) AS v,
+      |  count(*) AS n
+      |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Wind diagnostics (GridOps.windDiagnostics): speed + centered-
     * difference relative vorticity and divergence over a destaggered
     * (day, y, x) U/V panel — the wrf-python `avo`-family step after
@@ -633,6 +681,8 @@ object GridQueries {
     "grid_destagger" -> qGridDestagger,
     "grid_wind" -> qGridWind,
     "grid_regrid_bilinear" -> qGridRegridBilinear,
+    "grid_regrid_nearest" -> qGridRegridNearest,
+    "grid_coarsen" -> qGridCoarsen,
     "grid_interp_levels" -> qGridInterpLevels,
     "grid_resample" -> qGridResample,
     "grid_netcdf_roundtrip" -> qNetcdfRoundtrip,
@@ -651,6 +701,8 @@ object GridQueries {
     "grid_destagger" -> qGridDestaggerSql,
     "grid_wind" -> qGridWindSql,
     "grid_regrid_bilinear" -> qGridRegridBilinearSql,
+    "grid_regrid_nearest" -> qGridRegridNearestSql,
+    "grid_coarsen" -> qGridCoarsenSql,
     "grid_interp_levels" -> qGridInterpLevelsSql,
     "grid_resample" -> qGridResampleSql,
     "grid_netcdf_roundtrip" -> qNetcdfRoundtripSql,

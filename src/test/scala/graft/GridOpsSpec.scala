@@ -129,6 +129,40 @@ class GridOpsSpec extends SparkSpec {
     assert(got === Set((0, 0), (0, 1), (0, 2), (1, 0), (2, 0)))
   }
 
+  test("regridNearest copies the nearest source value, half rounds up") {
+    // r = 0.5: target 1 samples s = 0.5 -> rounds UP to source 1
+    val src = Seq((0, 0, 10.0), (0, 1, 20.0), (1, 0, 30.0), (1, 1, 40.0))
+      .toDF("y", "x", "v")
+    val got = GridOps.regridNearest(src, "y", "x", "v", 0.5, 0.5,
+        nTy = 3, nTx = 3)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(got.size === 9)
+    assert(got((0, 0)) === 10.0 && got((2, 2)) === 40.0)
+    assert(got((1, 1)) === 40.0)  // (0.5, 0.5) rounds up to (1, 1)
+    assert(got((0, 1)) === 20.0 && got((1, 0)) === 30.0)
+  }
+
+  test("regridNearest drops targets mapping to missing source cells") {
+    val src = Seq((0, 0, 10.0)).toDF("y", "x", "v")
+    val got = GridOps.regridNearest(src, "y", "x", "v", 0.5, 0.5,
+        nTy = 3, nTx = 3).collect()
+    assert(got.map(r => (r.getInt(0), r.getInt(1))).toSet === Set((0, 0)))
+  }
+
+  test("coarsen block-means with real edge-block population") {
+    // 3x3 grid, k=2: blocks (0,0) 2x2, (0,1) 2x1, (1,0) 1x2, (1,1) 1x1
+    val src = (for (y <- 0 to 2; x <- 0 to 2)
+      yield (y, x, (y * 3 + x).toDouble)).toDF("y", "x", "v")
+    val got = GridOps.coarsen(src, Seq.empty, "y", "x", "v", k = 2, dec = 0)
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got((0, 0)) === ((2.0, 4L)))   // mean(0,1,3,4)
+    assert(got((0, 1)) === ((3.5, 2L)))   // mean(2,5)
+    assert(got((1, 0)) === ((6.5, 2L)))   // mean(6,7)
+    assert(got((1, 1)) === ((8.0, 1L)))
+  }
+
   test("anomaly is the departure from the per-cell period mean") {
     val cfg = GridConfig("x", "y", "lon", "lat", "ts", "v")
     val df = Seq((0, 0, 1.0), (0, 0, 3.0), (1, 0, 7.0))
