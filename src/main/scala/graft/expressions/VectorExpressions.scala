@@ -269,3 +269,176 @@ case class CentroidCells(children: Seq[Expression],
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(children = c)
   override def prettyName: String = "centroid_cells"
 }
+
+/** pq_codes(vec) — product-quantization encode: the vector is split
+  * into `books.length` equal subspaces; each subspace emits the index
+  * of its nearest codebook entry by squared L2 distance (sequential
+  * left-to-right double accumulation of squared diffs after exact
+  * float→double widening — the order the DuckDB oracle replays with
+  * `list_sum(list_transform(...))`; ties → smaller code). One tight
+  * pass per row over the M×K×subdim model; output is M small ints —
+  * the 1-byte-per-subspace compressed form a 100 TB vector store
+  * persists in place of 4-byte floats. */
+case class PqCodes(children: Seq[Expression],
+    books: Array[Array[Array[Float]]])
+  extends Expression with CodegenFallback {
+
+  require(books.nonEmpty && books.forall(_.nonEmpty), "empty PQ codebook")
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    children.head.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${t.simpleString}")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = children(0).eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    val m = books.length
+    val sub = books(0)(0).length
+    if (a.numElements() != m * sub) return null // dim bug → NULL, like VecDot
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val off = s * sub
+      val book = books(s)
+      var best = -1
+      var bd = Double.PositiveInfinity
+      var j = 0
+      while (j < book.length) {
+        val c = book(j)
+        var acc = 0.0
+        var d = 0
+        while (d < sub) {
+          val diff = a.getFloat(off + d).toDouble - c(d).toDouble
+          acc += diff * diff
+          d += 1
+        }
+        if (acc < bd) { bd = acc; best = j } // strict < keeps smaller j on ties
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(children = c)
+  override def prettyName: String = "pq_codes"
+}
+
+/** pq_dist_table(vec) — the query-side half of asymmetric-distance
+  * (ADC) search: per subspace, the squared L2 distance from the
+  * query's subvector to EVERY codebook entry (same arithmetic as
+  * [[PqCodes]]), as array<array<double>>. Computed once per query row
+  * and broadcast; corpus rows then score against codes alone via
+  * [[PqAdc]] — the compressed-domain scan that never touches corpus
+  * vectors. */
+case class PqDistTable(children: Seq[Expression],
+    books: Array[Array[Array[Float]]])
+  extends Expression with CodegenFallback {
+
+  require(books.nonEmpty && books.forall(_.nonEmpty), "empty PQ codebook")
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    children.head.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${t.simpleString}")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = children(0).eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    val m = books.length
+    val sub = books(0)(0).length
+    if (a.numElements() != m * sub) return null
+    val rows = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val off = s * sub
+      val book = books(s)
+      val ds = new Array[Any](book.length)
+      var j = 0
+      while (j < book.length) {
+        val c = book(j)
+        var acc = 0.0
+        var d = 0
+        while (d < sub) {
+          val diff = a.getFloat(off + d).toDouble - c(d).toDouble
+          acc += diff * diff
+          d += 1
+        }
+        ds(j) = acc
+        j += 1
+      }
+      rows(s) = new org.apache.spark.sql.catalyst.util.GenericArrayData(ds)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(children = c)
+  override def prettyName: String = "pq_dist_table"
+}
+
+/** pq_adc(dist_table, codes) — gather-and-sum: Σ over subspaces of
+  * `dist_table(m)(codes(m))`, accumulated left-to-right (the order the
+  * oracle's `list_sum(list(d ORDER BY m))` replays). The whole ADC
+  * score is M array lookups and M adds per corpus row. */
+case class PqAdc(children: Seq[Expression])
+  extends Expression with CodegenFallback {
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (children(0).dataType, children(1).dataType) match {
+      case (ArrayType(ArrayType(DoubleType, _), _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<array<double>>, array<int>), got " +
+            s"${a.simpleString}, ${b.simpleString}")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val vt = children(0).eval(input)
+    val vc = children(1).eval(input)
+    if (vt == null || vc == null) return null
+    val dt = vt.asInstanceOf[ArrayData]
+    val codes = vc.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (dt.numElements() != m) return null
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val row = dt.getArray(s)
+      val c = codes.getInt(s)
+      if (c < 0 || c >= row.numElements()) return null
+      acc += row.getDouble(c)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(children = c)
+  override def prettyName: String = "pq_adc"
+}

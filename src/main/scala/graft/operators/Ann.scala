@@ -210,6 +210,64 @@ object Ann {
     rankTopK(scored, k)
   }
 
+  /** Product-quantization codebook: for each of `m` equal subspaces,
+    * the sub-vectors of the `k` smallest-id corpus rows. Seeded (not
+    * Lloyd-refined) so the oracle can replay training end-to-end —
+    * Lloyd-refined books plug into the same encode/search plans
+    * exactly as [[ivfTopK]]'s fixed-point iterations would (the model
+    * is a driver-sized Array either way). */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int): Array[Array[Array[Float]]] = {
+    val seeds = corpus.filter(col(idCol).cast("long") < k)
+      .orderBy(col(idCol))
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(seeds.length == k, s"PQ codebook needs $k seed rows, got ${seeds.length}")
+    val dim = seeds(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m)(s => seeds.map(_.slice(s * sub, s * sub + sub)))
+  }
+
+  /** PQ encode: (id, codes array<int>, one per subspace) — 1 small int
+    * per subspace instead of `sub` floats. Pure map-side pass; the
+    * codebook rides the closure (broadcast-sized). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Float]]]): DataFrame =
+    corpus.select(col(idCol).cast("long").as("id"),
+      Bridge.column(graft.expressions.PqCodes(
+        Seq(Bridge.expression(col(vecCol))), books)).as("codes"))
+
+  /** ADC (asymmetric-distance) top-k over PQ codes: queries carry a
+    * per-subspace distance table to every codebook entry; corpus rows
+    * are scored from their CODES alone — M lookups + M adds per row,
+    * never touching corpus vectors. The scan reads the compressed
+    * corpus (codes), the broadcast carries queries × M × K doubles,
+    * and the bounded-heap top-k keeps ≤ k rows per task — the
+    * compressed-domain brute-force that makes 100 TB of embeddings
+    * scannable at 1/64th the bytes. Approximation error is the PQ
+    * reconstruction error; exactness of the REPORTED distances (vs the
+    * codes) is bit-for-bit oracle-checked. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, books: Array[Array[Array[Float]]]): DataFrame = {
+    val codes = pqEncode(corpus, idCol, vecCol, books)
+      .select(col("id").as("neighbor_id"), col("codes"))
+    val q = broadcast(queries.select(col(idCol).cast("long").as("query_id"),
+      Bridge.column(graft.expressions.PqDistTable(
+        Seq(Bridge.expression(col(vecCol))), books)).as("dt")))
+    val scored = codes.join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Bridge.column(graft.expressions.PqAdc(Seq(
+          Bridge.expression(col("dt")),
+          Bridge.expression(col("codes"))))).as("adc_dist"))
+    scored.groupBy("query_id")
+      .agg(topK(negate(col("adc_dist")), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.neighbor_id").as("neighbor_id"),
+        negate(col("col.cos_sim")).as("adc_dist"))
+  }
+
   /** Semantic dedup — the SemDeDup recipe's cluster-then-refine shape:
     * assign every vector to its nearest of `numSeeds` DETERMINISTIC
     * seed centroids (the vectors with the smallest ids — seeded

@@ -313,7 +313,87 @@ object AnnQueries {
       |    as bigint) AS err_micro
       |FROM c ORDER BY vec_id, dim""".stripMargin
 
+  /** Product-quantization codes — the compression step beyond SQ8
+    * ([[qEmbedSqCodes]]): 64 floats → 4 codebook indices (one per
+    * 16-dim subspace, 16-entry seeded codebooks). Encode is one
+    * map-side compiled pass; the oracle replays codebook construction
+    * AND the argmin (sequential squared-diff accumulation, ties to the
+    * smaller code) end-to-end in SQL. */
+  val qEmbedPqCodes: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings")
+    val books = Ann.pqCodebook(e, "vec_id", "embedding", m = 4, k = 16)
+    Ann.pqEncode(e, "vec_id", "embedding", books)
+      .select(col("id").as("vec_id"), posexplode(col("codes")))
+      .select(col("vec_id"), col("pos").cast("long").as("sub"),
+        col("col").cast("long").as("code"))
+      .orderBy("vec_id", "sub")
+  }
+
+  val qEmbedPqCodesSql: String =
+    """WITH cb AS (SELECT vec_id AS j, embedding AS cv FROM embeddings
+      |  WHERE vec_id < 16),
+      |sub AS (SELECT unnest(range(0, 4)) AS m),
+      |d AS (
+      |  SELECT e.vec_id, sub.m, cb.j,
+      |    list_sum(list_transform(range(1, 17), i ->
+      |      (cast(e.embedding[sub.m*16 + i] as double) -
+      |       cast(cb.cv[sub.m*16 + i] as double)) *
+      |      (cast(e.embedding[sub.m*16 + i] as double) -
+      |       cast(cb.cv[sub.m*16 + i] as double)))) AS dist
+      |  FROM embeddings e, sub, cb),
+      |r AS (SELECT vec_id, m, j,
+      |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+      |  FROM d)
+      |SELECT vec_id, m AS sub, j AS code FROM r WHERE rn = 1
+      |ORDER BY vec_id, sub""".stripMargin
+
+  /** ADC top-5 over PQ codes for queries vec_id < 3 — the
+    * compressed-domain scan: corpus rows are scored from 4 codes via
+    * table lookups, never touching corpus vectors. Reported distances
+    * are bit-exact functions of (codes, query dist table), so the
+    * oracle replays encode + table + gather-sum and the full ranking
+    * hashes. */
+  val qAnnPq: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings")
+    val books = Ann.pqCodebook(e, "vec_id", "embedding", m = 4, k = 16)
+    Ann.pqTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding", 5, books)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("adc_dist"), 6).as("adc_dist"))
+      .orderBy("query_id", "rank")
+  }
+
+  val qAnnPqSql: String =
+    """WITH cb AS (SELECT vec_id AS j, embedding AS cv FROM embeddings
+      |  WHERE vec_id < 16),
+      |sub AS (SELECT unnest(range(0, 4)) AS m),
+      |d AS (
+      |  SELECT e.vec_id, sub.m, cb.j,
+      |    list_sum(list_transform(range(1, 17), i ->
+      |      (cast(e.embedding[sub.m*16 + i] as double) -
+      |       cast(cb.cv[sub.m*16 + i] as double)) *
+      |      (cast(e.embedding[sub.m*16 + i] as double) -
+      |       cast(cb.cv[sub.m*16 + i] as double)))) AS dist
+      |  FROM embeddings e, sub, cb),
+      |codes AS (SELECT vec_id, m, j AS code FROM (
+      |    SELECT vec_id, m, j,
+      |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+      |    FROM d) WHERE rn = 1),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_sum(list(q.dist ORDER BY q.m)) AS dist
+      |  FROM d q JOIN codes c ON q.m = c.m AND q.j = c.code
+      |  WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id
+      |  GROUP BY 1, 2),
+      |ranked AS (SELECT query_id, neighbor_id, dist,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY dist, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, round(dist, 6) AS adc_dist
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "embed_pq_codes" -> qEmbedPqCodes,
+    "ann_pq_topk" -> qAnnPq,
     "embed_sq_codes" -> qEmbedSqCodes,
     "embed_centroids" -> qEmbedCentroids,
     "embed_norms" -> qEmbedNorms,
@@ -325,6 +405,8 @@ object AnnQueries {
     "dedup_semantic" -> qDedupSemantic)
 
   val oracles: Map[String, String] = Map(
+    "embed_pq_codes" -> qEmbedPqCodesSql,
+    "ann_pq_topk" -> qAnnPqSql,
     "ann_recall" -> qAnnRecallSql,
     "embed_sq_codes" -> qEmbedSqCodesSql,
     "embed_centroids" -> qEmbedCentroidsSql,

@@ -870,7 +870,158 @@ object RelationalQueries {
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TPC-H Q4 shape: order-priority checking — a SEMI join from orders
+    * to "any late lineitem" (ship date after order date stands in for
+    * commit<receipt, absent in this schema), then a priority histogram.
+    * The semi join keeps the probe side row-at-most-once with no
+    * dedup pass, and the date window reaches the orders scan as a
+    * pushed filter. */
+  val q4PriorityCheck: Q = (spark, dir) => {
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val li = Tables(spark, dir, "lineitem")
+    ord.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q12 shape: shipping-mode priority split — fact⋈dimension
+    * join with a DUAL conditional aggregate (urgent vs other order
+    * priorities) per mode (`l_returnflag` stands in for the absent
+    * `l_shipmode`). One shuffle: the join's; the two counts ride the
+    * same map-side partial agg. */
+  val q12ShipModes: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val ord = Tables(spark, dir, "orders")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag").as("shipmode"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("shipmode")
+  }
+
+  val q12Sql: String =
+    """SELECT l_returnflag AS shipmode,
+      |  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END) as bigint) AS high_line_count,
+      |  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 0 ELSE 1 END) as bigint) AS low_line_count
+      |FROM lineitem, orders
+      |WHERE l_orderkey = o_orderkey
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q15 shape: top supplier — a per-supplier revenue view, the
+    * decorrelated scalar MAX broadcast back, and the equality filter
+    * that keeps every tied winner. Revenue accumulates in integer
+    * units (decimal(38,0)) so the max-equality is exact on both
+    * engines. */
+  val q15TopSupplier: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val rev = li.groupBy(col("l_suppkey"))
+      .agg(sum((round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100) - round(col("l_discount") * 100).cast("long")))
+        .cast("decimal(38,0)")).as("rev_units"))
+    val top = rev.agg(max("rev_units").as("max_units"))
+    val sup = Tables(spark, dir, "supplier")
+    rev.join(broadcast(top), col("rev_units") === col("max_units"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_units").cast("double") / lit(10000.0)).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey, sum(cast(round(l_extendedprice*100) as bigint) *
+      |    (100 - cast(round(l_discount*100) as bigint))) AS rev_units
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, rev_units::DOUBLE / 10000.0 AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_units = (SELECT max(rev_units) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q21 shape: suppliers who kept orders waiting — the
+    * hardest TPC-H correlation (EXISTS another supplier in the order,
+    * NOT EXISTS another LATE supplier), decorrelated into ONE
+    * per-order aggregate: count distinct suppliers and distinct late
+    * suppliers, keep multi-supplier orders whose only late supplier
+    * is this one. The oracle states the same query with the classic
+    * correlated EXISTS / NOT EXISTS pair, proving the decorrelation.
+    * "Late" = shipped after the order date (commit/receipt dates are
+    * absent in this schema).
+    *
+    * 100 TB shape: no correlated per-row subqueries — one join, one
+    * grouped agg on the order key, one join-back; all three shuffles
+    * share the order-key partitioning and AQE coalesces them. */
+  val q21WaitingSupplier: Q = (spark, dir) => {
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+    val li = Tables(spark, dir, "lineitem")
+    val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val perOrder = j.groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct(col("l_suppkey")).as("nsupp"),
+        countDistinct(when(col("l_shipdate") > col("o_orderdate"),
+          col("l_suppkey"))).as("nlate"))
+      .filter(col("nsupp") >= 2 && col("nlate") === 1)
+    val late = j.filter(col("l_shipdate") > col("o_orderdate"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val sup = Tables(spark, dir, "supplier")
+    late.join(perOrder, col("l_orderkey") === col("ok"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val q21Sql: String =
+    """WITH late AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey
+      |  FROM lineitem, orders
+      |  WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F'
+      |    AND l_shipdate > o_orderdate)
+      |SELECT s_name, count(*) AS numwait
+      |FROM late l1, supplier
+      |WHERE s_suppkey = l1.l_suppkey
+      |  AND EXISTS (SELECT 1 FROM lineitem l2, orders
+      |    WHERE o_orderkey = l2.l_orderkey AND o_orderstatus = 'F'
+      |      AND l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q4_priority_check" -> q4PriorityCheck,
+    "q12_ship_modes" -> q12ShipModes,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q21_waiting_supplier" -> q21WaitingSupplier,
     "q6_forecast_revenue" -> q6ForecastRevenue,
     "q13_order_counts" -> q13OrderCounts,
     "q14_promo_share" -> q14PromoShare,
@@ -906,6 +1057,10 @@ object RelationalQueries {
     "a4_weighted_mean" -> qWeightedMean)
 
   val oracles: Map[String, String] = Map(
+    "q4_priority_check" -> q4Sql,
+    "q12_ship_modes" -> q12Sql,
+    "q15_top_supplier" -> q15Sql,
+    "q21_waiting_supplier" -> q21Sql,
     "q6_forecast_revenue" -> q6Sql,
     "q13_order_counts" -> q13Sql,
     "q14_promo_share" -> q14Sql,

@@ -42,11 +42,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // text_bm25 / graph_domain_rank cross their single-row totals frame
     // (T/N/df, node count) into compact aggregates — 1 row by
     // construction; dedup_semantic broadcasts its numSeeds (=8) seed
-    // vectors for the assignment argmax — driver-bounded by contract
+    // vectors for the assignment argmax — driver-bounded by contract;
+    // ann_pq_topk scans corpus CODES against the broadcast 3-row query
+    // dist-table side (the ADC compressed-domain scan — same contract
+    // as ann_bruteforce_topk at 1/64th the scan bytes)
     val allowed = Set("ann_bruteforce_topk", "ann_recall", "geo_heat_island",
       "geo_regrid_conservation", "grid_interp_levels", "q22_global_sales",
       "sample_domain_mix", "corpus_mix", "text_tfidf",
-      "text_bm25", "graph_domain_rank", "dedup_semantic")
+      "text_bm25", "graph_domain_rank", "dedup_semantic", "ann_pq_topk")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(n) => n
     }
