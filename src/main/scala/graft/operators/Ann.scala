@@ -268,6 +268,28 @@ object Ann {
         negate(col("col.cos_sim")).as("adc_dist"))
   }
 
+  /** Exact squared-L2 top-k — the ground truth PQ/ADC recall is
+    * measured against (PQ approximates L2, not cosine). Same broadcast
+    * + bounded-heap skeleton as [[bruteForceTopK]]; the distance is
+    * `‖q‖² + ‖c‖² − 2·q·c` from the sequential compiled kernels, so a
+    * SQL oracle replays it bit-for-bit with three `list_sum`s. */
+  def l2TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qvec")))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("cvec"))
+    def ssq(v: Column) = Bridge.column(
+      graft.expressions.VecSumSq(Seq(Bridge.expression(v))))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        negate((ssq(col("qvec")) + ssq(col("cvec"))) -
+          lit(2.0) * dot(col("qvec"), col("cvec"))).as("cos_sim"))
+    rankTopK(scored, k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        negate(col("cos_sim")).as("l2_dist"))
+  }
+
   /** Semantic dedup — the SemDeDup recipe's cluster-then-refine shape:
     * assign every vector to its nearest of `numSeeds` DETERMINISTIC
     * seed centroids (the vectors with the smallest ids — seeded

@@ -391,9 +391,84 @@ object AnnQueries {
       |SELECT query_id, rank, neighbor_id, round(dist, 6) AS adc_dist
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** PQ recall@10 as a CHECKED invariant (the [[qAnnRecall]] pattern
+    * applied to the compressed-domain scan): per query, how many of
+    * the ADC top-10 are in the EXACT squared-L2 top-10 — PQ
+    * approximates L2, so L2 (not cosine) is the ground truth. The
+    * oracle replays BOTH rankings end-to-end in SQL (codebook → codes
+    * → ADC scores → rank, and the three-`list_sum` exact distance →
+    * rank), so the recall numbers are pinned by construction at any
+    * scale factor, not hand-pinned. */
+  val qAnnPqRecall: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val k = 10
+    val books = Ann.pqCodebook(e, "vec_id", "embedding", m = 4, k = 16)
+    val exact = Ann.l2TopK(e, q, "vec_id", "embedding", k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Ann.pqTopK(e, q, "vec_id", "embedding", k, books)
+      .select(col("query_id"), col("neighbor_id"))
+    q.select(col("vec_id").cast("long").as("query_id"))
+      .join(approx.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("pq_hits")),
+        Seq("query_id"), "left")
+      .na.fill(0L, Seq("pq_hits"))
+      .orderBy("query_id")
+  }
+
+  val qAnnPqRecallSql: String =
+    """WITH cb AS (SELECT vec_id AS j, embedding AS cv FROM embeddings
+      |  WHERE vec_id < 16),
+      |sub AS (SELECT unnest(range(0, 4)) AS m),
+      |d AS (
+      |  SELECT e.vec_id, sub.m, cb.j,
+      |    list_sum(list_transform(range(1, 17), i ->
+      |      (cast(e.embedding[sub.m*16 + i] as double) -
+      |       cast(cb.cv[sub.m*16 + i] as double)) *
+      |      (cast(e.embedding[sub.m*16 + i] as double) -
+      |       cast(cb.cv[sub.m*16 + i] as double)))) AS dist
+      |  FROM embeddings e, sub, cb),
+      |codes AS (SELECT vec_id, m, j AS code FROM (
+      |    SELECT vec_id, m, j,
+      |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+      |    FROM d) WHERE rn = 1),
+      |adc AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_sum(list(q.dist ORDER BY q.m)) AS dist
+      |  FROM d q JOIN codes c ON q.m = c.m AND q.j = c.code
+      |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+      |  GROUP BY 1, 2),
+      |approx AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+      |    FROM adc) WHERE rank <= 10),
+      |ex AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    (list_sum(list_transform(range(1, 65), i ->
+      |        cast(q.embedding[i] as double) * cast(q.embedding[i] as double))) +
+      |     list_sum(list_transform(range(1, 65), i ->
+      |        cast(c.embedding[i] as double) * cast(c.embedding[i] as double)))) -
+      |    2 * list_sum(list_transform(range(1, 65), i ->
+      |        cast(q.embedding[i] as double) * cast(c.embedding[i] as double)))
+      |      AS l2
+      |  FROM embeddings q, embeddings c
+      |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+      |exact AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY l2, neighbor_id) AS rank
+      |    FROM ex) WHERE rank <= 10),
+      |h AS (SELECT a.query_id, count(*) AS c
+      |  FROM approx a JOIN exact x ON a.query_id = x.query_id
+      |    AND a.neighbor_id = x.neighbor_id
+      |  GROUP BY 1)
+      |SELECT e.vec_id AS query_id, cast(coalesce(h.c, 0) as bigint) AS pq_hits
+      |FROM embeddings e LEFT JOIN h ON e.vec_id = h.query_id
+      |WHERE e.vec_id < 20 ORDER BY query_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "embed_pq_codes" -> qEmbedPqCodes,
     "ann_pq_topk" -> qAnnPq,
+    "ann_pq_recall" -> qAnnPqRecall,
     "embed_sq_codes" -> qEmbedSqCodes,
     "embed_centroids" -> qEmbedCentroids,
     "embed_norms" -> qEmbedNorms,
@@ -407,6 +482,7 @@ object AnnQueries {
   val oracles: Map[String, String] = Map(
     "embed_pq_codes" -> qEmbedPqCodesSql,
     "ann_pq_topk" -> qAnnPqSql,
+    "ann_pq_recall" -> qAnnPqRecallSql,
     "ann_recall" -> qAnnRecallSql,
     "embed_sq_codes" -> qEmbedSqCodesSql,
     "embed_centroids" -> qEmbedCentroidsSql,

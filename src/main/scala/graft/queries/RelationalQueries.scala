@@ -1017,7 +1017,185 @@ object RelationalQueries {
       |      AND l3.l_suppkey <> l1.l_suppkey)
       |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
+  /** TPC-H Q9 shape: product-type profit by nation and year — the
+    * widest dimensional join in the suite (lineitem ⋈ part ⋈ supplier
+    * ⋈ nation), every dimension broadcast so the fact table moves
+    * exactly once (the final groupBy shuffle). This schema has no
+    * partsupp, so supply cost is defined as 60% of `p_retailprice`;
+    * profit accumulates in 10^-4-of-a-unit integer cells
+    * (`decimal(38,0)`) so the per-(nation,year) sums are exact on both
+    * engines, narrowed to money by ONE final division. */
+  val q9ProfitByNation: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    val part = Tables(spark, dir, "part")
+      .filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sup = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val revUnits = round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100) - round(col("l_discount") * 100).cast("long"))
+    val costUnits = round(col("p_retailprice") * 100).cast("long") *
+      lit(60L) * round(col("l_quantity")).cast("long")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).as("o_year"))
+      .agg(sum((revUnits - costUnits).cast("decimal(38,0)"))
+        .cast("long").as("profit_units"))
+      .select(col("nation"), col("o_year"),
+        (col("profit_units").cast("double") / lit(10000.0)).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9Sql: String =
+    """SELECT n_name AS nation, year(l_shipdate) AS o_year,
+      |  cast(sum(cast(round(l_extendedprice*100) as bigint) *
+      |        (100 - cast(round(l_discount*100) as bigint)) -
+      |      cast(round(p_retailprice*100) as bigint) * 60 *
+      |        cast(round(l_quantity) as bigint)) as bigint)::DOUBLE
+      |    / 10000.0 AS profit
+      |FROM lineitem, part, supplier, nation
+      |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+      |  AND s_nationkey = n_nationkey AND p_name LIKE '%widget%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q11 shape: important stock — per-part inventory value for
+    * one nation's suppliers, kept only where the part's value exceeds
+    * 1/1000 of the nation's total (the classic decorrelated
+    * HAVING-vs-global-scalar). No partsupp here, so value =
+    * `l_quantity × p_retailprice` over shipped lines. The comparison
+    * is cross-multiplied in integers (`1000·part > total`) — no
+    * fraction ever computed, so the threshold is exact. The 1-row
+    * total rides a broadcast nested-loop join, the same contract as
+    * `q22_global_sales`. */
+  val q11ImportantValue: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    val part = Tables(spark, dir, "part")
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sup = Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")
+        .filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val valUnits = round(col("p_retailprice") * 100).cast("long") *
+      round(col("l_quantity")).cast("long")
+    val perPart = li
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(valUnits.cast("decimal(38,0)")).cast("long").as("value_units"))
+    val total = perPart.agg(sum(col("value_units").cast("decimal(38,0)"))
+      .cast("long").as("total_units"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_units") * 1000 > col("total_units"))
+      .select(col("partkey"), col("value_units"))
+      .orderBy(col("value_units").desc, col("partkey"))
+  }
+
+  val q11Sql: String =
+    """WITH pp AS (
+      |  SELECT l_partkey AS partkey,
+      |    cast(sum(cast(round(p_retailprice*100) as bigint) *
+      |      cast(round(l_quantity) as bigint)) as bigint) AS value_units
+      |  FROM lineitem, part, supplier, nation
+      |  WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+      |    AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+      |  GROUP BY 1)
+      |SELECT partkey, value_units FROM pp
+      |WHERE value_units * 1000 > (SELECT cast(sum(value_units) as bigint)
+      |  FROM pp)
+      |ORDER BY value_units DESC, partkey""".stripMargin
+
+  /** TPC-H Q16 shape: parts/supplier relationship — how many DISTINCT
+    * suppliers ship each (brand, type, size) bucket, with an
+    * anti-join exclusion list (low-balance suppliers stand in for the
+    * complaints subquery; this schema has no partsupp, so the
+    * relationship comes from shipped lineitems). The distinct
+    * (part, supplier) pair set is reduced BEFORE the dimension join:
+    * one pair-dedup shuffle, then broadcast part attributes, then the
+    * count-distinct agg. */
+  val q16PartSuppliers: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    val excl = Tables(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 3000).select(col("s_suppkey"))
+    val part = Tables(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#13" && col("p_size") <= 25)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val pairs = li.select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+    pairs.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) li, part
+      |WHERE l_partkey = p_partkey
+      |  AND p_brand <> 'Brand#13' AND p_size <= 25
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |    WHERE s_acctbal < 3000)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q20 shape: potential part promotion — suppliers who moved
+    * MORE THAN HALF of some small part's 1996 volume. The correlated
+    * "my quantity > 0.5 × part total" is decorrelated into one
+    * per-(supplier, part) agg, re-aggregated per part, joined back,
+    * and cross-multiplied in integers (`2·mine > total`); the
+    * surviving supplier set semi-joins to the supplier dimension.
+    * Both aggs share the part-key shuffle; AQE reuses the exchange. */
+  val q20PromoSuppliers: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val part = Tables(spark, dir, "part")
+      .filter(col("p_name").startsWith("small"))
+      .select(col("p_partkey"))
+    val qtyInt = round(col("l_quantity")).cast("long")
+    val perSupPart = li
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(qtyInt).as("sup_qty"))
+    val perPart = perSupPart.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("sup_qty")).as("part_qty"))
+    val winners = perSupPart
+      .join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("sup_qty") * 2 > col("part_qty"))
+      .select(col("l_suppkey")).distinct()
+    Tables(spark, dir, "supplier")
+      .join(winners, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  val q20Sql: String =
+    """WITH sp AS (
+      |  SELECT l_suppkey, l_partkey,
+      |    cast(sum(cast(round(l_quantity) as bigint)) as bigint) AS sup_qty
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey AND p_name LIKE 'small%'
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY 1, 2)
+      |SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM sp
+      |  WHERE sup_qty * 2 > (SELECT cast(sum(sup_qty) as bigint) FROM sp s2
+      |    WHERE s2.l_partkey = sp.l_partkey))
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q9_profit_nation" -> q9ProfitByNation,
+    "q11_important_value" -> q11ImportantValue,
+    "q16_part_suppliers" -> q16PartSuppliers,
+    "q20_promo_suppliers" -> q20PromoSuppliers,
     "q4_priority_check" -> q4PriorityCheck,
     "q12_ship_modes" -> q12ShipModes,
     "q15_top_supplier" -> q15TopSupplier,
@@ -1057,6 +1235,10 @@ object RelationalQueries {
     "a4_weighted_mean" -> qWeightedMean)
 
   val oracles: Map[String, String] = Map(
+    "q9_profit_nation" -> q9Sql,
+    "q11_important_value" -> q11Sql,
+    "q16_part_suppliers" -> q16Sql,
+    "q20_promo_suppliers" -> q20Sql,
     "q4_priority_check" -> q4Sql,
     "q12_ship_modes" -> q12Sql,
     "q15_top_supplier" -> q15Sql,

@@ -49,7 +49,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val allowed = Set("ann_bruteforce_topk", "ann_recall", "geo_heat_island",
       "geo_regrid_conservation", "grid_interp_levels", "q22_global_sales",
       "sample_domain_mix", "corpus_mix", "text_tfidf",
-      "text_bm25", "graph_domain_rank", "dedup_semantic", "ann_pq_topk")
+      "text_bm25", "graph_domain_rank", "dedup_semantic", "ann_pq_topk",
+      "ann_pq_recall", // broadcast 20-query exact + ADC sides, as ann_recall
+      "q11_important_value") // q11: 1-row national-total frame, as q22
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(n) => n
     }

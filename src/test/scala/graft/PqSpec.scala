@@ -46,6 +46,17 @@ class PqSpec extends SparkSpec {
       (3L, 1, 1L, 2.0), (3L, 2, 0L, 200.0), (3L, 3, 2L, 202.0)))
   }
 
+  test("exact L2 top-k ranks by squared distance, ascending") {
+    val got = Ann.l2TopK(corpus, corpus.filter(col("vec_id") === 3),
+        "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // query [0,0,0,0]: id1 ‖·‖²=2, id2 ≈163.62 (0.9f widens inexactly),
+    // id0 200 — sequential ssq accumulation replayed on the same floats
+    val p = 0.9f.toDouble * 0.9f.toDouble
+    val id2 = ((p + p) + 81.0) + 81.0
+    assert(got.toSeq === Seq((1, 1L, 2.0), (2, 2L, id2), (3, 0L, 200.0)))
+  }
+
   test("equal codes give equal ADC distance; ties rank the smaller id first") {
     val dup = corpus.union(Seq((4L, Array(1.1f, 1.1f, 0.4f, 0.4f)))
       .toDF("vec_id", "embedding")) // encodes to (1, 1), same as id 1
