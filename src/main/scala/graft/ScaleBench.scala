@@ -493,6 +493,37 @@ object ScaleBench {
     assert(rankStats._2 == 750000L, s"classifier kept: ${rankStats._2}")
     assert(rankStats._3 == "hub", s"pagerank winner: ${rankStats._3}")
 
+    // --- stage 18b: triangle counting under TOTAL hub skew — a 100k
+    // wheel (100k-degree hub + 100k-node rim ring: every rim edge
+    // closes a triangle through the hub) plus 1000 disjoint planted
+    // triangles. Degree orientation points every spoke INTO the hub,
+    // so the hub generates ZERO wedges and the 100k wheel triangles
+    // are all discovered from degree-3 rim vertices. Counts are exact
+    // planted arithmetic: hub 100000, each rim node 2, each planted
+    // node 1.
+    val (triStats, tTri) = timed {
+      import graft.operators.Triangles
+      val rim = 100000L
+      val star = spark.range(rim).select(lit("hub").as("src"),
+        concat(lit("h"), col("id").cast("string")).as("dst"))
+      val ring = spark.range(rim).select(
+        concat(lit("h"), col("id").cast("string")).as("src"),
+        concat(lit("h"), ((col("id") + 1) % rim).cast("string")).as("dst"))
+      def planted(x: String, y: String) = spark.range(1000L).select(
+        concat(lit(x), col("id").cast("string")).as("src"),
+        concat(lit(y), col("id").cast("string")).as("dst"))
+      val edges = star.union(ring).union(planted("ta", "tb"))
+        .union(planted("tb", "tc")).union(planted("ta", "tc"))
+      val counts = Triangles.perNodeCounts(edges, "src", "dst").persist()
+      val nodes = counts.count()
+      val total = counts.agg(sum("triangles")).head().getLong(0)
+      val hub = counts.filter(col("node") === "hub").head().getLong(1)
+      counts.unpersist()
+      (nodes, total, hub)
+    }
+    assert(triStats == ((103001L, 303000L, 100000L)),
+      s"expected exact wheel+planted triangle counts: $triStats")
+
     // --- stage 19: banded semantic dedup over 1M isotropic 64-dim
     // vectors + 10k planted same-direction copies (cosine exactly 1).
     // Assignment is the broadcast-64-seed argmax; candidates come from
@@ -518,6 +549,45 @@ object ScaleBench {
     assert(semStats == ((10000L, 1010000L)),
       s"expected exactly the 10k planted copies dropped: $semStats")
 
+    // --- stage 20: product-quantization compressed-domain ANN over the
+    // 1M clustered corpus (the stage-6 data shape). The 256-entry
+    // seeded codebook covers every cluster center, so encode must
+    // recover cluster identity — all 4 sub-codes equal the cluster id
+    // — for essentially every row (the planted-arithmetic check), and
+    // the ADC top-10 scan must stay inside the query's cluster. The
+    // scan side reads 4 ints per row instead of 64 floats — the
+    // 1/64th-bytes path a 100 TB vector store runs.
+    val (pqStats, tPq) = timed {
+      val dim = 64
+      val cid = col("id") % 256
+      val vec = array((0 until dim).map { d =>
+        ((hash(cid, lit(d)).cast("double") / 2147483647.0) +
+          (hash(col("id"), lit(d + 1000)).cast("double") / 2147483647.0) * 0.1)
+          .cast("float")
+      }: _*)
+      val corpus = spark.range(n.toLong * n)
+        .select(col("id"), vec.as("embedding")).persist()
+      val books = graft.operators.Ann.pqCodebook(
+        corpus, "id", "embedding", m = 4, k = 256)
+      val codes = graft.operators.Ann.pqEncode(corpus, "id", "embedding", books)
+      val codeHits = codes.filter(
+        col("codes") === array(Seq.fill(4)(pmod(col("id"), lit(256))
+          .cast("int")): _*)).count()
+      val queries = corpus.filter(col("id") % 100000 === 7)
+      val top = graft.operators.Ann.pqTopK(corpus, queries, "id",
+        "embedding", 10, books)
+        .select(col("query_id"), col("neighbor_id")).persist()
+      val topRows = top.count()
+      val inCluster = top.filter(
+        col("neighbor_id") % 256 === col("query_id") % 256).count()
+      corpus.unpersist(); top.unpersist()
+      (codeHits, topRows, inCluster)
+    }
+    assert(pqStats._1 >= 999000L,
+      s"PQ codes should recover cluster ids: ${pqStats._1}/1000000")
+    assert(pqStats._2 == 100L && pqStats._3 == pqStats._2,
+      s"ADC top-10 should stay in-cluster: $pqStats")
+
     println(
       s"""{"metric":"reference_scale","overlay_sec":$tOverlay,""" +
         s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
@@ -539,8 +609,10 @@ object ScaleBench {
         s""""gridops_1m_sec":$tGridOps,""" +
         s""""rank_1m_sec":$tRank,"rank_kept":${rankStats._2},""" +
         s""""rank_nodes":${rankStats._4},""" +
+        s""""triangles_sec":$tTri,"triangles_total":${triStats._2},""" +
         s""""semdedup_1m_sec":$tSem,"semdedup_dropped":${semStats._1},""" +
         s""""rocksdb_soak_sec":$tRocks,"rocksdb_state_rows":$rocksRows,""" +
+        s""""pq_1m_sec":$tPq,"pq_code_hits":${pqStats._1},""" +
         s""""regrid_cells":$regridRows,"voronoi_cells":$vorCells,""" +
         s""""conservation_ratio":$ratio}""")
     spark.stop()

@@ -104,4 +104,31 @@ object Scoring {
       .select(col(idCol), col("score"),
         (col("score") >= threshold).as("keep"))
   }
+
+  /** Robust per-group outlier gate: keep rows within `cutoff` median
+    * absolute deviations of their group's median — the
+    * distribution-free length/score filter a corpus-quality pass runs
+    * per source (mean/stddev gates move with the outliers they should
+    * catch; median/MAD does not).
+    *
+    * Two grouped EXACT `percentile` aggregations (map-side partial:
+    * Spark's Percentile buffers value→count, so memory tracks the
+    * DISTINCT value count — bounded for discrete signals like token
+    * counts; swap in `approx_percentile` for continuous domains) with
+    * the group-sized median frames broadcast back. Both medians
+    * interpolate (a+b)/2 on even counts, the same rule the SQL
+    * engines use, and `(int ± k/2)`-grid arithmetic is exact in
+    * doubles — so keep verdicts hash bit-for-bit. */
+  def robustOutliers(df: DataFrame, groupCol: String, valCol: String,
+      cutoff: Double): DataFrame = {
+    val med = df.groupBy(groupCol)
+      .agg(expr(s"percentile($valCol, 0.5)").as("med"))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__ad", abs(col(valCol) - col("med")))
+    val mad = dev.groupBy(groupCol)
+      .agg(expr("percentile(__ad, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .withColumn("keep_len", col("__ad") <= lit(cutoff) * col("mad"))
+      .drop("__ad")
+  }
 }

@@ -817,6 +817,62 @@ object TextQueries {
       |SELECT node, cast(r as bigint) AS rank FROM r3
       |ORDER BY node""".stripMargin
 
+  /** Per-host triangle counts over a deterministic co-link graph
+    * ([[graft.operators.Triangles]] — degree-ordered orientation, so
+    * wedge fan-out is O(√m)-bounded under hub skew). The mod-ring
+    * construction (`h(doc_id mod 50) → h(7·doc_id mod 50)`) is dense
+    * in triangles; the oracle counts the SAME triangle set by plain
+    * id-ordered triple join — orientation changes the discovery order,
+    * never the set, which is exactly what the hash check pins. */
+  val qGraphTriangles: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val edges = d.select(
+      concat(lit("h"), pmod(col("doc_id"), lit(50)).cast("string")).as("src"),
+      concat(lit("h"), pmod(col("doc_id") * 7, lit(50)).cast("string")).as("dst"))
+    graft.operators.Triangles.perNodeCounts(edges, "src", "dst")
+      .orderBy("node")
+  }
+
+  val qGraphTrianglesSql: String =
+    """WITH raw AS (SELECT 'h' || (doc_id % 50) AS src,
+      |    'h' || ((doc_id * 7) % 50) AS dst FROM documents),
+      |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM raw WHERE src <> dst),
+      |t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+      |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |n AS (SELECT u AS node FROM t UNION ALL SELECT v FROM t
+      |  UNION ALL SELECT w FROM t)
+      |SELECT node, cast(count(*) as bigint) AS triangles
+      |FROM n GROUP BY 1 ORDER BY node""".stripMargin
+
+  /** Robust length-outlier gate ([[graft.operators.Scoring.robustOutliers]]):
+    * per-source median/MAD over whitespace token counts, keep within
+    * 3 MADs. Exact grouped percentiles, median frames broadcast back;
+    * both engines interpolate even-count medians as (a+b)/2, so the
+    * .25-grid arithmetic hashes bit-for-bit. */
+  val qTextOutliers: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val t = d.select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.operators.Scoring.robustOutliers(t, "source", "n_tokens", 3.0)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("med"),
+        col("mad"), col("keep_len"))
+      .orderBy("doc_id")
+  }
+
+  val qTextOutliersSql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint)
+      |      AS n_tokens FROM documents),
+      |med AS (SELECT source, median(n_tokens) AS med FROM t GROUP BY 1),
+      |dev AS (SELECT t.doc_id, t.source, t.n_tokens, med.med,
+      |    abs(t.n_tokens - med.med) AS ad FROM t JOIN med USING (source)),
+      |mad AS (SELECT source, median(ad) AS mad FROM dev GROUP BY 1)
+      |SELECT dev.doc_id, dev.source, dev.n_tokens, dev.med, mad.mad,
+      |  (dev.ad <= 3 * mad.mad) AS keep_len
+      |FROM dev JOIN mad USING (source) ORDER BY doc_id""".stripMargin
+
   /** Language-ID heuristic: predicted language per document. */
   val qTextLangId: Q = (spark, dir) => {
     val d = Tables(spark, dir, "documents")
@@ -1059,6 +1115,8 @@ object TextQueries {
     "text_bm25" -> qBm25,
     "text_classifier" -> qTextClassifier,
     "graph_domain_rank" -> qDomainRank,
+    "graph_triangles" -> qGraphTriangles,
+    "text_outliers" -> qTextOutliers,
     "text_jsonl_roundtrip" -> qJsonlRoundtrip,
     "text_lm_bigram" -> qTextLmBigram,
     "dedup_exact" -> qDedupExact,
@@ -1089,6 +1147,8 @@ object TextQueries {
     "text_bm25" -> qBm25Sql,
     "text_classifier" -> qTextClassifierSql,
     "graph_domain_rank" -> qDomainRankSql,
+    "graph_triangles" -> qGraphTrianglesSql,
+    "text_outliers" -> qTextOutliersSql,
     "text_jsonl_roundtrip" -> qJsonlRoundtripSql,
     "text_lm_bigram" -> qTextLmBigramSql,
     "dedup_exact" -> qDedupExactSql,
