@@ -229,6 +229,42 @@ object Ann {
     Array.tabulate(m)(s => seeds.map(_.slice(s * sub, s * sub + sub)))
   }
 
+  /** Lloyd-refine a seeded PQ codebook: `iters` k-means steps run over
+    * ALL subspaces in ONE corpus scan each — assign sub-codes with the
+    * compiled [[graft.expressions.PqCodes]] kernel, then average each
+    * (subspace, code) cell's members per dimension. Sums accumulate in
+    * fixed-point longs (the [[ivfTopK]] discipline), so the refined
+    * book is bit-deterministic under any shuffle order. Empty cells
+    * keep their previous entry. The m×k×subdim partial-sum frame is
+    * driver-sized (the codebook IS the model), exactly like IVF's
+    * nlist×dims collect. */
+  def pqCodebookLloyd(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int): Array[Array[Array[Float]]] = {
+    var books = pqCodebook(corpus, idCol, vecCol, m, k)
+    val sub = books(0)(0).length
+    val fpScale = 1L << 24
+    for (_ <- 0 until iters) {
+      val parts = corpus.select(
+          Bridge.column(graft.expressions.PqCodes(
+            Seq(Bridge.expression(col(vecCol))), books)).as("codes"),
+          Bridge.column(graft.expressions.FixedPointLongs(
+            Seq(Bridge.expression(col(vecCol))), fpScale)).as("fp"))
+        .select(posexplode(col("codes")).as(Seq("s", "code")), col("fp"))
+        .select(col("s"), col("code"),
+          posexplode(slice(col("fp"), col("s") * sub + 1, lit(sub))))
+        .groupBy("s", "code", "pos")
+        .agg(sum("col").as("t"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      parts.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          (r.getLong(3).toDouble / r.getLong(4) / fpScale).toFloat
+      }
+      books = next
+    }
+    books
+  }
+
   /** PQ encode: (id, codes array<int>, one per subspace) — 1 small int
     * per subspace instead of `sub` floats. Pure map-side pass; the
     * codebook rides the closure (broadcast-sized). */

@@ -109,6 +109,37 @@ object StreamingQueries {
     * and no shuffle: the ideal streaming shape, it scales with input
     * splits alone. Append mode emits each document exactly once.
     * Oracle: the batch formulas over the same table. */
+  private def embeddingsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables(spark, dir, "embeddings").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_embed")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("embeddings.parquet"),
+      java.nio.file.Paths.get(dir, "embeddings.parquet").toAbsolutePath)
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
+  /** Stateless streaming PQ encode — the model-serving shape: the
+    * codebook is trained BATCH-side ([[graft.operators.Ann.pqCodebook]]
+    * on the standing corpus) and rides the stream's task closures
+    * broadcast-style; each arriving vector compresses to its M codes
+    * map-side with no state store, watermark, or shuffle. Same oracle
+    * as the batch `embed_pq_codes` — streaming changes arrival, not
+    * values. */
+  val qStreamPqCodes: Q = (spark, dir) => {
+    val books = graft.operators.Ann.pqCodebook(
+      Tables(spark, dir, "embeddings"), "vec_id", "embedding", m = 4, k = 16)
+    val enc = graft.operators.Ann.pqEncode(
+      embeddingsStream(spark, dir), "vec_id", "embedding", books)
+      .select(col("id").as("vec_id"), posexplode(col("codes")))
+      .select(col("vec_id"), col("pos").cast("long").as("sub"),
+        col("col").cast("long").as("code"))
+    val name = s"graft_stream_pq_${runId.incrementAndGet()}"
+    val q = enc.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("vec_id", "sub")
+  }
+
   val qStreamDocFilter: Q = (spark, dir) => {
     import org.apache.spark.sql.graftbridge.Bridge
     import graft.operators.TextAnalysis
@@ -481,7 +512,8 @@ object StreamingQueries {
     "stream_sessions" -> qStreamSessions,
     "stream_interval" -> qStreamIntervalWindows,
     "stream_join_pairs" -> qStreamStreamJoin,
-    "stream_doc_filter" -> qStreamDocFilter)
+    "stream_doc_filter" -> qStreamDocFilter,
+    "stream_pq_codes" -> qStreamPqCodes)
 
   val oracles: Map[String, String] = Map(
     "stream_events_daily" -> qStreamEventsDailySql,
@@ -492,5 +524,6 @@ object StreamingQueries {
     "stream_sessions" -> RelationalQueries.qSessionsSql,
     "stream_interval" -> RelationalQueries.qIntervalWindowsSql,
     "stream_join_pairs" -> qStreamStreamJoinSql,
-    "stream_doc_filter" -> qStreamDocFilterSql)
+    "stream_doc_filter" -> qStreamDocFilterSql,
+    "stream_pq_codes" -> AnnQueries.qEmbedPqCodesSql)
 }

@@ -46,6 +46,20 @@ class PqSpec extends SparkSpec {
       (3L, 1, 1L, 2.0), (3L, 2, 0L, 200.0), (3L, 3, 2L, 202.0)))
   }
 
+  test("Lloyd refinement converges sub-codebooks to cluster means") {
+    // 1-dim subspaces, k=2: seeds [0],[0.2] mis-split {0, 0.2, 10, 10.2};
+    // two iterations settle on the true cluster means 0.1 and 10.1
+    val pts = Seq((0L, Array(0f, 0f)), (1L, Array(0.2f, 0.2f)),
+      (2L, Array(10f, 10f)), (3L, Array(10.2f, 10.2f)))
+      .toDF("vec_id", "embedding")
+    val books = Ann.pqCodebookLloyd(pts, "vec_id", "embedding",
+      m = 2, k = 2, iters = 2)
+    for (s <- 0 until 2) {
+      assert(math.abs(books(s)(0)(0) - 0.1f) < 1e-5f, books(s)(0).toSeq)
+      assert(math.abs(books(s)(1)(0) - 10.1f) < 1e-5f, books(s)(1).toSeq)
+    }
+  }
+
   test("exact L2 top-k ranks by squared distance, ascending") {
     val got = Ann.l2TopK(corpus, corpus.filter(col("vec_id") === 3),
         "vec_id", "embedding", k = 3)
