@@ -76,4 +76,42 @@ object SpatialJoin {
       .withColumn("__piece", st.intersection(col(leftGeom), col(rightGeom)))
       .withColumn("piece_area", st.area(col("__piece")))
       .withColumnRenamed("__piece", "piece_geom")
+
+  /** Distance join (`ST_DWithin`): every (a, b) point pair within
+    * Euclidean distance `d`, as `(id_a, id_b, dist)`. The left side
+    * explodes to the grid cells its d-radius disc's bounding box
+    * covers; the right side sits in its OWN single cell — so the
+    * candidate generator is one equi-join on cell ids and each
+    * qualifying pair is emitted exactly once (no dedup pass). The
+    * refine compares SQUARED distances (`dx²+dy² ≤ d²` — exact single
+    * IEEE ops), and `dist` is one final sqrt.
+    *
+    * 100 TB shape: shuffle carries (id, x, y, cell) only; per-pair
+    * work is three multiplies. Pick `cellSize` ≈ `d`: the disc bbox
+    * then covers ≤ 9 cells, so the explode fan-out is O(1) per row. */
+  def joinWithinDistance(a: DataFrame, aId: String, aGeom: String,
+      b: DataFrame, bId: String, bGeom: String,
+      d: Double, cellSize: Double): DataFrame = {
+    require(d >= 0, s"d=$d")
+    require(cellSize > 0, s"cellSize=$cellSize")
+    val lhs = a.select(col(aId).as("id_a"),
+        st.stx(col(aGeom)).as("__ax"), st.sty(col(aGeom)).as("__ay"))
+      .withColumn("__cell", explode(flatten(transform(
+        sequence(floor((col("__ax") - d) / cellSize).cast("long"),
+          floor((col("__ax") + d) / cellSize).cast("long")), bx =>
+          transform(
+            sequence(floor((col("__ay") - d) / cellSize).cast("long"),
+              floor((col("__ay") + d) / cellSize).cast("long")), by =>
+            struct(bx.as("bx"), by.as("by")))))))
+    val rhs = b.select(col(bId).as("id_b"),
+        st.stx(col(bGeom)).as("__bx"), st.sty(col(bGeom)).as("__by"))
+      .withColumn("__cell", struct(
+        floor(col("__bx") / cellSize).cast("long").as("bx"),
+        floor(col("__by") / cellSize).cast("long").as("by")))
+    val dx = col("__ax") - col("__bx")
+    val dy = col("__ay") - col("__by")
+    lhs.join(rhs, "__cell")
+      .filter(dx * dx + dy * dy <= lit(d) * lit(d))
+      .select(col("id_a"), col("id_b"), sqrt(dx * dx + dy * dy).as("dist"))
+  }
 }

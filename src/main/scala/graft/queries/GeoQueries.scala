@@ -189,6 +189,29 @@ object GeoQueries {
       |  ON x > x0 AND x < x0 + 5 AND y > y0 AND y < y0 + 4
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Distance self-join (`ST_DWithin`,
+    * [[graft.operators.SpatialJoin.joinWithinDistance]]): all event
+    * pairs within 0.7 units — the bucket-grid candidate join with a
+    * squared-distance refine; the oracle states the naive quadratic
+    * form, proving the bucketed plan emits exactly the same pair set
+    * (each pair once) with identical IEEE distances. */
+  val qGeoDistanceJoin: Q = (spark, dir) => {
+    val pts = eventPoints(spark, dir)
+    SpatialJoin.joinWithinDistance(pts, "event_id", "pt_geom",
+        pts, "event_id", "pt_geom", d = 0.7, cellSize = 0.7)
+      .filter(col("id_a") < col("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val qGeoDistanceJoinSql: String =
+    """WITH pts AS (SELECT event_id,
+      |    (event_id%1000)/20.0 AS x, (event_id%800)/20.0 AS y FROM events)
+      |SELECT a.event_id AS id_a, b.event_id AS id_b,
+      |  sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS dist
+      |FROM pts a JOIN pts b ON a.event_id < b.event_id
+      |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.7*0.7
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** J4+A2+J5: conservative regrid — the reference's flagship pipeline
     * (delphine/regrid.py:206-334, SURVEY §3.3). Supplier "population"
     * cells overlay-intersect the part target lattice; each target gets
@@ -682,6 +705,7 @@ object GeoQueries {
     "geo_bbox_filter" -> qBboxFilter,
     "geo_union_area" -> qUnionArea,
     "geo_pip_join" -> qPipJoin,
+    "geo_distance_join" -> qGeoDistanceJoin,
     "geo_nearest_cell" -> qNearestCell,
     "geo_overlay_regrid" -> qOverlayRegrid,
     "geo_regrid_conservation" -> qRegridConservation)
@@ -703,6 +727,7 @@ object GeoQueries {
     "geo_bbox_filter" -> qBboxFilterSql,
     "geo_union_area" -> qUnionAreaSql,
     "geo_pip_join" -> qPipJoinSql,
+    "geo_distance_join" -> qGeoDistanceJoinSql,
     "geo_nearest_cell" -> qNearestCellSql,
     "geo_overlay_regrid" -> qOverlayRegridSql,
     "geo_regrid_conservation" -> qRegridConservationSql)

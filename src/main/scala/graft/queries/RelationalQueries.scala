@@ -1191,7 +1191,82 @@ object RelationalQueries {
       |    WHERE s2.l_partkey = sp.l_partkey))
       |ORDER BY s_suppkey""".stripMargin
 
+  /** TPC-H Q2 shape: minimum-cost supplier — per-part MIN with an
+    * equality join-back that keeps every tied winner (the correlated
+    * scalar subquery of Q2, decorrelated into one grouped agg; this
+    * schema's cost proxy is the integer-unit sale price). Both aggs
+    * share the part-key shuffle; dimensions broadcast. */
+  val q2MinCost: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_units"))
+    val minP = li.groupBy(col("l_partkey").as("pk"))
+      .agg(min("price_units").as("min_units"))
+    val part = Tables(spark, dir, "part").filter(col("p_size") <= 10)
+      .select(col("p_partkey"), col("p_brand"))
+    val sup = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"))
+    li.join(minP, col("l_partkey") === col("pk") &&
+        col("price_units") === col("min_units"))
+      .select("l_partkey", "l_suppkey", "min_units").distinct()
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"),
+        (col("min_units").cast("double") / 100.0).as("min_price"))
+      .orderBy("p_partkey", "s_name")
+  }
+
+  val q2Sql: String =
+    """WITH li AS (SELECT l_partkey, l_suppkey,
+      |    cast(round(l_extendedprice*100) as bigint) AS pu FROM lineitem),
+      |mn AS (SELECT l_partkey AS pk, min(pu) AS mu FROM li GROUP BY 1)
+      |SELECT DISTINCT p_partkey, p_brand, s_name, mu::DOUBLE / 100.0
+      |    AS min_price
+      |FROM li JOIN mn ON l_partkey = pk AND pu = mu
+      |JOIN part ON l_partkey = p_partkey AND p_size <= 10
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |ORDER BY p_partkey, s_name""".stripMargin
+
+  /** MERGE upsert ([[graft.operators.Merge.upsert]]): yesterday's
+    * corpus + a batch of re-crawled (updated) and brand-new documents
+    * folded in one full-outer key join; the oracle states the same
+    * merge as FULL OUTER + row-wise winner. Text rides as md5 so the
+    * whole merged corpus hashes. */
+  val qMergeUpsert: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val updates = d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("source"),
+        concat(lit("updated: "), col("text")).as("text"))
+    val inserts = d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        lit("ingest").as("source"), col("text"))
+    graft.operators.Merge.upsert(d, updates.union(inserts), "doc_id")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  val qMergeUpsertSql: String =
+    """WITH src AS (
+      |  SELECT doc_id, source, 'updated: ' || text AS text
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'ingest', text
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |m AS (
+      |  SELECT CASE WHEN s.doc_id IS NOT NULL THEN s.doc_id
+      |      ELSE t.doc_id END AS doc_id,
+      |    CASE WHEN s.doc_id IS NOT NULL THEN s.source
+      |      ELSE t.source END AS source,
+      |    CASE WHEN s.doc_id IS NOT NULL THEN s.text
+      |      ELSE t.text END AS text
+      |  FROM documents t FULL OUTER JOIN src s ON t.doc_id = s.doc_id)
+      |SELECT doc_id, source, md5(text) AS text_md5 FROM m
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q2_min_cost" -> q2MinCost,
+    "j_merge_upsert" -> qMergeUpsert,
     "q9_profit_nation" -> q9ProfitByNation,
     "q11_important_value" -> q11ImportantValue,
     "q16_part_suppliers" -> q16PartSuppliers,
@@ -1235,6 +1310,8 @@ object RelationalQueries {
     "a4_weighted_mean" -> qWeightedMean)
 
   val oracles: Map[String, String] = Map(
+    "q2_min_cost" -> q2Sql,
+    "j_merge_upsert" -> qMergeUpsertSql,
     "q9_profit_nation" -> q9Sql,
     "q11_important_value" -> q11Sql,
     "q16_part_suppliers" -> q16Sql,
