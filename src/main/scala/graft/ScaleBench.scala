@@ -588,6 +588,44 @@ object ScaleBench {
     assert(pqStats._2 == 100L && pqStats._3 == pqStats._2,
       s"ADC top-10 should stay in-cluster: $pqStats")
 
+    // --- stage 21: distance join over the 1M-point unit lattice,
+    // d = 1.5 — every interior point pairs with its 4 axis neighbors
+    // (dist 1) and 4 diagonals (dist √2); next ring is 2.0, excluded.
+    // Exact planted arithmetic: 2·n·(n−1) axis + 2·(n−1)² diagonal
+    // unordered pairs. One bucket equi-join, ≤9 cells per disc.
+    val (distPairs, tDist) = timed {
+      val pts = spark.range(n.toLong * n).select(col("id"),
+        st.point((col("id") % n).cast("double"),
+          (col("id") / n).cast("long").cast("double")).as("pt"))
+      SpatialJoin.joinWithinDistance(pts, "id", "pt", pts, "id", "pt",
+          d = 1.5, cellSize = 1.5)
+        .filter(col("id_a") < col("id_b")).count()
+    }
+    assert(distPairs == 2L * n * (n - 1) + 2L * (n - 1) * (n - 1),
+      s"expected exact lattice neighbor pairs: $distPairs")
+
+    // --- stage 22: MERGE upsert at refresh scale — 10M-row standing
+    // corpus, 1M-row batch (500k re-crawled updates + 500k brand-new
+    // inserts) folded in one full-outer key join. Exact arithmetic:
+    // 10.5M rows out, exactly the 500k updated rows carry the batch's
+    // negated payload.
+    val (mergeStats, tMerge) = timed {
+      val target = spark.range(10000000L)
+        .select(col("id"), col("id").as("v"))
+      val batch = spark.range(500000L)
+        .select((col("id") * 20).as("id"), (-col("id") * 20 - 1).as("v"))
+        .union(spark.range(500000L)
+          .select((col("id") + 10000000L).as("id"),
+            (col("id") + 10000000L).as("v")))
+      val merged = graft.operators.Merge.upsert(target, batch, "id").persist()
+      val rows = merged.count()
+      val updated = merged.filter(col("v") < 0).count()
+      merged.unpersist()
+      (rows, updated)
+    }
+    assert(mergeStats == ((10500000L, 500000L)),
+      s"expected 10.5M merged rows, 500k updates: $mergeStats")
+
     println(
       s"""{"metric":"reference_scale","overlay_sec":$tOverlay,""" +
         s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
@@ -613,6 +651,8 @@ object ScaleBench {
         s""""semdedup_1m_sec":$tSem,"semdedup_dropped":${semStats._1},""" +
         s""""rocksdb_soak_sec":$tRocks,"rocksdb_state_rows":$rocksRows,""" +
         s""""pq_1m_sec":$tPq,"pq_code_hits":${pqStats._1},""" +
+        s""""distjoin_1m_sec":$tDist,"distjoin_pairs":$distPairs,""" +
+        s""""merge_10m_sec":$tMerge,"merge_rows":${mergeStats._1},""" +
         s""""regrid_cells":$regridRows,"voronoi_cells":$vorCells,""" +
         s""""conservation_ratio":$ratio}""")
     spark.stop()

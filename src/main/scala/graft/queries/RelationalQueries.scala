@@ -455,6 +455,52 @@ object RelationalQueries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY 1, 2""".stripMargin
 
+  /** CUBE over (returnflag, linestatus) — every grouping-set subtotal
+    * in ONE pass (Expand + map-side partial agg, the [[qRollupPricing]]
+    * plan with the full power set). Quantities are integral doubles,
+    * so sums are exact under any accumulation order. */
+  val qCubePricing: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    li.cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val qCubePricingSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  sum(l_quantity) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Forward-fill (gap repair): error events lose their reading; each
+    * takes the user's most recent good value — `last(ignoreNulls)` over
+    * a running row frame, the time-series imputation primitive. One
+    * shuffle on user_id; values are COPIED, never recomputed, so the
+    * fill is exact by construction. */
+  val qWindowFfill: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapped = ev.withColumn("v",
+      when(col("event_type") === "error", lit(null).cast("double"))
+        .otherwise(col("value")))
+    gapped.select(col("event_id"), col("user_id"),
+      last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
+      col("v").isNull.as("was_gap"))
+      .orderBy("event_id")
+  }
+
+  val qWindowFfillSql: String =
+    """WITH g AS (SELECT event_id, user_id, ts,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+      |  (v IS NULL) AS was_gap
+      |FROM g ORDER BY event_id""".stripMargin
+
   /** Returned-item revenue per customer — TPC-H Q10 shape: fact-fact
     * join filtered on the return flag, dimension joins broadcast,
     * exact-integer revenue, top-20. */
@@ -1287,6 +1333,8 @@ object RelationalQueries {
     "j_interval_windows" -> qIntervalWindows,
     "a_quantiles" -> qQuantiles,
     "a_rollup_pricing" -> qRollupPricing,
+    "a_cube_pricing" -> qCubePricing,
+    "w_ffill" -> qWindowFfill,
     "a_json_props" -> qJsonProps,
     "a_pivot_daily" -> qPivotDaily,
     "q10_returns" -> q10Returns,
@@ -1332,6 +1380,8 @@ object RelationalQueries {
     "j_interval_windows" -> qIntervalWindowsSql,
     "a_quantiles" -> qQuantilesSql,
     "a_rollup_pricing" -> qRollupPricingSql,
+    "a_cube_pricing" -> qCubePricingSql,
+    "w_ffill" -> qWindowFfillSql,
     "a_json_props" -> qJsonPropsSql,
     "a_pivot_daily" -> qPivotDailySql,
     "q10_returns" -> q10Sql,
