@@ -102,6 +102,69 @@ object MultimodalQueries {
       |  cast(64 as bigint) AS n_px, cast(list_sum(thumb) as bigint) AS thumb_sum
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** Perceptual-hash (dHash) image near-dup — the image-side analogue
+    * of SimHash text dedup: decode → pad → 8×8 thumbnail (the proven
+    * [[qMmResize]] chain) → 56-bit difference hash (7 adjacent
+    * left>right comparisons × 8 rows, one static-unrolled codegen'd
+    * sum — no shifts past long range), then a fingerprint EQUI-join
+    * pairs matching images; ids only ride the shuffle, pixels never
+    * do. Planted byte-identical re-uploads (id+1000000) must pair with
+    * their originals; the hamming-≤t generalization is the SimHash
+    * pigeonhole banding on the same 56-bit key. */
+  val qMmPhashDedup: Q = (spark, dir) => {
+    val base = Tables(spark, dir, "documents").select("doc_id", "text")
+    val docs = base.union(base.select((col("doc_id") + 1000000).as("doc_id"),
+      col("text")))
+    val d = Multimodal.withPayload(docs, "text")
+      .select(col("doc_id"),
+        col("meta.width").as("w"), col("meta.height").as("h"),
+        Multimodal.decode(col("payload")).as("px"))
+      .withColumn("pad", Multimodal.padToImage(col("px"), col("w"), col("h")))
+      .withColumn("thumb",
+        Multimodal.resizeNearest(col("pad"), col("w"), col("h"), 8, 8))
+    val phash = (0 until 56).map { k =>
+      val r = k / 7; val c = k % 7
+      when(element_at(col("thumb"), r * 8 + c + 1) >
+        element_at(col("thumb"), r * 8 + c + 2), lit(1L << k))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val hashed = d.select(col("doc_id"), phash.as("phash"))
+    hashed.as("a").join(hashed.as("b"),
+        col("a.phash") === col("b.phash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.phash").as("phash"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val qMmPhashDedupSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+      |b AS (
+      |  SELECT doc_id, length(text) AS n, length(text)%64 + 1 AS w,
+      |    (length(text) + length(text)%64) // (length(text)%64 + 1) AS h,
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> ord(substr(text, i, 1))) AS bs
+      |  FROM docs),
+      |p AS (
+      |  SELECT doc_id, w, h,
+      |    list_concat(bs, list_transform(range(greatest(w*h - n, 0)), x -> 0))
+      |      AS px
+      |  FROM b),
+      |r AS (
+      |  SELECT doc_id, list_transform(range(0, 64), i ->
+      |    px[((i//8) * h) // 8 * w + ((i%8) * w) // 8 + 1]) AS thumb
+      |  FROM p),
+      |hs AS (
+      |  SELECT doc_id, cast(list_sum(list_transform(range(0, 56), k ->
+      |    CASE WHEN thumb[(k//7)*8 + (k%7) + 1] > thumb[(k//7)*8 + (k%7) + 2]
+      |      THEN (1::BIGINT << k) ELSE 0 END)) as bigint) AS phash
+      |  FROM r)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.phash
+      |FROM hs a JOIN hs b ON a.phash = b.phash AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** The multimodal END-TO-END pipeline as ONE plan (the mm-side
     * analogue of `pipeline_docprep`): decode → zero-pad to the metadata
     * frame → nearest-neighbor 8×8 thumbnail → three integer-mask
@@ -204,6 +267,7 @@ object MultimodalQueries {
     "mm_resize" -> qMmResize,
     "mm_batch_infer" -> qMmBatchInfer,
     "mm_frame_sample" -> qMmFrameSample,
+    "mm_phash_dedup" -> qMmPhashDedup,
     "pipeline_multimodal" -> qMmPipeline)
 
   val oracles: Map[String, String] = Map(
@@ -211,5 +275,6 @@ object MultimodalQueries {
     "mm_resize" -> qMmResizeSql,
     "mm_batch_infer" -> qMmBatchInferSql,
     "mm_frame_sample" -> qMmFrameSampleSql,
+    "mm_phash_dedup" -> qMmPhashDedupSql,
     "pipeline_multimodal" -> qMmPipelineSql)
 }
