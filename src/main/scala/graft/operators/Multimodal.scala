@@ -62,6 +62,23 @@ object Multimodal {
     concat(pixels, array_repeat(lit(0),
       greatest(w * h - size(pixels), lit(0)).cast("int")))
 
+  /** Non-overlapping frame energies over a sample stream (the audio
+    * analysis pattern: framing + per-frame sum of squares — the
+    * voice-activity / silence-trim primitive). Integer arithmetic
+    * end-to-end, codegen'd HOFs, no shuffle; a partial tail frame is
+    * dropped (the framing convention). Guarded so sub-frame streams
+    * yield an EMPTY array — `sequence(0, -1)` would silently generate
+    * a DESCENDING range. */
+  def frameEnergies(samples: Column, frame: Int): Column = {
+    require(frame > 0, s"frame=$frame")
+    val nFrames = (size(samples) / frame).cast("int")
+    when(nFrames >= 1,
+      transform(sequence(lit(0), nFrames - 1), f =>
+        aggregate(slice(samples, f * frame + 1, lit(frame)), lit(0L),
+          (acc, x) => acc + x.cast("long") * x.cast("long"))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** Nearest-neighbor resize of a row-major w×h image to newW×newH —
     * the image-preprocessing pattern, one compiled eval per row
     * ([[graft.expressions.ResizeNearest]]). `newW`/`newH` must be

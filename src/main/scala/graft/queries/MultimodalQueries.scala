@@ -165,6 +165,48 @@ object MultimodalQueries {
       |FROM hs a JOIN hs b ON a.phash = b.phash AND a.doc_id < b.doc_id
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Audio-style frame analysis ([[Multimodal.frameEnergies]]): the
+    * payload stream framed at 64 samples, per-frame integer energy,
+    * silence stats and the trim point (first loud frame) — the VAD /
+    * silence-trim front of an audio-corpus pipeline. Docs ≡ 0 mod 5
+    * get 128 planted "silence" samples (spaces) prepended, so their
+    * leading frames fall below the gate deterministically. */
+  val qMmAudioEnergy: Q = (spark, dir) => {
+    val base = Tables(spark, dir, "documents").select("doc_id", "text")
+    val aug = base.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" " * 128), col("text"))).otherwise(col("text")).as("text"))
+    val d = Multimodal.withPayload(aug, "text")
+      .select(col("doc_id"), Multimodal.decode(col("payload")).as("px"))
+      .withColumn("en", Multimodal.frameEnergies(col("px"), 64))
+    d.select(col("doc_id"),
+      size(col("en")).cast("long").as("n_frames"),
+      size(filter(col("en"), e => e < 100000L)).cast("long").as("n_silent"),
+      array_position(transform(col("en"), e => e >= 100000L), true)
+        .as("first_loud"))
+      .orderBy("doc_id")
+  }
+
+  val qMmAudioEnergySql: String =
+    """WITH aug AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN repeat(' ', 128) || text
+      |      ELSE text END AS text
+      |  FROM documents),
+      |b AS (SELECT doc_id, list_transform(range(1, length(text) + 1),
+      |    i -> ord(substr(text, i, 1))) AS bs FROM aug),
+      |e AS (SELECT doc_id,
+      |    CASE WHEN len(bs) >= 64 THEN
+      |      list_transform(range(0, len(bs) // 64), f ->
+      |        list_sum(list_transform(list_slice(bs, f*64 + 1, f*64 + 64),
+      |          x -> x*x)))
+      |    ELSE []::BIGINT[] END AS en
+      |  FROM b)
+      |SELECT doc_id, cast(len(en) as bigint) AS n_frames,
+      |  cast(len(list_filter(en, x -> x < 100000)) as bigint) AS n_silent,
+      |  cast(coalesce(list_position(list_transform(en, x -> x >= 100000),
+      |    true), 0) as bigint) AS first_loud
+      |FROM e ORDER BY doc_id""".stripMargin
+
   /** The multimodal END-TO-END pipeline as ONE plan (the mm-side
     * analogue of `pipeline_docprep`): decode → zero-pad to the metadata
     * frame → nearest-neighbor 8×8 thumbnail → three integer-mask
@@ -268,6 +310,7 @@ object MultimodalQueries {
     "mm_batch_infer" -> qMmBatchInfer,
     "mm_frame_sample" -> qMmFrameSample,
     "mm_phash_dedup" -> qMmPhashDedup,
+    "mm_audio_energy" -> qMmAudioEnergy,
     "pipeline_multimodal" -> qMmPipeline)
 
   val oracles: Map[String, String] = Map(
@@ -276,5 +319,6 @@ object MultimodalQueries {
     "mm_batch_infer" -> qMmBatchInferSql,
     "mm_frame_sample" -> qMmFrameSampleSql,
     "mm_phash_dedup" -> qMmPhashDedupSql,
+    "mm_audio_energy" -> qMmAudioEnergySql,
     "pipeline_multimodal" -> qMmPipelineSql)
 }

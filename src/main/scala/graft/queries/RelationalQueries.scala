@@ -1310,9 +1310,52 @@ object RelationalQueries {
       |SELECT doc_id, source, md5(text) AS text_md5 FROM m
       |ORDER BY doc_id""".stripMargin
 
+  /** Snapshot DIFF — the audit companion to [[qMergeUpsert]]: classify
+    * every doc across two corpus versions as added / removed / changed
+    * / unchanged from ONE full-outer join of (id, content-digest)
+    * frames. Only 16-byte digests shuffle; at 100 TB both snapshots
+    * live bucketed by id and the diff is co-located. */
+  val qCorpusDiff: Q = (spark, dir) => {
+    val old = Tables(spark, dir, "documents").select("doc_id", "text")
+    val neu = old.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("updated: "), col("text"))).otherwise(col("text"))
+          .as("text"))
+      .union(old.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    old.select(col("doc_id"), md5(col("text")).as("h_old"))
+      .join(neu.select(col("doc_id"), md5(col("text")).as("h_new")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+      .orderBy("doc_id")
+  }
+
+  val qCorpusDiffSql: String =
+    """WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |neu AS (
+      |  SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0
+      |      THEN 'updated: ' || text ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, md5(text) FROM documents
+      |  WHERE doc_id % 11 = 0)
+      |SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id,
+      |  CASE WHEN old.h IS NULL THEN 'added'
+      |    WHEN neu.h IS NULL THEN 'removed'
+      |    WHEN old.h = neu.h THEN 'unchanged'
+      |    ELSE 'changed' END AS status
+      |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q2_min_cost" -> q2MinCost,
     "j_merge_upsert" -> qMergeUpsert,
+    "j_corpus_diff" -> qCorpusDiff,
     "q9_profit_nation" -> q9ProfitByNation,
     "q11_important_value" -> q11ImportantValue,
     "q16_part_suppliers" -> q16PartSuppliers,
@@ -1360,6 +1403,7 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q2_min_cost" -> q2Sql,
     "j_merge_upsert" -> qMergeUpsertSql,
+    "j_corpus_diff" -> qCorpusDiffSql,
     "q9_profit_nation" -> q9Sql,
     "q11_important_value" -> q11Sql,
     "q16_part_suppliers" -> q16Sql,
