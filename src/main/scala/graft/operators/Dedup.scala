@@ -128,6 +128,49 @@ object Dedup {
     refineJaccard(cand, sets, threshold)
   }
 
+  /** Exact CONTAINMENT pairs — the asymmetric near-dup mode Jaccard
+    * misses: `|A∩B| / |A| ≥ t` flags A as (near-)contained in B (a doc
+    * quoted wholesale inside a larger one, a page embedded in an
+    * aggregator). Same rarity-ordered machinery as
+    * [[jaccardPairsIndexed]], but the prefix principle is one-sided:
+    * if ≥ ⌈t·|A|⌉ of A's shingles appear in B, then A's
+    * (|A| − ⌈t·|A|⌉ + 1)-token rare-first prefix must collide with
+    * SOME token of B (pigeonhole) — so the candidate join runs A's
+    * prefix against B's FULL index. Cost is Σ df(prefix token): rarity
+    * ordering keeps prefixes on near-singleton shingles. The B-side
+    * length filter `|B| ≥ t·|A|` is implied by the final predicate
+    * (|A∩B| ≤ |B|), so pruning with it is lossless. */
+  def containmentPairsIndexed(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = df.select(col(idCol).cast("long").as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val toks = sets.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val byRarity = Window.partitionBy("id").orderBy("tf", "tok")
+    val ranked = toks.join(freq, "tok")
+      .withColumn("rn", row_number().over(byRarity))
+    val aPrefix = ranked.filter(col("rn") <=
+        greatest((col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int"),
+          lit(1)))
+      .select(col("id").as("id_a"), col("sz").as("sz_a"), col("tok"))
+    val bAll = ranked.select(col("id").as("id_b"), col("sz").as("sz_b"),
+      col("tok"))
+    val cand = aPrefix.join(bAll, "tok")
+      .filter(col("id_a") =!= col("id_b") &&
+        col("sz_b") >= col("sz_a") * threshold)
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          greatest(size(col("sh_a")), lit(1))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** MinHash signature from a MATERIALIZED shingle-array column: for
     * each of `k` independent hash families, the minimum over shingle
     * hashes. hash(shingle, seed) uses Spark's Murmur3 with per-family

@@ -948,6 +948,35 @@ object TextQueries {
 
   val qDedupJaccardSql: String = exactJaccardPairsSql
 
+  /** Exact CONTAINMENT pairs ([[Dedup.containmentPairsIndexed]]): docs
+    * ≥ 80% of whose shingles appear in another doc — the asymmetric
+    * quoted-wholesale/subset-dup mode a symmetric Jaccard threshold
+    * misses (a short doc inside a long one has low Jaccard but high
+    * containment). One-sided prefix filter against the full inverted
+    * index; the oracle states the naive quadratic definition. */
+  val qDedupContainment: Q = (spark, dir) =>
+    Dedup.containmentPairsIndexed(Tables(spark, dir, "documents"),
+      "doc_id", "text", 3, 0.8)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("id_a", "id_b")
+
+  val qDedupContainmentSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_sort(list_distinct(
+      |    list_transform(range(1, greatest(len(toks) - 3, 0) + 2),
+      |      i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS s
+      |  FROM (SELECT doc_id,
+      |      regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |    FROM documents))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(len(list_intersect(a.s, b.s)) /
+      |    greatest(len(a.s), 1)::DOUBLE, 6) AS containment
+      |FROM sh a, sh b WHERE a.doc_id <> b.doc_id
+      |  AND len(list_intersect(a.s, b.s)) /
+      |    greatest(len(a.s), 1)::DOUBLE >= 0.8
+      |ORDER BY 1, 2""".stripMargin
+
   /** MinHash-LSH candidates + exact-Jaccard refine: same exact output as
     * [[qDedupJaccard]] (LSH recall ≈ 1 − 3e−12 at the data's observed
     * j ≥ 0.9), different — bucketed — plan. Oracle: the exact pairs. */
@@ -1123,6 +1152,7 @@ object TextQueries {
     "dedup_incremental" -> qDedupIncremental,
     "dedup_normalized" -> qDedupNormalized,
     "dedup_jaccard" -> qDedupJaccard,
+    "dedup_containment" -> qDedupContainment,
     "dedup_minhash_lsh" -> qDedupMinhash,
     "dedup_decision" -> qDedupDecision,
     "dedup_substring" -> qDedupSubstring,
@@ -1155,6 +1185,7 @@ object TextQueries {
     "dedup_incremental" -> qDedupIncrementalSql,
     "dedup_normalized" -> qDedupNormalizedSql,
     "dedup_jaccard" -> qDedupJaccardSql,
+    "dedup_containment" -> qDedupContainmentSql,
     "dedup_minhash_lsh" -> qDedupMinhashSql,
     "dedup_decision" -> qDedupDecisionSql,
     "dedup_substring" -> qDedupSubstringSql,

@@ -107,4 +107,17 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(r.toSeq == Seq((0L, 2L))) // docs 0 and 1 identical, min id kept
   }
+
+  test("containment flags a doc quoted wholesale inside a larger one") {
+    // doc 6 = doc 0 + trailing words: every shingle of doc 0 appears in
+    // doc 6 (containment 1.0) but NOT vice versa; the symmetric-Jaccard
+    // view of the same pair is < 1. Identical docs 0/1 contain each
+    // other both ways.
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.containmentPairsIndexed(df, "doc_id", "text", 3, 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 6L)) && got.contains((1L, 6L)))
+    assert(!got.contains((6L, 0L)) && !got.contains((6L, 1L)))
+    assert(got.contains((0L, 1L)) && got.contains((1L, 0L)))
+  }
 }
