@@ -26,7 +26,12 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"$sfDir/nation.parquet")
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional args restrict the run to the named queries (targeted
+    // timing during development); the driver passes none → full sweep.
+    val wanted = SparkEntry.queries.filter { case (n, _) =>
+      args.isEmpty || args.contains(n)
+    }
+    val results = wanted.map { case (name, fn) =>
       val times = (0 until trials).map { _ =>
         // Each trial runs from a clean cache: operators persist
         // intermediate frames (signature/bucket tables) that would

@@ -29,7 +29,8 @@ object SparkEntry {
       GeoQueries.queries ++
       MultimodalQueries.queries ++
       GridQueries.queries ++
-      StreamingQueries.queries
+      StreamingQueries.queries ++
+      ValidationQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
@@ -39,5 +40,6 @@ object SparkEntry {
       GeoQueries.oracles ++
       MultimodalQueries.oracles ++
       GridQueries.oracles ++
-      StreamingQueries.oracles
+      StreamingQueries.oracles ++
+      ValidationQueries.oracles
 }

@@ -110,7 +110,15 @@ object SpatialJoin {
         floor(col("__by") / cellSize).cast("long").as("by")))
     val dx = col("__ax") - col("__bx")
     val dy = col("__ay") - col("__by")
-    lhs.join(rhs, "__cell")
+    // SHUFFLE_HASH, not broadcast: a small input here is an EXPLODED
+    // side with O(1/cellSize²) fan-out and a single-file probe side —
+    // Catalyst's size estimate would broadcast the 9×-exploded left and
+    // run the probe at the parquet file's parallelism (near-serial on a
+    // small file; a driver OOM at scale). Hash-partitioning both sides
+    // on the cell key is the plan that survives 100 TB: candidate
+    // generation and the distance refine parallelize with the shuffle
+    // partition count on both ends.
+    lhs.join(rhs.hint("shuffle_hash"), "__cell")
       .filter(dx * dx + dy * dy <= lit(d) * lit(d))
       .select(col("id_a"), col("id_b"), sqrt(dx * dx + dy * dy).as("dist"))
   }

@@ -190,27 +190,39 @@ object GeoQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Distance self-join (`ST_DWithin`,
-    * [[graft.operators.SpatialJoin.joinWithinDistance]]): all event
-    * pairs within 0.7 units — the bucket-grid candidate join with a
-    * squared-distance refine; the oracle states the naive quadratic
-    * form, proving the bucketed plan emits exactly the same pair set
-    * (each pair once) with identical IEEE distances. */
+    * [[graft.operators.SpatialJoin.joinWithinDistance]]): event pairs
+    * within 0.35 units, reduced to per-point neighborhood stats. The
+    * events lattice repeats every 4,000 ids, so point DENSITY (and the
+    * pair count) grows quadratically with SF — emitting the raw sorted
+    * pair list was 18 s at sf0.1 on output alone. The aggregate keeps
+    * output linear while still pinning the exact pair MULTISET: the
+    * oracle replays the naive quadratic join, and any extra/missing/
+    * drifted pair changes `n_neighbors` or the order-independent
+    * fixed-point `sum_dist` for its endpoint. */
   val qGeoDistanceJoin: Q = (spark, dir) => {
     val pts = eventPoints(spark, dir)
     SpatialJoin.joinWithinDistance(pts, "event_id", "pt_geom",
-        pts, "event_id", "pt_geom", d = 0.7, cellSize = 0.7)
+        pts, "event_id", "pt_geom", d = 0.35, cellSize = 0.35)
       .filter(col("id_a") < col("id_b"))
-      .orderBy("id_a", "id_b")
+      .groupBy("id_a")
+      .agg(count(lit(1)).as("n_neighbors"),
+        Exact.fixedSum(col("dist"), 6).as("sum_dist"),
+        round(min(col("dist")) * 1000000).cast("long").as("min_dist_micros"))
+      .orderBy("id_a")
   }
 
   val qGeoDistanceJoinSql: String =
-    """WITH pts AS (SELECT event_id,
-      |    (event_id%1000)/20.0 AS x, (event_id%800)/20.0 AS y FROM events)
-      |SELECT a.event_id AS id_a, b.event_id AS id_b,
-      |  sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS dist
-      |FROM pts a JOIN pts b ON a.event_id < b.event_id
-      |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.7*0.7
-      |ORDER BY id_a, id_b""".stripMargin
+    s"""WITH pts AS (SELECT event_id,
+      |    (event_id%1000)/20.0 AS x, (event_id%800)/20.0 AS y FROM events),
+      |pairs AS (
+      |  SELECT a.event_id AS id_a,
+      |    sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS dist
+      |  FROM pts a JOIN pts b ON a.event_id < b.event_id
+      |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.35*0.35)
+      |SELECT id_a, count(*) AS n_neighbors,
+      |  ${Exact.sqlFixedSum("dist", 6)} AS sum_dist,
+      |  cast(round(min(dist)*1000000) as bigint) AS min_dist_micros
+      |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** J4+A2+J5: conservative regrid — the reference's flagship pipeline
     * (delphine/regrid.py:206-334, SURVEY §3.3). Supplier "population"
