@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MERGE (upsert) — the table-maintenance primitive of an
@@ -33,5 +34,38 @@ object Merge {
     t.join(s, col("__t_" + keyCol) === col("__s_" + keyCol), "full_outer")
       .select(cols.map(c =>
         when(useSrc, col("__s_" + c)).otherwise(col("__t_" + c)).as(c)).toSeq: _*)
+  }
+
+  /** Slowly-changing-dimension (type 2) history build from a
+    * transaction log: collapse consecutive identical values of
+    * `attrCol` per `keyCol` (ordered by `orderCols`) into versioned
+    * rows with `[valid_from, valid_to)` ranges, `valid_to` NULL on the
+    * open current version.
+    *
+    * The entire computation is window functions over ONE hash
+    * partitioning on the key — a single shuffle regardless of how
+    * many versions a key has; no self-joins, no iteration. `orderCols`
+    * must be a deterministic total order within each key (pass a
+    * tiebreaker column alongside the timestamp) or version boundaries
+    * are nondeterministic under shuffle.
+    */
+  def scd2FromLog(log: DataFrame, keyCol: String, attrCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "need an ordering")
+    val ord = orderCols.map(col)
+    val w = Window.partitionBy(keyCol).orderBy(ord: _*)
+    // a version starts where the attribute differs from the previous
+    // log row (or at the key's first row)
+    val starts = log
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev").isNull || !(col("__prev") <=> col(attrCol)))
+      .drop("__prev")
+    // valid_to = next version's start; version_nr for lineage
+    val wv = Window.partitionBy(keyCol).orderBy(ord: _*)
+    starts
+      .withColumn("valid_from", col(orderCols.head))
+      .withColumn("valid_to", lead(col(orderCols.head), 1).over(wv))
+      .withColumn("version_nr", row_number().over(wv))
+      .withColumn("is_current", col("valid_to").isNull)
   }
 }

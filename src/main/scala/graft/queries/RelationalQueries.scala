@@ -624,6 +624,63 @@ object RelationalQueries {
       |  count(*) AS n
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Histogram-sketch quantiles ([[graft.operators.Sketches]]): the
+    * mergeable fixed-width-bin path that answers p25/p50/p75/p95/p99 of
+    * lineitem prices from ≤ ~1k map-side counters instead of a global
+    * value sort — THE quantile plan that survives 100 TB (the exact
+    * [[qQuantiles]] stays as the small-data / high-precision mode).
+    * Bin width 100 ⇒ answers are exact to ±100; the oracle replays
+    * bin/cumulate/select integer-for-integer. */
+  val qHistQuantiles: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    graft.operators.Sketches.histogramQuantiles(li, "l_extendedprice",
+      width = 100.0, qMicros = Seq(250000L, 500000L, 750000L, 950000L, 990000L))
+  }
+
+  val qHistQuantilesSql: String =
+    """WITH bins AS (SELECT cast(floor(l_extendedprice/100.0) as bigint) AS bin,
+      |                     count(*) AS cnt FROM lineitem GROUP BY 1),
+      |c AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+      |             sum(cnt) OVER () AS total FROM bins),
+      |qs(q) AS (VALUES (250000),(500000),(750000),(950000),(990000))
+      |SELECT q AS q_micros, cast(min(bin) as bigint) AS bin,
+      |  cast(min(bin)*10000 as bigint) AS approx_cents
+      |FROM c JOIN qs ON cum*1000000 >= q*total
+      |GROUP BY q ORDER BY q""".stripMargin
+
+  /** SCD Type-2 dimension history ([[graft.operators.Merge.scd2FromLog]]):
+    * the orders log collapsed into versioned (custkey, orderstatus)
+    * ranges — consecutive same-status orders merge into one validity
+    * interval, the latest version stays open. One key-partitioned
+    * window chain, one shuffle. */
+  val qScd2History: Q = (spark, dir) => {
+    val ord = Tables(spark, dir, "orders")
+      .select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+    graft.operators.Merge.scd2FromLog(ord, "o_custkey", "o_orderstatus",
+        Seq("o_orderdate", "o_orderkey"))
+      .select(col("o_custkey"), col("o_orderstatus"),
+        col("valid_from"), col("valid_to"), col("version_nr").cast("long").as("version_nr"),
+        col("is_current"))
+      .orderBy("o_custkey", "version_nr")
+  }
+
+  val qScd2HistorySql: String =
+    """WITH w AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+      |  lag(o_orderstatus) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |s AS (SELECT * FROM w WHERE prev IS NULL OR prev <> o_orderstatus),
+      |v AS (SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+      |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+      |  row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS version_nr
+      |  FROM s)
+      |SELECT o_custkey, o_orderstatus, valid_from, valid_to,
+      |  cast(version_nr as bigint) AS version_nr,
+      |  valid_to IS NULL AS is_current
+      |FROM v ORDER BY o_custkey, version_nr""".stripMargin
+
   /** As-of join: each event enriched with the user's most recent order
     * at-or-before the event time (operators/AsOf — one key shuffle +
     * running window, no range self-join). Oracle: DuckDB's native
@@ -1375,6 +1432,8 @@ object RelationalQueries {
     "j_asof_last_order" -> qAsofLastOrder,
     "j_interval_windows" -> qIntervalWindows,
     "a_quantiles" -> qQuantiles,
+    "a_hist_quantiles" -> qHistQuantiles,
+    "j_scd2_history" -> qScd2History,
     "a_rollup_pricing" -> qRollupPricing,
     "a_cube_pricing" -> qCubePricing,
     "w_ffill" -> qWindowFfill,
@@ -1423,6 +1482,8 @@ object RelationalQueries {
     "j_asof_last_order" -> qAsofLastOrderSql,
     "j_interval_windows" -> qIntervalWindowsSql,
     "a_quantiles" -> qQuantilesSql,
+    "a_hist_quantiles" -> qHistQuantilesSql,
+    "j_scd2_history" -> qScd2HistorySql,
     "a_rollup_pricing" -> qRollupPricingSql,
     "a_cube_pricing" -> qCubePricingSql,
     "w_ffill" -> qWindowFfillSql,
