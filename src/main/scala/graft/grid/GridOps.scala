@@ -84,6 +84,29 @@ object GridOps {
           .as(varCol)): _*)
   }
 
+  /** Vertical column integral — trapezoidal ∫ q·dp over the
+    * DESCENDING vertical coordinate, per grid column: the
+    * precipitable-water / column-mass family of WRF diagnostics
+    * (Σ (p_k − p_{k+1}) · (q_k + q_{k+1}) / 2 over adjacent levels).
+    *
+    * Same single-shuffle discipline as [[interpLevels]]: one window
+    * partitioned by the grid-column key pairs adjacent levels, then
+    * the per-layer terms accumulate FIXED-POINT (`dec` digits) so the
+    * per-column sum is an order-independent integer add — exact at
+    * any partitioning, hash-stable against any engine. */
+  def columnIntegral(df: DataFrame, keys: Seq[String], vertCol: String,
+      varCol: String, dec: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(vertCol).desc)
+    df.withColumn("__p1", lead(col(vertCol), 1).over(w))
+      .withColumn("__q1", lead(col(varCol), 1).over(w))
+      .filter(col("__p1").isNotNull)
+      .withColumn("__term",
+        (col(vertCol) - col("__p1")) * (col(varCol) + col("__q1")) / 2)
+      .groupBy(keys.map(col): _*)
+      .agg(graft.util.Exact.fixedSum(col("__term"), dec).as("integral"),
+        count(lit(1)).as("n_layers"))
+  }
+
   /** Calendar resample: per-cell mean of the variable over
     * `date_trunc(unit)` buckets, order-independent fixed-point
     * accumulation (see [[graft.util.Exact]]) so the result is

@@ -313,6 +313,37 @@ object AnnQueries {
       |    as bigint) AS err_micro
       |FROM c ORDER BY vec_id, dim""".stripMargin
 
+  /** Exact PCA moment matrix ([[graft.operators.Pca.covLongForm]] over
+    * the [[graft.expressions.GramAggregate]]): ONE fused pass reduces
+    * the corpus to d(d+1)/2 + d + 1 integer sums (micros-quantized) —
+    * the inputs of the driver-side Jacobi PCA fit, emitted in long
+    * form so the oracle can replay every integer. The naive shape
+    * (posexplode × posexplode self-join) ships d² rows per vector;
+    * the aggregate ships one 17 KB buffer per map task. The eigen /
+    * projection half is driver-sized (d=64) and spec-verified
+    * (PcaSpec); this entry pins the distributed half bit-for-bit. */
+  val qEmbedPcaCov: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings")
+    graft.operators.Pca.covLongForm(e, "embedding", d = 64, scale = 1000000L)
+      .orderBy("dim_i", "dim_j")
+  }
+
+  val qEmbedPcaCovSql: String =
+    """WITH idx AS (SELECT unnest(generate_series(1,64)) AS i),
+      |x AS (SELECT e.vec_id, i.i AS i,
+      |        cast(round(cast(e.embedding[i.i] as double)*1000000) as bigint) AS xq
+      |      FROM embeddings e, idx i),
+      |s AS (SELECT a.i-1 AS dim_i, b.i-1 AS dim_j,
+      |        cast(sum(a.xq*b.xq) as bigint) AS s_ij
+      |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |      GROUP BY 1,2),
+      |m AS (SELECT i-1 AS dim, cast(sum(xq) as bigint) AS sm, count(*) AS n
+      |      FROM x GROUP BY 1)
+      |SELECT cast(s.dim_i as bigint) AS dim_i, cast(s.dim_j as bigint) AS dim_j,
+      |  s.s_ij, mi.sm AS sum_i, mj.sm AS sum_j, mi.n AS n
+      |FROM s JOIN m mi ON s.dim_i = mi.dim JOIN m mj ON s.dim_j = mj.dim
+      |ORDER BY dim_i, dim_j""".stripMargin
+
   /** Product-quantization codes — the compression step beyond SQ8
     * ([[qEmbedSqCodes]]): 64 floats → 4 codebook indices (one per
     * 16-dim subspace, 16-entry seeded codebooks). Encode is one
@@ -470,6 +501,7 @@ object AnnQueries {
     "ann_pq_topk" -> qAnnPq,
     "ann_pq_recall" -> qAnnPqRecall,
     "embed_sq_codes" -> qEmbedSqCodes,
+    "embed_pca_cov" -> qEmbedPcaCov,
     "embed_centroids" -> qEmbedCentroids,
     "embed_norms" -> qEmbedNorms,
     "ann_bruteforce_topk" -> qAnnBruteForce,
@@ -485,6 +517,7 @@ object AnnQueries {
     "ann_pq_recall" -> qAnnPqRecallSql,
     "ann_recall" -> qAnnRecallSql,
     "embed_sq_codes" -> qEmbedSqCodesSql,
+    "embed_pca_cov" -> qEmbedPcaCovSql,
     "embed_centroids" -> qEmbedCentroidsSql,
     "embed_norms" -> qEmbedNormsSql,
     "ann_bruteforce_topk" -> qAnnBruteForceSql,

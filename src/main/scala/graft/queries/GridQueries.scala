@@ -587,6 +587,42 @@ object GridQueries {
       |FROM b JOIN tg ON tg.target <= b.p AND tg.target > b.p1
       |ORDER BY y, x, target""".stripMargin
 
+  /** Vertical column integral (GridOps.columnIntegral): trapezoidal
+    * ∫ T dp per (y, x) column over the [[qGridInterpLevels]] 3-D
+    * fixture — the precipitable-water-style reduction of a model-level
+    * stack to one 2-D field. Per-layer trapezoid terms are identical
+    * IEEE sequences in both engines; the per-column accumulation is a
+    * fixed-point integer sum, so the hash pins layer pairing AND
+    * arithmetic. */
+  val qGridColumnIntegral: Q = (spark, dir) => {
+    import graft.grid.GridOps
+    val t3d = Tables(spark, dir, "events")
+      .groupBy((col("event_id") % 10).as("y"),
+        (col("user_id") % 10).as("x"),
+        ((col("event_id") + col("user_id")) % 5).as("lev"))
+      .agg(min(col("value")).as("t"))
+      .withColumn("p", lit(1000.0) - col("lev") * 100.0)
+    GridOps.columnIntegral(t3d, Seq("y", "x"), "p", "t", dec = 6)
+      .orderBy("y", "x")
+  }
+
+  val qGridColumnIntegralSql: String =
+    s"""WITH g AS (
+      |  SELECT event_id%10 AS y, user_id%10 AS x,
+      |    (event_id + user_id)%5 AS lev, min(value) AS t
+      |  FROM events GROUP BY 1, 2, 3),
+      |p AS (SELECT y, x, 1000.0 - lev*100.0 AS p, t FROM g),
+      |b AS (
+      |  SELECT y, x, p, t,
+      |    lead(p) OVER (PARTITION BY y, x ORDER BY p DESC) AS p1,
+      |    lead(t) OVER (PARTITION BY y, x ORDER BY p DESC) AS t1
+      |  FROM p)
+      |SELECT y, x,
+      |  ${graft.util.Exact.sqlFixedSum("(p - p1) * (t + t1) / 2", 6)} AS integral,
+      |  count(*) AS n_layers
+      |FROM b WHERE p1 IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Calendar resample (GridOps.resampleTime): the reference's
     * `resample(XTIME="1D")` generalized — weekly per-cell means over
     * the events grid, fixed-point-exact accumulation. */
@@ -684,6 +720,7 @@ object GridQueries {
     "grid_regrid_nearest" -> qGridRegridNearest,
     "grid_coarsen" -> qGridCoarsen,
     "grid_interp_levels" -> qGridInterpLevels,
+    "grid_column_integral" -> qGridColumnIntegral,
     "grid_resample" -> qGridResample,
     "grid_netcdf_roundtrip" -> qNetcdfRoundtrip,
     "grid_netcdf4_roundtrip" -> qNetcdf4Roundtrip,
@@ -704,6 +741,7 @@ object GridQueries {
     "grid_regrid_nearest" -> qGridRegridNearestSql,
     "grid_coarsen" -> qGridCoarsenSql,
     "grid_interp_levels" -> qGridInterpLevelsSql,
+    "grid_column_integral" -> qGridColumnIntegralSql,
     "grid_resample" -> qGridResampleSql,
     "grid_netcdf_roundtrip" -> qNetcdfRoundtripSql,
     "grid_netcdf4_roundtrip" -> qNetcdfRoundtripSql,

@@ -163,6 +163,20 @@ class GridOpsSpec extends SparkSpec {
     assert(got((1, 1)) === ((8.0, 1L)))
   }
 
+  test("columnIntegral trapezoids adjacent levels per column") {
+    // column (0,0): levels p=1000,900,800 with t=2,4,6
+    //   terms: (1000-900)(2+4)/2 = 300; (900-800)(4+6)/2 = 500 → 800
+    // column (0,1): single level → no layer, no row
+    val df = Seq(
+      (0, 0, 1000.0, 2.0), (0, 0, 900.0, 4.0), (0, 0, 800.0, 6.0),
+      (0, 1, 1000.0, 9.0)
+    ).toDF("y", "x", "p", "t")
+    val got = GridOps.columnIntegral(df, Seq("y", "x"), "p", "t", dec = 6)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getDouble(2), r.getLong(3))))
+    assert(got.toMap === Map((0, 0) -> ((800.0, 2L))))
+  }
+
   test("anomaly is the departure from the per-cell period mean") {
     val cfg = GridConfig("x", "y", "lon", "lat", "ts", "v")
     val df = Seq((0, 0, 1.0), (0, 0, 3.0), (1, 0, 7.0))
