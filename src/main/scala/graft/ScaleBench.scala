@@ -626,6 +626,85 @@ object ScaleBench {
     assert(mergeStats == ((10500000L, 500000L)),
       s"expected 10.5M merged rows, 500k updates: $mergeStats")
 
+    // --- stage 23: data-quality validation over a 10M-row ledger with
+    // planted violations — every row-level constraint in ONE aggregate
+    // pass (map-side counters), plus the one-shuffle key-uniqueness
+    // check over a fully-duplicated key. Exact planted arithmetic:
+    // 10k NULLs, 100 range violations, min = −5.
+    val (valStats, tVal) = timed {
+      import graft.operators.Validation
+      val df = spark.range(10000000L).select(col("id"),
+        when(col("id") % 1000 === 0, lit(null).cast("string"))
+          .otherwise(lit("ok")).as("s"),
+        when(col("id") % 100000 === 7, lit(-5.0))
+          .otherwise((col("id") % 100).cast("double")).as("v"))
+      val row = Validation.rowChecks(df, Seq(
+          Validation.completeness("s"),
+          Validation.inRange("v", 0.0, 99.0),
+          Validation.minAtLeast("v", 0.0)))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      val uniq = Validation.uniqueKey(
+        df.select((col("id") / 2).cast("long").as("k")), Seq("k"))
+        .collect()(0)
+      (row("completeness"), row("in_range"), row("min_at_least"),
+        uniq.getLong(2), uniq.getLong(3))
+    }
+    assert(valStats == ((9990000L, 9999900L, -500L, 5000000L, 5000000L)),
+      s"planted validation counts off: $valStats")
+
+    // --- stage 24: histogram-sketch quantiles over 100M values — the
+    // mergeable path: 100M rows reduce map-side to 1,000 bin counters;
+    // no global sort anywhere. Planted uniform distribution ⇒ the
+    // selected bins are exact: q50 → bin 499, q99 → bin 989.
+    val (hqStats, tHq) = timed {
+      import graft.operators.Sketches
+      val df = spark.range(100000000L)
+        .select((col("id") % 1000000).cast("double").as("v"))
+      Sketches.histogramQuantiles(df, "v", width = 1000.0,
+          qMicros = Seq(500000L, 990000L))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(hqStats == Map(500000L -> 499L, 990000L -> 989L),
+      s"planted quantile bins off: $hqStats")
+
+    // --- stage 25: PCA fit over 1M 64-dim vectors with ONE planted
+    // dominant direction (uniform t along (1,…,1)/8 + 1% noise): the
+    // distributed reduce is a single GramAggregate pass (one 17 KB
+    // buffer per task), the Jacobi solve is driver-side. PC1 must
+    // recover the planted axis to 3 nines and the spectrum must
+    // collapse after it.
+    val (pcaStats, tPcaFit) = timed {
+      import graft.operators.Pca
+      val dim = 64
+      val t = hash(col("id"), lit(1)).cast("double") / 2147483647.0
+      val vec = array((0 until dim).map { d =>
+        (t + hash(col("id"), lit(d + 2)).cast("double") / 2147483647.0 * 0.01)
+          .cast("float")
+      }: _*)
+      val corpus = spark.range(1000000L)
+        .select(col("id"), vec.as("embedding"))
+      val m = Pca.fit(corpus, "embedding", dim, k = 4, scale = 100000L)
+      val u = 1.0 / math.sqrt(dim)
+      val dotU = math.abs(m.components(0).map(_ * u).sum)
+      (dotU, m.eigenvalues(0) / m.eigenvalues(1))
+    }
+    assert(pcaStats._1 > 0.999,
+      s"PC1 should recover the planted axis: ${pcaStats._1}")
+    assert(pcaStats._2 > 1000.0,
+      s"spectrum should collapse after PC1: ${pcaStats._2}")
+
+    // --- stage 26: SCD2 history build over a 10M-row transaction log
+    // (1M keys × 10 ordered events, the attribute changing at event 5)
+    // — one key-partitioned window chain ⇒ exactly 2 versions per key.
+    val (scdRows, tScd) = timed {
+      val log = spark.range(10000000L).select(
+        (col("id") % 1000000).as("k"),
+        (col("id") / 1000000).cast("long").as("seq"),
+        (col("id") / 5000000).cast("long").cast("string").as("attr"))
+      graft.operators.Merge.scd2FromLog(log, "k", "attr", Seq("seq")).count()
+    }
+    assert(scdRows == 2000000L, s"expected 2 versions x 1M keys: $scdRows")
+
     println(
       s"""{"metric":"reference_scale","overlay_sec":$tOverlay,""" +
         s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
@@ -653,6 +732,9 @@ object ScaleBench {
         s""""pq_1m_sec":$tPq,"pq_code_hits":${pqStats._1},""" +
         s""""distjoin_1m_sec":$tDist,"distjoin_pairs":$distPairs,""" +
         s""""merge_10m_sec":$tMerge,"merge_rows":${mergeStats._1},""" +
+        s""""validate_10m_sec":$tVal,"histq_100m_sec":$tHq,""" +
+        s""""pca_1m_sec":$tPcaFit,"pca_axis_dot":${pcaStats._1},""" +
+        s""""scd2_10m_sec":$tScd,"scd2_versions":$scdRows,""" +
         s""""regrid_cells":$regridRows,"voronoi_cells":$vorCells,""" +
         s""""conservation_ratio":$ratio}""")
     spark.stop()

@@ -70,3 +70,32 @@ case class RepetitionStats(children: Seq[Expression], n: Int)
     copy(children = c)
   override def prettyName: String = "repetition_stats"
 }
+
+/** nfc(text) — Unicode canonical composition (NFC) via
+  * `java.text.Normalizer`. NFC is covered by the Unicode stability
+  * policy (normalization of assigned code points never changes between
+  * versions), so the result is bit-identical across runtimes — the
+  * property the oracle replay through utf8proc relies on. ASCII input
+  * short-circuits: `Normalizer.isNormalized` is O(n) with no
+  * allocation, and real corpora are overwhelmingly already-NFC.
+  */
+case class NfcNormalize(children: Seq[Expression])
+  extends Expression with CodegenFallback {
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = StringType
+
+  override def eval(input: InternalRow): Any = {
+    val v = children(0).eval(input)
+    if (v == null) return null
+    val s = v.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) v
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(children = c)
+  override def prettyName: String = "nfc"
+}

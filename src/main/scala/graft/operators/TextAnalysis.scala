@@ -195,6 +195,22 @@ object TextAnalysis {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** Full text normalization — the CCNet-style cleanup pass a corpus
+    * runs before any hashing or tokenization: Unicode NFC composition
+    * (compiled [[graft.expressions.NfcNormalize]]), zero-width
+    * character strip (ZWSP/ZWNJ/ZWJ/BOM — invisible dedup poison),
+    * whitespace collapse, trim. Pure column chain over codegen'd
+    * regexes — no UDF, no shuffle, replayable in any engine with NFC
+    * + RE2. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.expressions.NfcNormalize(Seq(
+            org.apache.spark.sql.graftbridge.Bridge.expression(text)))),
+        "[\u200B\u200C\u200D\uFEFF]", ""),
+      "\\s+", " "))
+
   /** Normalized fingerprint: lowercase, strip all non-alphanumerics, md5.
     * Near-identical docs (same words, different spacing/punct/case) get
     * equal fingerprints — the exact-dedup key for "normalized" dedup. */

@@ -413,6 +413,37 @@ object TextQueries {
       |  cast(sum(len(regexp_split_to_array(trim(text), '\s+'))) as bigint) AS total_tokens
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Unicode normalization ([[TextAnalysis.normalizeText]]): NFC
+    * composition + zero-width strip + whitespace collapse — the CCNet-
+    * style cleanup every corpus runs before hashing/tokenizing (a
+    * decomposed é or an invisible ZWSP makes otherwise-identical
+    * documents hash apart). Each document is augmented with a
+    * deterministic dirty tail (combining acute, ZWSP, doubled spaces)
+    * so the pass has real work; the md5 fingerprint of the normalized
+    * text pins the exact output bytes. NFC is Unicode-stability-frozen,
+    * so the JVM normalizer and DuckDB's utf8proc agree by spec. */
+  val qTextNormalize: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val dirty = concat(col("text"), lit(" cafe\u0301 \u200Bz  end"))
+    d.select(col("doc_id"), length(dirty).as("raw_len"),
+        TextAnalysis.normalizeText(dirty).as("norm"))
+      .select(col("doc_id"), col("raw_len"),
+        length(col("norm")).as("norm_len"), md5(col("norm")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  val qTextNormalizeSql: String =
+    """WITH dirty AS (SELECT doc_id,
+      |    text || ' cafe' || chr(769) || ' ' || chr(8203) || 'z  end' AS t
+      |  FROM documents),
+      |norm AS (SELECT doc_id, length(t) AS raw_len,
+      |    trim(regexp_replace(regexp_replace(nfc_normalize(t),
+      |      '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+      |      '\s+', ' ', 'g')) AS n
+      |  FROM dirty)
+      |SELECT doc_id, raw_len, length(n) AS norm_len, md5(n) AS fp
+      |FROM norm ORDER BY doc_id""".stripMargin
+
   /** PII detection + redaction: every document is augmented with a
     * deterministic synthetic contact line (so the oracle has real
     * matches to agree on), then emails / phone numbers / IPv4 addresses
@@ -1138,6 +1169,7 @@ object TextQueries {
     "text_quality" -> qTextQuality,
     "text_langid" -> qTextLangId,
     "text_pii" -> qTextPii,
+    "text_normalize" -> qTextNormalize,
     "text_repetition" -> qTextRepetition,
     "text_chunks" -> qTextChunks,
     "text_tfidf" -> qTfIdf,
@@ -1171,6 +1203,7 @@ object TextQueries {
     "text_quality" -> qTextQualitySql,
     "text_langid" -> qTextLangIdSql,
     "text_pii" -> qTextPiiSql,
+    "text_normalize" -> qTextNormalizeSql,
     "text_repetition" -> qTextRepetitionSql,
     "text_chunks" -> qTextChunksSql,
     "text_tfidf" -> qTfIdfSql,

@@ -127,4 +127,18 @@ class TextAnalysisSpec extends SparkSpec {
       .head().getBoolean(0)
     assert(!tricky)
   }
+  test("normalizeText composes NFC, strips zero-width, collapses whitespace") {
+    import spark.implicits._
+    // "cafe" + combining acute -> composed e-acute (1 codepoint shorter);
+    // ZWSP vanishes; runs of whitespace collapse; result trimmed
+    val dirty = "  cafe\u0301  x\u200By\ttail  "
+    val got = Seq(dirty).toDF("t")
+      .select(TextAnalysis.normalizeText(col("t")).as("n"))
+      .head().getString(0)
+    assert(got === "caf\u00e9 xy tail")
+    // idempotent on already-clean ASCII
+    val clean = Seq("plain ascii text").toDF("t")
+      .select(TextAnalysis.normalizeText(col("t"))).head().getString(0)
+    assert(clean === "plain ascii text")
+  }
 }
