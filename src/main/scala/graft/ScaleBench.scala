@@ -705,6 +705,24 @@ object ScaleBench {
     }
     assert(scdRows == 2000000L, s"expected 2 versions x 1M keys: $scdRows")
 
+    // --- stage 27: grouped OLS over 10M points lying exactly on 10
+    // planted lines y = (3+k)·x + 7k — five sufficient-statistic
+    // counters per group cross the shuffle, and the fixed-point
+    // slope/intercept come back EXACT (zero residual ⇒ the integral
+    // division is integral).
+    val (olsStats, tOls) = timed {
+      val k = col("id") % 10
+      val x = col("id") % 1000
+      val pts = spark.range(10000000L).select(k.as("k"),
+        x.cast("long").as("x"), ((k + 3) * x + k * 7).cast("long").as("y"))
+      graft.operators.Stats.groupedOls(pts, Seq("k"), "x", "y")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+    }
+    assert(olsStats == (0 until 10).map(k =>
+        k.toLong -> (((k + 3) * 1000000L, k * 7000000L))).toMap,
+      s"planted lines not recovered exactly: $olsStats")
+
     println(
       s"""{"metric":"reference_scale","overlay_sec":$tOverlay,""" +
         s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
@@ -735,6 +753,7 @@ object ScaleBench {
         s""""validate_10m_sec":$tVal,"histq_100m_sec":$tHq,""" +
         s""""pca_1m_sec":$tPcaFit,"pca_axis_dot":${pcaStats._1},""" +
         s""""scd2_10m_sec":$tScd,"scd2_versions":$scdRows,""" +
+        s""""ols_10m_sec":$tOls,""" +
         s""""regrid_cells":$regridRows,"voronoi_cells":$vorCells,""" +
         s""""conservation_ratio":$ratio}""")
     spark.stop()

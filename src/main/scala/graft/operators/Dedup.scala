@@ -281,6 +281,79 @@ object Dedup {
     refineJaccard(cand, sets, threshold)
   }
 
+  /** Banded band-hash array of a k-row signature — same family/seed as
+    * [[minhashCandidatesFromSets]]'s bucketing, kept as an array so a
+    * joined pair can locate its FIRST colliding band in-row. */
+  private def bandHashes(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      hash(slice(sig, b * rows + 1, rows), lit(9999))
+    }: _*)
+
+  /** Standing-corpus side of the streaming near-dup gate: every corpus
+    * document exploded to its (band, band_hash) bucket rows, carrying
+    * its shingle set (for the exact refine) and full band array (for
+    * first-band dedup). Buckets larger than `maxBucket` are dropped —
+    * the same recall-vs-blowup guard as the batch path; unlike batch,
+    * singleton buckets stay (a lone corpus doc can still match an
+    * arriving one). Build once per corpus snapshot, reuse across
+    * micro-batches. */
+  def corpusBandIndex(corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 16,
+      maxBucket: Int = 64): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val rows = k / bands
+    val sets = corpus.select(col(idCol).cast("long").as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    val exploded = minhashSigExploded(sets, k).join(sets, "id")
+      .select(col("id").as("corpus_id"), col("sh").as("c_sh"),
+        bandHashes(col("sig"), bands, rows).as("c_bands"))
+      .select(col("corpus_id"), col("c_sh"), col("c_bands"),
+        posexplode(col("c_bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "band_hash")
+    exploded.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= maxBucket).drop("__n")
+  }
+
+  /** Streaming near-dup admission gate: arriving documents checked
+    * against a standing corpus ([[corpusBandIndex]]) with MinHash-LSH +
+    * exact-Jaccard refine, composed to be fully STATELESS on the
+    * stream — signatures and band hashes are per-row column chains
+    * (the HOF form, no groupBy), candidates come from one stream-static
+    * inner equi-join on (band, band_hash), and a pair that collides in
+    * several bands is emitted once by keeping only its FIRST matching
+    * band (computed in-row from both band arrays — the reference-point
+    * dedup trick, no `distinct`/state store anywhere). Works unchanged
+    * on a batch `incoming` frame.
+    *
+    * Emits (doc_id, corpus_id, jaccard) for every corpus neighbor with
+    * exact Jaccard ≥ threshold — the per-arrival verdict trail an
+    * ingest pipeline gates on. */
+  def nearDupsAgainstIndex(incoming: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      threshold: Double = 0.5, k: Int = 32, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val rows = k / bands
+    val s = incoming.select(col(idCol).cast("long").as("doc_id"),
+        shingles(col(textCol), shingleN).as("s_sh"))
+      .withColumn("s_sig", minhashFromShingles(col("s_sh"), k))
+      .select(col("doc_id"), col("s_sh"),
+        bandHashes(col("s_sig"), bands, rows).as("s_bands"))
+      .select(col("doc_id"), col("s_sh"), col("s_bands"),
+        posexplode(col("s_bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    s.join(index, Seq("band", "band_hash"))
+      .filter(col("corpus_id") =!= col("doc_id"))
+      .filter(array_position(
+        zip_with(col("s_bands"), col("c_bands"), (a, b) => a === b),
+        true) === col("band") + 1)
+      .withColumn("__j", jaccardSorted(col("s_sh"), col("c_sh")))
+      .filter(col("__j") >= threshold)
+      .select(col("doc_id"), col("corpus_id"),
+        round(col("__j"), 6).as("jaccard"))
+  }
+
   /** Connected components over a near-dup pair list by iterative
     * min-label propagation: every document gets the smallest doc id in
     * its similarity component as `cluster_rep` — the cluster-assignment

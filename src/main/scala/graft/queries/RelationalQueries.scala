@@ -648,6 +648,64 @@ object RelationalQueries {
       |FROM c JOIN qs ON cum*1000000 >= q*total
       |GROUP BY q ORDER BY q""".stripMargin
 
+  /** Winsorized robust aggregates ([[graft.operators.Stats.winsorized]]):
+    * per-event-type value sums with the tails clamped to the exact
+    * p05/p95 bounds — the outlier-bounded metric feeding quality
+    * dashboards. Bounds in integer 20ths (percentile interpolation at
+    * q=k/20 over integers is exact in 20ths), so clip counts and the
+    * winsorized sum replay bit-for-bit in SQL. */
+  val qWinsorize: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    graft.operators.Stats.winsorized(ev, Seq("event_type"), "cents")
+      .orderBy("event_type")
+  }
+
+  val qWinsorizeSql: String =
+    """WITH ev AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (SELECT event_type,
+      |    CAST(round(20*quantile_cont(cents, 0.05)) AS BIGINT) AS lo20,
+      |    CAST(round(20*quantile_cont(cents, 0.95)) AS BIGINT) AS hi20
+      |  FROM ev GROUP BY 1)
+      |SELECT ev.event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN cents*20 < lo20 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+      |  CAST(sum(CASE WHEN cents*20 > hi20 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+      |  CAST(sum(least(greatest(cents*20, lo20), hi20)) AS BIGINT) AS wsum20
+      |FROM ev JOIN b ON ev.event_type = b.event_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Grouped OLS trend ([[graft.operators.Stats.groupedOls]]): the
+    * per-month price trend over orders — slope/intercept of cents
+    * regressed on day-of-month, fitted from the five sufficient
+    * statistics in ONE aggregate pass (five counters per group cross
+    * the shuffle, never the rows). Fixed-point ppm outputs via
+    * integral division; a zero-variance month yields NULL — both
+    * engines agree on truncation toward zero and NULL-on-zero-divide. */
+  val qOlsTrend: Q = (spark, dir) => {
+    val pts = Tables(spark, dir, "orders").select(
+      to_date(date_trunc("month", col("o_orderdate"))).as("mon"),
+      dayofmonth(col("o_orderdate")).cast("long").as("x"),
+      round(col("o_totalprice") * 100).cast("long").as("y"))
+    graft.operators.Stats.groupedOls(pts, Seq("mon"), "x", "y")
+      .orderBy("mon")
+  }
+
+  val qOlsTrendSql: String =
+    """WITH pts AS (SELECT date_trunc('month', o_orderdate) AS mon,
+      |    CAST(date_part('day', o_orderdate) AS BIGINT) AS x,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS y FROM orders),
+      |s AS (SELECT mon, CAST(count(*) AS HUGEINT) n,
+      |    CAST(sum(x) AS HUGEINT) sx, CAST(sum(y) AS HUGEINT) sy,
+      |    CAST(sum(x*x) AS HUGEINT) sxx, CAST(sum(x*y) AS HUGEINT) sxy
+      |  FROM pts GROUP BY 1),
+      |r AS (SELECT mon, n, sx, sy,
+      |    n*sxy - sx*sy AS num, n*sxx - sx*sx AS den FROM s)
+      |SELECT mon, CAST(n AS BIGINT) AS n,
+      |  CAST(num*1000000 // den AS BIGINT) AS slope_ppm,
+      |  CAST((sy*den - num*sx)*1000000 // (n*den) AS BIGINT) AS icept_ppm
+      |FROM r ORDER BY mon""".stripMargin
+
   /** SCD Type-2 dimension history ([[graft.operators.Merge.scd2FromLog]]):
     * the orders log collapsed into versioned (custkey, orderstatus)
     * ranges — consecutive same-status orders merge into one validity
@@ -1433,6 +1491,8 @@ object RelationalQueries {
     "j_interval_windows" -> qIntervalWindows,
     "a_quantiles" -> qQuantiles,
     "a_hist_quantiles" -> qHistQuantiles,
+    "a_ols_trend" -> qOlsTrend,
+    "a_winsorize" -> qWinsorize,
     "j_scd2_history" -> qScd2History,
     "a_rollup_pricing" -> qRollupPricing,
     "a_cube_pricing" -> qCubePricing,
@@ -1483,6 +1543,8 @@ object RelationalQueries {
     "j_interval_windows" -> qIntervalWindowsSql,
     "a_quantiles" -> qQuantilesSql,
     "a_hist_quantiles" -> qHistQuantilesSql,
+    "a_ols_trend" -> qOlsTrendSql,
+    "a_winsorize" -> qWinsorizeSql,
     "j_scd2_history" -> qScd2HistorySql,
     "a_rollup_pricing" -> qRollupPricingSql,
     "a_cube_pricing" -> qCubePricingSql,

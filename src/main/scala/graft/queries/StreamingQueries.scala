@@ -400,6 +400,46 @@ object StreamingQueries {
     * across micro-batches. WHICH event arrives first is batch-order
     * dependent, so the query reports the order-independent result: the
     * set of distinct users (count + key extremes). */
+  /** Streaming NEAR-DUP admission gate
+    * ([[graft.operators.Dedup.nearDupsAgainstIndex]]): arriving
+    * documents MinHash-banded per-row and checked against the standing
+    * corpus's band index by one stream-static equi-join — no state
+    * store, no watermark; the gate a 100 TB ingest runs on every
+    * incoming batch. Every signature/band column is a stateless
+    * per-row chain, duplicate band collisions collapse in-row
+    * (first-matching-band), and the exact-Jaccard refine makes the
+    * emitted pairs exact. Streaming the corpus against its own index
+    * (self-matches excluded) emits each batch near-dup pair in both
+    * orientations — the oracle replays exactly that. */
+  val qStreamNearDup: Q = (spark, dir) => {
+    import graft.operators.Dedup
+    val index = Dedup.corpusBandIndex(
+      Tables(spark, dir, "documents"), "doc_id", "text")
+    val pairs = Dedup.nearDupsAgainstIndex(
+      documentsStream(spark, dir), index, "doc_id", "text")
+    val name = s"graft_stream_neardup_${runId.incrementAndGet()}"
+    val q = pairs.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("doc_id", "corpus_id")
+  }
+
+  val qStreamNearDupSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_sort(list_distinct(
+      |    list_transform(range(1, greatest(len(toks) - 3, 0) + 2),
+      |      i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS s
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |        FROM documents))
+      |SELECT a.doc_id AS doc_id, b.doc_id AS corpus_id,
+      |  round(len(list_intersect(a.s, b.s)) /
+      |    greatest(len(list_distinct(list_concat(a.s, b.s))), 1)::DOUBLE, 6) AS jaccard
+      |FROM sh a, sh b WHERE a.doc_id <> b.doc_id
+      |  AND len(a.s) >= 0.5 * len(b.s) AND len(b.s) >= 0.5 * len(a.s)
+      |  AND len(list_intersect(a.s, b.s)) /
+      |    greatest(len(list_distinct(list_concat(a.s, b.s))), 1)::DOUBLE >= 0.5
+      |ORDER BY 1, 2""".stripMargin
+
   val qStreamDedup: Q = (spark, dir) => {
     val dedup = eventsStream(spark, dir)
       .select(col("user_id").cast("long").as("user_id"))
@@ -513,6 +553,7 @@ object StreamingQueries {
     "stream_interval" -> qStreamIntervalWindows,
     "stream_join_pairs" -> qStreamStreamJoin,
     "stream_doc_filter" -> qStreamDocFilter,
+    "stream_neardup" -> qStreamNearDup,
     "stream_pq_codes" -> qStreamPqCodes)
 
   val oracles: Map[String, String] = Map(
@@ -525,5 +566,6 @@ object StreamingQueries {
     "stream_interval" -> RelationalQueries.qIntervalWindowsSql,
     "stream_join_pairs" -> qStreamStreamJoinSql,
     "stream_doc_filter" -> qStreamDocFilterSql,
+    "stream_neardup" -> qStreamNearDupSql,
     "stream_pq_codes" -> AnnQueries.qEmbedPqCodesSql)
 }
