@@ -54,9 +54,9 @@ object Cooccur {
     pc.join(uc.select(col("t").as("a"), col("n_t").as("n_a")), "a")
       .join(uc.select(col("t").as("b"), col("n_t").as("n_b")), "b")
       .crossJoin(broadcast(tot))
-      .withColumn("ratio_ppm",
-        (col("n_ab").cast(dec) * col("n") * lit(1000000))
-          .div(col("n_a").cast(dec) * col("n_b").cast(dec)).cast("long"))
+      .withColumn("ratio_ppm", expr(
+        s"(CAST(n_ab AS $dec) * n * 1000000) div " +
+          s"(CAST(n_a AS $dec) * CAST(n_b AS $dec))"))
       .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
         col("ratio_ppm"))
       .orderBy(col("n_ab").desc, col("a"), col("b"))

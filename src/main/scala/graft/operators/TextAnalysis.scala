@@ -67,6 +67,49 @@ object TextAnalysis {
   def demoVocabSqlPieces: String =
     demoVocab.map(p => s"('${p.replace("'", "''")}')").mkString(",")
 
+  /** Merge-ranked BPE encoding ([[graft.expressions.BpeTokenize]]):
+    * array of piece ids (indices into `vocab`; −1 = UNK), merges
+    * applied lowest-rank-first. Pass a real model's merges file (pair
+    * list in rank order) and piece list to reproduce its splits. */
+  def bpeTokenize(text: Column, vocab: Seq[String],
+      merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.BpeTokenize(
+        Seq(org.apache.spark.sql.graftbridge.Bridge.expression(text)),
+        vocab, merges))
+
+  /** Demo merges (rank = position) for the BPE oracle-checked queries:
+    * chains that build multi-level pieces (d+a→da→dat→data,
+    * 4+2→42→4242) so the rank order — not longest-match — decides the
+    * splits, plus common English bigram merges. */
+  val demoBpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "a" -> "n", "i" -> "n", "e" -> "r",
+    "an" -> "d", "in" -> "g", "o" -> "n", "4" -> "2", "42" -> "42",
+    "s" -> "t", "e" -> "n", "o" -> "r", "a" -> "r", "l" -> "e",
+    "st" -> "r", "d" -> "a", "da" -> "t", "dat" -> "a")
+
+  /** BPE demo vocab: single ASCII letters/digits/common punctuation
+    * (every base symbol resolvable) plus exactly the merge results —
+    * the closure property a real BPE vocab has by construction. `~` is
+    * deliberately absent: the UNK path stays exercised. */
+  val demoBpeVocab: Seq[String] =
+    (('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString) ++
+      Seq(".", ",", "!", "?", "'", "\"", "-", ":", ";", "(", ")") ++
+      demoBpeMerges.map { case (a, b) => a + b }).toIndexedSeq
+
+  /** The demo merges as a SQL list literal of `'a b'` pair keys (rank =
+    * 1-based list position) — symbols never contain spaces, so the
+    * space-joined key is unambiguous. */
+  def demoBpeMergesSqlList: String =
+    demoBpeMerges.map { case (a, b) =>
+      s"'${(a + " " + b).replace("'", "''")}'"
+    }.mkString("[", ",", "]")
+
+  /** The BPE demo vocab as a SQL list literal (id = position − 1). */
+  def demoBpeVocabSqlList: String =
+    demoBpeVocab.map(p => s"'${p.replace("'", "''")}'")
+      .mkString("[", ",", "]")
+
   /** Character-class counts used by quality heuristics. */
   def alphaCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[A-Za-z]", ""))

@@ -73,24 +73,36 @@ object StreamingQueries {
     }
   }
 
+  /** Raw on-disk schema of events.parquet plus the SQL normalizing its
+    * `ts` to a session-TZ timestamp. The file has shipped in two
+    * generations — TIMESTAMP(NANOS), which the session's nanosAsLong
+    * invariant surfaces as a long (truncate ns→µs with integer
+    * division, matching DuckDB), and TIMESTAMP(MICROS), which reads as
+    * TIMESTAMP_NTZ (cast; wall-clock preserving under the UTC session).
+    * Dispatching on the type actually found keeps every stream reader
+    * working against either generation. */
+  private def rawEvents(spark: SparkSession, dir: String)
+      : (org.apache.spark.sql.types.StructType, String) = {
+    Tables(spark, dir, "events") // pins session invariants (UTC, nanosAsLong)
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val norm = raw("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => "timestamp_micros(ts div 1000)"
+      case _ => "cast(ts as timestamp)"
+    }
+    (raw, norm)
+  }
+
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    // schema from a batch read of the same file (file streams need one);
-    // Tables() also pins the session invariants (UTC, nanosAsLong)
-    val schema = Tables(spark, dir, "events").schema
+    val (rawSchema, norm) = rawEvents(spark, dir)
     // FileStreamSource requires a directory; expose the single parquet
     // file through a temp dir via symlink
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_events")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath)
-    spark.readStream.schema(
-      org.apache.spark.sql.types.StructType(schema.map {
-        case f if f.name == "ts" =>
-          f.copy(dataType = org.apache.spark.sql.types.LongType)
-        case f => f
-      }))
+    spark.readStream.schema(rawSchema)
       .parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(norm))
   }
 
   private def documentsStream(spark: SparkSession, dir: String): DataFrame = {
@@ -499,22 +511,24 @@ object StreamingQueries {
     * micro-batch — the finite-replay watermark-flush device for
     * append-mode session/window queries. */
   private def sentinelEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables(spark, dir, "events").schema
-    val rawSchema = org.apache.spark.sql.types.StructType(schema.map {
-      case f if f.name == "ts" =>
-        f.copy(dataType = org.apache.spark.sql.types.LongType)
-      case f => f
-    })
+    val (rawSchema, norm) = rawEvents(spark, dir)
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_sess")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath)
     val raw = spark.read.schema(rawSchema).parquet(s"$dir/events.parquet")
-    val maxTs = raw.agg(max("ts")).first().getLong(0)
-    val sentinel = raw.limit(1)
-      .withColumn("ts", lit(maxTs + 30L * 86400L * 1000000000L))
+    // +30 days past max(ts), in the raw column's own unit/type
+    val bumped = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr(s"ts + ${30L * 86400L * 1000000000L}") // ns
+      case _ => expr("ts + INTERVAL 30 DAY")
+    }
+    val sentinel = raw.limit(1).drop("ts")
+      .crossJoin(raw.agg(max("ts").as("ts")))
+      .withColumn("ts", bumped)
       .withColumn("user_id",
         lit(-1).cast(rawSchema("user_id").dataType))
+      .select(rawSchema.fieldNames.toSeq.map(col): _*)
     val tmpOut = java.nio.file.Files.createTempDirectory("graft_stream_sent")
     sentinel.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
     val part = java.nio.file.Files.list(tmpOut).toArray.map(_.toString)
@@ -526,7 +540,7 @@ object StreamingQueries {
     spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(norm))
   }
 
   val qStreamDedupSql: String =

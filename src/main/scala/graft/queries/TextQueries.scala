@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Cooccur, Dedup, TextAnalysis}
 
 /** Text-analysis + dedup coverage over the `documents` table. */
 object TextQueries {
@@ -1161,7 +1161,109 @@ object TextQueries {
     componentsCtesSql +
       "\nSELECT doc_id, cluster_rep FROM comp ORDER BY 1"
 
+  /** Merge-ranked BPE tokenization ([[TextAnalysis.bpeTokenize]],
+    * VERDICT r6 #6): same augmented corpus and output contract as
+    * `text_tokenize`, but the splits come from applying the demo
+    * merges lowest-rank-first (SentencePiece-style) instead of greedy
+    * longest-match. The oracle replays the merge loop as a recursive
+    * CTE over DISTINCT pre-tokens, one merge per step — piece counts,
+    * UNK counts and id sums hash-match, pinning rank order, leftmost
+    * tie-break and the id assignment. */
+  val qTextTokenizeBpe: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val aug = concat(col("text"), lit(" 4242-v"), col("doc_id"), lit("~"))
+    val ids = TextAnalysis.bpeTokenize(aug,
+      TextAnalysis.demoBpeVocab, TextAnalysis.demoBpeMerges)
+    d.select(col("doc_id"), ids.as("ids"))
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_pieces"),
+        size(filter(col("ids"), i => i === -1)).cast("long").as("n_unk"),
+        aggregate(col("ids"), lit(0L),
+          (acc, i) => acc + greatest(i, lit(0)).cast("long")).as("id_sum"))
+      .orderBy("doc_id")
+  }
+
+  val qTextTokenizeBpeSql: String = {
+    val m = TextAnalysis.demoBpeMergesSqlList
+    val v = TextAnalysis.demoBpeVocabSqlList
+    s"""WITH RECURSIVE
+       |aug AS (SELECT doc_id, text || ' 4242-v' || doc_id || '~' AS t
+       |  FROM documents),
+       |pre AS (SELECT doc_id, unnest(regexp_extract_all(lower(t),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w FROM aug),
+       |occ AS (SELECT doc_id, w, count(*) AS c FROM pre GROUP BY 1, 2),
+       |dw AS (SELECT DISTINCT w FROM pre),
+       |step(w, syms) AS (
+       |  SELECT w, list_transform(range(1, length(w) + 1),
+       |    i -> substr(w, i, 1)) FROM dw
+       |  UNION ALL
+       |  SELECT w, list_concat(list_concat(
+       |      list_slice(syms, 1, bi - 1),
+       |      [list_extract(syms, bi) || list_extract(syms, bi + 1)]),
+       |      list_slice(syms, bi + 2, len(syms)))
+       |  FROM (
+       |    SELECT w, syms,
+       |      list_position(rk, list_aggregate(rk, 'min')) AS bi,
+       |      list_aggregate(rk, 'min') AS mn
+       |    FROM (
+       |      SELECT w, syms,
+       |        list_transform(range(1, len(syms)),
+       |          i -> coalesce(nullif(list_position($m,
+       |            syms[i] || ' ' || syms[i+1]), 0), 1000000)) AS rk
+       |      FROM step WHERE len(syms) > 1))
+       |  WHERE mn < 1000000),
+       |enc AS (
+       |  SELECT w, syms FROM step
+       |  QUALIFY row_number() OVER (PARTITION BY w ORDER BY len(syms)) = 1),
+       |encs AS (
+       |  SELECT w, len(syms) AS k,
+       |    len(list_filter(syms,
+       |      s -> nullif(list_position($v, s), 0) IS NULL)) AS u,
+       |    coalesce(list_aggregate(list_transform(syms,
+       |      s -> coalesce(nullif(list_position($v, s), 0) - 1, 0)),
+       |      'sum'), 0) AS idsum
+       |  FROM enc)
+       |SELECT o.doc_id,
+       |  cast(sum(o.c * e.k) as bigint) AS n_pieces,
+       |  cast(sum(o.c * e.u) as bigint) AS n_unk,
+       |  cast(sum(o.c * e.idsum) as bigint) AS id_sum
+       |FROM occ o JOIN encs e ON o.w = e.w
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Corpus collocation statistics ([[Cooccur.topPairs]]): top token
+    * pairs co-occurring within 2 positions, with unigram counts and the
+    * integer PMI proxy `(n_ab·N·10⁶) div (n_a·n_b)` — all-integer so
+    * the DuckDB replay hash-matches bit-for-bit. */
+  val qCooccurPairs: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    Cooccur.topPairs(d, "text", maxDist = 2, topK = 100)
+  }
+
+  val qCooccurPairsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, unnest(ts) AS tok, unnest(range(1, len(ts) + 1)) AS i
+      |  FROM t),
+      |pc AS (
+      |  SELECT least(p.tok, q.tok) AS a, greatest(p.tok, q.tok) AS b,
+      |    count(*) AS n_ab
+      |  FROM pos p JOIN pos q ON p.doc_id = q.doc_id
+      |    AND q.i - p.i BETWEEN 1 AND 2
+      |  GROUP BY 1, 2),
+      |uc AS (SELECT tok AS t, count(*) AS n_t FROM pos GROUP BY 1),
+      |tot AS (SELECT sum(n_t) AS n FROM uc)
+      |SELECT pc.a, pc.b, pc.n_ab, ua.n_t AS n_a, ub.n_t AS n_b,
+      |  CAST((pc.n_ab::HUGEINT * tot.n::HUGEINT * 1000000) //
+      |    (ua.n_t::HUGEINT * ub.n_t::HUGEINT) AS BIGINT) AS ratio_ppm
+      |FROM pc JOIN uc ua ON pc.a = ua.t JOIN uc ub ON pc.b = ub.t, tot
+      |ORDER BY n_ab DESC, a, b LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "cooccur_pairs" -> qCooccurPairs,
+    "text_tokenize_bpe" -> qTextTokenizeBpe,
     "dedup_components" -> qDedupComponents,
     "text_winnowing" -> qTextWinnowing,
     "text_stats" -> qTextStats,
@@ -1196,6 +1298,8 @@ object TextQueries {
     "dedup_simhash" -> qDedupSimhash)
 
   val oracles: Map[String, String] = Map(
+    "cooccur_pairs" -> qCooccurPairsSql,
+    "text_tokenize_bpe" -> qTextTokenizeBpeSql,
     "dedup_components" -> qDedupComponentsSql,
     "text_winnowing" -> qTextWinnowingSql,
     "text_stats" -> qTextStatsSql,

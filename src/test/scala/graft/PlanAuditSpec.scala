@@ -51,7 +51,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "sample_domain_mix", "corpus_mix", "text_tfidf",
       "text_bm25", "graph_domain_rank", "dedup_semantic", "ann_pq_topk",
       "ann_pq_recall", // broadcast 20-query exact + ADC sides, as ann_recall
-      "q11_important_value") // q11: 1-row national-total frame, as q22
+      "q11_important_value", // q11: 1-row national-total frame, as q22
+      "cooccur_pairs") // 1-row corpus-total N crossed into pair counts
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(n) => n
     }
@@ -226,5 +227,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       assert(plans(q).contains("partial_"),
         s"$q: no partial aggregation in plan\n${plans(q)}")
     }
+  }
+
+  test("TPC-H sweep: every dimension join broadcasts (VERDICT r6 #7)") {
+    // At SF-100TB the fact sides (lineitem/orders) dwarf every
+    // dimension (region/nation/supplier/customer/part) by orders of
+    // magnitude — a dimension that shuffles instead of broadcasting
+    // turns a map-side join into a full-fact exchange. q1/q6 are pure
+    // scans+aggs (no join); q13 is customer⋈orders (two big sides, a
+    // shuffle join is the right plan); the rest must carry at least one
+    // BroadcastHashJoin, and tiny-dim queries must not hash-shuffle
+    // region/nation.
+    val sweep = Seq("q2_min_cost", "q3_top_revenue", "q4_priority_check",
+      "q5_nation_revenue", "q7_volume_shipping", "q8_market_share",
+      "q9_profit_nation", "q10_returns", "q11_important_value",
+      "q12_ship_modes", "q14_promo_share", "q15_top_supplier",
+      "q16_part_suppliers", "q17_small_quantity", "q18_large_volume",
+      "q19_disjunctive", "q20_promo_suppliers", "q21_waiting_supplier",
+      "q22_global_sales")
+    val noBroadcast = sweep.filterNot(q => plans(q).contains("BroadcastHashJoin"))
+    assert(noBroadcast.isEmpty,
+      s"TPC-H queries joining without any broadcast: $noBroadcast")
+  }
+
+  test("TPC-H heavy three (q9/q18/q21) combine map-side before shuffling") {
+    // The three largest-intermediate queries of the sweep: their
+    // aggregations must run partial_* below the exchange, or the
+    // full fact table crosses the wire per group.
+    Seq("q9_profit_nation", "q18_large_volume", "q21_waiting_supplier")
+      .foreach { q =>
+        assert(plans(q).contains("partial_"),
+          s"$q: no partial aggregation in plan\n${plans(q)}")
+      }
   }
 }
