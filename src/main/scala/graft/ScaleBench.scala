@@ -723,6 +723,47 @@ object ScaleBench {
         k.toLong -> (((k + 3) * 1000000L, k * 7000000L))).toMap,
       s"planted lines not recovered exactly: $olsStats")
 
+    // --- stage 28: collocation mining over 1M docs — 20 random tokens
+    // per doc from a 50k vocab (pair space ~1.25B ⇒ random pair counts
+    // stay single-digit) plus a planted "alpha beta" bigram on every
+    // 10th doc. Pairs are generated IN-ROW (no positional self-join);
+    // the planted pair must win top-1 with its exact adjacency count
+    // and exact integer-PMI ratio: N = 20.2M tokens, so ratio_ppm =
+    // (1e5·20.2e6·1e6) div (1e5·1e5) = 202,000,000.
+    val (coStats, tCo) = timed {
+      def cword(seed: org.apache.spark.sql.Column, i: Int) =
+        concat(lit("w"), pmod(hash(seed, lit(i + 131)), lit(50000)).cast("string"))
+      val body = concat_ws(" ", (0 until 20).map(i => cword(col("id"), i)): _*)
+      val text = concat(body,
+        when(col("id") % 10 === 0, lit(" alpha beta")).otherwise(lit("")))
+      val docs = spark.range(1000000L).select(text.as("text"))
+      val top = graft.operators.Cooccur.topPairs(docs, "text", 2, 10)
+        .head()
+      (top.getString(0), top.getString(1), top.getLong(2), top.getLong(5))
+    }
+    assert(coStats == (("alpha", "beta", 100000L, 202000000L)),
+      s"planted collocation not recovered: $coStats")
+
+    // --- stage 29: merge-ranked BPE over 1M docs — every doc encodes
+    // to exactly 8 pieces (data=1, stress=4, 4242=1, w+digit=2) under
+    // the demo merges, all vocab-resolvable, so the corpus totals are
+    // exact: 8M pieces, 0 UNK. Pure map-side projection; the only
+    // shuffle is the final 1-row sum.
+    val (bpeStats, tBpe) = timed {
+      import graft.operators.TextAnalysis
+      val text = concat(lit("data stress 4242 w"),
+        (col("id") % 10).cast("string"))
+      val docs = spark.range(1000000L).select(text.as("text"))
+      val ids = TextAnalysis.bpeTokenize(col("text"),
+        TextAnalysis.demoBpeVocab, TextAnalysis.demoBpeMerges)
+      docs.select(size(ids).cast("long").as("k"),
+          size(filter(ids, i => i === -1)).cast("long").as("u"))
+        .agg(sum("k"), sum("u"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    }
+    assert(bpeStats == ((8000000L, 0L)),
+      s"planted BPE piece totals off: $bpeStats")
+
     println(
       s"""{"metric":"reference_scale","overlay_sec":$tOverlay,""" +
         s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
@@ -754,6 +795,8 @@ object ScaleBench {
         s""""pca_1m_sec":$tPcaFit,"pca_axis_dot":${pcaStats._1},""" +
         s""""scd2_10m_sec":$tScd,"scd2_versions":$scdRows,""" +
         s""""ols_10m_sec":$tOls,""" +
+        s""""cooccur_1m_sec":$tCo,"cooccur_top_ppm":${coStats._4},""" +
+        s""""bpe_1m_sec":$tBpe,"bpe_pieces":${bpeStats._1},""" +
         s""""regrid_cells":$regridRows,"voronoi_cells":$vorCells,""" +
         s""""conservation_ratio":$ratio}""")
     spark.stop()

@@ -1,0 +1,157 @@
+package graft.io
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, EOFException}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** WARC 1.0 (ISO 28500) web-archive codec — the interchange format
+  * web-scale corpus construction starts from (Common Crawl ships WARC;
+  * a training-data pipeline's first batch job is "parse the WARCs").
+  * From-scratch reader + writer over the published format: records are
+  * `WARC/1.0` + CRLF named headers + CRLF CRLF + `Content-Length`
+  * payload + CRLF CRLF, and a `.warc.gz` file is a sequence of gzip
+  * MEMBERS, one record each, so readers can split on member boundaries.
+  *
+  * Scale shape: the writer emits one `part-NNNNN.warc.gz` per input
+  * partition executor-side (the driver never materializes the frame);
+  * the reader schedules ONE TASK PER FILE — a gzipped member sequence
+  * is not block-splittable, which is exactly how Common Crawl shards
+  * parallelism (many ~1 GB files, not few huge ones). Java's
+  * GZIPInputStream consumes concatenated members transparently, so a
+  * file scans as one sequential stream with no per-record open cost.
+  *
+  * Records are written as `WARC-Type: resource` (direct capture of a
+  * text payload) with deterministic `WARC-Record-ID`s derived from the
+  * record's URI — re-running a write produces byte-identical archives,
+  * which keeps the round-trip oracle hash-stable.
+  */
+object Warc {
+
+  val schema: StructType = StructType(Seq(
+    StructField("uri", StringType, nullable = true),
+    StructField("date", StringType, nullable = true),
+    StructField("rec_type", StringType, nullable = false),
+    StructField("text", StringType, nullable = true)))
+
+  private val Crlf = "\r\n"
+
+  private def record(uri: String, date: String, text: String): Array[Byte] = {
+    val payload = text.getBytes(UTF_8)
+    val id = java.util.UUID.nameUUIDFromBytes(uri.getBytes(UTF_8))
+    val head = new StringBuilder()
+      .append("WARC/1.0").append(Crlf)
+      .append("WARC-Type: resource").append(Crlf)
+      .append("WARC-Record-ID: <urn:uuid:").append(id).append(">").append(Crlf)
+      .append("WARC-Date: ").append(date).append(Crlf)
+      .append("WARC-Target-URI: ").append(uri).append(Crlf)
+      .append("Content-Type: text/plain; charset=utf-8").append(Crlf)
+      .append("Content-Length: ").append(payload.length).append(Crlf)
+      .append(Crlf)
+      .toString.getBytes(UTF_8)
+    val out = new java.io.ByteArrayOutputStream(head.length + payload.length + 4)
+    out.write(head); out.write(payload)
+    out.write(Crlf.getBytes(UTF_8)); out.write(Crlf.getBytes(UTF_8))
+    out.toByteArray
+  }
+
+  /** Write `df` as a directory of `.warc.gz` parts, one per partition,
+    * each record its own gzip member. Executor-side: the driver only
+    * creates the directory and counts part sizes. */
+  def write(df: DataFrame, dir: String, uriCol: String, dateCol: String,
+      textCol: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val (ui, di, ti) = (df.schema.fieldIndex(uriCol),
+      df.schema.fieldIndex(dateCol), df.schema.fieldIndex(textCol))
+    df.rdd.mapPartitionsWithIndex { (p, it) =>
+      var n = 0
+      if (it.hasNext) {
+        val path = f"$dir/part-$p%05d.warc.gz"
+        val fos = new BufferedOutputStream(
+          Files.newOutputStream(Paths.get(path)), 1 << 16)
+        try it.foreach { r =>
+          // one gzip member per record: finish() flushes the member
+          // trailer so members concatenate per the .warc.gz convention
+          val gz = new GZIPOutputStream(fos)
+          gz.write(record(r.getString(ui), r.getString(di), r.getString(ti)))
+          gz.finish()
+          n += 1
+        } finally fos.close()
+      }
+      Iterator.single(n)
+    }.count()
+    ()
+  }
+
+  /** Read a directory of `.warc.gz` (or plain `.warc`) files — one
+    * task per file, records streamed, never a whole file in memory. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val files = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".warc.gz") || p.endsWith(".warc"))
+      .sorted.toSeq
+    require(files.nonEmpty, s"no .warc[.gz] files under $dir")
+    val rows = spark.sparkContext
+      .parallelize(files, files.length)
+      .flatMap(readFile)
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def readFile(path: String): Iterator[Row] = {
+    val raw = new BufferedInputStream(
+      Files.newInputStream(Paths.get(path)), 1 << 16)
+    val in = new DataInputStream(
+      if (path.endsWith(".gz")) new BufferedInputStream(
+        new GZIPInputStream(raw, 1 << 16), 1 << 16)
+      else raw)
+    new Iterator[Row] {
+      private var nextRow: Row = advance()
+      override def hasNext: Boolean = nextRow != null
+      override def next(): Row = {
+        val r = nextRow; nextRow = advance(); r
+      }
+      private def line(): String = {
+        val sb = new StringBuilder(64)
+        var c = in.read()
+        if (c < 0) return null
+        while (c >= 0 && c != '\n') {
+          if (c != '\r') sb.append(c.toChar)
+          c = in.read()
+        }
+        sb.toString
+      }
+      private def advance(): Row = {
+        // skip inter-record blank lines; EOF here is a clean end
+        var l = line()
+        while (l != null && l.isEmpty) l = line()
+        if (l == null) { in.close(); return null }
+        require(l.startsWith("WARC/"), s"bad WARC version line: '$l'")
+        var uri: String = null; var date: String = null
+        var rtype: String = null; var len = -1L
+        var h = line()
+        while (h != null && h.nonEmpty) {
+          val k = h.indexOf(':')
+          require(k > 0, s"bad WARC header: '$h'")
+          val (name, value) = (h.substring(0, k).trim, h.substring(k + 1).trim)
+          name.toLowerCase match {
+            case "warc-target-uri" => uri = value
+            case "warc-date" => date = value
+            case "warc-type" => rtype = value
+            case "content-length" => len = value.toLong
+            case _ => ()
+          }
+          h = line()
+        }
+        require(len >= 0, "missing Content-Length")
+        require(rtype != null, "missing WARC-Type")
+        val payload = new Array[Byte](len.toInt)
+        try in.readFully(payload)
+        catch { case _: EOFException =>
+          throw new IllegalStateException(s"truncated WARC payload in $path") }
+        Row(uri, date, rtype, new String(payload, UTF_8))
+      }
+    }
+  }
+}

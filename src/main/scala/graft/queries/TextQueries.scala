@@ -1231,6 +1231,31 @@ object TextQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** WARC (ISO 28500) round trip ([[graft.io.Warc]]): frame every
+    * document as a `resource` record with a deterministic target URI,
+    * write a directory of per-partition `.warc.gz` parts (one gzip
+    * member per record, Common-Crawl layout), scan it back one task
+    * per file, and re-key on the doc id parsed from the URI. The md5
+    * digest pins payload bytes through the gzip + header framing. */
+  val qWarcRoundtrip: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("warc_q")
+      .resolve("docs").toString
+    val framed = d.select(
+      concat(lit("https://corpus.example.org/doc/"), col("doc_id")).as("uri"),
+      lit("2026-01-01T00:00:00Z").as("date"), col("text"))
+    graft.io.Warc.write(framed, tmp, "uri", "date", "text")
+    graft.io.Warc.read(spark, tmp)
+      .select(
+        regexp_extract(col("uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("rec_type"), md5(col("text")).as("digest"))
+      .orderBy("doc_id")
+  }
+
+  val qWarcRoundtripSql: String =
+    """SELECT doc_id, 'resource' AS rec_type, md5(text) AS digest
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Corpus collocation statistics ([[Cooccur.topPairs]]): top token
     * pairs co-occurring within 2 positions, with unigram counts and the
     * integer PMI proxy `(n_ab·N·10⁶) div (n_a·n_b)` — all-integer so
@@ -1264,6 +1289,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "cooccur_pairs" -> qCooccurPairs,
     "text_tokenize_bpe" -> qTextTokenizeBpe,
+    "text_warc_roundtrip" -> qWarcRoundtrip,
     "dedup_components" -> qDedupComponents,
     "text_winnowing" -> qTextWinnowing,
     "text_stats" -> qTextStats,
@@ -1300,6 +1326,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "cooccur_pairs" -> qCooccurPairsSql,
     "text_tokenize_bpe" -> qTextTokenizeBpeSql,
+    "text_warc_roundtrip" -> qWarcRoundtripSql,
     "dedup_components" -> qDedupComponentsSql,
     "text_winnowing" -> qTextWinnowingSql,
     "text_stats" -> qTextStatsSql,
