@@ -1231,6 +1231,80 @@ object TextQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** BPE vocabulary TRAINING ([[graft.operators.BpeTrain]]): learn 6
+    * merges from the documents corpus — per round, re-segment the
+    * distinct-word table under the merges learned so far and adopt the
+    * corpus-weighted most frequent adjacent symbol pair (ties
+    * lexicographic). The oracle UNROLLS the 6 rounds as chained
+    * recursive CTEs (each round's segmentation is the BPE-encode CTE
+    * under the previous rounds' learned list), so ranks, pairs and
+    * adoption counts are all hash-pinned. */
+  val qBpeTrain: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    graft.operators.BpeTrain.learnMerges(d, "text", 6)
+  }
+
+  /** The k-round unrolled trainer replay; see [[qBpeTrain]]. */
+  def bpeTrainSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH RECURSIVE
+        |pre AS (SELECT unnest(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS w FROM documents),
+        |ow AS (SELECT w, count(*) AS c FROM pre GROUP BY 1),
+        |ml0 AS (SELECT CAST([] AS VARCHAR[]) AS m),
+        |""".stripMargin)
+    for (r <- 0 until k) {
+      if (r == 0)
+        sb.append(
+          """enc0 AS (SELECT w, list_transform(range(1, length(w) + 1),
+            |  i -> substr(w, i, 1)) AS syms FROM ow),
+            |""".stripMargin)
+      else
+        sb.append(
+          s"""step$r(w, syms) AS (
+             |  SELECT w, list_transform(range(1, length(w) + 1),
+             |    i -> substr(w, i, 1)) FROM ow
+             |  UNION ALL
+             |  SELECT w, list_concat(list_concat(
+             |      list_slice(syms, 1, bi - 1),
+             |      [list_extract(syms, bi) || list_extract(syms, bi + 1)]),
+             |      list_slice(syms, bi + 2, len(syms)))
+             |  FROM (
+             |    SELECT w, syms,
+             |      list_position(rk, list_aggregate(rk, 'min')) AS bi,
+             |      list_aggregate(rk, 'min') AS mn
+             |    FROM (
+             |      SELECT w, syms,
+             |        list_transform(range(1, len(syms)),
+             |          i -> coalesce(nullif(list_position(ml$r.m,
+             |            syms[i] || ' ' || syms[i+1]), 0), 1000000)) AS rk
+             |      FROM step$r, ml$r WHERE len(syms) > 1))
+             |  WHERE mn < 1000000),
+             |enc$r AS (
+             |  SELECT w, syms FROM step$r
+             |  QUALIFY row_number() OVER (PARTITION BY w ORDER BY len(syms)) = 1),
+             |""".stripMargin)
+      sb.append(
+        s"""pc$r AS (
+           |  SELECT pr, cast(sum(c) as bigint) AS n FROM (
+           |    SELECT o.c, unnest(list_transform(range(1, len(e.syms)),
+           |      i -> e.syms[i] || ' ' || e.syms[i+1])) AS pr
+           |    FROM enc$r e JOIN ow o USING (w) WHERE len(e.syms) > 1)
+           |  GROUP BY 1),
+           |pick$r AS (SELECT pr AS p, n FROM pc$r ORDER BY n DESC, pr LIMIT 1),
+           |ml${r + 1} AS (SELECT list_append(ml$r.m, pick$r.p) AS m
+           |  FROM ml$r, pick$r),
+           |""".stripMargin)
+    }
+    val body = sb.toString.trim.stripSuffix(",")
+    body + "\n" + (0 until k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, p AS pair, n FROM pick$r")
+      .mkString("\nUNION ALL\n") + "\nORDER BY rank"
+  }
+
+  val qBpeTrainSql: String = bpeTrainSql(6)
+
   /** WARC (ISO 28500) round trip ([[graft.io.Warc]]): frame every
     * document as a `resource` record with a deterministic target URI,
     * write a directory of per-partition `.warc.gz` parts (one gzip
@@ -1290,6 +1364,7 @@ object TextQueries {
     "cooccur_pairs" -> qCooccurPairs,
     "text_tokenize_bpe" -> qTextTokenizeBpe,
     "text_warc_roundtrip" -> qWarcRoundtrip,
+    "text_bpe_train" -> qBpeTrain,
     "dedup_components" -> qDedupComponents,
     "text_winnowing" -> qTextWinnowing,
     "text_stats" -> qTextStats,
@@ -1327,6 +1402,7 @@ object TextQueries {
     "cooccur_pairs" -> qCooccurPairsSql,
     "text_tokenize_bpe" -> qTextTokenizeBpeSql,
     "text_warc_roundtrip" -> qWarcRoundtripSql,
+    "text_bpe_train" -> qBpeTrainSql,
     "dedup_components" -> qDedupComponentsSql,
     "text_winnowing" -> qTextWinnowingSql,
     "text_stats" -> qTextStatsSql,
