@@ -942,22 +942,29 @@ object Hdf5 {
   }
 
   /** Fractal heap geometry from an FRHP header — enough to resolve a
-    * managed heap id to a file address. */
-  private final case class FHeap(idLen: Int, offSize: Int, lenSize: Int,
+    * managed heap id to its bytes. `children` carries one
+    * (address, filtered size, filter mask) triple per direct block of
+    * an indirect root (filtered size −1 when the heap is unfiltered);
+    * for a FILTERED heap ([[filters]] non-empty) direct blocks are
+    * de-filtered whole and sliced, with a per-heap one-block cache —
+    * link iteration touches blocks in heap-offset order, so the
+    * working set is a single decompressed block. */
+  private final class FHeap(r: R, val offSize: Int, val lenSize: Int,
       width: Int, startBlock: Long, maxDirect: Long,
       rootAddr: Long, curRows: Int, blockChecksums: Boolean,
-      children: Seq[Long]) {
+      children: Seq[(Long, Long, Int)],
+      filters: Seq[(Int, Seq[Int])], rootStoredSize: Long, rootMask: Int) {
 
     private def rowSize(row: Int): Long =
       if (row < 2) startBlock else startBlock << (row - 1)
 
-    /** File address of the managed object at heap offset `off` (heap
-      * offsets include each direct block's header bytes, so resolving
-      * is pure block arithmetic). */
-    def resolve(off: Long): Long = {
+    /** (block address, stored size, mask, logical size, offset within
+      * block) for heap offset `off` — heap offsets include each direct
+      * block's header bytes, so locating is pure block arithmetic. */
+    private def locate(off: Long): (Long, Long, Int, Long, Long) = {
       if (curRows == 0) { // root IS a single direct block
         require(off < startBlock, s"heap offset $off beyond root block")
-        return rootAddr + off
+        return (rootAddr, rootStoredSize, rootMask, startBlock, off)
       }
       var row = 0
       var rowStart = 0L
@@ -968,22 +975,52 @@ object Hdf5 {
       }
       val col = ((off - rowStart) / rowSize(row)).toInt
       val within = (off - rowStart) % rowSize(row)
-      val child = children(row * width + col)
+      val (child, stored, mask) = children(row * width + col)
       require(child != Undef, s"heap offset $off in unallocated block")
-      child + within
+      (child, stored, mask, rowSize(row), within)
+    }
+
+    private var cachedAddr: Long = Undef
+    private var cachedBlock: Array[Byte] = null
+
+    /** Managed-object bytes at heap offset `off`. */
+    def read(off: Long, len: Long): ByteBuffer = {
+      val (addr, stored, mask, logical, within) = locate(off)
+      if (filters.isEmpty) r.window(addr + within, len)
+      else {
+        if (addr != cachedAddr) {
+          val raw = new Array[Byte](stored.toInt)
+          r.atLen(addr, stored).get(raw)
+          cachedBlock = unfilterChunk(raw, mask, filters, logical.toInt, 1,
+            "fractal heap direct block")
+          val sig = new String(cachedBlock.take(4), "US-ASCII")
+          require(sig == "FHDB", s"bad de-filtered direct block: '$sig'")
+          cachedAddr = addr
+        }
+        require(within + len <= cachedBlock.length,
+          s"heap object at $off+$len beyond block end")
+        ByteBuffer.wrap(cachedBlock, within.toInt, len.toInt).slice()
+          .order(ByteOrder.LITTLE_ENDIAN)
+      }
     }
   }
 
   private def parseFractalHeap(r: R, addr: Long): FHeap = {
     val szOff = r.szOff; val szLen = r.szLen
     val hdrSize = 14 + 2 * szOff + 10 * szLen + 2 + 2 * szLen + 2 + 2 + szOff + 2 + 4
-    val b = r.window(addr, hdrSize.toLong)
+    // peek the I/O-filter length (bytes 7-8) to size the full window:
+    // a filtered heap appends filtered-root-size + mask + pipeline
+    val peek = r.window(addr, 9L)
+    peek.position(7)
+    val ioFilterLen = peek.getShort & 0xffff
+    val fullSize = hdrSize +
+      (if (ioFilterLen > 0) szLen + 4 + ioFilterLen else 0)
+    val b = r.window(addr, fullSize.toLong)
     val sig = new Array[Byte](4); b.get(sig)
     require(new String(sig, "US-ASCII") == "FRHP", "bad fractal heap header")
     require((b.get() & 0xff) == 0, "fractal heap version")
-    val idLen = b.getShort & 0xffff
-    val ioFilterLen = b.getShort & 0xffff
-    require(ioFilterLen == 0, "filtered fractal heap unsupported")
+    b.getShort // heap id length (recomputed from geometry below)
+    b.getShort // ioFilterLen, already peeked
     val flags = b.get() & 0xff
     val maxManaged = b.getInt & 0xffffffffL
     uintAt(b, szLen) // next huge id
@@ -1000,6 +1037,16 @@ object Hdf5 {
     b.getShort // starting rows
     val rootAddr = r.offset(b)
     val curRows = b.getShort & 0xffff
+    // filtered heap: stored size + mask of the ROOT direct block (only
+    // meaningful when curRows == 0) and the I/O filter pipeline, in
+    // the same encoding as object-header message 0x000B
+    val (filters, rootStored, rootMask) =
+      if (ioFilterLen == 0) (Nil, -1L, 0)
+      else {
+        val fs = uintAt(b, szLen)
+        val fm = b.getInt
+        (parseFilterPipeline(b), fs, fm)
+      }
     val offSize = (maxHeapBits + 7) / 8
     // heap_len_size = min(bytes for log2(maxDirect) bits, enc size of
     // the max managed object size) — libhdf5's H5HF_hdr math
@@ -1009,28 +1056,37 @@ object Hdf5 {
     val maxDirectRows =
       (63 - java.lang.Long.numberOfLeadingZeros(maxDirect)) -
         (63 - java.lang.Long.numberOfLeadingZeros(startBlock)) + 2
-    val children: Seq[Long] =
+    val children: Seq[(Long, Long, Int)] =
       if (curRows == 0) Nil
       else {
         require(curRows <= maxDirectRows,
           "multi-level fractal heap (indirect children) unsupported")
         val n = curRows * width
-        val ib = r.window(rootAddr, (4 + 1 + szOff + offSize + n * szOff + 4).toLong)
+        // a filtered heap's indirect block carries (address, stored
+        // size, mask) per direct-block entry instead of a bare address
+        val entry = szOff + (if (ioFilterLen > 0) szLen + 4 else 0)
+        val ib = r.window(rootAddr, (4 + 1 + szOff + offSize + n * entry + 4).toLong)
         val is = new Array[Byte](4); ib.get(is)
         require(new String(is, "US-ASCII") == "FHIB", "bad root indirect block")
         require((ib.get() & 0xff) == 0, "indirect block version")
         r.offset(ib) // heap header address
         uintAt(ib, offSize) // block offset
-        (0 until n).map(_ => r.offset(ib))
+        (0 until n).map { _ =>
+          val a = r.offset(ib)
+          if (ioFilterLen > 0) (a, uintAt(ib, szLen), ib.getInt)
+          else (a, -1L, 0)
+        }
       }
-    // sanity-check the root direct block when the root is direct
-    if (curRows == 0 && rootAddr != Undef) {
+    // sanity-check the root direct block when the root is direct (a
+    // filtered root is checked after de-filtering, in FHeap.read)
+    if (curRows == 0 && rootAddr != Undef && ioFilterLen == 0) {
       val db = r.window(rootAddr, 5)
       val ds = new Array[Byte](4); db.get(ds)
       require(new String(ds, "US-ASCII") == "FHDB", "bad root direct block")
     }
-    FHeap(idLen, offSize, lenSz, width, startBlock, maxDirect,
-      rootAddr, curRows, (flags & 0x2) != 0, children)
+    new FHeap(r, offSize, lenSz, width, startBlock, maxDirect,
+      rootAddr, curRows, (flags & 0x2) != 0, children,
+      filters, rootStored, rootMask)
   }
 
   /** All records of a v2 B-tree as raw record buffers (depth ≤ 1 —
@@ -1118,9 +1174,18 @@ object Hdf5 {
         "huge/tiny fractal heap object unsupported")
       val off = uintAt(b, heap.offSize)
       val len = uintAt(b, heap.lenSize)
-      val body = r.window(heap.resolve(off), len)
-      parseLinkMessage(r, body)
+      parseLinkMessage(r, heap.read(off, len))
     }
+  }
+
+  /** Test hook: read a dense group's (name, address) links from a file
+    * holding the fractal heap + name-index structures at the given
+    * addresses (no superblock required — offsets are absolute). */
+  private[graft] def denseLinksForTest(path: String, fheapAddr: Long,
+      nameBt: Long): Seq[(String, Long)] = {
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try readDenseLinks(new R(raf, 0L), fheapAddr, nameBt)
+    finally raf.close()
   }
 
   private def decode(dtype: Dtype, shape: Seq[Long], raw: ByteBuffer): Array[_] = {
@@ -1180,6 +1245,27 @@ object Hdf5 {
     if (btree != Undef) walk(btree)
   }
 
+  /** Parse a filter-pipeline body (object-header message 0x000B v1/v2,
+    * also embedded verbatim in filtered fractal-heap headers) into
+    * (filter id, client data) pairs. */
+  private def parseFilterPipeline(b: ByteBuffer): Seq[(Int, Seq[Int])] = {
+    val ver = b.get() & 0xff
+    val nf = b.get() & 0xff
+    if (ver == 1) { b.getShort; b.getInt }
+    (0 until nf).map { _ =>
+      val id = b.getShort & 0xffff
+      val nameLen =
+        if (ver == 1 || id >= 256) b.getShort & 0xffff else 0
+      b.getShort // flags
+      val nvals = b.getShort & 0xffff
+      val skip = if (ver == 1) (nameLen + 7) & ~7 else nameLen
+      b.position(b.position() + skip)
+      val vals = (0 until nvals).map(_ => b.getInt)
+      if (ver == 1 && nvals % 2 == 1) b.getInt // pad
+      (id, vals)
+    }
+  }
+
   /** Reverse a chunk's filter pipeline (fletcher32 / deflate / shuffle)
     * down to `fullChunk` raw bytes. */
   private def unfilterChunk(stored: Array[Byte], mask: Int,
@@ -1237,21 +1323,7 @@ object Hdf5 {
         case (0x0001, b) => shape = parseDataspace(b)
         case (0x0003, b) => dtype = parseDtype(b)
         case (0x000B, b) => // filter pipeline
-          val ver = b.get() & 0xff
-          val nf = b.get() & 0xff
-          if (ver == 1) { b.getShort; b.getInt }
-          filters = (0 until nf).map { _ =>
-            val id = b.getShort & 0xffff
-            val nameLen =
-              if (ver == 1 || id >= 256) b.getShort & 0xffff else 0
-            b.getShort // flags
-            val nvals = b.getShort & 0xffff
-            val skip = if (ver == 1) (nameLen + 7) & ~7 else nameLen
-            b.position(b.position() + skip)
-            val vals = (0 until nvals).map(_ => b.getInt)
-            if (ver == 1 && nvals % 2 == 1) b.getInt // pad
-            (id, vals)
-          }
+          filters = parseFilterPipeline(b)
         case (0x0008, b) =>
           val ver = b.get() & 0xff
           if (ver == 3) {
