@@ -1305,6 +1305,65 @@ object TextQueries {
 
   val qBpeTrainSql: String = bpeTrainSql(6)
 
+  /** Quality-classifier TRAINING ([[graft.operators.Perceptron]]):
+    * 4 batch-perceptron rounds predicting `lang = 'en'` from integer
+    * token-count features — all-integer updates, so the whole
+    * trajectory (per-round weights AND misclassified counts) is
+    * hash-exact against the oracle's unrolled replay. */
+  val perceptronWords: Seq[String] =
+    Seq("spark", "table", "data", "fast", "slow", "query")
+
+  val qPerceptronTrain: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val withF = d.select(
+      (when(col("lang") === "en", 1L).otherwise(-1L).as("y") +:
+        perceptronWords.map(w =>
+          size(filter(toks, t => t === w)).cast("long").as(s"x_$w"))): _*)
+    graft.operators.Perceptron.train(withF, "y",
+      perceptronWords.map("x_" + _), rounds = 4)
+  }
+
+  /** The k-round unrolled batch-perceptron replay; see
+    * [[qPerceptronTrain]]. */
+  def perceptronTrainSql(k: Int): String = {
+    val fx = perceptronWords.map("x_" + _) :+ "bias"
+    val featSql = perceptronWords.map(w =>
+      s"""len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |      t -> t = '$w')) AS x_$w""".stripMargin).mkString(",\n    ")
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH f AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         |    $featSql,
+         |    1 AS bias
+         |  FROM documents),
+         |w0 AS (SELECT ${fx.map(c => s"CAST(0 AS BIGINT) AS w_$c").mkString(", ")}),
+         |""".stripMargin)
+    for (r <- 0 until k) {
+      val dot = fx.map(c => s"w$r.w_$c * f.$c").mkString(" + ")
+      val upd = fx.map(c =>
+        s"CAST(coalesce(sum(CASE WHEN f.y * ($dot) <= 0 " +
+          s"THEN f.y * f.$c ELSE 0 END), 0) AS BIGINT) AS u_$c").mkString(",\n    ")
+      sb.append(
+        s"""m$r AS (
+           |  SELECT count(*) FILTER (f.y * ($dot) <= 0) AS n,
+           |    $upd
+           |  FROM f, w$r),
+           |w${r + 1} AS (SELECT ${fx.map(c => s"w$r.w_$c + m$r.u_$c AS w_$c").mkString(", ")}
+           |  FROM w$r, m$r),
+           |""".stripMargin)
+    }
+    val finals = for (r <- 0 until k; c <- fx) yield
+      s"SELECT CAST($r AS BIGINT) AS round, '$c' AS feature, " +
+        s"CAST(w${r + 1}.w_$c AS BIGINT) AS weight, m$r.n AS n_mistakes " +
+        s"FROM w${r + 1}, m$r"
+    sb.toString.trim.stripSuffix(",") + "\n" +
+      finals.mkString("\nUNION ALL\n") + "\nORDER BY round, feature"
+  }
+
+  val qPerceptronTrainSql: String = perceptronTrainSql(4)
+
   /** WARC (ISO 28500) round trip ([[graft.io.Warc]]): frame every
     * document as a `resource` record with a deterministic target URI,
     * write a directory of per-partition `.warc.gz` parts (one gzip
@@ -1365,6 +1424,7 @@ object TextQueries {
     "text_tokenize_bpe" -> qTextTokenizeBpe,
     "text_warc_roundtrip" -> qWarcRoundtrip,
     "text_bpe_train" -> qBpeTrain,
+    "text_perceptron_train" -> qPerceptronTrain,
     "dedup_components" -> qDedupComponents,
     "text_winnowing" -> qTextWinnowing,
     "text_stats" -> qTextStats,
@@ -1403,6 +1463,7 @@ object TextQueries {
     "text_tokenize_bpe" -> qTextTokenizeBpeSql,
     "text_warc_roundtrip" -> qWarcRoundtripSql,
     "text_bpe_train" -> qBpeTrainSql,
+    "text_perceptron_train" -> qPerceptronTrainSql,
     "dedup_components" -> qDedupComponentsSql,
     "text_winnowing" -> qTextWinnowingSql,
     "text_stats" -> qTextStatsSql,
