@@ -1305,6 +1305,42 @@ object TextQueries {
 
   val qBpeTrainSql: String = bpeTrainSql(6)
 
+  /** Blocklist / phrase matching ([[graft.expressions.MultiPatternCount]]):
+    * one Aho–Corasick pass counts every occurrence of every blocklist
+    * phrase (overlapping and nested matches included — "big table"
+    * also scores "table"); the oracle replays each phrase as a scan of
+    * every start offset, which is the same match semantics. */
+  val blocklistPhrases: Seq[String] =
+    Seq("spark", "table", "big table", "slow", "slow query", "a a")
+
+  val qTextBlocklist: Q = (spark, dir) => {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val d = Tables(spark, dir, "documents")
+    val counts = Bridge.column(graft.expressions.MultiPatternCount(
+      Seq(Bridge.expression(col("text"))), blocklistPhrases))
+    d.select(col("doc_id"), counts.as("m"))
+      .select((col("doc_id") +:
+        blocklistPhrases.indices.map(i =>
+          element_at(col("m"), i + 1).as(s"m$i"))) :+
+        aggregate(col("m"), lit(0L), _ + _).as("total"): _*)
+      .orderBy("doc_id")
+  }
+
+  val qTextBlocklistSql: String = {
+    val ms = blocklistPhrases.zipWithIndex.map { case (p, i) =>
+      s"""len(list_filter(range(1, length(t) - ${p.length} + 2),
+         |      j -> substr(t, j, ${p.length}) = '$p')) AS m$i""".stripMargin
+    }.mkString(",\n    ")
+    val total = blocklistPhrases.indices.map(i => s"m$i").mkString(" + ")
+    s"""SELECT doc_id, ${blocklistPhrases.indices.map(i => s"m$i").mkString(", ")},
+       |  $total AS total
+       |FROM (
+       |  SELECT doc_id,
+       |    $ms
+       |  FROM (SELECT doc_id, lower(text) AS t FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Quality-classifier TRAINING ([[graft.operators.Perceptron]]):
     * 4 batch-perceptron rounds predicting `lang = 'en'` from integer
     * token-count features — all-integer updates, so the whole
@@ -1425,6 +1461,7 @@ object TextQueries {
     "text_warc_roundtrip" -> qWarcRoundtrip,
     "text_bpe_train" -> qBpeTrain,
     "text_perceptron_train" -> qPerceptronTrain,
+    "text_blocklist" -> qTextBlocklist,
     "dedup_components" -> qDedupComponents,
     "text_winnowing" -> qTextWinnowing,
     "text_stats" -> qTextStats,
@@ -1464,6 +1501,7 @@ object TextQueries {
     "text_warc_roundtrip" -> qWarcRoundtripSql,
     "text_bpe_train" -> qBpeTrainSql,
     "text_perceptron_train" -> qPerceptronTrainSql,
+    "text_blocklist" -> qTextBlocklistSql,
     "dedup_components" -> qDedupComponentsSql,
     "text_winnowing" -> qTextWinnowingSql,
     "text_stats" -> qTextStatsSql,
