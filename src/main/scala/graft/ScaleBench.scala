@@ -764,6 +764,30 @@ object ScaleBench {
     assert(bpeStats == ((8000000L, 0L)),
       s"planted BPE piece totals off: $bpeStats")
 
+    // --- stage 30: Aho–Corasick blocklist over 1M docs — 20 random
+    // tokens per doc plus " bad phrase here" planted on every 7th doc;
+    // the two planted patterns overlap inside the planted span (both
+    // must count) and the third never occurs. One automaton pass per
+    // doc, counts-only shuffle. ceil(1M/7) = 142858 planted docs.
+    val (blStats, tBl) = timed {
+      import org.apache.spark.sql.graftbridge.Bridge
+      def bword(seed: org.apache.spark.sql.Column, i: Int) =
+        concat(lit("w"), pmod(hash(seed, lit(i + 557)), lit(5000000)).cast("string"))
+      val body = concat_ws(" ", (0 until 20).map(i => bword(col("id"), i)): _*)
+      val text = concat(body,
+        when(col("id") % 7 === 0, lit(" bad phrase here")).otherwise(lit("")))
+      val docs = spark.range(1000000L).select(text.as("text"))
+      val m = Bridge.column(graft.expressions.MultiPatternCount(
+        Seq(Bridge.expression(col("text"))),
+        Seq("bad phrase", "phrase here", "never occurs")))
+      docs.select(m.as("m"))
+        .agg(sum(element_at(col("m"), 1)), sum(element_at(col("m"), 2)),
+          sum(element_at(col("m"), 3)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    }
+    assert(blStats == ((142858L, 142858L, 0L)),
+      s"planted blocklist counts off: $blStats")
+
     println(
       s"""{"metric":"reference_scale","overlay_sec":$tOverlay,""" +
         s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
@@ -797,6 +821,7 @@ object ScaleBench {
         s""""ols_10m_sec":$tOls,""" +
         s""""cooccur_1m_sec":$tCo,"cooccur_top_ppm":${coStats._4},""" +
         s""""bpe_1m_sec":$tBpe,"bpe_pieces":${bpeStats._1},""" +
+        s""""blocklist_1m_sec":$tBl,"blocklist_hits":${blStats._1},""" +
         s""""regrid_cells":$regridRows,"voronoi_cells":$vorCells,""" +
         s""""conservation_ratio":$ratio}""")
     spark.stop()

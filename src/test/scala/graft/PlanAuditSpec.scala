@@ -167,7 +167,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try Seq("sample_domain_mix", "corpus_mix", "pack_shards",
       "text_tokenize", "dedup_substring", "text_bm25",
-      "text_classifier").foreach { q =>
+      "text_classifier", "text_blocklist", "text_perceptron_train")
+      .foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       val offenders = df.queryExecution.executedPlan.collect {
         case e: ShuffleExchangeExec
