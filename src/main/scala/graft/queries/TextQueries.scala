@@ -1305,6 +1305,47 @@ object TextQueries {
 
   val qBpeTrainSql: String = bpeTrainSql(6)
 
+  /** End-to-end WARC ingest — the first batch job of a corpus build:
+    * archive the corpus as `.warc.gz`, scan it back ([[graft.io.Warc]]),
+    * and run the admission gate (token/char minimums + exact-dedup
+    * winner-take-first) over the parsed records. Decisions replay in
+    * SQL over the source table, so the whole archive→parse→admit chain
+    * is hash-checked, not just the codec. */
+  val qWarcIngest: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("warc_ingest")
+      .resolve("docs").toString
+    val framed = d.select(
+      concat(lit("https://corpus.example.org/doc/"), col("doc_id")).as("uri"),
+      lit("2026-01-01T00:00:00Z").as("date"), col("text"))
+    graft.io.Warc.write(framed, tmp, "uri", "date", "text")
+    val docs = graft.io.Warc.read(spark, tmp)
+      .select(regexp_extract(col("uri"), "/doc/(\\d+)$", 1)
+        .cast("long").as("doc_id"), col("text"))
+    val scored = docs.select(col("doc_id"), col("text"),
+      size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+    val winners = scored.select(col("doc_id"), md5(col("text")).as("digest"))
+      .groupBy("digest").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(true).as("is_winner"))
+    scored.join(winners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"),
+        (col("n_tokens") >= 5 && col("n_chars") >= 20 &&
+          col("is_winner").isNotNull).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val qWarcIngestSql: String =
+    """WITH w AS (SELECT min(doc_id) AS wid FROM documents GROUP BY md5(text))
+      |SELECT doc_id,
+      |  cast(len(regexp_split_to_array(trim(lower(text)), '\s+')) as bigint)
+      |    AS n_tokens,
+      |  cast(length(text) as bigint) AS n_chars,
+      |  (len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 5
+      |    AND length(text) >= 20
+      |    AND doc_id IN (SELECT wid FROM w)) AS keep
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Blocklist / phrase matching ([[graft.expressions.MultiPatternCount]]):
     * one Aho–Corasick pass counts every occurrence of every blocklist
     * phrase (overlapping and nested matches included — "big table"
@@ -1462,6 +1503,7 @@ object TextQueries {
     "text_bpe_train" -> qBpeTrain,
     "text_perceptron_train" -> qPerceptronTrain,
     "text_blocklist" -> qTextBlocklist,
+    "pipeline_warc_ingest" -> qWarcIngest,
     "dedup_components" -> qDedupComponents,
     "text_winnowing" -> qTextWinnowing,
     "text_stats" -> qTextStats,
@@ -1502,6 +1544,7 @@ object TextQueries {
     "text_bpe_train" -> qBpeTrainSql,
     "text_perceptron_train" -> qPerceptronTrainSql,
     "text_blocklist" -> qTextBlocklistSql,
+    "pipeline_warc_ingest" -> qWarcIngestSql,
     "dedup_components" -> qDedupComponentsSql,
     "text_winnowing" -> qTextWinnowingSql,
     "text_stats" -> qTextStatsSql,
