@@ -28,7 +28,7 @@ case class MultiPatternCount(children: Seq[Expression], patterns: Seq[String])
 
   require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
     "patterns must be non-empty")
-  require(patterns.map(_.toLowerCase).distinct.length == patterns.length,
+  require(patterns.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.length == patterns.length,
     "duplicate pattern (after lowercasing)")
 
   override def nullable: Boolean = true
@@ -43,7 +43,7 @@ case class MultiPatternCount(children: Seq[Expression], patterns: Seq[String])
 
   @transient private lazy val root: Node = {
     val r = new Node
-    patterns.map(_.toLowerCase).zipWithIndex.foreach { case (p, idx) =>
+    patterns.map(_.toLowerCase(java.util.Locale.ROOT)).zipWithIndex.foreach { case (p, idx) =>
       var n = r
       p.foreach { c =>
         var k = n.next.get(c)

@@ -63,23 +63,45 @@ object Warc {
     * creates the directory and counts part sizes. */
   def write(df: DataFrame, dir: String, uriCol: String, dateCol: String,
       textCol: String): Unit = {
-    Files.createDirectories(Paths.get(dir))
+    val dirPath = Paths.get(dir)
+    Files.createDirectories(dirPath)
+    // a rewrite with fewer partitions must not leave stale parts that a
+    // later read() would happily ingest alongside the fresh ones
+    Files.list(dirPath).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.matches("part-\\d{5}\\.warc\\.gz"))
+      .foreach(Files.delete)
     val (ui, di, ti) = (df.schema.fieldIndex(uriCol),
       df.schema.fieldIndex(dateCol), df.schema.fieldIndex(textCol))
     df.rdd.mapPartitionsWithIndex { (p, it) =>
       var n = 0
       if (it.hasNext) {
-        val path = f"$dir/part-$p%05d.warc.gz"
-        val fos = new BufferedOutputStream(
-          Files.newOutputStream(Paths.get(path)), 1 << 16)
-        try it.foreach { r =>
-          // one gzip member per record: finish() flushes the member
-          // trailer so members concatenate per the .warc.gz convention
-          val gz = new GZIPOutputStream(fos)
-          gz.write(record(r.getString(ui), r.getString(di), r.getString(ti)))
-          gz.finish()
-          n += 1
-        } finally fos.close()
+        // task-attempt temp name + atomic rename on commit, so a
+        // speculative or retried attempt never interleaves with another
+        // writer on the final part path
+        val attempt = org.apache.spark.TaskContext.get() match {
+          case null => 0L
+          case tc => tc.taskAttemptId()
+        }
+        val fin = Paths.get(f"$dir/part-$p%05d.warc.gz")
+        val tmp = Paths.get(f"$dir/.part-$p%05d.warc.gz.$attempt%d.tmp")
+        val fos = new BufferedOutputStream(Files.newOutputStream(tmp), 1 << 16)
+        try {
+          it.foreach { r =>
+            // one gzip member per record: finish() flushes the member
+            // trailer so members concatenate per the .warc.gz convention
+            val gz = new GZIPOutputStream(fos)
+            gz.write(record(r.getString(ui), r.getString(di), r.getString(ti)))
+            gz.finish()
+            n += 1
+          }
+          fos.close()
+          Files.move(tmp, fin,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } finally {
+          fos.close()
+          Files.deleteIfExists(tmp)
+        }
       }
       Iterator.single(n)
     }.count()
@@ -113,14 +135,17 @@ object Warc {
         val r = nextRow; nextRow = advance(); r
       }
       private def line(): String = {
-        val sb = new StringBuilder(64)
+        // accumulate raw bytes and decode as UTF-8 once the line ends —
+        // headers are UTF-8 on the wire (the writer emits them so), and
+        // per-byte toChar would mis-decode any non-ASCII URI as Latin-1
+        val buf = new java.io.ByteArrayOutputStream(64)
         var c = in.read()
         if (c < 0) return null
         while (c >= 0 && c != '\n') {
-          if (c != '\r') sb.append(c.toChar)
+          if (c != '\r') buf.write(c)
           c = in.read()
         }
-        sb.toString
+        new String(buf.toByteArray, UTF_8)
       }
       private def advance(): Row = {
         // skip inter-record blank lines; EOF here is a clean end
@@ -145,6 +170,7 @@ object Warc {
           h = line()
         }
         require(len >= 0, "missing Content-Length")
+        require(len <= Int.MaxValue, s"WARC record too large: $len")
         require(rtype != null, "missing WARC-Type")
         val payload = new Array[Byte](len.toInt)
         try in.readFully(payload)

@@ -357,7 +357,7 @@ object GeoQueries {
         (col("n_nationkey") / 5).cast("long") * 2.0,
         (col("n_nationkey") % 5) * 2.5 + 2.0,
         (col("n_nationkey") / 5).cast("long") * 2.0 + 1.5).as("geom"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_geojson")
+    val tmp = graft.util.Scratch.dir("graft_geojson")
       .resolve("nations_layer").toString
     // distributed sink: 3 partitions → 3 part FeatureCollections, read
     // back through the stock (directory-listing) JSON datasource
@@ -609,7 +609,7 @@ object GeoQueries {
         (col("n_nationkey") / 5).cast("long") * 2.0,
         (col("n_nationkey") % 5) * 3.0 + 3.0,
         (col("n_nationkey") / 5).cast("long") * 2.0 + 2.0).as("geom"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_shp")
+    val tmp = graft.util.Scratch.dir("graft_shp")
       .resolve("nations_layer").toString
     // distributed sink: 3 partitions → 3 complete part layers written
     // executor-side, scanned back one Spark partition per part
@@ -639,7 +639,7 @@ object GeoQueries {
         (col("n_nationkey") / 5).cast("long") * 3.0,
         (col("n_nationkey") % 5) * 4.0 + 4.0,
         (col("n_nationkey") / 5).cast("long") * 3.0 + 2.0).as("geom"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_gpkg")
+    val tmp = graft.util.Scratch.dir("graft_gpkg")
       .resolve("nations.gpkg").toString
     graft.io.GeoPackage.write(boxes, "geom", tmp, "nations")
     graft.io.GeoPackage.read(spark, tmp, "nations", StructType(Seq(

@@ -101,7 +101,7 @@ object GridQueries {
     * everything from `range()` cross joins — the dense files and the
     * scan must agree cell-for-cell. */
   val qGridSourceScan: Q = (spark, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("ggrd_q")
+    val tmp = graft.util.Scratch.dir("ggrd_q")
     for (k <- 0 until 4)
       graft.sources.GridBinary.write(tmp.resolve(f"slab-$k%02d.ggrd").toString,
         times = Array.tabulate(6)(i => (k * 6 + i) * 3600L * 1000000L),
@@ -133,7 +133,7 @@ object GridQueries {
     * oracle. */
   val qGridSourceScanNc: Q = (spark, dir) => {
     import graft.io.{Hdf5, NetCdf, Zarr}
-    val tmp = java.nio.file.Files.createTempDirectory("ncgrid_q")
+    val tmp = graft.util.Scratch.dir("ncgrid_q")
     val dims = Seq(NetCdf.Dim("time", 6), NetCdf.Dim("y", 10), NetCdf.Dim("x", 20))
     def vars(k: Int) = Seq(
       NetCdf.Var("time", Seq(0), NetCdf.NcDouble, Nil,
@@ -261,7 +261,7 @@ object GridQueries {
     // S3 sink: executor-side GeoJSON part files, scanned back through
     // the stock JSON datasource — the emitted stats/geometry below are
     // computed from the ROUNDTRIPPED layer
-    val tmp = java.nio.file.Files.createTempDirectory("graft_vor")
+    val tmp = graft.util.Scratch.dir("graft_vor")
       .resolve("cells").toString
     graft.io.GeoJson.writeParts(joined, "geom", tmp)
     graft.io.GeoJson.read(spark, tmp)
@@ -326,7 +326,7 @@ object GridQueries {
       .collect()
     val ny = supp.length / 10
     val cents = supp.take(ny * 10).map(_.getDouble(1))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_zarr")
+    val tmp = graft.util.Scratch.dir("graft_zarr")
       .resolve("pop.zarr").toString
     val dims = Seq(NetCdf.Dim("y", ny), NetCdf.Dim("x", 10))
     val vars = Seq(
@@ -355,7 +355,7 @@ object GridQueries {
       .collect()
     val ny = supp.length / 10
     val cents = supp.take(ny * 10).map(_.getDouble(1))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_nc")
+    val tmp = graft.util.Scratch.dir("graft_nc")
       .resolve("pop.nc").toString
     val dims = Seq(NetCdf.Dim("y", ny), NetCdf.Dim("x", 10))
     val gattrs = Seq("title" -> "graft regrid output")

@@ -771,7 +771,7 @@ object TextQueries {
     * no driver funnel). */
   val qJsonlRoundtrip: Q = (spark, dir) => {
     val d = Tables(spark, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("jsonl_q")
+    val tmp = graft.util.Scratch.dir("jsonl_q")
       .resolve("docs").toString
     d.write.mode("overwrite").json(tmp)
     spark.read
@@ -1313,7 +1313,7 @@ object TextQueries {
     * is hash-checked, not just the codec. */
   val qWarcIngest: Q = (spark, dir) => {
     val d = Tables(spark, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("warc_ingest")
+    val tmp = graft.util.Scratch.dir("warc_ingest")
       .resolve("docs").toString
     val framed = d.select(
       concat(lit("https://corpus.example.org/doc/"), col("doc_id")).as("uri"),
@@ -1449,7 +1449,7 @@ object TextQueries {
     * digest pins payload bytes through the gzip + header framing. */
   val qWarcRoundtrip: Q = (spark, dir) => {
     val d = Tables(spark, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("warc_q")
+    val tmp = graft.util.Scratch.dir("warc_q")
       .resolve("docs").toString
     val framed = d.select(
       concat(lit("https://corpus.example.org/doc/"), col("doc_id")).as("uri"),

@@ -64,6 +64,42 @@ class WarcSpec extends SparkSpec {
     assert(java.util.Arrays.equals(bytes(d1), bytes(d2)))
   }
 
+  test("non-ASCII header values round-trip as UTF-8 (URI, date)") {
+    val dir = Files.createTempDirectory("warc_utf8").toString
+    val f = Seq((1L, "body")).toDF("id", "text").selectExpr(
+      "'https://t.example.org/café/中文/😀' AS uri",
+      "'2026-01-01T00:00:00Z' AS date", "text")
+    Warc.write(f, dir, "uri", "date", "text")
+    val uri = Warc.read(spark, dir).select("uri").as[String].head()
+    assert(uri === "https://t.example.org/café/中文/😀")
+  }
+
+  test("rewrite with fewer partitions clears stale parts") {
+    val dir = Files.createTempDirectory("warc_stale").toString
+    Warc.write(frame(docs).repartition(4), dir, "uri", "date", "text")
+    assert(Files.list(Paths.get(dir)).count() >= 2)
+    Warc.write(frame(docs.take(2)).coalesce(1), dir, "uri", "date", "text")
+    val back = Warc.read(spark, dir).select("text")
+      .as[String].collect().toSeq.sorted
+    assert(back === docs.take(2).map(_._2).sorted)
+  }
+
+  test("oversized Content-Length fails with a clear error") {
+    val dir = Files.createTempDirectory("warc_big").toString
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+      .append("WARC-Type: resource\r\n")
+      .append("WARC-Target-URI: https://t.example.org/doc/1\r\n")
+      .append("WARC-Date: 2026-01-01T00:00:00Z\r\n")
+      .append(s"Content-Length: ${Int.MaxValue.toLong + 1}\r\n\r\n")
+    Files.write(Paths.get(dir, "x.warc"), sb.toString.getBytes("UTF-8"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Warc.read(spark, dir).count()
+    }
+    assert(e.getMessage.contains("WARC record too large") ||
+      Option(e.getCause).exists(_.getMessage.contains("WARC record too large")))
+  }
+
   test("uncompressed .warc files read too") {
     val dir = Files.createTempDirectory("warc_plain").toString
     // hand-build a plain .warc with two records
