@@ -111,15 +111,15 @@ object AnnQueries {
     * recall ≥ 0.9 at 1M, but the correctness gate never saw it).
     * Every input is deterministic — murmur3 sign-planes for LSH,
     * stride-seeded + fixed-point-Lloyd centroids for IVF, exact-cosine
-    * scoring with smaller-id tie-breaks — so the per-query hit counts
-    * are engine-stable and the result hash PINS the recall: any drift
-    * in bucketing, probing, or ranking changes a hit count and fails
-    * the gate. The oracle states the pinned counts observed at sf0.01,
-    * the gate's fixed scale. (Absolute recall is LOW here by nature:
-    * the test embeddings are isotropic random vectors, the worst case
-    * for any sublinear ANN. The ≥0.9 recall INVARIANT lives in
-    * ScaleBench stage 6, on 1M clustered vectors — the data shape IVF
-    * exists for. This entry is the drift alarm, not the quality bar.) */
+    * scoring with smaller-id tie-breaks — so the oracle (see
+    * [[annRecallSql]]) replays BOTH pipelines end-to-end from the
+    * corpus actually read: any drift in bucketing, probing, or ranking
+    * changes a hit count and fails the gate, at ANY scale factor.
+    * (Absolute recall is LOW here by nature: the test embeddings are
+    * isotropic random vectors, the worst case for any sublinear ANN.
+    * The ≥0.9 recall INVARIANT lives in ScaleBench stage 6, on 1M
+    * clustered vectors — the data shape IVF exists for. This entry is
+    * the drift alarm, not the quality bar.) */
   val qAnnRecall: Q = (spark, dir) => {
     val e = Tables(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 20)
@@ -139,15 +139,160 @@ object AnnQueries {
       .orderBy("query_id")
   }
 
-  val qAnnRecallSql: String =
-    """WITH pinned(qid, lh, ih) AS (VALUES
-      |  (0,2,9),(1,1,8),(2,0,4),(3,1,5),(4,4,3),(5,1,5),(6,1,3),(7,0,5),
-      |  (8,0,4),(9,1,6),(10,2,5),(11,0,8),(12,1,6),(13,2,4),(14,1,6),
-      |  (15,2,4),(16,1,7),(17,2,6),(18,1,3),(19,0,5))
-      |SELECT e.vec_id AS query_id, cast(p.lh as bigint) AS lsh_hits,
-      |  cast(p.ih as bigint) AS ivf_hits
-      |FROM embeddings e JOIN pinned p ON e.vec_id = p.qid
-      |ORDER BY query_id""".stripMargin
+  /** The ±1 hyperplane sign matrix [[Ann.lshBucket]] hashes with —
+    * w(p,d) = low bit of murmur3(d, murmur3(p, seed)) — as a DuckDB
+    * VALUES literal. The weights are ALGORITHM constants (they depend
+    * only on (plane, dim, seed), never on data), generated here from
+    * the very `Murmur3_x86_32.hashInt` the engine kernel calls, so the
+    * oracle's plane family cannot drift from the engine's. */
+  private def lshPlanesLiteral(planes: Int, dims: Int, seed: Int): String = {
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt
+    (0 until planes).map { p =>
+      val seedP = hashInt(p, seed)
+      val ws = (0 until dims).map(d =>
+        if ((hashInt(d, seedP) & 1) == 1) "1.0" else "-1.0").mkString(", ")
+      s"($p, [$ws])"
+    }.mkString(",\n  ")
+  }
+
+  /** Full SQL replay of [[qAnnRecall]] — NO data-dependent pins.
+    * Exact ground truth is brute-force cosine top-k; the LSH side
+    * recomputes every vector's sign bucket from the interpolated plane
+    * matrix ([[lshPlanesLiteral]]) plus the single-bit multi-probe; the
+    * IVF side replays stride-seeded init → one fixed-point Lloyd step
+    * (`floor(x·2^24 + 0.5)` is exactly Java's `Math.round`) → refined
+    * cell assignment → 4-cell probe. All dot products are sequential
+    * double accumulation (`list_sum(list_transform(...))`), the same
+    * order the compiled kernels use, so hit counts match at any SF. */
+  private def annRecallSql(planes: Int = 8, dims: Int = 64,
+      seed: Int = 42): String =
+    s"""WITH planes(p, w) AS (VALUES
+      |  ${lshPlanesLiteral(planes, dims, seed)}),
+      |v AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> cast(x as double) * cast(x as double)))) AS nrm
+      |  FROM embeddings),
+      |ex AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |      i -> cast(q.embedding[i] as double) * cast(c.embedding[i] as double)))
+      |      / (q.nrm * c.nrm) AS cs
+      |  FROM v q, v c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+      |exact AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+      |    FROM ex) WHERE rn <= 10),
+      |pb AS (
+      |  SELECT e.vec_id, pl.p,
+      |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |      i -> cast(e.embedding[i] as double) * pl.w[i])) AS acc
+      |  FROM embeddings e, planes pl),
+      |bk AS (
+      |  SELECT vec_id,
+      |    cast(sum(CASE WHEN acc > 0 THEN 1 << p ELSE 0 END) as int) AS bucket
+      |  FROM pb GROUP BY 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, bucket AS pr FROM bk WHERE vec_id < 20
+      |  UNION
+      |  SELECT b.vec_id, xor(b.bucket, 1 << cast(t.p as int))
+      |  FROM bk b, unnest(range(0, $planes)) t(p) WHERE b.vec_id < 20),
+      |lsh_scored AS (
+      |  SELECT pr.query_id, c.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |      i -> cast(q.embedding[i] as double) * cast(c.embedding[i] as double)))
+      |      / (q.nrm * c.nrm) AS cs
+      |  FROM probes pr
+      |  JOIN bk cb ON cb.bucket = pr.pr
+      |  JOIN v c ON c.vec_id = cb.vec_id
+      |  JOIN v q ON q.vec_id = pr.query_id
+      |  WHERE cb.vec_id <> pr.query_id),
+      |lsh_top AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+      |    FROM lsh_scored) WHERE rn <= 10),
+      |lh AS (SELECT a.query_id, count(*) AS c
+      |  FROM lsh_top a JOIN exact x USING (query_id, neighbor_id) GROUP BY 1),
+      |n AS (SELECT count(*) AS cnt FROM embeddings),
+      |seeds AS (SELECT cell, c0 FROM (
+      |    SELECT row_number() OVER (ORDER BY e.vec_id) - 1 AS cell,
+      |      e.embedding AS c0
+      |    FROM embeddings e, n
+      |    WHERE e.vec_id % greatest(n.cnt // 16, 1) = 0)
+      |  WHERE cell < 16),
+      |s0 AS (SELECT cell, c0,
+      |    sqrt(list_sum(list_transform(c0,
+      |      y -> cast(y as double) * cast(y as double)))) AS nm
+      |  FROM seeds),
+      |unit0 AS (SELECT cell, list_transform(c0,
+      |    x -> cast(x as double) / (CASE WHEN nm = 0 THEN 1.0 ELSE nm END)) AS u
+      |  FROM s0),
+      |a0s AS (
+      |  SELECT e.vec_id, u0.cell,
+      |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |      i -> cast(e.embedding[i] as double) * u0.u[i])) AS sc
+      |  FROM embeddings e, unit0 u0),
+      |asg0 AS (SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY sc DESC, cell DESC) AS rn
+      |    FROM a0s) WHERE rn = 1),
+      |fp AS (
+      |  SELECT a.cell, t.i - 1 AS dim,
+      |    cast(floor(cast(e.embedding[t.i] as double) * 16777216.0 + 0.5)
+      |      as bigint) AS uq
+      |  FROM embeddings e JOIN asg0 a USING (vec_id),
+      |    unnest(range(1, ${dims + 1})) AS t(i)),
+      |upd AS (SELECT cell, dim, sum(uq) AS s, count(*) AS c
+      |  FROM fp GROUP BY 1, 2),
+      |c1 AS (SELECT cell,
+      |    list(cast(cast(s as double) / c / 16777216.0 as real) ORDER BY dim) AS cv
+      |  FROM upd GROUP BY cell),
+      |cents AS (SELECT s0.cell, coalesce(c1.cv, s0.c0) AS cv
+      |  FROM s0 LEFT JOIN c1 USING (cell)),
+      |cn AS (SELECT cell, cv,
+      |    sqrt(list_sum(list_transform(cv,
+      |      y -> cast(y as double) * cast(y as double)))) AS nm
+      |  FROM cents),
+      |unit1 AS (SELECT cell, list_transform(cv,
+      |    x -> cast(x as double) / (CASE WHEN nm = 0 THEN 1.0 ELSE nm END)) AS u
+      |  FROM cn),
+      |a1s AS (
+      |  SELECT e.vec_id, u1.cell,
+      |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |      i -> cast(e.embedding[i] as double) * u1.u[i])) AS sc
+      |  FROM embeddings e, unit1 u1),
+      |cellof AS (SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY sc DESC, cell DESC) AS rn
+      |    FROM a1s) WHERE rn = 1),
+      |qprobe AS (SELECT query_id, cell FROM (
+      |    SELECT vec_id AS query_id, cell, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY sc DESC, cell DESC) AS rn
+      |    FROM a1s WHERE vec_id < 20) WHERE rn <= 4),
+      |ivf_scored AS (
+      |  SELECT qp.query_id, co.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |      i -> cast(q.embedding[i] as double) * cast(c.embedding[i] as double)))
+      |      / (q.nrm * c.nrm) AS cs
+      |  FROM qprobe qp
+      |  JOIN cellof co USING (cell)
+      |  JOIN v c ON c.vec_id = co.vec_id
+      |  JOIN v q ON q.vec_id = qp.query_id
+      |  WHERE co.vec_id <> qp.query_id),
+      |ivf_top AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+      |    FROM ivf_scored) WHERE rn <= 10),
+      |ih AS (SELECT a.query_id, count(*) AS c
+      |  FROM ivf_top a JOIN exact x USING (query_id, neighbor_id) GROUP BY 1)
+      |SELECT e.vec_id AS query_id,
+      |  cast(coalesce(lh.c, 0) as bigint) AS lsh_hits,
+      |  cast(coalesce(ih.c, 0) as bigint) AS ivf_hits
+      |FROM embeddings e
+      |LEFT JOIN lh ON e.vec_id = lh.query_id
+      |LEFT JOIN ih ON e.vec_id = ih.query_id
+      |WHERE e.vec_id < 20 ORDER BY query_id""".stripMargin
+
+  val qAnnRecallSql: String = annRecallSql()
 
   /** Embedding-cosine near-dup dedup — the dedup-by-embedding mode of a
     * training-data pipeline. The corpus has no natural near-dups (max
