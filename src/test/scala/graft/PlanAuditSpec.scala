@@ -12,12 +12,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private lazy val plans: Map[String, String] =
+  private lazy val executed: Map[String, org.apache.spark.sql.execution.SparkPlan] =
     SparkEntry.queries.map { case (name, fn) =>
       val df = fn(spark, dir)
       df.collect() // finalize AQE so the audited plan is the executed one
-      name -> df.queryExecution.executedPlan.toString
+      name -> df.queryExecution.executedPlan
     }
+
+  private lazy val plans: Map[String, String] =
+    executed.map { case (n, p) => n -> p.toString }
 
   test("no CartesianProduct in any declared query") {
     val offenders = plans.collect {
@@ -57,6 +60,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(n) => n
     }
     assert(offenders.isEmpty, s"unexpected nested-loop joins in: $offenders")
+  }
+
+  test("driver-materialized frames are model-sized in every declared query") {
+    // A LocalTableScan is data the DRIVER holds and re-parallelizes —
+    // the physical signature of a `.collect()`-backed stage. Legitimate
+    // uses are models and parameters (IVF centroids, PQ codebooks,
+    // target pressure levels, blocklist phrases): all driver-sized by
+    // contract. A FUTURE query that collects a distributed intermediate
+    // and re-parallelizes it lands here as a LocalTableScan with corpus-
+    // shaped cardinality — fail it before it ships. The bound is 4096
+    // rows: an order above the largest intended model frame (nlist,
+    // codebook entries, seed centroids ≤ 256), orders below any corpus.
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    val offenders = executed.toSeq.flatMap { case (n, p) =>
+      p.collect {
+        case l: LocalTableScanExec if l.rows.length > 4096 =>
+          s"$n: LocalTableScan of ${l.rows.length} rows"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"collect-backed stages with corpus-shaped cardinality:\n${offenders.mkString("\n")}")
   }
 
   test("nearest-cell runs the bucketed ring search, not a cross join") {
