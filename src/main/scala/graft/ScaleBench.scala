@@ -788,6 +788,28 @@ object ScaleBench {
     assert(blStats == ((142858L, 142858L, 0L)),
       s"planted blocklist counts off: $blStats")
 
+    // --- stage 31: connected components over a 1M-vertex planted graph
+    // — 100k chains of 10 (the dense-near-dup shape: converges in the
+    // fused first round) PLUS one adversarial 1,000-vertex chain whose
+    // diameter forces the auto-enabled pointer-jumping path (O(log d)
+    // rounds, broadcast frontiers once the wide graph has converged).
+    // Every representative is exact: rep(v) = 10·⌊v/10⌋ on the short
+    // chains, 1,000,000 on the long one.
+    val (ccStats, tCc) = timed {
+      val n = 1001000L
+      val ids = spark.range(n).select(col("id"))
+      val pairs = spark.range(n)
+        .filter((col("id") < 1000000L && col("id") % 10 =!= 9) ||
+          (col("id") >= 1000000L && col("id") < 1000999L))
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val labels = graft.operators.Dedup.connectedComponents(ids, pairs)
+      labels.agg(sum("cluster_rep"), countDistinct("cluster_rep"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    }
+    // Σ reps = 100·Σ_{b<100k} b  +  1000·1,000,000 = 500,995,000,000
+    assert(ccStats == ((500995000000L, 100001L)),
+      s"planted component reps off: $ccStats")
+
     println(
       s"""{"metric":"reference_scale","overlay_sec":$tOverlay,""" +
         s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
@@ -822,6 +844,7 @@ object ScaleBench {
         s""""cooccur_1m_sec":$tCo,"cooccur_top_ppm":${coStats._4},""" +
         s""""bpe_1m_sec":$tBpe,"bpe_pieces":${bpeStats._1},""" +
         s""""blocklist_1m_sec":$tBl,"blocklist_hits":${blStats._1},""" +
+        s""""cc_1m_sec":$tCc,"cc_components":${ccStats._2},""" +
         s""""regrid_cells":$regridRows,"voronoi_cells":$vorCells,""" +
         s""""conservation_ratio":$ratio}""")
     spark.stop()

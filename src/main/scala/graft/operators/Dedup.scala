@@ -378,13 +378,28 @@ object Dedup {
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
       maxIters: Int = 50, pointerJumping: Boolean = false,
       autoJumpAfter: Int = 3, checkpointEvery: Int = 5): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // both edge directions in ONE pass over the pair list: a union of two
+    // selects re-executes the (expensive, un-persisted) pair-generation
+    // subtree once per branch, doubling candidate-join work before the
+    // loop even starts
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // only edge-touched vertices can change label — iterate over those
-    // and union the (typically vast) untouched remainder back at the end
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
+    // and re-attach the (typically vast) untouched remainder at the end.
+    // Round 1 is FUSED: with every label initialized to the vertex id,
+    // the first neighbor-min is simply min(dst) per src — one groupBy
+    // over the symmetric edge list replaces the labels-distinct shuffle,
+    // the edges⋈frontier join, and the labels left join the generic
+    // round would run (the edge list itself enumerates every touched
+    // vertex as src).
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    val t1 = System.nanoTime()
+    var labels = edges.groupBy(col("src")).agg(min("dst").as("nbr"))
+      .select(col("src").as("id"), col("src").as("prev"),
+        least(col("src"), col("nbr")).as("lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // a localCheckpoint's lineage is truncated — unpersisting it would
     // make downstream recompute impossible, so only plain persists are
@@ -400,12 +415,28 @@ object Dedup {
     // frontier needs to ride the neighbor-min join. The frontier shrinks
     // geometrically (dense components converge in a round or two), so
     // late rounds join near-empty frames instead of the full label set.
-    var frontier = labels
-    var changed = 1L
-    var iter = 0
+    var changed = labels.filter(col("lbl") =!= col("prev")).count()
+    var frontier = labels.filter(col("lbl") =!= col("prev")).select("id", "lbl")
+    var iter = 1
+    if (debug) println(f"[cc] round 1 (fused) changed=$changed " +
+      f"${(System.nanoTime() - t1) / 1e9}%.2f s")
+    labels = labels.select("id", "lbl")
+    // once the previous round reported a small `changed`, the frontier
+    // (exactly those rows) is driver-safe to broadcast — late rounds
+    // then cost one cached edge scan instead of two full shuffle joins.
+    // The threshold is a row COUNT known exactly from the prior round's
+    // convergence check, not a guess, so the adaptive switch is safe at
+    // any data scale (early wide rounds keep shuffle joins).
+    val broadcastBelow = 200000L
     while (changed > 0 && iter < maxIters) {
+      val tRound = System.nanoTime()
       val jump = pointerJumping || iter >= autoJumpAfter
-      val nbrMin = edges.join(frontier, col("dst") === col("id"))
+      val small = changed < broadcastBelow
+      val front = if (small) broadcast(frontier) else frontier
+      // nbrMin's size is bounded by the frontier's NEIGHBOR count, not by
+      // `changed` (a hub vertex breaks that bound) — leave its join to
+      // AQE, which sees the actual post-shuffle size
+      val nbrMin = edges.join(front, col("dst") === col("id"))
         .groupBy(col("src")).agg(min("lbl").as("nbr_lbl"))
       val joined = labels.join(nbrMin, col("id") === col("src"), "left")
       val withHop =
@@ -433,6 +464,8 @@ object Dedup {
       frontier = next.filter(col("lbl") =!= col("prev")).select("id", "lbl")
       labelsCheckpointed = truncate
       iter += 1
+      if (debug) println(f"[cc] round $iter changed=$changed jump=$jump " +
+        f"${(System.nanoTime() - tRound) / 1e9}%.2f s")
     }
     // detach the result from all loop state: truncate lineage once more
     // if the last round was only persisted, then release that round's
@@ -445,10 +478,11 @@ object Dedup {
         f
       }
     edges.unpersist(false)
-    val untouched = ids.select(col("id"))
-      .join(finalLabels, Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("lbl"))
-    finalLabels.union(untouched).select(col("id"), col("lbl").as("cluster_rep"))
+    // one left join re-attaches the (typically vast) untouched remainder:
+    // untouched vertices are their own representative
+    ids.select(col("id"))
+      .join(finalLabels.withColumnRenamed("lbl", "__lbl"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__lbl"), col("id")).as("cluster_rep"))
   }
 
   /** md5-derived per-token hashes for SimHash — md5 (not murmur3) so the
