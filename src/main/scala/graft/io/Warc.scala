@@ -124,10 +124,19 @@ object Warc {
   private def readFile(path: String): Iterator[Row] = {
     val raw = new BufferedInputStream(
       Files.newInputStream(Paths.get(path)), 1 << 16)
+    records(raw, gzipped = path.endsWith(".gz"), label = path)
+  }
+
+  /** Parse a (possibly gzip-member-concatenated) WARC byte stream into
+    * record rows — the shared scan behind the batch reader and the
+    * streaming source. Streams record by record; never holds more than
+    * one payload in memory. */
+  def records(rawIn: java.io.InputStream, gzipped: Boolean,
+      label: String): Iterator[Row] = {
     val in = new DataInputStream(
-      if (path.endsWith(".gz")) new BufferedInputStream(
-        new GZIPInputStream(raw, 1 << 16), 1 << 16)
-      else raw)
+      if (gzipped) new BufferedInputStream(
+        new GZIPInputStream(rawIn, 1 << 16), 1 << 16)
+      else rawIn)
     new Iterator[Row] {
       private var nextRow: Row = advance()
       override def hasNext: Boolean = nextRow != null
@@ -175,9 +184,48 @@ object Warc {
         val payload = new Array[Byte](len.toInt)
         try in.readFully(payload)
         catch { case _: EOFException =>
-          throw new IllegalStateException(s"truncated WARC payload in $path") }
+          throw new IllegalStateException(s"truncated WARC payload in $label") }
         Row(uri, date, rtype, new String(payload, UTF_8))
       }
     }
+  }
+
+  /** STREAMING WARC source: `readStream` over a `.warc.gz` drop
+    * directory — the shape of an unbounded crawl ingest, where archive
+    * shards land continuously and each must be parsed exactly once.
+    *
+    * Built by composition, not a bespoke source: Spark's `binaryFile`
+    * file-stream source supplies the durable parts (exactly-once file
+    * tracking in the checkpoint's file log, drop-directory discovery,
+    * `maxFilesPerTrigger` pacing), and each discovered file's member
+    * run is decoded by the same from-scratch [[records]] scan the batch
+    * reader uses. One file = one row = one decode task, matching the
+    * batch reader's one-task-per-file parallelism (a gzip member
+    * sequence is not block-splittable — Common Crawl shards parallelism
+    * across many ~1 GB files for exactly this reason). The per-task
+    * memory bound is one file's bytes plus one decoded payload, the
+    * same bound Common Crawl sizing already assumes. */
+  def readStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    // binaryFile's fixed schema, stated explicitly — streaming sources
+    // don't infer
+    val fileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    var reader = spark.readStream.format("binaryFile")
+      .schema(fileSchema)
+      .option("pathGlobFilter", "*.warc.gz")
+    if (maxFilesPerTrigger > 0)
+      reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val files = reader.load(dir)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    files.select(org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("content"))
+      .flatMap { r =>
+        records(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("content")),
+          gzipped = true, label = r.getString(0))
+      }(enc)
   }
 }

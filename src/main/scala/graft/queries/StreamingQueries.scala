@@ -543,6 +543,45 @@ object StreamingQueries {
       .withColumn("ts", expr(norm))
   }
 
+  /** STREAMING WARC ingest ([[graft.io.Warc.readStream]]): the corpus
+    * is archived as a multi-part `.warc.gz` drop directory, streamed
+    * back file-by-file (`maxFilesPerTrigger=1` — each archive shard is
+    * its own micro-batch, exercising the file-log exactly-once path),
+    * parsed by the shared record scan, and run through the admission
+    * gate as a STREAM-STATIC join against the standing winner index
+    * (digest → smallest holder id). Stateless per batch — no state
+    * store, no watermark — so decisions are deterministic and identical
+    * to the batch `pipeline_warc_ingest` on the same archive: same
+    * output contract, same oracle. */
+  val qStreamWarcIngest: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val tmp = graft.util.Scratch.dir("stream_warc").resolve("docs").toString
+    val framed = d.repartition(4, col("doc_id")).select(
+      concat(lit("https://corpus.example.org/doc/"), col("doc_id")).as("uri"),
+      lit("2026-01-01T00:00:00Z").as("date"), col("text"))
+    graft.io.Warc.write(framed, tmp, "uri", "date", "text")
+    // standing admission index: digest → smallest doc id holding it
+    // (small relative to the corpus — one row per DISTINCT digest)
+    val winners = d.select(md5(col("text")).as("digest"),
+        col("doc_id").cast("long").as("doc_id"))
+      .groupBy("digest").agg(min("doc_id").as("win_id"))
+    val admitted = graft.io.Warc.readStream(spark, tmp, maxFilesPerTrigger = 1)
+      .select(regexp_extract(col("uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        md5(col("text")).as("digest"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .join(winners, Seq("digest"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"),
+        (col("n_tokens") >= 5 && col("n_chars") >= 20 &&
+          col("doc_id") === col("win_id")).as("keep"))
+    val name = s"graft_stream_warc_${runId.incrementAndGet()}"
+    val q = admitted.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("doc_id")
+  }
+
   val qStreamDedupSql: String =
     """SELECT count(DISTINCT user_id) AS n_users,
       |  cast(min(user_id) as bigint) AS min_user,
@@ -568,7 +607,8 @@ object StreamingQueries {
     "stream_join_pairs" -> qStreamStreamJoin,
     "stream_doc_filter" -> qStreamDocFilter,
     "stream_neardup" -> qStreamNearDup,
-    "stream_pq_codes" -> qStreamPqCodes)
+    "stream_pq_codes" -> qStreamPqCodes,
+    "stream_warc_ingest" -> qStreamWarcIngest)
 
   val oracles: Map[String, String] = Map(
     "stream_events_daily" -> qStreamEventsDailySql,
@@ -581,5 +621,6 @@ object StreamingQueries {
     "stream_join_pairs" -> qStreamStreamJoinSql,
     "stream_doc_filter" -> qStreamDocFilterSql,
     "stream_neardup" -> qStreamNearDupSql,
-    "stream_pq_codes" -> AnnQueries.qEmbedPqCodesSql)
+    "stream_pq_codes" -> AnnQueries.qEmbedPqCodesSql,
+    "stream_warc_ingest" -> TextQueries.qWarcIngestSql)
 }
