@@ -68,6 +68,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Deterministic sampled token-frequency table for rarity ordering,
+    * driver-bounded and broadcast: count shingles over a fixed
+    * 1-in-`rate` hash-sample of documents, keep tokens seen ≥ 2 times,
+    * cap at the `maxTokens` most frequent (ties on the token). The
+    * frequent tokens — the only ones whose df² matters for candidate
+    * pruning — are precisely the ones a sample catches; everything
+    * absent ranks as a singleton. Fully deterministic (hash-sampled,
+    * exact counts over the sample), so candidate sets are stable
+    * across runs. Scale shape: the corpus token stream is filtered
+    * BEFORE the only aggregation, and the result is ≤ `maxTokens`
+    * rows on the driver regardless of corpus size. */
+  private def sampledTokenCounts(sets: DataFrame, rate: Int = 20,
+      maxTokens: Int = 65536)
+      : org.apache.spark.broadcast.Broadcast[Map[String, Long]] = {
+    val table = sets
+      .filter(pmod(hash(col("id")), lit(rate)) === 0)
+      .select(explode(col("sh")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .orderBy(col("c").desc, col("tok"))
+      .limit(maxTokens)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1) * rate)
+      .toMap
+    sets.sparkSession.sparkContext.broadcast(table)
+  }
+
+  /** The PPJoin prefix index rows (id, sz, rn, tok) for every document
+    * — prefix selection and positional rank computed map-side by
+    * [[graft.expressions.RarityPrefix]] under the broadcast sampled
+    * order; only prefix tokens are ever exploded. */
+  private def prefixIndex(sets: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val pref = Bridge.column(graft.expressions.RarityPrefix(
+      Bridge.expression(col("sh")), sampledTokenCounts(sets), threshold))
+    sets.select(col("id"), size(col("sh")).as("sz"), explode(pref).as("p"))
+      .select(col("id"), col("sz"), col("p.rn").as("rn"), col("p.tok").as("tok"))
+  }
+
   /** Exact all-pairs Jaccard ≥ threshold WITHOUT a cross join: a
     * prefix-filtered inverted shingle index (SSJoin/PPJoin family).
     *
@@ -75,40 +114,24 @@ object Dedup {
     * J(A,B) ≥ t shares at least one token within each side's first
     * |X| − ⌈t·|X|⌉ + 1 tokens — so indexing only those prefixes loses
     * nothing. Candidate generation joins (id, token) pairs (compact),
-    * dedups, then exact-refines only candidates. */
+    * dedups, then exact-refines only candidates.
+    *
+    * The rarity order (rarest first, ties on the token) comes from a
+    * broadcast sampled frequency table ([[sampledTokenCounts]]) applied
+    * per row — the prefix principle is exact under ANY total order, and
+    * the sampled order prunes the frequent-token collisions that
+    * matter. Before the candidate self-join the token stream never
+    * shuffles (the former exact path shuffled it three times: frequency
+    * groupBy, token join, per-doc rank window). */
   def jaccardPairsIndexed(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // the shingle frame feeds the index AND both refine joins — persist
     // so the sort-distinct shingle pass runs once (MEMORY_AND_DISK:
     // spills rather than OOMs at scale; Spark LRU reclaims it)
     val sets = df.select(col(idCol).cast("long").as("id"),
       shingles(col(textCol), shingleN).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // PPJoin over the prefix principle: the principle holds for ANY one
-    // global token order, so order each document's shingles by corpus
-    // frequency (rarest first — ties on the token itself). Prefixes
-    // then hold only rare shingles, and the token self-join collides on
-    // rare tokens — the difference between O(Σ df²) over frequent
-    // templated shingles and over singletons. Position + size ride the
-    // index (windowed rank over the one id-shuffle, no per-doc array
-    // rebuild); candidates must also pass PPJoin's length and
-    // positional filters, both exactness-preserving.
-    val toks = sets.select(col("id"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("tok"))
-    val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
-    // The two ceil()s below run on double products; a product that
-    // rounds a hair ABOVE the exact rational would overshoot the ceil
-    // and silently drop an exactly-at-threshold pair. The 1e-9 nudge
-    // makes both bounds conservative for every threshold (at worst one
-    // extra indexed token / candidate, never a lost pair).
-    val byRarity = Window.partitionBy("id").orderBy("tf", "tok")
-    val idx = toks.join(freq, "tok")
-      .withColumn("rn", row_number().over(byRarity))
-      .filter(col("rn") <=
-        greatest((col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int"),
-          lit(1)))
-      .select("id", "sz", "rn", "tok")
+    val idx = prefixIndex(sets, threshold)
     // required overlap α: J ≥ t ⇔ |A∩B| ≥ t/(1+t)·(|A|+|B|); a collision
     // at positions (ra, rb) certifies at most 1 + min(sa−ra, sb−rb)
     // overlapping tokens. Dropping a collision that cannot certify is
@@ -142,22 +165,15 @@ object Dedup {
     * (|A∩B| ≤ |B|), so pruning with it is lossless. */
   def containmentPairsIndexed(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sets = df.select(col(idCol).cast("long").as("id"),
       shingles(col(textCol), shingleN).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val toks = sets.select(col("id"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("tok"))
-    val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
-    val byRarity = Window.partitionBy("id").orderBy("tf", "tok")
-    val ranked = toks.join(freq, "tok")
-      .withColumn("rn", row_number().over(byRarity))
-    val aPrefix = ranked.filter(col("rn") <=
-        greatest((col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int"),
-          lit(1)))
+    // A's prefix comes from the broadcast sampled order (map-side); the
+    // B side needs no rank at all — only token membership and size
+    val aPrefix = prefixIndex(sets, threshold)
       .select(col("id").as("id_a"), col("sz").as("sz_a"), col("tok"))
-    val bAll = ranked.select(col("id").as("id_b"), col("sz").as("sz_b"),
-      col("tok"))
+    val bAll = sets.select(col("id").as("id_b"),
+      size(col("sh")).as("sz_b"), explode(col("sh")).as("tok"))
     val cand = aPrefix.join(bAll, "tok")
       .filter(col("id_a") =!= col("id_b") &&
         col("sz_b") >= col("sz_a") * threshold)
