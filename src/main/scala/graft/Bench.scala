@@ -42,8 +42,10 @@ object Bench {
     // whichever query happens to run first.
     spark.range(1000).selectExpr("sum(id) as s")
       .write.format("noop").mode("overwrite").save()
-    spark.read.parquet(s"$sfDir/nation.parquet")
-      .write.format("noop").mode("overwrite").save()
+    // tolerate partial table sets (soak dirs carry only the tables
+    // their queries read) — warm-up is best-effort
+    scala.util.Try(spark.read.parquet(s"$sfDir/nation.parquet")
+      .write.format("noop").mode("overwrite").save())
     val loadStart = loadAvg()
     // Optional args restrict the run to the named queries (targeted
     // timing during development); the driver passes none → full sweep.

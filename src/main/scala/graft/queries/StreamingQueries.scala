@@ -111,7 +111,12 @@ object StreamingQueries {
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("documents.parquet"),
       java.nio.file.Paths.get(dir, "documents.parquet").toAbsolutePath)
-    spark.readStream.schema(schema).parquet(streamDir.toString)
+    // recursiveFileLookup: the table may be a single parquet FILE (the
+    // driver testdata) or a Spark-written DIRECTORY of parts (soak
+    // data) — discover both
+    spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(streamDir.toString)
   }
 
   /** STATELESS streaming corpus-prep filter: quality gate, repetition

@@ -44,6 +44,60 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty) // the corpus does contain near-dups
   }
 
+  test("jaccardPairsIndexed equals brute force on a collision-heavy random corpus") {
+    // 120 docs over an 8-word vocabulary: every 3-shingle is frequent,
+    // so the sampled rarity order actually has heavy tokens to rank
+    // (the 8-doc corpus above exercises the empty-sample path) and the
+    // prefix filter works under maximal token-collision pressure
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val rnd = new scala.util.Random(4242)
+    val bases: IndexedSeq[Vector[String]] = (0 until 120).map { _ =>
+      val len = 8 + rnd.nextInt(10)
+      Vector.fill(len)(vocab(rnd.nextInt(vocab.size)))
+    }
+    val big: Seq[(Long, String)] = (0L until 120L).map { i =>
+      val words = bases(i.toInt)
+      // every 8th doc: predecessor + two appended words (containment
+      // 1.0 of the predecessor); every other 4th: predecessor with ONE
+      // word swapped (high-Jaccard pair); the rest independent soup
+      val doc =
+        if (i % 8 == 7) bases(i.toInt - 1) ++ Vector("x", "y")
+        else if (i % 4 == 3) {
+          val p = bases(i.toInt - 1)
+          p.updated(p.length / 2, vocab((vocab.indexOf(p(p.length / 2)) + 1)
+            % vocab.size))
+        } else words
+      i -> doc.mkString(" ")
+    }
+    def sh(s: String, n: Int): Set[String] = {
+      val toks = s.trim.toLowerCase.split("\\s+")
+      (0 until math.max(toks.length - n + 1, 1))
+        .map(i => toks.slice(i, i + n).mkString(" ")).toSet
+    }
+    val expect = (for {
+      (ia, ta) <- big; (ib, tb) <- big if ia < ib
+      j = sh(ta, 3).intersect(sh(tb, 3)).size.toDouble /
+        math.max(sh(ta, 3).union(sh(tb, 3)).size, 1)
+      if j >= 0.5
+    } yield (ia, ib)).toSet
+    val got = Dedup.jaccardPairsIndexed(big.toDF("doc_id", "text"),
+        "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expect)
+    assert(expect.size > 10, s"corpus should be near-dup rich: ${expect.size}")
+    val expectC = (for {
+      (ia, ta) <- big; (ib, tb) <- big if ia != ib
+      c = sh(ta, 3).intersect(sh(tb, 3)).size.toDouble /
+        math.max(sh(ta, 3).size, 1)
+      if c >= 0.8
+    } yield (ia, ib)).toSet
+    val gotC = Dedup.containmentPairsIndexed(big.toDF("doc_id", "text"),
+        "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(gotC == expectC)
+    assert(expectC.size > 5, s"corpus should be containment-rich: ${expectC.size}")
+  }
+
   test("minhashNearDups (LSH candidates + refine) equals brute force") {
     val df = docs.toDF("doc_id", "text")
     val got = Dedup.minhashNearDups(df, "doc_id", "text", 3, 0.5)
