@@ -189,35 +189,26 @@ object Dedup {
 
   /** MinHash signature from a MATERIALIZED shingle-array column: for
     * each of `k` independent hash families, the minimum over shingle
-    * hashes. hash(shingle, seed) uses Spark's Murmur3 with per-family
-    * seed — deterministic across executors.
+    * hashes — value-identical to min over Spark's `hash(shingle,
+    * lit(seed))`, deterministic across executors.
+    *
+    * Computed by the compiled [[graft.expressions.MinHashSig]] pass:
+    * each shingle is Murmur3-hashed ONCE and each family adds a single
+    * 32-bit mix. This replaced two slower formulations measured here —
+    * the per-row HOF chain (interpreted lambda per element×family,
+    * string re-hashed k times) and explode + codegen'd min-aggregate
+    * (fast kernel but a corpus shuffle) — and being per-row it serves
+    * the stateless streaming gate and the batch index alike, shuffle-
+    * free.
     *
     * Callers must project the shingle array into a real column first
     * (`df.select(shingles(...).as("sh")).select(minhashFromShingles(
-    * col("sh"), k))`): inlining `shingles(text)` here would duplicate
-    * the expensive sort-distinct shingle subtree into every one of the
-    * k families (measured 32× = ~14× slower end-to-end). Two-step
-    * projection keeps it one evaluation per row — Catalyst does not
-    * collapse projections when a non-cheap column is referenced k
-    * times. */
-  def minhashFromShingles(sh: Column, k: Int): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(sh, s => hash(s, lit(seed))))
-    }: _*)
-
-  /** Same signature values as [[minhashFromShingles]] but computed by
-    * explode + codegen'd hash aggregation instead of per-row
-    * higher-order functions (Spark HOFs evaluate their lambda
-    * interpreted, per element — measured ~3× slower than the
-    * whole-stage-codegen'd `groupBy(id).agg(min(hash(s, seed)))` path).
-    * Input: (id, sh) with sh a shingle array; output: (id, sig). The
-    * map-side partial min makes the shuffle k longs per id. */
-  def minhashSigExploded(sets: DataFrame, k: Int): DataFrame =
-    sets.select(col("id"), explode(col("sh")).as("s"))
-      .groupBy("id")
-      .agg(min(hash(col("s"), lit(0))).as("m0"),
-        (1 until k).map(seed => min(hash(col("s"), lit(seed))).as(s"m$seed")): _*)
-      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    * col("sh"), k))`) so the sort-distinct shingle subtree evaluates
+    * once per row. */
+  def minhashFromShingles(sh: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.MinHashSig(Bridge.expression(sh), k))
+  }
 
   /** Convenience single-expression signature (recomputes shingles per
     * family — use the two-step form in hot paths). */
@@ -268,7 +259,7 @@ object Dedup {
       s"minhash signature length k=$k must be divisible by bands=$bands " +
         "or trailing components would be silently excluded from banding")
     val rows = k / bands
-    val sig = minhashSigExploded(sets, k)
+    val sig = sets.select(col("id"), minhashFromShingles(col("sh"), k).as("sig"))
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rows + 1, lit(rows)), lit(9999)))))
@@ -320,7 +311,8 @@ object Dedup {
     val rows = k / bands
     val sets = corpus.select(col(idCol).cast("long").as("id"),
       shingles(col(textCol), shingleN).as("sh"))
-    val exploded = minhashSigExploded(sets, k).join(sets, "id")
+    val exploded = sets
+      .select(col("id"), col("sh"), minhashFromShingles(col("sh"), k).as("sig"))
       .select(col("id").as("corpus_id"), col("sh").as("c_sh"),
         bandHashes(col("sig"), bands, rows).as("c_bands"))
       .select(col("corpus_id"), col("c_sh"), col("c_bands"),

@@ -105,6 +105,23 @@ class DedupSpec extends SparkSpec {
     assert(got == naiveJaccardPairs(3, 0.5))
   }
 
+  test("MinHashSig matches the hash(s, lit(seed)) HOF formulation bit for bit") {
+    import org.apache.spark.sql.functions._
+    val df = (docs ++ Seq(8L -> "", 9L -> "one two three")).toDF("doc_id", "text")
+      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    val hof = array((0 until 32).map { seed =>
+      array_min(transform($"sh", s => hash(s, lit(seed))))
+    }: _*)
+    val rows = df.select($"doc_id",
+        Dedup.minhashFromShingles($"sh", 32).as("fast"), hof.as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Any](1) === r.getSeq[Any](2),
+        s"signature mismatch for doc ${r.getLong(0)}")
+    }
+    assert(rows.length === docs.length + 2)
+  }
+
   test("hammingBands: maxDist+1 bands tiling all bits") {
     val bands = Dedup.hammingBands(48, 6)
     assert(bands.length == 7)
