@@ -438,7 +438,13 @@ object Dedup {
     val broadcastBelow = 200000L
     while (changed > 0 && iter < maxIters) {
       val tRound = System.nanoTime()
-      val jump = pointerJumping || iter >= autoJumpAfter
+      // jump early when the frontier is LARGE: a big changed-count
+      // after the fused round means long chains are still propagating
+      // one hop per round (dense near-dup graphs converge with small
+      // frontiers and never pay the hop join); small frontiers fall
+      // back to the round-count trigger
+      val jump = pointerJumping || iter >= autoJumpAfter ||
+        changed >= broadcastBelow
       val small = changed < broadcastBelow
       val front = if (small) broadcast(frontier) else frontier
       // nbrMin's size is bounded by the frontier's NEIGHBOR count, not by
@@ -447,6 +453,14 @@ object Dedup {
       val nbrMin = edges.join(front, col("dst") === col("id"))
         .groupBy(col("src")).agg(min("lbl").as("nbr_lbl"))
       val joined = labels.join(nbrMin, col("id") === col("src"), "left")
+      // pointer-jump hop table: label(lbl(v)) over the FULL label frame.
+      // Restricting it to the last frontier was tried and reverted: a
+      // vertex can acquire an already-stale pointer from a neighbor
+      // (the parent changed in an earlier round and never reappears in
+      // a frontier), which downgrades doubling to geometric decay —
+      // measured 27 rounds / 42 s vs ~12 / 36 s on the 1M adversarial
+      // chain — and in the worst case strands convergence past
+      // maxIters. The full self-join is O(log diameter) guaranteed.
       val withHop =
         if (!jump) joined.withColumn("hlbl", col("lbl"))
         else joined.join(
@@ -475,6 +489,12 @@ object Dedup {
       if (debug) println(f"[cc] round $iter changed=$changed jump=$jump " +
         f"${(System.nanoTime() - tRound) / 1e9}%.2f s")
     }
+    // a capped loop that did NOT converge would silently emit wrong
+    // representatives — refuse instead (callers raise maxIters for
+    // adversarially deep graphs)
+    require(changed == 0,
+      s"connectedComponents did not converge within $maxIters rounds " +
+        s"($changed labels still changing) — raise maxIters")
     // detach the result from all loop state: truncate lineage once more
     // if the last round was only persisted, then release that round's
     // cache and the edge frame
@@ -543,21 +563,15 @@ object Dedup {
   def simhashFingerprints(df: DataFrame, idCol: String, textCol: String,
       bits: Int): DataFrame = {
     require(bits % 4 == 0 && bits <= 60, s"simhash bits=$bits")
-    // explode_OUTER: a null text column must keep its row (null token →
-    // null hash → null votes → fp 0), matching the HOF formulation
-    // where null votes fall through to the per-bit otherwise(0)
-    val toks = df.select(col(idCol).cast("long").as("id"),
-      explode_outer(array_distinct(split(trim(lower(col(textCol))), "\\s+"))).as("t"))
-    val h = conv(substring(md5(col("t")), 1, bits / 4), 16, 10).cast("long")
-    toks.select(col("id"), h.as("h"))
-      .groupBy("id")
-      .agg(sum(shiftright(col("h"), 0).bitwiseAND(1L) * 2L - 1L).as("v0"),
-        (1 until bits).map(i =>
-          sum(shiftright(col("h"), i).bitwiseAND(1L) * 2L - 1L).as(s"v$i")): _*)
-      .select(col("id"),
-        (0 until bits).map(i =>
-          when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-          .reduce(_ + _).as("fp"))
+    // one compiled pass per row ([[graft.expressions.SimHashFp]]):
+    // tokenize → distinct → md5-hash → votes → fingerprint, value-
+    // identical to the former explode + bits-aggregate plan (a spec
+    // pins them) and to the DuckDB oracle, without shuffling a token
+    // row per (doc × token). Null text → fp 0, as before.
+    import org.apache.spark.sql.graftbridge.Bridge
+    df.select(col(idCol).cast("long").as("id"),
+      Bridge.column(graft.expressions.SimHashFp(
+        Bridge.expression(col(textCol)), bits)).as("fp"))
   }
 
   /** SimHash near-dup pairs within `maxDist` hamming distance, via

@@ -122,6 +122,31 @@ class DedupSpec extends SparkSpec {
     assert(rows.length === docs.length + 2)
   }
 
+  test("SimHashFp matches the explode + per-bit aggregate plan bit for bit") {
+    import org.apache.spark.sql.functions._
+    val bits = 48
+    val df = (docs ++ Seq(8L -> "", 9L -> "  ", 10L -> "Mixed CASE tokens"))
+      .toDF("doc_id", "text")
+    // the former formulation, kept inline as the reference
+    val toks = df.select(col("doc_id").cast("long").as("id"),
+      explode_outer(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("t"))
+    val h = conv(substring(md5(col("t")), 1, bits / 4), 16, 10).cast("long")
+    val ref = toks.select(col("id"), h.as("h"))
+      .groupBy("id")
+      .agg(sum(shiftright(col("h"), 0).bitwiseAND(1L) * 2L - 1L).as("v0"),
+        (1 until bits).map(i =>
+          sum(shiftright(col("h"), i).bitwiseAND(1L) * 2L - 1L).as(s"v$i")): _*)
+      .select(col("id"),
+        (0 until bits).map(i =>
+          when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+          .reduce(_ + _).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val got = Dedup.simhashFingerprints(df, "doc_id", "text", bits)
+      .as[(Long, Long)].collect().toMap
+    assert(got === ref)
+    assert(got.size === docs.size + 3)
+  }
+
   test("hammingBands: maxDist+1 bands tiling all bits") {
     val bands = Dedup.hammingBands(48, 6)
     assert(bands.length == 7)
