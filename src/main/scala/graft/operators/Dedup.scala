@@ -178,11 +178,18 @@ object Dedup {
       .filter(col("id_a") =!= col("id_b") &&
         col("sz_b") >= col("sz_a") * threshold)
       .select("id_a", "id_b").distinct()
+    val common = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.SortedIntersectCount(Seq(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("sh_a")),
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("sh_b")))))
     cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      // shingle arrays are ascending-sorted distinct — the compiled
+      // linear-merge count equals array_intersect size without per-row
+      // hash-set builds
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        (common.cast("double") /
           greatest(size(col("sh_a")), lit(1))).as("containment"))
       .filter(col("containment") >= threshold)
   }

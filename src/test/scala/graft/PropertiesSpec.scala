@@ -227,4 +227,109 @@ class PropertiesSpec extends SparkSpec {
         s"mismatch at bucketSeconds=$bs")
     }
   }
+
+  // ------------------------------------------- compiled signature kernels
+
+  private val tokenGen: Gen[String] = Gen.frequency(
+    6 -> Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+    1 -> Gen.const("café"), 1 -> Gen.const("中文"), 1 -> Gen.const(""))
+
+  test("MinHashSig equals min(hash(s, seed)) over random shingle arrays") {
+    import spark.implicits._
+    val arrays = forAllNCollect(Gen.listOf(tokenGen), 200)(identity)
+    val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a.distinct) }
+      .toDF("id", "sh")
+    val k = 16
+    val hof = array((0 until k).map { seed =>
+      array_min(transform(col("sh"), s => hash(s, lit(seed))))
+    }: _*)
+    val rows = df.select(Dedup.minhashFromShingles(col("sh"), k).as("fast"),
+        hof.as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Any](0) === r.getSeq[Any](1)))
+    assert(rows.length == arrays.length)
+  }
+
+  test("SimHashFp equals an independent hex-string md5 model on random text") {
+    import graft.expressions.SimHashFp
+    import org.apache.spark.sql.types.LongType
+    val bits = 48
+    def model(text: String): Long = {
+      val s = {
+        // SQL trim: 0x20 only
+        val lowered = text.toLowerCase
+        lowered.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](bits)
+      s.split("\\s+", -1).distinct.foreach { t =>
+        val hex = md.digest(t.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(bits / 4)
+        val h = java.lang.Long.parseLong(hex, 16)
+        (0 until bits).foreach(i =>
+          votes(i) += (((h >>> i) & 1L).toInt * 2 - 1))
+      }
+      (0 until bits).foldLeft(0L)((fp, i) =>
+        if (votes(i) > 0) fp | (1L << i) else fp)
+    }
+    forAllN(asciiText, 150) { text =>
+      val e = SimHashFp(Literal.create(UTF8String.fromString(text), StringType),
+        bits)
+      assert(e.eval(null) === model(text), s"text=<$text>")
+      assert(e.dataType === LongType)
+    }
+  }
+
+  test("RarityPrefix emits the model prefix under any sampled rank table") {
+    import graft.expressions.RarityPrefix
+    val gen = for {
+      toks <- Gen.listOf(tokenGen).map(_.distinct.sorted)
+      ranked <- Gen.someOf(toks)
+      t <- Gen.oneOf(0.3, 0.5, 0.8, 1.0)
+    } yield (toks, ranked.map(x => x -> (x.length + 2).toLong).toMap, t)
+    forAllN(gen, 200) { case (toks, ranks, t) =>
+      val bc = spark.sparkContext.broadcast(ranks)
+      val e = RarityPrefix(Literal.create(
+        ArrayData.toArrayData(toks.map(UTF8String.fromString).toArray),
+        org.apache.spark.sql.types.ArrayType(StringType)), bc, t)
+      val got = e.eval(null).asInstanceOf[ArrayData]
+      val sorted = toks.sortBy(x => (ranks.getOrElse(x, 1L), x))
+      val prefixLen =
+        if (toks.isEmpty) 0
+        else math.max(toks.size - math.ceil(toks.size * t - 1e-9).toLong + 1, 1L)
+          .min(toks.size).toInt
+      assert(got.numElements() == prefixLen, s"toks=$toks t=$t")
+      (0 until prefixLen).foreach { i =>
+        val row = got.getStruct(i, 2)
+        assert(row.getUTF8String(0).toString == sorted(i) &&
+          row.getInt(1) == i + 1, s"pos $i of $toks t=$t")
+      }
+    }
+  }
+
+  test("warc codec roundtrips random unicode payloads and URIs") {
+    import spark.implicits._
+    val textGen = Gen.listOf(Gen.frequency[String](
+      6 -> Gen.alphaNumChar.map(_.toString), 2 -> Gen.const(" "),
+      1 -> Gen.oneOf("\r", "\n", "\t"),
+      1 -> Gen.oneOf("é", "中", "😀", "\u0000")))
+      .map(_.mkString)
+    val docs = forAllNCollect(textGen, 60)(identity).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val dir = Files.createTempDirectory("warc_fuzz").toString
+    val framed = docs.toDF("id", "text").selectExpr(
+      "concat('https://fuzz.example.org/d/', id) AS uri",
+      "'2026-01-01T00:00:00Z' AS date", "text")
+    graft.io.Warc.write(framed.repartition(3), dir, "uri", "date", "text")
+    val back = graft.io.Warc.read(spark, dir)
+      .selectExpr("cast(regexp_extract(uri, '/d/(\\\\d+)$', 1) as long)", "text")
+      .as[(Long, String)].collect().toMap
+    assert(back == docs.toMap)
+  }
+
+  /** forAllN that also returns the generated samples. */
+  private def forAllNCollect[A, B](gen: Gen[A], n: Int)(f: A => B): Seq[B] =
+    (0 until n).map { i =>
+      f(gen.pureApply(Gen.Parameters.default, Seed(0x5eedL + i)))
+    }
 }
