@@ -684,6 +684,81 @@ object TextQueries {
       |    AS rank, doc_id, dl, score
       |FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** HYBRID retrieval ([[graft.operators.Hybrid.rrfFuse]]): the lexical
+    * arm is the BM25 top-20 (same scorer/terms as `text_bm25`), the
+    * semantic arm is brute-force cosine top-20 for query vector 0 over
+    * the embeddings table (docs join vectors on doc_id = vec_id), and
+    * reciprocal-rank fusion (k = 60, integer micro-units) merges them
+    * into one top-10 — the standard two-tower + lexical production
+    * search shape. Both arms and the fusion replay exactly in SQL. */
+  val qSearchHybrid: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val e = Tables(spark, dir, "embeddings")
+    val text = graft.operators.Scoring.bm25(d, "doc_id", "text",
+        Seq("spark", "merge", "window"), 20)
+      .select(col("doc_id").as("id"), col("rank"))
+    val vec = graft.operators.Ann.bruteForceTopK(
+        e, e.filter(col("vec_id") === 0), "vec_id", "embedding", 20)
+      .select(col("neighbor_id").as("id"), col("rank"))
+    graft.operators.Hybrid.rrfFuse(Seq(text, vec), rrfK = 60, topN = 10)
+      .select(col("rank"), col("id").as("doc_id"),
+        col("rank_0").as("rank_text"), col("rank_1").as("rank_vec"),
+        col("rrf_ppm"))
+  }
+
+  val qSearchHybridSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+      |    AS tok FROM documents),
+      |pd AS (
+      |  SELECT doc_id, cast(count(*) as bigint) AS dl,
+      |    cast(sum(CASE WHEN tok='spark'  THEN 1 ELSE 0 END) as bigint) AS tf0,
+      |    cast(sum(CASE WHEN tok='merge'  THEN 1 ELSE 0 END) as bigint) AS tf1,
+      |    cast(sum(CASE WHEN tok='window' THEN 1 ELSE 0 END) as bigint) AS tf2
+      |  FROM toks GROUP BY 1),
+      |tot AS (
+      |  SELECT cast(sum(dl) as bigint) AS t, cast(count(*) as bigint) AS n,
+      |    cast(sum(CASE WHEN tf0>0 THEN 1 ELSE 0 END) as bigint) AS df0,
+      |    cast(sum(CASE WHEN tf1>0 THEN 1 ELSE 0 END) as bigint) AS df1,
+      |    cast(sum(CASE WHEN tf2>0 THEN 1 ELSE 0 END) as bigint) AS df2
+      |  FROM pd),
+      |s AS (
+      |  SELECT doc_id,
+      |    cast(CASE WHEN tf0>0 THEN (((n-df0)*1000000//(df0+1))+1)
+      |        * ((22*tf0*t)//(10*t*tf0+3*t+9*dl*n)) ELSE 0 END
+      |      + CASE WHEN tf1>0 THEN (((n-df1)*1000000//(df1+1))+1)
+      |        * ((22*tf1*t)//(10*t*tf1+3*t+9*dl*n)) ELSE 0 END
+      |      + CASE WHEN tf2>0 THEN (((n-df2)*1000000//(df2+1))+1)
+      |        * ((22*tf2*t)//(10*t*tf2+3*t+9*dl*n)) ELSE 0 END
+      |      as bigint) AS score
+      |  FROM pd, tot),
+      |bm AS (
+      |  SELECT doc_id AS id, cast(row_number() OVER
+      |      (ORDER BY score DESC, doc_id) as bigint) AS rank_text
+      |  FROM s ORDER BY score DESC, doc_id LIMIT 20),
+      |v AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> cast(x as double)*cast(x as double)))) AS nrm
+      |  FROM embeddings),
+      |vscored AS (
+      |  SELECT c.vec_id AS id,
+      |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |      i -> cast(q.embedding[i] as double) * cast(c.embedding[i] as double)))
+      |      / (q.nrm * c.nrm) AS cos_sim
+      |  FROM v q, v c WHERE q.vec_id = 0 AND c.vec_id != 0),
+      |vr AS (
+      |  SELECT id, cast(row_number() OVER
+      |      (ORDER BY cos_sim DESC, id) as bigint) AS rank_vec
+      |  FROM vscored ORDER BY cos_sim DESC, id LIMIT 20),
+      |fused AS (
+      |  SELECT coalesce(bm.id, vr.id) AS doc_id, rank_text, rank_vec,
+      |    cast(coalesce(1000000//(60+rank_text), 0)
+      |       + coalesce(1000000//(60+rank_vec), 0) as bigint) AS rrf_ppm
+      |  FROM bm FULL OUTER JOIN vr ON bm.id = vr.id)
+      |SELECT cast(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) as bigint)
+      |    AS rank, doc_id, rank_text, rank_vec, rrf_ppm
+      |FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT 10""".stripMargin
+
   /** Linear bag-of-words quality classifier (Scoring.linearScore):
     * the fastText-style filter shape — broadcast (term, weight)
     * vocabulary, exact integer margin per document, keep gate at the
@@ -1525,6 +1600,7 @@ object TextQueries {
     "text_chunks" -> qTextChunks,
     "text_tfidf" -> qTfIdf,
     "text_bm25" -> qBm25,
+    "search_hybrid_rrf" -> qSearchHybrid,
     "text_classifier" -> qTextClassifier,
     "graph_domain_rank" -> qDomainRank,
     "graph_triangles" -> qGraphTriangles,
@@ -1566,6 +1642,7 @@ object TextQueries {
     "text_chunks" -> qTextChunksSql,
     "text_tfidf" -> qTfIdfSql,
     "text_bm25" -> qBm25Sql,
+    "search_hybrid_rrf" -> qSearchHybridSql,
     "text_classifier" -> qTextClassifierSql,
     "graph_domain_rank" -> qDomainRankSql,
     "graph_triangles" -> qGraphTrianglesSql,
