@@ -34,6 +34,9 @@ case class SimHashFp(child: Expression, bits: Int)
   override def dataType: DataType = LongType
 
   @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+  // per-instance digest (expression trees deserialize per task, the
+  // same discipline WinnowFingerprints uses) — not per row
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
@@ -42,7 +45,6 @@ case class SimHashFp(child: Expression, bits: Int)
     val toks = ws.split(s, -1)
     val seen = new java.util.HashSet[String]()
     val votes = new Array[Int](bits)
-    val md = java.security.MessageDigest.getInstance("MD5")
     val nibbles = bits / 4
     var ti = 0
     while (ti < toks.length) {

@@ -55,7 +55,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "text_bm25", "graph_domain_rank", "dedup_semantic", "ann_pq_topk",
       "ann_pq_recall", // broadcast 20-query exact + ADC sides, as ann_recall
       "q11_important_value", // q11: 1-row national-total frame, as q22
-      "cooccur_pairs") // 1-row corpus-total N crossed into pair counts
+      "cooccur_pairs", // 1-row corpus-total N crossed into pair counts
+      "search_hybrid_rrf") // BM25 arm's 1-row totals frame, as text_bm25
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(n) => n
     }
