@@ -810,6 +810,46 @@ object ScaleBench {
     assert(ccStats == ((500995000000L, 100001L)),
       s"planted component reps off: $ccStats")
 
+    // --- stage 32: streaming WARC ingest at archive scale — 200k docs
+    // archived as 8 `.warc.gz` shards (one gzip member per record),
+    // streamed back through Warc.readStream (binaryFile file log, one
+    // decode task per shard) into the admission gate as a stream-static
+    // join against the standing winner index. Every 10th doc is an
+    // EXACT copy of its predecessor, so the admitted count is exact:
+    // 200k − 20k copies.
+    val (warcAdmitted, tWarcStream) = timed {
+      val nDocs = 200000L
+      val copySeed = when(col("id") % 10 === 9, col("id") - 1)
+        .otherwise(col("id"))
+      def wword(seed: org.apache.spark.sql.Column, i: Int) =
+        concat(lit("w"), pmod(hash(seed, lit(i + 881)), lit(50000)).cast("string"))
+      val text = concat_ws(" ", (0 until 12).map(i => wword(copySeed, i)): _*)
+      val docs = spark.range(nDocs).select(col("id"), text.as("text"))
+      val dir = graft.util.Scratch.dir("scale_warc_stream")
+        .resolve("docs").toString
+      graft.io.Warc.write(
+        docs.repartition(8, col("id")).select(
+          concat(lit("https://scale.example.org/doc/"), col("id")).as("uri"),
+          lit("2026-01-01T00:00:00Z").as("date"), col("text")),
+        dir, "uri", "date", "text")
+      val winners = docs.select(md5(col("text")).as("digest"),
+          col("id")).groupBy("digest").agg(min("id").as("win_id"))
+      val admitted = graft.io.Warc.readStream(spark, dir)
+        .select(regexp_extract(col("uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("id"),
+          md5(col("text")).as("digest"))
+        .join(winners, Seq("digest"))
+        .filter(col("id") === col("win_id"))
+      val name = "scale_warc_stream_sink"
+      val q = admitted.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).count()
+    }
+    assert(warcAdmitted == 180000L,
+      s"planted WARC admission count off: $warcAdmitted")
+
     println(
       s"""{"metric":"reference_scale","overlay_sec":$tOverlay,""" +
         s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
@@ -845,6 +885,7 @@ object ScaleBench {
         s""""bpe_1m_sec":$tBpe,"bpe_pieces":${bpeStats._1},""" +
         s""""blocklist_1m_sec":$tBl,"blocklist_hits":${blStats._1},""" +
         s""""cc_1m_sec":$tCc,"cc_components":${ccStats._2},""" +
+        s""""warc_stream_sec":$tWarcStream,"warc_admitted":$warcAdmitted,""" +
         s""""regrid_cells":$regridRows,"voronoi_cells":$vorCells,""" +
         s""""conservation_ratio":$ratio}""")
     spark.stop()
