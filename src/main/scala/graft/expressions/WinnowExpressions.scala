@@ -50,14 +50,21 @@ case class WinnowFingerprints(children: Seq[Expression], k: Int, w: Int)
     // gram hashes: first 6 md5 bytes of the UTF-8 bytes of each k-char
     // gram (char-based substring, truncated at the end like substring())
     val h = new Array[Long](m)
+    val dig = new Array[Byte](16)
+    // ASCII fast path: byte count == char count ⇒ char-based grams are
+    // byte slices of ONE materialized array — no per-position
+    // UTF8String + byte-copy allocations (the text is scanned ~once
+    // per position, so this loop is the whole query's hot spot)
+    val ascii = if (s.numBytes() == n) s.getBytes else null
     var i = 0
     while (i < m) {
       md.reset()
-      md.update(s.substringSQL(i + 1, k).getBytes)
-      val d = md.digest()
-      h(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
-        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
-        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      if (ascii != null) md.update(ascii, i, math.min(k, n - i))
+      else md.update(s.substringSQL(i + 1, k).getBytes)
+      md.digest(dig, 0, 16)
+      h(i) = ((dig(0) & 0xffL) << 40) | ((dig(1) & 0xffL) << 32) |
+        ((dig(2) & 0xffL) << 24) | ((dig(3) & 0xffL) << 16) |
+        ((dig(4) & 0xffL) << 8) | (dig(5) & 0xffL)
       i += 1
     }
     val out = new java.util.TreeSet[java.lang.Long]()
