@@ -151,6 +151,29 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("zarr codec roundtrips random dims/values, compressed and chunked") {
+    val gen = for {
+      ny <- Gen.choose(1, 9)
+      nx <- Gen.choose(1, 9)
+      vals <- Gen.listOfN(ny * nx, Gen.choose(-1e6, 1e6))
+      compress <- Gen.oneOf(true, false)
+      chunk0 <- Gen.oneOf(0, 1, 3)
+    } yield (ny, nx, vals.toArray, compress, chunk0)
+    forAllN(gen, 15) { case (ny, nx, vals, compress, chunk0) =>
+      val path = Files.createTempDirectory("zrfuzz").resolve("g.zarr").toString
+      graft.io.Zarr.write(path,
+        Seq(NetCdf.Dim("y", ny), NetCdf.Dim("x", nx)),
+        Seq("note" -> "fuzz"),
+        Seq(NetCdf.Var("v", Seq(0, 1), NetCdf.NcDouble, Nil, vals)),
+        compress = compress, chunk0 = chunk0)
+      val nc = graft.io.Zarr.read(path)
+      assert(nc.dims.map(_.size) == Seq(ny, nx),
+        s"compress=$compress chunk0=$chunk0")
+      assert(nc.variable("v").data.asInstanceOf[Array[Double]].toSeq == vals.toSeq,
+        s"compress=$compress chunk0=$chunk0 ny=$ny nx=$nx")
+    }
+  }
+
   // ------------------------------------------------------ conservation
 
   test("conservative regrid preserves total mass on random grids") {
