@@ -3,7 +3,7 @@ package graft.io
 import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, EOFException}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths}
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.util.zip.GZIPInputStream
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
@@ -85,13 +85,19 @@ object Warc {
         val fin = Paths.get(f"$dir/part-$p%05d.warc.gz")
         val tmp = Paths.get(f"$dir/.part-$p%05d.warc.gz.$attempt%d.tmp")
         val fos = new BufferedOutputStream(Files.newOutputStream(tmp), 1 << 16)
+        // one native zlib stream + CRC for the whole partition, reset
+        // between members — a GZIPOutputStream per record allocates and
+        // initializes a fresh native Deflater per member, which
+        // dominates archive-write time at small record sizes
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
         try {
           it.foreach { r =>
-            // one gzip member per record: finish() flushes the member
-            // trailer so members concatenate per the .warc.gz convention
-            val gz = new GZIPOutputStream(fos)
-            gz.write(record(r.getString(ui), r.getString(di), r.getString(ti)))
-            gz.finish()
+            // one gzip member per record so members concatenate per the
+            // .warc.gz convention
+            writeGzipMember(fos,
+              record(r.getString(ui), r.getString(di), r.getString(ti)),
+              deflater)
             n += 1
           }
           fos.close()
@@ -99,6 +105,7 @@ object Warc {
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         } finally {
+          deflater.end()
           fos.close()
           Files.deleteIfExists(tmp)
         }
@@ -106,6 +113,34 @@ object Warc {
       Iterator.single(n)
     }.count()
     ()
+  }
+
+  /** One gzip member (RFC 1952) from scratch: fixed 10-byte header
+    * (deflate method, zero mtime/flags/XFL, OS=255 "unknown"), raw
+    * deflate body from the caller's REUSED nowrap Deflater, CRC-32 and
+    * ISIZE little-endian trailer. Java's GZIPInputStream consumes it
+    * like any other member; reusing one native zlib stream across a
+    * partition's members is the point (see the writer). */
+  private def writeGzipMember(out: java.io.OutputStream, data: Array[Byte],
+      deflater: java.util.zip.Deflater): Unit = {
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte))
+    deflater.reset()
+    deflater.setInput(data)
+    deflater.finish()
+    val buf = new Array[Byte](1 << 14)
+    while (!deflater.finished()) {
+      val k = deflater.deflate(buf)
+      if (k > 0) out.write(buf, 0, k)
+    }
+    val crc = new java.util.zip.CRC32()
+    crc.update(data)
+    val cv = crc.getValue
+    val isize = data.length.toLong & 0xffffffffL
+    out.write(Array[Byte](
+      (cv & 0xff).toByte, ((cv >>> 8) & 0xff).toByte,
+      ((cv >>> 16) & 0xff).toByte, ((cv >>> 24) & 0xff).toByte,
+      (isize & 0xff).toByte, ((isize >>> 8) & 0xff).toByte,
+      ((isize >>> 16) & 0xff).toByte, ((isize >>> 24) & 0xff).toByte))
   }
 
   /** Read a directory of `.warc.gz` (or plain `.warc`) files — one
