@@ -66,10 +66,15 @@ object Warc {
     val dirPath = Paths.get(dir)
     Files.createDirectories(dirPath)
     // a rewrite with fewer partitions must not leave stale parts that a
-    // later read() would happily ingest alongside the fresh ones
-    Files.list(dirPath).toArray.map(_.asInstanceOf[java.nio.file.Path])
-      .filter(_.getFileName.toString.matches("part-\\d{5}\\.warc\\.gz"))
+    // later read() would happily ingest alongside the fresh ones; also
+    // sweep attempt tmp files orphaned by a killed JVM (their finally
+    // never ran). Files.list holds an open DirectoryStream — close it.
+    val listing = Files.list(dirPath)
+    try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.matches(
+        "(part-\\d{5}\\.warc\\.gz|\\.part-\\d{5}\\.warc\\.gz\\.\\d+\\.tmp)"))
       .foreach(Files.delete)
+    finally listing.close()
     val (ui, di, ti) = (df.schema.fieldIndex(uriCol),
       df.schema.fieldIndex(dateCol), df.schema.fieldIndex(textCol))
     df.rdd.mapPartitionsWithIndex { (p, it) =>
@@ -146,9 +151,12 @@ object Warc {
   /** Read a directory of `.warc.gz` (or plain `.warc`) files — one
     * task per file, records streamed, never a whole file in memory. */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val files = Files.list(Paths.get(dir)).toArray.map(_.toString)
-      .filter(p => p.endsWith(".warc.gz") || p.endsWith(".warc"))
-      .sorted.toSeq
+    val listing = Files.list(Paths.get(dir))
+    val files =
+      try listing.toArray.map(_.toString)
+        .filter(p => p.endsWith(".warc.gz") || p.endsWith(".warc"))
+        .sorted.toSeq
+      finally listing.close()
     require(files.nonEmpty, s"no .warc[.gz] files under $dir")
     val rows = spark.sparkContext
       .parallelize(files, files.length)

@@ -122,6 +122,14 @@ object AnnQueries {
     * the drift alarm, not the quality bar.) */
   val qAnnRecall: Q = (spark, dir) => {
     val e = Tables(spark, dir, "embeddings")
+    // the SQL oracle interpolates the hyperplane/codebook machinery for
+    // dims = 64 specifically; a corpus of any other width would make
+    // DuckDB NULL-pad its plane weights out of bounds and fail with a
+    // baffling hit-count mismatch — fail HERE with the real reason
+    val dims = e.select(size(col("embedding"))).head().getInt(0)
+    require(dims == 64,
+      s"ann_recall's DuckDB oracle replays 64-dim LSH/IVF machinery; " +
+        s"embeddings are $dims-dim — regenerate the oracle constants")
     val q = e.filter(col("vec_id") < 20)
     val k = 10
     val exact = Ann.bruteForceTopK(e, q, "vec_id", "embedding", k)
@@ -577,6 +585,12 @@ object AnnQueries {
     * scale factor, not hand-pinned. */
   val qAnnPqRecall: Q = (spark, dir) => {
     val e = Tables(spark, dir, "embeddings")
+    // same oracle precondition as qAnnRecall: the SQL replays 64-dim
+    // (4×16) codebook machinery — fail loudly on any other width
+    val dims = e.select(size(col("embedding"))).head().getInt(0)
+    require(dims == 64,
+      s"ann_pq_recall's DuckDB oracle replays 64-dim PQ machinery; " +
+        s"embeddings are $dims-dim — regenerate the oracle constants")
     val q = e.filter(col("vec_id") < 20)
     val k = 10
     val books = Ann.pqCodebook(e, "vec_id", "embedding", m = 4, k = 16)

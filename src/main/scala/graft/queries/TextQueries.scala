@@ -1046,16 +1046,19 @@ object TextQueries {
 
   /** Exact n-gram Jaccard near-dup pairs over the FULL table via the
     * prefix-filtered inverted index — no cross join in the plan. */
-  /** The pair frame is localCheckpoint'ed before the global sort: a
-    * range sort samples its child to pick partition bounds and then
-    * executes it again to shuffle — without a materialization barrier
-    * the whole candidate-join + refine pipeline runs TWICE. The pair
-    * list is tiny; the pipeline above it is the expensive part. */
+  /** The pair frame is persisted before the global sort: a range sort
+    * samples its child to pick partition bounds and then executes it
+    * again to shuffle — without a materialization point the whole
+    * candidate-join + refine pipeline runs TWICE (the sampling pass
+    * populates the cache; the shuffle pass reads it). persist, NOT
+    * localCheckpoint: a checkpoint truncates the logical plan at query
+    * construction, which would blind the PlanAuditSpec sweeps to the
+    * entire join pipeline. */
   val qDedupJaccard: Q = (spark, dir) =>
     Dedup.jaccardPairsIndexed(Tables(spark, dir, "documents"),
       "doc_id", "text", 3, 0.5)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy("id_a", "id_b")
 
   val qDedupJaccardSql: String = exactJaccardPairsSql
@@ -1066,14 +1069,15 @@ object TextQueries {
     * misses (a short doc inside a long one has low Jaccard but high
     * containment). One-sided prefix filter against the full inverted
     * index; the oracle states the naive quadratic definition. */
-  /** localCheckpoint before the sort for the same reason as
-    * [[qDedupJaccard]]: don't run the one-sided prefix join twice. */
+  /** persist before the sort for the same reason as [[qDedupJaccard]]:
+    * don't run the one-sided prefix join twice, and keep the logical
+    * plan visible to the audits. */
   val qDedupContainment: Q = (spark, dir) =>
     Dedup.containmentPairsIndexed(Tables(spark, dir, "documents"),
       "doc_id", "text", 3, 0.8)
       .select(col("id_a"), col("id_b"),
         round(col("containment"), 6).as("containment"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy("id_a", "id_b")
 
   val qDedupContainmentSql: String =

@@ -43,7 +43,11 @@ object SoakGen {
     // ~5% near-copies: doc 20k+19 reuses doc 20k+18's word seeds except
     // the final word, giving high-Jaccard pairs without exact equality
     val seed = when(col("id") % 20 === 19, col("id") - 1).otherwise(col("id"))
-    val len = (pmod(hash(col("id"), lit(7)), lit(51)) + 10).cast("int")
+    // length MUST derive from the copy seed too: a copy truncated at an
+    // independent random length shares only min(len) words and its
+    // Jaccard collapses (~0.2 instead of ~0.9) — the near-dup structure
+    // the generator exists to plant
+    val len = (pmod(hash(seed, lit(7)), lit(51)) + 10).cast("int")
     val words = transform(sequence(lit(0), lit(60)), i =>
       element_at(vlit,
         pmod(hash(seed, i, lit(13)), lit(vocab.size)).cast("int") + 1))

@@ -17,7 +17,12 @@ object Scratch {
     new java.util.concurrent.ConcurrentLinkedQueue[Path]()
 
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
-    registered.forEach(p => deleteRecursively(p))
+    // per-entry guard: one directory failing to delete (late writer,
+    // walk-snapshot race) must not abandon cleanup of the rest
+    registered.forEach { p =>
+      try deleteRecursively(p)
+      catch { case _: Throwable => () }
+    }
   }, "graft-scratch-cleanup"))
 
   /** A fresh temp directory, deleted recursively at JVM exit. */
@@ -29,7 +34,9 @@ object Scratch {
 
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(f => { Files.deleteIfExists(f); () })
+      finally walk.close()
     }
 }

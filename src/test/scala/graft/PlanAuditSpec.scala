@@ -73,9 +73,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // shaped cardinality — fail it before it ships. The bound is 4096
     // rows: an order above the largest intended model frame (nlist,
     // codebook entries, seed centroids ≤ 256), orders below any corpus.
-    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.execution.{LocalTableScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // SparkPlan.collect cannot see INSIDE AQE: AdaptiveSparkPlanExec is
+    // a LeafExecNode (as are query stages and cached-relation scans), so
+    // a naive traversal audits nothing beneath the root of any plan with
+    // an Exchange. Expand every wrapper kind explicitly.
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val expanded = p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec => allNodes(q.plan)
+        case i: InMemoryTableScanExec => allNodes(i.relation.cachedPlan)
+        case _ => Seq.empty
+      }
+      (p +: p.children.flatMap(allNodes)) ++
+        p.subqueries.flatMap(allNodes) ++ expanded
+    }
     val offenders = executed.toSeq.flatMap { case (n, p) =>
-      p.collect {
+      allNodes(p).collect {
         case l: LocalTableScanExec if l.rows.length > 4096 =>
           s"$n: LocalTableScan of ${l.rows.length} rows"
       }
