@@ -587,6 +587,70 @@ object StreamingQueries {
     spark.table(name).orderBy("doc_id")
   }
 
+  /** STREAMING ANN serving: arriving query vectors are sign-LSH
+    * bucketed PER ROW (compiled expression — stateless), multi-probed,
+    * and matched against the STANDING corpus index by one stream-static
+    * equi-join on the bucket; the only aggregation is the per-query
+    * top-k (complete mode — the result set is k rows per live query, a
+    * serving table, not an unbounded stream). No dedup step is needed:
+    * the probe array is distinct by construction, so a corpus vector
+    * joins at most one probe row per query. Output: the same
+    * recall-independent invariants `ann_lsh_topk` reports (exactly k
+    * rows, ranks a 1..k permutation, every reported score equal to the
+    * exact cosine recomputed independently), since WHICH neighbors LSH
+    * returns is hash-dependent and not SQL-replayable. */
+  val qStreamAnnTopK: Q = (spark, dir) => {
+    import graft.operators.Ann
+    val e = Tables(spark, dir, "embeddings")
+    val k = 5
+    val planes = 8
+    val base = Ann.lshBucket(col("qvec"), planes)
+    val probes = array_union(array(base),
+      transform(sequence(lit(0), lit(planes - 1)),
+        p => base.bitwiseXOR(pow(lit(2.0), p).cast("int"))))
+    val qx = embeddingsStream(spark, dir)
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .withColumn("bucket", explode(probes))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cvec"),
+      Ann.lshBucket(col("embedding"), planes).as("bucket"))
+    val agg = qx.join(c, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Ann.cosine(col("qvec"), col("cvec")).as("cos_sim"))
+      .groupBy("query_id")
+      .agg(Ann.topK(col("cos_sim"), col("neighbor_id"), k).as("top"))
+    val name = s"graft_stream_ann_${runId.incrementAndGet()}"
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val topk = spark.table(name)
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.neighbor_id").as("neighbor_id"),
+        col("col.cos_sim").as("cos_sim"))
+    val qv = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    topk.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+      .withColumn("exact", Ann.cosine(col("qv"), col("cv")))
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (min((abs(col("cos_sim") - col("exact")) < 1e-12).cast("int")) === 1)
+          .as("scores_exact"),
+        (min("rank") === 1 && max("rank") === lit(k) &&
+          countDistinct("rank") === lit(k)).as("ranks_ok"))
+      .orderBy("query_id")
+  }
+
+  val qStreamAnnTopKSql: String =
+    """SELECT vec_id AS query_id, cast(5 as bigint) AS n_rows,
+      |  true AS scores_exact, true AS ranks_ok
+      |FROM embeddings WHERE vec_id < 3 ORDER BY 1""".stripMargin
+
   val qStreamDedupSql: String =
     """SELECT count(DISTINCT user_id) AS n_users,
       |  cast(min(user_id) as bigint) AS min_user,
@@ -613,7 +677,8 @@ object StreamingQueries {
     "stream_doc_filter" -> qStreamDocFilter,
     "stream_neardup" -> qStreamNearDup,
     "stream_pq_codes" -> qStreamPqCodes,
-    "stream_warc_ingest" -> qStreamWarcIngest)
+    "stream_warc_ingest" -> qStreamWarcIngest,
+    "stream_ann_topk" -> qStreamAnnTopK)
 
   val oracles: Map[String, String] = Map(
     "stream_events_daily" -> qStreamEventsDailySql,
@@ -627,5 +692,6 @@ object StreamingQueries {
     "stream_doc_filter" -> qStreamDocFilterSql,
     "stream_neardup" -> qStreamNearDupSql,
     "stream_pq_codes" -> AnnQueries.qEmbedPqCodesSql,
-    "stream_warc_ingest" -> TextQueries.qWarcIngestSql)
+    "stream_warc_ingest" -> TextQueries.qWarcIngestSql,
+    "stream_ann_topk" -> qStreamAnnTopKSql)
 }
