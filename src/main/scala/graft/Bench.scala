@@ -89,7 +89,14 @@ object Bench {
       s""""$k":{"min":$mn,"med":$med,"max":$mx,"n":$n,"contended":$contended}"""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","spreads":$spreads,"load":{"start":$loadStart,"end":$loadEnd,"cpus":$cpus,"trials":$trials}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","spreads":$spreads,"load":{"start":$loadStart,"end":$loadEnd,"cpus":$cpus,"trials":$trials}}"""
+    println(line)
+    // ALSO write the complete result to a file (VERDICT r8 #1: the
+    // driver's stdout tail capture clipped BENCH_r08.json mid-JSON —
+    // the committed file is the lossless artifact of record).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    scala.util.Try(java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out), line + "\n"))
     spark.stop()
   }
 }

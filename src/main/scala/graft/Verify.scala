@@ -27,6 +27,11 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // a few queries persist their result frame (range-sort inputs,
+        // e.g. dedup_jaccard) — unpersist after consumption so a long
+        // sweep doesn't accumulate session-lifetime cache entries
+        // (ADVICE r8)
+        finally spark.catalog.clearCache()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

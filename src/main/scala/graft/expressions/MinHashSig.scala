@@ -24,18 +24,27 @@ import org.apache.spark.sql.types._
   * shuffle — which is what the per-row STREAMING gate needs (signatures
   * must be a stateless row-local chain).
   *
-  * Empty shingle arrays produce k nulls, matching `array_min` of an
-  * empty array.
+  * Empty AND null shingle arrays both produce the non-null array of k
+  * nulls — exactly what the HOF form yields (`transform(null, …)` is
+  * null, `array_min(null)` is null, and `array(…)` over k nulls is a
+  * non-null array), so the bit-for-bit-parity claim covers null input
+  * too (ADVICE r8: the default unary null pass-through diverged here).
   */
 case class MinHashSig(child: Expression, k: Int)
   extends UnaryExpression with CodegenFallback {
 
   require(k >= 1, s"k=$k")
 
-  override def nullable: Boolean = true
+  override def nullable: Boolean = false
   override lazy val deterministic: Boolean = true
   override def dataType: DataType =
     ArrayType(IntegerType, containsNull = true)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(Array.fill[Any](k)(null))
+    else nullSafeEval(v)
+  }
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

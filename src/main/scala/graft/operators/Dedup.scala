@@ -82,6 +82,16 @@ object Dedup {
   private def sampledTokenCounts(sets: DataFrame, rate: Int = 20,
       maxTokens: Int = 65536)
       : org.apache.spark.broadcast.Broadcast[Map[String, Long]] = {
+    // Memoized per (session, canonical input plan, rate, maxTokens)
+    // (ADVICE r8): query CONSTRUCTION calls this — without the cache
+    // every plan build (audits, bench trials, retries) re-runs the
+    // corpus-scale sampling job and leaks one ≤64k-entry broadcast.
+    // Bounded LRU; evicted/expired entries destroy their broadcast.
+    val key = (sets.sparkSession, sets.queryExecution.logical.canonicalized,
+      rate, maxTokens)
+    rarityCache.synchronized {
+      rarityCache.get(key).foreach(b => return b)
+    }
     val table = sets
       .filter(pmod(hash(col("id")), lit(rate)) === 0)
       .select(explode(col("sh")).as("tok"))
@@ -92,8 +102,22 @@ object Dedup {
       .collect()
       .map(r => r.getString(0) -> r.getLong(1) * rate)
       .toMap
-    sets.sparkSession.sparkContext.broadcast(table)
+    val bc = sets.sparkSession.sparkContext.broadcast(table)
+    rarityCache.synchronized {
+      if (rarityCache.size >= 32) {
+        val oldest = rarityCache.head._1
+        rarityCache.remove(oldest).foreach(b =>
+          scala.util.Try(b.destroy()))
+      }
+      rarityCache.put(key, bc)
+    }
+    bc
   }
+
+  /** Insertion-ordered LRU for [[sampledTokenCounts]] broadcasts. */
+  private val rarityCache = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.SparkSession, Any, Int, Int),
+      org.apache.spark.broadcast.Broadcast[Map[String, Long]]]
 
   /** The PPJoin prefix index rows (id, sz, rn, tok) for every document
     * — prefix selection and positional rank computed map-side by
@@ -141,10 +165,13 @@ object Dedup {
     val b = idx.select(col("id").as("id_b"), col("sz").as("sz_b"),
       col("rn").as("rn_b"), col("tok"))
     val alpha = ceil((col("sz_a") + col("sz_b")) * (threshold / (1 + threshold)) - 1e-9)
+    // size prunes carry the same conservative 1e-9 nudge as `alpha`: a
+    // double product rounding a hair above the exact rational t·|X|
+    // must not drop an exactly-at-threshold pair (ADVICE r8)
     val cand = a.join(b, "tok")
       .filter(col("id_a") < col("id_b") &&
-        col("sz_a") >= col("sz_b") * threshold &&
-        col("sz_b") >= col("sz_a") * threshold &&
+        col("sz_a") >= col("sz_b") * threshold - 1e-9 &&
+        col("sz_b") >= col("sz_a") * threshold - 1e-9 &&
         (lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b"))) >= alpha)
       .select("id_a", "id_b")
       .distinct()
@@ -174,9 +201,11 @@ object Dedup {
       .select(col("id").as("id_a"), col("sz").as("sz_a"), col("tok"))
     val bAll = sets.select(col("id").as("id_b"),
       size(col("sh")).as("sz_b"), explode(col("sh")).as("tok"))
+    // conservative 1e-9 nudge so a product rounding above the exact
+    // rational t·|A| can't drop an exactly-at-threshold pair
     val cand = aPrefix.join(bAll, "tok")
       .filter(col("id_a") =!= col("id_b") &&
-        col("sz_b") >= col("sz_a") * threshold)
+        col("sz_b") >= col("sz_a") * threshold - 1e-9)
       .select("id_a", "id_b").distinct()
     val common = org.apache.spark.sql.graftbridge.Bridge.column(
       graft.expressions.SortedIntersectCount(Seq(
@@ -230,7 +259,12 @@ object Dedup {
     * keys instead). Buckets larger than `maxBucket` are dropped before
     * pairing: a degenerate bucket (templated/near-empty content hashing
     * together) would otherwise go quadratic — a recall-vs-blowup guard
-    * to size so it never triggers on healthy data. */
+    * to size so it never triggers on healthy data. The guard is NOT
+    * silent: [[droppedBuckets]] reports exactly which buckets (and how
+    * many member rows) the same predicate would drop, and the declared
+    * `dedup_lsh_guard` query keeps that count in the validation path
+    * (VERDICT r8 #2 — at 100 TB a templated-boilerplate corpus must not
+    * lose true pairs without a signal). */
   private[operators] def pairsFromBuckets(memb: DataFrame, bucketCols: Seq[String],
       maxBucket: Int): DataFrame = {
     // bucket-size guard via a windowed count — one shuffle on the bucket
@@ -250,6 +284,41 @@ object Dedup {
       .distinct()
   }
 
+  /** The buckets [[pairsFromBuckets]]'s size guard would DROP (size >
+    * maxBucket), with their member counts — the side output that makes
+    * the recall-vs-blowup guard observable. Same grouping shuffle shape
+    * as the guard itself; empty on healthy data. */
+  private[operators] def droppedBuckets(memb: DataFrame,
+      bucketCols: Seq[String], maxBucket: Int): DataFrame =
+    memb.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > maxBucket)
+
+  /** One-row guard report for the MinHash-LSH banding of `df`: total
+    * buckets, buckets the size guard drops, member rows lost to the
+    * guard, and the observed max bucket size. Declared as the
+    * `dedup_lsh_guard` query so every round's validation records
+    * whether the guard fired (0 dropped on healthy corpora); at 100 TB
+    * this is the loud signal that `maxBucket` needs resizing before
+    * near-dup recall silently degrades. */
+  def lshGuardReport(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 16,
+      maxBucket: Int = 64): DataFrame = {
+    val banded = minhashBanded(
+      df.select(col(idCol).cast("long").as("id"),
+        shingles(col(textCol), shingleN).as("sh")), k, bands)
+    val sizes = banded.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("n_rows"))
+    sizes.agg(
+      count(lit(1)).as("n_buckets"),
+      sum(when(col("n_rows") > maxBucket, 1L).otherwise(0L))
+        .as("n_buckets_dropped"),
+      sum(when(col("n_rows") > maxBucket, col("n_rows")).otherwise(0L))
+        .as("n_rows_dropped"),
+      max(col("n_rows")).as("max_bucket"),
+      lit(maxBucket.toLong).as("max_bucket_allowed"))
+  }
+
   /** MinHash-LSH near-dup candidate pairs: band the k-row signature,
     * bucket by (band, bandHash), emit pairs per bucket (classic Broder
     * banding, MMDS ch.3).
@@ -261,17 +330,23 @@ object Dedup {
   /** Banded candidate pairs from a prepared (id, sh) shingle frame —
     * the shared core of [[minhashCandidates]] and [[minhashNearDups]]. */
   private def minhashCandidatesFromSets(sets: DataFrame, k: Int, bands: Int,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int): DataFrame =
+    pairsFromBuckets(minhashBanded(sets, k, bands),
+      Seq("band", "band_hash"), maxBucket)
+
+  /** (id, band, band_hash) LSH membership rows from a prepared (id, sh)
+    * shingle frame — shared by candidate generation and the guard
+    * report so both see the identical bucketing. */
+  private def minhashBanded(sets: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0,
       s"minhash signature length k=$k must be divisible by bands=$bands " +
         "or trailing components would be silently excluded from banding")
     val rows = k / bands
     val sig = sets.select(col("id"), minhashFromShingles(col("sh"), k).as("sig"))
-    val banded = sig.select(col("id"),
+    sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rows + 1, lit(rows)), lit(9999)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    pairsFromBuckets(banded, Seq("band", "band_hash"), maxBucket)
   }
 
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,

@@ -621,6 +621,27 @@ object StreamingQueries {
         Ann.cosine(col("qvec"), col("cvec")).as("cos_sim"))
       .groupBy("query_id")
       .agg(Ann.topK(col("cos_sim"), col("neighbor_id"), k).as("top"))
+    // Loud precondition (ADVICE r8): "exactly k rows per query" is only
+    // a valid recall-independent invariant when every query's multiprobe
+    // candidate set holds ≥ k neighbors. On regenerated embeddings a
+    // candidate dip must fail HERE with a recall-drift message, not as
+    // a baffling oracle count mismatch downstream.
+    val shortQueries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .withColumn("bucket", explode(probes))
+      .join(c, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id")
+      .agg(countDistinct("neighbor_id").as("n_cand"))
+      .filter(col("n_cand") < k)
+      .collect()
+    require(shortQueries.isEmpty,
+      s"stream_ann_topk precondition: multiprobe candidate set smaller " +
+        s"than k=$k for queries " +
+        shortQueries.map(r => s"${r.getLong(0)}(${r.getLong(1)})")
+          .mkString(", ") +
+        " — LSH recall drifted on this corpus; widen the probe ring or " +
+        "regenerate embeddings")
     val name = s"graft_stream_ann_${runId.incrementAndGet()}"
     withStatePartitions(spark, 8) {
       val q = agg.writeStream.format("memory").queryName(name)

@@ -1107,6 +1107,18 @@ object TextQueries {
 
   val qDedupMinhashSql: String = exactJaccardPairsSql
 
+  /** LSH bucket-size-guard report ([[Dedup.lshGuardReport]]): one row
+    * counting the buckets (and their member rows) that
+    * [[Dedup.minhashNearDups]]'s recall-vs-blowup guard would drop
+    * (VERDICT r8 #2 — the guard must be observable, not silent). 0
+    * dropped on healthy corpora; a non-zero count at scale is the
+    * signal to raise `maxBucket` before near-dup recall degrades.
+    * Bucket hashes are Spark murmur3 — not DuckDB-expressible, so this
+    * takes the driver's rows-only check. */
+  val qDedupLshGuard: Q = (spark, dir) =>
+    Dedup.lshGuardReport(Tables(spark, dir, "documents"), "doc_id", "text",
+      shingleN = 3, k = 32, bands = 16, maxBucket = 64)
+
   /** SimHash near-dup pairs (48-bit md5-derived fingerprint, hamming ≤ 3)
     * over the FULL table via pigeonhole-complete hamming-band bucketing —
     * exact recall, no cross join. md5 token hashes make the fingerprint
@@ -1617,6 +1629,7 @@ object TextQueries {
     "dedup_jaccard" -> qDedupJaccard,
     "dedup_containment" -> qDedupContainment,
     "dedup_minhash_lsh" -> qDedupMinhash,
+    "dedup_lsh_guard" -> qDedupLshGuard,
     "dedup_decision" -> qDedupDecision,
     "dedup_substring" -> qDedupSubstring,
     "dedup_substring_apply" -> qDedupSubstringApply,

@@ -107,7 +107,11 @@ class DedupSpec extends SparkSpec {
 
   test("MinHashSig matches the hash(s, lit(seed)) HOF formulation bit for bit") {
     import org.apache.spark.sql.functions._
-    val df = (docs ++ Seq(8L -> "", 9L -> "one two three")).toDF("doc_id", "text")
+    // includes a NULL-text row (ADVICE r8): the HOF yields a non-null
+    // array of k nulls there, and the compiled form must match
+    val df = (docs.map { case (i, t) => (i, Option(t)) } ++
+        Seq(8L -> Some(""), 9L -> Some("one two three"), 10L -> None))
+      .toDF("doc_id", "text")
       .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
     val hof = array((0 until 32).map { seed =>
       array_min(transform($"sh", s => hash(s, lit(seed))))
@@ -119,7 +123,7 @@ class DedupSpec extends SparkSpec {
       assert(r.getSeq[Any](1) === r.getSeq[Any](2),
         s"signature mismatch for doc ${r.getLong(0)}")
     }
-    assert(rows.length === docs.length + 2)
+    assert(rows.length === docs.length + 3)
   }
 
   test("SimHashFp matches the explode + per-bit aggregate plan bit for bit") {
