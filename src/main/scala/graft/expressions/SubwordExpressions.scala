@@ -219,10 +219,50 @@ case class BpeSegment(children: Seq[Expression], merges: Seq[(String, String)])
   override def prettyName: String = "bpe_segment"
 }
 
+/** bpe_resume(syms) — continue the leftmost-lowest-rank merge loop on
+  * an ALREADY-SEGMENTED symbol array under the full `merges` list.
+  *
+  * The incremental trainer's per-round projection
+  * ([[graft.operators.BpeTrain]]): a word at the fixed point under
+  * merges 0..r−1 comes out unchanged after ONE adjacency scan (the
+  * cheap common case — the loop finds no ranked pair and stops), and a
+  * word containing the just-adopted pair is advanced to the fixed point
+  * under 0..r, which equals its from-scratch segmentation (see
+  * [[Bpe.mergeToFixedPoint]]). Pure map-side; no shuffle. */
+case class BpeResume(children: Seq[Expression], merges: Seq[(String, String)])
+  extends Expression with CodegenFallback {
+
+  require(merges.distinct.length == merges.length, "duplicate merge pair")
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val rank: java.util.HashMap[String, Integer] =
+    Bpe.rankMap(merges)
+
+  override def eval(input: InternalRow): Any = {
+    val v = children(0).eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val syms = new ArrayBuffer[String](n)
+    var i = 0
+    while (i < n) { syms += arr.getUTF8String(i).toString; i += 1 }
+    Bpe.mergeToFixedPoint(syms, rank)
+    new GenericArrayData(
+      syms.map(s => UTF8String.fromString(s): Any).toArray)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(children = c)
+  override def prettyName: String = "bpe_resume"
+}
+
 /** Shared BPE machinery: the pre-tokenizer (letter runs, digit runs,
   * single other non-space chars — identical to [[SubwordTokenize]])
   * and the SentencePiece-style leftmost-lowest-rank merge loop. */
-private[expressions] object Bpe {
+private[graft] object Bpe {
 
   def rankMap(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
@@ -243,6 +283,20 @@ private[expressions] object Bpe {
     val syms = new ArrayBuffer[String](to - from)
     var i = from
     while (i < to) { syms += s.charAt(i).toString; i += 1 }
+    mergeToFixedPoint(syms, rank)
+    syms.foreach(emit)
+  }
+
+  /** Run the leftmost-lowest-rank merge loop IN PLACE until no adjacent
+    * pair is in `rank`. Exposed (package-level) for the incremental BPE
+    * trainer: because the priority encoder only touches rank r once
+    * every lower rank is exhausted, resuming from the fixed point under
+    * ranks 0..r−1 with the full map 0..r reproduces the from-scratch
+    * segmentation exactly — the algebraic fact
+    * [[graft.operators.BpeTrain]]'s delta maintenance rests on (and the
+    * parity spec re-checks). */
+  def mergeToFixedPoint(syms: ArrayBuffer[String],
+      rank: java.util.HashMap[String, Integer]): Unit = {
     var done = syms.length <= 1
     while (!done) {
       var bestRank = Int.MaxValue
@@ -260,7 +314,6 @@ private[expressions] object Bpe {
         if (syms.length == 1) done = true
       }
     }
-    syms.foreach(emit)
   }
 
   /** Lowercase, pre-tokenize, merge-rank segment each pre-token, and

@@ -52,6 +52,31 @@ class BpeTrainSpec extends SparkSpec {
     assert(got === 0L)
   }
 
+  test("all three training paths produce the identical merge sequence") {
+    // driver-incremental (default), distributed-incremental (forced by
+    // driverWordLimit=0), and the k-full-recount reference implementation
+    // must agree bit for bit — k=12 spans a localCheckpoint boundary
+    // (every 8 rounds) in the distributed path.
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents").limit(60)
+    val local = BpeTrain.learnMerges(d, "text", 12)
+      .as[(Long, String, Long)].collect().toSeq
+    val dist = BpeTrain.learnMerges(d, "text", 12, driverWordLimit = 0)
+      .as[(Long, String, Long)].collect().toSeq
+    val recount = BpeTrain.learnMergesRecount(d, "text", 12)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(local === recount, "driver-incremental diverged from recount")
+    assert(dist === recount, "distributed-incremental diverged from recount")
+    assert(local.length === 12)
+  }
+
+  test("distributed-incremental path handles early exhaustion") {
+    val docs = Seq("ab ab cd").toDF("text")
+    // pairs: (a,b)=2, (c,d)=1 -> 2 merges then exhaustion
+    val got = BpeTrain.learnMerges(docs, "text", 5, driverWordLimit = 0)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((0L, "a b", 2L), (1L, "c d", 1L)))
+  }
+
   test("matches the unrolled SQL oracle's first merges on real data") {
     // The full-gate check runs at sf0.01; pin sf0.001 here so the
     // spec catches drift at the smallest scale too.
