@@ -442,3 +442,53 @@ case class PqAdc(children: Seq[Expression])
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(children = c)
   override def prettyName: String = "pq_adc"
 }
+
+/** centroid_residual(vec, cell) — `vec − cents(cell)`, the residual a
+  * vector keeps after IVF coarse quantization, in SINGLE-precision
+  * arithmetic (Scala `Float` subtraction ≡ DuckDB `REAL - REAL`, so the
+  * composed IVF-PQ oracle replays residuals bit for bit). The corpus
+  * side computes it once at index build; the query side computes one
+  * residual per probed cell — both pure map-side against the broadcast
+  * nlist×dim model. NULL on null/mis-sized input or an out-of-range
+  * cell (the loud-dim-bug convention of [[PqCodes]]). */
+case class CentroidResidual(children: Seq[Expression],
+    cents: Array[Array[Float]])
+  extends Expression with CodegenFallback {
+
+  require(cents.nonEmpty, "empty centroid model")
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (children(0).dataType, children(1).dataType) match {
+      case (ArrayType(FloatType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<float>, int), got " +
+            s"${a.simpleString}, ${b.simpleString}")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = children(0).eval(input)
+    val cl = children(1).eval(input)
+    if (v == null || cl == null) return null
+    val cell = cl.asInstanceOf[Int]
+    if (cell < 0 || cell >= cents.length) return null
+    val c = cents(cell)
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() != c.length) return null
+    val out = new Array[Any](c.length)
+    var i = 0
+    while (i < c.length) {
+      out(i) = a.getFloat(i) - c(i) // Float arithmetic, by design
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(children = c)
+  override def prettyName: String = "centroid_residual"
+}

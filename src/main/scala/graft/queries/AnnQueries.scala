@@ -655,9 +655,105 @@ object AnnQueries {
       |FROM embeddings e LEFT JOIN h ON e.vec_id = h.query_id
       |WHERE e.vec_id < 20 ORDER BY query_id""".stripMargin
 
+  /** Composed IVF-PQ ([[Ann.ivfPqTopK]]) — the production serving shape:
+    * IVF cell assignment, PQ codes of RESIDUALS, per-probe distance
+    * tables, ADC scan of only the probed cells. With seeded models
+    * (lloydIters=0 — stride centroids, first-16-residual codebooks)
+    * every number is deterministic, and residual subtraction is
+    * single-precision on both engines (Scala Float ≡ DuckDB REAL), so
+    * the oracle replays the ENTIRE pipeline — coarse assignment, probe
+    * selection, residual codebooks, codes, tables, gather-sum, ranking
+    * — from the corpus actually read, and the full ranking hashes.
+    * Lloyd-refined models plug into the identical plan (see
+    * [[Ann.ivfCentroids]]/[[Ann.pqCodebookLloyd]]). */
+  val qAnnIvfPq: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings")
+    val dims = e.select(size(col("embedding"))).head().getInt(0)
+    require(dims == 64,
+      s"ann_ivfpq_topk's DuckDB oracle replays 64-dim (8-cell, 4×16) " +
+        s"IVF-PQ machinery; embeddings are $dims-dim — regenerate the " +
+        "oracle constants")
+    Ann.ivfPqTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("adc_dist"), 6).as("adc_dist"))
+      .orderBy("query_id", "rank")
+  }
+
+  val qAnnIvfPqSql: String =
+    """WITH nn AS (SELECT count(*) AS n FROM embeddings),
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cv
+      |  FROM (SELECT vec_id, embedding FROM embeddings, nn
+      |        WHERE vec_id % greatest(n // 8, 1) = 0 ORDER BY vec_id LIMIT 8)),
+      |score AS (
+      |  SELECT e.vec_id, c.cell,
+      |    list_sum(list_transform(range(1, 65), i ->
+      |      cast(e.embedding[i] as double) * (cast(c.cv[i] as double) /
+      |        sqrt(list_sum(list_transform(range(1, 65), j ->
+      |          cast(c.cv[j] as double) * cast(c.cv[j] as double))))))) AS s
+      |  FROM embeddings e, cents c),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+      |    FROM score) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+      |    FROM score WHERE vec_id < 3) WHERE rn <= 2),
+      |resid AS (
+      |  SELECT e.vec_id, a.cell,
+      |    list_transform(range(1, 65), i -> e.embedding[i] - c.cv[i]) AS rv
+      |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+      |  JOIN cents c ON a.cell = c.cell),
+      |books AS (
+      |  SELECT s.m, r.vec_id AS j,
+      |    list_slice(r.rv, s.m*16 + 1, s.m*16 + 16) AS bv
+      |  FROM resid r, (SELECT unnest(range(0, 4)) AS m) s
+      |  WHERE r.vec_id < 16),
+      |cdist AS (
+      |  SELECT r.vec_id, b.m, b.j,
+      |    list_sum(list_transform(range(1, 17), d ->
+      |      (cast(r.rv[b.m*16 + d] as double) - cast(b.bv[d] as double)) *
+      |      (cast(r.rv[b.m*16 + d] as double) - cast(b.bv[d] as double))))
+      |      AS dist
+      |  FROM resid r, books b),
+      |codes AS (SELECT vec_id, m, j AS code FROM (
+      |    SELECT vec_id, m, j,
+      |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+      |    FROM cdist) WHERE rn = 1),
+      |qresid AS (
+      |  SELECT p.query_id, p.cell,
+      |    list_transform(range(1, 65), i -> e.embedding[i] - c.cv[i]) AS qrv
+      |  FROM probes p JOIN embeddings e ON e.vec_id = p.query_id
+      |  JOIN cents c ON c.cell = p.cell),
+      |dtab AS (
+      |  SELECT q.query_id, q.cell, b.m, b.j,
+      |    list_sum(list_transform(range(1, 17), d ->
+      |      (cast(q.qrv[b.m*16 + d] as double) - cast(b.bv[d] as double)) *
+      |      (cast(q.qrv[b.m*16 + d] as double) - cast(b.bv[d] as double))))
+      |      AS dist
+      |  FROM qresid q, books b),
+      |scored AS (
+      |  SELECT t.query_id, c.vec_id AS neighbor_id,
+      |    list_sum(list(t.dist ORDER BY t.m)) AS dist
+      |  FROM codes c
+      |  JOIN assign a ON a.vec_id = c.vec_id
+      |  JOIN dtab t ON t.cell = a.cell AND t.m = c.m AND t.j = c.code
+      |  WHERE c.vec_id <> t.query_id
+      |  GROUP BY 1, 2),
+      |ranked AS (SELECT query_id, neighbor_id, dist,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY dist, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, round(dist, 6) AS adc_dist
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "embed_pq_codes" -> qEmbedPqCodes,
     "ann_pq_topk" -> qAnnPq,
+    "ann_ivfpq_topk" -> qAnnIvfPq,
     "ann_pq_recall" -> qAnnPqRecall,
     "embed_sq_codes" -> qEmbedSqCodes,
     "embed_pca_cov" -> qEmbedPcaCov,
@@ -673,6 +769,7 @@ object AnnQueries {
   val oracles: Map[String, String] = Map(
     "embed_pq_codes" -> qEmbedPqCodesSql,
     "ann_pq_topk" -> qAnnPqSql,
+    "ann_ivfpq_topk" -> qAnnIvfPqSql,
     "ann_pq_recall" -> qAnnPqRecallSql,
     "ann_recall" -> qAnnRecallSql,
     "embed_sq_codes" -> qEmbedSqCodesSql,

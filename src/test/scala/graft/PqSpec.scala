@@ -80,4 +80,75 @@ class PqSpec extends SparkSpec {
       .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(got.toSeq === Seq((1, 1L, 2.0), (2, 4L, 2.0)))
   }
+
+  test("IVF-PQ ADC distance equals the residual-reconstruction distance") {
+    // independent recomputation: for every reported (query, neighbor),
+    // rebuild the neighbor's quantized form centroid+decode(codes) on
+    // the driver and check the ADC score is ‖(q − c) − decode‖² — a
+    // different association order, so compare within 1e-9
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    val cents = Ann.ivfCentroids(e, "vec_id", "embedding", nlist = 8,
+      lloydIters = 0)
+    val got = Ann.ivfPqTopK(e, q, "vec_id", "embedding", k = 5)
+      .collect()
+    assert(got.length === 15, "3 queries × k=5")
+    val vecs = e.select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // replicate the seeded residual codebooks and assignments locally
+    def cellOf(v: Array[Float]): Int = {
+      val unit = cents.map { c =>
+        val n = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+        c.map(_.toDouble / (if (n == 0) 1.0 else n))
+      }
+      val scores = unit.map(u => u.zip(v).map { case (a, b) => a * b.toDouble }.sum)
+      scores.zipWithIndex.maxBy { case (s, i) => (s, i) }._2
+    }
+    def residOf(v: Array[Float]): Array[Float] = {
+      val c = cents(cellOf(v))
+      v.zip(c).map { case (a, b) => a - b }
+    }
+    val sub = 16
+    val books = Array.tabulate(4)(s =>
+      (0L until 16L).map(j => residOf(vecs(j)).slice(s * sub, s * sub + sub)).toArray)
+    def codesOf(r: Array[Float]): Array[Int] = Array.tabulate(4) { s =>
+      val rs = r.slice(s * sub, s * sub + sub)
+      books(s).zipWithIndex.minBy { case (b, j) =>
+        (b.zip(rs).map { case (x, y) => val d = y.toDouble - x.toDouble; d * d }.sum, j)
+      }._2
+    }
+    got.foreach { r =>
+      val qid = r.getLong(0); val nid = r.getLong(2); val adc = r.getDouble(3)
+      val nb = vecs(nid)
+      val cell = cellOf(nb)
+      val qr = vecs(qid).zip(cents(cell)).map { case (a, b) => a - b }
+      val codes = codesOf(residOf(nb))
+      val recon = (0 until 4).flatMap(s => books(s)(codes(s))).toArray
+      val expect = qr.zip(recon).map { case (a, b) =>
+        val d = a.toDouble - b.toDouble; d * d }.sum
+      assert(math.abs(adc - expect) < 1e-9,
+        s"query $qid neighbor $nid: adc=$adc recon=$expect")
+    }
+  }
+
+  test("IVF-PQ only scores neighbors whose cell the query probes") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    val cents = Ann.ivfCentroids(e, "vec_id", "embedding", nlist = 8,
+      lloydIters = 0)
+    val cellCol = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.CentroidCells(Seq(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("embedding"))),
+        cents, 8))
+    val assign = e.select(col("vec_id").cast("long").as("id"),
+        element_at(cellCol, 1).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probes = q.select(col("vec_id").cast("long").as("id"),
+        slice(cellCol, 1, 2).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    Ann.ivfPqTopK(e, q, "vec_id", "embedding", k = 5).collect().foreach { r =>
+      assert(probes(r.getLong(0)).contains(assign(r.getLong(2))),
+        s"neighbor ${r.getLong(2)} not in query ${r.getLong(0)}'s probed cells")
+    }
+  }
 }
