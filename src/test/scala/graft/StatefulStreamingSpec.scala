@@ -117,6 +117,49 @@ class StatefulStreamingSpec extends SparkSpec {
       s"join state was not evicted: $stateTotals")
   }
 
+  test("topKServe merges across batches, emits once on eviction, skips live keys") {
+    val dir = Files.createTempDirectory("serve_evict")
+    def cand(rows: Seq[(Long, Long, Double, String)]) = rows
+      .toDF("key", "id", "score", "s")
+      .select($"key", $"id", $"score", to_timestamp($"s").as("ts"))
+    // batch 0: keys 1 (three candidates) and 2 (one)
+    cand(Seq(
+      (1L, 10L, 0.9, "2024-01-01 00:00:00"),
+      (1L, 11L, 0.5, "2024-01-01 00:00:00"),
+      (1L, 12L, 0.7, "2024-01-01 00:00:00"),
+      (2L, 20L, 0.3, "2024-01-01 00:00:01")))
+      .coalesce(1).write.parquet(dir.resolve("b0").toString)
+    // batch 1: a LATE candidate for key 1, inside the grace window —
+    // must merge into the standing state, displacing id 12
+    cand(Seq((1L, 13L, 0.8, "2024-01-01 00:00:02")))
+      .coalesce(1).write.parquet(dir.resolve("b1").toString)
+    // batch 2: far-future sentinel advances the watermark past every
+    // real key's deadline; its own key (-1) never times out
+    cand(Seq((-1L, 0L, 0.0, "2025-01-01 00:00:00")))
+      .coalesce(1).write.parquet(dir.resolve("b2").toString)
+
+    val stream = spark.readStream
+      .schema(cand(Seq((0L, 0L, 0.0, "2024-01-01 00:00:00"))).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*/")
+      .withWatermark("ts", "10 seconds")
+      .as[Stateful.ServeCand]
+    val q = Stateful.topKServe(stream, k = 2, graceMs = 5000).toDF()
+      .writeStream.format("memory")
+      .queryName("serve_evict").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.table("serve_evict")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 1, 10L, 0.9), (1L, 2, 13L, 0.8), // late candidate merged in
+      (2L, 1, 20L, 0.3)),                   // fewer than k rows is fine
+      s"got $out")
+    // exactly-once: no key appears with two generations of rows, and
+    // the sentinel's live key was never flushed
+    assert(!out.exists(_._1 == -1L))
+  }
+
   test("running per-user stats across two micro-batches match batch") {
     val ev = Tables(spark, "/root/testdata/sf0.001", "events")
       .select($"user_id".as("key"), $"value")
