@@ -138,6 +138,44 @@ object ScaleBench {
     }
     assert(ivfRecall >= 0.9, s"IVF recall@10 = $ivfRecall < 0.9")
 
+    // --- stage 6b (north-star): composed IVF-PQ + exact re-rank
+    // (residual codes, ADC over probed cells, shortlist refinement) on
+    // 1M vectors in 100k NEAR-DUP clusters of 10 — the retrieval shape
+    // PQ exists for: quantization must resolve INTER-cluster structure
+    // (it cannot resolve noise-level detail; 10-member clusters make
+    // recall@10 a well-posed target where the 256-cluster IVF corpus
+    // would drown it in ~4k near-equidistant ties). Recall@10 against
+    // exact squared L2; the serving-scan economics: corpus rows ship 1
+    // cell int + 8 code ints through the probe join instead of 64
+    // floats, and raw vectors are fetched only for the shortlist.
+    val (ivfPqRecall, tIvfPq) = timed {
+      val dim = 64
+      val rowsPq = n.toLong * n
+      val cid = col("id") % (rowsPq / 10)
+      val vec = array((0 until dim).map { d =>
+        ((hash(cid, lit(d)).cast("double") / 2147483647.0) +
+          (hash(col("id"), lit(d + 1000)).cast("double") / 2147483647.0) * 0.1)
+          .cast("float")
+      }: _*)
+      val corpus = spark.range(rowsPq)
+        .select(col("id"), vec.as("embedding"))
+        .persist()
+      val queries = corpus.filter(col("id") % 100000 === 7)
+      val ivfpq = graft.operators.Ann.ivfPqRerankTopK(corpus, queries,
+          "id", "embedding", 10, shortlist = 50, nlist = 64, nprobe = 8,
+          m = 8, codebookK = 64, lloydIters = 1)
+        .select(col("query_id"), col("neighbor_id")).persist()
+      val exact = graft.operators.Ann.l2TopK(corpus, queries,
+          "id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id")).persist()
+      val denom = exact.count()
+      val recall = ivfpq.intersect(exact).count().toDouble / denom
+      corpus.unpersist()
+      recall
+    }
+    assert(ivfPqRecall >= 0.8,
+      s"IVF-PQ+rerank recall@10 = $ivfPqRecall < 0.8 on near-dup clusters")
+
     // --- stage 7 (north-star): corpus prep over 1M synthetic documents
     // — quality gate + exact-dedup decision + 8-gram benchmark
     // decontamination, all codegen'd scans + compact-key joins (the
@@ -855,6 +893,7 @@ object ScaleBench {
         s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
         s""""ann_1m_sec":$tAnn,"ann_rows":$annRows,""" +
         s""""ivf_recall_at_10":$ivfRecall,"ivf_1m_sec":$tIvf,""" +
+        s""""ivfpq_recall_at_10":$ivfPqRecall,"ivfpq_1m_sec":$tIvfPq,""" +
         s""""prep_1m_sec":$tPrep,"prep_exact_kept":${prepStats._1},""" +
         s""""prep_contaminated":${prepStats._2},""" +
         s""""pack_10m_sec":$tPack,"pack_rows":${packStats._1},""" +

@@ -333,6 +333,37 @@ object Ann {
     * `REAL - REAL` reproduces them bit for bit), so with seeded models
     * the full ranking is SQL-replayable; Lloyd-refined centroids/books
     * (`lloydIters` > 0) plug into the identical plan. */
+  /** [[ivfPqTopK]] + the production REFINEMENT stage: ADC produces a
+    * `shortlist`-sized candidate set per query (compressed-domain, the
+    * cheap pass), then ONLY those candidates' raw vectors are fetched
+    * (equi-join on id — queries × shortlist rows, never the corpus)
+    * and re-ranked by exact squared L2. Distances quantization
+    * collapsed into ties are resolved exactly; output mirrors
+    * [[l2TopK]] (query_id, rank, neighbor_id, l2_dist). */
+  def ivfPqRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, shortlist: Int, nlist: Int = 8,
+      nprobe: Int = 2, m: Int = 4, codebookK: Int = 16,
+      lloydIters: Int = 0): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist < k=$k")
+    val cand = ivfPqTopK(corpus, queries, idCol, vecCol, shortlist,
+        nlist, nprobe, m, codebookK, lloydIters)
+      .select(col("query_id"), col("neighbor_id"))
+    def ssq(v: Column) = Bridge.column(
+      graft.expressions.VecSumSq(Seq(Bridge.expression(v))))
+    val q = broadcast(queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qvec")))
+    val scored = cand
+      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("cvec")), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        negate((ssq(col("qvec")) + ssq(col("cvec"))) -
+          lit(2.0) * dot(col("qvec"), col("cvec"))).as("cos_sim"))
+    rankTopK(scored, k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        negate(col("cos_sim")).as("l2_dist"))
+  }
+
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 8, nprobe: Int = 2,
       m: Int = 4, codebookK: Int = 16, lloydIters: Int = 0): DataFrame = {

@@ -750,10 +750,57 @@ object AnnQueries {
       |SELECT query_id, rank, neighbor_id, round(dist, 6) AS adc_dist
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** IVF-PQ + exact re-rank ([[Ann.ivfPqRerankTopK]]) — the full
+    * production retrieval chain: compressed-domain ADC shortlist (20)
+    * inside the probed cells, then raw vectors fetched ONLY for the
+    * shortlist and re-ranked by exact squared L2. The oracle extends
+    * the [[qAnnIvfPq]] replay with the shortlist cut and the
+    * three-`list_sum` exact distance — the entire chain hashes. */
+  val qAnnIvfPqRerank: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings")
+    val dims = e.select(size(col("embedding"))).head().getInt(0)
+    require(dims == 64,
+      s"ann_ivfpq_rerank's DuckDB oracle replays 64-dim IVF-PQ " +
+        s"machinery; embeddings are $dims-dim")
+    Ann.ivfPqRerankTopK(e, e.filter(col("vec_id") < 3), "vec_id",
+        "embedding", 5, shortlist = 20)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("l2_dist"), 6).as("l2_dist"))
+      .orderBy("query_id", "rank")
+  }
+
+  val qAnnIvfPqRerankSql: String = {
+    // everything through `ranked` is the ann_ivfpq_topk replay
+    val base = qAnnIvfPqSql.substring(0, qAnnIvfPqSql.indexOf(
+      "SELECT query_id, rank, neighbor_id"))
+    base.trim + ",\n" +
+      """shortlist AS (SELECT query_id, neighbor_id FROM ranked
+        |  WHERE rank <= 20),
+        |rr AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    (list_sum(list_transform(range(1, 65), i ->
+        |        cast(q.embedding[i] as double) * cast(q.embedding[i] as double))) +
+        |     list_sum(list_transform(range(1, 65), i ->
+        |        cast(c.embedding[i] as double) * cast(c.embedding[i] as double)))) -
+        |    2 * list_sum(list_transform(range(1, 65), i ->
+        |        cast(q.embedding[i] as double) * cast(c.embedding[i] as double)))
+        |      AS l2
+        |  FROM shortlist s
+        |  JOIN embeddings q ON q.vec_id = s.query_id
+        |  JOIN embeddings c ON c.vec_id = s.neighbor_id),
+        |rranked AS (SELECT query_id, neighbor_id, l2,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY l2, neighbor_id) AS rank
+        |  FROM rr)
+        |SELECT query_id, rank, neighbor_id, round(l2, 6) AS l2_dist
+        |FROM rranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "embed_pq_codes" -> qEmbedPqCodes,
     "ann_pq_topk" -> qAnnPq,
     "ann_ivfpq_topk" -> qAnnIvfPq,
+    "ann_ivfpq_rerank" -> qAnnIvfPqRerank,
     "ann_pq_recall" -> qAnnPqRecall,
     "embed_sq_codes" -> qEmbedSqCodes,
     "embed_pca_cov" -> qEmbedPcaCov,
@@ -770,6 +817,7 @@ object AnnQueries {
     "embed_pq_codes" -> qEmbedPqCodesSql,
     "ann_pq_topk" -> qAnnPqSql,
     "ann_ivfpq_topk" -> qAnnIvfPqSql,
+    "ann_ivfpq_rerank" -> qAnnIvfPqRerankSql,
     "ann_pq_recall" -> qAnnPqRecallSql,
     "ann_recall" -> qAnnRecallSql,
     "embed_sq_codes" -> qEmbedSqCodesSql,

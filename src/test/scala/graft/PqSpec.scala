@@ -131,6 +131,27 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ rerank reports exact L2 distances in ascending order") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    val vecs = e.select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = Ann.ivfPqRerankTopK(e, q, "vec_id", "embedding",
+      k = 5, shortlist = 20).collect()
+    assert(got.length === 15)
+    got.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val ds = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(ds.sorted.toSeq === ds.toSeq, s"query $qid not ascending")
+      rows.foreach { r =>
+        val qv = vecs(qid); val cv = vecs(r.getLong(2))
+        val exact = qv.zip(cv).map { case (a, b) =>
+          val d = a.toDouble - b.toDouble; d * d }.sum
+        assert(math.abs(r.getDouble(3) - exact) < 1e-6,
+          s"query $qid neighbor ${r.getLong(2)}")
+      }
+    }
+  }
+
   test("IVF-PQ only scores neighbors whose cell the query probes") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter(col("vec_id") < 3)
