@@ -188,3 +188,92 @@ case class PngDecode(children: Seq[Expression])
     copy(children = c)
   override def prettyName: String = "png_decode"
 }
+
+/** try_png_decode(payload) — [[PngDecode]] that returns NULL on a
+  * malformed payload instead of failing the task: the tolerant
+  * ingest-filter form (count/quarantine corrupt media without killing
+  * the job; the strict form stays the default so silent corruption
+  * can't pass unnoticed once payloads are supposed to be clean). */
+case class TryPngDecode(children: Seq[Expression])
+  extends Expression with CodegenFallback {
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = PngDecode(children).dataType
+
+  override def eval(input: InternalRow): Any = {
+    val v = children.head.eval(input)
+    if (v == null) return null
+    val img =
+      try graft.io.Png.decode(v.asInstanceOf[Array[Byte]])
+      catch { case _: IllegalArgumentException => return null }
+    val px = new Array[Any](img.pixels.length)
+    var i = 0
+    while (i < px.length) { px(i) = img.pixels(i) & 0xff; i += 1 }
+    InternalRow(img.width, img.height, img.channels,
+      new GenericArrayData(px))
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(children = c)
+  override def prettyName: String = "try_png_decode"
+}
+
+/** wav_encode(sample_rate, channels, samples) → binary: a real
+  * RIFF/WAVE PCM-16 file written row-local by [[graft.io.Wav]]. */
+case class WavEncode(children: Seq[Expression])
+  extends Expression with CodegenFallback {
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = BinaryType
+
+  override def eval(input: InternalRow): Any = {
+    val vr = children(0).eval(input)
+    val vc = children(1).eval(input)
+    val vs = children(2).eval(input)
+    if (vr == null || vc == null || vs == null) return null
+    val rate = vr.asInstanceOf[Number].intValue()
+    val ch = vc.asInstanceOf[Number].intValue()
+    val arr = vs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (arr.numElements() % math.max(ch, 1) != 0) return null // shape bug
+    val samples = new Array[Short](arr.numElements())
+    var i = 0
+    while (i < samples.length) { samples(i) = arr.getInt(i).toShort; i += 1 }
+    graft.io.Wav.encode(graft.io.Wav.Audio(rate, ch, samples))
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(children = c)
+  override def prettyName: String = "wav_encode"
+}
+
+/** wav_decode(payload) → struct(sample_rate, channels, samples
+  * array<int>): real RIFF/WAVE parse (PCM 8/16-bit, ancillary chunks
+  * skipped, loud rejection of non-PCM) via [[graft.io.Wav.decode]].
+  * Samples come back as signed 16-bit values. */
+case class WavDecode(children: Seq[Expression])
+  extends Expression with CodegenFallback {
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("samples", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+
+  override def eval(input: InternalRow): Any = {
+    val v = children.head.eval(input)
+    if (v == null) return null
+    val a = graft.io.Wav.decode(v.asInstanceOf[Array[Byte]])
+    val out = new Array[Any](a.samples.length)
+    var i = 0
+    while (i < out.length) { out(i) = a.samples(i).toInt; i += 1 }
+    InternalRow(a.sampleRate, a.channels, new GenericArrayData(out))
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(children = c)
+  override def prettyName: String = "wav_decode"
+}

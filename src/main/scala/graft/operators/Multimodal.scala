@@ -57,6 +57,28 @@ object Multimodal {
     Bridge.column(graft.expressions.PngDecode(
       Seq(Bridge.expression(payload))))
 
+  /** Tolerant [[decodePng]]: NULL on malformed bytes — the ingest
+    * filter form (count/quarantine corrupt media without killing the
+    * job). */
+  def tryDecodePng(payload: Column): Column =
+    Bridge.column(graft.expressions.TryPngDecode(
+      Seq(Bridge.expression(payload))))
+
+  /** REAL audio encode: (rate, channels, int16 samples) → RIFF/WAVE
+    * PCM-16 binary ([[graft.io.Wav]]). */
+  def encodeWav(sampleRate: Column, channels: Column,
+      samples: Column): Column =
+    Bridge.column(graft.expressions.WavEncode(Seq(
+      Bridge.expression(sampleRate), Bridge.expression(channels),
+      Bridge.expression(samples))))
+
+  /** REAL audio decode: WAV binary → struct(sample_rate, channels,
+    * samples) — PCM 8/16-bit, ancillary chunks skipped, loud rejection
+    * of non-PCM. */
+  def decodeWav(payload: Column): Column =
+    Bridge.column(graft.expressions.WavDecode(
+      Seq(Bridge.expression(payload))))
+
   /** Per-row feature math over decoded pixels — pure column exprs. */
   def checksum(pixels: Column): Column =
     aggregate(pixels, lit(0L), (acc, x) => acc + x)

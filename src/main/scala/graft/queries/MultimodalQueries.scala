@@ -351,8 +351,92 @@ object MultimodalQueries {
       |  cast(CASE WHEN w * h > n THEN 0 ELSE bs[n] END as bigint) AS last_px
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Tolerant-decode ingest filter ([[Multimodal.tryDecodePng]]):
+    * every tenth payload is CORRUPTED (one byte overwritten inside the
+    * IHDR, so its chunk CRC no longer matches) and the filter must
+    * classify corrupt vs clean without failing the job — the
+    * quarantine pattern a 100 TB media crawl needs. try_png_decode
+    * yields NULL exactly for the corrupted rows; clean rows decode
+    * fully (width re-checked). */
+  val qMmPngFilter: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val n = octet_length(col("text"))
+    val w = (n % 64 + 1)
+    val h = ((n + w - 1) / w)
+    val pixels = Multimodal.padToImage(
+      Multimodal.decode(col("text").cast("binary")),
+      w.cast("long"), h.cast("long"))
+    val png = Multimodal.encodePng(
+      w.cast("int"), h.cast("int"), lit(1), pixels)
+    // byte 17 (1-based) is the width MSB inside IHDR — always 0x00 for
+    // any sane width, so overwriting with 0xFF guarantees a change and
+    // a CRC mismatch
+    val corrupted = when(col("doc_id") % 10 === 0,
+      overlay(png, lit(Array(0xFF.toByte)), lit(17))).otherwise(png)
+    val dec = Multimodal.tryDecodePng(corrupted)
+    d.select(col("doc_id"), dec.as("dec"))
+      .select(col("doc_id"),
+        col("dec").isNotNull.as("decoded"),
+        col("dec.width").cast("long").as("width"))
+      .orderBy("doc_id")
+  }
+
+  val qMmPngFilterSql: String =
+    """SELECT doc_id, doc_id % 10 <> 0 AS decoded,
+      |  CASE WHEN doc_id % 10 = 0 THEN NULL
+      |    ELSE cast(length(text) % 64 + 1 as bigint) END AS width
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** REAL WAV codec round-trip ([[graft.io.Wav]]): each document's
+    * bytes become centered int16 PCM samples ((b − 128) · 256),
+    * written as an actual RIFF/WAVE file and decoded back inside the
+    * same projection; frame energies run over the DECODED samples.
+    * The oracle restates sample count, sum and framed energy from the
+    * raw text bytes — any codec defect (endianness, header layout,
+    * sign handling) breaks the hash. */
+  val qMmWavRoundtrip: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val samples = transform(
+      Multimodal.decode(col("text").cast("binary")),
+      b => (b - 128) * 256)
+    val dec = Multimodal.decodeWav(
+      Multimodal.encodeWav(lit(16000), lit(1), samples))
+    d.select(col("doc_id"), dec.as("dec"))
+      .select(col("doc_id"),
+        col("dec.sample_rate").cast("long").as("sample_rate"),
+        col("dec.channels").cast("long").as("channels"),
+        size(col("dec.samples")).cast("long").as("n_samples"),
+        aggregate(col("dec.samples"), lit(0L), (a, x) => a + x)
+          .as("sum_samples"),
+        Multimodal.frameEnergies(col("dec.samples"), 100).as("fe"))
+      .select(col("doc_id"), col("sample_rate"), col("channels"),
+        col("n_samples"), col("sum_samples"),
+        size(col("fe")).cast("long").as("n_frames"),
+        aggregate(col("fe"), lit(0L), (a, x) => a + x).as("total_energy"))
+      .orderBy("doc_id")
+  }
+
+  val qMmWavRoundtripSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, length(text) AS n,
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> (ord(substr(text, i, 1)) - 128) * 256) AS s
+      |  FROM documents)
+      |SELECT doc_id, cast(16000 as bigint) AS sample_rate,
+      |  cast(1 as bigint) AS channels,
+      |  cast(n as bigint) AS n_samples,
+      |  cast(list_sum(s) as bigint) AS sum_samples,
+      |  cast(n // 100 as bigint) AS n_frames,
+      |  cast(coalesce(list_sum(list_transform(range(0, n // 100), f ->
+      |    list_sum(list_transform(range(1, 101), i ->
+      |      cast(s[f * 100 + i] as bigint) * s[f * 100 + i])))), 0)
+      |    as bigint) AS total_energy
+      |FROM b ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mm_png_roundtrip" -> qMmPngRoundtrip,
+    "mm_png_filter" -> qMmPngFilter,
+    "mm_wav_roundtrip" -> qMmWavRoundtrip,
     "mm_features" -> qMmFeatures,
     "mm_resize" -> qMmResize,
     "mm_batch_infer" -> qMmBatchInfer,
@@ -363,6 +447,8 @@ object MultimodalQueries {
 
   val oracles: Map[String, String] = Map(
     "mm_png_roundtrip" -> qMmPngRoundtripSql,
+    "mm_png_filter" -> qMmPngFilterSql,
+    "mm_wav_roundtrip" -> qMmWavRoundtripSql,
     "mm_features" -> qMmFeaturesSql,
     "mm_resize" -> qMmResizeSql,
     "mm_batch_infer" -> qMmBatchInferSql,
