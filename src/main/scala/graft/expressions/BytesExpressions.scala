@@ -277,3 +277,77 @@ case class WavDecode(children: Seq[Expression])
     copy(children = c)
   override def prettyName: String = "wav_decode"
 }
+
+/** image_decode(payload) → struct(width, height, channels, pixels):
+  * format dispatch by magic bytes — PNG signature → [[graft.io.Png]],
+  * JPEG SOI → [[graft.io.Jpeg]] (baseline) — so one ingest projection
+  * handles a mixed media column the way a crawl delivers it. Unknown
+  * magic fails loudly (quarantine with [[TryImageDecode]] first when
+  * tolerance is wanted). */
+case class ImageDecode(children: Seq[Expression])
+  extends Expression with CodegenFallback {
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("pixels", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+
+  override def eval(input: InternalRow): Any = {
+    val v = children.head.eval(input)
+    if (v == null) return null
+    ImageDecode.toRow(ImageDecode.decodeAny(v.asInstanceOf[Array[Byte]]))
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(children = c)
+  override def prettyName: String = "image_decode"
+}
+
+object ImageDecode {
+  private[expressions] def decodeAny(bytes: Array[Byte]): graft.io.Png.Image = {
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8) graft.io.Jpeg.decode(bytes)
+    else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
+        bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+      graft.io.Png.decode(bytes)
+    else throw new IllegalArgumentException(
+      "unknown image magic (PNG and baseline JPEG supported)")
+  }
+
+  private[expressions] def toRow(img: graft.io.Png.Image): InternalRow = {
+    val px = new Array[Any](img.pixels.length)
+    var i = 0
+    while (i < px.length) { px(i) = img.pixels(i) & 0xff; i += 1 }
+    InternalRow(img.width, img.height, img.channels, new GenericArrayData(px))
+  }
+}
+
+/** try_image_decode(payload) — [[ImageDecode]] returning NULL on any
+  * malformed/unsupported payload: the mixed-crawl quarantine filter. */
+case class TryImageDecode(children: Seq[Expression])
+  extends Expression with CodegenFallback {
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = ImageDecode(children).dataType
+
+  override def eval(input: InternalRow): Any = {
+    val v = children.head.eval(input)
+    if (v == null) return null
+    val img =
+      try ImageDecode.decodeAny(v.asInstanceOf[Array[Byte]])
+      catch {
+        case _: IllegalArgumentException => return null
+        case _: ArrayIndexOutOfBoundsException => return null
+      }
+    ImageDecode.toRow(img)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(children = c)
+  override def prettyName: String = "try_image_decode"
+}

@@ -64,6 +64,17 @@ object Multimodal {
     Bridge.column(graft.expressions.TryPngDecode(
       Seq(Bridge.expression(payload))))
 
+  /** Mixed-format image decode: PNG or baseline JPEG by magic bytes
+    * ([[graft.io.Jpeg]] — the crawl-ingest projection). */
+  def decodeImage(payload: Column): Column =
+    Bridge.column(graft.expressions.ImageDecode(
+      Seq(Bridge.expression(payload))))
+
+  /** Tolerant [[decodeImage]]: NULL on malformed or unsupported. */
+  def tryDecodeImage(payload: Column): Column =
+    Bridge.column(graft.expressions.TryImageDecode(
+      Seq(Bridge.expression(payload))))
+
   /** REAL audio encode: (rate, channels, int16 samples) → RIFF/WAVE
     * PCM-16 binary ([[graft.io.Wav]]). */
   def encodeWav(sampleRate: Column, channels: Column,

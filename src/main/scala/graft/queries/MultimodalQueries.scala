@@ -433,10 +433,37 @@ object MultimodalQueries {
       |    as bigint) AS total_energy
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /** REAL camera-JPEG ingest: the Spark distribution's mllib test
+    * images (baseline 4:2:0 photos + one deliberate non-image file)
+    * read through the `binaryFile` source and decoded by the
+    * from-scratch [[graft.io.Jpeg]] via the tolerant mixed-format
+    * [[Multimodal.tryDecodeImage]] — dims, channels and a pixel
+    * checksum per file; the non-image row classifies as undecodable
+    * instead of failing the scan. Rows-only check (JPEG entropy
+    * decode is not SQL-replayable); `JpegSpec` pins the pixels
+    * against the JDK's independent decoder. */
+  val qMmJpegDecode: Q = (spark, dir) => {
+    val imgDir = "/opt/spark/data/mllib/images/origin/kittens"
+    require(new java.io.File(imgDir).isDirectory,
+      s"$imgDir missing — Spark distribution layout changed")
+    val dec = Multimodal.tryDecodeImage(col("content"))
+    spark.read.format("binaryFile").load(imgDir)
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        dec.as("dec"))
+      .select(col("file"),
+        col("dec").isNotNull.as("decoded"),
+        col("dec.width").cast("long").as("width"),
+        col("dec.height").cast("long").as("height"),
+        col("dec.channels").cast("long").as("channels"),
+        Multimodal.checksum(col("dec.pixels")).as("checksum"))
+      .orderBy("file")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_png_roundtrip" -> qMmPngRoundtrip,
     "mm_png_filter" -> qMmPngFilter,
     "mm_wav_roundtrip" -> qMmWavRoundtrip,
+    "mm_jpeg_decode" -> qMmJpegDecode,
     "mm_features" -> qMmFeatures,
     "mm_resize" -> qMmResize,
     "mm_batch_infer" -> qMmBatchInfer,
