@@ -1,20 +1,24 @@
 package graft.io
 
-/** From-scratch BASELINE JPEG decoder (ITU-T T.81 sequential DCT) —
-  * completes the real-codec trio ([[Png]] lossless image, [[Wav]]
-  * audio, this for the dominant lossy web-image format).
+/** From-scratch JPEG decoder (ITU-T T.81): BASELINE sequential AND
+  * PROGRESSIVE DCT — completes the real-codec trio ([[Png]] lossless
+  * image, [[Wav]] audio, this for the dominant lossy web-image
+  * format, including the progressive form most web encoders emit).
   *
   * Implemented per the public spec: marker segment walk (APPn/COM
   * skipped), DQT (8- and 16-bit precision), DHT (canonical Huffman
-  * from BITS/HUFFVAL), SOF0/SOF1 frames (8-bit precision, gray or
-  * YCbCr, arbitrary H×V sampling factors up to 4), DRI + RSTn restart
-  * handling (DC predictors and bit buffer reset), the entropy-coded
-  * segment with 0xFF00 byte stuffing, DC difference EXTEND decoding,
-  * AC run/size with ZRL and EOB, dequantization through the zigzag
-  * order, a double-precision separable 8×8 inverse DCT, box (nearest)
-  * chroma upsampling and the JFIF YCbCr→RGB transform. Progressive
-  * (SOF2), arithmetic coding, hierarchical modes, 12-bit precision
-  * and CMYK streams are rejected LOUDLY — never mis-decoded.
+  * from BITS/HUFFVAL), SOF0/SOF1/SOF2 frames (8-bit precision, gray
+  * or YCbCr, sampling factors up to 4), DRI + RSTn restart handling,
+  * the entropy-coded segment with 0xFF00 byte stuffing, and the full
+  * multi-scan engine over per-component coefficient buffers:
+  * baseline's single DC+AC scan, progressive DC-first/DC-refine
+  * (interleaved or not) and AC-first/AC-refine band scans with EOBRUN
+  * and the successive-approximation correction-bit algorithm (annex
+  * G). Reconstruction: dequantize through the zigzag order, the
+  * exact-definition separable float 8×8 inverse DCT, box (nearest)
+  * chroma upsampling, JFIF YCbCr→RGB. Arithmetic coding,
+  * hierarchical modes, 12-bit precision and CMYK are rejected
+  * LOUDLY — never mis-decoded.
   *
   * Two sanctioned differences from libjpeg-family decoders (asserted
   * within tolerance against the JDK's ImageIO in the spec): the IDCT
@@ -22,7 +26,9 @@ package graft.io
   * integer approximation, ±1/pixel), and chroma upsampling is box
   * replication (theirs defaults to a triangle filter, which differs
   * near chroma edges only). Decoding is row-local like every codec
-  * here — payloads decode inside the scan stage.
+  * here — payloads decode inside the scan stage. The coefficient
+  * buffer costs ~8 bytes/pixel during decode (the price of
+  * progressive's multi-pass structure; libjpeg pays the same).
   */
 object Jpeg {
 
@@ -67,12 +73,12 @@ object Jpeg {
   private final class BitReader(data: Array[Byte], var pos: Int) {
     private var buf = 0
     private var cnt = 0
-    var sawMarker = -1 // the RST/EOI marker that terminated the stream
+    var sawMarker = -1 // a real marker reached through the bit feed
 
     def align(): Unit = { buf = 0; cnt = 0 }
 
     /** Next bit of the entropy-coded segment; 0xFF00 unstuffs to 0xFF;
-      * a real marker ends the segment ([[sawMarker]]). */
+      * a real marker ends the segment (pos stays AT its 0xFF). */
     def bit(): Int = {
       if (cnt == 0) {
         if (pos >= data.length)
@@ -82,12 +88,7 @@ object Jpeg {
         if (b == 0xff) {
           val b2 = if (pos < data.length) data(pos) & 0xff else 0xd9
           if (b2 == 0x00) pos += 1 // stuffed
-          else {
-            // a real marker: leave pos AT the 0xFF so the restart
-            // handler can consume it; feed zero bits meanwhile (the
-            // spec's behavior past the final EOB)
-            sawMarker = b2; b = 0; pos -= 1
-          }
+          else { sawMarker = b2; b = 0; pos -= 1 } // feed zeros past EOB
         }
         buf = b; cnt = 8
       }
@@ -113,19 +114,45 @@ object Jpeg {
       }
       h.value(len, code)
     }
+
+    /** Discard pad bits and consume an RSTn marker. */
+    def consumeRestart(): Unit = {
+      align()
+      var p = pos
+      while (p + 1 < data.length && (data(p) & 0xff) == 0xff &&
+          (data(p + 1) & 0xff) == 0xff) p += 1 // fill bytes
+      require(p + 1 < data.length && (data(p) & 0xff) == 0xff,
+        "missing RST marker")
+      val m = data(p + 1) & 0xff
+      require(m >= 0xd0 && m <= 0xd7, f"expected RST, got FF$m%02X")
+      pos = p + 2
+      sawMarker = -1
+    }
+
+    /** End-of-scan: discard pad bits; pos now sits at the next marker. */
+    def finishScan(): Int = {
+      align()
+      sawMarker = -1
+      pos
+    }
   }
 
   /** T.81 F.2.2.1 EXTEND: map an n-bit magnitude to its signed value. */
   private def extend(v: Int, n: Int): Int =
     if (n == 0) 0 else if (v < (1 << (n - 1))) v - (1 << n) + 1 else v
 
-  private case class Comp(id: Int, h: Int, v: Int, tq: Int) {
-    var dcTable: Int = 0
-    var acTable: Int = 0
-    var pred: Int = 0
-    var plane: Array[Byte] = null
-    var planeW: Int = 0
-    var planeH: Int = 0
+  private final class Comp(val id: Int, val h: Int, val v: Int, val tq: Int) {
+    var dcTable = 0
+    var acTable = 0
+    var pred = 0
+    // raw (undequantized) coefficients in ZIGZAG order, 64 per block,
+    // MCU-padded layout blocksX × blocksY
+    var coefs: Array[Int] = null
+    var blocksX = 0
+    var blocksY = 0
+    // non-interleaved scan coverage (the component's OWN dimensions)
+    var ownBlocksX = 0
+    var ownBlocksY = 0
   }
 
   /** Decode to the shared row-major interleaved form ([[Png.Image]]):
@@ -140,8 +167,10 @@ object Jpeg {
     val acHuff = new Array[Huff](4)
     var comps: Array[Comp] = null
     var width = 0; var height = 0
+    var maxH = 1; var maxV = 1
     var restartInterval = 0
-    var out: Png.Image = null
+    var scans = 0
+    var done = false
 
     def u16(off: Int): Int = {
       require(off + 2 <= bytes.length, "truncated JPEG: segment header")
@@ -154,36 +183,48 @@ object Jpeg {
       len
     }
 
-    while (out == null) {
+    while (!done) {
       require(pos + 2 <= bytes.length, "truncated JPEG: marker")
       require((bytes(pos) & 0xff) == 0xff, f"JPEG marker sync at $pos")
       var m = bytes(pos + 1) & 0xff
       pos += 2
       while (m == 0xff) { m = bytes(pos) & 0xff; pos += 1 } // fill bytes
       m match {
-        case 0xd9 => throw new IllegalArgumentException("JPEG EOI before scan")
+        case 0xd9 => // EOI
+          require(scans > 0, "JPEG EOI before any scan")
+          done = true
         case 0x01 => () // TEM, standalone
         case rst if rst >= 0xd0 && rst <= 0xd7 => ()
-        case 0xc0 | 0xc1 => // baseline / extended sequential
+        case 0xc0 | 0xc1 | 0xc2 => // baseline / ext. sequential / progressive
+          require(comps == null, "multiple JPEG frames")
           val len = seg(pos)
           val prec = bytes(pos + 2) & 0xff
           require(prec == 8, s"unsupported JPEG precision $prec")
           height = u16(pos + 3)
           width = u16(pos + 5)
+          require(width > 0 && height > 0, s"bad frame ${width}x$height")
           val nc = bytes(pos + 7) & 0xff
           require(nc == 1 || nc == 3,
             s"unsupported JPEG component count $nc (gray/YCbCr only)")
           comps = Array.tabulate(nc) { c =>
             val off = pos + 8 + 3 * c
             val hv = bytes(off + 1) & 0xff
-            Comp(bytes(off) & 0xff, hv >> 4, hv & 15, bytes(off + 2) & 0xff)
+            new Comp(bytes(off) & 0xff, hv >> 4, hv & 15, bytes(off + 2) & 0xff)
           }
           comps.foreach(c => require(c.h >= 1 && c.h <= 4 && c.v >= 1 && c.v <= 4,
             s"bad sampling ${c.h}x${c.v}"))
+          maxH = comps.map(_.h).max
+          maxV = comps.map(_.v).max
+          val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+          val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+          comps.foreach { c =>
+            c.blocksX = mcusX * c.h
+            c.blocksY = mcusY * c.v
+            c.coefs = new Array[Int](c.blocksX * c.blocksY * 64)
+            c.ownBlocksX = ((width * c.h + maxH - 1) / maxH + 7) / 8
+            c.ownBlocksY = ((height * c.v + maxV - 1) / maxV + 7) / 8
+          }
           pos += len
-        case 0xc2 =>
-          throw new IllegalArgumentException(
-            "unsupported JPEG: progressive (SOF2)")
         case sof if (sof >= 0xc3 && sof <= 0xcf) && sof != 0xc4 =>
           throw new IllegalArgumentException(
             if (sof == 0xcc) "unsupported JPEG: arithmetic coding (DAC)"
@@ -199,8 +240,7 @@ object Jpeg {
             val t = new Array[Int](64)
             var i = 0
             while (i < 64) {
-              t(i) = if (pq == 0) bytes(p + i) & 0xff
-                else u16(p + 2 * i)
+              t(i) = if (pq == 0) bytes(p + i) & 0xff else u16(p + 2 * i)
               i += 1
             }
             qt(tq) = t
@@ -226,135 +266,243 @@ object Jpeg {
           val len = seg(pos)
           restartInterval = u16(pos + 2)
           pos += len
-        case 0xda => // SOS — decode the scan
+        case 0xda => // SOS
           require(comps != null, "JPEG SOS before SOF")
           val len = seg(pos)
           val ns = bytes(pos + 2) & 0xff
-          require(ns == comps.length,
-            s"JPEG scan components $ns != frame ${comps.length} " +
-              "(multi-scan baseline not supported)")
+          require(ns >= 1 && ns <= comps.length, s"scan components $ns")
+          val scanComps = new Array[Comp](ns)
           var p = pos + 3
-          for (_ <- 0 until ns) {
+          for (i <- 0 until ns) {
             val cid = bytes(p) & 0xff
             val tt = bytes(p + 1) & 0xff
             val c = comps.find(_.id == cid).getOrElse(
               throw new IllegalArgumentException(s"SOS component $cid"))
             c.dcTable = tt >> 4
             c.acTable = tt & 15
+            scanComps(i) = c
             p += 2
           }
+          val ss = bytes(p) & 0xff
+          val se = bytes(p + 1) & 0xff
+          val aa = bytes(p + 2) & 0xff
+          val ah = aa >> 4
+          val al = aa & 15
           pos += len
-          out = decodeScan(bytes, pos, comps, qt, dcHuff, acHuff,
-            width, height, restartInterval)
+          pos = decodeScan(bytes, pos, scanComps, dcHuff, acHuff,
+            maxH, maxV, width, height, restartInterval, ss, se, ah, al)
+          scans += 1
         case _ => // APPn, COM, and anything else with a length
           pos += seg(pos)
       }
     }
-    out
+    reconstruct(comps, qt, width, height, maxH, maxV)
   }
 
-  private def decodeScan(bytes: Array[Byte], start: Int, comps: Array[Comp],
-      qt: Array[Array[Int]], dcHuff: Array[Huff], acHuff: Array[Huff],
-      width: Int, height: Int, restartInterval: Int): Png.Image = {
-    require(width > 0 && height > 0, s"bad frame ${width}x$height")
-    val maxH = comps.map(_.h).max
-    val maxV = comps.map(_.v).max
-    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
-    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
-    comps.foreach { c =>
-      c.planeW = mcusX * 8 * c.h
-      c.planeH = mcusY * 8 * c.v
-      c.plane = new Array[Byte](c.planeW * c.planeH)
-      c.pred = 0
-      require(qt(c.tq) != null, s"missing quant table ${c.tq}")
-    }
+  /** One entropy-coded scan into the coefficient buffers; returns the
+    * position of the next marker. Handles all four progressive scan
+    * kinds plus the baseline full scan (Ss=0, Se=63, Ah=0). */
+  private def decodeScan(bytes: Array[Byte], start: Int,
+      scanComps: Array[Comp], dcHuff: Array[Huff], acHuff: Array[Huff],
+      maxH: Int, maxV: Int, width: Int, height: Int,
+      restartInterval: Int, ss: Int, se: Int, ah: Int, al: Int): Int = {
+    require(ss >= 0 && se <= 63 && ss <= se, s"scan band $ss..$se")
+    require(ss == 0 || scanComps.length == 1,
+      "progressive AC scan must be single-component")
     val br = new BitReader(bytes, start)
-    val coef = new Array[Int](64)
-    val blk = new Array[Byte](64)
+    var eobrun = 0
+    scanComps.foreach(_.pred = 0)
+
+    def refineBit(c: Comp, off: Int): Unit = {
+      val cur = c.coefs(off)
+      if (br.bit() == 1) {
+        val p1 = 1 << al
+        if ((cur & p1) == 0)
+          c.coefs(off) = if (cur >= 0) cur + p1 else cur - p1
+      }
+    }
 
     def decodeBlock(c: Comp, bx: Int, by: Int): Unit = {
-      val dc = dcHuff(c.dcTable)
-      val ac = acHuff(c.acTable)
-      require(dc != null && ac != null,
-        s"missing Huffman tables ${c.dcTable}/${c.acTable}")
-      val q = qt(c.tq)
-      java.util.Arrays.fill(coef, 0)
-      val t = br.decode(dc)
-      require(t <= 11, s"DC category $t")
-      c.pred += extend(br.receive(t), t)
-      coef(0) = c.pred * q(0)
-      var k = 1
-      var done = false
-      while (!done && k < 64) {
-        val rs = br.decode(ac)
-        val r = rs >> 4
-        val s = rs & 15
-        if (s == 0) {
-          if (r == 15) k += 16 // ZRL
-          else done = true // EOB
+      val off = (by * c.blocksX + bx) * 64
+      if (ss == 0) { // DC (or baseline full) scan
+        if (ah == 0) {
+          val dc = dcHuff(c.dcTable)
+          require(dc != null, s"missing DC table ${c.dcTable}")
+          val t = br.decode(dc)
+          require(t <= 11, s"DC category $t")
+          c.pred += extend(br.receive(t), t)
+          c.coefs(off) = c.pred << al
         } else {
-          k += r
-          require(k < 64, "AC index overflow")
-          coef(Zigzag(k)) = extend(br.receive(s), s) * q(k)
+          if (br.bit() == 1) c.coefs(off) |= 1 << al
+        }
+        if (se == 0) return // progressive DC-only scan
+        // baseline: fall through to AC with Ah=Al=0
+        val ac = acHuff(c.acTable)
+        require(ac != null, s"missing AC table ${c.acTable}")
+        var k = 1
+        var blockDone = false
+        while (!blockDone && k <= se) {
+          val rs = br.decode(ac)
+          val r = rs >> 4
+          val s = rs & 15
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else blockDone = true // EOB
+          } else {
+            k += r
+            require(k <= se, "AC index overflow")
+            c.coefs(off + k) = extend(br.receive(s), s)
+            k += 1
+          }
+        }
+      } else if (ah == 0) { // AC first scan (with EOBRUN)
+        if (eobrun > 0) { eobrun -= 1; return }
+        val ac = acHuff(c.acTable)
+        require(ac != null, s"missing AC table ${c.acTable}")
+        var k = ss
+        var blockDone = false
+        while (!blockDone && k <= se) {
+          val rs = br.decode(ac)
+          val r = rs >> 4
+          val s = rs & 15
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else {
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += br.receive(r)
+              blockDone = true
+            }
+          } else {
+            k += r
+            require(k <= se, "AC index overflow")
+            c.coefs(off + k) = extend(br.receive(s), s) << al
+            k += 1
+          }
+        }
+      } else { // AC refinement scan (annex G.1.2.3 correction bits)
+        val p1 = 1 << al
+        val m1 = -1 << al
+        var k = ss
+        if (eobrun == 0) {
+          val ac = acHuff(c.acTable)
+          require(ac != null, s"missing AC table ${c.acTable}")
+          var inBand = true
+          while (inBand && k <= se) {
+            val rs = br.decode(ac)
+            var r = rs >> 4
+            val s = rs & 15
+            var newval = 0
+            if (s == 0) {
+              if (r != 15) {
+                eobrun = (1 << r) - 1
+                if (r > 0) eobrun += br.receive(r)
+                inBand = false // refine the rest under the EOB run below
+              }
+              // r == 15 (ZRL): skip 16 zero-history positions
+            } else {
+              require(s == 1, s"AC refine size $s")
+              newval = if (br.bit() == 1) p1 else m1
+            }
+            if (inBand) {
+              var advancing = true
+              while (advancing && k <= se) {
+                if (c.coefs(off + k) != 0) { refineBit(c, off + k); k += 1 }
+                else if (r == 0) advancing = false
+                else { r -= 1; k += 1 }
+              }
+              if (newval != 0 && k <= se) c.coefs(off + k) = newval
+              k += 1
+            }
+          }
+        } else eobrun -= 1
+        // under an EOB run (or after starting one): only correction
+        // bits for already-nonzero coefficients remain in this block
+        while (k <= se) {
+          if (c.coefs(off + k) != 0) refineBit(c, off + k)
           k += 1
         }
       }
-      idct(coef, blk)
-      // place into the component plane (planes are MCU-padded, no clip)
-      val x0 = bx * 8; val y0 = by * 8
-      var y = 0
-      while (y < 8) {
-        System.arraycopy(blk, y * 8, c.plane, (y0 + y) * c.planeW + x0, 8)
-        y += 1
-      }
     }
 
-    var mcu = 0
-    val totalMcus = mcusX * mcusY
-    while (mcu < totalMcus) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        // discard pad bits, consume the RSTn marker, reset predictors.
-        // After align(), pos sits at the 0xFF of the marker (bit() never
-        // consumes a marker byte).
-        br.align()
-        var p = br.pos
-        while (p + 1 < bytes.length && (bytes(p) & 0xff) == 0xff &&
-            (bytes(p + 1) & 0xff) == 0xff) p += 1 // fill bytes
-        require(p + 1 < bytes.length && (bytes(p) & 0xff) == 0xff,
-          "missing RST marker")
-        val m = bytes(p + 1) & 0xff
-        require(m >= 0xd0 && m <= 0xd7, f"expected RST, got FF$m%02X")
-        br.pos = p + 2
-        br.sawMarker = -1
-        comps.foreach(_.pred = 0)
+    val interleaved = scanComps.length > 1
+    val (unitsX, unitsY) =
+      if (interleaved)
+        ((width + 8 * maxH - 1) / (8 * maxH),
+          (height + 8 * maxV - 1) / (8 * maxV))
+      else (scanComps(0).ownBlocksX, scanComps(0).ownBlocksY)
+    val totalUnits = unitsX * unitsY
+    var unit = 0
+    while (unit < totalUnits) {
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        br.consumeRestart()
+        scanComps.foreach(_.pred = 0)
+        eobrun = 0
       }
-      val my = mcu / mcusX
-      val mx = mcu % mcusX
-      comps.foreach { c =>
-        var v = 0
-        while (v < c.v) {
-          var h = 0
-          while (h < c.h) {
-            decodeBlock(c, mx * c.h + h, my * c.v + v)
-            h += 1
+      val uy = unit / unitsX
+      val ux = unit % unitsX
+      if (interleaved) {
+        scanComps.foreach { c =>
+          var v = 0
+          while (v < c.v) {
+            var h = 0
+            while (h < c.h) {
+              decodeBlock(c, ux * c.h + h, uy * c.v + v)
+              h += 1
+            }
+            v += 1
           }
-          v += 1
         }
-      }
-      mcu += 1
+      } else decodeBlock(scanComps(0), ux, uy)
+      unit += 1
     }
+    br.finishScan()
+  }
 
-    // assemble: upsample (box) + color transform
+  /** Dequantize + IDCT every block, assemble planes, upsample (box)
+    * and color-transform. */
+  private def reconstruct(comps: Array[Comp], qt: Array[Array[Int]],
+      width: Int, height: Int, maxH: Int, maxV: Int): Png.Image = {
+    require(comps != null, "JPEG missing SOF frame")
+    val planes = comps.map { c =>
+      val q = qt(c.tq)
+      require(q != null, s"missing quant table ${c.tq}")
+      val planeW = c.blocksX * 8
+      val plane = new Array[Byte](planeW * c.blocksY * 8)
+      val nat = new Array[Int](64)
+      val blk = new Array[Byte](64)
+      var by = 0
+      while (by < c.blocksY) {
+        var bx = 0
+        while (bx < c.blocksX) {
+          val off = (by * c.blocksX + bx) * 64
+          var k = 0
+          while (k < 64) { nat(Zigzag(k)) = c.coefs(off + k) * q(k); k += 1 }
+          idct(nat, blk)
+          var y = 0
+          while (y < 8) {
+            System.arraycopy(blk, y * 8, plane,
+              (by * 8 + y) * planeW + bx * 8, 8)
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      (plane, planeW)
+    }
     if (comps.length == 1) {
-      val c = comps(0)
+      val (plane, planeW) = planes(0)
       val px = new Array[Byte](width * height)
       var y = 0
       while (y < height) {
-        System.arraycopy(c.plane, y * c.planeW, px, y * width, width)
+        System.arraycopy(plane, y * planeW, px, y * width, width)
         y += 1
       }
       Png.Image(width, height, 1, px)
     } else {
+      val (py, wy) = planes(0)
+      val (pb, wb) = planes(1)
+      val (pr, wr) = planes(2)
       val Array(cy, cb, cr) = comps
       val px = new Array[Byte](width * height * 3)
       var y = 0
@@ -364,9 +512,9 @@ object Jpeg {
         val yR = y * cr.v / maxV
         var x = 0
         while (x < width) {
-          val lum = cy.plane(yY * cy.planeW + x * cy.h / maxH) & 0xff
-          val b = (cb.plane(yB * cb.planeW + x * cb.h / maxH) & 0xff) - 128
-          val r = (cr.plane(yR * cr.planeW + x * cr.h / maxH) & 0xff) - 128
+          val lum = py(yY * wy + x * cy.h / maxH) & 0xff
+          val b = (pb(yB * wb + x * cb.h / maxH) & 0xff) - 128
+          val r = (pr(yR * wr + x * cr.h / maxH) & 0xff) - 128
           val o = (y * width + x) * 3
           px(o) = clamp(lum + 1.402 * r)
           px(o + 1) = clamp(lum - 0.344136 * b - 0.714136 * r)
@@ -386,7 +534,6 @@ object Jpeg {
 
   /** Exact-definition separable 2-D inverse DCT + level shift. */
   private def idct(coef: Array[Int], out: Array[Byte]): Unit = {
-    // rows: tmp(u, x) = Σ_v C(v)/2 F(u,v) basis(v)(x)
     val tmp = new Array[Double](64)
     var u = 0
     while (u < 8) {

@@ -105,13 +105,27 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
-  test("progressive JPEG and non-JPEG bytes are rejected loudly") {
-    val prog = new java.io.File(
-      "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/multi-channel/grayscale.jpg")
-    assume(prog.isFile, s"$prog not present")
-    val e = intercept[IllegalArgumentException](
-      Jpeg.decode(java.nio.file.Files.readAllBytes(prog.toPath)))
-    assert(e.getMessage.contains("progressive"))
+  test("decodes PROGRESSIVE JPEGs (SOF2 multi-scan) close to ImageIO") {
+    // real progressive fixtures: a grayscale photo (DC+AC band scans
+    // with successive approximation) and two 4:4:4 color files
+    val files = Seq(
+      "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/multi-channel/grayscale.jpg",
+      "/usr/share/doc/nodejs/thin-white-stripe.jpg",
+      "/usr/share/doc/nodejs/full-white-stripe.jpg")
+      .map(new java.io.File(_)).filter(_.isFile)
+    assume(files.nonEmpty, "no progressive fixtures present")
+    files.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val mine = Jpeg.decode(bytes)
+      val (rw, rh, rc, ref) = imageIoPixels(bytes)
+      assert(mine.width === rw && mine.height === rh && mine.channels === rc,
+        f.getName)
+      val (mean, mx) = diffStats(ref, mine.pixels)
+      assert(mean <= 3.0, s"${f.getName}: mean |diff| $mean > 3.0 (max $mx)")
+    }
+  }
+
+  test("non-JPEG bytes and truncation are rejected loudly") {
     intercept[IllegalArgumentException](Jpeg.decode("definitely not".getBytes))
     val ok = { // truncation of a valid stream
       val img = new BufferedImage(16, 16, BufferedImage.TYPE_BYTE_GRAY)
