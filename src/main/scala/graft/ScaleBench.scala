@@ -176,6 +176,33 @@ object ScaleBench {
     assert(ivfPqRecall >= 0.8,
       s"IVF-PQ+rerank recall@10 = $ivfPqRecall < 0.8 on near-dup clusters")
 
+    // --- stage 6c (north-star): real-codec throughput — 1M 16×16 gray
+    // tiles PNG-encoded AND decoded back inside one scan stage (every
+    // row exercises deflate, chunk CRCs, filters, inflate, unfilter).
+    // The invariant: every tile decodes and the pixel-sum total equals
+    // the directly-computed sum — a full-fidelity round trip at corpus
+    // scale, all row-local, zero shuffle until the final aggregate.
+    val (pngStats, tPng) = timed {
+      import org.apache.spark.sql.graftbridge.Bridge
+      val tiles = spark.range(1000000L)
+        .select(col("id"), transform(sequence(lit(0), lit(255)),
+          i => pmod(hash(col("id"), i), lit(256))).as("px"))
+      val png = Bridge.column(graft.expressions.PngEncode(Seq(
+        Bridge.expression(lit(16)), Bridge.expression(lit(16)),
+        Bridge.expression(lit(1)), Bridge.expression(col("px")))))
+      val dec = Bridge.column(graft.expressions.TryPngDecode(
+        Seq(Bridge.expression(png))))
+      tiles.select(col("id"), col("px"), dec.as("dec"))
+        .select(
+          col("dec").isNotNull.cast("long").as("ok"),
+          aggregate(col("dec.pixels"), lit(0L), (a, x) => a + x).as("s1"),
+          aggregate(col("px"), lit(0L), (a, x) => a + x).as("s0"))
+        .agg(sum("ok"), sum("s1"), sum("s0"))
+        .as[(Long, Long, Long)].head()
+    }
+    assert(pngStats._1 == 1000000L, s"PNG decode failures: $pngStats")
+    assert(pngStats._2 == pngStats._3, s"PNG pixel sum drift: $pngStats")
+
     // --- stage 7 (north-star): corpus prep over 1M synthetic documents
     // — quality gate + exact-dedup decision + 8-gram benchmark
     // decontamination, all codegen'd scans + compact-key joins (the
@@ -894,6 +921,7 @@ object ScaleBench {
         s""""ann_1m_sec":$tAnn,"ann_rows":$annRows,""" +
         s""""ivf_recall_at_10":$ivfRecall,"ivf_1m_sec":$tIvf,""" +
         s""""ivfpq_recall_at_10":$ivfPqRecall,"ivfpq_1m_sec":$tIvfPq,""" +
+        s""""png_1m_sec":$tPng,"png_ok":${pngStats._1},""" +
         s""""prep_1m_sec":$tPrep,"prep_exact_kept":${prepStats._1},""" +
         s""""prep_contaminated":${prepStats._2},""" +
         s""""pack_10m_sec":$tPack,"pack_rows":${packStats._1},""" +

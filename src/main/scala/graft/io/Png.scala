@@ -123,15 +123,22 @@ object Png {
     out.toByteArray
   }
 
+  // one reusable zlib stream per thread (reset between images): a 100
+  // TB media pipeline encodes/decodes millions of payloads per task,
+  // and a fresh native Deflater/Inflater per row dominated the per-row
+  // cost (the Warc codec's per-partition-reuse lesson, thread-local
+  // here because expressions have no partition lifecycle hook)
+  private val localDeflater = ThreadLocal.withInitial[Deflater](() => new Deflater(6))
+  private val localInflater = ThreadLocal.withInitial[Inflater](() => new Inflater())
+
   private def deflate(raw: Array[Byte]): Array[Byte] = {
-    val d = new Deflater(6)
-    try {
-      d.setInput(raw); d.finish()
-      val out = new ByteArrayOutputStream(raw.length / 2 + 64)
-      val buf = new Array[Byte](8192)
-      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-      out.toByteArray
-    } finally d.end()
+    val d = localDeflater.get()
+    d.reset()
+    d.setInput(raw); d.finish()
+    val out = new ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    out.toByteArray
   }
 
   private def writeInt(dst: Array[Byte], off: Int, v: Int): Unit = {
@@ -247,19 +254,18 @@ object Png {
   }
 
   private def inflate(data: Array[Byte], hint: Int): Array[Byte] = {
-    val inf = new Inflater()
-    try {
-      inf.setInput(data)
-      val out = new ByteArrayOutputStream(math.max(hint, 64))
-      val buf = new Array[Byte](8192)
-      while (!inf.finished()) {
-        val n = inf.inflate(buf)
-        if (n == 0 && inf.needsInput())
-          throw new IllegalArgumentException("truncated PNG zlib stream")
-        out.write(buf, 0, n)
-      }
-      out.toByteArray
-    } finally inf.end()
+    val inf = localInflater.get()
+    inf.reset()
+    inf.setInput(data)
+    val out = new ByteArrayOutputStream(math.max(hint, 64))
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && inf.needsInput())
+        throw new IllegalArgumentException("truncated PNG zlib stream")
+      out.write(buf, 0, n)
+    }
+    out.toByteArray
   }
 
   private def readInt(b: Array[Byte], off: Int): Int =

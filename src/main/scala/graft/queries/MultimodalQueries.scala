@@ -443,11 +443,15 @@ object MultimodalQueries {
     * decode is not SQL-replayable); `JpegSpec` pins the pixels
     * against the JDK's independent decoder. */
   val qMmJpegDecode: Q = (spark, dir) => {
-    val imgDir = "/opt/spark/data/mllib/images/origin/kittens"
-    require(new java.io.File(imgDir).isDirectory,
-      s"$imgDir missing — Spark distribution layout changed")
+    // kittens: baseline 4:2:0 camera photos + a planted non-image;
+    // multi-channel: a PROGRESSIVE grayscale photo + a 4:4:4 color one
+    val dirs = Seq(
+      "/opt/spark/data/mllib/images/origin/kittens",
+      "/opt/spark/data/mllib/images/origin/multi-channel")
+    dirs.foreach(d => require(new java.io.File(d).isDirectory,
+      s"$d missing — Spark distribution layout changed"))
     val dec = Multimodal.tryDecodeImage(col("content"))
-    spark.read.format("binaryFile").load(imgDir)
+    spark.read.format("binaryFile").load(dirs: _*)
       .select(element_at(split(col("path"), "/"), -1).as("file"),
         dec.as("dec"))
       .select(col("file"),
