@@ -60,7 +60,15 @@ object GraftFunctions {
     "zorder_value" -> (cs => ZOrderValue(cs.init, intArg(cs, cs.length - 1, "zorder_value"))),
     "repetition_stats" -> (cs => RepetitionStats(Seq(cs.head),
       intArg(cs, 1, "repetition_stats"))),
-    "decode_bytes" -> (BytesToIntArray(_)))
+    "decode_bytes" -> (BytesToIntArray(_)),
+    // real media codecs (PNG / baseline+progressive JPEG / WAV)
+    "png_encode" -> (PngEncode(_)),
+    "png_decode" -> (PngDecode(_)),
+    "try_png_decode" -> (TryPngDecode(_)),
+    "image_decode" -> (ImageDecode(_)),
+    "try_image_decode" -> (TryImageDecode(_)),
+    "wav_encode" -> (WavEncode(_)),
+    "wav_decode" -> (WavDecode(_)))
 
   /** Constant integer argument of a SQL call (e.g. the shingle width). */
   private def intArg(cs: Seq[Expression], i: Int, fn: String): Int = {

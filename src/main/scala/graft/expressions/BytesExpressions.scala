@@ -351,3 +351,82 @@ case class TryImageDecode(children: Seq[Expression])
     copy(children = c)
   override def prettyName: String = "try_image_decode"
 }
+
+/** frame_spectra(samples) — framed discrete Fourier power spectra in
+  * INTEGER-EXACT fixed-point arithmetic: the signal is cut into
+  * non-overlapping `frame`-sample windows and, per window, the power
+  * of the first `bins` DFT bins is computed as re² + im² where
+  * re = Σ s_i·twc(b,i), im = −Σ s_i·tws(b,i), with the twiddle
+  * factors pre-rounded to ×2^15 integers ([[FrameSpectra.cosTable]]).
+  * Because every operation is integer, the DuckDB oracle replays the
+  * transform bit for bit by interpolating the SAME twiddle tables as
+  * SQL literals — no float-trig cross-engine drift. The fixed-point
+  * quantization is part of the operator's contract (a spectral
+  * FEATURE for audio analysis — silence detection, dominant tone,
+  * band energy — not a general FFT). Samples must be small enough
+  * that |s| ≤ 2^15 keeps re² within a long (8-bit-centered audio and
+  * sub-frame sums are comfortably inside).
+  *
+  * A partial tail frame is dropped (the [[graft.operators.Multimodal
+  * .frameEnergies]] framing convention). Pure map-side; no shuffle.
+  */
+case class FrameSpectra(children: Seq[Expression], frame: Int, bins: Int)
+  extends Expression with CodegenFallback {
+
+  require(frame >= 2 && frame <= 4096, s"frame=$frame")
+  require(bins >= 1 && bins <= frame / 2, s"bins=$bins for frame=$frame")
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+
+  @transient private lazy val twc = FrameSpectra.cosTable(frame, bins)
+  @transient private lazy val tws = FrameSpectra.sinTable(frame, bins)
+
+  override def eval(input: InternalRow): Any = {
+    val v = children.head.eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val nFrames = a.numElements() / frame
+    val out = new Array[Any](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val powers = new Array[Any](bins)
+      var b = 0
+      while (b < bins) {
+        var re = 0L
+        var im = 0L
+        var i = 0
+        while (i < frame) {
+          val s = a.getInt(f * frame + i).toLong
+          re += s * twc(b)(i)
+          im -= s * tws(b)(i)
+          i += 1
+        }
+        powers(b) = re * re + im * im
+        b += 1
+      }
+      out(f) = new GenericArrayData(powers)
+      f += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(children = c)
+  override def prettyName: String = "frame_spectra"
+}
+
+object FrameSpectra {
+  /** round(cos(2π·b·i/frame)·32767) — shared by the expression and the
+    * SQL-oracle literal generator so both engines use identical
+    * integer twiddles. */
+  def cosTable(frame: Int, bins: Int): Array[Array[Long]] =
+    Array.tabulate(bins, frame)((b, i) =>
+      math.round(math.cos(2.0 * math.Pi * b * i / frame) * 32767.0))
+
+  def sinTable(frame: Int, bins: Int): Array[Array[Long]] =
+    Array.tabulate(bins, frame)((b, i) =>
+      math.round(math.sin(2.0 * math.Pi * b * i / frame) * 32767.0))
+}

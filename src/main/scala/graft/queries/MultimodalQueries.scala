@@ -463,7 +463,74 @@ object MultimodalQueries {
       .orderBy("file")
   }
 
+  /** Framed DFT power spectra ([[graft.expressions.FrameSpectra]]):
+    * the real-DSP audio feature — 64-sample windows, first 8 bins,
+    * INTEGER fixed-point twiddles (×2^15) so the transform is
+    * bit-identical across engines: the oracle interpolates the same
+    * twiddle tables as SQL literals and replays re²+im² exactly.
+    * Output per doc: frame count, total band power, and the dominant
+    * bin of the first frame (ties → smaller bin; −1 when the signal is
+    * shorter than one frame). */
+  val qMmSpectrogram: Q = (spark, dir) => {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val d = Tables(spark, dir, "documents")
+    val samples = transform(
+      Multimodal.decode(col("text").cast("binary")), b => b - 128)
+    val spec = Bridge.column(graft.expressions.FrameSpectra(
+      Seq(Bridge.expression(samples)), 64, 8))
+    d.select(col("doc_id"), spec.as("sp"))
+      .select(col("doc_id"),
+        size(col("sp")).cast("long").as("n_frames"),
+        aggregate(col("sp"), lit(0L),
+          (acc, fr) => acc + aggregate(fr, lit(0L), (a, x) => a + x))
+          .as("total_power"),
+        coalesce(
+          (array_position(get(col("sp"), lit(0)),
+            array_max(get(col("sp"), lit(0)))) - 1).cast("long"),
+          lit(-1L)).as("dom_bin"))
+      .orderBy("doc_id")
+  }
+
+  val qMmSpectrogramSql: String = {
+    def lit2(t: Array[Array[Long]]): String =
+      t.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val c = lit2(graft.expressions.FrameSpectra.cosTable(64, 8))
+    val s = lit2(graft.expressions.FrameSpectra.sinTable(64, 8))
+    s"""WITH tw AS (SELECT $c AS tc, $s AS ts),
+       |b AS (SELECT doc_id, length(text) AS n,
+       |    list_transform(range(1, length(text) + 1),
+       |      i -> ord(substr(text, i, 1)) - 128) AS sm
+       |  FROM documents),
+       |r AS (SELECT doc_id,
+       |    CASE WHEN n >= 64 THEN
+       |      list_transform(range(0, n // 64), f ->
+       |        list_transform(range(0, 8), bb ->
+       |          list_sum(list_transform(range(1, 65), i ->
+       |            cast(sm[f*64 + i] as bigint) * tc[bb+1][i]))))
+       |    ELSE CAST([] AS BIGINT[][]) END AS rr,
+       |    CASE WHEN n >= 64 THEN
+       |      list_transform(range(0, n // 64), f ->
+       |        list_transform(range(0, 8), bb ->
+       |          list_sum(list_transform(range(1, 65), i ->
+       |            cast(sm[f*64 + i] as bigint) * ts[bb+1][i]))))
+       |    ELSE CAST([] AS BIGINT[][]) END AS ii
+       |  FROM b, tw),
+       |sp AS (SELECT doc_id, list_transform(range(0, len(rr)), f ->
+       |    list_transform(range(0, 8), bb ->
+       |      rr[f+1][bb+1] * rr[f+1][bb+1] +
+       |      ii[f+1][bb+1] * ii[f+1][bb+1])) AS sp
+       |  FROM r)
+       |SELECT doc_id, cast(len(sp) as bigint) AS n_frames,
+       |  cast(coalesce(list_sum(list_transform(sp,
+       |    fr -> list_sum(fr))), 0) as bigint) AS total_power,
+       |  cast(CASE WHEN len(sp) = 0 THEN -1
+       |    ELSE list_position(sp[1], list_max(sp[1])) - 1 END
+       |    as bigint) AS dom_bin
+       |FROM sp ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm_spectrogram" -> qMmSpectrogram,
     "mm_png_roundtrip" -> qMmPngRoundtrip,
     "mm_png_filter" -> qMmPngFilter,
     "mm_wav_roundtrip" -> qMmWavRoundtrip,
@@ -477,6 +544,7 @@ object MultimodalQueries {
     "pipeline_multimodal" -> qMmPipeline)
 
   val oracles: Map[String, String] = Map(
+    "mm_spectrogram" -> qMmSpectrogramSql,
     "mm_png_roundtrip" -> qMmPngRoundtripSql,
     "mm_png_filter" -> qMmPngFilterSql,
     "mm_wav_roundtrip" -> qMmWavRoundtripSql,

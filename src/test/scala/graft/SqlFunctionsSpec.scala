@@ -83,6 +83,24 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getSeq[Long](1) == api)
   }
 
+  test("media codecs are callable from SQL: PNG and WAV round-trip") {
+    val r = spark.sql(
+      """SELECT
+        |  png_decode(png_encode(2, 2, 1, array(10, 20, 30, 40))) AS img,
+        |  wav_decode(wav_encode(8000, 1, array(-5, 0, 7))) AS au,
+        |  try_png_decode(cast('junk' as binary)) AS bad,
+        |  try_image_decode(png_encode(1, 1, 3, array(1, 2, 3))) AS auto
+        |""".stripMargin).head()
+    val img = r.getStruct(0)
+    assert(img.getInt(0) == 2 && img.getInt(1) == 2 && img.getInt(2) == 1)
+    assert(img.getSeq[Int](3) == Seq(10, 20, 30, 40))
+    val au = r.getStruct(1)
+    assert(au.getInt(0) == 8000 && au.getInt(1) == 1)
+    assert(au.getSeq[Int](2) == Seq(-5, 0, 7))
+    assert(r.isNullAt(2), "try_png_decode of junk must be NULL")
+    assert(r.getStruct(3).getSeq[Int](3) == Seq(1, 2, 3))
+  }
+
   test("a reference-shaped SQL query over a registered view") {
     import spark.implicits._
     Seq((0L, 3.0, 1.0), (1L, 7.0, 1.0), (2L, 12.0, 1.0))
