@@ -68,7 +68,16 @@ object GraftFunctions {
     "image_decode" -> (ImageDecode(_)),
     "try_image_decode" -> (TryImageDecode(_)),
     "wav_encode" -> (WavEncode(_)),
-    "wav_decode" -> (WavDecode(_)))
+    "wav_decode" -> (WavDecode(_)),
+    // signature / sampling / DSP kernels with constant parameters
+    "minhash_sig" -> (cs => MinHashSig(cs.head, intArg(cs, 1, "minhash_sig"))),
+    "simhash_fp" -> (cs => SimHashFp(cs.head, intArg(cs, 1, "simhash_fp"))),
+    "stride_sample" -> (cs => StrideSample(Seq(cs.head),
+      intArg(cs, 1, "stride_sample"))),
+    "resize_nearest" -> (cs => ResizeNearest(cs.take(3),
+      intArg(cs, 3, "resize_nearest"), intArg(cs, 4, "resize_nearest"))),
+    "frame_spectra" -> (cs => FrameSpectra(Seq(cs.head),
+      intArg(cs, 1, "frame_spectra"), intArg(cs, 2, "frame_spectra"))))
 
   /** Constant integer argument of a SQL call (e.g. the shingle width). */
   private def intArg(cs: Seq[Expression], i: Int, fn: String): Int = {

@@ -204,9 +204,13 @@ case class TryPngDecode(children: Seq[Expression])
   override def eval(input: InternalRow): Any = {
     val v = children.head.eval(input)
     if (v == null) return null
+    // NonFatal, not just IllegalArgumentException: hostile crawl bytes
+    // can surface any parser exception, and the tolerant form's
+    // contract is "classify, never kill the task" (VM errors like OOM
+    // still propagate — NonFatal excludes them by design)
     val img =
       try graft.io.Png.decode(v.asInstanceOf[Array[Byte]])
-      catch { case _: IllegalArgumentException => return null }
+      catch { case scala.util.control.NonFatal(_) => return null }
     val px = new Array[Any](img.pixels.length)
     var i = 0
     while (i < px.length) { px(i) = img.pixels(i) & 0xff; i += 1 }
@@ -338,12 +342,11 @@ case class TryImageDecode(children: Seq[Expression])
   override def eval(input: InternalRow): Any = {
     val v = children.head.eval(input)
     if (v == null) return null
+    // NonFatal (see [[TryPngDecode]]): never let a hostile payload
+    // kill the scan; VM errors still propagate
     val img =
       try ImageDecode.decodeAny(v.asInstanceOf[Array[Byte]])
-      catch {
-        case _: IllegalArgumentException => return null
-        case _: ArrayIndexOutOfBoundsException => return null
-      }
+      catch { case scala.util.control.NonFatal(_) => return null }
     ImageDecode.toRow(img)
   }
 

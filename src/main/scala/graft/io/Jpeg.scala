@@ -203,6 +203,8 @@ object Jpeg {
           height = u16(pos + 3)
           width = u16(pos + 5)
           require(width > 0 && height > 0, s"bad frame ${width}x$height")
+          require(width.toLong * height <= (1L << 28),
+            s"implausible JPEG dims ${width}x$height")
           val nc = bytes(pos + 7) & 0xff
           require(nc == 1 || nc == 3,
             s"unsupported JPEG component count $nc (gray/YCbCr only)")

@@ -188,6 +188,12 @@ object Png {
           require(len == 13, s"IHDR length $len")
           width = readInt(bytes, pos + 8)
           height = readInt(bytes, pos + 12)
+          // dimension sanity BEFORE any allocation: hostile bytes must
+          // not drive a negative-size or multi-GB array request (the
+          // quarantine filter's contract is a loud reject, not an OOM)
+          require(width >= 1 && height >= 1 &&
+            width.toLong * height <= (1L << 28),
+            s"implausible PNG dims ${width}x$height")
           val bitDepth = bytes(pos + 16) & 0xff
           colorType = bytes(pos + 17) & 0xff
           val interlace = bytes(pos + 20) & 0xff

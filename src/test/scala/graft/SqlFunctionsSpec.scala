@@ -101,6 +101,32 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getStruct(3).getSeq[Int](3) == Seq(1, 2, 3))
   }
 
+  test("signature/DSP kernels from SQL match the Column API") {
+    val r = spark.sql(
+      """SELECT
+        |  minhash_sig(array('a', 'b', 'c'), 4) AS mh,
+        |  simhash_fp('hello world hello', 16) AS sh,
+        |  stride_sample(array(1, 2, 3, 4, 5, 6, 7), 3) AS st,
+        |  frame_spectra(array(1, 0, -1, 0), 4, 2) AS sp
+        |""".stripMargin).head()
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.functions._
+    val api = spark.range(1).select(
+        Bridge.column(graft.expressions.MinHashSig(
+          Bridge.expression(array(lit("a"), lit("b"), lit("c"))), 4)),
+        Bridge.column(graft.expressions.SimHashFp(
+          Bridge.expression(lit("hello world hello")), 16)))
+      .head()
+    assert(r.getSeq[Int](0) == api.getSeq[Int](0))
+    assert(r.getLong(1) == api.getLong(1))
+    assert(r.getSeq[Int](2) == Seq(1, 4, 7))
+    // frame [1,0,-1,0] is a pure bin-1 cosine: bin 0 sums to 0; bin 1
+    // re = 32767 + 32767 = 65534 -> P = 65534²
+    val sp = r.getSeq[scala.collection.Seq[Long]](3)
+    assert(sp.length == 1 && sp.head.length == 2)
+    assert(sp.head(0) == 0L && sp.head(1) > 0L)
+  }
+
   test("a reference-shaped SQL query over a registered view") {
     import spark.implicits._
     Seq((0L, 3.0, 1.0), (1L, 7.0, 1.0), (2L, 12.0, 1.0))
