@@ -433,3 +433,72 @@ object FrameSpectra {
     Array.tabulate(bins, frame)((b, i) =>
       math.round(math.sin(2.0 * math.Pi * b * i / frame) * 32767.0))
 }
+
+/** gif_encode(width, height, frames) — an animated GIF89a over the
+  * 256-entry grayscale palette (frame pixels are 0–255 indices; the
+  * decoded RGB triple repeats the index), 4 cs per frame, written
+  * row-local by [[graft.io.Gif]]. */
+case class GifEncode(children: Seq[Expression])
+  extends Expression with CodegenFallback {
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = BinaryType
+
+  @transient private lazy val grayPalette: Array[Byte] =
+    Array.tabulate(256 * 3)(i => (i / 3).toByte)
+
+  override def eval(input: InternalRow): Any = {
+    val vw = children(0).eval(input)
+    val vh = children(1).eval(input)
+    val vf = children(2).eval(input)
+    if (vw == null || vh == null || vf == null) return null
+    val w = vw.asInstanceOf[Number].intValue()
+    val h = vh.asInstanceOf[Number].intValue()
+    val fr = vf.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val frames = (0 until fr.numElements()).map { i =>
+      val px = fr.getArray(i)
+      if (px.numElements() != w * h) return null // shape bug
+      val b = new Array[Byte](px.numElements())
+      var j = 0
+      while (j < b.length) { b(j) = px.getInt(j).toByte; j += 1 }
+      (b, 4)
+    }
+    if (frames.isEmpty) return null
+    graft.io.Gif.encode(w, h, grayPalette, frames)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(children = c)
+  override def prettyName: String = "gif_encode"
+}
+
+/** gif_frames(payload) → array<struct(width, height, channels, pixels)>
+  * — the composited RGB animation frames of a real GIF
+  * ([[graft.io.Gif.decode]]): the frame-sampling input for the video
+  * modality. NULL on null input; malformed payloads fail loudly
+  * (wrap with try-semantics upstream for quarantine). */
+case class GifFrames(children: Seq[Expression])
+  extends Expression with CodegenFallback {
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("pixels", ArrayType(IntegerType, containsNull = false),
+      nullable = false))), containsNull = false)
+
+  override def eval(input: InternalRow): Any = {
+    val v = children.head.eval(input)
+    if (v == null) return null
+    val frames = graft.io.Gif.decode(v.asInstanceOf[Array[Byte]])
+    new GenericArrayData(frames.map(f =>
+      ImageDecode.toRow(f.image): Any).toArray)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(children = c)
+  override def prettyName: String = "gif_frames"
+}

@@ -529,7 +529,74 @@ object MultimodalQueries {
        |FROM sp ORDER BY doc_id""".stripMargin
   }
 
+  /** REAL animated-GIF round-trip ([[graft.io.Gif]] via
+    * [[graft.expressions.GifEncode]]/[[graft.expressions.GifFrames]]):
+    * three frames per document (the byte image cyclically shifted by
+    * the frame number) encoded as an actual GIF89a — LZW streams,
+    * graphic-control extensions, frame composition — and decoded back
+    * to composited RGB frames in the same projection. Frame sampling
+    * now runs over REAL decoded animation frames (the video-modality
+    * story). The grayscale palette makes decode lossless, so the
+    * oracle restates per-frame position-weighted sums from the raw
+    * bytes — any LZW/palette/composition defect breaks the hash. */
+  val qMmGifFrames: Q = (spark, dir) => {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val d = Tables(spark, dir, "documents")
+    val n = octet_length(col("text"))
+    val w = (n % 16 + 1)
+    val h = ((n + w - 1) / w).cast("int") // Column `/` is double division
+    val bytes = Multimodal.decode(col("text").cast("binary"))
+    // frame f: byte image cyclically shifted by f, zero-padded to w·h
+    val frames = transform(sequence(lit(0), lit(2)), f =>
+      transform(sequence(lit(0), w * h - 1), i =>
+        when(i < n, element_at(bytes, pmod(i + f, n) + 1)).otherwise(0)))
+    val dec = Bridge.column(graft.expressions.GifFrames(Seq(
+      Bridge.expression(Bridge.column(graft.expressions.GifEncode(Seq(
+        Bridge.expression(w.cast("int")), Bridge.expression(h),
+        Bridge.expression(frames))))))))
+    // per decoded frame: Σ p · R(p) over the red channel (= the index
+    // byte under the gray palette) — shift-sensitive, so each frame
+    // pins its own content
+    val wsum = (fr: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(fr.getField("pixels"),
+          sequence(lit(0), size(fr.getField("pixels")) - 1),
+          (px, i) => when(i % 3 === 0,
+            (i / lit(3)).cast("long") * px).otherwise(lit(0L))),
+        lit(0L), (a, x) => a + x)
+    d.select(col("doc_id"), dec.as("fr"))
+      .select(col("doc_id"),
+        size(col("fr")).cast("long").as("n_frames"),
+        get(col("fr"), lit(0)).getField("width").cast("long").as("width"),
+        get(col("fr"), lit(0)).getField("height").cast("long").as("height"),
+        wsum(get(col("fr"), lit(0))).as("wsum0"),
+        wsum(get(col("fr"), lit(1))).as("wsum1"),
+        wsum(get(col("fr"), lit(2))).as("wsum2"))
+      .orderBy("doc_id")
+  }
+
+  val qMmGifFramesSql: String =
+    """WITH b AS (SELECT doc_id, length(text) AS n,
+      |    (length(text) % 16 + 1) AS w,
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> ord(substr(text, i, 1))) AS bs
+      |  FROM documents),
+      |d AS (SELECT doc_id, n, w, (n + w - 1) // w AS h, bs FROM b),
+      |f AS (SELECT doc_id, n, w, h,
+      |    list_transform(range(0, 3), ff ->
+      |      list_sum(list_transform(range(0, w * h), i ->
+      |        CASE WHEN i < n
+      |          THEN cast(i as bigint) * bs[(i + ff) % n + 1]
+      |          ELSE 0 END))) AS ws
+      |  FROM d)
+      |SELECT doc_id, cast(3 as bigint) AS n_frames,
+      |  cast(w as bigint) AS width, cast(h as bigint) AS height,
+      |  cast(coalesce(ws[1], 0) as bigint) AS wsum0,
+      |  cast(coalesce(ws[2], 0) as bigint) AS wsum1,
+      |  cast(coalesce(ws[3], 0) as bigint) AS wsum2
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mm_gif_frames" -> qMmGifFrames,
     "mm_spectrogram" -> qMmSpectrogram,
     "mm_png_roundtrip" -> qMmPngRoundtrip,
     "mm_png_filter" -> qMmPngFilter,
@@ -544,6 +611,7 @@ object MultimodalQueries {
     "pipeline_multimodal" -> qMmPipeline)
 
   val oracles: Map[String, String] = Map(
+    "mm_gif_frames" -> qMmGifFramesSql,
     "mm_spectrogram" -> qMmSpectrogramSql,
     "mm_png_roundtrip" -> qMmPngRoundtripSql,
     "mm_png_filter" -> qMmPngFilterSql,

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Gif
+
+/** The from-scratch GIF codec: lossless multi-frame round-trips
+  * through real LZW, externally-written fixtures cross-checked against
+  * the JDK's independent decoder, and hostile-bytes robustness. */
+class GifSpec extends AnyFunSuite {
+
+  private val grayPalette: Array[Byte] =
+    Array.tabulate(256 * 3)(i => (i / 3).toByte)
+
+  test("animated multi-frame round-trip is lossless") {
+    val w = 23; val h = 11
+    val rnd = new scala.util.Random(5)
+    val frames = Seq.tabulate(3) { f =>
+      (Array.fill(w * h)(rnd.nextInt(256).toByte), 10 * (f + 1))
+    }
+    val bytes = Gif.encode(w, h, grayPalette, frames)
+    val back = Gif.decode(bytes)
+    assert(back.length === 3)
+    back.zip(frames).zipWithIndex.foreach { case ((got, (px, delay)), i) =>
+      assert(got.delayCs === delay, s"frame $i delay")
+      assert(got.image.width === w && got.image.height === h &&
+        got.image.channels === 3)
+      // gray palette: every RGB channel equals the index byte
+      for (p <- 0 until w * h; c <- 0 until 3)
+        assert(got.image.pixels(p * 3 + c) === px(p),
+          s"frame $i pixel $p channel $c")
+    }
+  }
+
+  test("small palettes and 1x1 frames round-trip") {
+    val pal4 = Array[Byte](0, 0, 0, 85, 85, 85, -86, -86, -86, -1, -1, -1)
+    val bytes = Gif.encode(1, 1, pal4, Seq((Array[Byte](2), 0)))
+    val f = Gif.decode(bytes)
+    assert(f.length === 1)
+    assert(f.head.image.pixels.toSeq === Seq[Byte](-86, -86, -86))
+  }
+
+  test("decodes EXTERNALLY-written GIFs matching the JDK decoder") {
+    val files = Seq(
+      "/usr/share/doc/libxslt1-dev/html/Libxslt-Logo-90x34.gif",
+      "/usr/share/doc/libxslt1-dev/html/node.gif",
+      "/usr/share/doc/libxslt1-dev/html/processing.gif")
+      .map(new java.io.File(_)).filter(_.isFile)
+    assume(files.nonEmpty, "no GIF fixtures present")
+    files.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val mine = Gif.decode(bytes).head.image
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(mine.width === ref.getWidth && mine.height === ref.getHeight,
+        f.getName)
+      for (y <- 0 until ref.getHeight; x <- 0 until ref.getWidth) {
+        val argb = ref.getRGB(x, y)
+        val o = (y * mine.width + x) * 3
+        if ((argb >>> 24) != 0) { // opaque: exact RGB match
+          assert((mine.pixels(o) & 0xff) === ((argb >> 16) & 0xff) &&
+            (mine.pixels(o + 1) & 0xff) === ((argb >> 8) & 0xff) &&
+            (mine.pixels(o + 2) & 0xff) === (argb & 0xff),
+            s"${f.getName} pixel ($x,$y)")
+        } else { // transparent: our canvas shows initial black
+          assert(mine.pixels(o) === 0 && mine.pixels(o + 1) === 0 &&
+            mine.pixels(o + 2) === 0, s"${f.getName} transparent ($x,$y)")
+        }
+      }
+    }
+  }
+
+  test("survives 400 hostile mutations") {
+    val rnd = new scala.util.Random(77)
+    val base = Gif.encode(16, 16, grayPalette,
+      Seq((Array.tabulate(256)(i => i.toByte), 5)))
+    var rejected = 0
+    for (i <- 0 until 400) {
+      val b =
+        if (i % 4 == 3) base.take(rnd.nextInt(base.length))
+        else {
+          val c = base.clone()
+          for (_ <- 0 to rnd.nextInt(8))
+            c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+          c
+        }
+      try Gif.decode(b)
+      catch { case scala.util.control.NonFatal(_) => rejected += 1 }
+    }
+    assert(rejected > 0)
+  }
+
+  test("non-GIF bytes are rejected loudly") {
+    intercept[IllegalArgumentException](Gif.decode("not a gif!!".getBytes))
+    intercept[IllegalArgumentException](Gif.decode(Array[Byte](1, 2, 3)))
+  }
+}
