@@ -69,6 +69,8 @@ object GraftFunctions {
     "try_image_decode" -> (TryImageDecode(_)),
     "wav_encode" -> (WavEncode(_)),
     "wav_decode" -> (WavDecode(_)),
+    "gif_encode" -> (GifEncode(_)),
+    "gif_frames" -> (GifFrames(_)),
     // signature / sampling / DSP kernels with constant parameters
     "minhash_sig" -> (cs => MinHashSig(cs.head, intArg(cs, 1, "minhash_sig"))),
     "simhash_fp" -> (cs => SimHashFp(cs.head, intArg(cs, 1, "simhash_fp"))),

@@ -318,8 +318,11 @@ object ImageDecode {
     else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
         bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
       graft.io.Png.decode(bytes)
+    else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F')
+      graft.io.Gif.decode(bytes).head.image // first composited frame
     else throw new IllegalArgumentException(
-      "unknown image magic (PNG and baseline JPEG supported)")
+      "unknown image magic (PNG, JPEG and GIF supported)")
   }
 
   private[expressions] def toRow(img: graft.io.Png.Image): InternalRow = {
@@ -501,4 +504,53 @@ case class GifFrames(children: Seq[Expression])
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
     copy(children = c)
   override def prettyName: String = "gif_frames"
+}
+
+/** shift_tile_frames(bytes, w, h) — `nFrames` cyclically-shifted
+  * zero-padded tilings of a byte array: frame f pixel i =
+  * bytes[(i+f) mod n] for i < n, else 0. One compiled pass; exists
+  * because the HOF formulation references the decoded-bytes subtree
+  * inside a lambda, and CollapseProject inlines it PER OUTPUT PIXEL
+  * (the [[ResizeNearest]] pathology — measured 26× on the GIF
+  * round-trip query). */
+case class ShiftTileFrames(children: Seq[Expression], nFrames: Int)
+  extends Expression with CodegenFallback {
+
+  require(nFrames >= 1 && nFrames <= 64, s"nFrames=$nFrames")
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType =
+    ArrayType(ArrayType(IntegerType, containsNull = false),
+      containsNull = false)
+
+  override def eval(input: InternalRow): Any = {
+    val vb = children(0).eval(input)
+    val vw = children(1).eval(input)
+    val vh = children(2).eval(input)
+    if (vb == null || vw == null || vh == null) return null
+    val bs = vb.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val w = vw.asInstanceOf[Number].intValue()
+    val h = vh.asInstanceOf[Number].intValue()
+    val n = bs.numElements()
+    val size = w * h
+    if (size < n) return null // tiling must cover the bytes
+    val out = new Array[Any](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val px = new Array[Any](size)
+      var i = 0
+      while (i < size) {
+        px(i) = if (i < n) bs.getInt((i + f) % n) else 0
+        i += 1
+      }
+      out(f) = new GenericArrayData(px)
+      f += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(children = c)
+  override def prettyName: String = "shift_tile_frames"
 }

@@ -230,10 +230,10 @@ object Gif {
       v
     }
 
+    val stack = new Array[Byte](4096) // shared chain buffer (hot path)
     def emit(code: Int): Byte = {
-      // walk the chain into a temp, then reverse-emit
+      // walk the chain into the shared temp, then reverse-emit
       var c = code
-      val stack = new Array[Byte](4096)
       var sp = 0
       while (c >= clear + 2) {
         stack(sp) = suffix(c); sp += 1
