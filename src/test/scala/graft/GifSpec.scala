@@ -70,6 +70,57 @@ class GifSpec extends AnyFunSuite {
     }
   }
 
+  test("disposal 2 restores background and disposal 3 restores previous") {
+    // encode three full-canvas frames then PATCH each frame's
+    // graphic-control disposal bits: the decoder must compose
+    // accordingly. Frames: A=10s, B=20s, C=30s over a 2x1 canvas,
+    // where B paints only... full-canvas frames make disposal visible
+    // via a TRANSPARENT pixel in the next frame, so give C a
+    // transparent index at position 0: with B disposed to background
+    // (2), C shows background there; with disposal 3, C shows A's
+    // pixel.
+    val pal = grayPalette
+    def build(disposalB: Int): Array[Byte] = {
+      val base = Gif.encode(2, 1, pal, Seq(
+        (Array[Byte](10, 11), 1),
+        (Array[Byte](20, 21), 1),
+        (Array[Byte](40, 41), 1)))
+      // locate the GCEs: header 13 + GCT 768, then per frame:
+      // GCE (8 bytes: 21 F9 04 flags delay2 tIdx 00) + descriptor...
+      val out = base.clone()
+      var pos = 13 + 768
+      var frame = 0
+      while (pos < out.length - 1 && frame < 3) {
+        if ((out(pos) & 0xff) == 0x21 && (out(pos + 1) & 0xff) == 0xf9) {
+          if (frame == 1) // frame B's disposal
+            out(pos + 3) = ((disposalB & 7) << 2).toByte
+          if (frame == 2) { // frame C: transparency on index 40
+            out(pos + 3) = (out(pos + 3) | 1).toByte
+            out(pos + 6) = 40
+          }
+          frame += 1
+          pos += 8
+        } else pos += 1
+      }
+      require(frame == 3, "did not find all GCEs")
+      out
+    }
+    // disposal 2 on B: before C, the canvas resets to the background
+    // color (GCT entry 0 = black); C's transparent pixel 0 shows it
+    val d2 = Gif.decode(build(2))
+    assert(d2.length === 3)
+    assert(d2(1).image.pixels.toSeq.take(3) === Seq[Byte](20, 20, 20))
+    assert(d2(2).image.pixels.toSeq === Seq[Byte](0, 0, 0, 41, 41, 41))
+    // disposal 3 on B: before C, the canvas reverts to frame A;
+    // C's transparent pixel 0 shows A's 10
+    val d3 = Gif.decode(build(3))
+    assert(d3(2).image.pixels.toSeq === Seq[Byte](10, 10, 10, 41, 41, 41))
+    // disposal 0 (unpatched flags on B stay 0 with transparency only
+    // patched on C): C's transparent pixel shows B's 20
+    val d0 = Gif.decode(build(0))
+    assert(d0(2).image.pixels.toSeq === Seq[Byte](20, 20, 20, 41, 41, 41))
+  }
+
   test("survives 400 hostile mutations") {
     val rnd = new scala.util.Random(77)
     val base = Gif.encode(16, 16, grayPalette,
