@@ -369,9 +369,18 @@ case class TryImageDecode(children: Seq[Expression])
   * SQL literals — no float-trig cross-engine drift. The fixed-point
   * quantization is part of the operator's contract (a spectral
   * FEATURE for audio analysis — silence detection, dominant tone,
-  * band energy — not a general FFT). Samples must be small enough
-  * that |s| ≤ 2^15 keeps re² within a long (8-bit-centered audio and
-  * sub-frame sums are comfortably inside).
+  * band energy — not a general FFT). The accumulators are safe for
+  * any Int samples (|re| ≤ frame·|s|·32767 < 2^58 even at
+  * frame=4096, |s|=2^31), but the SQUARING can wrap: re² fits a Long
+  * only while |s|·frame·32767 < 2^31.5 (≈1448 at frame=64, ≈22 at
+  * frame=4096 in the worst case — the b=0 bin with all samples at
+  * max reaches it exactly). Rather than reject inputs on that
+  * conservative worst case, the powers are computed with
+  * Math.multiplyExact/addExact: genuine overflow throws loudly (and
+  * NULL-quarantines under any try_* wrapper) instead of silently
+  * diverging from the oracle. 8-bit-centered audio (|s| ≤ 128) never
+  * trips it at the supported frame sizes ≤ 512; full-scale 16-bit
+  * input at large frames can, by design.
   *
   * A partial tail frame is dropped (the [[graft.operators.Multimodal
   * .frameEnergies]] framing convention). Pure map-side; no shuffle.
@@ -410,7 +419,9 @@ case class FrameSpectra(children: Seq[Expression], frame: Int, bins: Int)
           im -= s * tws(b)(i)
           i += 1
         }
-        powers(b) = re * re + im * im
+        // checked: squaring is the only step that can wrap (see class doc)
+        powers(b) = Math.addExact(
+          Math.multiplyExact(re, re), Math.multiplyExact(im, im))
         b += 1
       }
       out(f) = new GenericArrayData(powers)

@@ -259,17 +259,35 @@ object Png {
     } else Image(width, height, bpp, px)
   }
 
-  private def inflate(data: Array[Byte], hint: Int): Array[Byte] = {
+  /** Inflate with `expected` as a HARD output cap, not just a buffer
+    * hint: the caller requires the exact filtered-scanline length, so
+    * any stream producing more is invalid — aborting mid-stream bounds
+    * a valid-CRC deflate bomb at `expected` bytes instead of letting it
+    * allocate ~1000× the input before a post-hoc length check. FDICT
+    * (preset-dictionary) streams and any other zero-progress stall
+    * (n==0 with input remaining, unfinished) throw instead of spinning
+    * forever — `try_png_decode`'s hostile-bytes contract is "reject,
+    * never hang", and NonFatal cannot catch a hang. */
+  private def inflate(data: Array[Byte], expected: Int): Array[Byte] = {
     val inf = localInflater.get()
     inf.reset()
     inf.setInput(data)
-    val out = new ByteArrayOutputStream(math.max(hint, 64))
+    val out = new ByteArrayOutputStream(math.max(expected, 64))
     val buf = new Array[Byte](8192)
     while (!inf.finished()) {
       val n = inf.inflate(buf)
-      if (n == 0 && inf.needsInput())
-        throw new IllegalArgumentException("truncated PNG zlib stream")
+      if (inf.needsDictionary())
+        throw new IllegalArgumentException("PNG zlib stream requires a preset dictionary (FDICT)")
+      if (n == 0) {
+        if (inf.needsInput())
+          throw new IllegalArgumentException("truncated PNG zlib stream")
+        if (!inf.finished())
+          throw new IllegalArgumentException("stalled PNG zlib stream")
+      }
       out.write(buf, 0, n)
+      if (out.size() > expected)
+        throw new IllegalArgumentException(
+          s"PNG zlib stream inflates past the ${expected}-byte scanline bound")
     }
     out.toByteArray
   }

@@ -92,13 +92,21 @@ object Dedup {
     // one consistent rarity order for another — the PPJoin prefix
     // principle is exact under ANY single total order, so pruning
     // quality is all that could change, never the result. Small LRU
-    // (4): only live query shapes repeat; evicted entries destroy
-    // their broadcast.
+    // (4, access-refreshed): only live query shapes repeat; evicted
+    // entries unpersist() — NOT destroy() — their broadcast, because a
+    // previously built DataFrame may still reference it through a
+    // RarityPrefix expression, and re-executing that plan after a
+    // destroy() fails with "Attempted to use Broadcast after it was
+    // destroyed". unpersist() only drops the cached executor copies;
+    // the driver value re-ships on demand.
     val key = (sets.sparkSession,
       sets.queryExecution.logical.canonicalized.semanticHash(),
       rate, maxTokens)
     rarityCache.synchronized {
-      rarityCache.get(key).foreach(b => return b)
+      rarityCache.remove(key).foreach { b =>
+        rarityCache.put(key, b) // re-insert at tail: refresh recency
+        return b
+      }
     }
     val table = sets
       .filter(pmod(hash(col("id")), lit(rate)) === 0)
@@ -115,14 +123,15 @@ object Dedup {
       if (rarityCache.size >= 4) {
         val oldest = rarityCache.head._1
         rarityCache.remove(oldest).foreach(b =>
-          scala.util.Try(b.destroy()))
+          scala.util.Try(b.unpersist(blocking = false)))
       }
       rarityCache.put(key, bc)
     }
     bc
   }
 
-  /** Insertion-ordered LRU for [[sampledTokenCounts]] broadcasts. */
+  /** Access-ordered LRU for [[sampledTokenCounts]] broadcasts (hits
+    * re-insert at the tail; eviction takes the head). */
   private val rarityCache = scala.collection.mutable.LinkedHashMap
     .empty[(org.apache.spark.sql.SparkSession, Int, Int, Int),
       org.apache.spark.broadcast.Broadcast[Map[String, Long]]]

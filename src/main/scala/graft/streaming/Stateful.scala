@@ -91,7 +91,14 @@ object Stateful {
               .sortBy { case (s, i) => (-s, i) }.take(k)
             val maxTs = (prev.maxTs +: fresh.map(_.ts.getTime)).max
             state.update(ServeState(top.map(_._2), top.map(_._1), maxTs))
-            state.setTimeoutTimestamp(maxTs + graceMs)
+            // Spark throws if the timeout is not strictly later than the
+            // current event-time watermark. When a key's candidates
+            // straddle micro-batches and the watermark already advanced
+            // past maxTs + graceMs, an unclamped set would crash the
+            // whole query — clamp to watermark + 1 so the key instead
+            // times out (and emits) on the next trigger.
+            state.setTimeoutTimestamp(
+              math.max(maxTs + graceMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
         })

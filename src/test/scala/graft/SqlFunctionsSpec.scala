@@ -127,6 +127,19 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(sp.head(0) == 0L && sp.head(1) > 0L)
   }
 
+  test("frame_spectra power overflow throws loudly instead of wrapping") {
+    // full-scale 16-bit samples at frame=4096: |re| reaches
+    // 4096·32767·32767 ≈ 2^42, whose square is far past Long — the
+    // checked math must surface ArithmeticException, never a silently
+    // wrapped power that diverges from the oracle.
+    val e = intercept[Exception](spark.sql(
+      "SELECT frame_spectra(array_repeat(32767, 4096), 4096, 1)").head())
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected ArithmeticException in: ${chain(e).map(_.getClass.getName)}")
+  }
+
   test("a reference-shaped SQL query over a registered view") {
     import spark.implicits._
     Seq((0L, 3.0, 1.0), (1L, 7.0, 1.0), (2L, 12.0, 1.0))

@@ -160,6 +160,47 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(!out.exists(_._1 == -1L))
   }
 
+  test("topKServe survives a candidate arriving fully behind the watermark") {
+    // ADVICE r9: setTimeoutTimestamp must be later than the current
+    // watermark or Spark kills the whole query. A key whose
+    // candidates arrive in a batch AFTER a far-future sentinel has
+    // already advanced the watermark past maxTs + graceMs exercises
+    // exactly that: unclamped, the query crashes; clamped to
+    // watermark + 1 it evicts (and emits) on a later trigger.
+    val dir = Files.createTempDirectory("serve_clamp")
+    def cand(rows: Seq[(Long, Long, Double, String)]) = rows
+      .toDF("key", "id", "score", "s")
+      .select($"key", $"id", $"score", to_timestamp($"s").as("ts"))
+    // batch 0: sentinel pushes the watermark to ~2025-01-01
+    cand(Seq((-1L, 0L, 0.0, "2025-01-01 00:00:00")))
+      .coalesce(1).write.parquet(dir.resolve("b0").toString)
+    // batch 1: key 5's candidates are a YEAR behind the watermark —
+    // maxTs + graceMs is far below it
+    cand(Seq(
+      (5L, 50L, 0.9, "2024-01-01 00:00:00"),
+      (5L, 51L, 0.4, "2024-01-01 00:00:00")))
+      .coalesce(1).write.parquet(dir.resolve("b1").toString)
+    // batch 2: a later sentinel advances the watermark again so the
+    // clamped timeout (old watermark + 1) can fire
+    cand(Seq((-1L, 0L, 0.0, "2025-01-01 00:01:00")))
+      .coalesce(1).write.parquet(dir.resolve("b2").toString)
+
+    val stream = spark.readStream
+      .schema(cand(Seq((0L, 0L, 0.0, "2024-01-01 00:00:00"))).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*/")
+      .withWatermark("ts", "10 seconds")
+      .as[Stateful.ServeCand]
+    val q = Stateful.topKServe(stream, k = 2, graceMs = 1000).toDF()
+      .writeStream.format("memory")
+      .queryName("serve_clamp").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.table("serve_clamp")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(out == Set((5L, 1, 50L, 0.9), (5L, 2, 51L, 0.4)), s"got $out")
+  }
+
   test("running per-user stats across two micro-batches match batch") {
     val ev = Tables(spark, "/root/testdata/sf0.001", "events")
       .select($"user_id".as("key"), $"value")
