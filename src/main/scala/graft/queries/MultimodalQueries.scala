@@ -437,11 +437,18 @@ object MultimodalQueries {
     * images (baseline 4:2:0 photos + one deliberate non-image file)
     * read through the `binaryFile` source and decoded by the
     * from-scratch [[graft.io.Jpeg]] via the tolerant mixed-format
-    * [[Multimodal.tryDecodeImage]] — dims, channels and a pixel
-    * checksum per file; the non-image row classifies as undecodable
-    * instead of failing the scan. Rows-only check (JPEG entropy
-    * decode is not SQL-replayable); `JpegSpec` pins the pixels
-    * against the JDK's independent decoder. */
+    * [[Multimodal.tryDecodeImage]] — dims, channels, a pixel checksum
+    * and a 64-bit polynomial pixel hash per file; the non-image row
+    * classifies as undecodable instead of failing the scan. FULL-VALUE
+    * oracle (VERDICT r9 #2a): the oracle reads the checked-in golden
+    * fixture `src/test/resources/fixtures/jpeg_expected.parquet`,
+    * generated once by [[graft.tools.GenJpegFixture]] which
+    * cross-checks every decodable file against the JDK's independent
+    * ImageIO decoder (dims exact, per-sample |diff| ≤ 3 — T.81 leaves
+    * IDCT rounding implementation-defined, so LSB-level variation
+    * between independent decoders is expected and bit-exact equality
+    * is pinned to OUR decoder's output). Any decode drift now fails
+    * the driver's hash compare, not just `JpegSpec`. */
   val qMmJpegDecode: Q = (spark, dir) => {
     // kittens: baseline 4:2:0 camera photos + a planted non-image;
     // multi-channel: a PROGRESSIVE grayscale photo + a 4:4:4 color one
@@ -459,9 +466,25 @@ object MultimodalQueries {
         col("dec.width").cast("long").as("width"),
         col("dec.height").cast("long").as("height"),
         col("dec.channels").cast("long").as("channels"),
-        Multimodal.checksum(col("dec.pixels")).as("checksum"))
+        Multimodal.checksum(col("dec.pixels")).as("checksum"),
+        // order-sensitive ~50-bit rolling hash mod a prime (the mod
+        // keeps every step far below Long range under ANSI math): far
+        // stronger drift detector than the byte sum alone
+        aggregate(col("dec.pixels"), lit(0L),
+          (a, x) => pmod(a * lit(31L) + x, lit(999999999999989L)))
+          .as("pixel_hash"))
       .orderBy("file")
   }
+
+  /** The golden fixture IS the oracle: per-file expected values
+    * produced by [[graft.tools.GenJpegFixture]] (ImageIO-cross-checked
+    * at generation). DuckDB reads the checked-in parquet directly. */
+  val qMmJpegDecodeSql: String =
+    """SELECT file, decoded, width, height, channels, checksum,
+      |  pixel_hash
+      |FROM read_parquet(
+      |  '/root/repo/src/test/resources/fixtures/jpeg_expected.parquet')
+      |ORDER BY file""".stripMargin
 
   /** Framed DFT power spectra ([[graft.expressions.FrameSpectra]]):
     * the real-DSP audio feature — 64-sample windows, first 8 bins,
@@ -613,6 +636,7 @@ object MultimodalQueries {
     "pipeline_multimodal" -> qMmPipeline)
 
   val oracles: Map[String, String] = Map(
+    "mm_jpeg_decode" -> qMmJpegDecodeSql,
     "mm_gif_frames" -> qMmGifFramesSql,
     "mm_spectrogram" -> qMmSpectrogramSql,
     "mm_png_roundtrip" -> qMmPngRoundtripSql,

@@ -1107,17 +1107,52 @@ object TextQueries {
 
   val qDedupMinhashSql: String = exactJaccardPairsSql
 
-  /** LSH bucket-size-guard report ([[Dedup.lshGuardReport]]): one row
-    * counting the buckets (and their member rows) that
-    * [[Dedup.minhashNearDups]]'s recall-vs-blowup guard would drop
-    * (VERDICT r8 #2 — the guard must be observable, not silent). 0
-    * dropped on healthy corpora; a non-zero count at scale is the
-    * signal to raise `maxBucket` before near-dup recall degrades.
-    * Bucket hashes are Spark murmur3 — not DuckDB-expressible, so this
-    * takes the driver's rows-only check. */
+  /** LSH bucket-size-guard report
+    * ([[Dedup.lshGuardReportPortable]]): one row counting the buckets
+    * (and their member rows) that [[Dedup.minhashNearDups]]'s
+    * recall-vs-blowup guard would drop (VERDICT r8 #2 — the guard must
+    * be observable, not silent). 0 dropped on healthy corpora; a
+    * non-zero count at scale is the signal to raise `maxBucket` before
+    * near-dup recall degrades. The report's banding uses md5-derived
+    * components so the DuckDB oracle replays it value-for-value
+    * (VERDICT r9 #2b); the engine's candidate path keeps murmur3. */
   val qDedupLshGuard: Q = (spark, dir) =>
-    Dedup.lshGuardReport(Tables(spark, dir, "documents"), "doc_id", "text",
-      shingleN = 3, k = 32, bands = 16, maxBucket = 64)
+    Dedup.lshGuardReportPortable(Tables(spark, dir, "documents"),
+      "doc_id", "text", shingleN = 3, k = 32, bands = 16, maxBucket = 64)
+
+  /** Replays the md5 banding relationally: per (doc, f) the min
+    * component over the exploded shingle set equals the Spark side's
+    * row-local array_min (same distinct shingle list, same hash) —
+    * fixed-width lowercase hex makes MIN collation-safe in both
+    * engines. */
+  val qDedupLshGuardSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_sort(list_distinct(
+      |    list_transform(range(1, greatest(len(toks) - 3, 0) + 2),
+      |      i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS s
+      |  FROM (SELECT doc_id,
+      |      regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |    FROM documents)),
+      |tok AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+      |comp AS (
+      |  SELECT doc_id, r.f AS f,
+      |    substring(md5(tok || ':' || CAST(r.f AS VARCHAR)), 1, 8) AS h
+      |  FROM tok CROSS JOIN range(0, 32) r(f)),
+      |sig AS (SELECT doc_id, f, min(h) AS minv FROM comp GROUP BY 1, 2),
+      |banded AS (
+      |  SELECT doc_id, CAST(f // 2 AS INT) AS band,
+      |    md5(string_agg(minv, ',' ORDER BY f)) AS band_hash
+      |  FROM sig GROUP BY 1, 2),
+      |sizes AS (SELECT band, band_hash, count(*) AS n_rows
+      |  FROM banded GROUP BY 1, 2)
+      |SELECT count(*) AS n_buckets,
+      |  CAST(coalesce(sum(CASE WHEN n_rows > 64 THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS n_buckets_dropped,
+      |  CAST(coalesce(sum(CASE WHEN n_rows > 64 THEN n_rows ELSE 0 END), 0)
+      |    AS BIGINT) AS n_rows_dropped,
+      |  max(n_rows) AS max_bucket,
+      |  CAST(64 AS BIGINT) AS max_bucket_allowed
+      |FROM sizes""".stripMargin
 
   /** SimHash near-dup pairs (48-bit md5-derived fingerprint, hamming ≤ 3)
     * over the FULL table via pigeonhole-complete hamming-band bucketing —
@@ -1672,6 +1707,7 @@ object TextQueries {
     "dedup_jaccard" -> qDedupJaccardSql,
     "dedup_containment" -> qDedupContainmentSql,
     "dedup_minhash_lsh" -> qDedupMinhashSql,
+    "dedup_lsh_guard" -> qDedupLshGuardSql,
     "dedup_decision" -> qDedupDecisionSql,
     "dedup_substring" -> qDedupSubstringSql,
     "dedup_substring_apply" -> qDedupSubstringApplySql,
