@@ -338,27 +338,91 @@ object Gif {
     out.toByteArray
   }
 
-  /** Spec-sanctioned uncompressed LZW: a CLEAR before every literal
-    * keeps the code width fixed at minCode+1 and the dictionary empty. */
+  /** Encoder dictionary: open-addressing hash from (prefix code,
+    * appended byte) — a 20-bit key — to the sequence's code. Table
+    * size 8192 keeps load ≤ 0.5 at the 4096-code cap; generation
+    * stamps make CLEAR an O(1) bump instead of an array fill, and the
+    * whole structure is thread-local so the per-frame hot path
+    * ([[graft.expressions.GifEncode]] inside a projection) allocates
+    * nothing. */
+  private final class LzwEncState {
+    val keys = new Array[Int](8192)
+    val vals = new Array[Int](8192)
+    val gens = new Array[Int](8192)
+    var gen = 0
+    def clearDict(): Unit = gen += 1
+    /** code of `key`, or -(slot+1) where it should be inserted. */
+    def find(key: Int): Int = {
+      var i = (key * -1640531527) >>> 19 // Fibonacci hash → 13 bits
+      while (true) {
+        if (gens(i) != gen) return -(i + 1)
+        if (keys(i) == key) return vals(i)
+        i = (i + 1) & 8191
+      }
+      -1 // unreachable
+    }
+    def insert(slot: Int, key: Int, code: Int): Unit = {
+      gens(slot) = gen; keys(slot) = key; vals(slot) = code
+    }
+  }
+  private val localEnc = ThreadLocal.withInitial(() => new LzwEncState)
+
+  /** Real variable-width LZW compression (GIF89a appendix F — the
+    * exact inverse of [[lzwDecode]]): grow the dictionary one sequence
+    * per emitted code, widen the code size when the next free code
+    * crosses a power of two (same deferred timing as the decoder's
+    * `dictSize == 1 << codeWidth` bump), and emit CLEAR + reset when
+    * the 4096-code space is exhausted so long streams stay adaptive. */
   private def writeLzw(out: ByteArrayOutputStream, px: Array[Byte],
       minCode: Int): Unit = {
     val clear = 1 << minCode
     val eoi = clear + 1
-    val w = minCode + 1
-    val bits = new ByteArrayOutputStream()
+    val bits = new ByteArrayOutputStream(px.length / 2 + 16)
     var acc = 0L
     var nAcc = 0
+    var codeWidth = minCode + 1
     def put(code: Int): Unit = {
       acc |= code.toLong << nAcc
-      nAcc += w
+      nAcc += codeWidth
       while (nAcc >= 8) {
         bits.write((acc & 0xff).toInt)
         acc >>>= 8
         nAcc -= 8
       }
     }
+    val st = localEnc.get()
+    st.clearDict()
+    var nextCode = eoi + 1
     put(clear)
-    px.foreach { p => put(p & 0xff); put(clear) }
+    if (px.nonEmpty) {
+      var prev = px(0) & 0xff // code of the current (matched) sequence
+      var i = 1
+      while (i < px.length) {
+        val b = px(i) & 0xff
+        val key = (prev << 8) | b
+        val f = st.find(key)
+        if (f >= 0) prev = f
+        else {
+          put(prev)
+          if (nextCode < 4096) {
+            st.insert(-f - 1, key, nextCode)
+            nextCode += 1
+            // decoder bumps when its dictSize reaches 1<<codeWidth;
+            // its dictSize trails nextCode by one registration
+            if (nextCode == (1 << codeWidth) + 1 && codeWidth < 12)
+              codeWidth += 1
+          } else { // dictionary full: reset so the stream stays adaptive
+            put(clear)
+            st.clearDict()
+            nextCode = eoi + 1
+            codeWidth = minCode + 1
+          }
+          prev = b
+        }
+        i += 1
+      }
+      put(prev)
+    }
     put(eoi)
     if (nAcc > 0) bits.write((acc & 0xff).toInt)
     val data = bits.toByteArray

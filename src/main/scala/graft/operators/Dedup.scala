@@ -337,33 +337,30 @@ object Dedup {
   }
 
   /** [[lshGuardReport]] over an ORACLE-EXPRESSIBLE hash family
-    * (VERDICT r9 next #2b): each minhash component is the 8-hex-char
-    * md5 prefix of "tok:f" — fixed-width lowercase hex, so the STRING
-    * min is the numeric min and DuckDB's binary-collation `min` agrees
-    * bit for bit — and each band hash is the md5 of the f-ordered
-    * component concat. The engine's candidate path keeps murmur3
-    * ([[minhashBanded]]: one compiled signature pass per row); the
-    * guard only reads the bucket-size DISTRIBUTION, which is
-    * statistically equivalent under any sound hash family, so making
-    * the declared `dedup_lsh_guard` query portable costs nothing it
-    * measures. The signature stays row-local (nested HOFs inside one
-    * projection — no token×k explode, no extra shuffle); only the
-    * bands-per-doc explode and the two grouping shuffles of the
-    * murmur3 form remain. */
+    * (VERDICT r9 next #2b): minhash components are 8-hex-char md5
+    * substrings ([[graft.expressions.Md5MinHashSig]] — fixed-width
+    * lowercase hex, so the STRING min is the numeric min and DuckDB's
+    * binary-collation `min` agrees bit for bit), and each band hash is
+    * the md5 of the f-ordered component concat. The engine's candidate
+    * path keeps murmur3 ([[minhashBanded]]); the guard only reads the
+    * bucket-size DISTRIBUTION, which is statistically equivalent under
+    * any sound hash family, so making the declared `dedup_lsh_guard`
+    * query portable costs nothing it measures. The signature is one
+    * compiled row-local pass (no token×k explode, no extra shuffle);
+    * only the bands-per-doc explode and the two grouping shuffles of
+    * the murmur3 form remain. */
   def lshGuardReportPortable(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 16,
       maxBucket: Int = 64): DataFrame = {
     require(k % bands == 0,
       s"k=$k must be divisible by bands=$bands")
     val rows = k / bands
+    import org.apache.spark.sql.graftbridge.Bridge
     val sig = df
       .select(col(idCol).cast("long").as("id"),
         shingles(col(textCol), shingleN).as("sh"))
-      .select(col("id"),
-        transform(sequence(lit(0), lit(k - 1)), f =>
-          array_min(transform(col("sh"), t =>
-            substring(md5(concat(t, lit(":"), f.cast("string"))), 1, 8))))
-          .as("sig"))
+      .select(col("id"), Bridge.column(graft.expressions.Md5MinHashSig(
+        Bridge.expression(col("sh")), k)).as("sig"))
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))))))

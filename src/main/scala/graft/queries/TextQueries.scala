@@ -1122,9 +1122,9 @@ object TextQueries {
 
   /** Replays the md5 banding relationally: per (doc, f) the min
     * component over the exploded shingle set equals the Spark side's
-    * row-local array_min (same distinct shingle list, same hash) —
-    * fixed-width lowercase hex makes MIN collation-safe in both
-    * engines. */
+    * compiled row-local fold (same distinct shingle list, same
+    * md5("tok:block") substring family) — fixed-width lowercase hex
+    * makes MIN collation-safe in both engines. */
   val qDedupLshGuardSql: String =
     """WITH sh AS (
       |  SELECT doc_id, list_sort(list_distinct(
@@ -1136,7 +1136,8 @@ object TextQueries {
       |tok AS (SELECT doc_id, unnest(s) AS tok FROM sh),
       |comp AS (
       |  SELECT doc_id, r.f AS f,
-      |    substring(md5(tok || ':' || CAST(r.f AS VARCHAR)), 1, 8) AS h
+      |    substring(md5(tok || ':' || CAST(r.f // 4 AS VARCHAR)),
+      |      (r.f % 4) * 8 + 1, 8) AS h
       |  FROM tok CROSS JOIN range(0, 32) r(f)),
       |sig AS (SELECT doc_id, f, min(h) AS minv FROM comp GROUP BY 1, 2),
       |banded AS (

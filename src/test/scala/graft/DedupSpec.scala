@@ -126,6 +126,30 @@ class DedupSpec extends SparkSpec {
     assert(rows.length === docs.length + 3)
   }
 
+  test("Md5MinHashSig matches the substring(md5(tok:block)) HOF formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.Bridge
+    val df = (docs.map { case (i, t) => (i, Option(t)) } ++
+        Seq(8L -> Some(""), 9L -> Some("one two three"), 10L -> None))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    // the oracle's definition, stated as a Column program: component
+    // f = min over tokens of substring(md5(tok:f/4), (f%4)*8+1, 8)
+    val hof = array((0 until 32).map { f =>
+      array_min(transform($"sh", t =>
+        md5(concat(t, lit(":" + (f / 4)))).substr(lit(f % 4 * 8 + 1), lit(8))))
+    }: _*)
+    val rows = df.select($"doc_id",
+        Bridge.column(graft.expressions.Md5MinHashSig(
+          Bridge.expression($"sh"), 32)).as("fast"), hof.as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Any](1) === r.getSeq[Any](2),
+        s"signature mismatch for doc ${r.getLong(0)}")
+    }
+    assert(rows.length === docs.length + 3)
+  }
+
   test("SimHashFp matches the explode + per-bit aggregate plan bit for bit") {
     import org.apache.spark.sql.functions._
     val bits = 48

@@ -40,6 +40,47 @@ class GifSpec extends AnyFunSuite {
     assert(f.head.image.pixels.toSeq === Seq[Byte](-86, -86, -86))
   }
 
+  test("LZW compression beats the uncompressed floor on repetitive content") {
+    // constant 64x64 image: real LZW collapses runs into dictionary
+    // sequences; the old CLEAR-per-literal escape hatch paid ~9 bits
+    // per pixel (4096 px -> ~4.6 KB of code stream)
+    val w = 64; val h = 64
+    val bytes = Gif.encode(w, h, grayPalette,
+      Seq((Array.fill(w * h)(7.toByte), 0)))
+    assert(bytes.length < w * h / 4,
+      s"${bytes.length} bytes for ${w * h} constant pixels — not compressing")
+    val back = Gif.decode(bytes)
+    assert(back.head.image.pixels.forall(_ == 7.toByte))
+  }
+
+  test("random 128x128 frame round-trips through the dictionary-reset path") {
+    // 16384 px of 256-color noise registers a new code nearly every
+    // pixel, exhausting the 4096-code space several times — exercising
+    // the encoder's CLEAR+reset branch and the decoder's matching one
+    val w = 128; val h = 128
+    val rnd = new scala.util.Random(11)
+    val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    val back = Gif.decode(Gif.encode(w, h, grayPalette, Seq((px, 0))))
+    for (p <- 0 until w * h)
+      assert(back.head.image.pixels(p * 3) === px(p), s"pixel $p")
+  }
+
+  test("the JDK's independent decoder reads our encoded LZW stream") {
+    val w = 31; val h = 17
+    val rnd = new scala.util.Random(9)
+    val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Gif.encode(w, h, grayPalette, Seq((px, 0)))))
+    assert(ref.getWidth === w && ref.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val expected = px(y * w + x) & 0xff
+      val argb = ref.getRGB(x, y)
+      assert(((argb >> 16) & 0xff) === expected &&
+        ((argb >> 8) & 0xff) === expected && (argb & 0xff) === expected,
+        s"pixel ($x,$y)")
+    }
+  }
+
   test("decodes EXTERNALLY-written GIFs matching the JDK decoder") {
     val files = Seq(
       "/usr/share/doc/libxslt1-dev/html/Libxslt-Logo-90x34.gif",
