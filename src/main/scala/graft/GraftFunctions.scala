@@ -78,8 +78,22 @@ object GraftFunctions {
       intArg(cs, 1, "stride_sample"))),
     "resize_nearest" -> (cs => ResizeNearest(cs.take(3),
       intArg(cs, 3, "resize_nearest"), intArg(cs, 4, "resize_nearest"))),
+    // frame_spectra(samples, frame, bins[, hop[, hann]]): hop 0/absent
+    // = non-overlapping; hann true applies the integer-exact window
     "frame_spectra" -> (cs => FrameSpectra(Seq(cs.head),
-      intArg(cs, 1, "frame_spectra"), intArg(cs, 2, "frame_spectra"))))
+      intArg(cs, 1, "frame_spectra"), intArg(cs, 2, "frame_spectra"),
+      if (cs.length > 3) intArg(cs, 3, "frame_spectra") else 0,
+      cs.length > 4 && boolArg(cs, 4, "frame_spectra"))))
+
+  /** Constant boolean argument of a SQL call. */
+  private def boolArg(cs: Seq[Expression], i: Int, fn: String): Boolean = {
+    require(cs(i).foldable, s"$fn: argument ${i + 1} must be a constant")
+    cs(i).eval(null) match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a boolean, got $other")
+    }
+  }
 
   /** Constant integer argument of a SQL call (e.g. the shingle width). */
   private def intArg(cs: Seq[Expression], i: Int, fn: String): Int = {

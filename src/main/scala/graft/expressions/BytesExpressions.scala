@@ -360,50 +360,71 @@ case class TryImageDecode(children: Seq[Expression])
 
 /** frame_spectra(samples) — framed discrete Fourier power spectra in
   * INTEGER-EXACT fixed-point arithmetic: the signal is cut into
-  * non-overlapping `frame`-sample windows and, per window, the power
-  * of the first `bins` DFT bins is computed as re² + im² where
+  * `frame`-sample windows starting every `hop` samples (hop < frame
+  * gives the standard overlapping STFT framing; hop = frame the
+  * original non-overlapping form) and, per window, the power of the
+  * first `bins` DFT bins is computed as re² + im² where
   * re = Σ s_i·twc(b,i), im = −Σ s_i·tws(b,i), with the twiddle
   * factors pre-rounded to ×2^15 integers ([[FrameSpectra.cosTable]]).
-  * Because every operation is integer, the DuckDB oracle replays the
-  * transform bit for bit by interpolating the SAME twiddle tables as
-  * SQL literals — no float-trig cross-engine drift. The fixed-point
-  * quantization is part of the operator's contract (a spectral
-  * FEATURE for audio analysis — silence detection, dominant tone,
-  * band energy — not a general FFT). The accumulators are safe for
-  * any Int samples (|re| ≤ frame·|s|·32767 < 2^58 even at
-  * frame=4096, |s|=2^31), but the SQUARING can wrap: re² fits a Long
-  * only while |s|·frame·32767 < 2^31.5 (≈1448 at frame=64, ≈22 at
-  * frame=4096 in the worst case — the b=0 bin with all samples at
-  * max reaches it exactly). Rather than reject inputs on that
-  * conservative worst case, the powers are computed with
-  * Math.multiplyExact/addExact: genuine overflow throws loudly (and
-  * NULL-quarantines under any try_* wrapper) instead of silently
-  * diverging from the oracle. 8-bit-centered audio (|s| ≤ 128) never
-  * trips it at the supported frame sizes ≤ 512; full-scale 16-bit
-  * input at large frames can, by design.
+  * With `hann = true` the periodic Hann window 0.5·(1 − cos(2πi/N))
+  * is applied with the SAME fixed-point discipline — pre-combined
+  * into the twiddle table (round(hann·cos·32767),
+  * [[FrameSpectra.hannCosTable]]) rather than multiplied per sample,
+  * so the accumulator magnitude bound and the squaring overflow
+  * analysis below are identical to the rectangular path (a separate
+  * ×2^15 window multiply would scale products by 2^30 and wrap re²
+  * at 8-bit amplitudes already). Because every operation is integer,
+  * the DuckDB oracle replays the transform bit for bit by
+  * interpolating the SAME tables as SQL literals — no float-trig
+  * cross-engine drift. The fixed-point quantization is part of the
+  * operator's contract (a spectral FEATURE for audio analysis —
+  * silence detection, dominant tone, band energy — not a general
+  * FFT). The accumulators are safe for any Int samples
+  * (|re| ≤ frame·|s|·32767 < 2^58 even at frame=4096, |s|=2^31),
+  * but the SQUARING can wrap: re² fits a Long only while
+  * |s|·frame·32767 < 2^31.5 (≈1448 at frame=64, ≈22 at frame=4096
+  * in the worst case — the b=0 bin with all samples at max reaches
+  * it exactly). Rather than reject inputs on that conservative worst
+  * case, the powers are computed with Math.multiplyExact/addExact:
+  * genuine overflow throws loudly (and NULL-quarantines under any
+  * try_* wrapper) instead of silently diverging from the oracle.
+  * 8-bit-centered audio (|s| ≤ 128) never trips it at the supported
+  * frame sizes ≤ 512; full-scale 16-bit input at large frames can,
+  * by design.
   *
   * A partial tail frame is dropped (the [[graft.operators.Multimodal
-  * .frameEnergies]] framing convention). Pure map-side; no shuffle.
+  * .frameEnergies]] framing convention): frames number
+  * (n − frame)/hop + 1 when n ≥ frame, else 0. Pure map-side; no
+  * shuffle.
   */
-case class FrameSpectra(children: Seq[Expression], frame: Int, bins: Int)
+case class FrameSpectra(children: Seq[Expression], frame: Int, bins: Int,
+    hop: Int = 0, hann: Boolean = false)
   extends Expression with CodegenFallback {
 
   require(frame >= 2 && frame <= 4096, s"frame=$frame")
   require(bins >= 1 && bins <= frame / 2, s"bins=$bins for frame=$frame")
+  require(hop >= 0 && hop <= frame, s"hop=$hop for frame=$frame")
+  /** hop = 0 (default) means non-overlapping: hop = frame. */
+  private val stride = if (hop == 0) frame else hop
 
   override def nullable: Boolean = true
   override lazy val deterministic: Boolean = true
   override def dataType: DataType =
     ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
 
-  @transient private lazy val twc = FrameSpectra.cosTable(frame, bins)
-  @transient private lazy val tws = FrameSpectra.sinTable(frame, bins)
+  @transient private lazy val twc =
+    if (hann) FrameSpectra.hannCosTable(frame, bins)
+    else FrameSpectra.cosTable(frame, bins)
+  @transient private lazy val tws =
+    if (hann) FrameSpectra.hannSinTable(frame, bins)
+    else FrameSpectra.sinTable(frame, bins)
 
   override def eval(input: InternalRow): Any = {
     val v = children.head.eval(input)
     if (v == null) return null
     val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val nFrames = a.numElements() / frame
+    val n = a.numElements()
+    val nFrames = if (n < frame) 0 else (n - frame) / stride + 1
     val out = new Array[Any](nFrames)
     var f = 0
     while (f < nFrames) {
@@ -414,7 +435,7 @@ case class FrameSpectra(children: Seq[Expression], frame: Int, bins: Int)
         var im = 0L
         var i = 0
         while (i < frame) {
-          val s = a.getInt(f * frame + i).toLong
+          val s = a.getInt(f * stride + i).toLong
           re += s * twc(b)(i)
           im -= s * tws(b)(i)
           i += 1
@@ -446,6 +467,22 @@ object FrameSpectra {
   def sinTable(frame: Int, bins: Int): Array[Array[Long]] =
     Array.tabulate(bins, frame)((b, i) =>
       math.round(math.sin(2.0 * math.Pi * b * i / frame) * 32767.0))
+
+  /** round(hann(i)·cos(2π·b·i/frame)·32767) with the periodic Hann
+    * window hann(i) = 0.5·(1 − cos(2πi/frame)) — window and twiddle
+    * pre-COMBINED before the single ×2^15 rounding so the windowed
+    * transform keeps the rectangular path's exact overflow bounds
+    * (class doc). Shared by the expression and the SQL-oracle literal
+    * generator. */
+  def hannCosTable(frame: Int, bins: Int): Array[Array[Long]] =
+    Array.tabulate(bins, frame)((b, i) =>
+      math.round(0.5 * (1.0 - math.cos(2.0 * math.Pi * i / frame)) *
+        math.cos(2.0 * math.Pi * b * i / frame) * 32767.0))
+
+  def hannSinTable(frame: Int, bins: Int): Array[Array[Long]] =
+    Array.tabulate(bins, frame)((b, i) =>
+      math.round(0.5 * (1.0 - math.cos(2.0 * math.Pi * i / frame)) *
+        math.sin(2.0 * math.Pi * b * i / frame) * 32767.0))
 }
 
 /** gif_encode(width, height, frames) — an animated GIF89a over the

@@ -487,10 +487,11 @@ object MultimodalQueries {
       |ORDER BY file""".stripMargin
 
   /** Framed DFT power spectra ([[graft.expressions.FrameSpectra]]):
-    * the real-DSP audio feature — 64-sample windows, first 8 bins,
-    * INTEGER fixed-point twiddles (×2^15) so the transform is
+    * the real-DSP STFT shape — 64-sample Hann windows OVERLAPPING at
+    * hop 32 (VERDICT r9 #7), first 8 bins, INTEGER fixed-point tables
+    * (window×twiddle pre-combined, ×2^15) so the transform is
     * bit-identical across engines: the oracle interpolates the same
-    * twiddle tables as SQL literals and replays re²+im² exactly.
+    * combined tables as SQL literals and replays re²+im² exactly.
     * Output per doc: frame count, total band power, and the dominant
     * bin of the first frame (ties → smaller bin; −1 when the signal is
     * shorter than one frame). */
@@ -500,7 +501,7 @@ object MultimodalQueries {
     val samples = transform(
       Multimodal.decode(col("text").cast("binary")), b => b - 128)
     val spec = Bridge.column(graft.expressions.FrameSpectra(
-      Seq(Bridge.expression(samples)), 64, 8))
+      Seq(Bridge.expression(samples)), 64, 8, hop = 32, hann = true))
     d.select(col("doc_id"), spec.as("sp"))
       .select(col("doc_id"),
         size(col("sp")).cast("long").as("n_frames"),
@@ -517,8 +518,11 @@ object MultimodalQueries {
   val qMmSpectrogramSql: String = {
     def lit2(t: Array[Array[Long]]): String =
       t.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
-    val c = lit2(graft.expressions.FrameSpectra.cosTable(64, 8))
-    val s = lit2(graft.expressions.FrameSpectra.sinTable(64, 8))
+    val c = lit2(graft.expressions.FrameSpectra.hannCosTable(64, 8))
+    val s = lit2(graft.expressions.FrameSpectra.hannSinTable(64, 8))
+    // frames start every hop=32 samples: frame f covers sm[f*32+1 ..
+    // f*32+64], count (n-64)//32 + 1 — same combined Hann×twiddle
+    // ×2^15 integer tables as the expression, so re/im replay exactly
     s"""WITH tw AS (SELECT $c AS tc, $s AS ts),
        |b AS (SELECT doc_id, length(text) AS n,
        |    list_transform(range(1, length(text) + 1),
@@ -526,16 +530,16 @@ object MultimodalQueries {
        |  FROM documents),
        |r AS (SELECT doc_id,
        |    CASE WHEN n >= 64 THEN
-       |      list_transform(range(0, n // 64), f ->
+       |      list_transform(range(0, (n - 64) // 32 + 1), f ->
        |        list_transform(range(0, 8), bb ->
        |          list_sum(list_transform(range(1, 65), i ->
-       |            cast(sm[f*64 + i] as bigint) * tc[bb+1][i]))))
+       |            cast(sm[f*32 + i] as bigint) * tc[bb+1][i]))))
        |    ELSE CAST([] AS BIGINT[][]) END AS rr,
        |    CASE WHEN n >= 64 THEN
-       |      list_transform(range(0, n // 64), f ->
+       |      list_transform(range(0, (n - 64) // 32 + 1), f ->
        |        list_transform(range(0, 8), bb ->
        |          list_sum(list_transform(range(1, 65), i ->
-       |            cast(sm[f*64 + i] as bigint) * ts[bb+1][i]))))
+       |            cast(sm[f*32 + i] as bigint) * ts[bb+1][i]))))
        |    ELSE CAST([] AS BIGINT[][]) END AS ii
        |  FROM b, tw),
        |sp AS (SELECT doc_id, list_transform(range(0, len(rr)), f ->

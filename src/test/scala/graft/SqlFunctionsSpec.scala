@@ -127,6 +127,41 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(sp.head(0) == 0L && sp.head(1) > 0L)
   }
 
+  test("frame_spectra overlapping Hann framing matches a direct reference") {
+    // 160 samples, frame 64, hop 32 -> (160-64)/32+1 = 4 overlapping
+    // frames; expected powers recomputed here with an independent
+    // plain-Scala loop over the SAME combined Hann×twiddle tables
+    val n = 160
+    val sig = Array.tabulate(n)(i =>
+      (100.0 * math.sin(2 * math.Pi * 3 * i / 64.0)).toInt)
+    val tc = graft.expressions.FrameSpectra.hannCosTable(64, 8)
+    val ts = graft.expressions.FrameSpectra.hannSinTable(64, 8)
+    val expected = (0 until 4).map { f =>
+      (0 until 8).map { b =>
+        var re = 0L; var im = 0L
+        for (i <- 0 until 64) {
+          re += sig(f * 32 + i) * tc(b)(i)
+          im -= sig(f * 32 + i) * ts(b)(i)
+        }
+        re * re + im * im
+      }
+    }
+    val got = spark.sql(
+      s"SELECT frame_spectra(array(${sig.mkString(",")}), 64, 8, 32, true)")
+      .head().getSeq[scala.collection.Seq[Long]](0)
+    assert(got.length == 4)
+    for (f <- 0 until 4)
+      assert(got(f) == expected(f), s"frame $f")
+    // a bin-3 sine must be dominated by bin 3 in every frame
+    for (f <- 0 until 4)
+      assert(got(f).indexOf(got(f).max) == 3, s"frame $f dominant bin")
+    // rect-window overlap: hop 2 on 6 samples of frame 4 -> 2 frames
+    val rect = spark.sql(
+      "SELECT frame_spectra(array(1, 0, -1, 0, 1, 0), 4, 2, 2)")
+      .head().getSeq[scala.collection.Seq[Long]](0)
+    assert(rect.length == 2)
+  }
+
   test("frame_spectra power overflow throws loudly instead of wrapping") {
     // full-scale 16-bit samples at frame=4096: |re| reaches
     // 4096·32767·32767 ≈ 2^42, whose square is far past Long — the
