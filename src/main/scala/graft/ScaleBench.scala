@@ -176,6 +176,62 @@ object ScaleBench {
     assert(ivfPqRecall >= 0.8,
       s"IVF-PQ+rerank recall@10 = $ivfPqRecall < 0.8 on near-dup clusters")
 
+    // --- stage 6d (north-star): IVF-PQ OPERATING CURVE — the table a
+    // 100 TB operator sizes the index from. The index is built ONCE
+    // ([[graft.operators.Ann.ivfPqBuild]], the codes frame persisted —
+    // in production it is parquet on disk) and each
+    // nprobe ∈ {1,2,4,8} × shortlist ∈ {2k,4k} point measures ONLY the
+    // serve path: probe join + ADC + exact re-rank of the shortlist.
+    // Same 100k-near-dup-cluster corpus and exact ground truth as 6b,
+    // both computed once outside the per-point timer.
+    val (ivfPqCurve, tIvfPqCurve) = timed {
+      val dim = 64
+      val rowsPq = n.toLong * n
+      val cid = col("id") % (rowsPq / 10)
+      val vec = array((0 until dim).map { d =>
+        ((hash(cid, lit(d)).cast("double") / 2147483647.0) +
+          (hash(col("id"), lit(d + 1000)).cast("double") / 2147483647.0) * 0.1)
+          .cast("float")
+      }: _*)
+      val corpus = spark.range(rowsPq)
+        .select(col("id"), vec.as("embedding"))
+        .persist()
+      val queries = corpus.filter(col("id") % 100000 === 7)
+      val (idx, tBuild) = timed {
+        val i = graft.operators.Ann.ivfPqBuild(corpus, "id", "embedding",
+          nlist = 64, m = 8, codebookK = 64, lloydIters = 1)
+        i.codes.persist().count() // materialize: serving reads codes only
+        i
+      }
+      val exact = graft.operators.Ann.l2TopK(corpus, queries,
+          "id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id")).persist()
+      val denom = exact.count()
+      val points = for {
+        nprobe <- Seq(1, 2, 4, 8)
+        shortlist <- Seq(20, 40) // 2k and 4k for k = 10
+      } yield {
+        val (rec, tServe) = timed {
+          val got = graft.operators.Ann.ivfPqServeRerank(idx, corpus,
+              queries, "id", "embedding", 10, shortlist, nprobe)
+            .select(col("query_id"), col("neighbor_id")).persist()
+          val r = got.intersect(exact).count().toDouble / denom
+          got.unpersist()
+          r
+        }
+        (nprobe, shortlist, rec, tServe)
+      }
+      idx.codes.unpersist(); exact.unpersist(); corpus.unpersist()
+      (tBuild, points)
+    }
+    // the curve must be monotone-ish: the deepest probe dominates the
+    // shallowest, and the cheapest point still finds over half
+    val curveByCfg = ivfPqCurve._2.map(p => (p._1, p._2) -> p._3).toMap
+    assert(curveByCfg(8 -> 40) >= curveByCfg(1 -> 20),
+      s"curve inverted: ${ivfPqCurve._2}")
+    assert(curveByCfg(1 -> 20) >= 0.5,
+      s"nprobe=1 recall collapsed: ${ivfPqCurve._2}")
+
     // --- stage 6c (north-star): real-codec throughput — 1M 16×16 gray
     // tiles PNG-encoded AND decoded back inside one scan stage (every
     // row exercises deflate, chunk CRCs, filters, inflate, unfilter).
@@ -921,6 +977,12 @@ object ScaleBench {
         s""""ann_1m_sec":$tAnn,"ann_rows":$annRows,""" +
         s""""ivf_recall_at_10":$ivfRecall,"ivf_1m_sec":$tIvf,""" +
         s""""ivfpq_recall_at_10":$ivfPqRecall,"ivfpq_1m_sec":$tIvfPq,""" +
+        s""""ivfpq_curve_build_sec":${ivfPqCurve._1},""" +
+        s""""ivfpq_curve_total_sec":$tIvfPqCurve,""" +
+        ivfPqCurve._2.map { case (np, sl, rec, sec) =>
+          s"""{"nprobe":$np,"shortlist":$sl,"recall_at_10":$rec,""" +
+            s""""serve_sec":$sec}"""
+        }.mkString(""""ivfpq_curve":[""", ",", "],") +
         s""""png_1m_sec":$tPng,"png_ok":${pngStats._1},""" +
         s""""prep_1m_sec":$tPrep,"prep_exact_kept":${prepStats._1},""" +
         s""""prep_contaminated":${prepStats._2},""" +

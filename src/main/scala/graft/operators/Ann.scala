@@ -343,10 +343,18 @@ object Ann {
   def ivfPqRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, shortlist: Int, nlist: Int = 8,
       nprobe: Int = 2, m: Int = 4, codebookK: Int = 16,
-      lloydIters: Int = 0): DataFrame = {
+      lloydIters: Int = 0): DataFrame =
+    ivfPqServeRerank(ivfPqBuild(corpus, idCol, vecCol, nlist, m,
+      codebookK, lloydIters), corpus, queries, idCol, vecCol, k,
+      shortlist, nprobe)
+
+  /** [[ivfPqRerankTopK]] against a prebuilt index — shortlist and
+    * nprobe are serve-time operating-point knobs. */
+  def ivfPqServeRerank(idx: IvfPqIndex, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      shortlist: Int, nprobe: Int): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist < k=$k")
-    val cand = ivfPqTopK(corpus, queries, idCol, vecCol, shortlist,
-        nlist, nprobe, m, codebookK, lloydIters)
+    val cand = ivfPqServeTopK(idx, queries, idCol, vecCol, shortlist, nprobe)
       .select(col("query_id"), col("neighbor_id"))
     def ssq(v: Column) = Bridge.column(
       graft.expressions.VecSumSq(Seq(Bridge.expression(v))))
@@ -364,9 +372,23 @@ object Ann {
         negate(col("cos_sim")).as("l2_dist"))
   }
 
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 8, nprobe: Int = 2,
-      m: Int = 4, codebookK: Int = 16, lloydIters: Int = 0): DataFrame = {
+  /** A built IVF-PQ index: the driver-sized model (coarse centroids +
+    * per-subspace residual codebooks) and the distributed code table —
+    * one (neighbor_id, cell, codes) row per corpus vector, 4 + M small
+    * ints wide. Build ONCE with [[ivfPqBuild]] (persist `codes` for
+    * repeated serving), then serve at any `nprobe`/`shortlist`
+    * operating point with [[ivfPqServeTopK]]/[[ivfPqServeRerank]] —
+    * probe depth and shortlist size are SERVE-time knobs, so sweeping
+    * the recall/latency curve (ScaleBench stage 6d) or retuning a
+    * live service never retrains. */
+  final case class IvfPqIndex(cents: Array[Array[Float]],
+      books: Array[Array[Array[Float]]], codes: DataFrame)
+
+  /** Train coarse centroids + residual codebooks and encode the corpus
+    * ([[ivfPqTopK]]'s build half, verbatim). */
+  def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 8, m: Int = 4, codebookK: Int = 16,
+      lloydIters: Int = 0): IvfPqIndex = {
     val cents = ivfCentroids(corpus, idCol, vecCol, nlist, lloydIters)
     def residual(vec: Column, cell: Column): Column =
       Bridge.column(graft.expressions.CentroidResidual(
@@ -383,6 +405,25 @@ object Ann {
     val index = resid.select(col("id").as("neighbor_id"), col("cell"),
       Bridge.column(graft.expressions.PqCodes(
         Seq(Bridge.expression(col("rvec"))), books)).as("codes"))
+    IvfPqIndex(cents, books, index)
+  }
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 8, nprobe: Int = 2,
+      m: Int = 4, codebookK: Int = 16, lloydIters: Int = 0): DataFrame =
+    ivfPqServeTopK(ivfPqBuild(corpus, idCol, vecCol, nlist, m, codebookK,
+      lloydIters), queries, idCol, vecCol, k, nprobe)
+
+  /** ADC top-k against a prebuilt index ([[ivfPqTopK]]'s serve half,
+    * verbatim): nprobe distance tables per query, one equi-join on
+    * cell id, compressed-domain scoring. */
+  def ivfPqServeTopK(idx: IvfPqIndex, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val cents = idx.cents
+    val books = idx.books
+    def residual(vec: Column, cell: Column): Column =
+      Bridge.column(graft.expressions.CentroidResidual(
+        Seq(Bridge.expression(vec), Bridge.expression(cell)), cents))
     // query side: one residual + distance table per probed cell
     val q = broadcast(queries
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
@@ -391,7 +432,7 @@ object Ann {
         Bridge.column(graft.expressions.PqDistTable(
           Seq(Bridge.expression(residual(col("qvec"), col("cell")))),
           books)).as("dt")))
-    val scored = index.join(q, Seq("cell"))
+    val scored = idx.codes.join(q, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         Bridge.column(graft.expressions.PqAdc(Seq(

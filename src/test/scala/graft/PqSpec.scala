@@ -152,6 +152,26 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("build-once index serves every operating point like the monolithic call") {
+    // ivfPqBuild + ivfPqServeRerank at (nprobe, shortlist) must equal
+    // ivfPqRerankTopK trained with identical knobs — the serve split
+    // exists so sweeping the operating curve never retrains
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    val idx = Ann.ivfPqBuild(e, "vec_id", "embedding",
+      nlist = 8, m = 4, codebookK = 16, lloydIters = 1)
+    for ((nprobe, shortlist) <- Seq((1, 10), (2, 20), (4, 20))) {
+      def key(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+      val split = key(Ann.ivfPqServeRerank(idx, e, q, "vec_id", "embedding",
+        k = 5, shortlist = shortlist, nprobe = nprobe).collect())
+      val mono = key(Ann.ivfPqRerankTopK(e, q, "vec_id", "embedding",
+        k = 5, shortlist = shortlist, nlist = 8, nprobe = nprobe,
+        m = 4, codebookK = 16, lloydIters = 1).collect())
+      assert(split.toSeq === mono.toSeq, s"nprobe=$nprobe shortlist=$shortlist")
+    }
+  }
+
   test("IVF-PQ only scores neighbors whose cell the query probes") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter(col("vec_id") < 3)
