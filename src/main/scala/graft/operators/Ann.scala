@@ -416,7 +416,17 @@ object Ann {
 
   /** ADC top-k against a prebuilt index ([[ivfPqTopK]]'s serve half,
     * verbatim): nprobe distance tables per query, one equi-join on
-    * cell id, compressed-domain scoring. */
+    * cell id, compressed-domain scoring.
+    *
+    * The probed-cell set is pushed down as an `isin` filter on the
+    * code table BEFORE the join — the filter is bounded by nlist
+    * values (≤ the centroid count, regardless of query count: the
+    * distinct-cell collect can never exceed it), so collecting it is
+    * always driver-safe, and over a cell-partitioned/parquet index it
+    * becomes partition pruning: a serve at nprobe/nlist = 2/64 reads
+    * ~3% of the 100 TB code table instead of streaming all of it into
+    * the broadcast join. Results are identical (the filter only drops
+    * rows the equi-join would drop). */
   def ivfPqServeTopK(idx: IvfPqIndex, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val cents = idx.cents
@@ -432,7 +442,11 @@ object Ann {
         Bridge.column(graft.expressions.PqDistTable(
           Seq(Bridge.expression(residual(col("qvec"), col("cell")))),
           books)).as("dt")))
-    val scored = idx.codes.join(q, Seq("cell"))
+    val probed = queries
+      .select(explode(cellsFor(cents, nprobe)(col(vecCol))).as("cell"))
+      .distinct().collect().map(_.getInt(0))
+    val scored = idx.codes.filter(col("cell").isin(probed.map(Int.box): _*))
+      .join(q, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         Bridge.column(graft.expressions.PqAdc(Seq(

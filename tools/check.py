@@ -15,8 +15,11 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+verbose = "-v" in sys.argv
 ok, bad = [], []
+import time
 for name, sql in sorted(oracle.items()):
+    t0 = time.time()
     res_path = f"{out_dir}/{name}"
     if not os.path.isdir(res_path):
         bad.append((name, "no result dir")); continue
@@ -50,6 +53,8 @@ for name, sql in sorted(oracle.items()):
             print(pd.DataFrame({"got": gs[c][m], "exp": es[c][m]}).head(3))
     else:
         ok.append(name)
+    if verbose:
+        print(f"[{time.time() - t0:7.1f}s] {name}", flush=True)
 
 # rows-only queries (no oracle)
 for d in sorted(glob.glob(f"{out_dir}/*/")):
