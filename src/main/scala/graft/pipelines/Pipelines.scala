@@ -50,15 +50,27 @@ object Pipelines {
       .agg(
         min(cfg.varCol).as("dmin"),
         max(cfg.varCol).as("dmax"),
-        Exact.fixedAvg(col(cfg.varCol), 2).as("dmean"))
+        // carry the daily mean as its exact integer pair (cent sum,
+        // count) instead of a double: the mean-of-means below
+        // quantizes it to 4 decimals by INTEGER DIVISION
+        // (s100·100 div c — the grid_anomaly discipline), NOT
+        // round(dmean, 4), because rounding a computed double at a
+        // decimal boundary is not cross-engine-stable: Spark rounds
+        // the value's shortest decimal string, DuckDB scales the
+        // binary value, and on .xxxx5-tie days they disagree by one
+        // 1e-4 unit — invisible at sf0.01 group sizes, caught by the
+        // sf0.1 gate (round 10). Both engines truncate identically
+        // (toward zero) for the div/`//` pair.
+        sum(round(col(cfg.varCol) * 100).cast("decimal(38,0)"))
+          .cast("long").as("s100"),
+        count(lit(1)).as("c"))
     daily.groupBy(col(cfg.yCol), col(cfg.xCol))
       .agg(
         count(lit(1)).as("n_days"),
         Exact.fixedAvg(col("dmin"), 2).as("tmin_mean"),
         Exact.fixedAvg(col("dmax"), 2).as("tmax_mean"),
-        // daily means are not fixed-point; quantize to 4 decimals first
-        // (deterministically, same op on the oracle side) then average
-        Exact.fixedAvg(round(col("dmean"), 4), 4).as("tmean_mean"))
+        (sum(expr("s100 * 100 div c").cast("decimal(38,0)")).cast("double") /
+          (count(lit(1)) * lit(10000.0))).as("tmean_mean"))
   }
 
   /** Pipeline 3.3: conservative (integral-preserving) regrid — source

@@ -55,13 +55,13 @@ object GridQueries {
       |    cast(date_trunc('day', ts) as date) AS day, value FROM events),
       |d AS (
       |  SELECT y, x, day, min(value) AS dmin, max(value) AS dmax,
-      |    sum(cast(round(value*100) as bigint)) / (count(*) * 100.0) AS dmean
+      |    sum(cast(round(value*100) as bigint)) AS s100, count(*) AS c
       |  FROM g GROUP BY 1, 2, 3),
       |s AS (
       |  SELECT y, x, count(*) AS n_days,
       |    sum(cast(round(dmin*100) as bigint)) / (count(*) * 100.0) AS tmin_mean,
       |    sum(cast(round(dmax*100) as bigint)) / (count(*) * 100.0) AS tmax_mean,
-      |    sum(cast(round(round(dmean,4)*10000) as bigint)) / (count(*) * 10000.0) AS tmean_mean
+      |    sum((s100 * 100) // c) / (count(*) * 10000.0) AS tmean_mean
       |  FROM d GROUP BY 1, 2)
       |SELECT y, x, cast(4*x + 2 as bigint) AS cx2, cast(6*y + 3 as bigint) AS cy4,
       |  cast(48 as bigint) AS area16, n_days, tmin_mean, tmax_mean, tmean_mean
@@ -195,13 +195,13 @@ object GridQueries {
       |    cast(date_trunc('day', ts) as date) AS day, value FROM events),
       |d AS (
       |  SELECT y, x, day, min(value) AS dmin, max(value) AS dmax,
-      |    sum(cast(round(value*100) as bigint)) / (count(*) * 100.0) AS dmean
+      |    sum(cast(round(value*100) as bigint)) AS s100, count(*) AS c
       |  FROM g GROUP BY 1, 2, 3),
       |s AS (
       |  SELECT y, x, count(*) AS n_days,
       |    sum(cast(round(dmin*100) as bigint)) / (count(*) * 100.0) AS tmin_mean,
       |    sum(cast(round(dmax*100) as bigint)) / (count(*) * 100.0) AS tmax_mean,
-      |    sum(cast(round(round(dmean,4)*10000) as bigint)) / (count(*) * 10000.0) AS tmean_mean
+      |    sum((s100 * 100) // c) / (count(*) * 10000.0) AS tmean_mean
       |  FROM d GROUP BY 1, 2)
       |SELECT y, x, cast(2*x + 1 as bigint) AS cx2, cast(4*y + 2 as bigint) AS cy2,
       |  cast(32 as bigint) AS area16, n_days, tmin_mean, tmax_mean, tmean_mean
@@ -281,13 +281,13 @@ object GridQueries {
       |    cast(date_trunc('day', ts) as date) AS day, value FROM events),
       |d AS (
       |  SELECT y, x, day, min(value) AS dmin, max(value) AS dmax,
-      |    sum(cast(round(value*100) as bigint)) / (count(*) * 100.0) AS dmean
+      |    sum(cast(round(value*100) as bigint)) AS s100, count(*) AS c
       |  FROM g GROUP BY 1, 2, 3),
       |s AS (
       |  SELECT y, x, count(*) AS n_days,
       |    sum(cast(round(dmin*100) as bigint)) / (count(*) * 100.0) AS tmin_mean,
       |    sum(cast(round(dmax*100) as bigint)) / (count(*) * 100.0) AS tmax_mean,
-      |    sum(cast(round(round(dmean,4)*10000) as bigint)) / (count(*) * 10000.0) AS tmean_mean
+      |    sum((s100 * 100) // c) / (count(*) * 10000.0) AS tmean_mean
       |  FROM d GROUP BY 1, 2)
       |SELECT y, x,
       |  cast(294 as bigint) AS area100,
