@@ -221,8 +221,23 @@ object ScaleBench {
         }
         (nprobe, shortlist, rec, tServe)
       }
+      // the persisted-serving layout: codes partitioned by cell on
+      // disk, the probe filter becomes parquet partition pruning —
+      // the knee point (nprobe=2, shortlist=2k) served from disk
+      val dir = graft.util.Scratch.dir("scale_ivfpq_index")
+        .resolve("idx").toString
+      val (_, tSave) = timed { graft.operators.Ann.ivfPqSaveIndex(idx, dir) }
+      val loaded = graft.operators.Ann.ivfPqLoadIndex(spark, dir)
+      val (diskRecall, tDisk) = timed {
+        val got = graft.operators.Ann.ivfPqServeRerank(loaded, corpus,
+            queries, "id", "embedding", 10, 20, 2)
+          .select(col("query_id"), col("neighbor_id")).persist()
+        val r = got.intersect(exact).count().toDouble / denom
+        got.unpersist()
+        r
+      }
       idx.codes.unpersist(); exact.unpersist(); corpus.unpersist()
-      (tBuild, points)
+      (tBuild, points, tSave, diskRecall, tDisk)
     }
     // the curve must be monotone-ish: the deepest probe dominates the
     // shallowest, and the cheapest point still finds over half
@@ -231,6 +246,8 @@ object ScaleBench {
       s"curve inverted: ${ivfPqCurve._2}")
     assert(curveByCfg(1 -> 20) >= 0.5,
       s"nprobe=1 recall collapsed: ${ivfPqCurve._2}")
+    assert(ivfPqCurve._4 == curveByCfg(2 -> 20),
+      s"disk-served recall ${ivfPqCurve._4} != in-memory ${curveByCfg(2 -> 20)}")
 
     // --- stage 6c (north-star): real-codec throughput — 1M 16×16 gray
     // tiles PNG-encoded AND decoded back inside one scan stage (every
@@ -979,6 +996,9 @@ object ScaleBench {
         s""""ivfpq_recall_at_10":$ivfPqRecall,"ivfpq_1m_sec":$tIvfPq,""" +
         s""""ivfpq_curve_build_sec":${ivfPqCurve._1},""" +
         s""""ivfpq_curve_total_sec":$tIvfPqCurve,""" +
+        s""""ivfpq_index_save_sec":${ivfPqCurve._3},""" +
+        s""""ivfpq_disk_serve_sec":${ivfPqCurve._5},""" +
+        s""""ivfpq_disk_recall_at_10":${ivfPqCurve._4},""" +
         ivfPqCurve._2.map { case (np, sl, rec, sec) =>
           s"""{"nprobe":$np,"shortlist":$sl,"recall_at_10":$rec,""" +
             s""""serve_sec":$sec}"""

@@ -414,6 +414,58 @@ object Ann {
     ivfPqServeTopK(ivfPqBuild(corpus, idCol, vecCol, nlist, m, codebookK,
       lloydIters), queries, idCol, vecCol, k, nprobe)
 
+  /** Persist a built index as the SERVING layout: the code table
+    * written `partitionBy("cell")` (so [[ivfPqServeTopK]]'s probed-cell
+    * `isin` filter becomes parquet PARTITION PRUNING — a serve at
+    * nprobe/nlist = 2/64 opens ~3 % of the index directories, the
+    * 100 TB read path), and the driver-sized model as two tiny long-form
+    * tables (`cents`: cell/pos/v, `books`: sub/code/pos/v). */
+  def ivfPqSaveIndex(idx: IvfPqIndex, path: String): Unit = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    idx.codes.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes")
+    idx.cents.zipWithIndex
+      .flatMap { case (v, cell) => v.zipWithIndex.map { case (x, pos) =>
+        (cell, pos, x) } }.toSeq
+      .toDF("cell", "pos", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/cents")
+    idx.books.zipWithIndex
+      .flatMap { case (book, sub) => book.zipWithIndex.flatMap {
+        case (v, code) => v.zipWithIndex.map { case (x, pos) =>
+          (sub, code, pos, x) } } }.toSeq
+      .toDF("sub", "code", "pos", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/books")
+  }
+
+  /** Load an [[ivfPqSaveIndex]] layout. The model tables are
+    * driver-sized by construction (nlist·dim and m·k·subdim floats);
+    * the code table stays a lazy partitioned scan — nothing corpus-
+    * sized touches the driver. */
+  def ivfPqLoadIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqIndex = {
+    val cRows = spark.read.parquet(s"$path/cents")
+      .select("cell", "pos", "v").collect()
+    val nlist = cRows.map(_.getInt(0)).max + 1
+    val dim = cRows.map(_.getInt(1)).max + 1
+    val cents = Array.ofDim[Float](nlist, dim)
+    cRows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getFloat(2))
+    val bRows = spark.read.parquet(s"$path/books")
+      .select("sub", "code", "pos", "v").collect()
+    val m = bRows.map(_.getInt(0)).max + 1
+    val codebookK = bRows.map(_.getInt(1)).max + 1
+    val sub = bRows.map(_.getInt(2)).max + 1
+    val books = Array.ofDim[Float](m, codebookK, sub)
+    bRows.foreach(r =>
+      books(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getFloat(3))
+    // partitionBy turned cell into a partition column (read back
+    // last + possibly re-typed); restore the build-time column layout
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("neighbor_id"), col("cell").cast("int").as("cell"),
+        col("codes"))
+    IvfPqIndex(cents, books, codes)
+  }
+
   /** ADC top-k against a prebuilt index ([[ivfPqTopK]]'s serve half,
     * verbatim): nprobe distance tables per query, one equi-join on
     * cell id, compressed-domain scoring.

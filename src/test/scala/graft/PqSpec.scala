@@ -172,6 +172,35 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("saved cell-partitioned index serves identically WITH partition pruning") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    val idx = Ann.ivfPqBuild(e, "vec_id", "embedding",
+      nlist = 8, m = 4, codebookK = 16, lloydIters = 1)
+    val dir = graft.util.Scratch.dir("pq_index").resolve("idx").toString
+    Ann.ivfPqSaveIndex(idx, dir)
+    val loaded = Ann.ivfPqLoadIndex(spark, dir)
+    assert(loaded.cents.map(_.toSeq).toSeq === idx.cents.map(_.toSeq).toSeq)
+    assert(loaded.books.map(_.map(_.toSeq).toSeq).toSeq ===
+      idx.books.map(_.map(_.toSeq).toSeq).toSeq)
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val servedDisk = Ann.ivfPqServeRerank(loaded, e, q, "vec_id",
+      "embedding", k = 5, shortlist = 20, nprobe = 2)
+    assert(key(servedDisk.collect()) ===
+      key(Ann.ivfPqServeRerank(idx, e, q, "vec_id", "embedding",
+        k = 5, shortlist = 20, nprobe = 2).collect()))
+    // the probed-cell isin filter must reach the partitioned scan as a
+    // PartitionFilter — the 100 TB serving read path opens only the
+    // probed cell directories, never the whole index
+    val adc = Ann.ivfPqServeTopK(loaded, q, "vec_id", "embedding",
+      k = 5, nprobe = 2)
+    val plan = adc.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"expected cell partition pruning in:\n${plan.take(2000)}")
+  }
+
   test("IVF-PQ only scores neighbors whose cell the query probes") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter(col("vec_id") < 3)
