@@ -1224,7 +1224,12 @@ object Hdf5 {
   private def forEachChunk(r: R, btree: Long, rank: Int, name: String)(
       f: (Seq[Long], Int, Int, Long) => Unit): Unit = {
     val keySize = 8 + 8 * (rank + 1)
-    def walk(a: Long): Unit = {
+    def walk(a: Long, depth: Int): Unit = {
+      // levels strictly decrease toward the leaves in a valid v1
+      // b-tree; crafted child pointers that cycle back to a level>0
+      // node would otherwise recurse to StackOverflowError — a
+      // VirtualMachineError NonFatal cannot quarantine
+      require(depth <= 64, s"$name: chunk btree deeper than 64 levels")
       val probe = r.window(a, 8)
       val sig = new Array[Byte](4); probe.get(sig)
       require(new String(sig, "US-ASCII") == "TREE", s"$name: bad chunk btree")
@@ -1239,10 +1244,10 @@ object Hdf5 {
         val mask = tb.getInt
         val offs = (0 to rank).map(_ => tb.getLong).init
         val child = r.offset(tb)
-        if (level > 0) walk(child) else f(offs, storedSize, mask, child)
+        if (level > 0) walk(child, depth + 1) else f(offs, storedSize, mask, child)
       }
     }
-    if (btree != Undef) walk(btree)
+    if (btree != Undef) walk(btree, 0)
   }
 
   /** Parse a filter-pipeline body (object-header message 0x000B v1/v2,
@@ -1287,13 +1292,32 @@ object Hdf5 {
   }
 
   /** Read a whole chunked dataset into row-major raw bytes. */
+  /** Overflow-checked Int product for header-claimed sizes: a crafted
+    * shape whose product wraps `.toInt` would otherwise allocate a
+    * silently-too-small (or negative) buffer. */
+  private def checkedBytes(dims: Seq[Long], elem: Int, name: String): Int = {
+    val n = dims.foldLeft(elem.toLong) { (a, d) =>
+      require(d >= 0, s"$name: negative dimension $d")
+      val p = a * d
+      require(d == 0 || (p / d == a && p <= Int.MaxValue),
+        s"$name: byte size overflows Int ($dims x $elem)")
+      p
+    }
+    n.toInt
+  }
+
   private def readChunks(r: R, btree: Long, chunkDims: Seq[Int], elem: Int,
       shape: Seq[Long], filters: Seq[(Int, Seq[Int])], name: String): Array[Byte] = {
-    val out = new Array[Byte]((shape.product * elem).toInt)
-    val fullChunk = chunkDims.map(_.toLong).product.toInt * elem
+    val out = new Array[Byte](checkedBytes(shape, elem, name))
+    val fullChunk = checkedBytes(chunkDims.map(_.toLong), elem, name)
     forEachChunk(r, btree, chunkDims.length, name) { (offs, storedSize, mask, child) =>
+      // window() clamps to the file, so a header-claimed size beyond
+      // the file is caught here BEFORE the storedSize allocation
+      val w = r.atLen(child, storedSize.toLong)
+      require(storedSize >= 0 && w.remaining() == storedSize,
+        s"$name: chunk of $storedSize bytes at $child extends past the file")
       val stored = new Array[Byte](storedSize)
-      r.atLen(child, storedSize.toLong).get(stored)
+      w.get(stored)
       val bytes = unfilterChunk(stored, mask, filters, fullChunk, elem, name)
       ndCopy(out, shape, elem, bytes, chunkDims, offs, toChunk = false)
     }
@@ -1472,15 +1496,15 @@ object Hdf5 {
 
   /** Decode a dataset's full contents via ranged reads. */
   private def readRaw(r: R, d: Dataset): ByteBuffer = {
-    val elems = (d.shape.product max 1L) * d.dtype.size
+    val elems = checkedBytes(d.shape, d.dtype.size, d.name) max d.dtype.size
     if (d.chunked != null) {
       val (btree, chunkDims, elemSize) = d.chunked
-      if (btree == Undef) ByteBuffer.wrap(new Array[Byte](elems.toInt))
+      if (btree == Undef) ByteBuffer.wrap(new Array[Byte](elems))
       else ByteBuffer.wrap(
         readChunks(r, btree, chunkDims, elemSize, d.shape, d.filters, d.name))
     } else if (d.compactBytes != null) ByteBuffer.wrap(d.compactBytes)
     else if (d.dataAddr == Undef) // never-written data: zeros
-      ByteBuffer.wrap(new Array[Byte](elems.toInt))
+      ByteBuffer.wrap(new Array[Byte](elems))
     else {
       if (d.dataSize >= 0)
         require(d.dataSize >= elems, s"${d.name}: truncated data")

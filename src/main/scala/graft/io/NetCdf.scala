@@ -179,8 +179,18 @@ object NetCdf {
     val numrecs = size()
     require(numrecs == 0, "record dimension not supported")
 
+    // Hostile-header discipline: every allocation sized from a header
+    // field is bounded by the bytes actually present BEFORE allocating.
+    // A crafted length (2^30 name, 2^62 count) must throw a catchable
+    // IllegalArgumentException, not OOM the executor — an Error kills
+    // the whole 100 TB scan task and NonFatal can't quarantine it.
+    def bounded(n: Long, what: String): Int = {
+      require(n >= 0 && n <= buf.remaining(),
+        s"$what length $n exceeds the ${buf.remaining()} bytes present")
+      n.toInt
+    }
     def name(): String = {
-      val n = size().toInt
+      val n = bounded(size(), "name")
       val b = new Array[Byte](n)
       buf.get(b)
       buf.position(buf.position() + (pad4(n).toInt - n))
@@ -192,7 +202,7 @@ object NetCdf {
       (0L until n).map { _ =>
         val k = name()
         val t = buf.getInt
-        val cnt = size().toInt
+        val cnt = bounded(size(), "attribute")
         require(t == NcChar, s"only text attributes supported (type $t)")
         val b = new Array[Byte](cnt)
         buf.get(b)
@@ -209,7 +219,12 @@ object NetCdf {
     require(varTag == 0x0B || (varTag == 0 && nVars == 0), s"var tag $varTag")
     val vars = (0L until nVars).map { _ =>
       val vn = name()
-      val nd = size().toInt
+      // each dim id consumes ≥4 bytes: a crafted count would otherwise
+      // materialize a multi-GB id vector before underflowing
+      val ndRaw = size()
+      require(ndRaw >= 0 && ndRaw <= buf.remaining() / 4,
+        s"dim-id count $ndRaw exceeds the ${buf.remaining()} bytes present")
+      val nd = ndRaw.toInt
       val dimIds = (0 until nd).map(_ => size().toInt)
       val vatts = attrList()
       val t = buf.getInt
@@ -232,8 +247,13 @@ object NetCdf {
       try { f.readFully(bytes) } finally f.close()
       try return parseMeta(ByteBuffer.wrap(bytes))
       catch {
+        // IllegalArgumentException: the hostile-header bounds in
+        // parseMeta fire against the PREFIX's remaining bytes — a
+        // valid long header must grow and re-parse; only at
+        // take == total is the bound (and any other reject) final
         case _: java.nio.BufferUnderflowException
-            | _: IndexOutOfBoundsException if take < total =>
+            | _: IndexOutOfBoundsException
+            | _: IllegalArgumentException if take < total =>
           take = math.min(total, take.toLong * 4).toInt
       }
     }
@@ -259,10 +279,29 @@ object NetCdf {
     finally f.close()
   }
 
+  /** `dims` product checked against the bytes actually present from
+    * `begin` — a crafted header claiming 2^30 elements must throw, not
+    * allocate gigabytes (see the parseMeta hostile-header note). */
+  private def checkedCount(dimSizes: Seq[Long], es: Int, begin: Long,
+      avail: Long, what: String): Int = {
+    require(dimSizes.forall(d => d >= 0 && d <= avail),
+      s"$what: dimension sizes $dimSizes out of range")
+    val n = dimSizes.foldLeft(1L) { (a, d) =>
+      val p = a * d
+      require(d == 0 || (p / d == a && p >= 0), s"$what: element count overflows")
+      p
+    }
+    require(begin >= 0 && n * es <= avail - begin,
+      s"$what: $n elements x $es bytes at offset $begin exceeds $avail file bytes")
+    n.toInt
+  }
+
   /** Whole numeric variable as doubles, via one ranged read. */
   def readVarDouble(path: String, meta: Meta, vm: VarMeta): Array[Double] = {
-    val n = vm.dimIds.map(meta.dims(_).size.toLong).product.toInt
-    decodeNumeric(ranged(path, vm.begin, n * typeSize(vm.ncType)), vm.ncType, n)
+    val es = typeSize(vm.ncType)
+    val n = checkedCount(vm.dimIds.map(meta.dims(_).size.toLong), es,
+      vm.begin, Files.size(Paths.get(path)), vm.name)
+    decodeNumeric(ranged(path, vm.begin, n * es), vm.ncType, n)
   }
 
   /** One leading-dimension slab (e.g. one time step of a (t,y,x) var)
@@ -270,11 +309,14 @@ object NetCdf {
   def readVarSlabDouble(path: String, meta: Meta, vm: VarMeta,
       slab: Int): Array[Double] = {
     require(vm.dimIds.nonEmpty, s"${vm.name}: scalar variable has no slabs")
-    val rest = vm.dimIds.tail.map(meta.dims(_).size.toLong).product.toInt
     val es = typeSize(vm.ncType)
-    decodeNumeric(
-      ranged(path, vm.begin + slab.toLong * rest * es, rest * es),
-      vm.ncType, rest)
+    val total = Files.size(Paths.get(path))
+    val rest = checkedCount(vm.dimIds.tail.map(meta.dims(_).size.toLong),
+      es, vm.begin, total, vm.name)
+    val off = vm.begin + slab.toLong * rest * es
+    require(off >= 0 && off + rest.toLong * es <= total,
+      s"${vm.name}: slab $slab at offset $off exceeds $total file bytes")
+    decodeNumeric(ranged(path, off, rest * es), vm.ncType, rest)
   }
 
   /** Read either container: classic CDF-1/2/5 or NetCDF-4 (HDF5,
@@ -284,7 +326,8 @@ object NetCdf {
     if (Hdf5.isHdf5(bytes)) return Hdf5.read(path)
     val meta = parseMeta(ByteBuffer.wrap(bytes))
     val vars = meta.varsMeta.map { vm =>
-      val n = vm.dimIds.map(meta.dims(_).size.toLong).product.toInt
+      val n = checkedCount(vm.dimIds.map(meta.dims(_).size.toLong),
+        typeSize(vm.ncType), vm.begin, bytes.length.toLong, vm.name)
       val db = ByteBuffer.wrap(bytes, vm.begin.toInt, vm.vsize.toInt)
       val data: Array[_] = vm.ncType match {
         case NcDouble => Array.fill(n)(db.getDouble)

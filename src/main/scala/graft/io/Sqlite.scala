@@ -145,6 +145,10 @@ object Sqlite {
           SqlText(v)
         case s if s >= 12 && s % 2 == 0 =>
           val n = ((s - 12) / 2).toInt
+          // copyOfRange zero-PADS past the source end, so a crafted
+          // serial type would allocate n bytes unchecked — bound first
+          require(n >= 0 && body + n.toLong <= payload.length,
+            s"blob of $n bytes at $body exceeds ${payload.length}-byte payload")
           val v = java.util.Arrays.copyOfRange(payload, body, body + n); body += n
           SqlBlob(v)
         case other => throw new IllegalArgumentException(s"serial type $other")
@@ -312,6 +316,11 @@ object Sqlite {
       * part is truncated (spec §"B-tree Pages": X/M/K thresholds for
       * table leaves). */
     def payloadOf(cellOff: Int, payLen: Int): Array[Byte] = {
+      // hostile-bytes discipline: the payload length is attacker
+      // data — bound it by the file BEFORE allocating (a crafted
+      // varint must throw, not OOM the scan task)
+      require(payLen >= 0 && payLen <= bytes.length,
+        s"payload length $payLen exceeds the ${bytes.length}-byte file")
       val x = usable - 35
       if (payLen <= x)
         return java.util.Arrays.copyOfRange(bytes, cellOff, cellOff + payLen)
@@ -322,7 +331,16 @@ object Sqlite {
       System.arraycopy(bytes, cellOff, out, 0, local)
       var next = ByteBuffer.wrap(bytes, cellOff + local, 4).getInt
       var filled = local
+      // a valid chain advances ≥ usable-4 bytes per hop; the hop bound
+      // turns a crafted CYCLIC chain (A→B→A never reaching 0, chunk
+      // pinned at 0 once filled == payLen) into a loud reject instead
+      // of an infinite loop inside the scan stage
+      val maxHops = payLen / math.max(usable - 4, 1) + 2
+      var hops = 0
       while (next != 0) {
+        hops += 1
+        require(hops <= maxHops,
+          s"overflow chain exceeds $maxHops pages (cycle?)")
         val base = (next - 1) * pageSize
         val chunk = math.min(usable - 4, payLen - filled)
         System.arraycopy(bytes, base + 4, out, filled, chunk)
@@ -333,7 +351,17 @@ object Sqlite {
       out
     }
 
-    def walk(no: Int, out: ArrayBuffer[(Long, IndexedSeq[SqlValue])]): Unit = {
+    // interior-page recursion on a crafted self/ancestor pointer would
+    // be a StackOverflowError — a VirtualMachineError that NonFatal
+    // CANNOT quarantine. Reject revisits instead.
+    val visited = scala.collection.mutable.HashSet.empty[Int]
+    def walk(no: Int, out: ArrayBuffer[(Long, IndexedSeq[SqlValue])],
+        depth: Int = 0): Unit = {
+      require(visited.add(no), s"page $no revisited (b-tree cycle)")
+      // a real table b-tree is a few levels deep even at TB sizes; a
+      // crafted linear chain of distinct interior pages would otherwise
+      // recurse to StackOverflowError before the cycle guard fires
+      require(depth <= 64, "b-tree deeper than 64 levels")
       val (base, hdr) = page(no)
       val typ = bytes(base + hdr) & 0xff
       val nCells = (((bytes(base + hdr + 3) & 0xff) << 8) |
@@ -345,10 +373,10 @@ object Sqlite {
             val off = base + ((((bytes(ptrBase + 2 * i) & 0xff) << 8) |
               (bytes(ptrBase + 2 * i + 1) & 0xff)))
             val child = ByteBuffer.wrap(bytes, off, 4).getInt
-            walk(child, out)
+            walk(child, out, depth + 1)
           }
           val rightMost = ByteBuffer.wrap(bytes, base + hdr + 8, 4).getInt
-          walk(rightMost, out)
+          walk(rightMost, out, depth + 1)
         case 0x0d =>
           val ptrBase = base + hdr + 8
           (0 until nCells).foreach { i =>

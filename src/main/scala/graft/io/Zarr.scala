@@ -162,8 +162,18 @@ object Zarr {
     inf.setInput(z)
     val out = new Array[Byte](outLen)
     var off = 0
-    while (!inf.finished() && off < outLen)
-      off += inf.inflate(out, off, outLen - off)
+    while (!inf.finished() && off < outLen) {
+      val n = inf.inflate(out, off, outLen - off)
+      // zero progress = truncated or preset-dictionary stream: throw
+      // (catchable) instead of spinning forever — the Png.inflate
+      // hostile-bytes lesson (a hang in a scan task is uncatchable)
+      if (n == 0) {
+        require(!inf.needsDictionary, "zarr chunk requires a preset dictionary")
+        require(!inf.needsInput, "truncated zarr chunk stream")
+        throw new IllegalArgumentException("stalled zarr chunk stream")
+      }
+      off += n
+    }
     inf.end()
     require(off == outLen, s"zarr chunk inflated to $off of $outLen bytes")
     out
@@ -248,7 +258,15 @@ object Zarr {
   def readChunkDouble(dir: String, am: ArrayMeta, idx: Seq[Int]): Array[Double] = {
     require(idx.length == am.shape.length, s"rank mismatch $idx vs ${am.shape}")
     val p = Paths.get(dir).resolve(am.name).resolve(idx.mkString("."))
-    val elems = am.chunks.product
+    // overflow-checked: crafted .zarray chunk dims must reject, not
+    // wrap to a negative/garbage allocation size
+    val elems = am.chunks.foldLeft(1L) { (a, d) =>
+      require(d > 0, s"${am.name}: chunk dim $d")
+      val prod = a * d
+      require(prod / d == a && prod <= Int.MaxValue / 8,
+        s"${am.name}: chunk element count overflows (${am.chunks})")
+      prod
+    }.toInt
     val rawLen = elems * NetCdf.typeSize(am.ncType)
     val bytes =
       if (!Files.exists(p)) new Array[Byte](rawLen) // missing chunk = fill

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.io.{Jpeg, Png, Wav}
+import graft.io.{Hdf5, Jpeg, NetCdf, Png, Sqlite, Wav, Zarr}
 
 /** Hostile-bytes robustness for the media codecs: random mutations of
   * valid files (and pure-random buffers) must either decode or throw a
@@ -57,5 +57,98 @@ class CodecFuzzSpec extends AnyFunSuite {
   test("WAV survives 400 hostile mutations") {
     val samples = Array.tabulate(300)(i => ((i * 131) % 30000 - 15000).toShort)
     runFuzz("wav", Wav.encode(Wav.Audio(16000, 2, samples)), Wav.decode)
+  }
+
+  // ---- container formats (path-based readers): a hostile file in a
+  // mixed grid directory must reject catchably, never hang the scan
+  // task, recurse to StackOverflowError, or OOM from a crafted
+  // header-claimed size (allocation guards added in round 10)
+
+  private def runFileFuzz(name: String, base: Array[Byte],
+      decode: String => Any, rounds: Int = 300): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(s"fuzz_$name")
+    val p = dir.resolve(s"f.$name")
+    var decoded = 0; var rejected = 0
+    for (i <- 0 until rounds) {
+      val mutated =
+        if (i % 4 == 3) {
+          if (i % 8 == 3) base.take(rnd.nextInt(base.length))
+          else Array.fill(rnd.nextInt(300) + 1)(rnd.nextInt(256).toByte)
+        } else mutate(base, 1 + rnd.nextInt(8))
+      java.nio.file.Files.write(p, mutated)
+      try { decode(p.toString); decoded += 1 }
+      catch { case scala.util.control.NonFatal(_) => rejected += 1 }
+    }
+    assert(decoded + rejected == rounds)
+    assert(rejected > 0, s"$name: no mutation was ever rejected?")
+  }
+
+  private def ncBase(write: (String, Seq[NetCdf.Dim], Seq[NetCdf.Var]) => Unit): Array[Byte] = {
+    val dir = java.nio.file.Files.createTempDirectory("fuzzbase")
+    val p = dir.resolve("base").toString
+    val dims = Seq(NetCdf.Dim("t", 3), NetCdf.Dim("y", 4), NetCdf.Dim("x", 5))
+    val vars = Seq(
+      NetCdf.Var("x", Seq(2), NetCdf.NcDouble, Seq("units" -> "m"),
+        Array.tabulate(5)(_.toDouble)),
+      NetCdf.Var("v", Seq(0, 1, 2), NetCdf.NcDouble, Nil,
+        Array.tabulate(60)(i => i / 3.0)))
+    write(p, dims, vars)
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+  }
+
+  test("NetCDF-3 survives 300 hostile mutations") {
+    runFileFuzz("nc", ncBase((p, d, v) => NetCdf.write(p, d, Nil, v)),
+      NetCdf.read)
+  }
+
+  test("HDF5 survives 300 hostile mutations") {
+    runFileFuzz("h5",
+      ncBase((p, d, v) => Hdf5.write(p, d, Nil, v, chunkDeflate = true)),
+      Hdf5.read)
+  }
+
+  test("SQLite survives 300 hostile mutations") {
+    val dir = java.nio.file.Files.createTempDirectory("fuzzbase_db")
+    val p = dir.resolve("base.db").toString
+    val rows = (1L to 40L).map(i => i -> Seq[Sqlite.SqlValue](
+      Sqlite.SqlInt(i), Sqlite.SqlText("row" + i),
+      Sqlite.SqlBlob(Array.fill(64)((i % 256).toByte))))
+    Sqlite.write(p, Seq(Sqlite.TableDef("t", "CREATE TABLE t (a, b, c)", rows)))
+    runFileFuzz("db",
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+      path => Sqlite.readTable(path, "t"))
+  }
+
+  test("Zarr chunk + metadata survive 300 hostile mutations") {
+    // mutate BOTH the .zarray JSON (crafted shapes/dtypes) and the
+    // compressed chunk files (stalls, truncations, bombs)
+    val dir = java.nio.file.Files.createTempDirectory("fuzz_zarr")
+    val p = dir.resolve("store").toString
+    val dims = Seq(NetCdf.Dim("t", 3), NetCdf.Dim("y", 4), NetCdf.Dim("x", 5))
+    val vars = Seq(NetCdf.Var("v", Seq(0, 1, 2), NetCdf.NcDouble, Nil,
+      Array.tabulate(60)(i => i / 3.0)))
+    Zarr.write(p, dims, Nil, vars, compress = true, chunk0 = 2)
+    val store = java.nio.file.Paths.get(p)
+    val targets = java.nio.file.Files.walk(store).iterator()
+    val files = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+    while (targets.hasNext) {
+      val f = targets.next()
+      if (java.nio.file.Files.isRegularFile(f)) files += f
+    }
+    var decoded = 0; var rejected = 0
+    for (i <- 0 until 300) {
+      val victim = files(rnd.nextInt(files.length))
+      val orig = java.nio.file.Files.readAllBytes(victim)
+      val mutated =
+        if (orig.length == 0) Array.fill(8)(rnd.nextInt(256).toByte)
+        else if (i % 4 == 3) orig.take(rnd.nextInt(orig.length))
+        else mutate(orig, 1 + rnd.nextInt(6))
+      java.nio.file.Files.write(victim, mutated)
+      try { Zarr.read(p); decoded += 1 }
+      catch { case scala.util.control.NonFatal(_) => rejected += 1 }
+      finally java.nio.file.Files.write(victim, orig) // restore
+    }
+    assert(decoded + rejected == 300)
+    assert(rejected > 0, "zarr: no mutation was ever rejected?")
   }
 }
