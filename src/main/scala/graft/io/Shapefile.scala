@@ -236,6 +236,10 @@ object Shapefile {
       shp.order(ByteOrder.BIG_ENDIAN)
       shp.getInt // record number
       val contentWords = shp.getInt
+      // hostile-bytes: a crafted negative/zero length would move the
+      // cursor BACKWARD (or pin it) and loop forever inside the scan
+      require(contentWords >= 2,
+        s"shp record content length $contentWords words")
       val end = shp.position() + contentWords * 2
       shp.order(ByteOrder.LITTLE_ENDIAN)
       val shapeType = shp.getInt
@@ -257,7 +261,11 @@ object Shapefile {
       shp.position(end)
     }
 
-    // --- dbf records → rows
+    // --- dbf records → rows (bounds before the loop: a crafted count
+    // with recordSize 0 would otherwise build rows until OOM)
+    require(nRecords >= 0 && recordSize >= 1 &&
+      headerSize.toLong + nRecords.toLong * recordSize <= dbf.capacity() + 1,
+      s"dbf claims $nRecords x $recordSize-byte records beyond ${dbf.capacity()} bytes")
     val rows = (0 until nRecords).map { i =>
       var pos = headerSize + i * recordSize + 1 // skip deletion flag
       val vals = fields.map { f =>

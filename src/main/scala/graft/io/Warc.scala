@@ -1,6 +1,6 @@
 package graft.io
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, EOFException}
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths}
 import java.util.zip.GZIPInputStream
@@ -195,6 +195,10 @@ object Warc {
         if (c < 0) return null
         while (c >= 0 && c != '\n') {
           if (c != '\r') buf.write(c)
+          // real WARC headers are tiny; without a cap a gzip bomb
+          // expanding to endless newline-free bytes buffers until OOM
+          require(buf.size <= (1 << 16),
+            s"WARC header line exceeds 64 KiB in $label")
           c = in.read()
         }
         new String(buf.toByteArray, UTF_8)
@@ -224,11 +228,23 @@ object Warc {
         require(len >= 0, "missing Content-Length")
         require(len <= Int.MaxValue, s"WARC record too large: $len")
         require(rtype != null, "missing WARC-Type")
-        val payload = new Array[Byte](len.toInt)
-        try in.readFully(payload)
-        catch { case _: EOFException =>
-          throw new IllegalStateException(s"truncated WARC payload in $label") }
-        Row(uri, date, rtype, new String(payload, UTF_8))
+        // read INCREMENTALLY up to the claimed length: a crafted
+        // Content-Length must not allocate gigabytes up front — the
+        // buffer grows only with bytes the stream actually delivers,
+        // and a short stream rejects at the actual truncation point
+        val acc = new java.io.ByteArrayOutputStream(
+          math.min(len, 1L << 16).toInt)
+        val chunk = new Array[Byte](1 << 16)
+        var remaining = len
+        while (remaining > 0) {
+          val n = in.read(chunk, 0,
+            math.min(chunk.length.toLong, remaining).toInt)
+          if (n < 0)
+            throw new IllegalStateException(s"truncated WARC payload in $label")
+          acc.write(chunk, 0, n)
+          remaining -= n
+        }
+        Row(uri, date, rtype, new String(acc.toByteArray, UTF_8))
       }
     }
   }

@@ -119,6 +119,62 @@ class CodecFuzzSpec extends AnyFunSuite {
       path => Sqlite.readTable(path, "t"))
   }
 
+  test("WARC survives 300 hostile mutations (raw stream)") {
+    // build a small valid uncompressed WARC stream via the writer's
+    // record layout, then mutate; the reader must reject or parse —
+    // never loop on a backward cursor or alloc a crafted length
+    val rec = (i: Int) =>
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x/$i\r\n" +
+        s"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: 11\r\n\r\n" +
+        "hello world\r\n\r\n").getBytes("UTF-8")
+    val base = (0 until 5).flatMap(i => rec(i).toSeq).toArray
+    var decoded = 0; var rejected = 0
+    for (i <- 0 until 300) {
+      val mutated =
+        if (i % 4 == 3) base.take(rnd.nextInt(base.length))
+        else mutate(base, 1 + rnd.nextInt(8))
+      try {
+        graft.io.Warc.records(
+          new java.io.ByteArrayInputStream(mutated), gzipped = false,
+          label = "fuzz").foreach(_ => ())
+        decoded += 1
+      } catch { case scala.util.control.NonFatal(_) => rejected += 1 }
+    }
+    assert(decoded + rejected == 300)
+    assert(rejected > 0, "warc: no mutation was ever rejected?")
+  }
+
+  test("Shapefile survives 300 hostile mutations (.shp and .dbf)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("fuzz_shp")
+    val basePath = dir.resolve("layer").toString
+    val df = spark.range(6).select(col("id"),
+      graft.geom.st.makeBox(col("id").cast("double"), lit(0.0),
+        col("id").cast("double") + lit(1.0), lit(1.0)).as("geom"))
+    graft.io.Shapefile.write(df, "geom", basePath)
+    val shp = java.nio.file.Paths.get(basePath + ".shp")
+    val dbf = java.nio.file.Paths.get(basePath + ".dbf")
+    val origShp = java.nio.file.Files.readAllBytes(shp)
+    val origDbf = java.nio.file.Files.readAllBytes(dbf)
+    var decoded = 0; var rejected = 0
+    for (i <- 0 until 300) {
+      val (victim, orig) = if (i % 2 == 0) (shp, origShp) else (dbf, origDbf)
+      val mutated =
+        if (i % 4 == 3) orig.take(rnd.nextInt(orig.length))
+        else mutate(orig, 1 + rnd.nextInt(8))
+      java.nio.file.Files.write(victim, mutated)
+      try {
+        graft.io.Shapefile.read(spark, basePath).collect()
+        decoded += 1
+      } catch { case scala.util.control.NonFatal(_) => rejected += 1 }
+      finally java.nio.file.Files.write(victim, orig)
+    }
+    assert(decoded + rejected == 300)
+    assert(rejected > 0, "shp: no mutation was ever rejected?")
+  }
+
   test("Zarr chunk + metadata survive 300 hostile mutations") {
     // mutate BOTH the .zarray JSON (crafted shapes/dtypes) and the
     // compressed chunk files (stalls, truncations, bombs)
