@@ -672,6 +672,9 @@ object Hdf5 {
     var szOff = 8
     var szLen = 8
     private val fileLen = file.length()
+    /** Upper bound for any header-claimed decompressed size (see
+      * [[Hdf5.checkedBytes]]): ~1032x is deflate's maximum ratio. */
+    def maxClaim: Long = fileLen * 1100L + (1L << 20)
     def window(addr: Long, len: Long): ByteBuffer = {
       val n = math.max(math.min(len, fileLen - (base + addr)), 0L).toInt
       val b = new Array[Byte](n)
@@ -1294,22 +1297,32 @@ object Hdf5 {
   /** Read a whole chunked dataset into row-major raw bytes. */
   /** Overflow-checked Int product for header-claimed sizes: a crafted
     * shape whose product wraps `.toInt` would otherwise allocate a
-    * silently-too-small (or negative) buffer. */
-  private def checkedBytes(dims: Seq[Long], elem: Int, name: String): Int = {
+    * silently-too-small (or negative) buffer. `maxBytes` additionally
+    * bounds the claim by what the FILE could possibly hold — deflate
+    * expands at most ~1032×, so a dataset cannot decompress to more
+    * than ~1100× the stored bytes (documented limitation: a sparse
+    * dataset whose unwritten extent exceeds that rejects too; this
+    * writer never produces one). Without it a 2^30-element claim
+    * passes the Int check and OOMs the scan task under heap pressure —
+    * found by CodecFuzzSpec under the full-suite heap. */
+  private def checkedBytes(dims: Seq[Long], elem: Int, name: String,
+      maxBytes: Long): Int = {
+    val cap = math.min(Int.MaxValue.toLong, maxBytes)
     val n = dims.foldLeft(elem.toLong) { (a, d) =>
       require(d >= 0, s"$name: negative dimension $d")
       val p = a * d
-      require(d == 0 || (p / d == a && p <= Int.MaxValue),
-        s"$name: byte size overflows Int ($dims x $elem)")
+      require(d == 0 || (p / d == a && p <= cap),
+        s"$name: claimed byte size ($dims x $elem) exceeds $cap")
       p
     }
+    require(n <= cap, s"$name: claimed byte size $n exceeds $cap")
     n.toInt
   }
 
   private def readChunks(r: R, btree: Long, chunkDims: Seq[Int], elem: Int,
       shape: Seq[Long], filters: Seq[(Int, Seq[Int])], name: String): Array[Byte] = {
-    val out = new Array[Byte](checkedBytes(shape, elem, name))
-    val fullChunk = checkedBytes(chunkDims.map(_.toLong), elem, name)
+    val out = new Array[Byte](checkedBytes(shape, elem, name, r.maxClaim))
+    val fullChunk = checkedBytes(chunkDims.map(_.toLong), elem, name, r.maxClaim)
     forEachChunk(r, btree, chunkDims.length, name) { (offs, storedSize, mask, child) =>
       // window() clamps to the file, so a header-claimed size beyond
       // the file is caught here BEFORE the storedSize allocation
@@ -1496,7 +1509,7 @@ object Hdf5 {
 
   /** Decode a dataset's full contents via ranged reads. */
   private def readRaw(r: R, d: Dataset): ByteBuffer = {
-    val elems = checkedBytes(d.shape, d.dtype.size, d.name) max d.dtype.size
+    val elems = checkedBytes(d.shape, d.dtype.size, d.name, r.maxClaim) max d.dtype.size
     if (d.chunked != null) {
       val (btree, chunkDims, elemSize) = d.chunked
       if (btree == Undef) ByteBuffer.wrap(new Array[Byte](elems))

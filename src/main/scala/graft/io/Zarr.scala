@@ -260,11 +260,14 @@ object Zarr {
     val p = Paths.get(dir).resolve(am.name).resolve(idx.mkString("."))
     // overflow-checked: crafted .zarray chunk dims must reject, not
     // wrap to a negative/garbage allocation size
+    // one chunk is the IO unit — cap it at 64M elements (512 MB of
+    // doubles): a crafted .zarray otherwise demands a multi-GB
+    // zero-fill for a MISSING chunk, an allocation no file bounds
     val elems = am.chunks.foldLeft(1L) { (a, d) =>
       require(d > 0, s"${am.name}: chunk dim $d")
       val prod = a * d
-      require(prod / d == a && prod <= Int.MaxValue / 8,
-        s"${am.name}: chunk element count overflows (${am.chunks})")
+      require(prod / d == a && prod <= (1L << 26),
+        s"${am.name}: chunk of ${am.chunks} elements exceeds the 2^26 cap")
       prod
     }.toInt
     val rawLen = elems * NetCdf.typeSize(am.ncType)
