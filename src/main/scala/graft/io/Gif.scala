@@ -348,9 +348,9 @@ object Gif {
   private final class LzwEncState {
     val keys = new Array[Int](8192)
     val vals = new Array[Int](8192)
-    val gens = new Array[Int](8192)
-    var gen = 0
-    def clearDict(): Unit = gen += 1
+    val gens = new Array[Long](8192)
+    var gen = 0L
+    def clearDict(): Unit = gen += 1 // Long: an Int counter wraps after 2^31 CLEARs on one long-lived thread and stale slots would silently match
     /** code of `key`, or -(slot+1) where it should be inserted. */
     def find(key: Int): Int = {
       var i = (key * -1640531527) >>> 19 // Fibonacci hash → 13 bits

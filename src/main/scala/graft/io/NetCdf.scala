@@ -286,12 +286,19 @@ object NetCdf {
       avail: Long, what: String): Int = {
     require(dimSizes.forall(d => d >= 0 && d <= avail),
       s"$what: dimension sizes $dimSizes out of range")
+    // Cap each partial product at what could possibly fit in the file:
+    // checking only "the product fits in a Long" is not enough, because
+    // n up to ~2e18 makes n * es wrap negative and n.toInt wrap to an
+    // arbitrary small value (the exact OOM class this guard targets).
+    require(begin >= 0 && begin <= avail, s"$what: begin $begin out of range")
+    val maxN = math.min((Int.MaxValue / es).toLong, (avail - begin) / es)
     val n = dimSizes.foldLeft(1L) { (a, d) =>
       val p = a * d
-      require(d == 0 || (p / d == a && p >= 0), s"$what: element count overflows")
+      require(d == 0 || (p / d == a && p >= 0 && p <= maxN),
+        s"$what: element count exceeds $maxN elements presentable in $avail file bytes")
       p
     }
-    require(begin >= 0 && n * es <= avail - begin,
+    require(n <= maxN,
       s"$what: $n elements x $es bytes at offset $begin exceeds $avail file bytes")
     n.toInt
   }

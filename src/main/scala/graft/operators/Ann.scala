@@ -486,17 +486,22 @@ object Ann {
     def residual(vec: Column, cell: Column): Column =
       Bridge.column(graft.expressions.CentroidResidual(
         Seq(Bridge.expression(vec), Bridge.expression(cell)), cents))
-    // query side: one residual + distance table per probed cell
-    val q = broadcast(queries
+    // query side: one residual + distance table per probed cell.
+    // Materialize the cell assignment ONCE (eager localCheckpoint) and
+    // derive BOTH the probed-cell pushdown set and the broadcast side
+    // from it — a non-deterministic `queries` plan (sample/rand
+    // upstream) re-executed twice could otherwise probe cells the isin
+    // filter already dropped, silently losing candidates.
+    val assigned = queries
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qvec"))
       .withColumn("cell", explode(cellsFor(cents, nprobe)(col("qvec"))))
+      .localCheckpoint(true)
+    val q = broadcast(assigned
       .select(col("query_id"), col("cell"),
         Bridge.column(graft.expressions.PqDistTable(
           Seq(Bridge.expression(residual(col("qvec"), col("cell")))),
           books)).as("dt")))
-    val probed = queries
-      .select(explode(cellsFor(cents, nprobe)(col(vecCol))).as("cell"))
-      .distinct().collect().map(_.getInt(0))
+    val probed = assigned.select("cell").distinct().collect().map(_.getInt(0))
     val scored = idx.codes.filter(col("cell").isin(probed.map(Int.box): _*))
       .join(q, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))

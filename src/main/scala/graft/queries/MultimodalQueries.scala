@@ -478,13 +478,23 @@ object MultimodalQueries {
 
   /** The golden fixture IS the oracle: per-file expected values
     * produced by [[graft.tools.GenJpegFixture]] (ImageIO-cross-checked
-    * at generation). DuckDB reads the checked-in parquet directly. */
-  val qMmJpegDecodeSql: String =
-    """SELECT file, decoded, width, height, channels, checksum,
-      |  pixel_hash
-      |FROM read_parquet(
-      |  '/root/repo/src/test/resources/fixtures/jpeg_expected.parquet')
-      |ORDER BY file""".stripMargin
+    * at generation). DuckDB reads the checked-in parquet directly.
+    * The path is resolved when the SQL is dumped — repo-relative from
+    * the JVM's cwd (sbt runs from the repo root), overridable with
+    * `-Dgraft.fixtures.dir=` — so the oracle survives a checkout at
+    * any location (ADVICE r10). */
+  lazy val qMmJpegDecodeSql: String = {
+    val rel = "src/test/resources/fixtures/jpeg_expected.parquet"
+    val f = sys.props.get("graft.fixtures.dir")
+      .map(d => new java.io.File(d, "jpeg_expected.parquet"))
+      .getOrElse(new java.io.File(rel))
+    require(f.isFile, s"jpeg fixture not found at ${f.getAbsolutePath} — " +
+      "run from the repo root or set -Dgraft.fixtures.dir")
+    s"""SELECT file, decoded, width, height, channels, checksum,
+       |  pixel_hash
+       |FROM read_parquet('${f.getCanonicalPath}')
+       |ORDER BY file""".stripMargin
+  }
 
   /** Framed DFT power spectra ([[graft.expressions.FrameSpectra]]):
     * the real-DSP STFT shape — 64-sample Hann windows OVERLAPPING at

@@ -254,4 +254,37 @@ class NetCdfSpec extends AnyFunSuite {
         Seq(Var("v", Seq(0), NcDouble, Nil, Array(1.0))))
     }
   }
+
+  test("crafted dims whose product x 8 wraps Long are rejected, not allocated") {
+    // ADVICE r10: dims each <= file size pass the per-dim bound, the
+    // product n fits a Long, but n * es wraps negative so the old
+    // `n * es <= avail - begin` check passed and `n.toInt` wrapped to
+    // an arbitrary 32-bit allocation size. Three 1,200,000-sized dims
+    // in a ~1.3 MB file reproduce it exactly: n = 1.728e18,
+    // n * 8 = 1.38e19 > Long.MaxValue.
+    val path = tmp("wrap.nc")
+    NetCdf.write(path,
+      dims = Seq(Dim("t", 3), Dim("y", 4), Dim("x", 5), Dim("p", 1300000)),
+      globalAttrs = Nil,
+      vars = Seq(
+        Var("v", Seq(0, 1, 2), NcDouble, Nil, Array.tabulate(60)(_ / 3.0)),
+        Var("pad", Seq(3), NcChar, Nil, Array.fill[Byte](1300000)(7))))
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    // CDF-1 header: magic(4) numrecs(4) dimTag(4) nDims(4), then per
+    // 1-char-named dim: namelen(4) + padded name(4) + size(4) = 12.
+    def i32(off: Int): Int =
+      ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+        ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+    def put32(off: Int, v: Int): Unit = {
+      bytes(off) = (v >>> 24).toByte; bytes(off + 1) = (v >>> 16).toByte
+      bytes(off + 2) = (v >>> 8).toByte; bytes(off + 3) = v.toByte
+    }
+    assert(Seq(i32(24), i32(36), i32(48)) == Seq(3, 4, 5),
+      "header layout drifted — fix the patch offsets")
+    Seq(24, 36, 48).foreach(put32(_, 1200000))
+    val hostile = tmp("wrap_hostile.nc")
+    Files.write(java.nio.file.Paths.get(hostile), bytes)
+    val e = intercept[IllegalArgumentException](NetCdf.read(hostile))
+    assert(e.getMessage.contains("element count"), e.getMessage)
+  }
 }
