@@ -441,21 +441,17 @@ object StreamingQueries {
     spark.table(name).orderBy("doc_id", "corpus_id")
   }
 
+  /** Both orientations of [[TextQueries.invertedJaccardCtesSql]]'s
+    * unordered candidate pairs — the banded exact form (VERDICT r10
+    * #1), value-identical to the old quadratic oracle. */
   val qStreamNearDupSql: String =
-    """WITH sh AS (
-      |  SELECT doc_id, list_sort(list_distinct(
-      |    list_transform(range(1, greatest(len(toks) - 3, 0) + 2),
-      |      i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS s
-      |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-      |        FROM documents))
-      |SELECT a.doc_id AS doc_id, b.doc_id AS corpus_id,
-      |  round(len(list_intersect(a.s, b.s)) /
-      |    greatest(len(list_distinct(list_concat(a.s, b.s))), 1)::DOUBLE, 6) AS jaccard
-      |FROM sh a, sh b WHERE a.doc_id <> b.doc_id
-      |  AND len(a.s) >= 0.5 * len(b.s) AND len(b.s) >= 0.5 * len(a.s)
-      |  AND len(list_intersect(a.s, b.s)) /
-      |    greatest(len(list_distinct(list_concat(a.s, b.s))), 1)::DOUBLE >= 0.5
-      |ORDER BY 1, 2""".stripMargin
+    "WITH " + TextQueries.invertedJaccardCtesSql + """
+      |SELECT doc_id, corpus_id, round(jac, 6) AS jaccard FROM (
+      |  SELECT ia AS doc_id, ib AS corpus_id,
+      |    inter / greatest(na + nb - inter, 1)::DOUBLE AS jac FROM jp
+      |  UNION ALL
+      |  SELECT ib, ia, inter / greatest(na + nb - inter, 1)::DOUBLE FROM jp)
+      |WHERE jac >= 0.5 ORDER BY 1, 2""".stripMargin
 
   val qStreamDedup: Q = (spark, dir) => {
     val dedup = eventsStream(spark, dir)

@@ -176,12 +176,16 @@ object TrainPrepQueries {
        |      i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS s
        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
        |        FROM exact WHERE keep_exact)),
+       |ex AS (SELECT doc_id, len(s) AS ns, unnest(s) AS g FROM sh),
        |dups AS (
-       |  SELECT DISTINCT b.doc_id FROM sh a, sh b
-       |  WHERE a.doc_id < b.doc_id
-       |    AND len(a.s) >= 0.5*len(b.s) AND len(b.s) >= 0.5*len(a.s)
-       |    AND len(list_intersect(a.s, b.s)) /
-       |      greatest(len(list_distinct(list_concat(a.s, b.s))), 1)::DOUBLE >= 0.5)
+       |  SELECT DISTINCT ib AS doc_id FROM (
+       |    SELECT b.doc_id AS ib, any_value(a.ns) AS na,
+       |      any_value(b.ns) AS nb, count(*) AS inter
+       |    FROM ex a JOIN ex b ON a.g = b.g
+       |    WHERE a.doc_id < b.doc_id
+       |      AND a.ns >= 0.5 * b.ns AND b.ns >= 0.5 * a.ns
+       |    GROUP BY a.doc_id, b.doc_id)
+       |  WHERE inter / greatest(na + nb - inter, 1)::DOUBLE >= 0.5)
        |SELECT f.doc_id, f.lang_pred, f.keep_quality,
        |  coalesce(e.keep_exact, false) AS keep_exact,
        |  (coalesce(e.keep_exact, false) AND d.doc_id IS NULL) AS kept
