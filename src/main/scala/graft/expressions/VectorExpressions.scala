@@ -492,3 +492,83 @@ case class CentroidResidual(children: Seq[Expression],
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(children = c)
   override def prettyName: String = "centroid_residual"
 }
+
+/** seed_argmax(vec) — the seed id whose vector has the highest cosine
+  * similarity to `vec`, replicating [[graft.operators.Ann]]'s
+  * assignment contract BIT-FOR-BIT: per seed,
+  * `VecDot(v,s) / (sqrt(VecSumSq(v)) * sqrt(VecSumSq(s)))` with the
+  * same sequential double accumulation, compared with
+  * `java.lang.Double.compare` (the [[TopKByScore]] total order) and
+  * ties to the SMALLER seed id. Exists because the former formulation
+  * — crossJoin against a broadcast seed frame, then a groupBy(id)
+  * top-1 — shuffled corpus×seeds scored rows (64M at the 1M-vector /
+  * 64-seed ScaleBench point) where a row-local argmax shuffles
+  * nothing. NULL on a null vector or a seed-dimension mismatch, like
+  * the cosine chain it replaces. */
+case class SeedArgmax(children: Seq[Expression],
+    seedIds: Array[Long], seeds: Array[Array[Float]])
+  extends Expression with CodegenFallback {
+
+  require(seeds.nonEmpty && seedIds.length == seeds.length, "seed model")
+  // ties keep the first-seen seed, so ascending ids ARE the
+  // smaller-id tie-break — enforce the precondition
+  require(seedIds.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+    "seedIds must be strictly ascending")
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    children.head.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${t.simpleString}")
+    }
+
+  // sqrt(VecSumSq(seed)) once per seed — the identical value the
+  // Column chain computed per pair
+  @transient private lazy val seedNorm: Array[Double] = seeds.map { s =>
+    var ss = 0.0
+    var i = 0
+    while (i < s.length) { ss += s(i).toDouble * s(i).toDouble; i += 1 }
+    math.sqrt(ss)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = children(0).eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var ssv = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      ssv += x * x
+      i += 1
+    }
+    val nv = math.sqrt(ssv)
+    var best = -1
+    var bs = 0.0
+    var c = 0
+    while (c < seeds.length) {
+      val s = seeds(c)
+      if (s.length == n) { // mismatch -> null score -> skipped, as before
+        var dot = 0.0
+        var j = 0
+        while (j < n) { dot += a.getFloat(j).toDouble * s(j).toDouble; j += 1 }
+        val score = dot / (nv * seedNorm(c))
+        if (best < 0 || java.lang.Double.compare(score, bs) > 0) {
+          best = c; bs = score
+        } // equal -> keep earlier (smaller) seed id
+      }
+      c += 1
+    }
+    if (best < 0) null else seedIds(best)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(children = c)
+  override def prettyName: String = "seed_argmax"
+}

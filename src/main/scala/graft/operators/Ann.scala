@@ -601,18 +601,27 @@ object Ann {
   /** Shared assignment stage: nearest-of-numSeeds smallest-id seed
     * vectors by cosine, ties to the smaller seed id. Returns
     * (id, v, cluster), persisted — both the pairing stage and the
-    * verdict join reuse it. */
+    * verdict join reuse it.
+    *
+    * The seed model (≤ numSeeds vectors, bounded by the caller) is
+    * collected once and the assignment runs as the row-local compiled
+    * [[graft.expressions.SeedArgmax]] — the former crossJoin +
+    * groupBy(id) top-1 shuffled corpus×seeds scored rows (64M at the
+    * ScaleBench 1M/64 point) plus a corpus-sized re-join, all for a
+    * per-row argmax. Output is bit-identical: SeedArgmax replicates
+    * the exact VecDot/VecSumSq cosine arithmetic and the TopKByScore
+    * Double.compare/smaller-id total order. */
   private def assignToSeeds(corpus: DataFrame, idCol: String,
       vecCol: String, numSeeds: Int): DataFrame = {
     val ids = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seeds = broadcast(ids.filter(col("id") < numSeeds)
-      .select(col("id").as("sid"), col("v").as("sv")))
-    val asg = ids.crossJoin(seeds)
-      .select(col("id"), cosine(col("v"), col("sv")).as("c"), col("sid"))
-      .groupBy("id").agg(topK(col("c"), col("sid"), 1).as("top"))
-      .select(col("id"), col("top").getItem(0).getField("neighbor_id").as("cluster"))
-    ids.join(asg, "id")
+    val seedRows = ids.filter(col("id") < numSeeds).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val cluster = Bridge.column(graft.expressions.SeedArgmax(
+      Seq(Bridge.expression(col("v"))),
+      seedRows.map(_._1), seedRows.map(_._2)))
+    ids.select(col("id"), col("v"), cluster.as("cluster"))
   }
 
   private def keepVerdict(withC: DataFrame, dropped: DataFrame): DataFrame =
