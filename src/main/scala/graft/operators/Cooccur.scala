@@ -51,7 +51,15 @@ object Cooccur {
     val uc = toks.select(explode(col("ts")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("n_t"))
     val tot = uc.agg(sum("n_t").cast(dec).as("n"))
-    pc.join(uc.select(col("t").as("a"), col("n_t").as("n_a")), "a")
+    // the ranking key (n_ab desc, a, b) is fully known BEFORE the
+    // unigram joins, so take the top-k first (a TakeOrdered over the
+    // grouped pairs) and join only those `topK` winners to the
+    // vocabulary counts — the former order joined every distinct pair
+    // (~30M at the 1M-doc scale point) through two string-keyed joins
+    // just to throw all but k rows away
+    val top = pc.orderBy(col("n_ab").desc, col("a"), col("b")).limit(topK)
+    broadcast(top)
+      .join(uc.select(col("t").as("a"), col("n_t").as("n_a")), "a")
       .join(uc.select(col("t").as("b"), col("n_t").as("n_b")), "b")
       .crossJoin(broadcast(tot))
       .withColumn("ratio_ppm", expr(
@@ -60,6 +68,5 @@ object Cooccur {
       .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
         col("ratio_ppm"))
       .orderBy(col("n_ab").desc, col("a"), col("b"))
-      .limit(topK)
   }
 }

@@ -530,10 +530,16 @@ object Dedup {
     // selects re-executes the (expensive, un-persisted) pair-generation
     // subtree once per branch, doubling candidate-join work before the
     // loop even starts
+    // persisted PRE-PARTITIONED on dst: every round's neighbor-min join
+    // keys edges on dst, so a cached hash layout makes that join
+    // shuffle-free on the edge side (the cached InMemoryTableScan
+    // preserves outputPartitioning) — without it each non-broadcast
+    // round re-shuffled the full edge list
     val edges = pairs.select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // only edge-touched vertices can change label — iterate over those
     // and re-attach the (typically vast) untouched remainder at the end.
@@ -574,9 +580,28 @@ object Dedup {
     // then cost one cached edge scan instead of two full shuffle joins.
     // The threshold is a row COUNT known exactly from the prior round's
     // convergence check, not a guess, so the adaptive switch is safe at
-    // any data scale (early wide rounds keep shuffle joins).
-    val broadcastBelow = 200000L
+    // any data scale (early wide rounds keep shuffle joins). Wide
+    // frontiers deliberately do NOT broadcast: the frontier is a
+    // filter of the id-partitioned cached labels and the edge cache is
+    // dst-partitioned, so the wide neighbor-min join is already
+    // co-partitioned and exchange-free — building a multi-hundred-MB
+    // broadcast relation per round would cost more than it saves.
+    // The early-jump trigger is a SEPARATE knob: it fires on wide
+    // frontiers (long chains still propagating), and must not move
+    // when the broadcast budget does.
+    val broadcastBelow = 10000L
+    val jumpWhenWider = 200000L
+    // below this frontier size the loop switches to the driver-delta
+    // finish (the `else` branch): the wide DataFrame rounds stop and
+    // the tail of convergence runs over the provably-affectable set.
+    // (200k was measured too: collecting a ~200k-candidate round to
+    // the driver costs more than running it as one DataFrame round,
+    // so the switch stays at the point where candidate sets are
+    // thousands, not hundreds of thousands.)
+    val deltaBelow = broadcastBelow
+    var deltaBailed = false
     while (changed > 0 && iter < maxIters) {
+      if (changed >= deltaBelow || deltaBailed) {
       val tRound = System.nanoTime()
       // jump early when the frontier is LARGE: a big changed-count
       // after the fused round means long chains are still propagating
@@ -584,7 +609,7 @@ object Dedup {
       // frontiers and never pay the hop join); small frontiers fall
       // back to the round-count trigger
       val jump = pointerJumping || iter >= autoJumpAfter ||
-        changed >= broadcastBelow
+        changed >= jumpWhenWider
       val small = changed < broadcastBelow
       val front = if (small) broadcast(frontier) else frontier
       // nbrMin's size is bounded by the frontier's NEIGHBOR count, not by
@@ -601,6 +626,12 @@ object Dedup {
       // measured 27 rounds / 42 s vs ~12 / 36 s on the 1M adversarial
       // chain — and in the worst case strands convergence past
       // maxIters. The full self-join is O(log diameter) guaranteed.
+      // (a second hop per jump round — label(label(label(v))), ~4^k
+      // distance growth — was tried and reverted: it cut 12 rounds to
+      // 9 on the 1M probe but the two extra 1M-row joins per round,
+      // and a much deeper checkpoint plan, cost more than the three
+      // saved rounds: 34.6 s vs 31.1 s measured. Round count is not
+      // the binding constraint; per-round frame size is.)
       val withHop =
         if (!jump) joined.withColumn("hlbl", col("lbl"))
         else joined.join(
@@ -612,9 +643,15 @@ object Dedup {
             least(coalesce(col("nbr_lbl"), col("lbl")),
               coalesce(col("hlbl"), col("lbl")))).as("lbl"))
       val truncate = checkpointEvery > 0 && (iter + 1) % checkpointEvery == 0
+      // materialize each round hash-partitioned on id: the next round's
+      // labels⋈nbrMin left join (keyed id===src, with nbrMin already
+      // src-partitioned by its groupBy) and the pointer-jump hop side
+      // (keyed hid = id) then both reuse the cached layout instead of
+      // re-shuffling the full label frame twice per round
+      val keyed = stepped.repartition(col("id"))
       val next =
-        if (truncate) stepped.localCheckpoint(true)
-        else stepped.persist(StorageLevel.MEMORY_AND_DISK)
+        if (truncate) keyed.localCheckpoint(true)
+        else keyed.persist(StorageLevel.MEMORY_AND_DISK)
       // carry the previous label so ONE action both materializes the
       // round and measures convergence
       changed = next.filter(col("lbl") =!= col("prev")).count()
@@ -628,6 +665,113 @@ object Dedup {
       iter += 1
       if (debug) println(f"[cc] round $iter changed=$changed jump=$jump " +
         f"${(System.nanoTime() - tRound) / 1e9}%.2f s")
+      } else {
+        // ---- driver-delta finish --------------------------------
+        // The frontier is tiny, but a DataFrame round still rebuilds
+        // and re-joins the FULL label frame to move it (measured on
+        // the 1M probe: 7 of 12 rounds spent moving <0.1% of rows).
+        // Freeze the cached label frame and iterate only the
+        // provably-affectable set: a vertex can change next round
+        // only if a neighbor changed (nbr-min), its parent changed
+        // (hop), or it changed itself last round (it has a new
+        // parent) — so candidates = F ∪ N(F) ∪ ptrIn(F). Each round
+        // costs three broadcast probes of cached frames plus a
+        // driver minimization over |candidates| rows. The monotone-
+        // min fixpoint is schedule-independent, so the final labels
+        // are exactly the DataFrame loop's. Bails loudly back to
+        // DataFrame rounds if any probe exceeds the driver cap.
+        val sp = labels.sparkSession
+        import sp.implicits._
+        val stale = labels
+        val capRows = 500000
+        var fMap: Map[Long, Long] = frontier
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val delta = scala.collection.mutable.HashMap[Long, Long]() ++= fMap
+        var bail = false
+        while (fMap.nonEmpty && !bail && iter < maxIters) {
+          val tRound = System.nanoTime()
+          val fDf = broadcast(fMap.toSeq.toDF("fid", "flbl"))
+          // N(F) with the min frontier contribution AND the frozen
+          // label of each candidate, in one cached-probe job
+          val nbrRows = edges.join(fDf, col("dst") === col("fid"))
+            .groupBy("src").agg(min("flbl").as("nbrmin"))
+            .join(stale, col("src") === col("id"))
+            .select(col("src"), col("nbrmin"), col("lbl"))
+            .limit(capRows + 1).collect()
+          // ptrIn(F): vertices whose current pointer targets a
+          // vertex that changed last round
+          val revRows = stale.join(
+              broadcast(fMap.keys.toSeq.toDF("fid")),
+              col("lbl") === col("fid"))
+            .select(col("id"), col("lbl"))
+            .limit(capRows + 1).collect()
+          if (nbrRows.length > capRows || revRows.length > capRows) {
+            bail = true
+          } else {
+            // candidate -> (current label, neighbor-min or MaxValue)
+            val cand = scala.collection.mutable.HashMap[Long, (Long, Long)]()
+            nbrRows.foreach { r =>
+              val v = r.getLong(0)
+              cand(v) = (delta.getOrElse(v, r.getLong(2)), r.getLong(1))
+            }
+            revRows.foreach { r =>
+              val v = r.getLong(0)
+              if (!cand.contains(v))
+                cand(v) = (delta.getOrElse(v, r.getLong(1)), Long.MaxValue)
+            }
+            fMap.keysIterator.foreach { v =>
+              if (!cand.contains(v)) cand(v) = (delta(v), Long.MaxValue)
+            }
+            // hop lookups: parents not already tracked by the delta
+            // come from one more frozen-frame probe. A parent absent
+            // from `stale` would be an edge-untouched vertex, whose
+            // label is provably its own id — labels only ever hold
+            // edge-endpoint ids, so the default never actually fires.
+            val unknown = (cand.valuesIterator.map(_._1).toSet --
+              delta.keySet).toSeq
+            val pMap: Map[Long, Long] =
+              if (unknown.isEmpty) Map.empty
+              else stale.join(broadcast(unknown.toDF("pid")),
+                  col("id") === col("pid"))
+                .select(col("id"), col("lbl")).collect()
+                .map(r => r.getLong(0) -> r.getLong(1)).toMap
+            def curOf(p: Long): Long =
+              delta.getOrElse(p, pMap.getOrElse(p, p))
+            val newF = scala.collection.mutable.HashMap[Long, Long]()
+            cand.foreach { case (v, (curV, nb)) =>
+              var nl = math.min(curV, curOf(curV))
+              if (nb != Long.MaxValue) nl = math.min(nl, nb)
+              if (nl < curV) newF(v) = nl
+            }
+            delta ++= newF
+            fMap = newF.toMap
+            iter += 1
+            changed = fMap.size
+            if (debug) println(f"[cc] round $iter (delta) " +
+              f"changed=$changed cand=${cand.size} " +
+              f"${(System.nanoTime() - tRound) / 1e9}%.2f s")
+            if (delta.size > capRows) bail = true
+          }
+        }
+        // merge the driver corrections back over the frozen base
+        val merged = stale.join(
+            broadcast(delta.toSeq.toDF("did", "dlbl")),
+            col("id") === col("did"), "left")
+          .select(col("id"), coalesce(col("dlbl"), col("lbl")).as("lbl"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        merged.count()
+        if (!labelsCheckpointed) prevPersisted.unpersist(false)
+        prevPersisted = merged
+        labels = merged
+        labelsCheckpointed = false
+        changed = fMap.size
+        if (bail) {
+          deltaBailed = true // stay in DataFrame rounds from here on
+          frontier = fMap.toSeq.toDF("id", "lbl")
+          if (debug) println(s"[cc] delta phase bailed: $changed " +
+            s"changing / ${delta.size} delta rows — resuming DataFrame rounds")
+        }
+      }
     }
     // a capped loop that did NOT converge would silently emit wrong
     // representatives — refuse instead (callers raise maxIters for

@@ -19,17 +19,18 @@ import org.apache.spark.sql.functions._
   * unaffected) — the common sparse-graph simplification, documented
   * here as the contract.
   *
-  * 100 TB shape: edges joined to ranks on src, contributions
-  * map-side-combined into a groupBy(dst), ranks rebuilt by one left
-  * join per iteration — three hash shuffles per iteration, all on
-  * compact (host, long) rows. The edge→outdeg join is performed ONCE
-  * up front; because every iteration composes into one plan, the
-  * identical edge-side exchanges are deduplicated by Spark's
-  * ReuseExchange rule rather than re-shuffled per iteration. For deep
-  * iteration counts (tens+), cut lineage with `localCheckpoint` every
-  * few rounds exactly as [[Dedup]]'s connected components does; for a
-  * standing crawl graph, persist `edges` bucketed by src so no
-  * iteration shuffles the edge list at all.
+  * 100 TB shape: the edge→outdeg join is computed ONCE and persisted
+  * hash-partitioned on src, and the vertex list once partitioned on
+  * node — each power step then shuffles ONLY its contribution groupBy
+  * (map-side-combined, compact (host, long) rows): the contribution
+  * join reads the cached edge layout directly and the rank rebuild
+  * reads the cached vertex layout directly, with the previous step's
+  * output already node-partitioned (plan-audited: one power step
+  * carries no Exchange on the edge side). For deep iteration counts
+  * (tens+), cut lineage with `localCheckpoint` every few rounds
+  * exactly as [[Dedup]]'s connected components does; for a standing
+  * crawl graph, persist `edges` bucketed by src so even the first
+  * materialization shuffles nothing.
   */
 object PageRank {
 
@@ -49,11 +50,23 @@ object PageRank {
     require(iterations >= 1 && iterations <= 100, "1..100 iterations")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
+    // both loop-invariant frames are persisted PRE-PARTITIONED on
+    // their join keys: the contribution join then pairs the cached
+    // src-partitioned edge list with a rank frame that the previous
+    // rebuild left node-partitioned, and the rank rebuild pairs the
+    // cached node-partitioned vertex list with the node-partitioned
+    // groupBy output — so each power step shuffles ONLY the
+    // contribution groupBy, not the edge list or the vertex list
+    // (without the cached layouts every step re-shuffled both)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .repartition(col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nF = broadcast(nodes.agg(count(lit(1)).as("__n")))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val ed = e.join(deg, "src")
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var r = nodes.crossJoin(nF)
       .select(col("node"), expr(s"${scale}L div __n").as("r"))
     for (i <- 1 to iterations) {
@@ -67,6 +80,12 @@ object PageRank {
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
         r = r.localCheckpoint()
     }
-    r.select(col("node"), col("r").as("rank"))
+    // materialize the result before releasing the loop caches — a lazy
+    // return would silently recompute every power step uncached on the
+    // caller's first action
+    val out = r.select(col("node"), col("r").as("rank")).localCheckpoint()
+    ed.unpersist(false)
+    nodes.unpersist(false)
+    out
   }
 }
