@@ -58,10 +58,26 @@ object Voronoi {
   }
 
   /** Tessellate one domain of seeds, clipped to `clip`. Seeds must be
-    * distinct points. Output: (idCol, geom WKB). The whole domain is
-    * funneled to a single task (see scaladoc). */
+    * distinct points. Output: (idCol, geom WKB).
+    *
+    * AUTO-TILED (VERDICT r10 #3): up to `autoTileAbove` seeds the whole
+    * domain runs on a single task (the reference's all-in-RAM profile —
+    * fine at its scales); above it the call switches to
+    * [[tessellateTiled]] with parameters derived from the near-uniform
+    * spacing estimate s̄ = √(clipArea / n): halo = 4·s̄ (the
+    * `VoronoiTiledSpec` a-priori bound 2(1+2a)·s + ε at jitter a <
+    * 0.45, with margin) and tileSize = 64·s̄ (halo replication overhead
+    * (1 + 2·4/64)² ≈ 1.13×). The tiled path VERIFIES halo sufficiency
+    * per tile and fails loudly, so the estimate is never trusted
+    * blindly: the auto path materializes the diagram, doubles the halo
+    * once on a verified insufficiency, and finally falls back to the
+    * exact single-task path — wrong output is impossible, only retry
+    * cost. Non-uniform seed clouds (where no fixed halo is provably
+    * sufficient) therefore degrade to the single-task diagram instead
+    * of failing. */
   def tessellate(points: DataFrame, idCol: String, xCol: String, yCol: String,
-      clip: (Double, Double, Double, Double)): DataFrame = {
+      clip: (Double, Double, Double, Double),
+      autoTileAbove: Long = 200000L): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     val (x0, y0, x1, y1) = clip
@@ -69,11 +85,29 @@ object Voronoi {
       col(idCol).cast("long").as("id"),
       col(xCol).cast("double").as("x"),
       col(yCol).cast("double").as("y")).as[Seed]
-    ds.repartition(1)
+    def singleTask: DataFrame = ds.repartition(1)
       .mapPartitions { it =>
         cellsOf(it.toSeq, new Envelope(x0, x1, y0, y1))
       }
       .toDF(idCol, "geom")
+    val n = if (autoTileAbove == Long.MaxValue) 0L else ds.count()
+    if (n <= autoTileAbove) singleTask
+    else {
+      val sBar = math.sqrt(math.abs((x1 - x0) * (y1 - y0)) / n)
+      def haloInsufficient(t: Throwable): Boolean =
+        t != null && (Option(t.getMessage)
+          .exists(_.contains("tessellateTiled: halo")) ||
+          haloInsufficient(t.getCause))
+      def attempt(halo: Double): Option[DataFrame] =
+        try Some(tessellateTiled(ds.toDF("id", "x", "y"), "id", "x", "y",
+            clip, tileSize = 64 * sBar, halo = halo)
+          // materialize NOW: the per-tile sufficiency guard fires at
+          // execution, and the fallback decision must happen here
+          .localCheckpoint(true)
+          .withColumnRenamed("id", idCol))
+        catch { case e: Exception if haloInsufficient(e) => None }
+      attempt(4 * sBar).orElse(attempt(8 * sBar)).getOrElse(singleTask)
+    }
   }
 
   /** Tile-with-halo tessellation — the 100 TB path for a SINGLE huge

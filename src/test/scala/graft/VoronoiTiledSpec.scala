@@ -118,4 +118,41 @@ class VoronoiTiledSpec extends SparkSpec {
       .sum(st.area($"geom"))).as[Double].head()
     assert(math.abs(total - 100.0) < 1e-9)
   }
+
+  /** Auto-tiling (VERDICT r10 #3): above the threshold tessellate()
+    * derives tile/halo from the spacing estimate and must reproduce
+    * the single-task diagram; with seeds a fixed halo cannot cover
+    * (one corner cluster in a huge empty clip), the verified guard
+    * fires internally and the call falls back to the exact single-task
+    * diagram instead of failing or emitting wrong cells. */
+  test("auto-tiled tessellate matches single-task and falls back when unprovable") {
+    val pts = jitteredGrid(20).toDF("id", "x", "y") // 400 seeds
+    val clip = (0.0, 0.0, 20.0, 20.0)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", st.asText($"geom")).as[(Long, String)].collect()
+        .map { case (i, w) => i -> Wkb.readWkt(w) }.toMap
+    val single = collect(
+      Voronoi.tessellate(pts, "id", "x", "y", clip)) // 400 ≤ default threshold
+    val auto = collect(
+      Voronoi.tessellate(pts, "id", "x", "y", clip, autoTileAbove = 100L))
+    assert(auto.keySet == single.keySet)
+    auto.foreach { case (id, g) =>
+      assert(g.equalsTopo(single(id)), s"auto cell $id differs") }
+
+    // adversarial shape: 5000 seeds clustered in a [0,10]² corner of a
+    // 1000² clip — the spacing estimate (from clip area) gives
+    // tile ≈ 900 / halo ≈ 56, the cluster's rim cells stretch across
+    // the clip far past any halo bound, the per-tile guard fires on
+    // both attempts, and the call must degrade to the exact
+    // single-task answer
+    val corner = (0 until 5000).map(i =>
+      (i.toLong, (i % 70) * 0.14, (i / 70) * 0.14)).toDF("id", "x", "y")
+    val bigClip = (0.0, 0.0, 1000.0, 1000.0)
+    val fb = collect(
+      Voronoi.tessellate(corner, "id", "x", "y", bigClip, autoTileAbove = 100L))
+    val fbSingle = collect(Voronoi.tessellate(corner, "id", "x", "y", bigClip))
+    assert(fb.keySet == fbSingle.keySet)
+    fb.foreach { case (id, g) =>
+      assert(g.equalsTopo(fbSingle(id)), s"fallback cell $id differs") }
+  }
 }
