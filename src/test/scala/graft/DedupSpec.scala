@@ -207,10 +207,17 @@ class DedupSpec extends SparkSpec {
     val ids = spark.range(1000).select($"id")
     val pairs = spark.range(999)
       .select($"id".as("id_a"), ($"id" + 1).as("id_b"))
-    val labels = Dedup.connectedComponents(ids, pairs)
+    // driverFinishEdges = 0 forces the ITERATIVE regime — this test
+    // exists to cover pointer jumping + the delta finish, which the
+    // small-graph driver union-find would otherwise short-circuit
+    val labels = Dedup.connectedComponents(ids, pairs, driverFinishEdges = 0)
       .as[(Long, Long)].collect()
     assert(labels.length == 1000)
     assert(labels.forall(_._2 == 0L)) // one component, min id 0
+    // and the driver union-find regime must agree exactly
+    val viaDriver = Dedup.connectedComponents(ids, pairs)
+      .as[(Long, Long)].collect()
+    assert(viaDriver.sortBy(_._1).sameElements(labels.sortBy(_._1)))
   }
 
   test("connectedComponents labels multiple components + isolated ids") {
@@ -222,6 +229,25 @@ class DedupSpec extends SparkSpec {
     val want = Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 9L)
     assert(got == want)
+  }
+
+  test("connectedComponents delta-phase bail resumes DataFrame rounds with identical labels") {
+    // small graphs enter the driver-delta finish immediately (frontier
+    // < 10k); a 2-row probe cap forces the bail branch on the first
+    // delta round (a 100-vertex path's frontier neighbors exceed it),
+    // so the merge-back + resumed DataFrame rounds are what converge.
+    // Labels must equal the uncapped run's exactly — the fixpoint is
+    // schedule-independent and the bail must not lose the delta.
+    val ids = spark.range(100).select($"id")
+    val pairs = spark.range(99)
+      .select($"id".as("id_a"), ($"id" + 1).as("id_b"))
+    val capped = Dedup.connectedComponents(ids, pairs,
+        deltaCapRows = 2, driverFinishEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    val free = Dedup.connectedComponents(ids, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(capped == free)
+    assert(capped.values.forall(_ == 0L))
   }
 
   test("exact dedup groups identical docs under one digest") {
