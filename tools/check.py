@@ -47,11 +47,14 @@ def data_fingerprint():
 
 data_md5 = data_fingerprint()
 
-def oracle_df(name, sql):
-    """DuckDB result for `sql`, via the (sql, testdata) keyed cache."""
+def oracle_df(name, sql, sf_name):
+    """DuckDB result for `sql`, via the (sql, testdata) keyed cache.
+    Entries are scoped per scale factor: eviction of a query's stale
+    keys must not delete the OTHER sf's still-valid entry (alternating
+    sf0.01/sf0.1 gates previously thrashed the cache to zero hits)."""
     sql_md5 = hashlib.md5(sql.encode()).hexdigest()
     key = hashlib.md5((sql_md5 + data_md5).encode()).hexdigest()[:20]
-    cpath = os.path.join(cache_dir, f"{name}_{key}.parquet")
+    cpath = os.path.join(cache_dir, f"{name}@{sf_name}_{key}.parquet")
     if use_cache and os.path.isfile(cpath):
         return pd.read_parquet(cpath), sql_md5, True
     df = con.execute(sql).df()
@@ -60,8 +63,8 @@ def oracle_df(name, sql):
         tmp = cpath + ".tmp"
         df.to_parquet(tmp)
         os.replace(tmp, cpath)
-        # drop stale entries for the same query (older SQL/data keys)
-        for old in glob.glob(os.path.join(cache_dir, f"{name}_*.parquet")):
+        # drop stale entries for the same (query, sf) only
+        for old in glob.glob(os.path.join(cache_dir, f"{name}@{sf_name}_*.parquet")):
             if old != cpath:
                 os.remove(old)
     return df, sql_md5, False
@@ -85,7 +88,7 @@ for name, sql in sorted(oracle.items()):
     cached = False
     try:
         got = pd.read_parquet(res_path)
-        exp, sql_md5, cached = oracle_df(name, sql)
+        exp, sql_md5, cached = oracle_df(name, sql, sf_name)
     except Exception as e:
         bad.append((name, f"exec error: {e}")); continue
     got = got.reindex(sorted(got.columns), axis=1)
