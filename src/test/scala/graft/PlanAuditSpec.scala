@@ -31,6 +31,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   private lazy val plans: Map[String, String] =
     executed.map { case (n, p) => n -> p.toString }
 
+  // SparkPlan.collect cannot see INSIDE AQE: AdaptiveSparkPlanExec is
+  // a LeafExecNode (as are query stages and cached-relation scans), so
+  // a naive traversal audits nothing beneath the root of any plan with
+  // an Exchange. Expand every wrapper kind explicitly.
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val expanded = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => allNodes(q.plan)
+      case i: InMemoryTableScanExec => allNodes(i.relation.cachedPlan)
+      case _ => Seq.empty
+    }
+    (p +: p.children.flatMap(allNodes)) ++
+      p.subqueries.flatMap(allNodes) ++ expanded
+  }
+
   test("no CartesianProduct in any declared query") {
     val offenders = plans.collect {
       case (n, p) if p.contains("CartesianProduct") => n
@@ -82,23 +100,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // shaped cardinality — fail it before it ships. The bound is 4096
     // rows: an order above the largest intended model frame (nlist,
     // codebook entries, seed centroids ≤ 256), orders below any corpus.
-    import org.apache.spark.sql.execution.{LocalTableScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    // SparkPlan.collect cannot see INSIDE AQE: AdaptiveSparkPlanExec is
-    // a LeafExecNode (as are query stages and cached-relation scans), so
-    // a naive traversal audits nothing beneath the root of any plan with
-    // an Exchange. Expand every wrapper kind explicitly.
-    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-      val expanded = p match {
-        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
-        case q: QueryStageExec => allNodes(q.plan)
-        case i: InMemoryTableScanExec => allNodes(i.relation.cachedPlan)
-        case _ => Seq.empty
-      }
-      (p +: p.children.flatMap(allNodes)) ++
-        p.subqueries.flatMap(allNodes) ++ expanded
-    }
+    import org.apache.spark.sql.execution.LocalTableScanExec
     val offenders = executed.toSeq.flatMap { case (n, p) =>
       allNodes(p).collect {
         case l: LocalTableScanExec if l.rows.length > 4096 =>
@@ -107,6 +109,53 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
     assert(offenders.isEmpty,
       s"collect-backed stages with corpus-shaped cardinality:\n${offenders.mkString("\n")}")
+  }
+
+  test("unpartitioned windows see only bounded frames in every declared query") {
+    // A WindowExec with an empty partitionSpec funnels its ENTIRE input
+    // through one task (Spark itself warns "No Partition Defined") — at
+    // 100 TB that is a scale cliff unless the frame is bounded by
+    // construction BEFORE the window. Every such window must be on this
+    // whitelist with the bound that keeps it small:
+    //   pack_shards       — cumulative shard offsets over the 2^16-id
+    //                       bucket totals (rows = idSpace/65536, not the
+    //                       corpus; Packing.packByBudget scaladoc)
+    //   text_bm25         — row_number over the top-k frame AFTER
+    //                       orderBy.limit(k) (Scoring.scala: the window
+    //                       sees k rows, never the corpus)
+    //   search_hybrid_rrf — RRF fusion over the full-outer join of two
+    //                       top-k arms (≤ 2k rows) + its BM25 arm's
+    //                       post-limit rank
+    //   a_hist_quantiles  — cumulative counts over the ≤ nbins histogram
+    //                       (Sketches.histogramQuantiles scaladoc)
+    // A new query landing here unlisted is a scale regression: either
+    // bound its frame (limit / aggregate first) or partition the window.
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val allowed = Map(
+      "pack_shards" -> "bucketed offsets (idSpace/65536 rows)",
+      "text_bm25" -> "post-limit(k) rank",
+      "search_hybrid_rrf" -> "top-k arm fusion",
+      "a_hist_quantiles" -> "nbins histogram cumsum")
+    val offenders = executed.toSeq.flatMap { case (n, p) =>
+      allNodes(p).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !allowed.contains(n) =>
+          s"$n: unpartitioned WindowExec over ${w.child.output.map(_.name).mkString(",")}"
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty && !allowed.contains(n) =>
+          s"$n: unpartitioned WindowGroupLimitExec"
+      }
+    }.distinct
+    assert(offenders.isEmpty,
+      s"unbounded single-partition windows:\n${offenders.mkString("\n")}")
+    // and the whitelist itself must stay live — a stale entry means the
+    // query was fixed/renamed and the exemption should go
+    val live = executed.toSeq.flatMap { case (n, p) =>
+      allNodes(p).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => n
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => n
+      }
+    }.toSet
+    val stale = allowed.keySet.diff(live)
+    assert(stale.isEmpty, s"stale window whitelist entries: $stale")
   }
 
   test("nearest-cell runs the bucketed ring search, not a cross join") {
