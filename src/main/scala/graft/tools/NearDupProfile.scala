@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.Dedup
+
+/** Sub-stage profiler for the 10M-doc near-dup long pole found by
+  * [[Prep10M]] (439 s in one `minhashNearDups` call): times the
+  * pipeline's internal stages separately — shingle-set materialize,
+  * banded LSH candidate generation, exact-Jaccard refine — on the same
+  * 9M-survivor corpus, so the fix targets the measured cost, not the
+  * suspected one. Prints one JSON line.
+  */
+object NearDupProfile {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // same corpus as Prep10M after exact dedup: 9M survivors
+    val docsN = 10000000L
+    val template = expr("id div 10")
+    val pos = col("id") % 10
+    def word(seed: org.apache.spark.sql.Column, i: Int) =
+      concat(lit("w"), pmod(hash(seed, lit(i)), lit(5000)).cast("string"))
+    val selfId = when(pos === 9, col("id") - 1).otherwise(col("id"))
+    val tailFrom = when(pos >= 5, lit(13)).otherwise(lit(23))
+    val text = concat_ws(" ", (0 until 25).map { i =>
+      when(lit(i) < tailFrom, word(template, i)).otherwise(word(selfId, i))
+    }: _*)
+    val survivors = spark.range(docsN).filter(pos =!= 9)
+      .select(col("id"), text.as("text"))
+
+    val sets = survivors.select(col("id"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (nSets, tSets) = timed(sets.count())
+
+    val cand = Dedup.minhashCandidates(survivors, "id", "text", 3)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (nCand, tCand) = timed(cand.count())
+
+    val (nRefined, tRefine) = timed {
+      def hashed(c: org.apache.spark.sql.Column) =
+        sort_array(transform(c, xxhash64(_)))
+      val a = sets.select(col("id").as("id_a"), hashed(col("sh")).as("sh_a"))
+      val b = sets.select(col("id").as("id_b"), hashed(col("sh")).as("sh_b"))
+      cand.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"),
+          Dedup.jaccardSortedLong(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5).count()
+    }
+
+    println(s"""{"metric":"neardup_profile","sets":$nSets,""" +
+      s""""sets_sec":$tSets,"cand":$nCand,"cand_sec":$tCand,""" +
+      s""""refined":$nRefined,"refine_sec":$tRefine}""")
+    spark.stop()
+  }
+}

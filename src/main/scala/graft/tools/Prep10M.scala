@@ -1,0 +1,165 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Packing, Sampling, TextAnalysis}
+
+/** End-to-end corpus prep at 10M documents — the full
+  * `pipeline_docprep` + split + decontamination + packing chain at 10×
+  * the largest ScaleBench stage, with every stage's output count
+  * REQUIRE'd against its closed-form expectation (the corpus is
+  * constructed so each stage's result is exactly computable — a probe
+  * that only prints seconds can silently measure a broken pipeline).
+  *
+  * Corpus: 1M templates × 10 docs of 25 words (5000-word hashed
+  * vocabulary). Per template: docs 0-4 share a 23-word prefix and
+  * differ in the last 2 words (pairwise 3-shingle Jaccard 21/25 = 0.84
+  * — near-dups above the 0.5 gate); docs 5-8 take words 13-24 from
+  * their own id (11/35 = 0.31 against every sibling — near-certain
+  * CANDIDATES ~80% of the time under the default 16-band/2-row LSH,
+  * so the exact-Jaccard refine genuinely rejects ~21 pairs per
+  * template, but never dups; a missed clique pair is (1-0.84²)^16
+  * ≈ 4e-9, and the fixed hash seeds make the outcome deterministic —
+  * measured exactly 10M pairs); doc 9 is a byte-exact copy of doc 8. Cross-template 8-word grams collide only on an md5-level
+  * accident (~0 at 5000^8), so the expectations are exact:
+  *
+  *   quality pass      10,000,000 (25 tokens ≥ 20)
+  *   exact-dedup kept   9,000,000 (doc 9 drops)
+  *   near-dup pairs    10,000,000 (C(5,2) per template)
+  *   components         1,000,000 (one 5-clique per template)
+  *   kept               5,000,000 (docs 0,5,6,7,8)
+  *   cross-split pairs          0 (splits bucket the component REP)
+  *   contaminated          40,000 (kept docs 5-8 of the 10k templates
+  *                                 whose doc 0 is benchmark, 8-grams)
+  *   packed             5,000,000 rows into 2048-token shards
+  *
+  * Prints one JSON line with per-stage seconds + the verified counts.
+  * Run: `sbt "runMain graft.tools.Prep10M"` (~8 GiB heap, 32 threads).
+  */
+object Prep10M {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val docsN = 10000000L
+    val template = expr("id div 10")
+    val pos = col("id") % 10
+    def word(seed: org.apache.spark.sql.Column, i: Int) =
+      concat(lit("w"), pmod(hash(seed, lit(i)), lit(5000)).cast("string"))
+    // doc 9 reuses doc 8's id for every word source → byte-exact copy
+    val selfId = when(pos === 9, col("id") - 1).otherwise(col("id"))
+    // docs 5-8 (and 9 via doc 8) switch to id-derived words at 13
+    val tailFrom = when(pos >= 5, lit(13)).otherwise(lit(23))
+    val text = concat_ws(" ", (0 until 25).map { i =>
+      when(lit(i) < tailFrom, word(template, i)).otherwise(word(selfId, i))
+    }: _*)
+    val docs = spark.range(docsN).select(col("id"), text.as("text"))
+
+    val (nQuality, tQuality) = timed {
+      docs.filter(TextAnalysis.tokenCount(col("text")) >= 20).count()
+    }
+    require(nQuality == docsN, s"quality gate: $nQuality")
+
+    // exact dedup, docprep discipline: only (id, digest) ever shuffles;
+    // the LOSER set (1M ids — the small side by construction of any
+    // dedup) anti-joins back against the text as a broadcast, so
+    // document text never enters an Exchange. (At 100 TB with a
+    // non-broadcastable loser set, a doc_id-bucketed corpus makes this
+    // anti-join storage-partitioned — pipeline_docprep's contract.)
+    val digests = docs.select(col("id"), md5(col("text")).as("digest"))
+    val dropped = digests.join(
+        digests.groupBy("digest").agg(min("id").as("win")), "digest")
+      .filter(col("id") =!= col("win")).select("id")
+    val survivors = docs.join(broadcast(dropped), Seq("id"), "left_anti")
+      .select(col("id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (nExact, tExact) = timed(survivors.count())
+    require(nExact == 9000000L, s"exact dedup kept: $nExact")
+
+    val pairs = Dedup.minhashNearDups(survivors, "id", "text", 3, 0.5)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (nPairs, tNearDup) = timed(pairs.count())
+    require(nPairs == 10000000L, s"near-dup pairs: $nPairs")
+
+    val labels = Dedup.connectedComponents(
+        survivors.select(col("id")), pairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (nComp, tCc) = timed {
+      labels.filter(col("cluster_rep") =!= col("id")).select("cluster_rep")
+        .distinct().count() + 0L
+    }
+    require(nComp == 1000000L, s"non-trivial components: $nComp")
+
+    // keep the component rep (min id — doc 0 of each clique), drop the
+    // other members; singletons keep themselves
+    val kept = labels.filter(col("id") === col("cluster_rep"))
+      .select(col("id"), col("cluster_rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (nKept, tKept) = timed(kept.count())
+    require(nKept == 5000000L, s"kept after near-dedup: $nKept")
+
+    // leakage-safe split: bucket the component REP, so any two docs of
+    // one near-dup family can never straddle a split boundary
+    val split = kept.withColumn("split",
+      Sampling.assignSplit(
+        Sampling.hashBucket(col("cluster_rep"), "prep10m", 100), 80, 10))
+    val ((splitCounts, crossPairs), tSplit) = timed {
+      val counts = split.groupBy("split").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bySplit = labels.join(
+        split.select(col("cluster_rep").as("l2"), col("split")),
+        col("cluster_rep") === col("l2"))
+      val cross = pairs
+        .join(bySplit.select(col("id").as("id_a"), col("split").as("sa")), "id_a")
+        .join(bySplit.select(col("id").as("id_b"), col("split").as("sb")), "id_b")
+        .filter(col("sa") =!= col("sb")).count()
+      (counts, cross)
+    }
+    require(crossPairs == 0L, s"near-dup pairs across splits: $crossPairs")
+
+    // decontamination AFTER dedup (real prep order): benchmark = every
+    // 1000th id (always a kept doc-0), 8-word grams
+    val (nContam, tContam) = timed {
+      val keptDocs = survivors.join(kept.select("id"), Seq("id"))
+      Dedup.ngramContamination(keptDocs, "id", "text",
+          col("id") % 1000 === 0, 8)
+        .filter(col("contaminated")).count()
+    }
+    require(nContam == 40000L, s"contaminated kept docs: $nContam")
+
+    val (packStats, tPack) = timed {
+      Packing.packByBudget(
+          kept.select(col("id"), lit(25L).as("n_tokens")),
+          "id", "n_tokens", budget = 2048)
+        .agg(count(lit(1)).as("n"), max("shard").as("maxShard"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    }
+    require(packStats._1 == 5000000L, s"packed rows: ${packStats._1}")
+
+    val sc = splitCounts.withDefaultValue(0L)
+    println(s"""{"metric":"prep_10m","docs":$docsN,""" +
+      s""""quality_sec":$tQuality,"exact_sec":$tExact,""" +
+      s""""neardup_sec":$tNearDup,"cc_sec":$tCc,"kept_sec":$tKept,""" +
+      s""""split_sec":$tSplit,"contam_sec":$tContam,"pack_sec":$tPack,""" +
+      s""""total_sec":${tQuality + tExact + tNearDup + tCc + tKept +
+        tSplit + tContam + tPack},""" +
+      s""""kept":$nKept,"components":$nComp,"contaminated":$nContam,""" +
+      s""""train":${sc("train")},"val":${sc("val")},"test":${sc("test")},""" +
+      s""""cross_split_pairs":$crossPairs,"pack_shards":${packStats._2 + 1}}""")
+    spark.stop()
+  }
+}

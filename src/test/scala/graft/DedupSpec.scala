@@ -98,6 +98,32 @@ class DedupSpec extends SparkSpec {
     assert(expectC.size > 5, s"corpus should be containment-rich: ${expectC.size}")
   }
 
+  test("jaccardSortedLong on hashed shingles equals jaccardSorted on strings") {
+    // refineJaccard's shuffle-payload optimization: per-element xxhash64
+    // + sort must preserve the exact Jaccard value (collisions aside,
+    // ~1e-16 — none on any corpus we generate). Randomized over 200
+    // collision-heavy doc pairs from a tiny vocabulary so intersections
+    // are large and partial.
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val rnd = new scala.util.Random(91)
+    val pairs: Seq[(String, String)] = (0 until 200).map { _ =>
+      def doc() = Vector.fill(6 + rnd.nextInt(12))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (doc(), doc())
+    }
+    val df = pairs.toDF("ta", "tb").select(
+      Dedup.shingles(col("ta"), 3).as("sa"),
+      Dedup.shingles(col("tb"), 3).as("sb"))
+    def hashed(c: org.apache.spark.sql.Column) =
+      sort_array(transform(c, xxhash64(_)))
+    val rows = df.select(
+        Dedup.jaccardSorted(col("sa"), col("sb")).as("js"),
+        Dedup.jaccardSortedLong(hashed(col("sa")), hashed(col("sb"))).as("jl"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (js, jl) => assert(js == jl, s"$js != $jl") }
+    assert(rows.exists { case (js, _) => js > 0 && js < 1 }) // non-degenerate
+  }
+
   test("minhashNearDups (LSH candidates + refine) equals brute force") {
     val df = docs.toDF("doc_id", "text")
     val got = Dedup.minhashNearDups(df, "doc_id", "text", 3, 0.5)
