@@ -44,6 +44,12 @@ object Prep10M {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // cache-unroll transient control: with cpus concurrent tasks each
+      // building columnar batches of wide shingle-array rows, the
+      // default 10k-row batch is the heap spike that sets the probe's
+      // memory floor (ColumnBuilder buffers are untracked heap)
+      .config("spark.sql.inMemoryColumnarStorage.batchSize",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_BATCH", "10000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
