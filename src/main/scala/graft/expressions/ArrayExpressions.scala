@@ -22,6 +22,25 @@ case class SortedLongIntersectCount(children: Seq[Expression])
   override lazy val deterministic: Boolean = true
   override def dataType: DataType = IntegerType
 
+  // getLong on a non-long array reads garbage SILENTLY (unsafe array
+  // storage has no per-element tag) — reject wrong inputs at analysis
+  // time instead of returning a plausible wrong count
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (children.length != 2)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName takes 2 arguments, got ${children.length}")
+    else children.map(_.dataType).find {
+      case ArrayType(LongType, _) => false
+      case _ => true
+    } match {
+      case Some(bad) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<bigint> inputs, got ${bad.catalogString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
   override def eval(input: InternalRow): Any = {
     val va = children(0).eval(input)
     val vb = children(1).eval(input)

@@ -166,8 +166,15 @@ object Dedup {
       .select(col("id"), col("sz"), col("p.rn").as("rn"), col("p.tok").as("tok"))
   }
 
-  /** Exact all-pairs Jaccard ≥ threshold WITHOUT a cross join: a
+  /** All-pairs Jaccard ≥ threshold WITHOUT a cross join: a
     * prefix-filtered inverted shingle index (SSJoin/PPJoin family).
+    * Candidate generation is exact (the prefix principle loses
+    * nothing); the refine, like every batch refine here, computes
+    * |A∩B| over per-shingle `xxhash64` values ([[refineJaccard]]) —
+    * exact unless two shingles of one candidate pair collide in 64
+    * bits (~1e-16; the streaming gate's standing index still refines
+    * on strings, so a colliding pair is the one place batch and
+    * stream could in principle disagree).
     *
     * With shingle sets sorted under one global order, any pair with
     * J(A,B) ≥ t shares at least one token within each side's first
@@ -405,7 +412,7 @@ object Dedup {
     * pairs (j≈0.01) bucket together with p≈0.0016. */
   /** Banded candidate pairs from a prepared (id, sh) shingle frame —
     * the shared core of [[minhashCandidates]] and [[minhashNearDups]]. */
-  private def minhashCandidatesFromSets(sets: DataFrame, k: Int, bands: Int,
+  private[graft] def minhashCandidatesFromSets(sets: DataFrame, k: Int, bands: Int,
       maxBucket: Int): DataFrame =
     pairsFromBuckets(minhashBanded(sets, k, bands),
       Seq("band", "band_hash"), maxBucket)

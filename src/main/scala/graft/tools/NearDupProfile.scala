@@ -31,24 +31,20 @@ object NearDupProfile {
 
     // same corpus as Prep10M after exact dedup: 9M survivors
     val docsN = 10000000L
-    val template = expr("id div 10")
-    val pos = col("id") % 10
-    def word(seed: org.apache.spark.sql.Column, i: Int) =
-      concat(lit("w"), pmod(hash(seed, lit(i)), lit(5000)).cast("string"))
-    val selfId = when(pos === 9, col("id") - 1).otherwise(col("id"))
-    val tailFrom = when(pos >= 5, lit(13)).otherwise(lit(23))
-    val text = concat_ws(" ", (0 until 25).map { i =>
-      when(lit(i) < tailFrom, word(template, i)).otherwise(word(selfId, i))
-    }: _*)
-    val survivors = spark.range(docsN).filter(pos =!= 9)
-      .select(col("id"), text.as("text"))
+    val survivors = CliqueCorpus.docs(
+      spark.range(docsN).filter(col("id") % 10 =!= 9).toDF("id"))
 
     val sets = survivors.select(col("id"),
         Dedup.shingles(col("text"), 3).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (nSets, tSets) = timed(sets.count())
 
-    val cand = Dedup.minhashCandidates(survivors, "id", "text", 3)
+    // candidates generated FROM THE PERSISTED SETS (the code-review
+    // catch: minhashCandidates(survivors,...) would rebuild shingles
+    // from raw text, double-counting the cost sets_sec already timed
+    // and overstating the LSH stage)
+    val cand = Dedup.minhashCandidatesFromSets(sets, k = 32, bands = 16,
+        maxBucket = 64)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (nCand, tCand) = timed(cand.count())
 

@@ -61,18 +61,7 @@ object Prep10M {
     }
 
     val docsN = 10000000L
-    val template = expr("id div 10")
-    val pos = col("id") % 10
-    def word(seed: org.apache.spark.sql.Column, i: Int) =
-      concat(lit("w"), pmod(hash(seed, lit(i)), lit(5000)).cast("string"))
-    // doc 9 reuses doc 8's id for every word source → byte-exact copy
-    val selfId = when(pos === 9, col("id") - 1).otherwise(col("id"))
-    // docs 5-8 (and 9 via doc 8) switch to id-derived words at 13
-    val tailFrom = when(pos >= 5, lit(13)).otherwise(lit(23))
-    val text = concat_ws(" ", (0 until 25).map { i =>
-      when(lit(i) < tailFrom, word(template, i)).otherwise(word(selfId, i))
-    }: _*)
-    val docs = spark.range(docsN).select(col("id"), text.as("text"))
+    val docs = CliqueCorpus.docs(spark.range(docsN).toDF("id"))
 
     val (nQuality, tQuality) = timed {
       docs.filter(TextAnalysis.tokenCount(col("text")) >= 20).count()
@@ -106,7 +95,7 @@ object Prep10M {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (nComp, tCc) = timed {
       labels.filter(col("cluster_rep") =!= col("id")).select("cluster_rep")
-        .distinct().count() + 0L
+        .distinct().count()
     }
     require(nComp == 1000000L, s"non-trivial components: $nComp")
 

@@ -58,16 +58,7 @@ object RetryProbe {
           }
           it
         }(Encoders.scalaLong).toDF("id")
-      val template = expr("id div 10")
-      val pos = col("id") % 10
-      def word(seed: org.apache.spark.sql.Column, i: Int) =
-        concat(lit("w"), pmod(hash(seed, lit(i)), lit(5000)).cast("string"))
-      val selfId = when(pos === 9, col("id") - 1).otherwise(col("id"))
-      val tailFrom = when(pos >= 5, lit(13)).otherwise(lit(23))
-      val text = concat_ws(" ", (0 until 25).map { i =>
-        when(lit(i) < tailFrom, word(template, i)).otherwise(word(selfId, i))
-      }: _*)
-      ids.select(col("id"), text.as("text"))
+      CliqueCorpus.docs(ids.toDF("id"))
     }
 
     /** (pair count, order-free pair checksum, kept count, kept checksum) */

@@ -131,30 +131,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // A new query landing here unlisted is a scale regression: either
     // bound its frame (limit / aggregate first) or partition the window.
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // name -> (justified bound, EXACT count of global windows justified):
+    // counting keeps the exemption scoped to the windows that were
+    // audited — a whitelisted query growing a SECOND global window (the
+    // classic way a scale regression sneaks past a name-keyed skip
+    // list) fails the audit like any other query would
     val allowed = Map(
-      "pack_shards" -> "bucketed offsets (idSpace/65536 rows)",
-      "text_bm25" -> "post-limit(k) rank",
-      "search_hybrid_rrf" -> "top-k arm fusion",
-      "a_hist_quantiles" -> "nbins histogram cumsum")
-    val offenders = executed.toSeq.flatMap { case (n, p) =>
-      allNodes(p).collect {
-        case w: WindowExec if w.partitionSpec.isEmpty && !allowed.contains(n) =>
-          s"$n: unpartitioned WindowExec over ${w.child.output.map(_.name).mkString(",")}"
-        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty && !allowed.contains(n) =>
-          s"$n: unpartitioned WindowGroupLimitExec"
+      "pack_shards" -> ("bucketed offsets (idSpace/65536 rows)", 1),
+      "text_bm25" -> ("post-limit(k) rank", 1),
+      "search_hybrid_rrf" -> ("top-k arm fusion + its BM25 arm's rank", 2),
+      "a_hist_quantiles" -> ("nbins histogram cumsum + total", 2))
+    val globalWindows: Map[String, Int] = executed.toSeq.map { case (n, p) =>
+      n -> allNodes(p).distinct.count {
+        case w: WindowExec => w.partitionSpec.isEmpty
+        case w: WindowGroupLimitExec => w.partitionSpec.isEmpty
+        case _ => false
       }
-    }.distinct
+    }.toMap
+    val offenders = globalWindows.collect {
+      case (n, c) if c > 0 && !allowed.contains(n) =>
+        s"$n: $c unpartitioned window(s)"
+      case (n, c) if allowed.contains(n) && c > allowed(n)._2 =>
+        s"$n: $c unpartitioned windows, only ${allowed(n)._2} justified " +
+          s"(${allowed(n)._1})"
+    }
     assert(offenders.isEmpty,
       s"unbounded single-partition windows:\n${offenders.mkString("\n")}")
-    // and the whitelist itself must stay live — a stale entry means the
-    // query was fixed/renamed and the exemption should go
-    val live = executed.toSeq.flatMap { case (n, p) =>
-      allNodes(p).collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => n
-        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => n
-      }
-    }.toSet
-    val stale = allowed.keySet.diff(live)
+    // and the whitelist itself must stay live — a stale or over-counted
+    // entry means the query was fixed/renamed and the exemption should go
+    val stale = allowed.collect {
+      case (n, (_, c)) if globalWindows.getOrElse(n, 0) < c => n
+    }
     assert(stale.isEmpty, s"stale window whitelist entries: $stale")
   }
 
