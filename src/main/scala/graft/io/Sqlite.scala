@@ -15,14 +15,19 @@ import scala.collection.mutable.ArrayBuffer
   *    avoids constraints that imply auto-indexes);
   *  - single-page `sqlite_master`, one interior level per table
   *    (≈ 500 leaf pages ≈ a few hundred thousand small rows);
-  *  - WRITER cell payloads ≤ one page (no overflow chains) — geometry
-  *    blobs beyond ~4 KB would need overflow writing, out of scope.
+  *  - WRITER cell payloads of any size: payloads over the spec's X
+  *    threshold (usable−35) spill into overflow-page chains with the
+  *    local portion sized by the X/M/K formula (spec §"B-tree Pages"),
+  *    symmetric with the reader below — real-world multipolygon WKB
+  *    (the reference's borough-scale outputs, wrf_voronoi.py:185-187)
+  *    routinely exceeds 4 KB.
   *
-  * The READER is broader: it walks arbitrary-depth table b-trees,
-  * follows overflow-page chains (so multi-KB blobs in externally
-  * produced GeoPackages load fine), and decodes all scalar serial
-  * types (incl. the schema-format-4 constants 8/9) — verified against
-  * files written by stock sqlite3 in SqliteInteropSpec.
+  * The READER walks arbitrary-depth table b-trees, follows
+  * overflow-page chains (so multi-KB blobs in externally produced
+  * GeoPackages load fine), and decodes all scalar serial types (incl.
+  * the schema-format-4 constants 8/9) — verified against files written
+  * by stock sqlite3 in SqliteInteropSpec, which also re-reads this
+  * writer's chained payloads with stock sqlite3.
   */
 object Sqlite {
 
@@ -40,7 +45,13 @@ object Sqlite {
     rows: Seq[(Long, Seq[SqlValue])])
 
   private val PageSize = 4096
-  private val MaxPayload = PageSize - 35
+  private val Usable = PageSize // reserved-space byte in the header is 0
+  // spec §"B-tree Pages" thresholds for table-leaf payload spilling:
+  // payloads ≤ X stay local; larger ones keep K (or M) bytes local and
+  // chain the rest through overflow pages of OverflowCap content bytes
+  private val MaxLocal = Usable - 35
+  private val MinLocal = (Usable - 12) * 32 / 255 - 23
+  private val OverflowCap = Usable - 4
 
   // ------------------------------------------------------------ varint
 
@@ -158,18 +169,32 @@ object Sqlite {
 
   // ------------------------------------------------------------ writer
 
-  private final case class Cell(rowid: Long, bytes: Array[Byte])
+  /** One leaf cell: `head` = varint(payloadLen) + varint(rowid) + the
+    * local payload portion; `tail` = payload bytes that spill into an
+    * overflow chain (empty when the whole payload is local). The
+    * 4-byte first-overflow-page pointer is appended at render time,
+    * once page numbers are assigned. */
+  private final case class Cell(rowid: Long, head: Array[Byte], tail: Array[Byte]) {
+    def onPageSize: Int = head.length + (if (tail.isEmpty) 0 else 4)
+  }
 
   private def leafCell(rowid: Long, values: Seq[SqlValue]): Cell = {
     val payload = record(values)
-    require(payload.length <= MaxPayload,
-      s"row payload ${payload.length} B exceeds single-page limit $MaxPayload " +
-        "(overflow chains not implemented)")
+    val p = payload.length
     val b = new ArrayBuffer[Byte]
-    b ++= varint(payload.length)
+    b ++= varint(p.toLong)
     b ++= varint(rowid)
-    b ++= payload
-    Cell(rowid, b.toArray)
+    if (p <= MaxLocal) {
+      b ++= payload
+      Cell(rowid, b.toArray, Array.emptyByteArray)
+    } else {
+      // K = M + ((P−M) mod (usable−4)); keep K locally if ≤ X, else M —
+      // exactly the split payloadOf() inverts on read
+      val k = MinLocal + ((p - MinLocal) % OverflowCap)
+      val local = if (k <= MaxLocal) k else MinLocal
+      b ++= payload.view.slice(0, local)
+      Cell(rowid, b.toArray, java.util.Arrays.copyOfRange(payload, local, p))
+    }
   }
 
   /** Pack cells into leaf pages greedily, preserving rowid order. */
@@ -179,7 +204,7 @@ object Sqlite {
     var used = 0
     val budget = PageSize - 8 // leaf header
     cells.foreach { c =>
-      val extra = c.bytes.length + 2 // cell + pointer-array slot
+      val extra = c.onPageSize + 2 // cell (+ overflow ptr) + pointer-array slot
       if (cur.nonEmpty && used + extra > budget) {
         leaves += cur.toSeq; cur = new ArrayBuffer[Cell]; used = 0
       }
@@ -189,13 +214,17 @@ object Sqlite {
     leaves.toSeq
   }
 
-  private def renderLeaf(cells: Seq[Cell], headerOffset: Int): Array[Byte] = {
+  /** Render one leaf page; `cells` pairs each cell with its resolved
+    * first-overflow page number (0 when the payload is fully local). */
+  private def renderLeaf(cells: Seq[(Cell, Int)], headerOffset: Int): Array[Byte] = {
     val page = new Array[Byte](PageSize)
     val buf = ByteBuffer.wrap(page)
     var content = PageSize
-    val ptrs = cells.map { c =>
-      content -= c.bytes.length
-      System.arraycopy(c.bytes, 0, page, content, c.bytes.length)
+    val ptrs = cells.map { case (c, firstOverflow) =>
+      content -= c.onPageSize
+      System.arraycopy(c.head, 0, page, content, c.head.length)
+      if (c.tail.nonEmpty)
+        ByteBuffer.wrap(page, content + c.head.length, 4).putInt(firstOverflow)
       content
     }
     buf.position(headerOffset)
@@ -241,11 +270,37 @@ object Sqlite {
     var next = 2
     val rootPages = new ArrayBuffer[Int]
     val pageImages = new ArrayBuffer[(Int, Array[Byte])]
+
+    /** Allocate and render the overflow chain for one spilled payload;
+      * each page = 4-byte next-page pointer (0 terminates) + up to
+      * usable−4 content bytes. Returns the first page number. */
+    def allocOverflow(tail: Array[Byte]): Int = {
+      val n = (tail.length + OverflowCap - 1) / OverflowCap
+      val first = next
+      next += n
+      var off = 0
+      var i = 0
+      while (i < n) {
+        val page = new Array[Byte](PageSize)
+        val nextPtr = if (i == n - 1) 0 else first + i + 1
+        ByteBuffer.wrap(page).putInt(nextPtr)
+        val chunk = math.min(OverflowCap, tail.length - off)
+        System.arraycopy(tail, off, page, 4, chunk)
+        off += chunk
+        pageImages += (first + i) -> page
+        i += 1
+      }
+      first
+    }
+    def resolve(cells: Seq[Cell]): Seq[(Cell, Int)] =
+      cells.map(c => (c, if (c.tail.isEmpty) 0 else allocOverflow(c.tail)))
+
     tables.zip(tableLeaves).foreach { case (t, leaves) =>
       if (leaves.size == 1) {
-        rootPages += next
-        pageImages += next -> renderLeaf(leaves.head, 0)
+        val rootNo = next
+        rootPages += rootNo
         next += 1
+        pageImages += rootNo -> renderLeaf(resolve(leaves.head), 0)
       } else {
         val rootNo = next
         rootPages += rootNo
@@ -255,20 +310,21 @@ object Sqlite {
         pageImages += rootNo -> renderInterior(
           withKeys.init.map { case (p, k) => (p, k) }, leafNos.last)
         leafNos.zip(leaves).foreach { case (no, ls) =>
-          pageImages += no -> renderLeaf(ls, 0)
+          pageImages += no -> renderLeaf(resolve(ls), 0)
         }
       }
     }
-    val nPages = next - 1
 
-    // sqlite_master (single leaf on page 1)
+    // sqlite_master (single leaf on page 1); master payloads are DDL
+    // text — resolve() still handles a pathological multi-KB CREATE
     val masterCells = tables.zipWithIndex.map { case (t, i) =>
       leafCell(i + 1L, Seq(SqlText("table"), SqlText(t.name), SqlText(t.name),
         SqlInt(rootPages(i)), SqlText(t.createSql)))
     }
-    require(masterCells.map(_.bytes.length + 2).sum <= PageSize - 100 - 8,
+    require(masterCells.map(_.onPageSize + 2).sum <= PageSize - 100 - 8,
       "sqlite_master exceeds one page")
-    val page1 = renderLeaf(masterCells, 100)
+    val page1 = renderLeaf(resolve(masterCells), 100)
+    val nPages = next - 1
 
     // 100-byte header
     val h = ByteBuffer.wrap(page1, 0, 100)

@@ -669,6 +669,54 @@ object GeoQueries {
       |  cast(128 as bigint) AS area16
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  /** S3 at real-world geometry sizes: the reference's borough-scale
+    * sinks (wrf_voronoi.py:185-187) persist multipolygon WKB well past
+    * one SQLite page, so this roundtrip drives the writer's
+    * overflow-page chains. Each nation gets a sawtooth polygon of
+    * 3·(1200+16·key)+3 ring points (~58 KB WKB at key 0), written as
+    * BOTH the layer geometry and a duplicate BLOB attribute (two >16 KB
+    * chained payloads per row); the read-back geometry must be
+    * byte-identical to the attribute, and point count / WKB length /
+    * area are closed-form: vertices sit on a 0.5-lattice, so the
+    * shoelace area 2.5·m is float-exact. */
+  val qGpkgLarge: Q = (spark, dir) => {
+    import org.apache.spark.sql.types.{StructType, StructField, BinaryType, LongType}
+    val n = Tables(spark, dir, "nation")
+    // m teeth of width 1 over a base rectangle [0,m]×[0,2]; each tooth
+    // apex at (k+0.5, 3) adds exactly 0.5 to the area
+    val polys = n
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        (col("n_nationkey").cast("long") * 16 + 1200).as("m"))
+      .select(col("n_nationkey"),
+        st.polygon(
+          expr("concat(array(0.0d, cast(m as double)), " +
+            "flatten(transform(sequence(cast(m-1 as int), 0, -1), " +
+            "k -> array(k+1.0d, k+0.5d, k+0.0d))))"),
+          expr("concat(array(0.0d, 0.0d), " +
+            "flatten(transform(sequence(cast(m-1 as int), 0, -1), " +
+            "k -> array(2.0d, 3.0d, 2.0d))))")).as("geom"))
+      .select(col("n_nationkey"), col("geom"), col("geom").as("orig"))
+    val tmp = graft.util.Scratch.dir("graft_gpkg_large")
+      .resolve("teeth.gpkg").toString
+    graft.io.GeoPackage.write(polys, "geom", tmp, "teeth")
+    graft.io.GeoPackage.read(spark, tmp, "teeth", StructType(Seq(
+      StructField("n_nationkey", LongType), StructField("orig", BinaryType))))
+      .select(col("n_nationkey"),
+        st.npoints(col("geom")).cast("long").as("npoints"),
+        length(col("geom")).cast("long").as("wkb_len"),
+        round(st.area(col("geom")) * 2).cast("long").as("area2"),
+        (col("geom") === col("orig")).cast("long").as("byte_match"))
+      .orderBy("n_nationkey")
+  }
+
+  val qGpkgLargeSql: String =
+    """SELECT cast(n_nationkey as bigint) AS n_nationkey,
+      |  cast(3*(1200 + n_nationkey*16) + 3 as bigint) AS npoints,
+      |  cast(13 + 16*(3*(1200 + n_nationkey*16) + 3) as bigint) AS wkb_len,
+      |  cast(5*(1200 + n_nationkey*16) as bigint) AS area2,
+      |  cast(1 as bigint) AS byte_match
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   /** Stage 9 of pipeline 3.1 — the heat-island extract
     * (wrf_voronoi.py:185-190): reproject cells to the metric CRS
     * (G9), union the borough layer (A6/G8), keep cells intersecting the
@@ -719,6 +767,7 @@ object GeoQueries {
     "geo_heat_island" -> qHeatIsland,
     "geo_shp_roundtrip" -> qShpRoundtrip,
     "geo_gpkg_roundtrip" -> qGpkgRoundtrip,
+    "geo_gpkg_large" -> qGpkgLarge,
     "geo_geojson_roundtrip" -> qGeojsonRoundtrip,
     "geo_transform_roundtrip" -> qTransformRoundtrip,
     "geo_transform_crs" -> qTransformCrs,
@@ -741,6 +790,7 @@ object GeoQueries {
     "geo_heat_island" -> qHeatIslandSql,
     "geo_shp_roundtrip" -> qShpRoundtripSql,
     "geo_gpkg_roundtrip" -> qGpkgRoundtripSql,
+    "geo_gpkg_large" -> qGpkgLargeSql,
     "geo_geojson_roundtrip" -> qGeojsonRoundtripSql,
     "geo_transform_roundtrip" -> qTransformRoundtripSql,
     "geo_transform_crs" -> qTransformCrsSql,

@@ -110,9 +110,14 @@ class CodecFuzzSpec extends AnyFunSuite {
   test("SQLite survives 300 hostile mutations") {
     val dir = java.nio.file.Files.createTempDirectory("fuzzbase_db")
     val p = dir.resolve("base.db").toString
+    // blob sizes include overflow-chained payloads (4 KB–20 KB) so the
+    // mutations also hit chain pointers, chunk boundaries, and the
+    // local/overflow split — the writer path added for >4 KB WKB
     val rows = (1L to 40L).map(i => i -> Seq[Sqlite.SqlValue](
       Sqlite.SqlInt(i), Sqlite.SqlText("row" + i),
-      Sqlite.SqlBlob(Array.fill(64)((i % 256).toByte))))
+      Sqlite.SqlBlob(Array.fill(
+        if (i % 10 == 0) 20000 else if (i % 5 == 0) 5000 else 64
+      )((i % 256).toByte))))
     Sqlite.write(p, Seq(Sqlite.TableDef("t", "CREATE TABLE t (a, b, c)", rows)))
     runFileFuzz("db",
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),

@@ -63,13 +63,16 @@ def oracle_df(name, sql, sf_name):
         tmp = cpath + ".tmp"
         df.to_parquet(tmp)
         os.replace(tmp, cpath)
-        # drop stale entries for the same (query, sf) only — plus any
-        # legacy pre-sf-scoping files ({name}_{key}.parquet): the new
-        # lookup never hits them, so without this they sit as permanent
-        # dead weight in .oracle_cache
-        for old in glob.glob(os.path.join(cache_dir, f"{name}@{sf_name}_*.parquet")) + \
-                glob.glob(os.path.join(cache_dir, f"{name}_*.parquet")):
+        # drop stale entries for the same (query, sf) only
+        for old in glob.glob(os.path.join(cache_dir, f"{name}@{sf_name}_*.parquet")):
             if old != cpath:
+                os.remove(old)
+        # legacy pre-sf-scoping files ({name}_{key}.parquet) have no
+        # '@'; filtering on that keeps sibling queries' CURRENT entries
+        # (grid_pipeline's eviction must not delete
+        # grid_pipeline_haduk@sf0.1_<key>.parquet etc.)
+        for old in glob.glob(os.path.join(cache_dir, f"{name}_*.parquet")):
+            if "@" not in os.path.basename(old):
                 os.remove(old)
     return df, sql_md5, False
 
