@@ -284,7 +284,13 @@ object NetCdf {
     * allocate gigabytes (see the parseMeta hostile-header note). */
   private def checkedCount(dimSizes: Seq[Long], es: Int, begin: Long,
       avail: Long, what: String): Int = {
-    require(dimSizes.forall(d => d >= 0 && d <= avail),
+    require(dimSizes.forall(_ >= 0),
+      s"$what: negative dimension sizes $dimSizes")
+    // any zero dim → zero elements, valid regardless of the other
+    // dims' magnitudes (dims like [900, 0] need 0 bytes; bounding each
+    // dim or partial product would wrongly reject them)
+    if (dimSizes.contains(0L)) return 0
+    require(dimSizes.forall(d => d <= avail),
       s"$what: dimension sizes $dimSizes out of range")
     // Cap each partial product at what could possibly fit in the file:
     // checking only "the product fits in a Long" is not enough, because
@@ -294,7 +300,7 @@ object NetCdf {
     val maxN = math.min((Int.MaxValue / es).toLong, (avail - begin) / es)
     val n = dimSizes.foldLeft(1L) { (a, d) =>
       val p = a * d
-      require(d == 0 || (p / d == a && p >= 0 && p <= maxN),
+      require(p / d == a && p >= 0 && p <= maxN,
         s"$what: element count exceeds $maxN elements presentable in $avail file bytes")
       p
     }

@@ -615,12 +615,19 @@ object Ann {
       vecCol: String, numSeeds: Int): DataFrame = {
     val ids = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // dedupe by id (a corpus with duplicate ids would violate
+    // SeedArgmax's strictly-ascending precondition) and tolerate an
+    // empty seed set — the old crossJoin+top-1 path yielded a null
+    // cluster there, not a constructor crash (ADVICE r11)
     val seedRows = ids.filter(col("id") < numSeeds).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .groupBy(_._1).map(_._2.head).toArray
       .sortBy(_._1)
-    val cluster = Bridge.column(graft.expressions.SeedArgmax(
-      Seq(Bridge.expression(col("v"))),
-      seedRows.map(_._1), seedRows.map(_._2)))
+    val cluster =
+      if (seedRows.isEmpty) lit(null).cast("long")
+      else Bridge.column(graft.expressions.SeedArgmax(
+        Seq(Bridge.expression(col("v"))),
+        seedRows.map(_._1), seedRows.map(_._2)))
     ids.select(col("id"), col("v"), cluster.as("cluster"))
   }
 

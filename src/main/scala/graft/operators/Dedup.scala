@@ -805,6 +805,16 @@ object Dedup {
               if (!cand.contains(v))
                 cand(v) = (delta.getOrElse(v, r.getLong(1)), Long.MaxValue)
             }
+            // the frozen-frame probe above misses vertices whose
+            // pointer was rewritten by an EARLIER delta round to a
+            // vertex that changed later — complete ptrIn(F) from the
+            // driver-side delta map (ADVICE r11: without this, hop
+            // acceleration was stale-pointer-only and chain graphs
+            // spent extra rounds reaching the same fixpoint)
+            delta.foreach { case (v, l) =>
+              if (fMap.contains(l) && !cand.contains(v))
+                cand(v) = (l, Long.MaxValue)
+            }
             fMap.keysIterator.foreach { v =>
               if (!cand.contains(v)) cand(v) = (delta(v), Long.MaxValue)
             }

@@ -47,6 +47,17 @@ class NetCdfSpec extends AnyFunSuite {
     assert(java.nio.ByteBuffer.wrap(b, 12, 4).getInt == 1)
   }
 
+  test("a zero-size dim after a large dim reads as an empty variable") {
+    // dims [900, 0] need 0 bytes; the element-count guard must
+    // short-circuit on the zero dim instead of rejecting the partial
+    // product 900 > what fits in the header-only file (ADVICE r11)
+    val path = tmp("zdim.nc")
+    NetCdf.write(path, Seq(Dim("big", 900), Dim("none", 0)), Nil,
+      Seq(Var("v", Seq(0, 1), NcDouble, Nil, Array.emptyDoubleArray)))
+    val nc = NetCdf.read(path)
+    assert(nc.variable("v").data.asInstanceOf[Array[Double]].isEmpty)
+  }
+
   test("odd-length names and char data are 4-byte padded") {
     val path = tmp("pad.nc")
     NetCdf.write(path, Seq(Dim("abc", 5)), Seq("k" -> "xyz"),

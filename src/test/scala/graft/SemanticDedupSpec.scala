@@ -43,6 +43,25 @@ class SemanticDedupSpec extends SparkSpec {
     assert(planted.map(_._1).toSet.subsetOf(droppedIds))
   }
 
+  test("semanticDedup tolerates an empty seed set and duplicate corpus ids") {
+    // no id < numSeeds -> zero seeds: the assignment degrades to a
+    // null cluster (the old crossJoin+top-1 behavior), never a crash
+    val noSeeds = Seq((10L, Array(1f, 0f)), (11L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Ann.semanticDedup(noSeeds, "vec_id", "embedding", 2, 0.999)
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), r.getBoolean(2))).toSet
+    assert(got === Set((10L, true, true), (11L, true, true)))
+
+    // duplicate seed-range ids must not violate SeedArgmax's
+    // strictly-ascending precondition (dedupe before construction)
+    val dupIds = Seq(
+      (0L, Array(1f, 0f)), (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(4f, 0f))).toDF("vec_id", "embedding")
+    val byId = Ann.semanticDedup(dupIds, "vec_id", "embedding", 2, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byId.contains((2L, 0L))) // assigned to seed 0, no crash
+  }
+
   test("semanticDedup: the drop rule is 'any earlier item', ids beyond seeds keep clusters") {
     // three collinear vectors in one cluster: 2 and 3 both drop against 0
     val vecs = Seq(
