@@ -1385,66 +1385,75 @@ object TextQueries {
     * merges from the documents corpus — per round, re-segment the
     * distinct-word table under the merges learned so far and adopt the
     * corpus-weighted most frequent adjacent symbol pair (ties
-    * lexicographic). The oracle UNROLLS the 6 rounds as chained
-    * recursive CTEs (each round's segmentation is the BPE-encode CTE
-    * under the previous rounds' learned list), so ranks, pairs and
-    * adoption counts are all hash-pinned. */
+    * lexicographic). The oracle unrolls the 6 rounds incrementally —
+    * each round applies only the newly adopted pair to the previous
+    * segmentation, the training recurrence itself — so ranks, pairs
+    * and adoption counts are all hash-pinned. */
   val qBpeTrain: Q = (spark, dir) => {
     val d = Tables(spark, dir, "documents")
     graft.operators.BpeTrain.learnMerges(d, "text", 6)
   }
 
-  /** The k-round unrolled trainer replay; see [[qBpeTrain]]. */
+  /** The k-round unrolled trainer replay; see [[qBpeTrain]].
+    *
+    * Formulated INCREMENTALLY, like the trainer itself: round r's
+    * segmentation applies only the round-(r−1) adopted pair to the
+    * previous segmentation, instead of re-encoding every word from the
+    * character level under all learned merges (the original recursive-
+    * CTE formulation — equivalent by BPE's encode≡train-segmentation
+    * property, but ~20× the work and 47 s of the cold oracle gate at
+    * sf0.1, VERDICT r11 Next #6). One merge application is a single
+    * non-recursive list expression: mark pair occurrences, pick the
+    * greedy leftmost-nonoverlapping subset (occurrences can only abut
+    * when a = b, so "chosen" = even offset within each run of marks),
+    * then rebuild the symbol list. Symbols never contain whitespace
+    * (the pretokenizer classes exclude it), so the adopted pair "a b"
+    * splits unambiguously on the space. */
   def bpeTrainSql(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH RECURSIVE
+      """WITH
         |pre AS (SELECT unnest(regexp_extract_all(lower(text),
         |    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS w FROM documents),
         |ow AS (SELECT w, count(*) AS c FROM pre GROUP BY 1),
-        |ml0 AS (SELECT CAST([] AS VARCHAR[]) AS m),
+        |seg0 AS (SELECT w, c, list_transform(range(1, length(w) + 1),
+        |  i -> substr(w, i, 1)) AS syms FROM ow),
         |""".stripMargin)
     for (r <- 0 until k) {
-      if (r == 0)
+      if (r > 0)
         sb.append(
-          """enc0 AS (SELECT w, list_transform(range(1, length(w) + 1),
-            |  i -> substr(w, i, 1)) AS syms FROM ow),
-            |""".stripMargin)
-      else
-        sb.append(
-          s"""step$r(w, syms) AS (
-             |  SELECT w, list_transform(range(1, length(w) + 1),
-             |    i -> substr(w, i, 1)) FROM ow
-             |  UNION ALL
-             |  SELECT w, list_concat(list_concat(
-             |      list_slice(syms, 1, bi - 1),
-             |      [list_extract(syms, bi) || list_extract(syms, bi + 1)]),
-             |      list_slice(syms, bi + 2, len(syms)))
+          s"""ab${r - 1} AS (SELECT split_part(p, ' ', 1) AS a,
+             |  split_part(p, ' ', 2) AS b FROM pick${r - 1}),
+             |seg$r AS (
+             |  SELECT w, c,
+             |    list_transform(
+             |      list_filter(range(1, len(syms) + 1),
+             |        i -> i = 1 OR NOT coalesce(g[i - 1], false)),
+             |      i -> CASE WHEN coalesce(g[i], false)
+             |           THEN syms[i] || syms[i + 1] ELSE syms[i] END) AS syms
              |  FROM (
-             |    SELECT w, syms,
-             |      list_position(rk, list_aggregate(rk, 'min')) AS bi,
-             |      list_aggregate(rk, 'min') AS mn
+             |    SELECT w, c, syms,
+             |      list_transform(range(1, len(syms)),
+             |        i -> m[i] = 1 AND
+             |          (i - 1 - coalesce(list_aggregate(
+             |            list_filter(range(1, i), j -> m[j] = 0),
+             |            'max'), 0)) % 2 = 0) AS g
              |    FROM (
-             |      SELECT w, syms,
+             |      SELECT w, c, syms,
              |        list_transform(range(1, len(syms)),
-             |          i -> coalesce(nullif(list_position(ml$r.m,
-             |            syms[i] || ' ' || syms[i+1]), 0), 1000000)) AS rk
-             |      FROM step$r, ml$r WHERE len(syms) > 1))
-             |  WHERE mn < 1000000),
-             |enc$r AS (
-             |  SELECT w, syms FROM step$r
-             |  QUALIFY row_number() OVER (PARTITION BY w ORDER BY len(syms)) = 1),
+             |          i -> CASE WHEN syms[i] = ab${r - 1}.a
+             |                     AND syms[i + 1] = ab${r - 1}.b
+             |               THEN 1 ELSE 0 END) AS m
+             |      FROM seg${r - 1}, ab${r - 1}))),
              |""".stripMargin)
       sb.append(
         s"""pc$r AS (
            |  SELECT pr, cast(sum(c) as bigint) AS n FROM (
-           |    SELECT o.c, unnest(list_transform(range(1, len(e.syms)),
-           |      i -> e.syms[i] || ' ' || e.syms[i+1])) AS pr
-           |    FROM enc$r e JOIN ow o USING (w) WHERE len(e.syms) > 1)
+           |    SELECT c, unnest(list_transform(range(1, len(syms)),
+           |      i -> syms[i] || ' ' || syms[i+1])) AS pr
+           |    FROM seg$r WHERE len(syms) > 1)
            |  GROUP BY 1),
            |pick$r AS (SELECT pr AS p, n FROM pc$r ORDER BY n DESC, pr LIMIT 1),
-           |ml${r + 1} AS (SELECT list_append(ml$r.m, pick$r.p) AS m
-           |  FROM ml$r, pick$r),
            |""".stripMargin)
     }
     val body = sb.toString.trim.stripSuffix(",")
