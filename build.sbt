@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Starved heaps die with "Retried waiting for GCLocker too often"
+  // before they are actually full: 32 tasks in lz4 JNI critical
+  // sections block GC and the default 2 allocation retries give up
+  // (measured on the 4 GiB Prep10M ladder rung). 64 retries lets the
+  // allocation wait for the locker to drain; no effect on healthy heaps.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 )

@@ -449,6 +449,16 @@ object Dedup {
     val sets = df.select(col(idCol).cast("long").as("id"),
       shingles(col(textCol), shingleN).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialize the cache BEFORE the band shuffle consumes it: left
+    // lazy, the first action builds the columnar cache INSIDE the
+    // band-explode's shuffle-map stage, and the unroll (storage-side,
+    // unevictable while in flight) starves the shuffle sorter into
+    // thousands of micro-spills per task — at 10M docs the merge phase
+    // then holds ~600 spill files open per task and dies on the
+    // process fd limit before it dies on memory. One count() splits
+    // cache-build from shuffle-write into separate stages; the build
+    // work itself is identical.
+    sets.count()
     val cand = minhashCandidatesFromSets(sets, k, bands, maxBucket = 64)
     refineJaccard(cand, sets, threshold)
   }

@@ -42,14 +42,53 @@ object Prep10M {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // Reduce-side partition count is the memory:data deployment
+      // parameter this probe exists to measure: at 32 partitions each
+      // band-shuffle reduce task sorts ~4M wide rows and the 4 GiB
+      // ladder rung dies in the spill-merge of the window sort (one
+      // 1 MB UnsafeSorterSpillReader buffer per spill file per task ×
+      // 32 concurrent tasks). 192 initial partitions cut per-task sort
+      // volume 6×; AQE coalesces the small stages back so tiny shuffles
+      // don't pay the extra task overhead. 192 and not 256: staying at
+      // or under spark.shuffle.sort.bypassMergeThreshold (200) keeps
+      // the MAP side on the bypass writer, whose fd ceiling is exactly
+      // P files per task — above the threshold the sort-based writer's
+      // micro-spills under a contended pool held ~600 spill files open
+      // per task at the merge and died on the process fd limit
+      // (measured: 19,896 open temp_shuffle fds at 256 partitions).
+      // Same knob a 1000-executor cluster turns (initial partitions
+      // scaled to input bytes / target partition size), exercised here
+      // at the probe's scale.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "192"))
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Starved-heap headroom: Spark's tracked memory (execution +
+      // storage) spills by design, but the 4 GiB rung dies in UNTRACKED
+      // allocations — shuffle-writer serialization buffers, spill-merge
+      // readers, codegen transients — once the unified pool has claimed
+      // its 0.6 default. Below 6 GiB the fraction auto-drops to 0.5,
+      // trading spill volume for crash-free headroom; at the suite
+      // default 8 GiB the 0.6 stays (0.5 there spills the near-dup
+      // stage 147 s → 416 s for no safety gain — measured). The
+      // per-task disk-write buffer drops 1 MB → 256 KB (× 32 concurrent
+      // tasks × spills, pure transient).
+      .config("spark.memory.fraction",
+        sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION",
+          if (Runtime.getRuntime.maxMemory < 6L * 1024 * 1024 * 1024) "0.5"
+          else "0.6"))
+      .config("spark.shuffle.spill.diskWriteBufferSize", (256 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // cache-unroll transient control: with cpus concurrent tasks each
-      // building columnar batches of wide shingle-array rows, the
-      // default 10k-row batch is the heap spike that sets the probe's
-      // memory floor (ColumnBuilder buffers are untracked heap)
+      // building columnar batches of wide shingle-array rows, a 10k-row
+      // batch is the heap spike that sets the probe's memory floor
+      // (ColumnBuilder buffers are untracked heap) — 1k keeps the
+      // transient ~1/10th at a compression/throughput cost the healthy
+      // rung should not pay, so it scales with the heap like the
+      // memory fraction below
       .config("spark.sql.inMemoryColumnarStorage.batchSize",
-        sys.env.getOrElse("SPARK_GRAFT_CACHE_BATCH", "10000"))
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_BATCH",
+          if (Runtime.getRuntime.maxMemory < 6L * 1024 * 1024 * 1024)
+            "1000" else "10000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
