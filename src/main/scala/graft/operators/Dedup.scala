@@ -172,9 +172,9 @@ object Dedup {
     * nothing); the refine, like every batch refine here, computes
     * |A∩B| over per-shingle `xxhash64` values ([[refineJaccard]]) —
     * exact unless two shingles of one candidate pair collide in 64
-    * bits (~1e-16; the streaming gate's standing index still refines
-    * on strings, so a colliding pair is the one place batch and
-    * stream could in principle disagree).
+    * bits (~1e-16). Since r12 the streaming gate's standing index
+    * refines on the same hashed longs ([[corpusBandIndex]]), so batch
+    * and stream share one exactness contract.
     *
     * With shingle sets sorted under one global order, any pair with
     * J(A,B) ≥ t shares at least one token within each side's first
@@ -478,7 +478,14 @@ object Dedup {
     * the same recall-vs-blowup guard as the batch path; unlike batch,
     * singleton buckets stay (a lone corpus doc can still match an
     * arriving one). Build once per corpus snapshot, reuse across
-    * micro-batches. */
+    * micro-batches.
+    *
+    * The carried shingle set is hashed to sorted `xxhash64` longs
+    * map-side (`c_shh`) — the same bytes-through-the-shuffle cut the
+    * batch refine took in r11 (~3× narrower rows through the guard
+    * window's sort and the stream-static join), with the identical
+    * exactness contract: the refined Jaccard changes only if two
+    * shingles of one compared pair collide in 64 bits (~1e-16). */
   def corpusBandIndex(corpus: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 16,
       maxBucket: Int = 64): DataFrame = {
@@ -488,9 +495,10 @@ object Dedup {
       shingles(col(textCol), shingleN).as("sh"))
     val exploded = sets
       .select(col("id"), col("sh"), minhashFromShingles(col("sh"), k).as("sig"))
-      .select(col("id").as("corpus_id"), col("sh").as("c_sh"),
+      .select(col("id").as("corpus_id"),
+        sort_array(transform(col("sh"), xxhash64(_))).as("c_shh"),
         bandHashes(col("sig"), bands, rows).as("c_bands"))
-      .select(col("corpus_id"), col("c_sh"), col("c_bands"),
+      .select(col("corpus_id"), col("c_shh"), col("c_bands"),
         posexplode(col("c_bands")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val w = org.apache.spark.sql.expressions.Window
@@ -521,9 +529,10 @@ object Dedup {
     val s = incoming.select(col(idCol).cast("long").as("doc_id"),
         shingles(col(textCol), shingleN).as("s_sh"))
       .withColumn("s_sig", minhashFromShingles(col("s_sh"), k))
-      .select(col("doc_id"), col("s_sh"),
+      .select(col("doc_id"),
+        sort_array(transform(col("s_sh"), xxhash64(_))).as("s_shh"),
         bandHashes(col("s_sig"), bands, rows).as("s_bands"))
-      .select(col("doc_id"), col("s_sh"), col("s_bands"),
+      .select(col("doc_id"), col("s_shh"), col("s_bands"),
         posexplode(col("s_bands")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     s.join(index, Seq("band", "band_hash"))
@@ -531,7 +540,7 @@ object Dedup {
       .filter(array_position(
         zip_with(col("s_bands"), col("c_bands"), (a, b) => a === b),
         true) === col("band") + 1)
-      .withColumn("__j", jaccardSorted(col("s_sh"), col("c_sh")))
+      .withColumn("__j", jaccardSortedLong(col("s_shh"), col("c_shh")))
       .filter(col("__j") >= threshold)
       .select(col("doc_id"), col("corpus_id"),
         round(col("__j"), 6).as("jaccard"))

