@@ -554,6 +554,73 @@ case class GifFrames(children: Seq[Expression])
   override def prettyName: String = "gif_frames"
 }
 
+/** gif_frame_wsums(frames, k) — per-frame position-weighted red-channel
+  * sum Σ_p p·pixels[3p] over the first `k` frames of a
+  * [[GifFrames]]-shaped array (interleaved RGB, IntegerType pixels).
+  * Exists because the HOF form (`aggregate(zip_with(pixels,
+  * sequence(...)))` per frame) allocates two 3·w·h transient arrays
+  * per frame per row and evaluates an interpreted lambda per element —
+  * on the GIF round-trip query that cost rivaled the codec itself.
+  * Frames past the array's length yield 0 (the query asserts n_frames
+  * separately). */
+case class GifFrameWeightedSums(children: Seq[Expression], k: Int)
+  extends Expression with CodegenFallback {
+
+  require(k >= 1 && k <= 64, s"k=$k")
+
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    children.head.dataType match {
+      case ArrayType(s: StructType, _)
+          if s.fieldNames.contains("pixels") &&
+            s(s.fieldIndex("pixels")).dataType ==
+              ArrayType(IntegerType, containsNull = false) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gif_frame_wsums needs array<struct{..pixels: array<int>..}>, got $other")
+    }
+  }
+
+  @transient private lazy val pixelsIdx: Int =
+    children.head.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType].fieldIndex("pixels")
+  @transient private lazy val frameFields: Int =
+    children.head.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType].size
+
+  override def eval(input: InternalRow): Any = {
+    val v = children.head.eval(input)
+    if (v == null) return null
+    val frames = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val out = new Array[Long](k)
+    var f = 0
+    val nf = math.min(k, frames.numElements())
+    while (f < nf) {
+      val px = frames.getStruct(f, frameFields).getArray(pixelsIdx)
+      val nPix = px.numElements() / 3
+      var s = 0L
+      var p = 0
+      while (p < nPix) {
+        s += p.toLong * px.getInt(3 * p)
+        p += 1
+      }
+      out(f) = s
+      f += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(children = c)
+  override def prettyName: String = "gif_frame_wsums"
+}
+
 /** shift_tile_frames(bytes, w, h) — `nFrames` cyclically-shifted
   * zero-padded tilings of a byte array: frame f pixel i =
   * bytes[(i+f) mod n] for i < n, else 0. One compiled pass; exists

@@ -595,21 +595,22 @@ object MultimodalQueries {
         Bridge.expression(frames))))))))
     // per decoded frame: Σ p · R(p) over the red channel (= the index
     // byte under the gray palette) — shift-sensitive, so each frame
-    // pins its own content
-    val wsum = (fr: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(fr.getField("pixels"),
-          sequence(lit(0), size(fr.getField("pixels")) - 1),
-          (px, i) => when(i % 3 === 0,
-            (i / lit(3)).cast("long") * px).otherwise(lit(0L))),
-        lit(0L), (a, x) => a + x)
+    // pins its own content. One compiled pass over all three frames
+    // ([[graft.expressions.GifFrameWeightedSums]]): the HOF form
+    // (aggregate∘zip_with∘sequence per frame) allocated two 3·w·h
+    // transient arrays per frame per row and ran an interpreted
+    // lambda per element — it rivaled the codec itself in the profile
     d.select(col("doc_id"), dec.as("fr"))
+      .select(col("doc_id"), col("fr"),
+        Bridge.column(graft.expressions.GifFrameWeightedSums(Seq(
+          Bridge.expression(col("fr"))), k = 3)).as("ws"))
       .select(col("doc_id"),
         size(col("fr")).cast("long").as("n_frames"),
         get(col("fr"), lit(0)).getField("width").cast("long").as("width"),
         get(col("fr"), lit(0)).getField("height").cast("long").as("height"),
-        wsum(get(col("fr"), lit(0))).as("wsum0"),
-        wsum(get(col("fr"), lit(1))).as("wsum1"),
-        wsum(get(col("fr"), lit(2))).as("wsum2"))
+        get(col("ws"), lit(0)).as("wsum0"),
+        get(col("ws"), lit(1)).as("wsum1"),
+        get(col("ws"), lit(2)).as("wsum2"))
       .orderBy("doc_id")
   }
 
