@@ -72,10 +72,20 @@ object IvfPq10M {
       got.unpersist()
       r
     }
+    // Global throwaway serve BEFORE the curve: the r11 run measured
+    // nprobe=1 at 9.78 s vs the 3.6-3.8 s band of the later points —
+    // the first curve point paid whole-JVM JIT/codegen bring-up that
+    // its single same-point warm-up did not fully absorb. One full
+    // serve at an off-curve point moves that cost off every measured
+    // point; each point is then min-of-2 (the curve is a property of
+    // the plan, not of transient machine state).
+    servePoint(2)
     val points = Seq(1, 2, 4, 8).map { nprobe =>
-      servePoint(nprobe) // warm-up: JIT + codegen + page cache
-      val (rec, tServe) = timed(servePoint(nprobe))
-      (nprobe, rec, tServe)
+      servePoint(nprobe) // warm-up: same-point page cache
+      val (rec1, t1) = timed(servePoint(nprobe))
+      val (rec2, t2) = timed(servePoint(nprobe))
+      require(rec1 == rec2, s"serve not deterministic at nprobe=$nprobe")
+      (nprobe, rec1, math.min(t1, t2))
     }
     require(points.last._2 >= points.head._2, s"curve inverted: $points")
     require(points.exists(_._2 >= 0.8), s"recall collapsed at 10M: $points")
