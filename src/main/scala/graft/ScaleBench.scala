@@ -92,6 +92,55 @@ object ScaleBench {
         .count()
     }
 
+    // --- stage 4b: DOMAIN-PARALLEL tessellation — 100 independent
+    // domains × 100k seeds each (SURVEY §2.7 G10's many-grids case:
+    // model runs / tiles / regions tessellating concurrently). One JTS
+    // diagram per domain via groupByKey+flatMapGroups: domains hash
+    // across all reduce tasks, so the plan's parallelism is
+    // min(domains, partitions) — no single-task funnel. Exactness is
+    // REQUIRE'd per domain, not sampled: every domain must produce
+    // exactly one cell per seed, and every domain's cell-area sum must
+    // equal its clip envelope (seed extent + margin) to 1e-6 relative.
+    val domN = 100
+    val perDom = 100000 // 400 x 250 jittered grid per domain
+    val ((domCount, domAreaErr), tVorDomains) = timed {
+      val gx = 400
+      val seeds = spark.range(domN.toLong * perDom).select(
+        (col("id") / perDom).cast("long").as("domain"),
+        col("id"),
+        ((col("id") % perDom % gx).cast("double") + 0.5 +
+          (hash(col("id"), lit(1)).cast("double") / 2147483647.0) * 0.3)
+          .as("px"),
+        ((col("id") % perDom / gx).cast("long").cast("double") + 0.5 +
+          (hash(col("id"), lit(2)).cast("double") / 2147483647.0) * 0.3)
+          .as("py"))
+      val margin = 1.0
+      val cells = Voronoi.tessellateByDomain(
+        seeds, "domain", "id", "px", "py", margin)
+      val perDomain = cells.groupBy("domain")
+        .agg(count(lit(1)).as("n_cells"), sum(st.area(col("geom"))).as("area"))
+        .join(
+          seeds.groupBy("domain").agg(
+            min("px").as("x0"), max("px").as("x1"),
+            min("py").as("y0"), max("py").as("y1")),
+          Seq("domain"))
+        .select(col("n_cells"),
+          abs(col("area") /
+            ((col("x1") - col("x0") + 2 * margin) *
+              (col("y1") - col("y0") + 2 * margin)) - 1.0).as("err"))
+        .agg(count(lit(1)).as("doms"),
+          min("n_cells").as("cmin"), max("n_cells").as("cmax"),
+          max("err").as("emax"))
+        .head()
+      require(perDomain.getLong(0) == domN.toLong &&
+        perDomain.getLong(1) == perDom.toLong &&
+        perDomain.getLong(2) == perDom.toLong,
+        s"domain tessellation counts off: $perDomain")
+      require(perDomain.getDouble(3) < 1e-6,
+        s"domain tessellation area mismatch: ${perDomain.getDouble(3)}")
+      (perDomain.getLong(0), perDomain.getDouble(3))
+    }
+
     // --- stage 5 (north-star): sign-LSH ANN over 1M synthetic vectors
     // (64-dim, deterministic pseudo-random floats from the row id) —
     // candidate generation is the bucket equi-join; scoring is the
@@ -1041,6 +1090,9 @@ object ScaleBench {
         s""""cc_1m_sec":$tCc,"cc_components":${ccStats._2},""" +
         s""""warc_stream_sec":$tWarcStream,"warc_admitted":$warcAdmitted,""" +
         s""""regrid_cells":$regridRows,"voronoi_cells":$vorCells,""" +
+        s""""voronoi_domains_sec":$tVorDomains,""" +
+        s""""voronoi_domains":$domCount,""" +
+        s""""voronoi_domain_area_err":$domAreaErr,""" +
         s""""conservation_ratio":$ratio}""")
     spark.stop()
   }
