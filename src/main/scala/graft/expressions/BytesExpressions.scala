@@ -602,6 +602,10 @@ case class GifFrameWeightedSums(children: Seq[Expression], k: Int)
     var f = 0
     val nf = math.min(k, frames.numElements())
     while (f < nf) {
+      // a null frame element (containsNull arrays pass the type check)
+      // contributes 0, like a frame index past the array's end
+      if (frames.isNullAt(f)) { f += 1 }
+      else {
       val px = frames.getStruct(f, frameFields).getArray(pixelsIdx)
       val nPix = px.numElements() / 3
       var s = 0L
@@ -612,6 +616,7 @@ case class GifFrameWeightedSums(children: Seq[Expression], k: Int)
       }
       out(f) = s
       f += 1
+      }
     }
     new GenericArrayData(out)
   }

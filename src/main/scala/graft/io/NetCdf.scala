@@ -288,8 +288,15 @@ object NetCdf {
       s"$what: negative dimension sizes $dimSizes")
     // any zero dim → zero elements, valid regardless of the other
     // dims' magnitudes (dims like [900, 0] need 0 bytes; bounding each
-    // dim or partial product would wrongly reject them)
-    if (dimSizes.contains(0L)) return 0
+    // dim or partial product would wrongly reject them) — but the
+    // variable's begin offset must still be in range: a hostile header
+    // can pair a zero-element shape with an out-of-file begin, and the
+    // downstream reader trusts begin once the header passes
+    if (dimSizes.contains(0L)) {
+      require(begin >= 0 && begin <= avail,
+        s"$what: begin $begin out of range")
+      return 0
+    }
     require(dimSizes.forall(d => d <= avail),
       s"$what: dimension sizes $dimSizes out of range")
     // Cap each partial product at what could possibly fit in the file:

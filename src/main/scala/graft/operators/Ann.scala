@@ -618,11 +618,19 @@ object Ann {
     // dedupe by id (a corpus with duplicate ids would violate
     // SeedArgmax's strictly-ascending precondition) and tolerate an
     // empty seed set — the old crossJoin+top-1 path yielded a null
-    // cluster there, not a constructor crash (ADVICE r11)
+    // cluster there, not a constructor crash (ADVICE r11). The
+    // duplicate kept must not depend on collect() order (partition
+    // order varies run to run): take the lexicographically smallest
+    // vector, a deterministic total order over the conflicting rows.
     val seedRows = ids.filter(col("id") < numSeeds).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .groupBy(_._1).map(_._2.head).toArray
-      .sortBy(_._1)
+      .groupBy(_._1)
+      .map { case (_, rows) =>
+        rows.minBy(_._2.toSeq)(
+          math.Ordering.Implicits.seqOrdering[Seq, Float](
+            math.Ordering.Float.TotalOrdering))
+      }
+      .toArray.sortBy(_._1)
     val cluster =
       if (seedRows.isEmpty) lit(null).cast("long")
       else Bridge.column(graft.expressions.SeedArgmax(

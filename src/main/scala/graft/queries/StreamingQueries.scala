@@ -72,9 +72,12 @@ object StreamingQueries {
     sentinelCache.computeIfAbsent(key, _ => {
       val tmpOut = java.nio.file.Files.createTempDirectory("graft_sentinel")
       write(tmpOut)
-      java.nio.file.Files.list(tmpOut).toArray.map(_.toString)
-        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
-        .map(java.nio.file.Paths.get(_)).head
+      val listing = java.nio.file.Files.list(tmpOut)
+      try {
+        listing.toArray.map(_.toString)
+          .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+          .map(java.nio.file.Paths.get(_)).head
+      } finally listing.close() // Files.list leaks a directory fd unclosed
     })
 
   /** State-partition count for the declared stateful queries — 8 by

@@ -76,10 +76,12 @@ object IvfPq10M {
     // nprobe=1 at 9.78 s vs the 3.6-3.8 s band of the later points —
     // the first curve point paid whole-JVM JIT/codegen bring-up that
     // its single same-point warm-up did not fully absorb. One full
-    // serve at an off-curve point moves that cost off every measured
-    // point; each point is then min-of-2 (the curve is a property of
-    // the plan, not of transient machine state).
-    servePoint(2)
+    // serve at a genuinely OFF-curve nprobe (3 is not among the
+    // measured {1,2,4,8}, so no measured point gets extra same-point
+    // warmth) moves that cost off every measured point; each point is
+    // then min-of-2 (the curve is a property of the plan, not of
+    // transient machine state).
+    servePoint(3)
     val points = Seq(1, 2, 4, 8).map { nprobe =>
       servePoint(nprobe) // warm-up: same-point page cache
       val (rec1, t1) = timed(servePoint(nprobe))

@@ -84,8 +84,18 @@ object StreamProfile {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
-        // listener events are async — drain before reading
-        Thread.sleep(200)
+        // listener events are async — wait until the batch count is
+        // stable across two consecutive polls (a fixed sleep silently
+        // drops late events and inflates outside_sec, the very number
+        // this probe measures), bounded at 3 s
+        var stable = 0
+        var last = -1
+        var waited = 0
+        while (stable < 2 && waited < 30) {
+          Thread.sleep(100); waited += 1
+          val n = batches.synchronized(batches.size)
+          if (n == last) stable += 1 else { stable = 0; last = n }
+        }
         batches.synchronized {
           val keys = Seq("addBatch", "getBatch", "latestOffset",
             "queryPlanning", "walCommit", "commitOffsets", "triggerExecution")

@@ -58,6 +58,25 @@ class NetCdfSpec extends AnyFunSuite {
     assert(nc.variable("v").data.asInstanceOf[Array[Double]].isEmpty)
   }
 
+  test("zero-element variable with an out-of-file begin is rejected") {
+    // the zero-dim short-circuit must not skip the begin-range guard:
+    // a hostile header can pair a 0-element shape with a begin beyond
+    // the file, and the reader trusts begin once the header passes
+    val path = tmp("zdim_hostile.nc")
+    NetCdf.write(path, Seq(Dim("big", 900), Dim("none", 0)), Nil,
+      Seq(Var("v", Seq(0, 1), NcDouble, Nil, Array.emptyDoubleArray)))
+    val b = Files.readAllBytes(java.nio.file.Paths.get(path))
+    // zero data bytes -> the file is header-only and the var's begin
+    // offset (CDF-1: 4 bytes) is the final header field = last 4 bytes
+    assert(java.nio.ByteBuffer.wrap(b, b.length - 4, 4).getInt == b.length,
+      "header layout drifted — begin is no longer the last field")
+    java.nio.ByteBuffer.wrap(b, b.length - 4, 4).putInt(0x7ffffff0)
+    val hostile = tmp("zdim_hostile2.nc")
+    Files.write(java.nio.file.Paths.get(hostile), b)
+    val e = intercept[IllegalArgumentException](NetCdf.read(hostile))
+    assert(e.getMessage.contains("begin"), e.getMessage)
+  }
+
   test("odd-length names and char data are 4-byte padded") {
     val path = tmp("pad.nc")
     NetCdf.write(path, Seq(Dim("abc", 5)), Seq("k" -> "xyz"),

@@ -60,6 +60,20 @@ class SemanticDedupSpec extends SparkSpec {
     val byId = Ann.semanticDedup(dupIds, "vec_id", "embedding", 2, 0.999)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(byId.contains((2L, 0L))) // assigned to seed 0, no crash
+
+    // ...and the duplicate KEPT must not depend on collect() partition
+    // order: of conflicting vectors the lexicographically smallest
+    // wins. Here id 0 carries [1,0] and [0,1] -> [0,1] is kept, so the
+    // probe vector [1,0] scores 0 against seed 0 and 1 against seed 1:
+    // cluster must be 1 every run (keeping [1,0] instead would tie at
+    // 1.0 and resolve to the smaller id 0 — a different, order-
+    // dependent answer)
+    val dupVecs = Seq(
+      (0L, Array(1f, 0f)), (0L, Array(0f, 1f)), (1L, Array(1f, 0f)),
+      (10L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val probe = Ann.semanticDedup(dupVecs, "vec_id", "embedding", 2, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(probe(10L) === 1L)
   }
 
   test("semanticDedup: the drop rule is 'any earlier item', ids beyond seeds keep clusters") {
