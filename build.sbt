@@ -33,5 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (measured on the 4 GiB Prep10M ladder rung). 64 retries lets the
   // allocation wait for the locker to drain; no effect on healthy heaps.
   "-XX:+UnlockDiagnosticVMOptions",
-  "-XX:GCLockerRetryAllocationCount=64",
-)
+) ++ {
+  // The GCLocker (and this diagnostic flag) was removed in JDK 22
+  // (JDK-8318706); passing it there fails startup with an
+  // unknown-flag error. Gate on the running major version — the
+  // pinned toolchain is JDK 17, where the retry count is needed.
+  val major = System.getProperty("java.version").split("[.+-]")(0).toInt
+  if (major < 22) Seq("-XX:GCLockerRetryAllocationCount=64") else Seq.empty
+}

@@ -606,15 +606,23 @@ case class GifFrameWeightedSums(children: Seq[Expression], k: Int)
       // contributes 0, like a frame index past the array's end
       if (frames.isNullAt(f)) { f += 1 }
       else {
+      // a null pixels value (nullable struct fields pass the type
+      // check, which only compares the field's dataType) counts as 0,
+      // like a null frame
       val px = frames.getStruct(f, frameFields).getArray(pixelsIdx)
-      val nPix = px.numElements() / 3
-      var s = 0L
-      var p = 0
-      while (p < nPix) {
-        s += p.toLong * px.getInt(3 * p)
-        p += 1
+      if (px != null) {
+        val nElems = px.numElements()
+        var s = 0L
+        var p = 0
+        // 3*p < nElems (not p < nElems/3): matches the HOF form this
+        // replaced, which included index i=3p for ANY i < len — a
+        // trailing partial RGB group still contributes its first byte
+        while (3 * p < nElems) {
+          s += p.toLong * px.getInt(3 * p)
+          p += 1
+        }
+        out(f) = s
       }
-      out(f) = s
       f += 1
       }
     }

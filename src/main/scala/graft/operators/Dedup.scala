@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -442,6 +442,39 @@ object Dedup {
   /** The composed near-dup pipeline: MinHash-LSH candidates + exact
     * Jaccard refine — candidates ⊇ all true pairs (w.h.p., see
     * [[minhashCandidates]]), refine makes the output exact. */
+  /** Whether [[minhashNearDups]] materializes its shared shingle cache
+    * in its own stage before the band shuffle consumes it. Left lazy,
+    * the first action builds the columnar cache INSIDE the
+    * band-explode's shuffle-map stage, and the unroll (storage-side,
+    * unevictable while in flight) starves the shuffle SORTER into
+    * thousands of micro-spills per task — at 10M docs the merge phase
+    * then holds ~600 spill files open per task and dies on the process
+    * fd limit before it dies on memory. That sorter only exists when
+    * the sort-based shuffle writer engages, i.e. when the map side
+    * writes MORE reduce partitions than
+    * `spark.shuffle.sort.bypassMergeThreshold` (default 200); below it
+    * the bypass writer streams to exactly P files per task with no
+    * in-memory sort to starve. So the extra stage (a flat ~0.1-0.15 s
+    * per call at sf0.1 — measured same-JVM A/B, r12) is paid only when
+    * the failure mode it prevents can exist, and big-partition
+    * pipelines like `tools/Prep10M` keep the contract automatically if
+    * they ever raise their partition count past the threshold.
+    * Override per-pipeline via `-Dgraft.eagerShingleCache=true|false`
+    * / env `GRAFT_EAGER_SHINGLE_CACHE` (Prep10M sets it true: at a
+    * 4 GiB heap even the bypass writer's map stage benefits from not
+    * sharing its working set with the cache unroll). */
+  private[graft] def eagerShingleCacheDefault(spark: SparkSession): Boolean =
+    sys.props.get("graft.eagerShingleCache")
+      .orElse(sys.env.get("GRAFT_EAGER_SHINGLE_CACHE"))
+      .map(_.toBoolean)
+      .getOrElse {
+        val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val bypass = spark.conf
+          .getOption("spark.shuffle.sort.bypassMergeThreshold")
+          .map(_.toInt).getOrElse(200)
+        parts > bypass
+      }
+
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
       k: Int = 32, bands: Int = 16): DataFrame = {
@@ -449,16 +482,9 @@ object Dedup {
     val sets = df.select(col(idCol).cast("long").as("id"),
       shingles(col(textCol), shingleN).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Materialize the cache BEFORE the band shuffle consumes it: left
-    // lazy, the first action builds the columnar cache INSIDE the
-    // band-explode's shuffle-map stage, and the unroll (storage-side,
-    // unevictable while in flight) starves the shuffle sorter into
-    // thousands of micro-spills per task — at 10M docs the merge phase
-    // then holds ~600 spill files open per task and dies on the
-    // process fd limit before it dies on memory. One count() splits
-    // cache-build from shuffle-write into separate stages; the build
-    // work itself is identical.
-    sets.count()
+    // see eagerShingleCacheDefault for why (and when) the cache build
+    // is split into its own stage — same build work either way
+    if (eagerShingleCacheDefault(df.sparkSession)) sets.count()
     val cand = minhashCandidatesFromSets(sets, k, bands, maxBucket = 64)
     refineJaccard(cand, sets, threshold)
   }

@@ -67,6 +67,28 @@ object StreamingQueries {
     * micro-batch" time, StreamProfile r12). */
   private val sentinelCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  /** mtime+size stamp of the source parquet path, folded into the
+    * cache key so a table regenerated under the same dir mid-JVM
+    * (new max ts) invalidates the cached sentinel instead of silently
+    * reusing a stale one and missing the final watermark flush. */
+  private def sourceStamp(p: java.nio.file.Path): String = {
+    import java.nio.file.Files
+    if (!Files.exists(p)) "absent"
+    else {
+      val self = s"${Files.getLastModifiedTime(p).toMillis}:${Files.size(p)}"
+      if (!Files.isDirectory(p)) self
+      else {
+        val listing = Files.list(p)
+        try {
+          val kids = listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          val agg = kids.map(k =>
+            Files.getLastModifiedTime(k).toMillis ^ Files.size(k))
+            .foldLeft(0L)(_ ^ _)
+          s"$self:${kids.length}:$agg"
+        } finally listing.close()
+      }
+    }
+  }
   private def cachedSentinelPart(key: String)(
       write: java.nio.file.Path => Unit): java.nio.file.Path =
     sentinelCache.computeIfAbsent(key, _ => {
@@ -87,7 +109,16 @@ object StreamingQueries {
   private[graft] def defaultStatePartitions: Int =
     sys.props.get("graft.statePartitions")
       .orElse(sys.env.get("GRAFT_STATE_PARTITIONS"))
-      .map(_.toInt).getOrElse(8)
+      .map { raw =>
+        val n = try raw.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.statePartitions / GRAFT_STATE_PARTITIONS must be a " +
+              s"positive integer, got '$raw'")
+        }
+        require(n >= 1,
+          s"graft.statePartitions / GRAFT_STATE_PARTITIONS must be >= 1, got $n")
+        n
+      }.getOrElse(8)
 
   private[graft] def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
@@ -561,7 +592,9 @@ object StreamingQueries {
         expr(s"ts + ${30L * 86400L * 1000000000L}") // ns
       case _ => expr("ts + INTERVAL 30 DAY")
     }
-    val part = cachedSentinelPart(s"events:$dir") { tmpOut =>
+    val srcStamp = sourceStamp(
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val part = cachedSentinelPart(s"events:$dir:$srcStamp") { tmpOut =>
       val sentinel = raw.limit(1).drop("ts")
         .crossJoin(raw.agg(max("ts").as("ts")))
         .withColumn("ts", bumped)
@@ -721,7 +754,9 @@ object StreamingQueries {
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("embeddings.parquet"),
       java.nio.file.Paths.get(dir, "embeddings.parquet").toAbsolutePath)
-    val part = cachedSentinelPart(s"embeddings:$dir") { tmpOut =>
+    val embStamp = sourceStamp(
+      java.nio.file.Paths.get(dir, "embeddings.parquet"))
+    val part = cachedSentinelPart(s"embeddings:$dir:$embStamp") { tmpOut =>
       spark.read.parquet(s"$dir/embeddings.parquet").limit(1)
         .withColumn("vec_id", lit(-1L).cast(schema("vec_id").dataType))
         .select(schema.fieldNames.toSeq.map(col): _*)

@@ -296,4 +296,26 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains((6L, 0L)) && !got.contains((6L, 1L)))
     assert(got.contains((0L, 1L)) && got.contains((1L, 0L)))
   }
+
+  test("eager shingle-cache gate follows the bypass-merge threshold; knob overrides") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // at/below the bypass threshold (default 200) the sort-based
+      // shuffle writer never engages, so the fd failure mode the
+      // eager split prevents can't exist → lazy
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      assert(!Dedup.eagerShingleCacheDefault(spark))
+      spark.conf.set("spark.sql.shuffle.partitions", "201")
+      assert(Dedup.eagerShingleCacheDefault(spark))
+      // explicit knob wins over the gate, both directions
+      sys.props("graft.eagerShingleCache") = "false"
+      assert(!Dedup.eagerShingleCacheDefault(spark))
+      sys.props("graft.eagerShingleCache") = "true"
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      assert(Dedup.eagerShingleCacheDefault(spark))
+    } finally {
+      sys.props.remove("graft.eagerShingleCache")
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
 }

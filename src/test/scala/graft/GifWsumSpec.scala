@@ -61,6 +61,38 @@ class GifWsumSpec extends SparkSpec {
     assert(row.getSeq[Long](0) === Seq(0L, 0L, 0L))
   }
 
+  test("null pixels value contributes zero, not an NPE") {
+    import spark.implicits._
+    // nullable struct FIELDS pass the type check (only the field's
+    // dataType is compared), so eval must tolerate a null pixels
+    // value — it counts as zero, like a null frame
+    val frames = array(
+      named_struct(lit("pixels"), when(lit(false), array(lit(1)))),
+      named_struct(lit("pixels"), array(lit(10), lit(20), lit(30),
+        lit(40), lit(50), lit(60))))
+    val row = Seq(1).toDF("x")
+      .select(Bridge.column(GifFrameWeightedSums(
+        Seq(Bridge.expression(frames)), k = 2)).as("ws"))
+      .head()
+    // frame 1: sum p*px[3p] = 0*10 + 1*40 = 40
+    assert(row.getSeq[Long](0) === Seq(0L, 40L))
+  }
+
+  test("trailing partial RGB group matches the HOF semantics") {
+    import spark.implicits._
+    // 7 elements = 2 full RGB groups + 1 trailing byte. The HOF form
+    // included index i=3p for ANY i < len, so p=2 (i=6) contributes —
+    // the compiled pass must agree, not drop the partial group.
+    val px = array((1 to 7).map(i => lit(i * 10)): _*)
+    val frames = array(named_struct(lit("pixels"), px))
+    val row = Seq(1).toDF("x")
+      .select(Bridge.column(GifFrameWeightedSums(
+        Seq(Bridge.expression(frames)), k = 1)).as("ws"))
+      .head()
+    // 0*px[0] + 1*px[3] + 2*px[6] = 0*10 + 40 + 2*70 = 180
+    assert(row.getSeq[Long](0) === Seq(180L))
+  }
+
   test("null input yields null; wrong shape rejected at analysis time") {
     import spark.implicits._
     val fr = framesCol(col("text"))
