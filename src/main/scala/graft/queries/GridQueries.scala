@@ -358,19 +358,26 @@ object GridQueries {
     val tmp = graft.util.Scratch.dir("graft_nc")
       .resolve("pop.nc").toString
     val dims = Seq(NetCdf.Dim("y", ny), NetCdf.Dim("x", 10))
-    val gattrs = Seq("title" -> "graft regrid output")
+    // >8 global attrs: past libhdf5's compact threshold, so the HDF5
+    // leg writes them DENSELY (fractal heap + type-8 name btree) and
+    // the gate exercises the dense-attribute read path end-to-end
+    val gattrs = ("title" -> "graft regrid output") +:
+      (0 until 9).map(i => s"aux_$i" -> s"meta$i")
     val vars = Seq(
       NetCdf.Var("lat", Seq(0), NetCdf.NcDouble, Seq("units" -> "degrees_north"),
         Array.tabulate(ny)(_ + 0.5)),
       NetCdf.Var("lon", Seq(1), NetCdf.NcDouble, Seq("units" -> "degrees_east"),
         Array.tabulate(10)(_ * 2.0 + 1.0)),
       NetCdf.Var("pop_cents", Seq(0, 1), NetCdf.NcDouble, Nil, cents))
-    // denseGroups: latest-format fractal-heap link storage — the gate
-    // exercises the dense read path end-to-end, not just NetCdfSpec
+    // denseGroups + denseAttrs: latest-format fractal-heap link AND
+    // attribute storage — the gate exercises both dense read paths
+    // end-to-end, not just NetCdfSpec
     if (hdf5) Hdf5.write(tmp, dims, gattrs, vars, chunkDeflate = true,
-      denseGroups = true)
+      denseGroups = true, denseAttrs = true)
     else NetCdf.write(tmp, dims, gattrs, vars)
     val nc = NetCdf.read(tmp)
+    require(nc.globalAttrs.toMap == gattrs.toMap,
+      s"global attrs did not roundtrip: ${nc.globalAttrs}")
     val lat = nc.variable("lat").data.asInstanceOf[Array[Double]]
     val lon = nc.variable("lon").data.asInstanceOf[Array[Double]]
     val pop = nc.variable("pop_cents").data.asInstanceOf[Array[Double]]

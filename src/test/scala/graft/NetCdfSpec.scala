@@ -243,6 +243,69 @@ class NetCdfSpec extends AnyFunSuite {
       Seq(0.0, 1.0))
   }
 
+  test("dense (fractal-heap) attribute storage roundtrips") {
+    // latest-format libhdf5 moves attributes past the compact
+    // threshold (8) into a fractal heap indexed by a type-8 name v2
+    // B-tree; the writer's denseAttrs mode emits that layout
+    // (Attribute Info message, FRHP + FHDB, BTHD + BTLF of 17-byte
+    // records) and the reader must resolve every heap id back to its
+    // attribute — a real modern WRF NetCDF-4 file with many global
+    // attributes hits exactly this path.
+    val path = tmp("dense_attrs.h5")
+    val dims = Seq(Dim("x", 3))
+    val vars = Seq(Var("v", Seq(0), NcDouble, Nil, Array(1.0, 2.0, 3.0)))
+    // 20 attrs (> the libhdf5 compact threshold), deliberately passed
+    // OUT of name order: the dense read path returns name order
+    val attrs = (0 until 20).map(i => f"attr_${(i * 7) % 20}%02d" -> s"val$i")
+    graft.io.Hdf5.write(path, dims, attrs, vars, denseAttrs = true)
+    val nc = NetCdf.read(path)
+    assert(nc.globalAttrs.toMap == attrs.toMap)
+    assert(nc.globalAttrs.map(_._1) == attrs.map(_._1).sorted)
+    assert(nc.variable("v").data.asInstanceOf[Array[Double]].toSeq ==
+      Seq(1.0, 2.0, 3.0))
+  }
+
+  test("dense attributes compose with dense groups") {
+    val path = tmp("dense_both.h5")
+    val dims = Seq(Dim("t", 2))
+    val vars = Seq(
+      Var("t", Seq(0), NcDouble, Nil, Array(0.0, 1.0)),
+      Var("u", Seq(0), NcFloat, Seq("units" -> "m/s"), Array(3f, 4f)))
+    graft.io.Hdf5.write(path, dims,
+      Seq("history" -> "both-dense", "title" -> "x"), vars,
+      chunkDeflate = true, denseGroups = true, denseAttrs = true)
+    val nc = NetCdf.read(path)
+    assert(nc.globalAttrs == Seq("history" -> "both-dense", "title" -> "x"))
+    assert(nc.variable("u").attrs == Seq("units" -> "m/s"))
+    assert(nc.variable("u").data.asInstanceOf[Array[Float]].toSeq ==
+      Seq(3f, 4f))
+  }
+
+  test("dense-attribute file survives 200 hostile mutations") {
+    // same decode-or-reject contract as the ingest fuzz suites: no
+    // mutation of the heap/btree bytes may hang, overflow the stack,
+    // or allocate from an attacker-claimed size
+    val path = tmp("dense_attrs_fuzz.h5")
+    val dims = Seq(Dim("x", 3))
+    val vars = Seq(Var("v", Seq(0), NcDouble, Nil, Array(1.0, 2.0, 3.0)))
+    val attrs = (0 until 12).map(i => f"a$i%02d" -> s"v$i")
+    graft.io.Hdf5.write(path, dims, attrs, vars, denseAttrs = true)
+    val base = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val rnd = new scala.util.Random(20260815)
+    val p = tmp("dense_attrs_mut.h5")
+    var decoded = 0; var rejected = 0
+    for (i <- 0 until 200) {
+      val b = base.clone()
+      for (_ <- 0 to rnd.nextInt(8))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Files.write(java.nio.file.Paths.get(p), b)
+      try { NetCdf.read(p); decoded += 1 }
+      catch { case scala.util.control.NonFatal(_) => rejected += 1 }
+    }
+    assert(decoded + rejected == 200)
+    assert(rejected > 0, "no mutation was ever rejected?")
+  }
+
   test("dense groups survive many links and chunked+deflate data") {
     // 120 variables → 120 link messages packed in the direct block
     // (multi-KiB heap, hash-ordered btree records), with the chunked
