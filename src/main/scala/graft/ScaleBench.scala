@@ -141,6 +141,81 @@ object ScaleBench {
       (perDomain.getLong(0), perDomain.getDouble(3))
     }
 
+    // --- stage 4c: MIXED domain sizes — 1 domain × 2M seeds + 99
+    // domains × 100k (VERDICT r12 #4). The 2M domain is above
+    // tessellateByDomain's auto-tile threshold, so it routes through
+    // the tiled path (verified halo guard) instead of funneling one
+    // 2M-seed JTS build into a single task; the 99 small domains keep
+    // the one-task-per-domain shape. A task-duration listener proves
+    // the funnel is gone: the stage's longest task must be far below a
+    // single-task 2M diagram build (100k ≈ 8-15 s single-threaded here,
+    // so 2M ≈ minutes; the REQUIRE bound is 120 s). Exactness is
+    // REQUIRE'd per domain exactly as in 4b.
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val taskListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val d = te.taskInfo.duration
+        var cur = maxTaskMs.get()
+        while (d > cur && !maxTaskMs.compareAndSet(cur, d))
+          cur = maxTaskMs.get()
+      }
+    }
+    spark.sparkContext.addSparkListener(taskListener)
+    val ((mixDoms, mixErr), tVorMixed) = timed {
+      val bigN = 2000000L
+      val gxBig = 2000 // 2000 x 1000 jittered grid for the big domain
+      val jit = (c: org.apache.spark.sql.Column, s: Int) =>
+        (hash(c, lit(s)).cast("double") / 2147483647.0) * 0.3
+      val bigSeeds = spark.range(bigN).select(
+        lit(0L).as("domain"), col("id"),
+        ((col("id") % gxBig).cast("double") + 0.5 + jit(col("id"), 1))
+          .as("px"),
+        ((col("id") / gxBig).cast("long").cast("double") + 0.5 +
+          jit(col("id"), 2)).as("py"))
+      val gx = 400 // 400 x 250 per small domain, as in 4b
+      val smallSeeds = spark.range(99L * perDom).select(
+        ((col("id") / perDom) + 1).cast("long").as("domain"),
+        (col("id") + bigN).as("id"),
+        ((col("id") % perDom % gx).cast("double") + 0.5 +
+          jit(col("id"), 3)).as("px"),
+        ((col("id") % perDom / gx).cast("long").cast("double") + 0.5 +
+          jit(col("id"), 4)).as("py"))
+      val seeds = bigSeeds.union(smallSeeds)
+      val margin = 1.0
+      val cells = Voronoi.tessellateByDomain(
+        seeds, "domain", "id", "px", "py", margin)
+      val perDomain = cells.groupBy("domain")
+        .agg(count(lit(1)).as("n_cells"), sum(st.area(col("geom"))).as("area"))
+        .join(
+          seeds.groupBy("domain").agg(
+            count(lit(1)).as("n_seeds"),
+            min("px").as("x0"), max("px").as("x1"),
+            min("py").as("y0"), max("py").as("y1")),
+          Seq("domain"))
+        .select(
+          (col("n_cells") === col("n_seeds")).cast("int").as("count_ok"),
+          abs(col("area") /
+            ((col("x1") - col("x0") + 2 * margin) *
+              (col("y1") - col("y0") + 2 * margin)) - 1.0).as("err"))
+        .agg(count(lit(1)).as("doms"), sum("count_ok").as("oks"),
+          max("err").as("emax"))
+        .head()
+      require(perDomain.getLong(0) == 100L &&
+        perDomain.getLong(1) == 100L,
+        s"mixed-domain tessellation counts off: $perDomain")
+      require(perDomain.getDouble(2) < 1e-6,
+        s"mixed-domain tessellation area mismatch: ${perDomain.getDouble(2)}")
+      (perDomain.getLong(0), perDomain.getDouble(2))
+    }
+    Thread.sleep(500) // let the async listener bus drain task-end events
+    spark.sparkContext.removeSparkListener(taskListener)
+    val mixMaxTaskSec = maxTaskMs.get() / 1000.0
+    require(mixMaxTaskSec < 120.0,
+      s"mixed-domain stage has a funnel task: longest task $mixMaxTaskSec s " +
+        "(a 2M-seed single-task JTS build takes minutes — the big domain " +
+        "was not tiled)")
+
     // --- stage 5 (north-star): sign-LSH ANN over 1M synthetic vectors
     // (64-dim, deterministic pseudo-random floats from the row id) —
     // candidate generation is the bucket equi-join; scoring is the
@@ -1093,6 +1168,10 @@ object ScaleBench {
         s""""voronoi_domains_sec":$tVorDomains,""" +
         s""""voronoi_domains":$domCount,""" +
         s""""voronoi_domain_area_err":$domAreaErr,""" +
+        s""""voronoi_mixed_sec":$tVorMixed,""" +
+        s""""voronoi_mixed_doms":$mixDoms,""" +
+        s""""voronoi_mixed_area_err":$mixErr,""" +
+        s""""voronoi_mixed_max_task_sec":$mixMaxTaskSec,""" +
         s""""conservation_ratio":$ratio}""")
     spark.stop()
   }

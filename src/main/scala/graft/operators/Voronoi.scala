@@ -203,12 +203,25 @@ object Voronoi {
   }
 
   /** Domain-parallel tessellation: one Voronoi diagram per `domainCol`
-    * value, one task per domain (`flatMapGroups`) — how many independent
-    * grids (model runs, tiles, regions) tessellate concurrently on a
-    * cluster. Clip envelope is per-domain: the seeds' extent expanded by
-    * `margin`. */
+    * value — how many independent grids (model runs, tiles, regions)
+    * tessellate concurrently on a cluster. Clip envelope is per-domain:
+    * the seeds' extent expanded by `margin`.
+    *
+    * Domains at or below `autoTileAbove` seeds run one single-threaded
+    * JTS build per domain (`flatMapGroups`, domains hashed across
+    * tasks — the right shape when each domain is small and domains are
+    * many). Domains ABOVE it would funnel a huge diagram into one task
+    * where the single-domain entry point would have tiled, so each one
+    * is routed through [[tessellate]] instead (VERDICT r12 #4): its
+    * auto-tiled path with the per-tile halo-sufficiency guard and the
+    * verified double-then-fallback retry, against the same
+    * extent+margin clip this method always used. The number of large
+    * domains is intrinsically bounded by totalSeeds / autoTileAbove, so
+    * the per-domain stats collect and the driver loop launching one
+    * distributed tiled job per large domain stay model-sized. */
   def tessellateByDomain(points: DataFrame, domainCol: String, idCol: String,
-      xCol: String, yCol: String, margin: Double): DataFrame = {
+      xCol: String, yCol: String, margin: Double,
+      autoTileAbove: Long = 200000L): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     val ds: Dataset[DomainSeed] = points.select(
@@ -216,7 +229,9 @@ object Voronoi {
       col(idCol).cast("long").as("id"),
       col(xCol).cast("double").as("x"),
       col(yCol).cast("double").as("y")).as[DomainSeed]
-    ds.groupByKey(_.domain)
+
+    def smallPath(in: Dataset[DomainSeed]): DataFrame = in
+      .groupByKey(_.domain)
       .flatMapGroups { (dom, it) =>
         val seeds = it.map(s => Seed(s.id, s.x, s.y)).toSeq
         val env = new Envelope()
@@ -225,5 +240,30 @@ object Voronoi {
         cellsOf(seeds, env).map { case (id, wkb) => (dom, id, wkb) }
       }
       .toDF(domainCol, idCol, "geom")
+
+    // one aggregate pass finds the domains too big for a single task,
+    // with the extent the tiled path needs; ≤ totalSeeds/autoTileAbove
+    // rows ever reach the driver
+    val big = ds.groupBy($"domain")
+      .agg(count(lit(1)).as("n"), min($"x").as("x0"), max($"x").as("x1"),
+        min($"y").as("y0"), max($"y").as("y1"))
+      .filter($"n" > autoTileAbove)
+      .collect()
+    if (big.isEmpty) smallPath(ds)
+    else {
+      val bigIds = big.map(_.getLong(0)).toSeq
+      // Column-level predicates (not typed lambdas) so the domain
+      // filter stays inside codegen and pushes to the scan
+      val small = smallPath(ds.filter(!$"domain".isin(bigIds: _*)))
+      val bigParts = big.map { r =>
+        val dom = r.getLong(0)
+        val clip = (r.getDouble(2) - margin, r.getDouble(4) - margin,
+          r.getDouble(3) + margin, r.getDouble(5) + margin)
+        tessellate(ds.filter($"domain" === dom).toDF(),
+            "id", "x", "y", clip, autoTileAbove)
+          .select(lit(dom).as(domainCol), col("id").as(idCol), col("geom"))
+      }
+      bigParts.foldLeft(small)(_ union _)
+    }
   }
 }

@@ -76,4 +76,31 @@ class VoronoiSpec extends SparkSpec {
       .select("a").as[Double].collect()
     totals.foreach(t => assert(math.abs(t - expArea) < 1e-9))
   }
+
+  test("tessellateByDomain tiles WITHIN domains above the threshold, identically") {
+    // one domain big enough to trip a lowered auto-tile threshold plus
+    // one small domain: the big one must route through the tiled path
+    // (or its verified fallback) and still match the all-single-task
+    // result cell-for-cell
+    val bigN = 300
+    val pts = (lcgSeeds(bigN).map { case (i, x, y) => (0L, i, x, y) } ++
+      lcgSeeds(20).map { case (i, x, y) => (1L, i, x + 500.0, y) })
+      .toDF("dom", "id", "x", "y")
+    val tiled = Voronoi.tessellateByDomain(pts, "dom", "id", "x", "y", 1.0,
+        autoTileAbove = 100L)
+      .select($"dom", $"id", st.area($"geom").as("a"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (d, i, a) => (d, i) -> a }.toMap
+    val single = Voronoi.tessellateByDomain(pts, "dom", "id", "x", "y", 1.0,
+        autoTileAbove = Long.MaxValue)
+      .select($"dom", $"id", st.area($"geom").as("a"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (d, i, a) => (d, i) -> a }.toMap
+    assert(tiled.keySet == single.keySet)
+    assert(tiled.size == bigN + 20)
+    tiled.foreach { case (k, a) =>
+      assert(math.abs(a - single(k)) <= 1e-9 * math.max(1.0, single(k)),
+        s"cell $k: tiled area $a vs single ${single(k)}")
+    }
+  }
 }
