@@ -12,6 +12,21 @@ object Bench {
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** Cumulative steal ticks from /proc/stat's aggregate cpu line
+    * (field 8 after the label), -1 where unsupported. On a shared VM
+    * steal is the one counter that directly measures neighbor theft —
+    * r12's ScaleBench stages moved 2-3x between identical-code runs
+    * and only the steal delta distinguished that from a regression.
+    * Recorded at start and end so the delta over the run is in the
+    * artifact of record. */
+  private def stealTicks(): Long =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get
+      // cpu user nice system idle iowait irq softirq steal guest ...
+      cpu.trim.split("\\s+")(8).toLong
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -47,6 +62,7 @@ object Bench {
     scala.util.Try(spark.read.parquet(s"$sfDir/nation.parquet")
       .write.format("noop").mode("overwrite").save())
     val loadStart = loadAvg()
+    val stealStart = stealTicks()
     // Optional args restrict the run to the named queries (targeted
     // timing during development); the driver passes none → full sweep.
     val wanted = SparkEntry.queries.filter { case (n, _) =>
@@ -82,6 +98,7 @@ object Bench {
       name -> (median, times.head, times.last, times.length)
     }
     val loadEnd = loadAvg()
+    val stealEnd = stealTicks()
     val qs = results.map { case (k, (med, _, _, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, (med, mn, mx, n)) =>
@@ -89,7 +106,7 @@ object Bench {
       s""""$k":{"min":$mn,"med":$med,"max":$mx,"n":$n,"contended":$contended}"""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","spreads":$spreads,"load":{"start":$loadStart,"end":$loadEnd,"cpus":$cpus,"trials":$trials}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","spreads":$spreads,"load":{"start":$loadStart,"end":$loadEnd,"cpus":$cpus,"trials":$trials,"steal_start":$stealStart,"steal_end":$stealEnd}}"""
     println(line)
     // ALSO write the complete result to a file (VERDICT r8 #1: the
     // driver's stdout tail capture clipped BENCH_r08.json mid-JSON —

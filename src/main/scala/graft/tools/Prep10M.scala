@@ -107,11 +107,32 @@ object Prep10M {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // Stage-local partition sizing (VERDICT r12 #5): the 192-partition
+    // count exists for the two heavy wide stages (the digest groupBy
+    // and the band shuffle, where per-task sort volume sets the memory
+    // floor and the bypass writer's fd ceiling must stay
+    // deterministic). The small stages (split/contam/pack — skinny
+    // 5-15M-row joins) paid ~80 s of the 4 GiB total in pure task
+    // overhead at that same 192; they run at the suite's batch default
+    // instead. Same lesson as a real cluster: partition count is a
+    // PER-STAGE parameter scaled to that stage's bytes, not a global.
+    // Spark picks the count at ACTION time, so each stage's action
+    // (and any eager work inside the operator call) is wrapped.
+    val heavyP = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "192")
+    val lightP = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_SMALL", "32")
+    def withP[A](n: String)(f: => A): A = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", n)
+      try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+
     val docsN = 10000000L
     val docs = CliqueCorpus.docs(spark.range(docsN).toDF("id"))
 
     val (nQuality, tQuality) = timed {
-      docs.filter(TextAnalysis.tokenCount(col("text")) >= 20).count()
+      withP(lightP) {
+        docs.filter(TextAnalysis.tokenCount(col("text")) >= 20).count()
+      }
     }
     require(nQuality == docsN, s"quality gate: $nQuality")
 
@@ -128,22 +149,28 @@ object Prep10M {
     val survivors = docs.join(broadcast(dropped), Seq("id"), "left_anti")
       .select(col("id"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (nExact, tExact) = timed(survivors.count())
+    val (nExact, tExact) = timed(withP(heavyP)(survivors.count()))
     require(nExact == 9000000L, s"exact dedup kept: $nExact")
 
-    val pairs = Dedup.minhashNearDups(survivors, "id", "text", 3, 0.5)
-      .select(col("id_a"), col("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (nPairs, tNearDup) = timed(pairs.count())
+    // the operator call sits INSIDE the heavy wrap: the eager
+    // shingle-cache stage split runs at call time
+    val ((pairs, nPairs), tNearDup) = timed(withP(heavyP) {
+      val p = Dedup.minhashNearDups(survivors, "id", "text", 3, 0.5)
+        .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (p, p.count())
+    })
     require(nPairs == 10000000L, s"near-dup pairs: $nPairs")
 
-    val labels = Dedup.connectedComponents(
-        survivors.select(col("id")), pairs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (nComp, tCc) = timed {
-      labels.filter(col("cluster_rep") =!= col("id")).select("cluster_rep")
+    // CC's delta rounds materialize at call time — wrapped with its
+    // action (10M skinny edges: the batch default is the right size)
+    val ((labels, nComp), tCc) = timed(withP(lightP) {
+      val l = Dedup.connectedComponents(survivors.select(col("id")), pairs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = l.filter(col("cluster_rep") =!= col("id")).select("cluster_rep")
         .distinct().count()
-    }
+      (l, n)
+    })
     require(nComp == 1000000L, s"non-trivial components: $nComp")
 
     // keep the component rep (min id — doc 0 of each clique), drop the
@@ -151,7 +178,7 @@ object Prep10M {
     val kept = labels.filter(col("id") === col("cluster_rep"))
       .select(col("id"), col("cluster_rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (nKept, tKept) = timed(kept.count())
+    val (nKept, tKept) = timed(withP(lightP)(kept.count()))
     require(nKept == 5000000L, s"kept after near-dedup: $nKept")
 
     // leakage-safe split: bucket the component REP, so any two docs of
@@ -159,7 +186,7 @@ object Prep10M {
     val split = kept.withColumn("split",
       Sampling.assignSplit(
         Sampling.hashBucket(col("cluster_rep"), "prep10m", 100), 80, 10))
-    val ((splitCounts, crossPairs), tSplit) = timed {
+    val ((splitCounts, crossPairs), tSplit) = timed(withP(lightP) {
       val counts = split.groupBy("split").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val bySplit = labels.join(
@@ -170,26 +197,26 @@ object Prep10M {
         .join(bySplit.select(col("id").as("id_b"), col("split").as("sb")), "id_b")
         .filter(col("sa") =!= col("sb")).count()
       (counts, cross)
-    }
+    })
     require(crossPairs == 0L, s"near-dup pairs across splits: $crossPairs")
 
     // decontamination AFTER dedup (real prep order): benchmark = every
     // 1000th id (always a kept doc-0), 8-word grams
-    val (nContam, tContam) = timed {
+    val (nContam, tContam) = timed(withP(lightP) {
       val keptDocs = survivors.join(kept.select("id"), Seq("id"))
       Dedup.ngramContamination(keptDocs, "id", "text",
           col("id") % 1000 === 0, 8)
         .filter(col("contaminated")).count()
-    }
+    })
     require(nContam == 40000L, s"contaminated kept docs: $nContam")
 
-    val (packStats, tPack) = timed {
+    val (packStats, tPack) = timed(withP(lightP) {
       Packing.packByBudget(
           kept.select(col("id"), lit(25L).as("n_tokens")),
           "id", "n_tokens", budget = 2048)
         .agg(count(lit(1)).as("n"), max("shard").as("maxShard"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).head
-    }
+    })
     require(packStats._1 == 5000000L, s"packed rows: ${packStats._1}")
 
     val sc = splitCounts.withDefaultValue(0L)

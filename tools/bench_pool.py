@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Pooled-min bench protocol (the committed bench artifact of record).
+
+Single-sweep per-query deltas under ~+/-15% are unattributable on this
+host: r12's own evidence was a +6.2% median shift on dozens of
+UNTOUCHED queries between rounds, three same-code full runs spreading
+125.7-133.1 s, and ScaleBench stages moving 2-3x under neighbor steal
+(/proc/stat steal counter). The estimator that survives that noise is
+the POOLED PER-QUERY MINIMUM over >=2 independent full runs (separate
+JVMs, so no shared JIT state): contention only ever ADDS time, so the
+min is the cleanest per-query point, and pooling across runs keeps one
+contended sweep from contaminating every query it touched.
+
+Usage:
+    python3 tools/bench_pool.py [runs] [sf_dir] [out_json]
+defaults: 2 runs, /root/testdata/sf0.1, bench_full.json
+
+Writes out_json with the SAME top-level schema a single graft.Bench
+sweep produces ("metric"/"value"/"unit"/"queries"/"sf") so every
+existing reader keeps working, plus a "pool" object recording each
+run's total, per-run load averages, and /proc/stat steal deltas -- the
+provenance a later reader needs to judge how contended the runs were.
+"""
+import json, os, subprocess, sys, time
+
+runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+out_path = sys.argv[3] if len(sys.argv) > 3 else "bench_full.json"
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+run_jsons = []
+for i in range(runs):
+    tmp = f"/tmp/bench_pool_run{i}.json"
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
+               SPARK_GRAFT_BENCH_OUT=tmp)
+    t0 = time.time()
+    r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                       cwd=repo, env=env,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    if r.returncode != 0 or not os.path.exists(tmp):
+        sys.exit(f"run {i} failed (rc={r.returncode})")
+    with open(tmp) as f:
+        d = json.load(f)
+    run_jsons.append(d)
+    print(f"run {i}: total {d['value']:.1f}s wall {time.time()-t0:.0f}s "
+          f"steal_delta {d['load'].get('steal_end', -1) - d['load'].get('steal_start', 0)}",
+          flush=True)
+
+names = set()
+for d in run_jsons:
+    names |= set(d["queries"])
+pooled = {}
+spread = {}
+for q in sorted(names):
+    vals = [d["queries"][q] for d in run_jsons if q in d["queries"]]
+    pooled[q] = min(vals)
+    spread[q] = {"min": min(vals), "max": max(vals), "n": len(vals)}
+
+total = sum(pooled.values())
+out = {
+    "metric": "total", "value": total, "unit": "sec",
+    "queries": pooled, "sf": sf_dir,
+    "pool": {
+        "protocol": "per-query min over independent full runs (median-of-3 trials inside each run)",
+        "runs": runs,
+        "run_totals": [d["value"] for d in run_jsons],
+        "run_loads": [d["load"] for d in run_jsons],
+        "steal_deltas": [d["load"].get("steal_end", -1) - d["load"].get("steal_start", 0)
+                         for d in run_jsons],
+        "per_query_run_spread": spread,
+    },
+}
+with open(os.path.join(repo, out_path) if not os.path.isabs(out_path) else out_path, "w") as f:
+    json.dump(out, f)
+    f.write("\n")
+print(f"pooled total {total:.1f}s over {runs} runs -> {out_path}")
