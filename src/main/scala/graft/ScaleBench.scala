@@ -18,7 +18,17 @@ import graft.operators.{SpatialJoin, Voronoi}
   * Run: `sbt "runMain graft.ScaleBench"`.
   */
 object ScaleBench {
+  /** Cumulative steal ticks from /proc/stat (-1 where unsupported) —
+    * the delta over the run is the direct measure of neighbor theft
+    * that moved identical-code stages 2-3x between r12 runs; recorded
+    * so a contended run is self-identifying. */
+  private def stealTicks(): Long =
+    try scala.io.Source.fromFile("/proc/stat").getLines()
+      .find(_.startsWith("cpu ")).get.trim.split("\\s+")(8).toLong
+    catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
+    val stealStart = stealTicks()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -1118,7 +1128,9 @@ object ScaleBench {
       s"planted WARC admission count off: $warcAdmitted")
 
     println(
-      s"""{"metric":"reference_scale","overlay_sec":$tOverlay,""" +
+      s"""{"metric":"reference_scale","steal_start":$stealStart,""" +
+        s""""steal_end":${stealTicks()},""" +
+        s""""overlay_sec":$tOverlay,""" +
         s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
         s""""ann_1m_sec":$tAnn,"ann_rows":$annRows,""" +
         s""""ivf_recall_at_10":$ivfRecall,"ivf_1m_sec":$tIvf,""" +

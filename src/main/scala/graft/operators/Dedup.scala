@@ -468,11 +468,14 @@ object Dedup {
       .orElse(sys.env.get("GRAFT_EAGER_SHINGLE_CACHE"))
       .map(_.toBoolean)
       .getOrElse {
-        val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-        val bypass = spark.conf
+        // unparsable conf values (both accept only ints today, but the
+        // safe default for a protective split is ON) → eager
+        val parts = scala.util.Try(
+          spark.conf.get("spark.sql.shuffle.partitions").toInt)
+        val bypass = scala.util.Try(spark.conf
           .getOption("spark.shuffle.sort.bypassMergeThreshold")
-          .map(_.toInt).getOrElse(200)
-        parts > bypass
+          .map(_.toInt).getOrElse(200))
+        parts.flatMap(p => bypass.map(p > _)).getOrElse(true)
       }
 
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,

@@ -163,7 +163,11 @@ object Prep10M {
     require(nPairs == 10000000L, s"near-dup pairs: $nPairs")
 
     // CC's delta rounds materialize at call time — wrapped with its
-    // action (10M skinny edges: the batch default is the right size)
+    // action so the LOOP is inside the measurement (r12's cc_sec only
+    // timed the final count; the loop ran untimed at construction).
+    // Light wins here: honestly-measured 4 GiB A/B is 22.2 s at 32 vs
+    // 71.5 s at 192 — the loop runs many SMALL rounds, so per-round
+    // task overhead at 192 dominates anything the smaller sorts save.
     val ((labels, nComp), tCc) = timed(withP(lightP) {
       val l = Dedup.connectedComponents(survivors.select(col("id")), pairs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -189,9 +193,15 @@ object Prep10M {
     val ((splitCounts, crossPairs), tSplit) = timed(withP(lightP) {
       val counts = split.groupBy("split").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val bySplit = labels.join(
-        split.select(col("cluster_rep").as("l2"), col("split")),
-        col("cluster_rep") === col("l2"))
+      // split is a PURE FUNCTION of cluster_rep, so each pair member's
+      // split comes straight from its label row — no label→rep
+      // propagation join (an r12-shape 9M×5M join this stage doesn't
+      // need; its removal is what actually moved the stage, not the
+      // partition count)
+      val bySplit = labels.select(col("id"),
+        Sampling.assignSplit(
+          Sampling.hashBucket(col("cluster_rep"), "prep10m", 100), 80, 10)
+          .as("split"))
       val cross = pairs
         .join(bySplit.select(col("id").as("id_a"), col("split").as("sa")), "id_a")
         .join(bySplit.select(col("id").as("id_b"), col("split").as("sb")), "id_b")

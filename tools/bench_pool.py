@@ -28,9 +28,17 @@ sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 out_path = sys.argv[3] if len(sys.argv) > 3 else "bench_full.json"
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# a run whose steal delta exceeds this is CONTENDED: schedule one extra
+# sweep per such run (bounded), so the pool always contains at least one
+# comparably-calm run when the box allows it
+STEAL_GATE = int(os.environ.get("BENCH_POOL_STEAL_GATE", "3000"))
+MAX_EXTRA = int(os.environ.get("BENCH_POOL_MAX_EXTRA", "2"))
+
 run_jsons = []
-for i in range(runs):
-    tmp = f"/tmp/bench_pool_run{i}.json"
+i = 0
+extra_left = MAX_EXTRA
+while i < runs:
+    tmp = f"/tmp/bench_pool_run{len(run_jsons)}.json"
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
@@ -40,13 +48,19 @@ for i in range(runs):
                        cwd=repo, env=env,
                        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
     if r.returncode != 0 or not os.path.exists(tmp):
-        sys.exit(f"run {i} failed (rc={r.returncode})")
+        sys.exit(f"run {len(run_jsons)} failed (rc={r.returncode})")
     with open(tmp) as f:
         d = json.load(f)
     run_jsons.append(d)
-    print(f"run {i}: total {d['value']:.1f}s wall {time.time()-t0:.0f}s "
-          f"steal_delta {d['load'].get('steal_end', -1) - d['load'].get('steal_start', 0)}",
-          flush=True)
+    steal = d["load"].get("steal_end", -1) - d["load"].get("steal_start", 0)
+    print(f"run {len(run_jsons)-1}: total {d['value']:.1f}s "
+          f"wall {time.time()-t0:.0f}s steal_delta {steal}", flush=True)
+    if steal > STEAL_GATE and extra_left > 0:
+        extra_left -= 1
+        print(f"  contended (steal {steal} > {STEAL_GATE}): "
+              f"adding an extra sweep ({extra_left} left)", flush=True)
+    else:
+        i += 1
 
 names = set()
 for d in run_jsons:
