@@ -21,10 +21,12 @@ object Bench {
     * artifact of record. */
   private def stealTicks(): Long =
     try {
-      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
-        .find(_.startsWith("cpu ")).get
-      // cpu user nice system idle iowait irq softirq steal guest ...
-      cpu.trim.split("\\s+")(8).toLong
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        // cpu user nice system idle iowait irq softirq steal guest ...
+        val cpu = src.getLines().find(_.startsWith("cpu ")).get
+        cpu.trim.split("\\s+")(8).toLong
+      } finally src.close()
     } catch { case _: Throwable => -1L }
 
   def main(args: Array[String]): Unit = {

@@ -23,9 +23,12 @@ object ScaleBench {
     * that moved identical-code stages 2-3x between r12 runs; recorded
     * so a contended run is self-identifying. */
   private def stealTicks(): Long =
-    try scala.io.Source.fromFile("/proc/stat").getLines()
-      .find(_.startsWith("cpu ")).get.trim.split("\\s+")(8).toLong
-    catch { case _: Throwable => -1L }
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu ")).get
+        .trim.split("\\s+")(8).toLong
+      finally src.close()
+    } catch { case _: Throwable => -1L }
 
   def main(args: Array[String]): Unit = {
     val stealStart = stealTicks()

@@ -526,6 +526,10 @@ object Hdf5 {
     val aHeapNeeded = fhdbHeaderSize + attrBodies.map(_.length).sum
     require(!denseAttrs || aHeapNeeded <= 65536,
       s"dense attributes need $aHeapNeeded bytes > one 64 KiB direct block")
+    // each body must fit the heap's declared max managed object size
+    // (larger attributes would be HUGE objects in a real file)
+    require(!denseAttrs || attrBodies.forall(_.length <= 4096),
+      "dense attribute message larger than the 4 KiB managed-object max")
     val aStartBlock = math.max(512L,
       java.lang.Long.highestOneBit(math.max(aHeapNeeded - 1, 1)) * 2)
     val aObjOffsets =
