@@ -20,12 +20,12 @@ import graft.geom.Wkb
   * partition the clip box) in one robust library call.
   *
   * Execution model: a tessellation is a GLOBAL geometric op over all
-  * seeds of one domain, so one domain must be materialized on one task —
-  * exactly the reference's memory profile (whole grid in RAM,
-  * delphine/regrid.py:8). Scale-out across MANY domains comes from
-  * `tessellateByDomain` (groupByKey → flatMapGroups, one task per
-  * domain). Scale within a single 100 TB-grid domain would need
-  * tile-with-halo tessellation — documented future work (SURVEY §7).
+  * seeds of one domain — the reference materializes the whole grid in
+  * RAM (delphine/regrid.py:8). Here BOTH scale axes are covered:
+  * across MANY domains via `tessellateByDomain` (one task per small
+  * domain, oversized domains auto-tiled), and within a single huge
+  * domain via `tessellateTiled` (tile-with-halo with a per-tile
+  * verified sufficiency guard), with `tessellate` auto-switching.
   */
 object Voronoi {
 
@@ -241,6 +241,12 @@ object Voronoi {
       }
       .toDF(domainCol, idCol, "geom")
 
+    // Long.MaxValue = the caller KNOWS every domain is small (same
+    // opt-out convention as [[tessellate]]): skip the stats pass
+    // entirely — an isolated A/B showed the pass costs ~0.2 s of job
+    // scheduling + lineage recompute even on a 360-row lattice, pure
+    // overhead when sizes are statically known
+    if (autoTileAbove == Long.MaxValue) return smallPath(ds)
     // one aggregate pass finds the domains too big for a single task,
     // with the extent the tiled path needs; ≤ totalSeeds/autoTileAbove
     // rows ever reach the driver

@@ -247,8 +247,11 @@ object GridQueries {
         col("xl") * 2.0 + col("y") * 0.3 + 1.0 + col("d") * 1000.0)
       .withColumn("lat", col("y") * 1.5 + col("xl") * 0.2 + 0.75)
       .withColumn("__vid", col("y") * 1000000L + col("x"))
+    // MaxValue: the lattice is statically 360 rows — no domain can
+    // exceed the tiling threshold, so skip the per-domain stats pass
     val cells = Voronoi.tessellateByDomain(
-      seeds, "d", "__vid", "lon", "lat", margin = 5.0)
+      seeds, "d", "__vid", "lon", "lat", margin = 5.0,
+      autoTileAbove = Long.MaxValue)
     // J5 re-key: cell geometry back onto the (y, x) grid index
     val keyed = seeds.join(cells, Seq("d", "__vid"))
     // P3: per-domain bbox = seed extent + 3° (inside the 5° envelope)

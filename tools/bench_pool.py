@@ -78,7 +78,8 @@ out = {
     "queries": pooled, "sf": sf_dir,
     "pool": {
         "protocol": "per-query min over independent full runs (median-of-3 trials inside each run)",
-        "runs": runs,
+        "runs": len(run_jsons),
+        "runs_requested": runs,
         "run_totals": [d["value"] for d in run_jsons],
         "run_loads": [d["load"] for d in run_jsons],
         "steal_deltas": [d["load"].get("steal_end", -1) - d["load"].get("steal_start", 0)
@@ -89,4 +90,4 @@ out = {
 with open(os.path.join(repo, out_path) if not os.path.isabs(out_path) else out_path, "w") as f:
     json.dump(out, f)
     f.write("\n")
-print(f"pooled total {total:.1f}s over {runs} runs -> {out_path}")
+print(f"pooled total {total:.1f}s over {len(run_jsons)} runs -> {out_path}")
