@@ -29,6 +29,36 @@ object Bench {
       } finally src.close()
     } catch { case _: Throwable => -1L }
 
+  /** Single-thread memory-bandwidth probe: best-of-3 xor-reduction
+    * over a 256 MB long array, in GB/s. Steal ticks measure CPU theft
+    * but NOT neighbor pressure on the shared memory subsystem — and
+    * the r13 drift cluster (dedup/graph/ann, all shuffle- and
+    * memory-bound, including two queries with zero code delta since
+    * r11) moved together on a steal-calm box, which only a bandwidth
+    * baseline can confirm or refute across sessions. Deterministic,
+    * ~0.5 s, recorded in the bench JSON. */
+  private[graft] def membwGbps(): Double = {
+    val n = 32 * 1024 * 1024 // longs → 256 MB
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = i * 0x9e3779b97f4a7c15L; i += 1 }
+    var best = Double.MaxValue
+    var trial = 0
+    var sink = 0L
+    while (trial < 3) {
+      val t0 = System.nanoTime()
+      var s = 0L
+      var j = 0
+      while (j < n) { s ^= a(j); j += 1 }
+      val dt = (System.nanoTime() - t0) / 1e9
+      sink ^= s
+      if (dt < best) best = dt
+      trial += 1
+    }
+    if (sink == 42L) System.err.print("") // keep the reduction live
+    (n.toLong * 8) / best / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -65,6 +95,7 @@ object Bench {
       .write.format("noop").mode("overwrite").save())
     val loadStart = loadAvg()
     val stealStart = stealTicks()
+    val membw = membwGbps()
     // Optional args restrict the run to the named queries (targeted
     // timing during development); the driver passes none → full sweep.
     val wanted = SparkEntry.queries.filter { case (n, _) =>
@@ -108,7 +139,7 @@ object Bench {
       s""""$k":{"min":$mn,"med":$med,"max":$mx,"n":$n,"contended":$contended}"""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","spreads":$spreads,"load":{"start":$loadStart,"end":$loadEnd,"cpus":$cpus,"trials":$trials,"steal_start":$stealStart,"steal_end":$stealEnd}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","spreads":$spreads,"load":{"start":$loadStart,"end":$loadEnd,"cpus":$cpus,"trials":$trials,"steal_start":$stealStart,"steal_end":$stealEnd,"membw_gbps":$membw,"membw_gbps_end":${membwGbps()}}}"""
     println(line)
     // ALSO write the complete result to a file (VERDICT r8 #1: the
     // driver's stdout tail capture clipped BENCH_r08.json mid-JSON —

@@ -32,6 +32,7 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val stealStart = stealTicks()
+    val membwStart = graft.Bench.membwGbps()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -1133,6 +1134,7 @@ object ScaleBench {
     println(
       s"""{"metric":"reference_scale","steal_start":$stealStart,""" +
         s""""steal_end":${stealTicks()},""" +
+        s""""membw_gbps":$membwStart,""" +
         s""""overlay_sec":$tOverlay,""" +
         s""""conservation_sec":$tConserve,"voronoi_1m_sec":$tVoronoi,""" +
         s""""ann_1m_sec":$tAnn,"ann_rows":$annRows,""" +
