@@ -511,6 +511,14 @@ object Hdf5 {
     val heapObjOffsets = linkSizes.scanLeft(fhdbHeaderSize.toLong)(_ + _)
     val frhpSize = 146
     val bthdSize = 38
+    // single-leaf B-trees: the declared 2048-byte node size bounds a
+    // spec-valid leaf at (2048-10)/recSize records — past that a real
+    // file needs depth 1, which the READER handles but this writer
+    // does not emit; refuse rather than write an oversized leaf
+    require(!denseGroups || all.length <= (2048 - 10) / 11,
+      s"dense group links: ${all.length} objects exceed one 2048-byte leaf")
+    require(!denseAttrs || globalAttrs.length <= (2048 - 10) / 17,
+      s"dense attributes: ${globalAttrs.length} exceed one 2048-byte leaf")
     val btlfSize = 10 + 11 * all.length
     val fheapAddr = gheapAddr + gheapSize
     val fhdbAddr = fheapAddr + frhpSize

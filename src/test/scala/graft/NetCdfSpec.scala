@@ -281,6 +281,53 @@ class NetCdfSpec extends AnyFunSuite {
       Seq(3f, 4f))
   }
 
+  test("writer mode matrix: all chunkDeflate x denseGroups x denseAttrs roundtrip") {
+    val dims = Seq(Dim("t", 3), Dim("x", 4))
+    val vars = Seq(
+      Var("t", Seq(0), NcDouble, Nil, Array(0.0, 1.0, 2.0)),
+      Var("temp", Seq(0, 1), NcFloat, Seq("units" -> "K"),
+        Array.tabulate(12)(_ * 0.25f)),
+      Var("flag", Seq(1), NcInt, Nil, Array(1, 2, 3, 4)))
+    val attrs = (0 until 10).map(i => f"g$i%02d" -> s"v$i")
+    for {
+      cd <- Seq(false, true)
+      dg <- Seq(false, true)
+      da <- Seq(false, true)
+    } {
+      val path = tmp(s"matrix_${cd}_${dg}_$da.h5")
+      graft.io.Hdf5.write(path, dims, attrs, vars,
+        chunkDeflate = cd, denseGroups = dg, denseAttrs = da)
+      val nc = NetCdf.read(path)
+      val label = s"cd=$cd dg=$dg da=$da"
+      assert(nc.dims == dims, label)
+      assert(nc.globalAttrs.toMap == attrs.toMap, label)
+      assert(nc.variable("temp").data.asInstanceOf[Array[Float]].toSeq ==
+        (0 until 12).map(_ * 0.25f), label)
+      assert(nc.variable("temp").attrs == Seq("units" -> "K"), label)
+      assert(nc.variable("flag").data.asInstanceOf[Array[Int]].toSeq ==
+        Seq(1, 2, 3, 4), label)
+    }
+  }
+
+  test("dense attributes fill one btree leaf exactly; one more rejects loudly") {
+    // (2048-10)/17 = 119 type-8 records fit the declared node size; a
+    // 120th would need a depth-1 tree the writer doesn't emit (the
+    // reader handles depth 1 from real files) — refuse, don't overflow
+    val dims = Seq(Dim("x", 2))
+    val vars = Seq(Var("v", Seq(0), NcDouble, Nil, Array(1.0, 2.0)))
+    val max = (2048 - 10) / 17
+    val attrs = (0 until max).map(i => f"a$i%03d" -> s"v$i")
+    val path = tmp("dense_attrs_full_leaf.h5")
+    graft.io.Hdf5.write(path, dims, attrs, vars, denseAttrs = true)
+    val nc = NetCdf.read(path)
+    assert(nc.globalAttrs.toMap == attrs.toMap)
+    val over = intercept[IllegalArgumentException] {
+      graft.io.Hdf5.write(tmp("dense_attrs_overflow.h5"), dims,
+        attrs :+ ("overflow" -> "x"), vars, denseAttrs = true)
+    }
+    assert(over.getMessage.contains("leaf"))
+  }
+
   test("dense-attribute file survives 200 hostile mutations") {
     // same decode-or-reject contract as the ingest fuzz suites: no
     // mutation of the heap/btree bytes may hang, overflow the stack,
