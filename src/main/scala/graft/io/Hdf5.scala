@@ -237,6 +237,26 @@ object Hdf5 {
     (0x000C, attrBody(name, dtFixed(4), dsScalar, b.array()))
   }
 
+  /** Scalar numeric attribute, typed: `_FillValue` / `missing_value`
+    * in the VARIABLE's own type (the CF requirement), everything else
+    * (scale_factor, add_offset...) as DOUBLE. */
+  private def numericAttr(name: String, value: Double,
+      varNcType: Int): (Int, Array[Byte]) = {
+    import NetCdf._
+    val t = if (name == "_FillValue" || name == "missing_value") varNcType
+      else NcDouble
+    val b = ByteBuffer.allocate(typeSize(t)).order(ByteOrder.LITTLE_ENDIAN)
+    val dt = t match {
+      case NcDouble => b.putDouble(value); dtFloat(8)
+      case NcFloat => b.putFloat(value.toFloat); dtFloat(4)
+      case NcInt64 => b.putLong(value.toLong); dtFixed(8)
+      case NcInt => b.putInt(value.toInt); dtFixed(4)
+      case NcShort => b.putShort(value.toShort); dtFixed(2)
+      case _ => b.put(value.toByte); dtFixed(1)
+    }
+    (0x000C, attrBody(name, dt, dsScalar, b.array()))
+  }
+
   /** Serialize an object header v1 from (message type, body) pairs. */
   private def objectHeader(msgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
     val b = new Buf
@@ -431,6 +451,9 @@ object Hdf5 {
           dsSimple(Seq(d.v.dimIds.length.toLong)), data.result())))
       }
       d.v.attrs.foreach { case (k, v2) => msgs += textAttr(k, v2) }
+      d.v.numAttrs.foreach { case (k, v2) =>
+        msgs += numericAttr(k, v2, d.v.ncType)
+      }
       objectHeader(msgs.toSeq)
     }
     def gheapIndexBase(ds: Seq[Ds], d: Ds): Int =
@@ -846,7 +869,14 @@ object Hdf5 {
     compactBytes: Array[Byte], chunked: (Long, Seq[Int], Int),
     filters: Seq[(Int, Seq[Int])],
     textAttrs: Seq[(String, String)], intAttrs: Map[String, Long],
-    dimRefs: Seq[Long])
+    dimRefs: Seq[Long], floatAttrs: Map[String, Double] = Map.empty) {
+    /** Scalar numeric attributes as doubles — the CF decode inputs
+      * (_FillValue, scale_factor, add_offset), ints and floats merged
+      * with float values winning a name clash (they can't clash in a
+      * valid file: one attribute name appears once per object). */
+    def numAttrs: Seq[(String, Double)] =
+      (intAttrs.map { case (k, v) => k -> v.toDouble } ++ floatAttrs).toSeq
+  }
 
   private def cstr(b: Array[Byte]): String =
     new String(b.takeWhile(_ != 0), "US-ASCII")
@@ -1482,6 +1512,7 @@ object Hdf5 {
       var filters: Seq[(Int, Seq[Int])] = Nil
       val tattrs = ArrayBuffer.empty[(String, String)]
       val iattrs = scala.collection.mutable.Map.empty[String, Long]
+      val fattrs = scala.collection.mutable.Map.empty[String, Double]
       var dimRefs: Seq[Long] = Nil
       msgs.foreach {
         case (0x0001, b) => shape = parseDataspace(b)
@@ -1532,6 +1563,13 @@ object Hdf5 {
                 case 2 => a.data.getShort.toLong
                 case _ => (a.data.get() & 0xff).toLong
               }
+            case 1 if a.shape.isEmpty || a.shape.product == 1 =>
+              // scalar float attrs: the CF packing inputs
+              // (scale_factor / add_offset / float _FillValue)
+              fattrs(a.name) = a.dtype.size match {
+                case 8 => a.data.getDouble
+                case _ => a.data.getFloat.toDouble
+              }
             case 9 if a.name == "DIMENSION_LIST" =>
               dimRefs = readVlenRefs(r, a)
             case _ => () // REFERENCE_LIST and friends: ignore
@@ -1540,7 +1578,8 @@ object Hdf5 {
       }
       require(dtype != null, s"$prefix: dataset without datatype")
       out += Dataset(prefix, addr, shape, dtype, dataAddr, dataSize,
-        compact, chunked, filters, tattrs.toSeq, iattrs.toMap, dimRefs)
+        compact, chunked, filters, tattrs.toSeq, iattrs.toMap, dimRefs,
+        fattrs.toMap)
     } else {
       // ---- group
       if (isRoot) msgs.foreach {
@@ -1696,7 +1735,8 @@ object Hdf5 {
     val out = vars.map { case (d, dimIds) =>
       Var(d.name, dimIds, ncTypeOf(d.dtype),
         d.textAttrs.filterNot(a => InternalAttrs(a._1)),
-        decode(d.dtype, d.shape, readRaw(r, d)))
+        decode(d.dtype, d.shape, readRaw(r, d)),
+        d.numAttrs.filterNot(a => InternalAttrs(a._1)))
     }
     NcFile(dims, gattrs.toSeq.filterNot(a => InternalAttrs(a._1)), out)
   }
@@ -1704,7 +1744,10 @@ object Hdf5 {
   // ------------------------------------ distributed-scan meta API -----
 
   final case class H5VarMeta private[io] (name: String, dimIds: Seq[Int],
-    ncType: Int, attrs: Seq[(String, String)], private[io] ds: Dataset)
+    ncType: Int, attrs: Seq[(String, String)], private[io] ds: Dataset) {
+    /** Scalar numeric attrs — the CF decode inputs for the scan path. */
+    def numAttrs: Seq[(String, Double)] = ds.numAttrs
+  }
   final case class H5Meta private[io] (dims: Seq[Dim],
       globalAttrs: Seq[(String, String)], varsMeta: Seq[H5VarMeta]) {
     def varMeta(name: String): H5VarMeta = varsMeta.find(_.name == name)

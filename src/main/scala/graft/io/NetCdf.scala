@@ -30,7 +30,8 @@ object NetCdf {
     * must match `ncType` (Double for DOUBLE, Float for FLOAT, Int for
     * INT/SHORT/BYTE, Byte for CHAR, Long for INT64). */
   final case class Var(name: String, dimIds: Seq[Int], ncType: Int,
-    attrs: Seq[(String, String)], data: Array[_])
+    attrs: Seq[(String, String)], data: Array[_],
+    numAttrs: Seq[(String, Double)] = Nil)
 
   val NcByte = 1; val NcChar = 2; val NcShort = 3
   val NcInt = 4; val NcFloat = 5; val NcDouble = 6
@@ -72,11 +73,34 @@ object NetCdf {
       out ++= b
       (b.length until pad4(b.length).toInt).foreach(_ => out += 0)
     }
-    def attrList(attrs: Seq[(String, String)]): Unit =
-      if (attrs.isEmpty) { u32(0); size(0) }
+    /** One scalar numeric attribute, typed: `_FillValue` and
+      * `missing_value` are written in the VARIABLE's own type (the CF
+      * requirement — strict readers check the match), everything else
+      * (scale_factor, add_offset...) as DOUBLE. */
+    def numAttr(k: String, v: Double, varType: Int): Unit = {
+      name(k)
+      val t = if ((k == "_FillValue" || k == "missing_value") &&
+        varType != NcChar) varType else NcDouble
+      u32(t); size(1)
+      val es = typeSize(t)
+      val b = ByteBuffer.allocate(pad4(es).toInt)
+      t match {
+        case NcDouble => b.putDouble(v)
+        case NcFloat => b.putFloat(v.toFloat)
+        case NcInt => b.putInt(v.toInt)
+        case NcInt64 => b.putLong(v.toLong)
+        case NcShort => b.putShort(v.toShort)
+        case NcByte => b.put(v.toByte)
+      }
+      out ++= b.array()
+    }
+    def attrList(attrs: Seq[(String, String)],
+        numAttrs: Seq[(String, Double)] = Nil, varType: Int = NcChar): Unit =
+      if (attrs.isEmpty && numAttrs.isEmpty) { u32(0); size(0) }
       else {
-        u32(0x0C); size(attrs.size)
+        u32(0x0C); size(attrs.size + numAttrs.size)
         attrs.foreach { case (k, v) => textAttr(k, v) }
+        numAttrs.foreach { case (k, v) => numAttr(k, v, varType) }
       }
   }
 
@@ -110,7 +134,7 @@ object NetCdf {
         w.name(v.name)
         w.size(v.dimIds.size)
         v.dimIds.foreach(d => w.size(d))
-        w.attrList(v.attrs)
+        w.attrList(v.attrs, v.numAttrs, v.ncType)
         w.u32(v.ncType)
         w.size(pad4(v.data.length.toLong * typeSize(v.ncType)))
         beginPos += w.out.length
@@ -157,7 +181,8 @@ object NetCdf {
     * needed to plan and execute RANGED data reads (the Parquet-footer
     * analogue for distributed .nc scans). */
   final case class VarMeta(name: String, dimIds: Seq[Int], ncType: Int,
-    attrs: Seq[(String, String)], begin: Long, vsize: Long)
+    attrs: Seq[(String, String)], begin: Long, vsize: Long,
+    numAttrs: Seq[(String, Double)] = Nil)
   final case class Meta(dims: Seq[Dim], globalAttrs: Seq[(String, String)],
     varsMeta: Seq[VarMeta]) {
     def varMeta(name: String): VarMeta = varsMeta.find(_.name == name)
@@ -196,25 +221,49 @@ object NetCdf {
       buf.position(buf.position() + (pad4(n).toInt - n))
       new String(b, "UTF-8")
     }
-    def attrList(): Seq[(String, String)] = {
+    // Real files carry TYPED numeric attributes (_FillValue,
+    // scale_factor, add_offset, valid_range...) alongside text ones —
+    // rejecting them rejected every CF-packed file outright. Text
+    // attrs and SCALAR numeric attrs are kept (the CF decode inputs);
+    // multi-value numeric attrs (valid_range) parse past and drop.
+    def attrList(): (Seq[(String, String)], Seq[(String, Double)]) = {
       val tag = buf.getInt; val n = size()
       require(tag == 0x0C || (tag == 0 && n == 0), s"attr tag $tag")
-      (0L until n).map { _ =>
+      val text = Seq.newBuilder[(String, String)]
+      val nums = Seq.newBuilder[(String, Double)]
+      (0L until n).foreach { _ =>
         val k = name()
         val t = buf.getInt
-        val cnt = bounded(size(), "attribute")
-        require(t == NcChar, s"only text attributes supported (type $t)")
-        val b = new Array[Byte](cnt)
-        buf.get(b)
-        buf.position(buf.position() + (pad4(cnt).toInt - cnt))
-        k -> new String(b, "UTF-8")
+        val cntRaw = size()
+        val es = typeSize(t) // throws on an unknown nc_type: reject
+        require(cntRaw >= 0 && cntRaw * es <= buf.remaining(),
+          s"attribute length $cntRaw exceeds the ${buf.remaining()} bytes present")
+        val cnt = cntRaw.toInt
+        val byteLen = cnt * es
+        if (t == NcChar) {
+          val b = new Array[Byte](byteLen)
+          buf.get(b)
+          text += (k -> new String(b, "UTF-8"))
+        } else {
+          if (cnt == 1) nums += (k -> (t match {
+            case NcDouble => buf.getDouble
+            case NcFloat => buf.getFloat.toDouble
+            case NcInt => buf.getInt.toDouble
+            case NcInt64 => buf.getLong.toDouble
+            case NcShort => buf.getShort.toDouble
+            case NcByte => buf.get().toDouble
+          }))
+          else buf.position(buf.position() + byteLen)
+        }
+        buf.position(buf.position() + (pad4(byteLen).toInt - byteLen))
       }
+      (text.result(), nums.result())
     }
 
     val dimTag = buf.getInt; val nDims = size()
     require(dimTag == 0x0A || (dimTag == 0 && nDims == 0), s"dim tag $dimTag")
     val dims = (0L until nDims).map(_ => Dim(name(), size().toInt))
-    val gatts = attrList()
+    val (gatts, _) = attrList()
     val varTag = buf.getInt; val nVars = size()
     require(varTag == 0x0B || (varTag == 0 && nVars == 0), s"var tag $varTag")
     val vars = (0L until nVars).map { _ =>
@@ -226,11 +275,11 @@ object NetCdf {
         s"dim-id count $ndRaw exceeds the ${buf.remaining()} bytes present")
       val nd = ndRaw.toInt
       val dimIds = (0 until nd).map(_ => size().toInt)
-      val vatts = attrList()
+      val (vatts, vnums) = attrList()
       val t = buf.getInt
       val vsize = size()
       val b0 = begin()
-      VarMeta(vn, dimIds, t, vatts, b0, vsize)
+      VarMeta(vn, dimIds, t, vatts, b0, vsize, vnums)
     }
     Meta(dims.toSeq, gatts, vars.toSeq)
   }
@@ -339,9 +388,63 @@ object NetCdf {
     decodeNumeric(ranged(path, off, rest * es), vm.ncType, rest)
   }
 
+  /** CF mask-and-scale decode — the same semantics the reference gets
+    * from xarray's `open_dataset` defaults (`mask_and_scale=True`):
+    * raw values equal to `_FillValue` (or `missing_value`) become NaN,
+    * everything else becomes `raw * scale_factor + add_offset`, as
+    * DOUBLE. Identity when none of the three attributes is present —
+    * so unpacked files (everything this library writes by default)
+    * read bit-identically with or without the decode. Raw-vs-fill
+    * comparison happens BEFORE scaling, per CF. */
+  /** Slab-level CF decode over already-double values — shared by the
+    * whole-file reader and the distributed scan's per-slab path, so a
+    * packed file reads identically through both. Returns the input
+    * array unchanged (same reference) when no packing attr applies. */
+  private[graft] def maskAndScaleSlab(a: Array[Double],
+      numAttrs: Seq[(String, Double)]): Array[Double] = {
+    val num = numAttrs.toMap
+    val scale = num.get("scale_factor")
+    val offset = num.get("add_offset")
+    val fill = num.get("_FillValue").orElse(num.get("missing_value"))
+    if (scale.isEmpty && offset.isEmpty && fill.isEmpty) a
+    else {
+      val s = scale.getOrElse(1.0)
+      val o = offset.getOrElse(0.0)
+      a.map { x =>
+        if (fill.exists(f => x == f || (f.isNaN && x.isNaN))) Double.NaN
+        else x * s + o
+      }
+    }
+  }
+
+  private[io] def maskAndScaleVar(v: Var): Var = {
+    val num = v.numAttrs.toMap
+    if ((!num.contains("scale_factor") && !num.contains("add_offset") &&
+      !num.contains("_FillValue") && !num.contains("missing_value")) ||
+      v.ncType == NcChar) return v
+    val raw: Array[Double] = v.data match {
+      case a: Array[Double] => a
+      case a: Array[Float] => a.map(_.toDouble)
+      case a: Array[Int] => a.map(_.toDouble)
+      case a: Array[Long] => a.map(_.toDouble)
+      case a: Array[Byte] => a.map(_.toDouble)
+      case _ => return v
+    }
+    Var(v.name, v.dimIds, NcDouble, v.attrs,
+      maskAndScaleSlab(raw, v.numAttrs), v.numAttrs)
+  }
+
   /** Read either container: classic CDF-1/2/5 or NetCDF-4 (HDF5,
-    * dispatched to [[Hdf5.read]] on the \x89HDF signature). */
-  def read(path: String): NcFile = {
+    * dispatched to [[Hdf5.read]] on the \x89HDF signature).
+    * `maskAndScale` (default true, matching xarray/the reference)
+    * applies the CF decode to every variable carrying packing/fill
+    * attributes. */
+  def read(path: String, maskAndScale: Boolean = true): NcFile = {
+    val f = readRaw(path)
+    if (maskAndScale) f.copy(vars = f.vars.map(maskAndScaleVar)) else f
+  }
+
+  private def readRaw(path: String): NcFile = {
     val bytes = Files.readAllBytes(Paths.get(path))
     if (Hdf5.isHdf5(bytes)) return Hdf5.read(path)
     val meta = parseMeta(ByteBuffer.wrap(bytes))
@@ -359,7 +462,7 @@ object NetCdf {
           val b = new Array[Byte](n); db.get(b); b
         case other => throw new IllegalArgumentException(s"nc_type $other")
       }
-      Var(vm.name, vm.dimIds, vm.ncType, vm.attrs, data)
+      Var(vm.name, vm.dimIds, vm.ncType, vm.attrs, data, vm.numAttrs)
     }
     NcFile(meta.dims, meta.globalAttrs, vars)
   }

@@ -401,6 +401,47 @@ object GridQueries {
       |WHERE i < 10 * ((SELECT count(*) FROM supplier) // 10)
       |ORDER BY 1, 2""".stripMargin
 
+  /** CF mask-and-scale roundtrip: supplier balances packed as INT
+    * cents with `scale_factor` 0.01 and a fill sentinel — the packed
+    * layout real HadUK/WRF-derived NetCDF files carry, which the
+    * reference reads through xarray's `mask_and_scale=True` default
+    * (`xr.open_dataset`, haduk_voronoi.py:33, delphine/regrid.py:208).
+    * The writer emits TYPED attributes (`_FillValue` in the variable's
+    * own type per CF); the reader decodes to doubles with NaN at
+    * fills, emitted here as SQL NULL so the oracle compare is exact. */
+  val qPackedRoundtrip: Q = (spark, dir) => {
+    import graft.io.NetCdf
+    val supp = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey"),
+        round(col("s_acctbal") * 100).cast("int").as("cents"))
+      .orderBy("s_suppkey").collect()
+    val n = supp.length
+    val fill = -999999999
+    val raw = Array.tabulate(n)(i =>
+      if (i % 7 == 3) fill else supp(i).getInt(1))
+    val tmp = graft.util.Scratch.dir("graft_nc").resolve("packed.nc").toString
+    NetCdf.write(tmp, Seq(NetCdf.Dim("i", n)), Nil, Seq(
+      NetCdf.Var("bal", Seq(0), NetCdf.NcInt, Nil, raw,
+        numAttrs = Seq("scale_factor" -> 0.01, "add_offset" -> 0.0,
+          "_FillValue" -> fill.toDouble))))
+    val v = NetCdf.read(tmp).variable("bal")
+    require(v.ncType == NetCdf.NcDouble, "CF decode did not apply")
+    val d = v.data.asInstanceOf[Array[Double]]
+    import spark.implicits._
+    d.zipWithIndex
+      .map { case (x, i) => (i.toLong, if (x.isNaN) None else Some(x)) }
+      .toSeq.toDF("i", "dollars").orderBy("i")
+  }
+
+  val qPackedRoundtripSql: String =
+    """WITH s AS (
+      |  SELECT row_number() OVER (ORDER BY s_suppkey) - 1 AS i,
+      |    cast(round(s_acctbal*100) as int) AS cents
+      |  FROM supplier)
+      |SELECT i, CASE WHEN i % 7 = 3 THEN NULL
+      |  ELSE cents * 0.01::DOUBLE END AS dollars
+      |FROM s ORDER BY i""".stripMargin
+
   /** WRF destaggering (GridOps.destagger): a staggered-in-x wind
     * component U(day, y, xs) averaged onto mass points — the
     * Arakawa-C pre-step that produces the U10-like fields the
@@ -740,6 +781,7 @@ object GridQueries {
     "grid_pipeline_voronoi" -> qGridPipelineVoronoi,
     "grid_source_scan" -> qGridSourceScan,
     "grid_source_scan_nc" -> qGridSourceScanNc,
+    "grid_packed_roundtrip" -> qPackedRoundtrip,
     "p_drop_cast_slice" -> qDropCastSlice)
 
   val oracles: Map[String, String] = Map(
@@ -761,5 +803,6 @@ object GridQueries {
     "grid_pipeline_voronoi" -> qGridPipelineVoronoiSql,
     "grid_source_scan" -> qGridSourceScanSql,
     "grid_source_scan_nc" -> qGridSourceScanSql,
+    "grid_packed_roundtrip" -> qPackedRoundtripSql,
     "p_drop_cast_slice" -> qDropCastSliceSql)
 }

@@ -103,7 +103,9 @@ private[sources] object GridFile {
       axisOrDefault(coord(dy), meta.dims(dy).size),
       axisOrDefault(coord(dx), meta.dims(dx).size))
     def readSlab(t: Int): Array[Double] =
-      NetCdf.readVarSlabDouble(path, meta, dataVm, t)
+      // CF decode per slab — same semantics as NetCdf.read's default
+      NetCdf.maskAndScaleSlab(
+        NetCdf.readVarSlabDouble(path, meta, dataVm, t), dataVm.numAttrs)
   }
 
   private final class Nc4(path: String) extends GridFile {
@@ -124,7 +126,9 @@ private[sources] object GridFile {
       axisOrDefault(coord(dy), meta.dims(dy).size),
       axisOrDefault(coord(dx), meta.dims(dx).size))
     def readSlab(t: Int): Array[Double] =
-      Hdf5.readVarSlabDouble(path, dataVm, t)
+      // CF decode per slab — same semantics as NetCdf.read's default
+      NetCdf.maskAndScaleSlab(
+        Hdf5.readVarSlabDouble(path, dataVm, t), dataVm.numAttrs)
   }
 
   /** Zarr v2 store (a DIRECTORY with `.zgroup`): the same rank-3

@@ -98,7 +98,7 @@ class CodecFuzzSpec extends AnyFunSuite {
 
   test("NetCDF-3 survives 300 hostile mutations") {
     runFileFuzz("nc", ncBase((p, d, v) => NetCdf.write(p, d, Nil, v)),
-      NetCdf.read)
+      p => NetCdf.read(p))
   }
 
   test("HDF5 survives 300 hostile mutations") {

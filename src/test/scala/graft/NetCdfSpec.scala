@@ -281,6 +281,67 @@ class NetCdfSpec extends AnyFunSuite {
       Seq(3f, 4f))
   }
 
+  test("CF mask-and-scale: packed short variable decodes like xarray") {
+    // int16 temperature packed with scale/offset and a fill sentinel —
+    // the layout real HadUK/WRF-derived files use; xarray's
+    // open_dataset default (mask_and_scale=True) is what the reference
+    // reads, so read() must produce the same doubles-with-NaN view
+    val path = tmp("packed.nc")
+    val dims = Seq(Dim("x", 5))
+    val raw = Array(0, 100, -9999, 250, -300) // -9999 = fill
+    val vars = Seq(Var("t2", Seq(0), NcShort,
+      Seq("units" -> "K"), raw,
+      numAttrs = Seq("scale_factor" -> 0.1, "add_offset" -> 273.15,
+        "_FillValue" -> -9999.0)))
+    NetCdf.write(path, dims, Nil, vars)
+    val v = NetCdf.read(path).variable("t2")
+    assert(v.ncType == NcDouble)
+    val d = v.data.asInstanceOf[Array[Double]]
+    assert(d(0) == 273.15)
+    assert(math.abs(d(1) - (100 * 0.1 + 273.15)) < 1e-12)
+    assert(d(2).isNaN)
+    assert(math.abs(d(3) - (250 * 0.1 + 273.15)) < 1e-12)
+    assert(math.abs(d(4) - (-300 * 0.1 + 273.15)) < 1e-12)
+    // raw view on request: original type, sentinel intact, attrs kept
+    val rawV = NetCdf.read(path, maskAndScale = false).variable("t2")
+    assert(rawV.data.asInstanceOf[Array[Int]].toSeq == raw.toSeq)
+    assert(rawV.numAttrs.toMap.get("_FillValue").contains(-9999.0))
+    assert(rawV.attrs == Seq("units" -> "K"))
+  }
+
+  test("CF decode: missing_value fallback, scale-only, fill-only; identity without attrs") {
+    val dims = Seq(Dim("x", 3))
+    def roundtrip(v: Var): Var = {
+      val p = tmp(s"cf_${v.name}.nc")
+      NetCdf.write(p, dims, Nil, Seq(v))
+      NetCdf.read(p).variable(v.name)
+    }
+    val mv = roundtrip(Var("a", Seq(0), NcInt, Nil, Array(7, -1, 9),
+      numAttrs = Seq("missing_value" -> -1.0)))
+    val ad = mv.data.asInstanceOf[Array[Double]]
+    assert(ad(0) == 7.0 && ad(1).isNaN && ad(2) == 9.0)
+    val so = roundtrip(Var("b", Seq(0), NcInt, Nil, Array(1, 2, 3),
+      numAttrs = Seq("scale_factor" -> 2.5)))
+    assert(so.data.asInstanceOf[Array[Double]].toSeq == Seq(2.5, 5.0, 7.5))
+    // no packing attrs: bit-identical ints, type preserved
+    val id = roundtrip(Var("c", Seq(0), NcInt, Nil, Array(4, 5, 6)))
+    assert(id.ncType == NcInt)
+    assert(id.data.asInstanceOf[Array[Int]].toSeq == Seq(4, 5, 6))
+  }
+
+  test("CF decode applies identically through the NetCDF-4/HDF5 container") {
+    val path = tmp("packed.h5")
+    val dims = Seq(Dim("x", 4))
+    val vars = Seq(
+      Var("x", Seq(0), NcDouble, Nil, Array(0.0, 1.0, 2.0, 3.0)),
+      Var("v", Seq(0), NcShort, Nil, Array(10, -32768, 30, 40),
+        numAttrs = Seq("scale_factor" -> 0.5, "_FillValue" -> -32768.0)))
+    graft.io.Hdf5.write(path, dims, Nil, vars)
+    val v = NetCdf.read(path).variable("v")
+    val d = v.data.asInstanceOf[Array[Double]]
+    assert(d(0) == 5.0 && d(1).isNaN && d(2) == 15.0 && d(3) == 20.0)
+  }
+
   test("writer mode matrix: all chunkDeflate x denseGroups x denseAttrs roundtrip") {
     val dims = Seq(Dim("t", 3), Dim("x", 4))
     val vars = Seq(
