@@ -400,28 +400,54 @@ object NetCdf {
     * whole-file reader and the distributed scan's per-slab path, so a
     * packed file reads identically through both. Returns the input
     * array unchanged (same reference) when no packing attr applies. */
+  /** `unsignedBits` > 0 reinterprets sign-extended raw values as
+    * unsigned of that width FIRST (the `_Unsigned = "true"` convention
+    * classic NetCDF uses for unsigned data, applied before
+    * scale/offset exactly as xarray does); the fill value, if negative
+    * in signed space, is reinterpreted the same way so either spelling
+    * of the sentinel matches. */
   private[graft] def maskAndScaleSlab(a: Array[Double],
-      numAttrs: Seq[(String, Double)]): Array[Double] = {
+      numAttrs: Seq[(String, Double)],
+      unsignedBits: Int = 0): Array[Double] = {
     val num = numAttrs.toMap
     val scale = num.get("scale_factor")
     val offset = num.get("add_offset")
-    val fill = num.get("_FillValue").orElse(num.get("missing_value"))
-    if (scale.isEmpty && offset.isEmpty && fill.isEmpty) a
+    val fill0 = num.get("_FillValue").orElse(num.get("missing_value"))
+    if (scale.isEmpty && offset.isEmpty && fill0.isEmpty && unsignedBits == 0) a
     else {
+      val wrap = if (unsignedBits > 0) math.pow(2.0, unsignedBits) else 0.0
+      def toUnsigned(x: Double): Double =
+        if (unsignedBits > 0 && x < 0) x + wrap else x
+      val fill = fill0.map(toUnsigned)
       val s = scale.getOrElse(1.0)
       val o = offset.getOrElse(0.0)
-      a.map { x =>
+      a.map { x0 =>
+        val x = toUnsigned(x0)
         if (fill.exists(f => x == f || (f.isNaN && x.isNaN))) Double.NaN
         else x * s + o
       }
     }
   }
 
+  /** Width for the `_Unsigned` reinterpretation: the declared-true
+    * attr on a signed integer type, else 0 (no-op). */
+  private[graft] def unsignedBitsOf(ncType: Int,
+      attrs: Seq[(String, String)]): Int =
+    if (attrs.exists { case (k, v) =>
+      k == "_Unsigned" && v.trim.equalsIgnoreCase("true")
+    }) ncType match {
+      case NcByte => 8
+      case NcShort => 16
+      case NcInt => 32
+      case _ => 0
+    } else 0
+
   private[io] def maskAndScaleVar(v: Var): Var = {
     val num = v.numAttrs.toMap
+    val uBits = unsignedBitsOf(v.ncType, v.attrs)
     if ((!num.contains("scale_factor") && !num.contains("add_offset") &&
-      !num.contains("_FillValue") && !num.contains("missing_value")) ||
-      v.ncType == NcChar) return v
+      !num.contains("_FillValue") && !num.contains("missing_value") &&
+      uBits == 0) || v.ncType == NcChar) return v
     val raw: Array[Double] = v.data match {
       case a: Array[Double] => a
       case a: Array[Float] => a.map(_.toDouble)
@@ -431,7 +457,7 @@ object NetCdf {
       case _ => return v
     }
     Var(v.name, v.dimIds, NcDouble, v.attrs,
-      maskAndScaleSlab(raw, v.numAttrs), v.numAttrs)
+      maskAndScaleSlab(raw, v.numAttrs, uBits), v.numAttrs)
   }
 
   /** Read either container: classic CDF-1/2/5 or NetCDF-4 (HDF5,

@@ -105,7 +105,8 @@ private[sources] object GridFile {
     def readSlab(t: Int): Array[Double] =
       // CF decode per slab — same semantics as NetCdf.read's default
       NetCdf.maskAndScaleSlab(
-        NetCdf.readVarSlabDouble(path, meta, dataVm, t), dataVm.numAttrs)
+        NetCdf.readVarSlabDouble(path, meta, dataVm, t), dataVm.numAttrs,
+        NetCdf.unsignedBitsOf(dataVm.ncType, dataVm.attrs))
   }
 
   private final class Nc4(path: String) extends GridFile {
@@ -128,7 +129,8 @@ private[sources] object GridFile {
     def readSlab(t: Int): Array[Double] =
       // CF decode per slab — same semantics as NetCdf.read's default
       NetCdf.maskAndScaleSlab(
-        Hdf5.readVarSlabDouble(path, dataVm, t), dataVm.numAttrs)
+        Hdf5.readVarSlabDouble(path, dataVm, t), dataVm.numAttrs,
+        NetCdf.unsignedBitsOf(dataVm.ncType, dataVm.attrs))
   }
 
   /** Zarr v2 store (a DIRECTORY with `.zgroup`): the same rank-3

@@ -329,6 +329,22 @@ class NetCdfSpec extends AnyFunSuite {
     assert(id.data.asInstanceOf[Array[Int]].toSeq == Seq(4, 5, 6))
   }
 
+  test("CF decode: _Unsigned bytes reinterpret before scaling, fill matches either spelling") {
+    // classic NetCDF has no unsigned types, so satellite/WRF byte data
+    // is signed bytes + _Unsigned="true" — xarray reinterprets BEFORE
+    // scale/offset; the fill sentinel 255 is stored as -1 signed
+    val path = tmp("unsigned.nc")
+    val dims = Seq(Dim("x", 4))
+    val raw: Array[Byte] = Array(0, 100, -56, -1) // unsigned: 0,100,200,255
+    val vars = Seq(Var("b", Seq(0), NcByte,
+      Seq("_Unsigned" -> "true"), raw,
+      numAttrs = Seq("scale_factor" -> 0.5, "_FillValue" -> -1.0)))
+    NetCdf.write(path, dims, Nil, vars)
+    val d = NetCdf.read(path).variable("b").data.asInstanceOf[Array[Double]]
+    assert(d(0) == 0.0 && d(1) == 50.0 && d(2) == 100.0)
+    assert(d(3).isNaN) // -1 signed = 255 unsigned = the fill
+  }
+
   test("CF decode applies identically through the NetCDF-4/HDF5 container") {
     val path = tmp("packed.h5")
     val dims = Seq(Dim("x", 4))
