@@ -236,7 +236,10 @@ object NetCdf {
         val t = buf.getInt
         val cntRaw = size()
         val es = typeSize(t) // throws on an unknown nc_type: reject
-        require(cntRaw >= 0 && cntRaw * es <= buf.remaining(),
+        // two-step bound: cntRaw alone first, so a crafted count near
+        // Long.Max can't overflow the cntRaw*es product into passing
+        require(cntRaw >= 0 && cntRaw <= buf.remaining() &&
+          cntRaw * es <= buf.remaining(),
           s"attribute length $cntRaw exceeds the ${buf.remaining()} bytes present")
         val cnt = cntRaw.toInt
         val byteLen = cnt * es

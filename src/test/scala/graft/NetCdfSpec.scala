@@ -472,6 +472,31 @@ class NetCdfSpec extends AnyFunSuite {
     }
   }
 
+  test("crafted attribute count that wraps cnt*es past Long is rejected") {
+    // CDF-5 sizes are 64-bit: a count of 2^61 with an 8-byte element
+    // type wraps cnt*es to 0, which would pass a single product bound
+    // and truncate cnt to 0 on .toInt — the two-step bound rejects it
+    val path = tmp("attr_wrap.nc")
+    NetCdf.write(path, Seq(Dim("x", 2)), Nil,
+      Seq(Var("v", Seq(0), NcDouble, Nil, Array(1.0, 2.0),
+        numAttrs = Seq("scale_factor" -> 0.5))), version = 5)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val name = "scale_factor".getBytes("US-ASCII")
+    val idx = bytes.indices.indexWhere(i =>
+      i + name.length <= bytes.length &&
+        name.indices.forall(j => bytes(i + j) == name(j)))
+    assert(idx > 0, "attr name not found")
+    // CDF-5 layout after the name: nc_type(4) then count(8, BE)
+    val countOff = idx + name.length + 4
+    val crafted = 0x2000000000000000L // * 8 wraps to 0
+    (0 until 8).foreach(j =>
+      bytes(countOff + j) = ((crafted >> (56 - 8 * j)) & 0xff).toByte)
+    val hostile = tmp("attr_wrap2.nc")
+    Files.write(java.nio.file.Paths.get(hostile), bytes)
+    val e = intercept[IllegalArgumentException](NetCdf.read(hostile))
+    assert(e.getMessage.contains("attribute length"))
+  }
+
   test("crafted dims whose product x 8 wraps Long are rejected, not allocated") {
     // ADVICE r10: dims each <= file size pass the per-dim bound, the
     // product n fits a Long, but n * es wraps negative so the old
