@@ -23,8 +23,12 @@ import NetCdf.{Dim, NcFile, Var}
   * Groups read from BOTH old-style symbol tables and "latest-format"
   * DENSE link storage (fractal heap + v2 name-index B-tree — what
   * libnetcdf/libhdf5 emit with latest-version bounds); the writer can
-  * emit either (`denseGroups`). Dense ATTRIBUTE storage and other
-  * filters raise with a clear message. Types: fixed-point 1/2/4/8
+  * emit either (`denseGroups`). Dense ATTRIBUTE storage reads and
+  * writes (`denseAttrs`). The dense readers take fractal heaps with
+  * nested indirect blocks and v2 B-trees of any depth, so groups or
+  * objects with unbounded link/attribute counts open; SHARED messages
+  * and non-default filters raise with a clear message. Types:
+  * fixed-point 1/2/4/8
   * bytes, IEEE float 4/8, fixed strings, object references, and vlen
   * sequences of references (DIMENSION_LIST). Metadata is
   * little-endian per the spec; dataset values honor the datatype's
@@ -1057,43 +1061,43 @@ object Hdf5 {
     v
   }
 
-  /** Fractal heap geometry from an FRHP header — enough to resolve a
-    * managed heap id to its bytes. `children` carries one
-    * (address, filtered size, filter mask) triple per direct block of
-    * an indirect root (filtered size −1 when the heap is unfiltered);
-    * for a FILTERED heap ([[filters]] non-empty) direct blocks are
-    * de-filtered whole and sliced, with a per-heap one-block cache —
-    * link iteration touches blocks in heap-offset order, so the
-    * working set is a single decompressed block. */
-  private final class FHeap(r: R, val offSize: Int, val lenSize: Int,
-      width: Int, startBlock: Long, maxDirect: Long,
-      rootAddr: Long, curRows: Int, blockChecksums: Boolean,
-      children: Seq[(Long, Long, Int)],
-      filters: Seq[(Int, Seq[Int])], rootStoredSize: Long, rootMask: Int) {
+  /** One allocated direct block of a fractal heap: its starting heap
+    * offset, logical (decompressed) size, file address, and — for
+    * FILTERED heaps — the stored (on-disk) size and filter mask
+    * (−1/0 when unfiltered). */
+  private final case class FBlock(heapOff: Long, size: Long, addr: Long,
+      stored: Long, mask: Int)
 
-    private def rowSize(row: Int): Long =
-      if (row < 2) startBlock else startBlock << (row - 1)
+  /** Fractal heap geometry from an FRHP header — enough to resolve a
+    * managed heap id to its bytes. `blocks` is the flat directory of
+    * every allocated direct block sorted by heap offset (built by
+    * walking the root indirect block and any nested indirect blocks —
+    * the doubling table is global, so each FHIB's internal rows follow
+    * the same row-size function from row 0); for a FILTERED heap
+    * ([[filters]] non-empty) direct blocks are de-filtered whole and
+    * sliced, with a per-heap one-block cache — link iteration touches
+    * blocks in heap-offset order, so the working set is a single
+    * decompressed block. */
+  private final class FHeap(r: R, val offSize: Int, val lenSize: Int,
+      blocks: Vector[FBlock], blockChecksums: Boolean,
+      filters: Seq[(Int, Seq[Int])]) {
 
     /** (block address, stored size, mask, logical size, offset within
       * block) for heap offset `off` — heap offsets include each direct
-      * block's header bytes, so locating is pure block arithmetic. */
+      * block's header bytes, so locating is a binary search over the
+      * sorted block directory. */
     private def locate(off: Long): (Long, Long, Int, Long, Long) = {
-      if (curRows == 0) { // root IS a single direct block
-        require(off < startBlock, s"heap offset $off beyond root block")
-        return (rootAddr, rootStoredSize, rootMask, startBlock, off)
+      var lo = 0; var hi = blocks.length - 1; var idx = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (blocks(mid).heapOff <= off) { idx = mid; lo = mid + 1 }
+        else hi = mid - 1
       }
-      var row = 0
-      var rowStart = 0L
-      while (off >= rowStart + width * rowSize(row)) {
-        rowStart += width * rowSize(row)
-        row += 1
-        require(row < curRows, s"heap offset $off beyond indirect rows")
-      }
-      val col = ((off - rowStart) / rowSize(row)).toInt
-      val within = (off - rowStart) % rowSize(row)
-      val (child, stored, mask) = children(row * width + col)
-      require(child != Undef, s"heap offset $off in unallocated block")
-      (child, stored, mask, rowSize(row), within)
+      require(idx >= 0, s"heap offset $off before first allocated block")
+      val blk = blocks(idx)
+      require(off < blk.heapOff + blk.size,
+        s"heap offset $off in unallocated block")
+      (blk.addr, blk.stored, blk.mask, blk.size, off - blk.heapOff)
     }
 
     private var cachedAddr: Long = Undef
@@ -1169,44 +1173,100 @@ object Hdf5 {
     val maxDirBlkOffSize =
       (63 - java.lang.Long.numberOfLeadingZeros(maxDirect) + 7) / 8
     val lenSz = math.min(maxDirBlkOffSize, encSize(maxManaged))
-    val maxDirectRows =
-      (63 - java.lang.Long.numberOfLeadingZeros(maxDirect)) -
-        (63 - java.lang.Long.numberOfLeadingZeros(startBlock)) + 2
-    val children: Seq[(Long, Long, Int)] =
-      if (curRows == 0) Nil
-      else {
-        require(curRows <= maxDirectRows,
-          "multi-level fractal heap (indirect children) unsupported")
-        val n = curRows * width
-        // a filtered heap's indirect block carries (address, stored
-        // size, mask) per direct-block entry instead of a bare address
-        val entry = szOff + (if (ioFilterLen > 0) szLen + 4 else 0)
-        val ib = r.window(rootAddr, (4 + 1 + szOff + offSize + n * entry + 4).toLong)
-        val is = new Array[Byte](4); ib.get(is)
-        require(new String(is, "US-ASCII") == "FHIB", "bad root indirect block")
-        require((ib.get() & 0xff) == 0, "indirect block version")
-        r.offset(ib) // heap header address
-        uintAt(ib, offSize) // block offset
-        (0 until n).map { _ =>
+    require(width > 0 && java.lang.Long.bitCount(width.toLong) == 1,
+      s"fractal heap table width $width not a power of two")
+    require(startBlock > 0 && java.lang.Long.bitCount(startBlock) == 1 &&
+      maxDirect >= startBlock && java.lang.Long.bitCount(maxDirect) == 1,
+      s"fractal heap block sizes $startBlock/$maxDirect not powers of two")
+    def log2(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    val maxDirectRows = log2(maxDirect) - log2(startBlock) + 2
+    def rowSize(row: Int): Long =
+      if (row < 2) startBlock else startBlock << (row - 1)
+    // nrows spanned by a child indirect block covering `span` bytes:
+    // libhdf5's H5HF_dtable_size_to_rows
+    def rowsForSpan(span: Long): Int =
+      log2(span) - log2(startBlock) - log2(width.toLong) + 1
+    // Walk the indirect-block tree into a flat directory of allocated
+    // direct blocks. Rows < maxDirectRows of any FHIB hold direct-block
+    // entries (+ stored size & mask when the heap is filtered); rows
+    // beyond hold bare-address indirect children, each spanning that
+    // row's block size and recursing with the global doubling table.
+    val blockDir = Vector.newBuilder[FBlock]
+    var nBlocks = 0L
+    def walkIndirect(addr: Long, baseOff: Long, nrows: Int, depth: Int): Unit = {
+      require(depth <= 16, "fractal heap indirect nesting beyond 16 levels")
+      require(nrows >= 1 && nrows <= 2 * maxHeapBits,
+        s"implausible indirect block row count $nrows")
+      val nDir = math.min(nrows, maxDirectRows)
+      val nInd = nrows - nDir
+      // a filtered heap's indirect block carries (address, stored
+      // size, mask) per DIRECT entry; indirect entries are bare
+      val dirEntry = szOff + (if (ioFilterLen > 0) szLen + 4 else 0)
+      val winLen = (4 + 1 + szOff + offSize).toLong +
+        nDir.toLong * width * dirEntry + nInd.toLong * width * szOff + 4
+      val ib = r.window(addr, winLen)
+      val is = new Array[Byte](4); ib.get(is)
+      require(new String(is, "US-ASCII") == "FHIB", "bad indirect block")
+      require((ib.get() & 0xff) == 0, "indirect block version")
+      r.offset(ib) // heap header address
+      uintAt(ib, offSize) // block offset
+      var row = 0
+      var rowStart = 0L
+      while (row < nrows) {
+        val rs = rowSize(row)
+        var col = 0
+        while (col < width) {
+          val off = baseOff + rowStart + col * rs
           val a = r.offset(ib)
-          if (ioFilterLen > 0) (a, uintAt(ib, szLen), ib.getInt)
-          else (a, -1L, 0)
+          if (row < maxDirectRows) {
+            val (st, mk) =
+              if (ioFilterLen > 0) (uintAt(ib, szLen), ib.getInt) else (-1L, 0)
+            if (a != Undef) {
+              blockDir += FBlock(off, rs, a, st, mk)
+              nBlocks += 1
+              require(nBlocks <= (1L << 24),
+                "fractal heap direct-block count beyond 16M")
+            }
+          } else if (a != Undef) {
+            walkIndirect(a, off, rowsForSpan(rs), depth + 1)
+          }
+          col += 1
         }
+        rowStart += width * rs
+        row += 1
       }
-    // sanity-check the root direct block when the root is direct (a
-    // filtered root is checked after de-filtering, in FHeap.read)
-    if (curRows == 0 && rootAddr != Undef && ioFilterLen == 0) {
-      val db = r.window(rootAddr, 5)
-      val ds = new Array[Byte](4); db.get(ds)
-      require(new String(ds, "US-ASCII") == "FHDB", "bad root direct block")
     }
-    new FHeap(r, offSize, lenSz, width, startBlock, maxDirect,
-      rootAddr, curRows, (flags & 0x2) != 0, children,
-      filters, rootStored, rootMask)
+    val blocks: Vector[FBlock] =
+      if (curRows == 0) {
+        // root IS a single direct block
+        if (rootAddr == Undef) Vector.empty
+        else Vector(FBlock(0L, startBlock, rootAddr, rootStored, rootMask))
+      } else {
+        walkIndirect(rootAddr, 0L, curRows, 0)
+        val v = blockDir.result()
+        // the walk emits in (row, col) order per block, parents before
+        // children — sort by heap offset for the binary search
+        v.sortBy(_.heapOff)
+      }
+    // sanity-check the first direct block when unfiltered (a filtered
+    // block is checked after de-filtering, in FHeap.read)
+    if (blocks.nonEmpty && ioFilterLen == 0) {
+      val db = r.window(blocks.head.addr, 5)
+      val ds = new Array[Byte](4); db.get(ds)
+      require(new String(ds, "US-ASCII") == "FHDB", "bad direct block")
+    }
+    new FHeap(r, offSize, lenSz, blocks, (flags & 0x2) != 0, filters)
   }
 
-  /** All records of a v2 B-tree as raw record buffers (depth ≤ 1 —
-    * tens of thousands of links; deeper trees raise loudly). */
+  /** All records of a v2 B-tree as raw record buffers, any depth,
+    * in-order (left child, separator record, next child, …). Child
+    * pointers inside an internal node at depth d are
+    * (address, nrec[, all_nrec]) where nrec is sized to encode the
+    * LEAF max record count (hdr->max_nrec_size in H5B2hdr.c — the
+    * leaf holds the most records of any node type) and all_nrec — the
+    * total records in the child's whole subtree, present only when the
+    * child is itself internal (d ≥ 2) — is sized to encode the child
+    * depth's cumulative max (node_info[d−1].cum_max_nrec_size). */
   private def v2BtreeRecords(r: R, addr: Long): Seq[Array[Byte]] = {
     val szOff = r.szOff; val szLen = r.szLen
     val hb = r.window(addr, (4 + 1 + 1 + 4 + 2 + 2 + 1 + 1 + szOff + 2 + szLen + 4).toLong)
@@ -1222,40 +1282,71 @@ object Hdf5 {
     val rootNRec = hb.getShort & 0xffff
     uintAt(hb, szLen) // total records
     val _ = btype
+    require(recSize > 0, "v2 btree record size 0")
+    require(depth <= 16, s"implausible v2 btree depth $depth")
 
-    def leafRecords(a: Long, nrec: Int): Seq[Array[Byte]] = {
-      val b = r.window(a, (4 + 1 + 1 + nrec * recSize + 4).toLong)
-      val s = new Array[Byte](4); b.get(s)
-      require(new String(s, "US-ASCII") == "BTLF", "bad v2 btree leaf")
-      b.get(); b.get() // version, type
-      (0 until nrec).map { _ =>
-        val rec = new Array[Byte](recSize); b.get(rec); rec
+    // libhdf5's H5B2_hdr_init sizing math: per-child-pointer field
+    // widths derive from the max records a node at each depth can hold
+    val maxLeafRec = (nodeSize - 10) / recSize
+    require(maxLeafRec > 0, s"v2 btree node size $nodeSize too small")
+    val nrecSize = encSize(maxLeafRec.toLong) // hdr->max_nrec_size
+    // cumSize(u) = bytes to encode the total records of a depth-u
+    // subtree (node_info[u].cum_max_nrec_size); cumSize(0) = 0
+    val cumSize = new Array[Int](math.max(depth, 1))
+    var cumMax = maxLeafRec.toLong
+    var u = 1
+    while (u < depth) {
+      val ptr = szOff + nrecSize + cumSize(u - 1)
+      val maxN = (nodeSize - 10 - ptr) / (recSize + ptr)
+      require(maxN > 0, s"v2 btree node size $nodeSize too small for depth $depth")
+      // two-step bound so (maxN+1)*cumMax + maxN cannot wrap Long
+      cumMax =
+        if (cumMax > (Long.MaxValue - maxN) / (maxN + 1)) Long.MaxValue / 4
+        else (maxN + 1) * cumMax + maxN
+      cumSize(u) = encSize(cumMax)
+      u += 1
+    }
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+
+    def walk(a: Long, nrec: Int, d: Int): Unit = {
+      if (d == 0) {
+        val b = r.window(a, (4 + 1 + 1).toLong + nrec.toLong * recSize + 4)
+        val s = new Array[Byte](4); b.get(s)
+        require(new String(s, "US-ASCII") == "BTLF", "bad v2 btree leaf")
+        b.get(); b.get() // version, type
+        var i = 0
+        while (i < nrec) {
+          val rec = new Array[Byte](recSize); b.get(rec); out += rec; i += 1
+        }
+      } else {
+        val extra = cumSize(d - 1)
+        val ptrSz = szOff + nrecSize + extra
+        val b = r.window(a,
+          (4 + 1 + 1).toLong + nrec.toLong * recSize + (nrec + 1).toLong * ptrSz + 4)
+        val s = new Array[Byte](4); b.get(s)
+        require(new String(s, "US-ASCII") == "BTIN", "bad v2 btree internal")
+        b.get(); b.get() // version, type
+        val recs = (0 until nrec).map { _ =>
+          val rec = new Array[Byte](recSize); b.get(rec); rec
+        }
+        val kids = (0 to nrec).map { _ =>
+          val ka = r.offset(b)
+          val kn = uintAt(b, nrecSize).toInt
+          if (extra > 0) uintAt(b, extra) // all_nrec in child subtree
+          (ka, kn)
+        }
+        var i = 0
+        while (i <= nrec) {
+          walk(kids(i)._1, kids(i)._2, d - 1)
+          if (i < nrec) out += recs(i)
+          i += 1
+        }
       }
     }
 
-    depth match {
-      case 0 => leafRecords(rootAddr, rootNRec)
-      case 1 =>
-        val maxLeafRec = (nodeSize - 10) / recSize
-        val cntSize = encSize(maxLeafRec.toLong)
-        val n = rootNRec
-        val b = r.window(rootAddr,
-          (4 + 1 + 1 + n * recSize + (n + 1) * (szOff + cntSize) + 4).toLong)
-        val s = new Array[Byte](4); b.get(s)
-        require(new String(s, "US-ASCII") == "BTIN", "bad v2 btree internal")
-        b.get(); b.get()
-        val recs = (0 until n).map { _ =>
-          val rec = new Array[Byte](recSize); b.get(rec); rec
-        }
-        val kids = (0 to n).map { _ =>
-          val a = r.offset(b)
-          val c = uintAt(b, cntSize).toInt
-          (a, c)
-        }
-        kids.flatMap { case (a, c) => leafRecords(a, c) } ++ recs
-      case d => throw new IllegalArgumentException(
-        s"v2 btree depth $d unsupported")
-    }
+    walk(rootAddr, rootNRec, depth)
+    out.toSeq
   }
 
   /** Parse one link message body: Some(name -> object header address)
