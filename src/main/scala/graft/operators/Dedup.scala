@@ -288,6 +288,26 @@ object Dedup {
     Bridge.column(graft.expressions.MinHashSig(Bridge.expression(sh), k))
   }
 
+  /** k-family MinHash signature over PRE-HASHED shingles (the sorted
+    * `xxhash64` long arrays the refine stage caches) — a different but
+    * equally sound LSH family ([[graft.expressions.MinHashSigLong]]):
+    * banding probabilities are family-independent and every consumer
+    * refines with exact Jaccard, so letting ONE persisted array<long>
+    * column feed both signature and refine costs nothing downstream
+    * while the cache drops from multi-word strings to 8 bytes per
+    * shingle. */
+  def minhashFromHashes(shh: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.MinHashSigLong(Bridge.expression(shh), k))
+  }
+
+  /** Shingle sets pre-hashed for the near-dup pipeline: sorted distinct
+    * `xxhash64` longs per document — the single cached representation
+    * that serves banding ([[minhashFromHashes]]) AND the exact-Jaccard
+    * refine ([[jaccardSortedLong]]). */
+  def hashedShingles(text: Column, n: Int): Column =
+    sort_array(transform(shingles(text, n), xxhash64(_)))
+
   /** Convenience single-expression signature (recomputes shingles per
     * family — use the two-step form in hot paths). */
   def minhashSignature(text: Column, n: Int, k: Int): Column =
@@ -346,9 +366,11 @@ object Dedup {
   def lshGuardReport(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 16,
       maxBucket: Int = 64): DataFrame = {
-    val banded = minhashBanded(
+    // hashed family: the same bucketing minhashNearDups pairs on, so
+    // the report reflects the candidate path it guards
+    val banded = minhashBandedHashed(
       df.select(col(idCol).cast("long").as("id"),
-        shingles(col(textCol), shingleN).as("sh")), k, bands)
+        hashedShingles(col(textCol), shingleN).as("shh")), k, bands)
     val sizes = banded.groupBy("band", "band_hash")
       .agg(count(lit(1)).as("n_rows"))
     sizes.agg(
@@ -417,6 +439,14 @@ object Dedup {
     pairsFromBuckets(minhashBanded(sets, k, bands),
       Seq("band", "band_hash"), maxBucket)
 
+  /** [[minhashCandidatesFromSets]] over a PRE-HASHED (id, shh) frame —
+    * the near-dup pipeline's form, where `shh` is
+    * [[hashedShingles]]'s sorted long array. */
+  private[graft] def minhashCandidatesFromHashedSets(sets: DataFrame, k: Int,
+      bands: Int, maxBucket: Int): DataFrame =
+    pairsFromBuckets(minhashBandedHashed(sets, k, bands),
+      Seq("band", "band_hash"), maxBucket)
+
   /** (id, band, band_hash) LSH membership rows from a prepared (id, sh)
     * shingle frame — shared by candidate generation and the guard
     * report so both see the identical bucketing. */
@@ -426,6 +456,21 @@ object Dedup {
         "or trailing components would be silently excluded from banding")
     val rows = k / bands
     val sig = sets.select(col("id"), minhashFromShingles(col("sh"), k).as("sig"))
+    sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rows + 1, lit(rows)), lit(9999)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+  }
+
+  /** [[minhashBanded]] over a PRE-HASHED (id, shh) frame: same banding
+    * (band_hash = murmur3 of the band's signature slice, seed 9999),
+    * signature from [[minhashFromHashes]]. */
+  private def minhashBandedHashed(sets: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0,
+      s"minhash signature length k=$k must be divisible by bands=$bands " +
+        "or trailing components would be silently excluded from banding")
+    val rows = k / bands
+    val sig = sets.select(col("id"), minhashFromHashes(col("shh"), k).as("sig"))
     sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rows + 1, lit(rows)), lit(9999)))))
@@ -481,15 +526,25 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
       k: Int = 32, bands: Int = 16): DataFrame = {
-    // one persisted shingle pass feeds signature generation AND refine
+    // one persisted PRE-HASHED shingle pass feeds signature generation
+    // AND refine: the cache holds sorted xxhash64 longs (8 bytes per
+    // shingle vs multi-word strings — the pipeline's largest persisted
+    // frame and the refine joins' shuffle payload both shrink, and the
+    // refine consumes the cached arrays as-is instead of re-hashing
+    // and re-sorting per side)
     val sets = df.select(col(idCol).cast("long").as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
+      hashedShingles(col(textCol), shingleN).as("shh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // see eagerShingleCacheDefault for why (and when) the cache build
     // is split into its own stage — same build work either way
     if (eagerShingleCacheDefault(df.sparkSession)) sets.count()
-    val cand = minhashCandidatesFromSets(sets, k, bands, maxBucket = 64)
-    refineJaccard(cand, sets, threshold)
+    val cand = minhashCandidatesFromHashedSets(sets, k, bands, maxBucket = 64)
+    val a = sets.select(col("id").as("id_a"), col("shh").as("sh_a"))
+    val b = sets.select(col("id").as("id_b"), col("shh").as("sh_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccardSortedLong(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Banded band-hash array of a k-row signature — same family/seed as
@@ -521,11 +576,13 @@ object Dedup {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val rows = k / bands
     val sets = corpus.select(col(idCol).cast("long").as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
+      hashedShingles(col(textCol), shingleN).as("shh"))
     val exploded = sets
-      .select(col("id"), col("sh"), minhashFromShingles(col("sh"), k).as("sig"))
-      .select(col("id").as("corpus_id"),
-        sort_array(transform(col("sh"), xxhash64(_))).as("c_shh"),
+      // two-step projection: sig into a real column first, so the
+      // signature subtree evaluates once per row, not once per band
+      .select(col("id").as("corpus_id"), col("shh").as("c_shh"),
+        minhashFromHashes(col("shh"), k).as("sig"))
+      .select(col("corpus_id"), col("c_shh"),
         bandHashes(col("sig"), bands, rows).as("c_bands"))
       .select(col("corpus_id"), col("c_shh"), col("c_bands"),
         posexplode(col("c_bands")))
@@ -556,10 +613,9 @@ object Dedup {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val rows = k / bands
     val s = incoming.select(col(idCol).cast("long").as("doc_id"),
-        shingles(col(textCol), shingleN).as("s_sh"))
-      .withColumn("s_sig", minhashFromShingles(col("s_sh"), k))
-      .select(col("doc_id"),
-        sort_array(transform(col("s_sh"), xxhash64(_))).as("s_shh"),
+        hashedShingles(col(textCol), shingleN).as("s_shh"))
+      .withColumn("s_sig", minhashFromHashes(col("s_shh"), k))
+      .select(col("doc_id"), col("s_shh"),
         bandHashes(col("s_sig"), bands, rows).as("s_bands"))
       .select(col("doc_id"), col("s_shh"), col("s_bands"),
         posexplode(col("s_bands")))

@@ -34,8 +34,10 @@ object NearDupProfile {
     val survivors = CliqueCorpus.docs(
       spark.range(docsN).filter(col("id") % 10 =!= 9).toDF("id"))
 
+    // PRE-HASHED sets — the representation minhashNearDups caches
+    // (sorted xxhash64 longs feeding both banding and refine)
     val sets = survivors.select(col("id"),
-        Dedup.shingles(col("text"), 3).as("sh"))
+        Dedup.hashedShingles(col("text"), 3).as("shh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (nSets, tSets) = timed(sets.count())
 
@@ -43,16 +45,14 @@ object NearDupProfile {
     // catch: minhashCandidates(survivors,...) would rebuild shingles
     // from raw text, double-counting the cost sets_sec already timed
     // and overstating the LSH stage)
-    val cand = Dedup.minhashCandidatesFromSets(sets, k = 32, bands = 16,
+    val cand = Dedup.minhashCandidatesFromHashedSets(sets, k = 32, bands = 16,
         maxBucket = 64)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (nCand, tCand) = timed(cand.count())
 
     val (nRefined, tRefine) = timed {
-      def hashed(c: org.apache.spark.sql.Column) =
-        sort_array(transform(c, xxhash64(_)))
-      val a = sets.select(col("id").as("id_a"), hashed(col("sh")).as("sh_a"))
-      val b = sets.select(col("id").as("id_b"), hashed(col("sh")).as("sh_b"))
+      val a = sets.select(col("id").as("id_a"), col("shh").as("sh_a"))
+      val b = sets.select(col("id").as("id_b"), col("shh").as("sh_b"))
       cand.join(a, "id_a").join(b, "id_b")
         .select(col("id_a"), col("id_b"),
           Dedup.jaccardSortedLong(col("sh_a"), col("sh_b")).as("jaccard"))

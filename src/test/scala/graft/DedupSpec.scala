@@ -152,6 +152,27 @@ class DedupSpec extends SparkSpec {
     assert(rows.length === docs.length + 3)
   }
 
+  test("MinHashSigLong matches the hash(x, lit(seed)) HOF formulation bit for bit") {
+    import org.apache.spark.sql.functions._
+    // same contract as MinHashSig over pre-hashed long arrays: NULL and
+    // empty inputs yield the non-null array of k nulls
+    val df = (docs.map { case (i, t) => (i, Option(t)) } ++
+        Seq(8L -> Some(""), 9L -> Some("one two three"), 10L -> None))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Dedup.hashedShingles($"text", 3).as("shh"))
+    val hof = array((0 until 32).map { seed =>
+      array_min(transform($"shh", x => hash(x, lit(seed))))
+    }: _*)
+    val rows = df.select($"doc_id",
+        Dedup.minhashFromHashes($"shh", 32).as("fast"), hof.as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Any](1) === r.getSeq[Any](2),
+        s"signature mismatch for doc ${r.getLong(0)}")
+    }
+    assert(rows.length === docs.length + 3)
+  }
+
   test("Md5MinHashSig matches the substring(md5(tok:block)) HOF formulation") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graftbridge.Bridge
