@@ -77,7 +77,9 @@ object Dedup {
     * observable effect on a threshold decision. */
   private def refineJaccard(cand: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame = {
-    def hashed(c: Column) = sort_array(transform(c, xxhash64(_)))
+    def hashed(c: Column) = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.SortedXxHash64Array(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c)))
     val a = sets.select(col("id").as("id_a"), hashed(col("sh")).as("sh_a"))
     val b = sets.select(col("id").as("id_b"), hashed(col("sh")).as("sh_b"))
     cand.join(a, "id_a").join(b, "id_b")
@@ -304,9 +306,15 @@ object Dedup {
   /** Shingle sets pre-hashed for the near-dup pipeline: sorted distinct
     * `xxhash64` longs per document — the single cached representation
     * that serves banding ([[minhashFromHashes]]) AND the exact-Jaccard
-    * refine ([[jaccardSortedLong]]). */
-  def hashedShingles(text: Column, n: Int): Column =
-    sort_array(transform(shingles(text, n), xxhash64(_)))
+    * refine ([[jaccardSortedLong]]). One compiled pass
+    * ([[graft.expressions.SortedXxHash64Array]], spec-pinned to the
+    * `sort_array(transform(_, xxhash64))` HOF form) — no interpreted
+    * per-element lambda in the pipeline's hottest projection. */
+  def hashedShingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.SortedXxHash64Array(
+      Bridge.expression(shingles(text, n))))
+  }
 
   /** Convenience single-expression signature (recomputes shingles per
     * family — use the two-step form in hot paths). */

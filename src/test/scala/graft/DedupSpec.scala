@@ -152,6 +152,32 @@ class DedupSpec extends SparkSpec {
     assert(rows.length === docs.length + 3)
   }
 
+  test("SortedXxHash64Array matches sort_array(transform(_, xxhash64)) bit for bit") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.Bridge
+    // covers: plain arrays, empty array, NULL array, and a NULL
+    // ELEMENT (xxhash64 of a null value returns the seed 42 — the
+    // compiled form must reproduce that, not emit a null)
+    val df = Seq(
+      (1L, Seq("alpha beta", "beta gamma", "z")),
+      (2L, Seq.empty[String]),
+      (3L, null: Seq[String]),
+      (4L, Seq("one", null, "two"))
+    ).toDF("id", "sh")
+    val fast = Bridge.column(graft.expressions.SortedXxHash64Array(
+      Bridge.expression($"sh")))
+    val rows = df.select($"id", fast.as("fast"),
+        sort_array(transform($"sh", xxhash64(_))).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"null mismatch id ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+          s"hash mismatch id ${r.getLong(0)}")
+    }
+    assert(rows.length === 4)
+  }
+
   test("MinHashSigLong matches the hash(x, lit(seed)) HOF formulation bit for bit") {
     import org.apache.spark.sql.functions._
     // same contract as MinHashSig over pre-hashed long arrays: NULL and
