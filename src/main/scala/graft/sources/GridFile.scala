@@ -58,30 +58,96 @@ private[sources] object GridFile {
     case "day" | "d" => 86400L * 1000000L
   }
 
+  /** Zone designator → offset micros. Real files carry "UTC", "Z",
+    * "GMT", or udunits-style numeric offsets ("+0:00", "-06", "+0530")
+    * after the epoch; None for anything else (the caller raises —
+    * a matched CF units attribute must never silently misparse). */
+  private val NumOffRe = """([+-])(\d{1,2})(?::?(\d{2}))?""".r
+  private def zoneOffsetMicros(z: String): Option[Long] = z match {
+    case _ if z.equalsIgnoreCase("Z") || z.equalsIgnoreCase("UTC") ||
+      z.equalsIgnoreCase("GMT") => Some(0L)
+    case NumOffRe(sign, hh, mm) =>
+      val mmv = Option(mm).map(_.toInt).getOrElse(0)
+      val mag = (hh.toInt * 3600L + mmv * 60L) * 1000000L
+      Some(if (sign == "-") -mag else mag)
+    case _ => None
+  }
+
   private def parseEpochMicros(s: String): Option[Long] = {
-    val t = s.trim.replace("T", " ")
-    val full = if (t.contains(" ")) t else t + " 00:00:00"
+    // CF/udunits epoch shape: <date> [<time>] [<zone>] — tokenize so a
+    // trailing zone never masquerades as (or mangles) the date/time.
+    // The ISO 'T' separator only counts BETWEEN digits (a bare
+    // replace would shred the 'T' inside a "UTC" zone token); an
+    // ISO-attached trailing Z ("…T00:00:00Z") detaches after that.
+    val norm = s.trim.replaceAll("(?<=\\d)[Tt](?=\\d)", " ") match {
+      case t if t.length > 1 && (t.last == 'Z' || t.last == 'z') &&
+        t(t.length - 2).isDigit => t.dropRight(1) + " Z"
+      case t => t
+    }
+    val toks = norm.split("\\s+").toList
+    val (date, time, offMicros) = toks match {
+      case d :: Nil => (d, "00:00:00", 0L)
+      case d :: t :: Nil if t.contains(":") && !t.startsWith("+") &&
+        !t.startsWith("-") => (d, t, 0L)
+      case d :: z :: Nil =>
+        zoneOffsetMicros(z) match {
+          case Some(o) => (d, "00:00:00", o)
+          case None => return None
+        }
+      case d :: t :: z :: Nil =>
+        zoneOffsetMicros(z) match {
+          case Some(o) => (d, t, o)
+          case None => return None
+        }
+      case _ => return None
+    }
+    // fractional seconds of any width, handled outside the formatter
+    val (timeBase, fracMicros) = time.indexOf('.') match {
+      case -1 => (time, 0L)
+      case i =>
+        val frac = time.substring(i + 1)
+        if (frac.isEmpty || !frac.forall(_.isDigit)) return None
+        (time.substring(0, i),
+          math.round(s"0.$frac".toDouble * 1000000L))
+    }
     try {
       val fmt = java.time.format.DateTimeFormatter
-        .ofPattern("yyyy-M-d H:m[:s[.SSS]]")
-      Some(java.time.LocalDateTime.parse(full, fmt)
-        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L)
+        .ofPattern("yyyy-M-d H:m[:s]")
+      Some(java.time.LocalDateTime.parse(s"$date $timeBase", fmt)
+        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+        fracMicros - offMicros)
     } catch { case _: Exception => None }
   }
+
+  /** Calendars whose "<n> units since <epoch>" arithmetic IS proleptic
+    * Gregorian — the only ones this decode can represent. 360_day /
+    * noleap / all_leap / julian coordinates would land on silently
+    * WRONG dates under Gregorian math (xarray hands those to cftime),
+    * so they raise instead. */
+  private val GregorianCalendars =
+    Set("standard", "gregorian", "proleptic_gregorian", "")
 
   private def timesOrDefault(coord: Option[(Array[Double], Seq[(String, String)])],
       n: Int): Array[Long] =
     coord match {
       case None => Array.tabulate(n)(_.toLong)
       case Some((vals, attrs)) =>
-        val cf = attrs.collectFirst { case ("units", u) => u }.flatMap {
-          case CfUnitsRe(unit, epoch) =>
-            parseEpochMicros(epoch).map(e => (cfScaleMicros(unit), e))
-          case _ => None
-        }
-        cf match {
-          case Some((scale, epoch)) => vals.map(v => epoch + (v * scale).toLong)
-          case None => vals.map(_.toLong) // raw epoch micros
+        attrs.collectFirst { case ("units", u) => u } match {
+          case Some(u @ CfUnitsRe(unit, epoch)) =>
+            // a units attribute that DECLARES CF time must decode or
+            // raise — falling back to raw-micros here would silently
+            // misdate every row of a real climate file
+            val cal = attrs.collectFirst { case ("calendar", c) =>
+              c.trim.toLowerCase }.getOrElse("standard")
+            require(GregorianCalendars(cal),
+              s"unsupported CF calendar '$cal' for time units '$u': " +
+                "Gregorian arithmetic would silently misdate the axis")
+            val e = parseEpochMicros(epoch).getOrElse(
+              throw new IllegalArgumentException(
+                s"unparseable epoch in CF time units '$u'"))
+            val scale = cfScaleMicros(unit)
+            vals.map(v => e + (v * scale).toLong)
+          case _ => vals.map(_.toLong) // raw epoch micros
         }
     }
 

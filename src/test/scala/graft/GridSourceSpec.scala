@@ -174,6 +174,56 @@ class GridSourceSpec extends SparkSpec {
     assert(sliced.rdd.getNumPartitions == 2)
   }
 
+  test("CF time epochs with zone designators and fractions decode; bad ones raise") {
+    import graft.io.NetCdf
+    val dir = Files.createTempDirectory("nc_cf_zones")
+    def write(name: String, timeAttrs: Seq[(String, String)]): String = {
+      val p = dir.resolve(name).toString
+      NetCdf.write(p,
+        Seq(NetCdf.Dim("time", 2), NetCdf.Dim("y", 1), NetCdf.Dim("x", 2)),
+        Nil,
+        Seq(
+          NetCdf.Var("time", Seq(0), NetCdf.NcDouble, timeAttrs,
+            Array(0.0, 1.0)),
+          NetCdf.Var("t2", Seq(0, 1, 2), NetCdf.NcFloat, Nil,
+            Array.tabulate(4)(_.toFloat))))
+      p
+    }
+    def firstTime(p: String): String =
+      spark.read.format("graft.sources.GridSource").load(p)
+        .select($"time").orderBy("time").as[java.sql.Timestamp]
+        .head().toString
+    // "UTC" suffix (the CMIP/HadUK spelling) must decode, not silently
+    // fall back to raw-epoch-micros
+    assert(firstTime(write("utc.nc",
+      Seq("units" -> "days since 1850-1-1 00:00:00 UTC")))
+      == "1850-01-01 00:00:00.0")
+    // ISO-attached Z
+    assert(firstTime(write("isoz.nc",
+      Seq("units" -> "hours since 1990-01-01T12:00:00Z")))
+      == "1990-01-01 12:00:00.0")
+    // numeric offset: +02:00 means the epoch is 2h EAST, i.e. 10:00 UTC
+    assert(firstTime(write("off.nc",
+      Seq("units" -> "hours since 2000-06-01 12:00:00 +02:00")))
+      == "2000-06-01 10:00:00.0")
+    // fractional seconds of non-3 width
+    assert(firstTime(write("frac.nc",
+      Seq("units" -> "seconds since 2024-01-01 00:00:00.5")))
+      == "2024-01-01 00:00:00.5")
+    // non-Gregorian calendar: loud raise, never a silently misdated axis
+    val e360 = intercept[Exception] { firstTime(write("cal.nc",
+      Seq("units" -> "days since 1850-01-01", "calendar" -> "360_day"))) }
+    assert(e360.getMessage.contains("360_day"))
+    // matched CF units with a garbage epoch: loud raise, no raw fallback
+    val eBad = intercept[Exception] { firstTime(write("bad.nc",
+      Seq("units" -> "days since yesterday morning"))) }
+    assert(eBad.getMessage.toLowerCase.contains("unparseable"))
+    // gregorian spelling passes the calendar gate
+    assert(firstTime(write("greg.nc",
+      Seq("units" -> "days since 1850-01-01", "calendar" -> "proleptic_gregorian")))
+      == "1850-01-01 00:00:00.0")
+  }
+
   test("feeds the standard pipeline: daily stats over the grid source") {
     import graft.grid.GridConfig
     val stats = graft.pipelines.Pipelines.temporalDailyStats(
