@@ -164,6 +164,110 @@ object Hdf5 {
   private def pad8(b: Array[Byte]): Array[Byte] =
     if (b.length % 8 == 0) b else b ++ new Array[Byte](8 - b.length % 8)
 
+  // --- writer-side dense-storage planning (fractal heap + v2 btree) ---
+
+  /** FHDB prefix the writer emits: sig(4) + version(1) + heap header
+    * address(8) + block offset(4 — offSize for the declared 32 heap
+    * bits). */
+  private val WHeapHdr = 17
+
+  /** Writer-side fractal-heap plan. Single root-direct block when the
+    * messages fit 64 KiB (the historical shape, byte-identical);
+    * otherwise a root INDIRECT block over 4096-byte-start direct
+    * blocks (width 4, 64 KiB max direct — libhdf5's group-heap
+    * geometry, with the start raised to the managed-object max so any
+    * object fits any block and no slot is skipped). Objects never
+    * straddle blocks; a block closes when the next object would not
+    * fit. Direct rows only (~0.5 MB of messages) — the reader handles
+    * indirect children, this writer raises loudly before needing
+    * them. */
+  private final case class WHeapPlan(startBlock: Long, curRows: Int,
+      blockBases: Vector[Long], blockSizes: Vector[Long],
+      objOffsets: Vector[Long], span: Long) {
+    def multi: Boolean = curRows > 0
+    /** Root FHIB byte size: sig+ver + header addr(8) + block offset(4)
+      * + curRows×4 child addresses(8) + checksum. */
+    def fhibSize: Int = 4 + 1 + 8 + 4 + curRows * 4 * 8 + 4
+    def storageSize: Long =
+      (if (multi) fhibSize.toLong else 0L) + blockSizes.sum
+  }
+
+  private def planWriterHeap(sizes: Seq[Int], what: String): WHeapPlan = {
+    sizes.zipWithIndex.foreach { case (s, i) =>
+      require(s <= 4096,
+        s"$what object $i is $s bytes > the 4 KiB managed-object max")
+    }
+    val total = WHeapHdr + sizes.map(_.toLong).sum
+    if (total <= 65536L) {
+      val sb = math.max(512L,
+        java.lang.Long.highestOneBit(math.max(total - 1, 1)) * 2)
+      val offs = sizes.scanLeft(WHeapHdr.toLong)(_ + _).init
+      WHeapPlan(sb, 0, Vector(0L), Vector(sb), offs.toVector, sb)
+    } else {
+      val width = 4; val sb = 4096L
+      val maxRows = 6 // rows 4096,4096,8192,16384,32768,65536 = maxDirect
+      def rowSize(r: Int): Long = if (r < 2) sb else sb << (r - 1)
+      val bases = Vector.newBuilder[Long]; val bsz = Vector.newBuilder[Long]
+      val offs = Vector.newBuilder[Long]
+      var row = 0; var col = 0
+      var base = 0L; var size = rowSize(0); var fill = WHeapHdr.toLong
+      bases += base; bsz += size
+      sizes.foreach { s =>
+        if (fill + s > size) {
+          base += size
+          col += 1; if (col == width) { col = 0; row += 1 }
+          require(row < maxRows,
+            s"$what: messages exceed the writer's direct-row heap " +
+              "(~0.5 MB); indirect children are read-side only")
+          size = rowSize(row); fill = WHeapHdr.toLong
+          bases += base; bsz += size
+        }
+        offs += base + fill
+        fill += s
+      }
+      val curRows = row + 1
+      WHeapPlan(sb, curRows, bases.result(), bsz.result(), offs.result(),
+        (0 until curRows).map(r => width * rowSize(r)).sum)
+    }
+  }
+
+  /** Writer-side v2 name-index plan: one leaf when the hash-sorted
+    * records fit the 2048-byte node, else depth 1 — an internal root
+    * whose separator records interleave near-even leaves in hash
+    * order. Deeper trees are read-side only; raises loudly. */
+  private final case class WBtreePlan(recSize: Int, n: Int,
+      leafCounts: Vector[Int]) {
+    def depth: Int = if (leafCounts.length == 1 && n == leafCounts.head) 0 else 1
+    /** Global record index of separator j (records in leaf-j order,
+      * separators between leaves). */
+    def sepIdx(j: Int): Int = leafCounts.take(j + 1).sum + j
+    /** Global record index range of leaf j. */
+    def leafStart(j: Int): Int = leafCounts.take(j).sum + j
+    def btinSize: Int =
+      6 + (leafCounts.length - 1) * recSize + leafCounts.length * 9 + 4
+    def leafSize(j: Int): Int = 10 + leafCounts(j) * recSize
+    def storageSize: Long = 38L + (if (depth == 0) leafSize(0).toLong
+      else btinSize.toLong + leafCounts.indices.map(leafSize(_).toLong).sum)
+  }
+
+  private def planWriterBtree(n: Int, recSize: Int, what: String): WBtreePlan = {
+    val cap = (2048 - 10) / recSize
+    assert(cap < 256, "nrec child-pointer width fixed at 1 byte")
+    if (n <= cap) WBtreePlan(recSize, n, Vector(n))
+    else {
+      val ptr = 8 + 1 // child address + 1-byte nrec (no all_nrec at depth 1)
+      val icap = (2048 - 10 - ptr) / (recSize + ptr)
+      val leaves = (n + 1 + cap) / (cap + 1) // ceil((n+1)/(cap+1))
+      require(leaves - 1 <= icap,
+        s"$what: $n records need more than one internal node " +
+          s"($icap separators); deeper trees are read-side only")
+      val k = n - (leaves - 1)
+      val per = k / leaves; val extra = k % leaves
+      WBtreePlan(recSize, n,
+        Vector.tabulate(leaves)(j => per + (if (j < extra) 1 else 0)))
+    }
+  }
+
   // --- datatype message encodings (class+version high/low nibbles) ---
 
   private def dtFixed(size: Int): Array[Byte] = {
@@ -520,65 +624,40 @@ object Hdf5 {
       if (needGheap) ((16 + 24 * gheapRefs + 16 + 4095) / 4096) * 4096 else 0
 
     // ---- dense-mode structures (fractal heap + v2 name-index btree),
-    // sized before data so data addresses follow them. The heap keeps
-    // every link message in ONE root direct block (link heaps are
-    // boilerplate-sized: libhdf5's own group-heap geometry caps direct
-    // blocks at 64 KiB).
+    // sized before data so data addresses follow them. Link/attribute
+    // heaps pack into one root direct block when they fit 64 KiB, else
+    // a root indirect block of direct children; name indexes emit one
+    // leaf when it fits the 2048-byte node, else a depth-1 tree — the
+    // shapes the reader's general walkers take, planned by
+    // [[planWriterHeap]]/[[planWriterBtree]] (both raise loudly at
+    // their documented ceilings).
     val linkNameBytes = all.map(_.name.getBytes("UTF-8"))
     val linkSizes = linkNameBytes.map { nb =>
       require(nb.length <= 255, "link name longer than 255 bytes")
       3 + nb.length + 8
     }
-    val fhdbHeaderSize = 17 // sig + version + heap hdr addr + 4-byte offset
-    val heapNeeded = fhdbHeaderSize + linkSizes.sum
-    require(!denseGroups || heapNeeded <= 65536,
-      s"dense group links need $heapNeeded bytes > one 64 KiB direct block")
-    val heapStartBlock = math.max(512L,
-      java.lang.Long.highestOneBit(math.max(heapNeeded - 1, 1)) * 2)
-    val heapObjOffsets = linkSizes.scanLeft(fhdbHeaderSize.toLong)(_ + _)
     val frhpSize = 146
-    val bthdSize = 38
-    // single-leaf B-trees: the declared 2048-byte node size bounds a
-    // spec-valid leaf at (2048-10)/recSize records — past that a real
-    // file needs depth 1, which the READER handles but this writer
-    // does not emit; refuse rather than write an oversized leaf
-    require(!denseGroups || all.length <= (2048 - 10) / 11,
-      s"dense group links: ${all.length} objects exceed one 2048-byte leaf")
-    require(!denseAttrs || globalAttrs.length <= (2048 - 10) / 17,
-      s"dense attributes: ${globalAttrs.length} exceed one 2048-byte leaf")
-    val btlfSize = 10 + 11 * all.length
+    val lHeap = planWriterHeap(linkSizes, "dense group links")
+    val lBt = planWriterBtree(all.length, 11, "dense group links")
     val fheapAddr = gheapAddr + gheapSize
-    val fhdbAddr = fheapAddr + frhpSize
-    val bthdAddr = fhdbAddr + heapStartBlock
-    val btlfAddr = bthdAddr + bthdSize
+    val bthdAddr = fheapAddr + frhpSize + lHeap.storageSize
 
-    // ---- dense-attribute structures: the same FRHP/FHDB/BTHD/BTLF
-    // shapes as dense links, holding whole attribute-message BODIES as
-    // heap objects and 17-byte type-8 records (8-byte heap id + msg
-    // flags + creation order + name hash) in the name-index btree
+    // ---- dense-attribute structures: the same FRHP/FHDB/BTHD shapes
+    // as dense links, holding whole attribute-message BODIES as heap
+    // objects and 17-byte type-8 records (8-byte heap id + msg flags +
+    // creation order + name hash) in the name-index btree
     val attrBodies = globalAttrs.map { case (k, v) => textAttr(k, v)._2 }
     val attrNameBytes = globalAttrs.map(_._1.getBytes("UTF-8"))
-    val aHeapNeeded = fhdbHeaderSize + attrBodies.map(_.length).sum
-    require(!denseAttrs || aHeapNeeded <= 65536,
-      s"dense attributes need $aHeapNeeded bytes > one 64 KiB direct block")
-    // each body must fit the heap's declared max managed object size
-    // (larger attributes would be HUGE objects in a real file)
-    require(!denseAttrs || attrBodies.forall(_.length <= 4096),
-      "dense attribute message larger than the 4 KiB managed-object max")
-    val aStartBlock = math.max(512L,
-      java.lang.Long.highestOneBit(math.max(aHeapNeeded - 1, 1)) * 2)
-    val aObjOffsets =
-      attrBodies.map(_.length).scanLeft(fhdbHeaderSize.toLong)(_ + _)
-    val aBtlfSize = 10 + 17 * globalAttrs.length
-    val aBase = if (denseGroups) btlfAddr + btlfSize else gheapAddr + gheapSize
+    val aHeap = planWriterHeap(attrBodies.map(_.length), "dense attributes")
+    val aBt = planWriterBtree(globalAttrs.length, 17, "dense attributes")
+    val aBase =
+      if (denseGroups) bthdAddr + lBt.storageSize else gheapAddr + gheapSize
     val aFheapAddr = aBase
-    val aFhdbAddr = aFheapAddr + frhpSize
-    val aBthdAddr = aFhdbAddr + aStartBlock
-    val aBtlfAddr = aBthdAddr + bthdSize
+    val aBthdAddr = aFheapAddr + frhpSize + aHeap.storageSize
 
     val dataStart =
-      if (denseAttrs) aBtlfAddr + aBtlfSize
-      else if (denseGroups) btlfAddr + btlfSize
+      if (denseAttrs) aBthdAddr + aBt.storageSize
+      else if (denseGroups) bthdAddr + lBt.storageSize
       else gheapAddr + gheapSize
     val dataAddrs = all.map(d => plans.get(d.name)
         .map(_.regionSize).getOrElse(dataBytes(d.v).length))
@@ -659,91 +738,142 @@ object Hdf5 {
     // defaults (width 4, 64 KiB max direct block, 32-bit heap space,
     // 4 KiB max managed object ⇒ 7-byte heap-id content; dense attrs
     // pad theirs to the type-8 record's fixed 8)
-    def frhpHeader(idLen: Int, startBlock: Long, needed: Long,
+    def frhpHeader(idLen: Int, plan: WHeapPlan, contentBytes: Long,
         count: Long, rootBlock: Long): Array[Byte] = {
+      val allocated = plan.blockSizes.sum
+      val managed = if (plan.multi) plan.span else plan.startBlock
+      val free = allocated - WHeapHdr.toLong * plan.blockSizes.length -
+        contentBytes
       val fr = new Buf
       fr.bytes("FRHP".getBytes("US-ASCII")); fr.u8(0)
       fr.u16(idLen); fr.u16(0); fr.u8(0) // id len, filter len, flags
       fr.u32(4096) // max managed object size
       fr.u64(0L); fr.u64(Undef) // next huge id, huge btree
-      fr.u64(startBlock - needed); fr.u64(Undef) // free space, fs mgr
-      fr.u64(startBlock); fr.u64(startBlock) // managed, allocated
-      fr.u64(startBlock) // iterator offset
+      fr.u64(free); fr.u64(Undef) // free space, fs mgr
+      fr.u64(managed); fr.u64(allocated) // managed, allocated
+      fr.u64(allocated) // iterator offset
       fr.u64(count) // managed object count
       fr.u64(0L); fr.u64(0L); fr.u64(0L); fr.u64(0L) // huge/tiny sizes+counts
       fr.u16(4) // table width
-      fr.u64(startBlock); fr.u64(65536L) // start / max direct block
+      fr.u64(plan.startBlock); fr.u64(65536L) // start / max direct block
       fr.u16(32); fr.u16(1) // max heap bits, starting rows
-      fr.u64(rootBlock); fr.u16(0) // root block addr, current rows (direct)
+      fr.u64(rootBlock); fr.u16(plan.curRows) // root block addr, rows
       checksummed(fr)
     }
-    if (denseGroups) {
-      out.bytes(frhpHeader(7, heapStartBlock, heapNeeded.toLong,
-        all.length.toLong, fhdbAddr))
-      // FHDB root direct block with every link message packed
-      val db = new Buf
-      db.bytes("FHDB".getBytes("US-ASCII")); db.u8(0)
-      db.u64(fheapAddr); db.u32(0) // heap header addr, block offset
-      all.zip(linkNameBytes).foreach { case (d, nb) =>
-        db.u8(1); db.u8(0) // link message v1, flags: 1-byte name length
-        db.u8(nb.length); db.bytes(nb)
-        db.u64(addrOf(d.name))
+    /** FRHP + (FHIB when multi-block +) FHDBs holding `objs` laid out
+      * per `plan`, starting at `frhpAddr`. */
+    def emitFHeap(idLen: Int, plan: WHeapPlan, frhpAddr: Long,
+        objs: Seq[Array[Byte]]): Unit = {
+      out.bytes(frhpHeader(idLen, plan, objs.map(_.length.toLong).sum,
+        objs.length.toLong, frhpAddr + frhpSize))
+      val n = plan.blockSizes.length
+      val firstBlockAddr = frhpAddr + frhpSize +
+        (if (plan.multi) plan.fhibSize.toLong else 0L)
+      val blockAddrs = plan.blockSizes.scanLeft(firstBlockAddr)(_ + _)
+      if (plan.multi) {
+        // packing never skips a slot (start block = managed max), so
+        // allocated blocks are exactly the first n (row, col) slots
+        val ib = new Buf
+        ib.bytes("FHIB".getBytes("US-ASCII")); ib.u8(0)
+        ib.u64(frhpAddr); ib.u32(0) // heap header addr, block offset
+        (0 until plan.curRows * 4).foreach { s =>
+          ib.u64(if (s < n) blockAddrs(s) else Undef)
+        }
+        out.bytes(checksummed(ib))
       }
-      db.zeros((heapStartBlock - heapNeeded).toInt)
-      out.bytes(db.result())
-      // BTHD name-index header + single BTLF leaf of (hash, heap id)
-      // records in hash order (11-byte records: 4 hash + 7 heap id)
+      var obj = 0
+      var objOff = 0
+      plan.blockSizes.indices.foreach { j =>
+        val db = new Buf
+        db.bytes("FHDB".getBytes("US-ASCII")); db.u8(0)
+        db.u64(frhpAddr); db.u32(plan.blockBases(j).toInt)
+        while (obj < objs.length && {
+          objOff = plan.objOffsets(obj).toInt
+          objOff >= plan.blockBases(j) &&
+            objOff < plan.blockBases(j) + plan.blockSizes(j)
+        }) { db.bytes(objs(obj)); obj += 1 }
+        db.zeros((plan.blockSizes(j) - db.out.length).toInt)
+        out.bytes(db.result())
+      }
+      require(obj == objs.length, s"heap emission dropped objects: $obj")
+    }
+    /** BTHD + (single leaf | BTIN + leaves) for hash-sorted `records`
+      * per `plan`, starting at `addr`. */
+    def emitNameBtree(btype: Int, plan: WBtreePlan,
+        records: IndexedSeq[Array[Byte]], addr: Long): Unit = {
       val bh = new Buf
-      bh.bytes("BTHD".getBytes("US-ASCII")); bh.u8(0); bh.u8(5)
-      bh.u32(2048); bh.u16(11); bh.u16(0) // node size, record size, depth
+      bh.bytes("BTHD".getBytes("US-ASCII")); bh.u8(0); bh.u8(btype)
+      bh.u32(2048); bh.u16(plan.recSize); bh.u16(plan.depth)
       bh.u8(100); bh.u8(40) // split / merge percent
-      bh.u64(btlfAddr); bh.u16(all.length)
-      bh.u64(all.length.toLong)
+      bh.u64(addr + 38)
+      bh.u16(if (plan.depth == 0) plan.n else plan.leafCounts.length - 1)
+      bh.u64(plan.n.toLong)
       out.bytes(checksummed(bh))
-      val lf = new Buf
-      lf.bytes("BTLF".getBytes("US-ASCII")); lf.u8(0); lf.u8(5)
-      all.indices.map { i =>
-        (lookup3(linkNameBytes(i), 0) & 0xffffffffL, i)
-      }.sortBy(_._1).foreach { case (hash, i) =>
-        lf.u32(hash.toInt)
-        lf.u8(0) // heap id flags: version 0, managed
-        lf.u32(heapObjOffsets(i).toInt); lf.u16(linkSizes(i))
+      def leaf(recs: Seq[Array[Byte]]): Unit = {
+        val lf = new Buf
+        lf.bytes("BTLF".getBytes("US-ASCII")); lf.u8(0); lf.u8(btype)
+        recs.foreach(lf.bytes)
+        out.bytes(checksummed(lf))
       }
-      out.bytes(checksummed(lf))
+      if (plan.depth == 0) leaf(records)
+      else {
+        val nl = plan.leafCounts.length
+        val leafAddrs = (0 until nl).scanLeft(addr + 38 + plan.btinSize) {
+          (a, j) => a + plan.leafSize(j)
+        }
+        val it = new Buf
+        it.bytes("BTIN".getBytes("US-ASCII")); it.u8(0); it.u8(btype)
+        (0 until nl - 1).foreach(j => it.bytes(records(plan.sepIdx(j))))
+        (0 until nl).foreach { j =>
+          it.u64(leafAddrs(j)); it.u8(plan.leafCounts(j))
+        }
+        out.bytes(checksummed(it))
+        (0 until nl).foreach { j =>
+          leaf((0 until plan.leafCounts(j)).map(i =>
+            records(plan.leafStart(j) + i)))
+        }
+      }
+    }
+    if (denseGroups) {
+      // link messages as heap objects, in link order
+      val linkMsgs = all.zip(linkNameBytes).map { case (d, nb) =>
+        val m = new Buf
+        m.u8(1); m.u8(0) // link message v1, flags: 1-byte name length
+        m.u8(nb.length); m.bytes(nb)
+        m.u64(addrOf(d.name))
+        m.result()
+      }
+      emitFHeap(7, lHeap, fheapAddr, linkMsgs)
+      // 11-byte type-5 records (4 hash + 7-byte heap id) in hash order
+      val records = all.indices.map { i =>
+        (lookup3(linkNameBytes(i), 0) & 0xffffffffL, i)
+      }.sortBy(_._1).map { case (hash, i) =>
+        val r = new Buf
+        r.u32(hash.toInt)
+        r.u8(0) // heap id flags: version 0, managed
+        r.u32(lHeap.objOffsets(i).toInt); r.u16(linkSizes(i))
+        r.result()
+      }.toIndexedSeq
+      emitNameBtree(5, lBt, records, bthdAddr)
     }
 
     if (denseAttrs) {
-      out.bytes(frhpHeader(8, aStartBlock, aHeapNeeded.toLong,
-        globalAttrs.length.toLong, aFhdbAddr))
-      // FHDB root direct block holding every attribute-message body
-      val db = new Buf
-      db.bytes("FHDB".getBytes("US-ASCII")); db.u8(0)
-      db.u64(aFheapAddr); db.u32(0) // heap header addr, block offset
-      attrBodies.foreach(db.bytes)
-      db.zeros((aStartBlock - aHeapNeeded).toInt)
-      out.bytes(db.result())
-      // BTHD type-8 name index + single BTLF leaf of 17-byte records
-      // in hash order
-      val bh = new Buf
-      bh.bytes("BTHD".getBytes("US-ASCII")); bh.u8(0); bh.u8(8)
-      bh.u32(2048); bh.u16(17); bh.u16(0) // node size, record size, depth
-      bh.u8(100); bh.u8(40) // split / merge percent
-      bh.u64(aBtlfAddr); bh.u16(globalAttrs.length)
-      bh.u64(globalAttrs.length.toLong)
-      out.bytes(checksummed(bh))
-      val lf = new Buf
-      lf.bytes("BTLF".getBytes("US-ASCII")); lf.u8(0); lf.u8(8)
-      globalAttrs.indices.map { i =>
+      emitFHeap(8, aHeap, aFheapAddr, attrBodies)
+      // 17-byte type-8 records (8-byte heap id + msg flags + creation
+      // order + name hash) in hash order
+      val records = globalAttrs.indices.map { i =>
         (lookup3(attrNameBytes(i), 0) & 0xffffffffL, i)
-      }.sortBy(_._1).foreach { case (hash, i) =>
+      }.sortBy(_._1).map { case (hash, i) =>
+        val r = new Buf
         // 8-byte heap id: flags, 4-byte offset, 2-byte length, 1 pad
-        lf.u8(0); lf.u32(aObjOffsets(i).toInt)
-        lf.u16(attrBodies(i).length); lf.u8(0)
-        lf.u8(0) // message flags: not shared
-        lf.u32(i) // creation order
-        lf.u32(hash.toInt)
-      }
-      out.bytes(checksummed(lf))
+        r.u8(0); r.u32(aHeap.objOffsets(i).toInt)
+        r.u16(attrBodies(i).length); r.u8(0)
+        r.u8(0) // message flags: not shared
+        r.u32(i) // creation order
+        r.u32(hash.toInt)
+        r.result()
+      }.toIndexedSeq
+      emitNameBtree(8, aBt, records, aBthdAddr)
     }
 
     all.zip(dataAddrs).foreach { case (d, addr) =>

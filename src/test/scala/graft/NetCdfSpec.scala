@@ -386,23 +386,62 @@ class NetCdfSpec extends AnyFunSuite {
     }
   }
 
-  test("dense attributes fill one btree leaf exactly; one more rejects loudly") {
-    // (2048-10)/17 = 119 type-8 records fit the declared node size; a
-    // 120th would need a depth-1 tree the writer doesn't emit (the
-    // reader handles depth 1 from real files) — refuse, don't overflow
+  test("dense attributes past one btree leaf roundtrip via a depth-1 index") {
+    // (2048-10)/17 = 119 type-8 records fit the declared node size;
+    // the 120th makes the writer emit a depth-1 tree (internal node +
+    // leaves) that the reader's general walker takes. Pin the boundary
+    // (exactly one leaf) AND one-past-it.
     val dims = Seq(Dim("x", 2))
     val vars = Seq(Var("v", Seq(0), NcDouble, Nil, Array(1.0, 2.0)))
     val max = (2048 - 10) / 17
-    val attrs = (0 until max).map(i => f"a$i%03d" -> s"v$i")
-    val path = tmp("dense_attrs_full_leaf.h5")
-    graft.io.Hdf5.write(path, dims, attrs, vars, denseAttrs = true)
+    for (n <- Seq(max, max + 1)) {
+      val attrs = (0 until n).map(i => f"a$i%03d" -> s"v$i")
+      val path = tmp(s"dense_attrs_$n.h5")
+      graft.io.Hdf5.write(path, dims, attrs, vars, denseAttrs = true)
+      val nc = NetCdf.read(path)
+      assert(nc.globalAttrs.toMap == attrs.toMap, s"n=$n")
+    }
+  }
+
+  test("hundreds of long-named links/attrs roundtrip: multi-block heap + depth-1 index") {
+    // 420 variables with 150-char names = ~68 KB of link messages →
+    // the link heap needs a root INDIRECT block (multiple direct
+    // children) and the name index needs depth 1 (420 > 185-record
+    // leaf); 300 attributes with 180-char values do the same on the
+    // attribute side. Writer emits, the general reader walks — the
+    // end-to-end twin of the crafted-image specs.
+    val dims = Seq(Dim("x", 2))
+    def lname(i: Int) = f"v$i%04d" + "_" + ("n" * 143)
+    val vars = Var("x", Seq(0), NcDouble,
+        Seq("CLASS" -> "DIMENSION_SCALE", "NAME" -> "x"),
+        Array(0.0, 1.0)) +:
+      (0 until 420).map(i => Var(lname(i), Seq(0), NcDouble, Nil,
+        Array(i.toDouble, i + 0.5)))
+    val attrs = (0 until 300).map(i => f"attr$i%04d" -> (s"value$i" + "x" * 174))
+    val path = tmp("dense_many.h5")
+    graft.io.Hdf5.write(path, dims, attrs, vars,
+      denseGroups = true, denseAttrs = true)
     val nc = NetCdf.read(path)
     assert(nc.globalAttrs.toMap == attrs.toMap)
-    val over = intercept[IllegalArgumentException] {
-      graft.io.Hdf5.write(tmp("dense_attrs_overflow.h5"), dims,
-        attrs :+ ("overflow" -> "x"), vars, denseAttrs = true)
+    assert((0 until 420).forall { i =>
+      nc.variable(lname(i)).data.asInstanceOf[Array[Double]]
+        .sameElements(Array(i.toDouble, i + 0.5))
+    })
+  }
+
+  test("writer dense ceilings: depth-2 attr index and indirect-children link heap reject loudly") {
+    // the writer emits depth ≤ 1 name indexes and direct-row heaps;
+    // past those (9,479 attr records / ~0.5 MB of link messages) it
+    // must refuse loudly, never write an invalid file. Deeper shapes
+    // remain read-side (crafted-image specs cover them).
+    val dims = Seq(Dim("x", 2))
+    val vars = Seq(Var("v", Seq(0), NcDouble, Nil, Array(1.0, 2.0)))
+    val tooMany = (0 until 9480).map(i => f"a$i%05d" -> "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.io.Hdf5.write(tmp("dense_attrs_depth2.h5"), dims, tooMany,
+        vars, denseAttrs = true)
     }
-    assert(over.getMessage.contains("leaf"))
+    assert(e.getMessage.contains("internal node"))
   }
 
   test("dense-attribute file survives 200 hostile mutations") {
