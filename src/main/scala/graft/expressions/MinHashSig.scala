@@ -30,10 +30,11 @@ import org.apache.spark.sql.types._
   * non-null array), so the bit-for-bit-parity claim covers null input
   * too (ADVICE r8: the default unary null pass-through diverged here).
   */
-case class MinHashSig(child: Expression, k: Int)
-  extends UnaryExpression with CodegenFallback {
+abstract class MinHashSigBase extends UnaryExpression with CodegenFallback {
+  def k: Int
 
-  require(k >= 1, s"k=$k")
+  /** Base hash of element `i` — the `h1` each family mixes with. */
+  protected def baseHash(arr: ArrayData, i: Int): Long
 
   override def nullable: Boolean = false
   override lazy val deterministic: Boolean = true
@@ -54,8 +55,8 @@ case class MinHashSig(child: Expression, k: Int)
     val mins = Array.fill(k)(Int.MaxValue)
     var i = 0
     while (i < n) {
-      // hash(s, lit(seed)): h1 = murmur3(s, 42); h2 = murmur3(seed, h1)
-      val h1 = Murmur3HashFunction.hash(arr.getUTF8String(i), StringType, 42L)
+      // hash(x, lit(seed)): h1 = murmur3(x, 42); h2 = murmur3(seed, h1)
+      val h1 = baseHash(arr, i)
       var f = 0
       while (f < k) {
         val v = Murmur3HashFunction.hash(f, IntegerType, h1).toInt
@@ -66,6 +67,13 @@ case class MinHashSig(child: Expression, k: Int)
     }
     new GenericArrayData(mins.map(v => v: Any))
   }
+}
+
+case class MinHashSig(child: Expression, k: Int) extends MinHashSigBase {
+  require(k >= 1, s"k=$k")
+
+  override protected def baseHash(arr: ArrayData, i: Int): Long =
+    Murmur3HashFunction.hash(arr.getUTF8String(i), StringType, 42L)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)

@@ -1,8 +1,8 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, Murmur3HashFunction, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Murmur3HashFunction}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** minhash_sig over PRE-HASHED shingles (array<long>, e.g. the sorted
@@ -10,15 +10,15 @@ import org.apache.spark.sql.types._
   * MinHash signature in one compiled pass, hashing each 8-byte long
   * instead of re-walking the shingle string.
   *
-  * Same construction as [[MinHashSig]] with the string base hash
-  * swapped for the long one: h1 = murmur3(elem: long, 42), then each
-  * family f takes min over murmur3(f: int, h1). A DIFFERENT but
-  * equally sound LSH family — banding/collision probabilities are
-  * family-independent, and every consumer of these signatures refines
-  * candidates with exact Jaccard before emitting, so downstream
-  * outputs (and their oracles, which state the exact-pairs semantics)
-  * are unchanged. Callers that need the historical string family
-  * (nothing declared does) keep [[MinHashSig]].
+  * Same construction as [[MinHashSig]] (shared [[MinHashSigBase]])
+  * with the string base hash swapped for the long one:
+  * h1 = murmur3(elem: long, 42), then each family f takes min over
+  * murmur3(f: int, h1). A DIFFERENT but equally sound LSH family —
+  * banding/collision probabilities are family-independent, and every
+  * consumer of these signatures refines candidates with exact Jaccard
+  * before emitting, so downstream outputs (and their oracles, which
+  * state the exact-pairs semantics) are unchanged. Callers that need
+  * the historical string family keep [[MinHashSig]].
   *
   * Why it pays: the near-dup pipeline needs BOTH a signature and a
   * refine-ready hashed set per document. Deriving the signature from
@@ -28,52 +28,20 @@ import org.apache.spark.sql.types._
   * hash walks 8 fixed bytes instead of ~20-char strings.
   *
   * Null and empty inputs both yield the non-null array of k nulls,
-  * mirroring [[MinHashSig]]'s contract.
+  * mirroring [[MinHashSig]]'s contract (shared eval path).
   */
-case class MinHashSigLong(child: Expression, k: Int)
-  extends UnaryExpression with CodegenFallback {
-
+case class MinHashSigLong(child: Expression, k: Int) extends MinHashSigBase {
   require(k >= 1, s"k=$k")
 
-  override def nullable: Boolean = false
-  override lazy val deterministic: Boolean = true
-  override def dataType: DataType =
-    ArrayType(IntegerType, containsNull = true)
-
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+  override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case t =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"minhash_sig_long needs array<bigint>, got ${t.sql}")
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig_long needs array<bigint>, got ${t.sql}")
     }
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) new GenericArrayData(Array.fill[Any](k)(null))
-    else nullSafeEval(v)
-  }
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    if (n == 0)
-      return new GenericArrayData(Array.fill[Any](k)(null))
-    val mins = Array.fill(k)(Int.MaxValue)
-    var i = 0
-    while (i < n) {
-      val h1 = Murmur3HashFunction.hash(arr.getLong(i), LongType, 42L)
-      var f = 0
-      while (f < k) {
-        val v = Murmur3HashFunction.hash(f, IntegerType, h1).toInt
-        if (v < mins(f)) mins(f) = v
-        f += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(mins.map(v => v: Any))
-  }
+  override protected def baseHash(arr: ArrayData, i: Int): Long =
+    Murmur3HashFunction.hash(arr.getLong(i), LongType, 42L)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigLong =
     copy(child = newChild)

@@ -181,7 +181,7 @@ object Hdf5 {
     * fit. Direct rows only (~0.5 MB of messages) — the reader handles
     * indirect children, this writer raises loudly before needing
     * them. */
-  private final case class WHeapPlan(startBlock: Long, curRows: Int,
+  private[graft] final case class WHeapPlan(startBlock: Long, curRows: Int,
       blockBases: Vector[Long], blockSizes: Vector[Long],
       objOffsets: Vector[Long], span: Long) {
     def multi: Boolean = curRows > 0
@@ -192,7 +192,7 @@ object Hdf5 {
       (if (multi) fhibSize.toLong else 0L) + blockSizes.sum
   }
 
-  private def planWriterHeap(sizes: Seq[Int], what: String): WHeapPlan = {
+  private[graft] def planWriterHeap(sizes: Seq[Int], what: String): WHeapPlan = {
     sizes.zipWithIndex.foreach { case (s, i) =>
       require(s <= 4096,
         s"$what object $i is $s bytes > the 4 KiB managed-object max")
@@ -213,7 +213,12 @@ object Hdf5 {
       var base = 0L; var size = rowSize(0); var fill = WHeapHdr.toLong
       bases += base; bsz += size
       sizes.foreach { s =>
-        if (fill + s > size) {
+        // advance until the object fits — an object near the 4 KiB
+        // managed max can exceed a fresh row-0/1 block's remaining
+        // space AFTER its 17-byte header, so one advance is not
+        // always enough (row ≥ 2 blocks are ≥ 8 KiB, so this loops
+        // at most twice)
+        while (fill + s > size) {
           base += size
           col += 1; if (col == width) { col = 0; row += 1 }
           require(row < maxRows,
@@ -235,7 +240,7 @@ object Hdf5 {
     * records fit the 2048-byte node, else depth 1 — an internal root
     * whose separator records interleave near-even leaves in hash
     * order. Deeper trees are read-side only; raises loudly. */
-  private final case class WBtreePlan(recSize: Int, n: Int,
+  private[graft] final case class WBtreePlan(recSize: Int, n: Int,
       leafCounts: Vector[Int]) {
     def depth: Int = if (leafCounts.length == 1 && n == leafCounts.head) 0 else 1
     /** Global record index of separator j (records in leaf-j order,
@@ -250,9 +255,17 @@ object Hdf5 {
       else btinSize.toLong + leafCounts.indices.map(leafSize(_).toLong).sum)
   }
 
-  private def planWriterBtree(n: Int, recSize: Int, what: String): WBtreePlan = {
+  /** Trivial plans for when dense emission is OFF — keep the layout
+    * expressions total without running the dense ceilings' requires
+    * against files that never emit dense structures. */
+  private val NoHeapPlan = WHeapPlan(512L, 0, Vector(0L), Vector(512L),
+    Vector.empty, 512L)
+  private def noBtreePlan(recSize: Int) = WBtreePlan(recSize, 0, Vector(0))
+
+  private[graft] def planWriterBtree(n: Int, recSize: Int, what: String): WBtreePlan = {
     val cap = (2048 - 10) / recSize
-    assert(cap < 256, "nrec child-pointer width fixed at 1 byte")
+    require(cap >= 1 && cap < 256,
+      s"record size $recSize breaks the 1-byte nrec child-pointer width")
     if (n <= cap) WBtreePlan(recSize, n, Vector(n))
     else {
       val ptr = 8 + 1 // child address + 1-byte nrec (no all_nrec at depth 1)
@@ -637,8 +650,13 @@ object Hdf5 {
       3 + nb.length + 8
     }
     val frhpSize = 146
-    val lHeap = planWriterHeap(linkSizes, "dense group links")
-    val lBt = planWriterBtree(all.length, 11, "dense group links")
+    // plans (and their ceilings' requires) only exist under their
+    // flags — a classic-mode file with a >4 KiB attribute or tens of
+    // thousands of datasets must not trip DENSE limits it never uses
+    val lHeap = if (denseGroups) planWriterHeap(linkSizes, "dense group links")
+      else NoHeapPlan
+    val lBt = if (denseGroups) planWriterBtree(all.length, 11, "dense group links")
+      else noBtreePlan(11)
     val fheapAddr = gheapAddr + gheapSize
     val bthdAddr = fheapAddr + frhpSize + lHeap.storageSize
 
@@ -648,8 +666,12 @@ object Hdf5 {
     // creation order + name hash) in the name-index btree
     val attrBodies = globalAttrs.map { case (k, v) => textAttr(k, v)._2 }
     val attrNameBytes = globalAttrs.map(_._1.getBytes("UTF-8"))
-    val aHeap = planWriterHeap(attrBodies.map(_.length), "dense attributes")
-    val aBt = planWriterBtree(globalAttrs.length, 17, "dense attributes")
+    val aHeap = if (denseAttrs)
+      planWriterHeap(attrBodies.map(_.length), "dense attributes")
+      else NoHeapPlan
+    val aBt = if (denseAttrs)
+      planWriterBtree(globalAttrs.length, 17, "dense attributes")
+      else noBtreePlan(17)
     val aBase =
       if (denseGroups) bthdAddr + lBt.storageSize else gheapAddr + gheapSize
     val aFheapAddr = aBase

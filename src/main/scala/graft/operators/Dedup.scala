@@ -547,6 +547,14 @@ object Dedup {
     // is split into its own stage — same build work either way
     if (eagerShingleCacheDefault(df.sparkSession)) sets.count()
     val cand = minhashCandidatesFromHashedSets(sets, k, bands, maxBucket = 64)
+    refineJaccardHashed(cand, sets, threshold)
+  }
+
+  /** [[refineJaccard]]'s pre-hashed twin: `sets` is (id, shh) with
+    * [[hashedShingles]]'s sorted long arrays, consumed by the joins
+    * as-is — no per-side re-hash. */
+  private[graft] def refineJaccardHashed(cand: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
     val a = sets.select(col("id").as("id_a"), col("shh").as("sh_a"))
     val b = sets.select(col("id").as("id_b"), col("shh").as("sh_b"))
     cand.join(a, "id_a").join(b, "id_b")

@@ -49,13 +49,18 @@ private[sources] object GridFile {
     * units attribute, values are taken as epoch micros directly;
     * without a time coordinate at all, slab index. */
   private val CfUnitsRe =
-    """(?i)\s*(second|sec|s|minute|min|hour|hr|h|day|d)s?\s+since\s+(.+?)\s*""".r
+    ("""(?i)\s*(millisecond|millisec|msec|ms|microsecond|microsec|usec|us|""" +
+      """second|sec|s|minute|min|hour|hr|h|day|d|week|wk)s?""" +
+      """\s+since\s+(.+?)\s*""").r
 
   private def cfScaleMicros(unit: String): Long = unit.toLowerCase match {
+    case "microsecond" | "microsec" | "usec" | "us" => 1L
+    case "millisecond" | "millisec" | "msec" | "ms" => 1000L
     case "second" | "sec" | "s" => 1000000L
     case "minute" | "min" => 60L * 1000000L
     case "hour" | "hr" | "h" => 3600L * 1000000L
     case "day" | "d" => 86400L * 1000000L
+    case "week" | "wk" => 7L * 86400L * 1000000L
   }
 
   /** Zone designator → offset micros. Real files carry "UTC", "Z",
@@ -133,20 +138,29 @@ private[sources] object GridFile {
       case None => Array.tabulate(n)(_.toLong)
       case Some((vals, attrs)) =>
         attrs.collectFirst { case ("units", u) => u } match {
-          case Some(u @ CfUnitsRe(unit, epoch)) =>
-            // a units attribute that DECLARES CF time must decode or
-            // raise — falling back to raw-micros here would silently
-            // misdate every row of a real climate file
+          // ANY "<unit> since <epoch>" declares CF time and must
+          // decode or raise — falling back to raw-micros would
+          // silently misdate every row of a real climate file,
+          // whether the unparseable part is the epoch OR the unit
+          // word (months/years have no fixed length; udunits leap
+          // semantics are out of scope)
+          case Some(u) if u.toLowerCase.contains(" since ") =>
             val cal = attrs.collectFirst { case ("calendar", c) =>
               c.trim.toLowerCase }.getOrElse("standard")
             require(GregorianCalendars(cal),
               s"unsupported CF calendar '$cal' for time units '$u': " +
                 "Gregorian arithmetic would silently misdate the axis")
-            val e = parseEpochMicros(epoch).getOrElse(
-              throw new IllegalArgumentException(
-                s"unparseable epoch in CF time units '$u'"))
-            val scale = cfScaleMicros(unit)
-            vals.map(v => e + (v * scale).toLong)
+            u match {
+              case CfUnitsRe(unit, epoch) =>
+                val e = parseEpochMicros(epoch).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"unparseable epoch in CF time units '$u'"))
+                val scale = cfScaleMicros(unit)
+                vals.map(v => e + (v * scale).toLong)
+              case _ => throw new IllegalArgumentException(
+                s"unsupported CF time unit in '$u' " +
+                  "(months/years are not fixed-length)")
+            }
           case _ => vals.map(_.toLong) // raw epoch micros
         }
     }

@@ -51,12 +51,7 @@ object NearDupProfile {
     val (nCand, tCand) = timed(cand.count())
 
     val (nRefined, tRefine) = timed {
-      val a = sets.select(col("id").as("id_a"), col("shh").as("sh_a"))
-      val b = sets.select(col("id").as("id_b"), col("shh").as("sh_b"))
-      cand.join(a, "id_a").join(b, "id_b")
-        .select(col("id_a"), col("id_b"),
-          Dedup.jaccardSortedLong(col("sh_a"), col("sh_b")).as("jaccard"))
-        .filter(col("jaccard") >= 0.5).count()
+      Dedup.refineJaccardHashed(cand, sets, 0.5).count()
     }
 
     println(s"""{"metric":"neardup_profile","sets":$nSets,""" +

@@ -222,6 +222,16 @@ class GridSourceSpec extends SparkSpec {
     assert(firstTime(write("greg.nc",
       Seq("units" -> "days since 1850-01-01", "calendar" -> "proleptic_gregorian")))
       == "1850-01-01 00:00:00.0")
+    // sub-second unit words decode (xarray/udunits support them) —
+    // previously they fell through to raw-epoch-micros, 1000x off
+    assert(firstTime(write("ms.nc",
+      Seq("units" -> "milliseconds since 2000-01-01")))
+      == "2000-01-01 00:00:00.0")
+    // calendar-length units have no fixed span: loud raise, not a
+    // silent raw fallback
+    val eMon = intercept[Exception] { firstTime(write("mon.nc",
+      Seq("units" -> "months since 2000-01-01"))) }
+    assert(eMon.getMessage.contains("months"))
   }
 
   test("feeds the standard pipeline: daily stats over the grid source") {

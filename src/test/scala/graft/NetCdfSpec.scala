@@ -429,6 +429,42 @@ class NetCdfSpec extends AnyFunSuite {
     })
   }
 
+  test("heap packing invariant: every object lands whole inside its block") {
+    // property-fuzz the writer-side packer with object sizes up to the
+    // 4 KiB managed max — the near-max sizes (4080-4096) need MORE
+    // than one block advance out of a fresh 4096-byte row-0/1 block
+    // (17-byte header + object > 4096); a mis-packed object would
+    // emit negative padding and silently corrupt every later address
+    val rnd = new scala.util.Random(160826)
+    for (trial <- 0 until 50) {
+      val sizes = Seq.fill(30 + rnd.nextInt(40))(
+        if (rnd.nextBoolean()) 4080 + rnd.nextInt(17) // the hard band
+        else 1 + rnd.nextInt(4096))
+      val plan = graft.io.Hdf5.planWriterHeap(sizes, s"trial $trial")
+      sizes.zipWithIndex.foreach { case (s, i) =>
+        val off = plan.objOffsets(i)
+        val j = plan.blockBases.lastIndexWhere(_ <= off)
+        assert(j >= 0 && off >= plan.blockBases(j) + 17 &&
+          off + s <= plan.blockBases(j) + plan.blockSizes(j),
+          s"trial $trial obj $i size $s at $off escapes block $j " +
+            s"[${plan.blockBases(j)}, +${plan.blockSizes(j)})")
+      }
+    }
+  }
+
+  test("non-dense writes never trip dense ceilings: >4 KiB attr in compact mode") {
+    // denseAttrs=false stores attributes as compact object-header
+    // messages (u16-sized, fine to 64 KB); the dense 4 KiB
+    // managed-object ceiling must not fire for a file that never
+    // emits dense structures
+    val dims = Seq(Dim("x", 2))
+    val vars = Seq(Var("v", Seq(0), NcDouble, Nil, Array(1.0, 2.0)))
+    val big = "history" -> ("h" * 8000)
+    val path = tmp("compact_big_attr.h5")
+    graft.io.Hdf5.write(path, dims, Seq(big), vars)
+    assert(NetCdf.read(path).globalAttrs.toMap == Map(big))
+  }
+
   test("writer dense ceilings: depth-2 attr index and indirect-children link heap reject loudly") {
     // the writer emits depth ≤ 1 name indexes and direct-row heaps;
     // past those (9,479 attr records / ~0.5 MB of link messages) it
