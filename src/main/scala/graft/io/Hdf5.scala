@@ -27,7 +27,9 @@ import NetCdf.{Dim, NcFile, Var}
   * writes (`denseAttrs`). The dense readers take fractal heaps with
   * nested indirect blocks and v2 B-trees of any depth, so groups or
   * objects with unbounded link/attribute counts open; SHARED messages
-  * and non-default filters raise with a clear message. Types:
+  * resolve through their committed object headers (named datatypes —
+  * the real-world case), with only the opt-in SOHM-heap form and
+  * non-default filters raising with a clear message. Types:
   * fixed-point 1/2/4/8
   * bytes, IEEE float 4/8, fixed strings, object references, and vlen
   * sequences of references (DIMENSION_LIST). Metadata is
@@ -1071,11 +1073,47 @@ object Hdf5 {
     dims
   }
 
+  /** Resolve a SHARED header message (flag bit 1 on the message, or
+    * the shared-dt/ds bits of an attribute): the body is replaced by a
+    * Shared Message encoding whose v1/v2 (and v3 type-2, "committed")
+    * forms point at the OBJECT HEADER the real message lives in —
+    * which is how a committed (named) datatype reaches every dataset
+    * and attribute that uses it. The v3 type-1 form (file-wide SOHM
+    * fractal heap, opt-in via H5Pset_shared_mesg_nindexes) raises
+    * loudly. Returns the target header's message of the same type. */
+  private def resolveShared(r: R, msgType: Int, b: ByteBuffer,
+      depth: Int): ByteBuffer = {
+    require(depth < 8, "shared-message indirection deeper than 8")
+    val ver = b.get() & 0xff
+    val typ = b.get() & 0xff
+    val addr = ver match {
+      case 1 =>
+        b.position(b.position() + 6) // reserved
+        r.offset(b)
+      case 2 | 3 =>
+        require(typ != 1,
+          "shared message in the SOHM heap unsupported (committed/by-address forms decode)")
+        r.offset(b)
+      case v => throw new IllegalArgumentException(s"shared message v$v")
+    }
+    require(addr != Undef, "shared message with undefined address")
+    headerMessages(r, addr, depth + 1).collectFirst {
+      case (t, body) if t == msgType => body
+    }.getOrElse(throw new IllegalArgumentException(
+      s"shared message target header at $addr lacks a type-$msgType message"))
+  }
+
   /** All (type, bodyBuffer) messages of an object header, v1 or v2,
-    * following continuation blocks. Each header area is read as one
-    * exact-size window. */
-  private def headerMessages(r: R, addr: Long): Seq[(Int, ByteBuffer)] = {
+    * following continuation blocks, with SHARED messages resolved to
+    * their committed bodies ([[resolveShared]]). Each header area is
+    * read as one exact-size window. */
+  private def headerMessages(r: R, addr: Long,
+      sharedDepth: Int = 0): Seq[(Int, ByteBuffer)] = {
     val out = ArrayBuffer.empty[(Int, ByteBuffer)]
+    def add(t: Int, msgFlags: Int, body: ByteBuffer): Unit =
+      out += ((t,
+        if ((msgFlags & 0x02) != 0) resolveShared(r, t, body, sharedDepth)
+        else body))
     val probe = r.window(addr, 48)
     val first = probe.get(0) & 0xff
     if (first == 'O') { // v2: "OHDR"
@@ -1096,7 +1134,7 @@ object Hdf5 {
         while (b.position() < end - 3) { // gap may be < message header
           val t = b.get() & 0xff
           val sz = b.getShort & 0xffff
-          b.get() // message flags
+          val mf = b.get() & 0xff // message flags
           if (track) b.position(b.position() + 2)
           val body = b.duplicate().order(ByteOrder.LITTLE_ENDIAN)
           if (t == 0x0010) { // OCHK continuation block
@@ -1105,7 +1143,7 @@ object Hdf5 {
             val cs = new Array[Byte](4); cb.get(cs)
             require(new String(cs, "US-ASCII") == "OCHK", "bad continuation")
             scan(cb, (cl - 4).toInt) // trailing checksum
-          } else out += ((t, body))
+          } else add(t, mf, body)
           b.position(b.position() + sz)
         }
       scan(r.window(addr + probe.position(), chunkSize), chunkSize.toInt)
@@ -1126,11 +1164,12 @@ object Hdf5 {
         }
         val t = cursor.getShort & 0xffff
         val sz = cursor.getShort & 0xffff
-        cursor.get(); cursor.position(cursor.position() + 3)
+        val mf = cursor.get() & 0xff
+        cursor.position(cursor.position() + 3)
         val body = cursor.duplicate().order(ByteOrder.LITTLE_ENDIAN)
         if (t == 0x0010) { // continuation
           continuations += ((r.offset(body), r.length(body)))
-        } else out += ((t, body))
+        } else add(t, mf, body)
         cursor.position(cursor.position() + sz)
         remaining -= 1
       }
@@ -1141,7 +1180,7 @@ object Hdf5 {
   private case class Attr(name: String, dtype: Dtype, shape: Seq[Long],
     data: ByteBuffer)
 
-  private def parseAttr(b: ByteBuffer): Attr = {
+  private def parseAttr(b: ByteBuffer, r: R = null): Attr = {
     val ver = b.get() & 0xff
     require(ver >= 1 && ver <= 3, s"attribute message v$ver")
     val flags = b.get() & 0xff // v1: reserved (0)
@@ -1149,7 +1188,14 @@ object Hdf5 {
     val dtSize = b.getShort & 0xffff
     val dsSize = b.getShort & 0xffff
     if (ver == 3) b.get() // name charset
-    require(ver == 1 || (flags & 0x3) == 0, "shared attr dt/ds unsupported")
+    // v2/v3 flag bits: 0 = datatype shared, 1 = dataspace shared — the
+    // slot then holds a Shared Message encoding (committed datatypes
+    // are the real-world case), resolved through the same machinery
+    // header-level shared messages use
+    val dtShared = ver >= 2 && (flags & 0x1) != 0
+    val dsShared = ver >= 2 && (flags & 0x2) != 0
+    require((!dtShared && !dsShared) || r != null,
+      "shared attr dt/ds in a context without file access")
     def block(n: Int): ByteBuffer = {
       val d = b.duplicate().order(ByteOrder.LITTLE_ENDIAN)
       val padded = if (ver == 1) (n + 7) & ~7 else n
@@ -1158,8 +1204,11 @@ object Hdf5 {
     }
     val nameBuf = block(nameSize)
     val nb = new Array[Byte](nameSize); nameBuf.get(nb)
-    val dt = parseDtype(block(dtSize))
-    val shape = parseDataspace(block(dsSize))
+    val dtBlk = block(dtSize)
+    val dt = parseDtype(if (dtShared) resolveShared(r, 0x0003, dtBlk, 0) else dtBlk)
+    val dsBlk = block(dsSize)
+    val shape =
+      parseDataspace(if (dsShared) resolveShared(r, 0x0001, dsBlk, 0) else dsBlk)
     Attr(cstr(nb), dt, shape, b.duplicate().order(ByteOrder.LITTLE_ENDIAN))
   }
 
@@ -1571,7 +1620,7 @@ object Hdf5 {
           "shared dense attribute message unsupported")
         heap.read(off, len)
       }.sortBy { body =>
-        parseAttr(body.duplicate().order(ByteOrder.LITTLE_ENDIAN)).name
+        parseAttr(body.duplicate().order(ByteOrder.LITTLE_ENDIAN), r).name
       }
     }
   }
@@ -1584,6 +1633,32 @@ object Hdf5 {
     val raf = new java.io.RandomAccessFile(path, "r")
     try readDenseLinks(new R(raf, 0L), fheapAddr, nameBt)
     finally raf.close()
+  }
+
+  /** Test hook: the 0x0003 datatype of the object header at `addr`
+    * (absolute offsets, no superblock), shared messages resolved. */
+  private[graft] def dtypeForTest(path: String, addr: Long): String = {
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      val r = new R(raf, 0L)
+      headerMessages(r, addr).collectFirst {
+        case (0x0003, b) => parseDtype(b).toString
+      }.getOrElse(throw new IllegalArgumentException("no datatype message"))
+    } finally raf.close()
+  }
+
+  /** Test hook: the first 0x000C attribute of the object header at
+    * `addr` as (name, dtype, shape), shared dt/ds resolved. */
+  private[graft] def attrForTest(path: String, addr: Long): (String, String, Seq[Long]) = {
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      val r = new R(raf, 0L)
+      headerMessages(r, addr).collectFirst {
+        case (0x000C, b) =>
+          val a = parseAttr(b, r)
+          (a.name, a.dtype.toString, a.shape)
+      }.getOrElse(throw new IllegalArgumentException("no attribute message"))
+    } finally raf.close()
   }
 
   private def decode(dtype: Dtype, shape: Seq[Long], raw: ByteBuffer): Array[_] = {
@@ -1792,7 +1867,7 @@ object Hdf5 {
             dataSize = -1
           }
         case (0x000C, b) =>
-          val a = parseAttr(b)
+          val a = parseAttr(b, r)
           a.dtype.clazz match {
             case 3 =>
               val bytes = new Array[Byte](
@@ -1827,7 +1902,7 @@ object Hdf5 {
       // ---- group
       if (isRoot) msgs.foreach {
         case (0x000C, b) =>
-          val a = parseAttr(b)
+          val a = parseAttr(b, r)
           if (a.dtype.clazz == 3) {
             val bytes = new Array[Byte](
               (a.shape.product.toInt max 1) * a.dtype.size)
