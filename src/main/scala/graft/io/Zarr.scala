@@ -185,7 +185,7 @@ object Zarr {
     * needs to enumerate + prune chunks without touching chunk data. */
   final case class ArrayMeta(name: String, dimNames: Seq[String],
       shape: Seq[Int], chunks: Seq[Int], ncType: Int, zlib: Boolean,
-      attrs: Seq[(String, String)]) {
+      attrs: Seq[(String, String)], fill: Double = 0.0) {
     def nChunks: Seq[Int] =
       shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
   }
@@ -245,8 +245,28 @@ object Zarr {
           case e if e.getKey != "_ARRAY_DIMENSIONS" && e.getValue.isTextual =>
             e.getKey -> e.getValue.asText()
         }
+        // fill_value: what a MISSING chunk reads as. Numbers and the
+        // JSON-string spellings of the IEEE specials (what xarray
+        // writes for float arrays: "NaN"/"Infinity"/"-Infinity")
+        // decode; null (spec: undefined) stays 0. An unrecognized
+        // spelling raises — silently zero-filling a store whose fill
+        // is NaN would misread every absent chunk.
+        val fv = za.get("fill_value") match {
+          case null => 0.0
+          case n if n.isNull => 0.0
+          case n if n.isNumber => n.doubleValue()
+          case n if n.isTextual => n.asText() match {
+            case "NaN" => Double.NaN
+            case "Infinity" => Double.PositiveInfinity
+            case "-Infinity" => Double.NegativeInfinity
+            case o => throw new IllegalArgumentException(
+              s"$name: unsupported zarr fill_value '$o'")
+          }
+          case n => throw new IllegalArgumentException(
+            s"$name: unsupported zarr fill_value $n")
+        }
         ArrayMeta(name, dimNames, shape, chunks,
-          ncTypeOf(za.get("dtype").asText()), zlib, attrs)
+          ncTypeOf(za.get("dtype").asText()), zlib, attrs, fv)
       }
     Meta(globals, arrays)
   }
@@ -271,9 +291,12 @@ object Zarr {
       prod
     }.toInt
     val rawLen = elems * NetCdf.typeSize(am.ncType)
+    // a MISSING chunk file reads as the store's declared fill_value
+    // (zarr v2 spec) — xarray writes "NaN" fills for float data, so
+    // zero-filling here would silently misread real stores
+    if (!Files.exists(p)) return Array.fill(elems)(am.fill)
     val bytes =
-      if (!Files.exists(p)) new Array[Byte](rawLen) // missing chunk = fill
-      else if (am.zlib) inflate(Files.readAllBytes(p), rawLen)
+      if (am.zlib) inflate(Files.readAllBytes(p), rawLen)
       else Files.readAllBytes(p)
     require(bytes.length == rawLen,
       s"${am.name}/${idx.mkString(".")}: ${bytes.length} bytes, want $rawLen")

@@ -33,6 +33,36 @@ class ZarrSpec extends AnyFunSuite {
       (0 until nt).map(_ * 3600.0))
   }
 
+  test("missing chunks read as the store's declared fill_value, not zero") {
+    // write a chunked store, delete one chunk file, and override the
+    // declared fill — xarray writes "NaN" for float arrays, so a
+    // zero-filling reader silently misreads real stores
+    import java.nio.file.{Files, Paths}
+    def store(fillJson: String): String = {
+      val dims = Seq(NetCdf.Dim("t", 4))
+      val vars = Seq(NetCdf.Var("v", Seq(0), NetCdf.NcDouble, Nil,
+        Array(1.0, 2.0, 3.0, 4.0)))
+      val dir = tmp()
+      Zarr.write(dir, dims, Nil, vars, chunk0 = 2, compress = false)
+      val vdir = Paths.get(dir).resolve("v")
+      Files.delete(vdir.resolve("1")) // second chunk (values 3, 4)
+      val za = vdir.resolve(".zarray")
+      Files.write(za, new String(Files.readAllBytes(za), "UTF-8")
+        .replace("\"fill_value\": 0", s""""fill_value": $fillJson""")
+        .getBytes("UTF-8"))
+      dir
+    }
+    val nanBack = Zarr.read(store("\"NaN\"")).variable("v")
+      .data.asInstanceOf[Array[Double]]
+    assert(nanBack(0) == 1.0 && nanBack(1) == 2.0)
+    assert(nanBack(2).isNaN && nanBack(3).isNaN)
+    val numBack = Zarr.read(store("-999.5")).variable("v")
+      .data.asInstanceOf[Array[Double]]
+    assert(numBack.toSeq == Seq(1.0, 2.0, -999.5, -999.5))
+    val e = intercept[Exception] { Zarr.read(store("\"bogus\"")) }
+    assert(e.getMessage.contains("fill_value"))
+  }
+
   test("uncompressed store and every numeric dtype roundtrip") {
     val dims = Seq(NetCdf.Dim("n", 6))
     val vars = Seq(
