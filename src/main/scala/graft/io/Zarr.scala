@@ -101,9 +101,13 @@ object Zarr {
       Files.write(vdir.resolve(".zarray"), zarray.getBytes("UTF-8"))
       val dimNames = v.dimIds.map(dims(_).name)
       val va = ("_ARRAY_DIMENSIONS" ->
-        dimNames.map(q).mkString("[", ", ", "]")) +: v.attrs.map {
+        dimNames.map(q).mkString("[", ", ", "]")) +: (v.attrs.map {
         case (k, s) => (k, q(s))
-      }
+      } ++ v.numAttrs.map { case (k, d) =>
+        require(!d.isNaN && !d.isInfinite,
+          s"${v.name}.$k: non-finite numeric attribute has no JSON spelling")
+        (k, d.toString)
+      })
       Files.write(vdir.resolve(".zattrs"),
         va.map { case (k, j) => s"${q(k)}: $j" }
           .mkString("{", ", ", "}").getBytes("UTF-8"))
@@ -185,7 +189,8 @@ object Zarr {
     * needs to enumerate + prune chunks without touching chunk data. */
   final case class ArrayMeta(name: String, dimNames: Seq[String],
       shape: Seq[Int], chunks: Seq[Int], ncType: Int, zlib: Boolean,
-      attrs: Seq[(String, String)], fill: Double = 0.0) {
+      attrs: Seq[(String, String)], fill: Double = 0.0,
+      numAttrs: Seq[(String, Double)] = Nil) {
     def nChunks: Seq[Int] =
       shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
   }
@@ -245,6 +250,12 @@ object Zarr {
           case e if e.getKey != "_ARRAY_DIMENSIONS" && e.getValue.isTextual =>
             e.getKey -> e.getValue.asText()
         }
+        // numeric attributes feed the CF mask-and-scale decode (S6) —
+        // dropping them would make a packed zarr store read RAW values
+        val numAttrs = attrsNode.properties().asScala.toSeq.collect {
+          case e if e.getKey != "_ARRAY_DIMENSIONS" && e.getValue.isNumber =>
+            e.getKey -> e.getValue.doubleValue()
+        }
         // fill_value: what a MISSING chunk reads as. Numbers and the
         // JSON-string spellings of the IEEE specials (what xarray
         // writes for float arrays: "NaN"/"Infinity"/"-Infinity")
@@ -266,7 +277,7 @@ object Zarr {
             s"$name: unsupported zarr fill_value $n")
         }
         ArrayMeta(name, dimNames, shape, chunks,
-          ncTypeOf(za.get("dtype").asText()), zlib, attrs, fv)
+          ncTypeOf(za.get("dtype").asText()), zlib, attrs, fv, numAttrs)
       }
     Meta(globals, arrays)
   }
@@ -318,7 +329,7 @@ object Zarr {
     * stores / coordinate variables; the scan path goes chunk-by-chunk
     * through [[readChunkDouble]]). Dims are the first-seen (name,
     * size) pairs across arrays, in declaration order. */
-  def read(dir: String): NcFile = {
+  def read(dir: String, maskAndScale: Boolean = true): NcFile = {
     val m = meta(dir)
     val dims = scala.collection.mutable.LinkedHashMap[String, Int]()
     m.arrays.foreach { am =>
@@ -341,7 +352,10 @@ object Zarr {
         case NetCdf.NcInt | NetCdf.NcShort => flat.map(_.toInt)
         case _ => flat.map(_.toByte)
       }
-      Var(am.name, dimIds, am.ncType, am.attrs, data)
+      val v = Var(am.name, dimIds, am.ncType, am.attrs, data, am.numAttrs)
+      // same CF mask-and-scale default as NetCdf.read (S6) — a packed
+      // zarr store decodes identically through every container
+      if (maskAndScale) NetCdf.maskAndScaleVar(v) else v
     }
     NcFile(dimSeq, m.globalAttrs, vars)
   }

@@ -264,7 +264,10 @@ private[sources] object GridFile {
           yy += 1
         }
       }
-      out
+      // CF decode per slab — same semantics as the NetCDF containers
+      // (a packed zarr store must not read RAW through the grid scan)
+      NetCdf.maskAndScaleSlab(out, dataAm.numAttrs,
+        NetCdf.unsignedBitsOf(dataAm.ncType, dataAm.attrs))
     }
   }
 }

@@ -234,6 +234,21 @@ class GridSourceSpec extends SparkSpec {
     assert(eMon.getMessage.contains("months"))
   }
 
+  test("packed zarr store decodes through the grid scan (CF S6)") {
+    import graft.io.{NetCdf, Zarr}
+    val dir = Files.createTempDirectory("zarr_packed").resolve("g.zarr").toString
+    val dims = Seq(NetCdf.Dim("time", 2), NetCdf.Dim("y", 1), NetCdf.Dim("x", 2))
+    val raw = Array(100, 200, -1, 400) // -1 = fill sentinel
+    Zarr.write(dir, dims, Nil, Seq(
+      NetCdf.Var("t2", Seq(0, 1, 2), NetCdf.NcInt, Nil, raw,
+        Seq("scale_factor" -> 0.01, "add_offset" -> 5.0,
+          "_FillValue" -> -1.0))), compress = false)
+    val g = spark.read.format("graft.sources.GridSource").load(dir)
+    val vals = g.orderBy("time", "y", "x").select("value")
+      .as[Double].collect()
+    assert(vals(0) == 6.0 && vals(1) == 7.0 && vals(2).isNaN && vals(3) == 9.0)
+  }
+
   test("feeds the standard pipeline: daily stats over the grid source") {
     import graft.grid.GridConfig
     val stats = graft.pipelines.Pipelines.temporalDailyStats(

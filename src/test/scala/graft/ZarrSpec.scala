@@ -33,6 +33,25 @@ class ZarrSpec extends AnyFunSuite {
       (0 until nt).map(_ * 3600.0))
   }
 
+  test("packed store mask-and-scales by default, raw on request (CF S6)") {
+    // numeric .zattrs (scale_factor/add_offset/_FillValue) must parse
+    // and drive the same CF decode the NetCDF containers apply — a
+    // packed zarr store previously read RAW sentinel-laden ints
+    val dims = Seq(NetCdf.Dim("t", 2), NetCdf.Dim("y", 1), NetCdf.Dim("x", 2))
+    val raw = Array(100, 200, -1, 400) // -1 = fill sentinel
+    val vars = Seq(NetCdf.Var("v", Seq(0, 1, 2), NetCdf.NcInt, Nil, raw,
+      Seq("scale_factor" -> 0.01, "add_offset" -> 5.0, "_FillValue" -> -1.0)))
+    val dir = tmp()
+    Zarr.write(dir, dims, Nil, vars, compress = false)
+    val v = Zarr.read(dir).variable("v")
+    assert(v.ncType == NetCdf.NcDouble)
+    val d = v.data.asInstanceOf[Array[Double]]
+    assert(d(0) == 6.0 && d(1) == 7.0 && d(2).isNaN && d(3) == 9.0)
+    val rawBack = Zarr.read(dir, maskAndScale = false).variable("v")
+    assert(rawBack.data.asInstanceOf[Array[Int]].toSeq == raw.toSeq)
+    assert(rawBack.numAttrs.toMap.get("scale_factor").contains(0.01))
+  }
+
   test("missing chunks read as the store's declared fill_value, not zero") {
     // write a chunked store, delete one chunk file, and override the
     // declared fill — xarray writes "NaN" for float arrays, so a
