@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to stdout (no sbt "[info] " prefix):
+// the driver extracts graft.Bench's one-line JSON from stdout and the
+// logger prefix defeated that extraction every round (BENCH_r* carried
+// "parsed: null" — VERDICT r13 Next #6).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -10,7 +10,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
 /** Zarr v2 store codec, from scratch against the published spec
   * (zarr-specs v2: `.zgroup`/`.zattrs`/`.zarray` JSON metadata, C-order
-  * chunk files named `i.j.k`, zlib or raw compression) with xarray's
+  * chunk files named `i.j.k`, blosc/zlib/raw compression) with xarray's
   * `_ARRAY_DIMENSIONS` convention carrying dimension names — the OTHER
   * container an xarray user of the reference holds model output in,
   * alongside NetCDF ([[NetCdf]]) and NetCDF-4/HDF5 ([[Hdf5]]).
@@ -25,7 +25,9 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * [[readChunkDouble]] fetches + inflates exactly one chunk — one
   * executor task per chunk, pruned chunks never read. JSON parsing
   * uses Jackson (shipped with Spark); chunk compression is
-  * `java.util.zip` (the "zlib" numcodec).
+  * `java.util.zip` (the "zlib" numcodec) or [[Blosc]] frames
+  * (numcodecs' DEFAULT `blosc(cname="lz4", shuffle=1)` — what a
+  * stock xarray `ds.to_zarr(path)` writes).
   */
 object Zarr {
 
@@ -70,9 +72,15 @@ object Zarr {
   /** Write a Zarr v2 group. Each variable chunks along its FIRST axis
     * in runs of `chunk0` (0 = unchunked: one chunk spanning the
     * array) with full extent on the remaining axes — the time-slab
-    * layout the distributed scan plans with. */
+    * layout the distributed scan plans with. `codec` picks the chunk
+    * compressor when `compress` is set: "zlib" (java.util.zip) or
+    * "blosc" (lz4 + byte-shuffle frames via [[Blosc]] — what
+    * numcodecs writes by default). */
   def write(dir: String, dims: Seq[Dim], globalAttrs: Seq[(String, String)],
-      vars: Seq[Var], compress: Boolean = true, chunk0: Int = 0): Unit = {
+      vars: Seq[Var], compress: Boolean = true, chunk0: Int = 0,
+      codec: String = "zlib"): Unit = {
+    require(codec == "zlib" || codec == "blosc",
+      s"unsupported zarr write codec '$codec' (zlib or blosc)")
     val root = Paths.get(dir)
     Files.createDirectories(root)
     Files.write(root.resolve(".zgroup"),
@@ -91,7 +99,13 @@ object Zarr {
       val vdir = root.resolve(v.name)
       Files.createDirectories(vdir)
       val compressor =
-        if (compress) """{"id": "zlib", "level": 1}""" else "null"
+        if (!compress) "null"
+        else if (codec == "blosc")
+          // numcodecs' default spelling: cname/clevel/shuffle all
+          // explicit, blocksize 0 = codec-chosen (frames self-describe)
+          """{"id": "blosc", "cname": "lz4", "clevel": 5, """ +
+            """"shuffle": 1, "blocksize": 0}"""
+        else """{"id": "zlib", "level": 1}"""
       val zarray =
         s"""{"zarr_format": 2, "shape": [${shapeOut.mkString(", ")}], """ +
           s""""chunks": [${chunks.mkString(", ")}], """ +
@@ -123,8 +137,12 @@ object Zarr {
         encode(v.data, from, live * rowElems, v.ncType, buf)
         // pad rows of an edge chunk stay zero (the declared fill)
         val name = ("0" * (shapeOut.length - 1)).map(_ => ".0").mkString
-        Files.write(vdir.resolve(s"$ci$name"),
-          if (compress) deflate(buf.array()) else buf.array())
+        val payload =
+          if (!compress) buf.array()
+          else if (codec == "blosc")
+            Blosc.compress(buf.array(), NetCdf.typeSize(v.ncType))
+          else deflate(buf.array())
+        Files.write(vdir.resolve(s"$ci$name"), payload)
       }
     }
   }
@@ -188,7 +206,7 @@ object Zarr {
   /** Planning metadata for one variable: everything a distributed scan
     * needs to enumerate + prune chunks without touching chunk data. */
   final case class ArrayMeta(name: String, dimNames: Seq[String],
-      shape: Seq[Int], chunks: Seq[Int], ncType: Int, zlib: Boolean,
+      shape: Seq[Int], chunks: Seq[Int], ncType: Int, codec: String,
       attrs: Seq[(String, String)], fill: Double = 0.0,
       numAttrs: Seq[(String, Double)] = Nil) {
     def nChunks: Seq[Int] =
@@ -230,12 +248,17 @@ object Zarr {
         require(za.get("filters") == null || za.get("filters").isNull,
           "zarr filters not supported")
         val comp = za.get("compressor")
-        val zlib = comp != null && !comp.isNull && {
-          val id = comp.get("id").asText()
-          require(id == "zlib",
-            s"unsupported zarr compressor '$id' (zlib or null only)")
-          true
-        }
+        val codec =
+          if (comp == null || comp.isNull) ""
+          else comp.get("id").asText() match {
+            case "zlib" => "zlib"
+            case "blosc" =>
+              // frames self-describe cname/shuffle; [[Blosc]] raises on
+              // the sub-codecs it can't decode (blosclz, bit-shuffle)
+              "blosc"
+            case other => throw new IllegalArgumentException(
+              s"unsupported zarr compressor '$other' (zlib, blosc or null only)")
+          }
         val shape = za.get("shape").elements().asScala.map(_.asInt()).toSeq
         val chunks = za.get("chunks").elements().asScala.map(_.asInt()).toSeq
         val name = vdir.getFileName.toString
@@ -276,8 +299,19 @@ object Zarr {
           case n => throw new IllegalArgumentException(
             s"$name: unsupported zarr fill_value $n")
         }
+        // xarray moves the missing-value sentinel into .zarray's
+        // fill_value (encoding) and drops _FillValue from .zattrs —
+        // promote a non-default fill so PRESENT-chunk sentinels mask
+        // to NaN exactly as xarray's zarr backend does. 0 is the spec
+        // default (and this writer's), NaN/Inf already read as
+        // missing-shaped doubles without promotion.
+        val numAttrs2 =
+          if (fv != 0.0 && !fv.isNaN && !fv.isInfinite &&
+            !numAttrs.exists(a => a._1 == "_FillValue" || a._1 == "missing_value"))
+            numAttrs :+ ("_FillValue" -> fv)
+          else numAttrs
         ArrayMeta(name, dimNames, shape, chunks,
-          ncTypeOf(za.get("dtype").asText()), zlib, attrs, fv, numAttrs)
+          ncTypeOf(za.get("dtype").asText()), codec, attrs, fv, numAttrs2)
       }
     Meta(globals, arrays)
   }
@@ -306,9 +340,11 @@ object Zarr {
     // (zarr v2 spec) — xarray writes "NaN" fills for float data, so
     // zero-filling here would silently misread real stores
     if (!Files.exists(p)) return Array.fill(elems)(am.fill)
-    val bytes =
-      if (am.zlib) inflate(Files.readAllBytes(p), rawLen)
-      else Files.readAllBytes(p)
+    val bytes = am.codec match {
+      case "zlib" => inflate(Files.readAllBytes(p), rawLen)
+      case "blosc" => Blosc.decompress(Files.readAllBytes(p), rawLen)
+      case _ => Files.readAllBytes(p)
+    }
     require(bytes.length == rawLen,
       s"${am.name}/${idx.mkString(".")}: ${bytes.length} bytes, want $rawLen")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)

@@ -321,7 +321,16 @@ object GridQueries {
     * chunked, zlib, `_ARRAY_DIMENSIONS` names): the xarray
     * ecosystem's other container, sharing the NetCdf in-memory model
     * so the long-form expansion below is container-agnostic. */
-  val qZarrRoundtrip: Q = (spark, dir) => {
+  val qZarrRoundtrip: Q = zarrRoundtrip("zlib")
+
+  /** Same store framed the way a stock `ds.to_zarr(path)` writes it:
+    * blosc(lz4) + byte-shuffle chunks ([[graft.io.Blosc]] — numcodecs'
+    * DEFAULT compressor, which previously raised at
+    * [[graft.io.Zarr.meta]]). Gate runs the full store AND per-chunk
+    * scan decode paths through real blosc frames. */
+  val qZarrBloscRoundtrip: Q = zarrRoundtrip("blosc")
+
+  private def zarrRoundtrip(codec: String): Q = (spark, dir) => {
     import graft.io.{NetCdf, Zarr}
     val supp = Tables(spark, dir, "supplier")
       .select(col("s_suppkey"), round(col("s_acctbal") * 100).as("cents"))
@@ -329,7 +338,7 @@ object GridQueries {
       .collect()
     val ny = supp.length / 10
     val cents = supp.take(ny * 10).map(_.getDouble(1))
-    val tmp = graft.util.Scratch.dir("graft_zarr")
+    val tmp = graft.util.Scratch.dir(s"graft_zarr_$codec")
       .resolve("pop.zarr").toString
     val dims = Seq(NetCdf.Dim("y", ny), NetCdf.Dim("x", 10))
     val vars = Seq(
@@ -339,7 +348,7 @@ object GridQueries {
         Array.tabulate(10)(_ * 2.0 + 1.0)),
       NetCdf.Var("pop_cents", Seq(0, 1), NetCdf.NcDouble, Nil, cents))
     Zarr.write(tmp, dims, Seq("title" -> "graft regrid output"), vars,
-      compress = true, chunk0 = 7)
+      compress = true, chunk0 = 7, codec = codec)
     val nc = Zarr.read(tmp)
     val lat = nc.variable("lat").data.asInstanceOf[Array[Double]]
     val lon = nc.variable("lon").data.asInstanceOf[Array[Double]]
@@ -776,6 +785,7 @@ object GridQueries {
     "grid_netcdf_roundtrip" -> qNetcdfRoundtrip,
     "grid_netcdf4_roundtrip" -> qNetcdf4Roundtrip,
     "grid_zarr_roundtrip" -> qZarrRoundtrip,
+    "grid_zarr_blosc" -> qZarrBloscRoundtrip,
     "grid_pipeline_haduk" -> qGridPipelineHaduk,
     "grid_pipeline" -> qGridPipeline,
     "grid_pipeline_voronoi" -> qGridPipelineVoronoi,
@@ -798,6 +808,7 @@ object GridQueries {
     "grid_netcdf_roundtrip" -> qNetcdfRoundtripSql,
     "grid_netcdf4_roundtrip" -> qNetcdfRoundtripSql,
     "grid_zarr_roundtrip" -> qNetcdfRoundtripSql,
+    "grid_zarr_blosc" -> qNetcdfRoundtripSql,
     "grid_pipeline_haduk" -> qGridPipelineHadukSql,
     "grid_pipeline" -> qGridPipelineSql,
     "grid_pipeline_voronoi" -> qGridPipelineVoronoiSql,

@@ -33,6 +33,54 @@ class ZarrSpec extends AnyFunSuite {
       (0 until nt).map(_ * 3600.0))
   }
 
+  test("blosc(lz4)+shuffle store roundtrips — numcodecs' default framing") {
+    val (nt, ny, nx) = (11, 3, 4)
+    val dims = Seq(NetCdf.Dim("time", nt), NetCdf.Dim("y", ny), NetCdf.Dim("x", nx))
+    val data = Array.tabulate(nt * ny * nx)(i => math.sin(i * 0.1) * 50)
+    val vars = Seq(
+      NetCdf.Var("time", Seq(0), NetCdf.NcDouble, Nil,
+        Array.tabulate(nt)(_ * 3600.0)),
+      NetCdf.Var("t2", Seq(0, 1, 2), NetCdf.NcFloat,
+        Seq("units" -> "K"), data.map(_.toFloat)))
+    val dir = tmp()
+    Zarr.write(dir, dims, Nil, vars, chunk0 = 4, codec = "blosc")
+    val za = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir).resolve("t2").resolve(".zarray")), "UTF-8")
+    assert(za.contains("\"id\": \"blosc\"") && za.contains("\"cname\": \"lz4\""))
+    val back = Zarr.read(dir)
+    assert(back.variable("t2").data.asInstanceOf[Array[Float]].toSeq ===
+      data.map(_.toFloat).toSeq)
+    assert(back.variable("time").data.asInstanceOf[Array[Double]].toSeq ===
+      (0 until nt).map(_ * 3600.0))
+    // chunk-level path (the distributed scan's unit) decodes too
+    val am = Zarr.meta(dir).array("t2")
+    assert(am.codec == "blosc" && am.nChunks == Seq(3, 1, 1))
+    val c0 = Zarr.readChunkDouble(dir, am, Seq(0, 0, 0))
+    assert(c0.take(12).toSeq == data.take(12).map(_.toFloat.toDouble).toSeq)
+  }
+
+  test("non-default .zarray fill_value masks PRESENT-chunk sentinels (xarray encoding)") {
+    // xarray moves _FillValue into the zarr encoding: .zattrs has no
+    // _FillValue, .zarray carries fill_value = sentinel. Values equal
+    // to the sentinel INSIDE present chunks must mask to NaN.
+    import java.nio.file.{Files, Paths}
+    val dims = Seq(NetCdf.Dim("t", 4))
+    val vars = Seq(NetCdf.Var("v", Seq(0), NetCdf.NcDouble, Nil,
+      Array(1.0, -999.0, 3.0, -999.0)))
+    val dir = tmp()
+    Zarr.write(dir, dims, Nil, vars, compress = false)
+    val za = Paths.get(dir).resolve("v").resolve(".zarray")
+    Files.write(za, new String(Files.readAllBytes(za), "UTF-8")
+      .replace("\"fill_value\": 0", "\"fill_value\": -999.0").getBytes("UTF-8"))
+    val d = Zarr.read(dir).variable("v").data.asInstanceOf[Array[Double]]
+    assert(d(0) == 1.0 && d(1).isNaN && d(2) == 3.0 && d(3).isNaN)
+    // raw view keeps the sentinel; the promoted attr is visible
+    val rawV = Zarr.read(dir, maskAndScale = false).variable("v")
+    assert(rawV.data.asInstanceOf[Array[Double]].toSeq ==
+      Seq(1.0, -999.0, 3.0, -999.0))
+    assert(rawV.numAttrs.toMap.get("_FillValue").contains(-999.0))
+  }
+
   test("packed store mask-and-scales by default, raw on request (CF S6)") {
     // numeric .zattrs (scale_factor/add_offset/_FillValue) must parse
     // and drive the same CF decode the NetCDF containers apply — a
@@ -75,9 +123,16 @@ class ZarrSpec extends AnyFunSuite {
       .data.asInstanceOf[Array[Double]]
     assert(nanBack(0) == 1.0 && nanBack(1) == 2.0)
     assert(nanBack(2).isNaN && nanBack(3).isNaN)
+    // a numeric fill is PROMOTED to _FillValue (xarray keeps the
+    // sentinel in encoding only), so the masked read surfaces NaN and
+    // the raw view keeps the sentinel
     val numBack = Zarr.read(store("-999.5")).variable("v")
       .data.asInstanceOf[Array[Double]]
-    assert(numBack.toSeq == Seq(1.0, 2.0, -999.5, -999.5))
+    assert(numBack(0) == 1.0 && numBack(1) == 2.0)
+    assert(numBack(2).isNaN && numBack(3).isNaN)
+    val numRaw = Zarr.read(store("-999.5"), maskAndScale = false).variable("v")
+      .data.asInstanceOf[Array[Double]]
+    assert(numRaw.toSeq == Seq(1.0, 2.0, -999.5, -999.5))
     val e = intercept[Exception] { Zarr.read(store("\"bogus\"")) }
     assert(e.getMessage.contains("fill_value"))
   }
