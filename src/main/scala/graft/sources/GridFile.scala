@@ -78,12 +78,13 @@ private[sources] object GridFile {
     case _ => None
   }
 
-  private def parseEpochMicros(s: String): Option[Long] = {
-    // CF/udunits epoch shape: <date> [<time>] [<zone>] — tokenize so a
-    // trailing zone never masquerades as (or mangles) the date/time.
-    // The ISO 'T' separator only counts BETWEEN digits (a bare
-    // replace would shred the 'T' inside a "UTC" zone token); an
-    // ISO-attached trailing Z ("…T00:00:00Z") detaches after that.
+  /** Tokenize a CF/udunits epoch — <date> [<time>] [<zone>] — into
+    * (date, "H:m[:s]" base, fractional-second micros, zone-offset
+    * micros). A trailing zone must never masquerade as (or mangle)
+    * the date/time; the ISO 'T' separator only counts BETWEEN digits
+    * (a bare replace would shred the 'T' inside a "UTC" zone token);
+    * an ISO-attached trailing Z ("…T00:00:00Z") detaches after that. */
+  private def tokenizeEpoch(s: String): Option[(String, String, Long, Long)] = {
     val norm = s.trim.replaceAll("(?<=\\d)[Tt](?=\\d)", " ") match {
       case t if t.length > 1 && (t.last == 'Z' || t.last == 'z') &&
         t(t.length - 2).isDigit => t.dropRight(1) + " Z"
@@ -107,28 +108,85 @@ private[sources] object GridFile {
       case _ => return None
     }
     // fractional seconds of any width, handled outside the formatter
-    val (timeBase, fracMicros) = time.indexOf('.') match {
-      case -1 => (time, 0L)
+    time.indexOf('.') match {
+      case -1 => Some((date, time, 0L, offMicros))
       case i =>
         val frac = time.substring(i + 1)
-        if (frac.isEmpty || !frac.forall(_.isDigit)) return None
-        (time.substring(0, i),
-          math.round(s"0.$frac".toDouble * 1000000L))
+        if (frac.isEmpty || !frac.forall(_.isDigit)) None
+        else Some((date, time.substring(0, i),
+          math.round(s"0.$frac".toDouble * 1000000L), offMicros))
     }
-    try {
-      val fmt = java.time.format.DateTimeFormatter
-        .ofPattern("yyyy-M-d H:m[:s]")
-      Some(java.time.LocalDateTime.parse(s"$date $timeBase", fmt)
-        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
-        fracMicros - offMicros)
-    } catch { case _: Exception => None }
   }
 
+  private def parseEpochMicros(s: String): Option[Long] =
+    tokenizeEpoch(s).flatMap { case (date, timeBase, fracMicros, offMicros) =>
+      try {
+        val fmt = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-M-d H:m[:s]")
+        Some(java.time.LocalDateTime.parse(s"$date $timeBase", fmt)
+          .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+          fracMicros - offMicros)
+      } catch { case _: Exception => None }
+    }
+
+  /** Fixed-length CF model calendars (360_day / noleap / all_leap and
+    * their numeric aliases): every year has the same month lengths, so
+    * "<n> units since <epoch>" decodes with closed-form integer date
+    * math — exactly the arithmetic cftime does for these calendars.
+    * The decoded axis is micros since 1970-01-01 00:00:00 ON THE SAME
+    * CALENDAR's timeline (uniform 86400-second days, no Gregorian
+    * reinterpretation): differences, daily windows and resampling are
+    * exact, which is what the engine's time axis is for. Julian is NOT
+    * fixed-length and still raises. */
+  private val FixedCalendarMonths: Map[String, Array[Int]] = {
+    val noleap = Array(31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+    val allLeap = noleap.clone(); allLeap(1) = 29
+    Map(
+      "noleap" -> noleap, "365_day" -> noleap,
+      "all_leap" -> allLeap, "366_day" -> allLeap,
+      "360_day" -> Array.fill(12)(30))
+  }
+
+  /** Epoch micros since 1970-01-01 on a fixed-length calendar, or None
+    * on any field that doesn't parse or doesn't exist in the calendar
+    * (2000-02-30 is a real 360_day date but must reject under noleap). */
+  private def fixedCalendarEpochMicros(s: String, months: Array[Int]): Option[Long] =
+    tokenizeEpoch(s).flatMap { case (date, timeBase, fracMicros, offMicros) =>
+      // date: [-]yyyy-m-d with a manual parse — java.time would reject
+      // the calendar-legal dates Gregorian lacks (Feb 29 every year,
+      // Feb 30, month-day 30 in 360_day February)
+      val neg = date.startsWith("-")
+      val parts = (if (neg) date.substring(1) else date).split("-")
+      val hms = timeBase.split(":")
+      val shapeOk =
+        parts.length == 3 &&
+          parts.forall(p => p.nonEmpty && p.forall(_.isDigit)) &&
+          hms.length >= 2 && hms.length <= 3 &&
+          hms.forall(p => p.nonEmpty && p.forall(_.isDigit))
+      if (!shapeOk) None
+      else {
+        val year = parts(0).toLong * (if (neg) -1 else 1)
+        val month = parts(1).toInt
+        val day = parts(2).toInt
+        val (h, mi) = (hms(0).toInt, hms(1).toInt)
+        val sec = if (hms.length == 3) hms(2).toInt else 0
+        if (month < 1 || month > 12 || day < 1 || day > months(month - 1) ||
+          h > 23 || mi > 59 || sec > 60) None
+        else {
+          val yearDays = months.sum.toLong
+          val cum = months.scanLeft(0)(_ + _) // cum(m-1) = days before month m
+          val days = (year - 1970L) * yearDays + cum(month - 1) + (day - 1)
+          Some(days * 86400000000L + (h * 3600L + mi * 60L + sec) * 1000000L +
+            fracMicros - offMicros)
+        }
+      }
+    }
+
   /** Calendars whose "<n> units since <epoch>" arithmetic IS proleptic
-    * Gregorian — the only ones this decode can represent. 360_day /
-    * noleap / all_leap / julian coordinates would land on silently
-    * WRONG dates under Gregorian math (xarray hands those to cftime),
-    * so they raise instead. */
+    * Gregorian. Fixed-length model calendars decode through
+    * [[fixedCalendarEpochMicros]]; julian (variable leap rule offset
+    * from Gregorian) would land on silently WRONG dates under either
+    * path, so it still raises. */
   private val GregorianCalendars =
     Set("standard", "gregorian", "proleptic_gregorian", "")
 
@@ -147,14 +205,16 @@ private[sources] object GridFile {
           case Some(u) if u.toLowerCase.contains(" since ") =>
             val cal = attrs.collectFirst { case ("calendar", c) =>
               c.trim.toLowerCase }.getOrElse("standard")
-            require(GregorianCalendars(cal),
+            require(GregorianCalendars(cal) || FixedCalendarMonths.contains(cal),
               s"unsupported CF calendar '$cal' for time units '$u': " +
-                "Gregorian arithmetic would silently misdate the axis")
+                "its arithmetic has no safe Gregorian or fixed-length decode")
             u match {
               case CfUnitsRe(unit, epoch) =>
-                val e = parseEpochMicros(epoch).getOrElse(
-                  throw new IllegalArgumentException(
-                    s"unparseable epoch in CF time units '$u'"))
+                val e = (FixedCalendarMonths.get(cal) match {
+                  case Some(months) => fixedCalendarEpochMicros(epoch, months)
+                  case None => parseEpochMicros(epoch)
+                }).getOrElse(throw new IllegalArgumentException(
+                  s"unparseable epoch in CF time units '$u' (calendar '$cal')"))
                 val scale = cfScaleMicros(unit)
                 vals.map(v => e + (v * scale).toLong)
               case _ => throw new IllegalArgumentException(

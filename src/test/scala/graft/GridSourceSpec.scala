@@ -210,10 +210,11 @@ class GridSourceSpec extends SparkSpec {
     assert(firstTime(write("frac.nc",
       Seq("units" -> "seconds since 2024-01-01 00:00:00.5")))
       == "2024-01-01 00:00:00.5")
-    // non-Gregorian calendar: loud raise, never a silently misdated axis
-    val e360 = intercept[Exception] { firstTime(write("cal.nc",
-      Seq("units" -> "days since 1850-01-01", "calendar" -> "360_day"))) }
-    assert(e360.getMessage.contains("360_day"))
+    // julian (variable leap rule, NOT fixed-length): loud raise, never
+    // a silently misdated axis
+    val eJul = intercept[Exception] { firstTime(write("cal.nc",
+      Seq("units" -> "days since 1850-01-01", "calendar" -> "julian"))) }
+    assert(eJul.getMessage.contains("julian"))
     // matched CF units with a garbage epoch: loud raise, no raw fallback
     val eBad = intercept[Exception] { firstTime(write("bad.nc",
       Seq("units" -> "days since yesterday morning"))) }
@@ -232,6 +233,63 @@ class GridSourceSpec extends SparkSpec {
     val eMon = intercept[Exception] { firstTime(write("mon.nc",
       Seq("units" -> "months since 2000-01-01"))) }
     assert(eMon.getMessage.contains("months"))
+  }
+
+  test("fixed-length CF model calendars (360_day/noleap/all_leap) decode") {
+    import graft.io.NetCdf
+    val dir = Files.createTempDirectory("nc_cf_cal")
+    def write(name: String, timeVals: Array[Double],
+        timeAttrs: Seq[(String, String)]): String = {
+      val p = dir.resolve(name).toString
+      NetCdf.write(p,
+        Seq(NetCdf.Dim("time", timeVals.length), NetCdf.Dim("y", 1),
+          NetCdf.Dim("x", 2)),
+        Nil,
+        Seq(
+          NetCdf.Var("time", Seq(0), NetCdf.NcDouble, timeAttrs, timeVals),
+          NetCdf.Var("t2", Seq(0, 1, 2), NetCdf.NcFloat, Nil,
+            Array.tabulate(timeVals.length * 2)(_.toFloat))))
+      p
+    }
+    def timesMs(p: String): Seq[Long] =
+      spark.read.format("graft.sources.GridSource").load(p)
+        .select($"time").distinct().orderBy("time").as[java.sql.Timestamp]
+        .collect().toSeq.map(_.getTime)
+    val day = 86400000L // uniform-day timeline: every day 86400 s
+    // 360_day: the epoch 2000-02-30 EXISTS (every month has 30 days)
+    // and sits (2000-1970)*360 + 30 + 29 = 10859 days after the
+    // calendar's 1970-01-01 origin — hand-computed, month-end edge
+    assert(timesMs(write("c360.nc", Array(0.0, 1.0),
+      Seq("units" -> "days since 2000-02-30", "calendar" -> "360_day")))
+      == Seq(10859L * day, 10860L * day))
+    // noleap: 2000 has NO Feb 29 — epoch 2000-03-01 is
+    // 30*365 + 31 + 28 = 11009 days from origin; a whole model year
+    // later is exactly +365 uniform days
+    assert(timesMs(write("cnoleap.nc", Array(0.0, 365.0),
+      Seq("units" -> "days since 2000-03-01", "calendar" -> "noleap")))
+      == Seq(11009L * day, 11374L * day))
+    // all_leap: EVERY Feb has 29 days — epoch 2000-02-29 is
+    // 30*366 + 31 + 28 = 11039 days from origin; aliases decode too
+    assert(timesMs(write("callleap.nc", Array(0.0, 0.5),
+      Seq("units" -> "days since 2000-02-29", "calendar" -> "all_leap")))
+      == Seq(11039L * day, 11039L * day + day / 2))
+    assert(timesMs(write("c365.nc", Array(0.0),
+      Seq("units" -> "hours since 2000-03-01 06:00:00",
+        "calendar" -> "365_day")))
+      == Seq(11009L * day + 6L * 3600000L))
+    // zone designators ride through the shared epoch tokenizer
+    assert(timesMs(write("c360z.nc", Array(0.0),
+      Seq("units" -> "days since 2000-02-30 12:00:00 +02:00",
+        "calendar" -> "360_day")))
+      == Seq(10859L * day + 10L * 3600000L))
+    // dates that don't exist in the DECLARED calendar reject loudly:
+    // Feb 29 under noleap, Feb 30 under all_leap, Apr 31 anywhere
+    for ((ep, cal) <- Seq(("2000-02-29", "noleap"), ("2000-02-30", "all_leap"),
+      ("2000-04-31", "360_day"))) {
+      val e = intercept[Exception] { timesMs(write(s"bad_${cal}_$ep.nc",
+        Array(0.0), Seq("units" -> s"days since $ep", "calendar" -> cal))) }
+      assert(e.getMessage.contains("unparseable"), s"$ep/$cal: ${e.getMessage}")
+    }
   }
 
   test("packed zarr store decodes through the grid scan (CF S6)") {
