@@ -35,7 +35,15 @@ case class MinHashSigLong(child: Expression, k: Int) extends MinHashSigBase {
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
+        // baseHash reads arr.getLong(i) without an isNullAt check — a
+        // null element would read an undefined 0 and silently diverge
+        // from the documented hash(x, seed) parity. The in-repo
+        // producer (SortedXxHash64Array) declares containsNull=false;
+        // anything else must prove the same before using this family.
+        "minhash_sig_long needs array<bigint> with non-null elements " +
+          "(containsNull=false)")
       case t => TypeCheckResult.TypeCheckFailure(
         s"minhash_sig_long needs array<bigint>, got ${t.sql}")
     }

@@ -31,7 +31,9 @@ import NetCdf.{Dim, NcFile, Var}
   * the real-world case), with only the opt-in SOHM-heap form and
   * non-default filters raising with a clear message. Types:
   * fixed-point 1/2/4/8
-  * bytes, IEEE float 4/8, fixed strings, object references, and vlen
+  * bytes, IEEE float 4/8, fixed strings, vlen strings in attributes
+  * (h5py writes every NetCDF-4 string attribute that way; the writer
+  * can emit them via `vlenStringAttrs`), object references, and vlen
   * sequences of references (DIMENSION_LIST). Metadata is
   * little-endian per the spec; dataset values honor the datatype's
   * byte-order bit.
@@ -325,6 +327,24 @@ object Hdf5 {
     b.result()
   }
 
+  private def dtVlenString: Array[Byte] = {
+    val b = new Buf
+    b.u8(0x19); b.u8(0x01); b.u8(0); b.u8(0) // vlen type 1 = string, nullterm
+    b.u32(16) // same descriptor as any vlen
+    b.bytes(dtString(1)) // base: 1-byte character
+    b.result()
+  }
+
+  /** A vlen-string attribute (what h5py writes for EVERY string attr):
+    * scalar dataspace, class-9 string datatype, the value living as
+    * global-heap object `idx`. */
+  private def vlenTextAttr(name: String, value: String, gheapAddr: Long,
+      idx: Int): (Int, Array[Byte]) = {
+    val b = new Buf
+    b.u32(value.getBytes("UTF-8").length); b.u64(gheapAddr); b.u32(idx)
+    (0x000C, attrBody(name, dtVlenString, dsScalar, b.result()))
+  }
+
   private def dsSimple(dims: Seq[Long]): Array[Byte] = {
     val b = new Buf
     b.u8(1); b.u8(dims.length); b.u8(0); b.zeros(5)
@@ -481,7 +501,8 @@ object Hdf5 {
     * compression — instead of contiguous. */
   def write(path: String, dims: Seq[Dim], globalAttrs: Seq[(String, String)],
       vars: Seq[Var], chunkDeflate: Boolean = false,
-      denseGroups: Boolean = false, denseAttrs: Boolean = false): Unit = {
+      denseGroups: Boolean = false, denseAttrs: Boolean = false,
+      vlenStringAttrs: Boolean = false): Unit = {
     vars.foreach { v =>
       val n = v.dimIds.map(dims(_).size.toLong).product
       require(v.data.length == n, s"${v.name}: ${v.data.length} values for $n cells")
@@ -529,7 +550,18 @@ object Hdf5 {
       }.toMap
 
     // ---- pass 1: serialize headers with dummy addresses to get sizes
-    val needGheap = dataDs.exists(_.v.dimIds.nonEmpty)
+    // vlen-string attr heap indices: the DIMENSION_LIST refs first
+    // (1..refCount), then every variable's text attrs in `all` order,
+    // then the global attrs — GCOL emission below follows the same
+    // order so index assignment is closed-form
+    val refCount = dataDs.map(_.v.dimIds.length).sum
+    def vsBase(d: Ds): Int =
+      refCount + all.takeWhile(_ ne d).map(_.v.attrs.length).sum
+    val vsGlobalBase = refCount + all.map(_.v.attrs.length).sum
+    val vsStrings: Seq[String] =
+      if (!vlenStringAttrs) Nil
+      else all.flatMap(_.v.attrs.map(_._2)) ++ globalAttrs.map(_._2)
+    val needGheap = dataDs.exists(_.v.dimIds.nonEmpty) || vsStrings.nonEmpty
     def dsHeader(d: Ds, dataAddr: Long, gheapAddr: Long): Array[Byte] = {
       val shape = d.v.dimIds.map(dims(_).size.toLong)
       val msgs = ArrayBuffer.empty[(Int, Array[Byte])]
@@ -573,7 +605,12 @@ object Hdf5 {
         msgs += ((0x000C, attrBody("DIMENSION_LIST", dtVlenRefSeq,
           dsSimple(Seq(d.v.dimIds.length.toLong)), data.result())))
       }
-      d.v.attrs.foreach { case (k, v2) => msgs += textAttr(k, v2) }
+      if (vlenStringAttrs) {
+        val base = vsBase(d)
+        d.v.attrs.zipWithIndex.foreach { case ((k, v2), j) =>
+          msgs += vlenTextAttr(k, v2, gheapAddr, base + j + 1)
+        }
+      } else d.v.attrs.foreach { case (k, v2) => msgs += textAttr(k, v2) }
       d.v.numAttrs.foreach { case (k, v2) =>
         msgs += numericAttr(k, v2, d.v.ncType)
       }
@@ -594,13 +631,16 @@ object Hdf5 {
     def attrInfoBody(fh: Long, bt: Long): Array[Byte] = {
       val b = new Buf; b.u8(0); b.u8(0); b.u64(fh); b.u64(bt); b.result()
     }
-    def rootAttrMsgs(fh: Long, bt: Long): Seq[(Int, Array[Byte])] =
+    def rootAttrMsgs(fh: Long, bt: Long, gheap: Long): Seq[(Int, Array[Byte])] =
       if (denseAttrs) Seq((0x0015, attrInfoBody(fh, bt)))
+      else if (vlenStringAttrs) globalAttrs.zipWithIndex.map {
+        case ((k, v), j) => vlenTextAttr(k, v, gheap, vsGlobalBase + j + 1)
+      }
       else globalAttrs.map { case (k, v) => textAttr(k, v) }
     val rootHeader0 = objectHeader(
       (if (denseGroups) ((0x0002, linkInfoBody(0L, 0L)))
        else ((0x0011, { val b = new Buf; b.u64(0L); b.u64(0L); b.result() }))) +:
-        rootAttrMsgs(0L, 0L))
+        rootAttrMsgs(0L, 0L, 0L))
     val headerSizes = all.map(d => dsHeader(d, 0L, 0L).length)
 
     // ---- layout (classic):  superblock | root hdr | heap hdr | heap
@@ -634,9 +674,13 @@ object Hdf5 {
     // object), rounded up to a 4096-byte quantum — a fixed 4096 heap
     // silently shifts every later data address once a WRF-scale file
     // carries more than ~169 var→dim references.
-    val gheapRefs = dataDs.map(_.v.dimIds.length).sum
+    val gheapRefs = refCount
+    val vsBytes = vsStrings
+      .map(s => 16 + ((s.getBytes("UTF-8").length + 7) / 8) * 8).sum
     val gheapSize =
-      if (needGheap) ((16 + 24 * gheapRefs + 16 + 4095) / 4096) * 4096 else 0
+      if (needGheap)
+        ((16 + 24 * gheapRefs + vsBytes + 16 + 4095) / 4096) * 4096
+      else 0
 
     // ---- dense-mode structures (fractal heap + v2 name-index btree),
     // sized before data so data addresses follow them. Link/attribute
@@ -666,7 +710,11 @@ object Hdf5 {
     // as dense links, holding whole attribute-message BODIES as heap
     // objects and 17-byte type-8 records (8-byte heap id + msg flags +
     // creation order + name hash) in the name-index btree
-    val attrBodies = globalAttrs.map { case (k, v) => textAttr(k, v)._2 }
+    val attrBodies =
+      if (vlenStringAttrs) globalAttrs.zipWithIndex.map { case ((k, v), j) =>
+        vlenTextAttr(k, v, gheapAddr, vsGlobalBase + j + 1)._2
+      }
+      else globalAttrs.map { case (k, v) => textAttr(k, v)._2 }
     val attrNameBytes = globalAttrs.map(_._1.getBytes("UTF-8"))
     val aHeap = if (denseAttrs)
       planWriterHeap(attrBodies.map(_.length), "dense attributes")
@@ -710,7 +758,7 @@ object Hdf5 {
       (if (denseGroups) ((0x0002, linkInfoBody(fheapAddr, bthdAddr)))
        else ((0x0011, { val b = new Buf
          b.u64(btreeAddr); b.u64(heapHdrAddr); b.result() }))) +:
-        rootAttrMsgs(aFheapAddr, aBthdAddr)))
+        rootAttrMsgs(aFheapAddr, aBthdAddr, gheapAddr)))
 
     if (!denseGroups) {
       out.bytes("HEAP".getBytes("US-ASCII")); out.u8(0); out.zeros(3)
@@ -746,6 +794,13 @@ object Hdf5 {
           g.u64(addrOf(dims(dimId).name)) // one object reference
         }
       }
+      // vlen-string attr payloads, same order the index assignment used
+      vsStrings.foreach { s =>
+        idx += 1
+        val bytes = s.getBytes("UTF-8")
+        g.u16(idx); g.u16(1); g.u32(0); g.u64(bytes.length.toLong)
+        g.bytes(bytes); g.padTo8()
+      }
       // free-space object (index 0): size includes its own 16-byte header
       require(g.out.length + 16 <= gheapSize,
         s"global heap overflow: ${g.out.length + 16} > $gheapSize bytes")
@@ -780,7 +835,11 @@ object Hdf5 {
       fr.u64(0L); fr.u64(0L); fr.u64(0L); fr.u64(0L) // huge/tiny sizes+counts
       fr.u16(4) // table width
       fr.u64(plan.startBlock); fr.u64(65536L) // start / max direct block
-      fr.u16(32); fr.u16(1) // max heap bits, starting rows
+      fr.u16(32) // max heap bits
+      // starting rows in the root indirect block: a creation hint, but
+      // libhdf5 validates header geometry — a multi-block heap whose
+      // root ALREADY holds curRows rows must not claim it started at 1
+      fr.u16(if (plan.multi) plan.curRows else 1)
       fr.u64(rootBlock); fr.u16(plan.curRows) // root block addr, rows
       checksummed(fr)
     }
@@ -1016,8 +1075,10 @@ object Hdf5 {
     (r, rootAddr)
   }
 
+  /** `vlenType` is the class-9 sub-type from the bit field (0 =
+    * sequence, 1 = string), -1 for non-vlen classes. */
   private[io] case class Dtype(clazz: Int, size: Int, littleEndian: Boolean,
-    base: Option[Dtype])
+    base: Option[Dtype], vlenType: Int = -1)
 
   /** Dataset METADATA — everything needed to decode data later via
     * ranged reads (the Parquet-footer analogue). Exactly one of
@@ -1059,7 +1120,7 @@ object Hdf5 {
         None
     }
     val _ = (cv, start)
-    Dtype(clazz, size, le, base)
+    Dtype(clazz, size, le, base, if (clazz == 9) bits0 & 0x0f else -1)
   }
 
   private def parseDataspace(b: ByteBuffer): Seq[Long] = {
@@ -1212,6 +1273,38 @@ object Hdf5 {
     Attr(cstr(nb), dt, shape, b.duplicate().order(ByteOrder.LITTLE_ENDIAN))
   }
 
+  /** Payload of global-heap object `idx` in the GCOL at `gaddr`, as a
+    * buffer whose remaining() is exactly the object size. The walk is
+    * bounded by the collection's declared size, so a crafted file
+    * cannot spin past the heap or claim an object beyond it. */
+  private def globalHeapObject(r: R, gaddr: Long, idx: Int): ByteBuffer = {
+    require(idx >= 1, s"global heap index $idx")
+    val g = r.at(gaddr)
+    val sig = new Array[Byte](4); g.get(sig)
+    require(new String(sig, "US-ASCII") == "GCOL", "bad global heap")
+    g.get(); g.position(g.position() + 3)
+    val collSize = r.length(g) // includes the 16-byte collection header
+    val end = math.min(g.position() - 16L + collSize, g.limit().toLong)
+    while (g.position() + 16 <= end) {
+      val oIdx = g.getShort & 0xffff
+      g.getShort; g.getInt
+      val oSize = r.length(g)
+      require(oIdx != 0 || oSize >= 0, "bad global heap free object")
+      if (oIdx == 0) { // free-space object terminates the walk
+        throw new IllegalArgumentException(s"global heap object $idx not found")
+      }
+      require(oSize >= 0 && g.position() + oSize <= end,
+        s"global heap object $oIdx of $oSize bytes overruns the collection")
+      if (oIdx == idx) {
+        val d = g.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+        d.limit(d.position() + oSize.toInt)
+        return d
+      }
+      g.position(g.position() + ((oSize + 7) & ~7L).toInt)
+    }
+    throw new IllegalArgumentException(s"global heap object $idx not found")
+  }
+
   /** Read one vlen-of-object-reference attribute value (DIMENSION_LIST):
     * per element, the first reference of its sequence. */
   private def readVlenRefs(r: R, a: Attr): Seq[Long] = {
@@ -1222,24 +1315,35 @@ object Hdf5 {
       val gaddr = r.offset(b)
       val idx = b.getInt
       require(len >= 1, "empty DIMENSION_LIST entry")
-      val g = r.at(gaddr)
-      val sig = new Array[Byte](4); g.get(sig)
-      require(new String(sig, "US-ASCII") == "GCOL", "bad global heap")
-      g.get(); g.position(g.position() + 3)
-      r.length(g) // collection size
-      var found = Undef
-      var continue = true
-      while (continue) {
-        val oIdx = g.getShort & 0xffff
-        g.getShort; g.getInt
-        val oSize = r.length(g)
-        if (oIdx == 0) { continue = false }
-        else if (oIdx == idx) { found = r.offset(g); continue = false }
-        else g.position(g.position() + ((oSize + 7) & ~7L).toInt)
-      }
-      require(found != Undef, s"global heap object $idx not found")
-      found
+      val obj = globalHeapObject(r, gaddr, idx)
+      require(obj.remaining() >= 8, "DIMENSION_LIST heap object too small")
+      r.offset(obj)
     }
+  }
+
+  /** Read a vlen-STRING attribute value (h5py and some netcdf-c paths
+    * write ALL NetCDF-4 string attributes this way): per element a
+    * (length, global-heap address, index) descriptor whose heap object
+    * holds the character payload. Multi-element values join with ", "
+    * — the in-memory attr model is string-valued, and CF text
+    * attributes are scalars in practice. */
+  private def readVlenStrings(r: R, a: Attr): String = {
+    val n = a.shape.product.toInt max 1
+    val b = a.data
+    (0 until n).map { _ =>
+      val len = b.getInt
+      val gaddr = r.offset(b)
+      val idx = b.getInt
+      if (len == 0 || gaddr == Undef) "" // h5py's empty / null string
+      else {
+        val obj = globalHeapObject(r, gaddr, idx)
+        require(len <= obj.remaining(),
+          s"vlen string of $len chars in a ${obj.remaining()}-byte heap object")
+        val bytes = new Array[Byte](len)
+        obj.get(bytes)
+        new String(bytes, "UTF-8")
+      }
+    }.mkString(", ")
   }
 
   // -------------------- dense (fractal-heap) group link storage -----
@@ -1888,6 +1992,8 @@ object Hdf5 {
                 case 8 => a.data.getDouble
                 case _ => a.data.getFloat.toDouble
               }
+            case 9 if a.dtype.vlenType == 1 =>
+              tattrs += ((a.name, readVlenStrings(r, a)))
             case 9 if a.name == "DIMENSION_LIST" =>
               dimRefs = readVlenRefs(r, a)
             case _ => () // REFERENCE_LIST and friends: ignore
@@ -1908,6 +2014,8 @@ object Hdf5 {
               (a.shape.product.toInt max 1) * a.dtype.size)
             a.data.get(bytes)
             gattrs += ((a.name, cstr(bytes)))
+          } else if (a.dtype.clazz == 9 && a.dtype.vlenType == 1) {
+            gattrs += ((a.name, readVlenStrings(r, a)))
           }
         case _ => ()
       }

@@ -397,7 +397,7 @@ object Dedup {
     * lowercase hex, so the STRING min is the numeric min and DuckDB's
     * binary-collation `min` agrees bit for bit), and each band hash is
     * the md5 of the f-ordered component concat. The engine's candidate
-    * path keeps murmur3 ([[minhashBanded]]); the guard only reads the
+    * path keeps murmur3 ([[minhashBandedHashed]]); the guard only reads the
     * bucket-size DISTRIBUTION, which is statistically equivalent under
     * any sound hash family, so making the declared `dedup_lsh_guard`
     * query portable costs nothing it measures. The signature is one
@@ -440,57 +440,41 @@ object Dedup {
     * the map side. Defaults k=32, bands=16 (rows=2): detection odds
     * 1−(1−j²)^16 — at j≥0.9 miss probability ~3e−12, while unrelated
     * pairs (j≈0.01) bucket together with p≈0.0016. */
-  /** Banded candidate pairs from a prepared (id, sh) shingle frame —
-    * the shared core of [[minhashCandidates]] and [[minhashNearDups]]. */
-  private[graft] def minhashCandidatesFromSets(sets: DataFrame, k: Int, bands: Int,
-      maxBucket: Int): DataFrame =
-    pairsFromBuckets(minhashBanded(sets, k, bands),
-      Seq("band", "band_hash"), maxBucket)
-
-  /** [[minhashCandidatesFromSets]] over a PRE-HASHED (id, shh) frame —
-    * the near-dup pipeline's form, where `shh` is
-    * [[hashedShingles]]'s sorted long array. */
+  /** Banded candidate pairs from a PRE-HASHED (id, shh) frame, where
+    * `shh` is [[hashedShingles]]'s sorted long array — the shared core
+    * of [[minhashCandidates]] and [[minhashNearDups]] (both on the
+    * hashed [[graft.expressions.MinHashSigLong]] family since r13/r14;
+    * the string family stays available via [[minhashFromShingles]]). */
   private[graft] def minhashCandidatesFromHashedSets(sets: DataFrame, k: Int,
       bands: Int, maxBucket: Int): DataFrame =
     pairsFromBuckets(minhashBandedHashed(sets, k, bands),
       Seq("band", "band_hash"), maxBucket)
 
-  /** (id, band, band_hash) LSH membership rows from a prepared (id, sh)
-    * shingle frame — shared by candidate generation and the guard
-    * report so both see the identical bucketing. */
-  private def minhashBanded(sets: DataFrame, k: Int, bands: Int): DataFrame = {
+  /** (id, band, band_hash) LSH membership rows from a PRE-HASHED
+    * (id, shh) frame: band_hash = murmur3 of the band's signature
+    * slice (seed 9999), signature and banding fused into one compiled
+    * pass ([[graft.expressions.MinHashBandHashesLong]], spec-pinned to
+    * the two-step `minhashFromHashes` + slice-hash form it replaced —
+    * the r14 near-dup profile put the two-step form's interpreted
+    * per-band lambdas and boxed signature arrays at the top of the
+    * 10M-doc pipeline's compute). */
+  private[graft] def minhashBandedHashed(sets: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0,
       s"minhash signature length k=$k must be divisible by bands=$bands " +
         "or trailing components would be silently excluded from banding")
-    val rows = k / bands
-    val sig = sets.select(col("id"), minhashFromShingles(col("sh"), k).as("sig"))
-    sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rows + 1, lit(rows)), lit(9999)))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-  }
-
-  /** [[minhashBanded]] over a PRE-HASHED (id, shh) frame: same banding
-    * (band_hash = murmur3 of the band's signature slice, seed 9999),
-    * signature from [[minhashFromHashes]]. */
-  private def minhashBandedHashed(sets: DataFrame, k: Int, bands: Int): DataFrame = {
-    require(k % bands == 0,
-      s"minhash signature length k=$k must be divisible by bands=$bands " +
-        "or trailing components would be silently excluded from banding")
-    val rows = k / bands
-    val sig = sets.select(col("id"), minhashFromHashes(col("shh"), k).as("sig"))
-    sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rows + 1, lit(rows)), lit(9999)))))
+    import org.apache.spark.sql.graftbridge.Bridge
+    val bh = Bridge.column(graft.expressions.MinHashBandHashesLong(
+      Bridge.expression(col("shh")), k, bands))
+    sets.select(col("id"), posexplode(bh))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
   }
 
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 16,
       maxBucket: Int = 64): DataFrame =
-    minhashCandidatesFromSets(
+    minhashCandidatesFromHashedSets(
       df.select(col(idCol).cast("long").as("id"),
-        shingles(col(textCol), shingleN).as("sh")), k, bands, maxBucket)
+        hashedShingles(col(textCol), shingleN).as("shh")), k, bands, maxBucket)
 
   /** The composed near-dup pipeline: MinHash-LSH candidates + exact
     * Jaccard refine — candidates ⊇ all true pairs (w.h.p., see
@@ -555,6 +539,14 @@ object Dedup {
     * as-is — no per-side re-hash. */
   private[graft] def refineJaccardHashed(cand: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame = {
+    // Deliberately UN-hinted (sort-merge): a SHUFFLE_HASH hint on the
+    // sets side measured ~10% faster at 2M docs but DIED at 10M —
+    // ShuffledHashJoin's build-side hash relation cannot spill, and 32
+    // concurrent ~70 MB builds exhaust execution memory ("Can't
+    // acquire ... bytes to build hash relation", r14 A/B). SMJ's sorts
+    // spill; at 100 TB the unspillable build is the scale killer, the
+    // sort is just a cost. Broadcast is out for the same reason (sets
+    // grows with the corpus).
     val a = sets.select(col("id").as("id_a"), col("shh").as("sh_a"))
     val b = sets.select(col("id").as("id_b"), col("shh").as("sh_b"))
     cand.join(a, "id_a").join(b, "id_b")
@@ -564,7 +556,7 @@ object Dedup {
   }
 
   /** Banded band-hash array of a k-row signature — same family/seed as
-    * [[minhashCandidatesFromSets]]'s bucketing, kept as an array so a
+    * [[minhashCandidatesFromHashedSets]]'s bucketing, kept as an array so a
     * joined pair can locate its FIRST colliding band in-row. */
   private def bandHashes(sig: Column, bands: Int, rows: Int): Column =
     array((0 until bands).map { b =>

@@ -29,8 +29,9 @@ object NearDupProfile {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    // same corpus as Prep10M after exact dedup: 9M survivors
-    val docsN = 10000000L
+    // same corpus as Prep10M after exact dedup: 9M survivors (docs
+    // overridable for fast iteration on the substage numbers)
+    val docsN = sys.env.getOrElse("SPARK_GRAFT_DOCS", "10000000").toLong
     val survivors = CliqueCorpus.docs(
       spark.range(docsN).filter(col("id") % 10 =!= 9).toDF("id"))
 
@@ -41,6 +42,19 @@ object NearDupProfile {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (nSets, tSets) = timed(sets.count())
 
+    // ---- candidate SUBSTAGES, each a fresh action over the cached
+    // sets (so every number re-pays signature+explode — deltas between
+    // them isolate the shuffle / guard / join / distinct increments)
+    // (a) signature + band explode alone: no shuffle, pure compute
+    val banded = Dedup.minhashBandedHashed(sets, 32, 16)
+    val (nBanded, tBanded) = timed(banded.count())
+    // (b) + the bucket-size window guard (shuffle + sort + filter)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
+    val guarded = banded.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") >= 2 && col("__n") <= 64).drop("__n")
+    val (nGuarded, tGuarded) = timed(guarded.count())
+
     // candidates generated FROM THE PERSISTED SETS (the code-review
     // catch: minhashCandidates(survivors,...) would rebuild shingles
     // from raw text, double-counting the cost sets_sec already timed
@@ -50,12 +64,19 @@ object NearDupProfile {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (nCand, tCand) = timed(cand.count())
 
-    val (nRefined, tRefine) = timed {
-      Dedup.refineJaccardHashed(cand, sets, 0.5).count()
-    }
+    // refine timed as best-of-N in THIS JVM: single trials on this box
+    // spread 2-4x under neighbor contention (r14: untouched stages
+    // moved 40%+ between back-to-back runs), and join-strategy A/Bs
+    // need same-box-state minimums to mean anything
+    val refineTrials = sys.env.getOrElse("SPARK_GRAFT_REFINE_TRIALS", "3").toInt
+    val (nRefined, tRefine) = (1 to refineTrials).map { _ =>
+      timed(Dedup.refineJaccardHashed(cand, sets, 0.5).count())
+    }.minBy(_._2)
 
-    println(s"""{"metric":"neardup_profile","sets":$nSets,""" +
-      s""""sets_sec":$tSets,"cand":$nCand,"cand_sec":$tCand,""" +
+    println(s"""{"metric":"neardup_profile","docs":$docsN,"sets":$nSets,""" +
+      s""""sets_sec":$tSets,"banded":$nBanded,"banded_sec":$tBanded,""" +
+      s""""guarded":$nGuarded,"guarded_sec":$tGuarded,""" +
+      s""""cand":$nCand,"cand_sec":$tCand,""" +
       s""""refined":$nRefined,"refine_sec":$tRefine}""")
     spark.stop()
   }

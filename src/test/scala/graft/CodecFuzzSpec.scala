@@ -107,6 +107,16 @@ class CodecFuzzSpec extends AnyFunSuite {
       Hdf5.read)
   }
 
+  test("HDF5 with vlen-string attrs survives 300 hostile mutations") {
+    // mutations hit the vlen descriptors and the GCOL string payloads:
+    // the reader must reject or decode, never overrun the collection
+    // or loop past a corrupted free-space object
+    runFileFuzz("h5v",
+      ncBase((p, d, v) => Hdf5.write(p, d, Seq("title" -> "fuzz"), v,
+        vlenStringAttrs = true)),
+      Hdf5.read)
+  }
+
   test("SQLite survives 300 hostile mutations") {
     val dir = java.nio.file.Files.createTempDirectory("fuzzbase_db")
     val p = dir.resolve("base.db").toString

@@ -199,6 +199,31 @@ class DedupSpec extends SparkSpec {
     assert(rows.length === docs.length + 3)
   }
 
+  test("MinHashBandHashesLong matches the two-step sig + slice-hash banding bit for bit") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.Bridge
+    val (k, bands) = (32, 16)
+    val rowsPerBand = k / bands
+    val df = (docs.map { case (i, t) => (i, Option(t)) } ++
+        Seq(8L -> Some(""), 9L -> Some("one two three"), 10L -> None))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Dedup.hashedShingles($"text", 3).as("shh"))
+    // the banding the fused expression replaced, stated as Columns:
+    // sig from MinHashSigLong, band b = hash(slice(sig, b*rows+1, rows), 9999)
+    val sig = Dedup.minhashFromHashes($"shh", k)
+    val ref = array((0 until bands).map { b =>
+      hash(slice(sig, b * rowsPerBand + 1, rowsPerBand), lit(9999))
+    }: _*)
+    val fused = Bridge.column(graft.expressions.MinHashBandHashesLong(
+      Bridge.expression($"shh"), k, bands))
+    val out = df.select($"doc_id", fused.as("fast"), ref.as("ref")).collect()
+    out.foreach { r =>
+      assert(r.getSeq[Int](1) === r.getSeq[Int](2),
+        s"band-hash mismatch for doc ${r.getLong(0)}")
+    }
+    assert(out.length === docs.length + 3)
+  }
+
   test("Md5MinHashSig matches the substring(md5(tok:block)) HOF formulation") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graftbridge.Bridge

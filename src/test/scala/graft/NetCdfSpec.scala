@@ -281,6 +281,52 @@ class NetCdfSpec extends AnyFunSuite {
       Seq(3f, 4f))
   }
 
+  test("vlen-string attributes read back (h5py's string-attr encoding)") {
+    // h5py writes EVERY NetCDF-4 string attribute as a vlen string —
+    // a (len, global-heap addr, index) descriptor whose payload lives
+    // in a GCOL — not as the fixed string libnetcdf emits. Both the
+    // variable and the root-group attr paths must resolve them.
+    val path = tmp("vlen.h5")
+    val dims = Seq(Dim("t", 2), Dim("x", 3))
+    val vars = Seq(
+      Var("t", Seq(0), NcDouble, Nil, Array(0.0, 1.0)),
+      Var("temp", Seq(0, 1), NcFloat,
+        Seq("units" -> "K", "long_name" -> "air temperature — 2 m"),
+        Array.tabulate(6)(_ * 0.5f)))
+    graft.io.Hdf5.write(path, dims,
+      Seq("title" -> "vlen attrs", "history" -> "written by graft",
+        "comment" -> ""),
+      vars, vlenStringAttrs = true)
+    val nc = NetCdf.read(path)
+    assert(nc.globalAttrs == Seq("title" -> "vlen attrs",
+      "history" -> "written by graft", "comment" -> ""))
+    // UTF-8 beyond ASCII survives (the em dash is 3 bytes)
+    assert(nc.variable("temp").attrs == Seq("units" -> "K",
+      "long_name" -> "air temperature — 2 m"))
+    assert(nc.variable("temp").data.asInstanceOf[Array[Float]].toSeq ==
+      (0 until 6).map(_ * 0.5f))
+    // DIMENSION_LIST refs share the heap with the strings: dims intact
+    assert(nc.dims == dims)
+  }
+
+  test("vlen-string attrs compose with chunked data and dense storage") {
+    val path = tmp("vlen_dense.h5")
+    val dims = Seq(Dim("t", 2), Dim("x", 3))
+    val vars = Seq(
+      Var("t", Seq(0), NcDouble, Nil, Array(0.0, 1.0)),
+      Var("temp", Seq(0, 1), NcFloat, Seq("units" -> "K"),
+        Array.tabulate(6)(_ * 1.5f)))
+    graft.io.Hdf5.write(path, dims, Seq("title" -> "vd", "src" -> "graft"),
+      vars, chunkDeflate = true, denseGroups = true, denseAttrs = true,
+      vlenStringAttrs = true)
+    val nc = NetCdf.read(path)
+    assert(nc.globalAttrs.toMap ==
+      Map("title" -> "vd", "src" -> "graft"))
+    assert(nc.variable("temp").attrs == Seq("units" -> "K"))
+    assert(nc.variable("temp").data.asInstanceOf[Array[Float]].toSeq ==
+      (0 until 6).map(_ * 1.5f))
+  }
+
   test("CF mask-and-scale: packed short variable decodes like xarray") {
     // int16 temperature packed with scale/offset and a fill sentinel —
     // the layout real HadUK/WRF-derived files use; xarray's
