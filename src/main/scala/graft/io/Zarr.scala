@@ -169,6 +169,75 @@ object Zarr {
     case other => throw new IllegalArgumentException(s"nc_type $other")
   }
 
+  /** Write a Zarr v3 group: `zarr.json` metadata, default chunk-key
+    * encoding (`c/`-prefixed, `/`-separated keys), `dimension_names`,
+    * and a bytes+zstd codec chain — the store shape zarr-python 3
+    * (and therefore current xarray `to_zarr`) emits by default.
+    * Chunking as [[write]]: runs of `chunk0` along the first axis. */
+  def write3(dir: String, dims: Seq[Dim], globalAttrs: Seq[(String, String)],
+      vars: Seq[Var], codec: String = "zstd", chunk0: Int = 0): Unit = {
+    require(codec == "zstd" || codec == "raw",
+      s"unsupported zarr v3 write codec '$codec' (zstd or raw)")
+    val root = Paths.get(dir)
+    Files.createDirectories(root)
+    val gattrs = globalAttrs.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ", ", "}")
+    Files.write(root.resolve("zarr.json"),
+      (s"""{"zarr_format": 3, "node_type": "group", """ +
+        s""""attributes": $gattrs}""").getBytes("UTF-8"))
+    vars.foreach { v =>
+      val shape = v.dimIds.map(dims(_).size)
+      require(shape.product == v.data.length,
+        s"${v.name}: data length ${v.data.length} != shape ${shape.mkString("x")}")
+      val c0 = if (chunk0 <= 0 || shape.isEmpty) shape.headOption.getOrElse(1)
+        else math.min(chunk0, shape.head)
+      val chunks = if (shape.isEmpty) Seq(1) else c0 +: shape.tail
+      val shapeOut = if (shape.isEmpty) Seq(1) else shape
+      val vdir = root.resolve(v.name)
+      Files.createDirectories(vdir)
+      val codecsJson =
+        if (codec == "zstd")
+          """[{"name": "bytes", "configuration": {"endian": "little"}}, """ +
+            """{"name": "zstd", "configuration": {"level": 3, "checksum": false}}]"""
+        else """[{"name": "bytes", "configuration": {"endian": "little"}}]"""
+      val dimNames = v.dimIds.map(dims(_).name)
+      val va = (v.attrs.map { case (k, s) => (k, q(s)) } ++
+        v.numAttrs.map { case (k, d) =>
+          require(!d.isNaN && !d.isInfinite,
+            s"${v.name}.$k: non-finite numeric attribute has no JSON spelling")
+          (k, d.toString)
+        }).map { case (k, j) => s"${q(k)}: $j" }.mkString("{", ", ", "}")
+      val zj =
+        s"""{"zarr_format": 3, "node_type": "array", """ +
+          s""""shape": [${shapeOut.mkString(", ")}], """ +
+          s""""data_type": ${q(v3DtypeOf(v.ncType))}, """ +
+          s""""chunk_grid": {"name": "regular", "configuration": """ +
+          s"""{"chunk_shape": [${chunks.mkString(", ")}]}}, """ +
+          s""""chunk_key_encoding": {"name": "default", "configuration": """ +
+          s"""{"separator": "/"}}, "fill_value": 0, "codecs": $codecsJson, """ +
+          s""""dimension_names": [${dimNames.map(q).mkString(", ")}], """ +
+          s""""attributes": $va}"""
+      Files.write(vdir.resolve("zarr.json"), zj.getBytes("UTF-8"))
+      val rowElems = shapeOut.tail.product.max(1)
+      val elemSize = NetCdf.typeSize(v.ncType)
+      val nChunks0 = (shapeOut.head + chunks.head - 1) / chunks.head
+      for (ci <- 0 until nChunks0) {
+        val buf = ByteBuffer.allocate(chunks.head * rowElems * elemSize)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        val from = ci * chunks.head * rowElems
+        val live = math.min(chunks.head, shapeOut.head - ci * chunks.head)
+        encode(v.data, from, live * rowElems, v.ncType, buf)
+        val key = ("c" +: (ci.toString +: shapeOut.tail.map(_ => "0")))
+          .mkString("/")
+        val p = vdir.resolve(key)
+        Files.createDirectories(p.getParent)
+        Files.write(p,
+          if (codec == "zstd") com.github.luben.zstd.Zstd.compress(buf.array(), 3)
+          else buf.array())
+      }
+    }
+  }
+
   private def deflate(raw: Array[Byte]): Array[Byte] = {
     val d = new Deflater(1)
     d.setInput(raw); d.finish()
@@ -204,13 +273,22 @@ object Zarr {
   // ------------------------------------------------------------ reader
 
   /** Planning metadata for one variable: everything a distributed scan
-    * needs to enumerate + prune chunks without touching chunk data. */
+    * needs to enumerate + prune chunks without touching chunk data.
+    * `keySep`/`keyPrefixC` carry the chunk-key encoding: v2 stores name
+    * chunks `i.j.k`; v3's default encoding prefixes `c` and separates
+    * with `/` (nested directories) or `.`. */
   final case class ArrayMeta(name: String, dimNames: Seq[String],
       shape: Seq[Int], chunks: Seq[Int], ncType: Int, codec: String,
       attrs: Seq[(String, String)], fill: Double = 0.0,
-      numAttrs: Seq[(String, Double)] = Nil) {
+      numAttrs: Seq[(String, Double)] = Nil,
+      keySep: String = ".", keyPrefixC: Boolean = false) {
     def nChunks: Seq[Int] =
       shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+    /** Store-relative chunk key for per-axis indices `idx`. */
+    def chunkKey(idx: Seq[Int]): String =
+      if (keyPrefixC) ("c" +: idx.map(_.toString)).mkString(keySep)
+      else if (idx.isEmpty) "0"
+      else idx.mkString(keySep)
   }
 
   final case class Meta(globalAttrs: Seq[(String, String)],
@@ -221,7 +299,8 @@ object Zarr {
 
   def isZarr(dir: String): Boolean =
     Files.isDirectory(Paths.get(dir)) &&
-      Files.exists(Paths.get(dir).resolve(".zgroup"))
+      (Files.exists(Paths.get(dir).resolve(".zgroup")) ||
+        Files.exists(Paths.get(dir).resolve("zarr.json")))
 
   private def readAttrs(p: Path): Seq[(String, String)] =
     if (!Files.exists(p)) Nil
@@ -233,8 +312,22 @@ object Zarr {
       }
     }
 
+  /** xarray moves the missing-value sentinel into the store-level
+    * fill_value (encoding) and drops _FillValue from the attributes —
+    * promote a non-default fill so PRESENT-chunk sentinels mask to NaN
+    * exactly as xarray's zarr backend does. 0 is the v2 spec default
+    * (and this writer's); NaN/Inf already read as missing-shaped
+    * doubles without promotion. Shared by the v2 and v3 parsers. */
+  private def promoteFill(fv: Double,
+      numAttrs: Seq[(String, Double)]): Seq[(String, Double)] =
+    if (fv != 0.0 && !fv.isNaN && !fv.isInfinite &&
+      !numAttrs.exists(a => a._1 == "_FillValue" || a._1 == "missing_value"))
+      numAttrs :+ ("_FillValue" -> fv)
+    else numAttrs
+
   def meta(dir: String): Meta = {
     val root = Paths.get(dir)
+    if (Files.exists(root.resolve("zarr.json"))) return metaV3(root)
     require(Files.exists(root.resolve(".zgroup")), s"$dir: not a zarr group")
     val globals = readAttrs(root.resolve(".zattrs"))
     val arrays = Files.list(root).iterator().asScala
@@ -299,19 +392,140 @@ object Zarr {
           case n => throw new IllegalArgumentException(
             s"$name: unsupported zarr fill_value $n")
         }
-        // xarray moves the missing-value sentinel into .zarray's
-        // fill_value (encoding) and drops _FillValue from .zattrs —
-        // promote a non-default fill so PRESENT-chunk sentinels mask
-        // to NaN exactly as xarray's zarr backend does. 0 is the spec
-        // default (and this writer's), NaN/Inf already read as
-        // missing-shaped doubles without promotion.
-        val numAttrs2 =
-          if (fv != 0.0 && !fv.isNaN && !fv.isInfinite &&
-            !numAttrs.exists(a => a._1 == "_FillValue" || a._1 == "missing_value"))
-            numAttrs :+ ("_FillValue" -> fv)
-          else numAttrs
         ArrayMeta(name, dimNames, shape, chunks,
-          ncTypeOf(za.get("dtype").asText()), codec, attrs, fv, numAttrs2)
+          ncTypeOf(za.get("dtype").asText()), codec, attrs, fv,
+          promoteFill(fv, numAttrs))
+      }
+    Meta(globals, arrays)
+  }
+
+  // ------------------------------------------------------------ v3
+
+  private def v3NcTypeOf(dt: String): Int = dt match {
+    case "float64" => NetCdf.NcDouble
+    case "float32" => NetCdf.NcFloat
+    case "int64" => NetCdf.NcInt64
+    case "int32" => NetCdf.NcInt
+    case "int16" => NetCdf.NcShort
+    case "int8" | "uint8" => NetCdf.NcByte
+    case other => throw new IllegalArgumentException(
+      s"unsupported zarr v3 data_type '$other'")
+  }
+
+  private def v3DtypeOf(ncType: Int): String = ncType match {
+    case NetCdf.NcDouble => "float64"
+    case NetCdf.NcFloat => "float32"
+    case NetCdf.NcInt64 => "int64"
+    case NetCdf.NcInt => "int32"
+    case NetCdf.NcShort => "int16"
+    case NetCdf.NcByte | NetCdf.NcChar => "int8"
+    case other => throw new IllegalArgumentException(s"nc_type $other")
+  }
+
+  private def v3Fill(name: String, n: JsonNode): Double = n match {
+    case null => 0.0
+    case x if x.isNull => 0.0
+    case x if x.isNumber => x.doubleValue()
+    case x if x.isTextual => x.asText() match {
+      case "NaN" => Double.NaN
+      case "Infinity" => Double.PositiveInfinity
+      case "-Infinity" => Double.NegativeInfinity
+      case o => throw new IllegalArgumentException(
+        s"$name: unsupported zarr v3 fill_value '$o'")
+    }
+    case x => throw new IllegalArgumentException(
+      s"$name: unsupported zarr v3 fill_value $x")
+  }
+
+  /** The codec chain this engine decodes: a little-endian `bytes`
+    * array→bytes codec, optionally followed by ONE bytes→bytes
+    * compressor (zstd — zarr-python 3's default — gzip, or blosc
+    * frames). Anything else (sharding, transpose, crc32c, big-endian)
+    * raises loudly rather than misreading. */
+  private def v3Codec(name: String, codecs: JsonNode): String = {
+    require(codecs != null && codecs.isArray && codecs.size() >= 1,
+      s"$name: zarr v3 array without a codecs chain")
+    val names = (0 until codecs.size()).map(i => codecs.get(i).get("name").asText())
+    require(names.head == "bytes",
+      s"$name: unsupported zarr v3 codec chain ${names.mkString("[", ",", "]")} " +
+        "(must start with 'bytes')")
+    val bytesCfg = codecs.get(0).get("configuration")
+    val endian = if (bytesCfg == null || bytesCfg.isNull) "little"
+      else Option(bytesCfg.get("endian")).map(_.asText()).getOrElse("little")
+    require(endian == "little", s"$name: big-endian zarr v3 bytes codec")
+    names.tail match {
+      case Seq() => ""
+      case Seq("zstd") => "zstd"
+      case Seq("gzip") => "gzip"
+      case Seq("blosc") => "blosc"
+      case rest => throw new IllegalArgumentException(
+        s"$name: unsupported zarr v3 codec chain bytes->" +
+          rest.mkString("->") + " (zstd, gzip, blosc or none)")
+    }
+  }
+
+  /** Zarr v3 group parse (`zarr.json` metadata, the format zarr-python
+    * 3 — and therefore current xarray `to_zarr` — writes by default):
+    * regular chunk grids, default or v2 chunk-key encodings,
+    * `dimension_names`, typed fill_value, attributes. Produces the
+    * same [[ArrayMeta]] the v2 parser does, so every downstream path —
+    * whole-store read, per-chunk distributed scan, CF decode — is
+    * version-agnostic. */
+  private def metaV3(root: Path): Meta = {
+    val rj = mapper.readTree(Files.readAllBytes(root.resolve("zarr.json")))
+    require(rj.get("zarr_format").asInt() == 3, "zarr.json with zarr_format != 3")
+    require(rj.get("node_type").asText() == "group",
+      s"${root.getFileName}: root zarr.json is not a group")
+    val globals = Option(rj.get("attributes")).filterNot(_.isNull)
+      .map(a => a.properties().asScala.toSeq.collect {
+        case e if e.getValue.isTextual => e.getKey -> e.getValue.asText()
+        case e if e.getValue.isNumber => e.getKey -> e.getValue.asText()
+      }).getOrElse(Nil)
+    val arrays = Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("zarr.json")))
+      .toSeq.sortBy(_.getFileName.toString)
+      .map { vdir =>
+        val name = vdir.getFileName.toString
+        val za = mapper.readTree(Files.readAllBytes(vdir.resolve("zarr.json")))
+        require(za.get("zarr_format").asInt() == 3,
+          s"$name: zarr_format != 3 inside a v3 store")
+        require(za.get("node_type").asText() == "array",
+          s"$name: nested groups not supported")
+        val shape = za.get("shape").elements().asScala.map(_.asInt()).toSeq
+        val grid = za.get("chunk_grid")
+        require(grid.get("name").asText() == "regular",
+          s"$name: non-regular chunk grid")
+        val chunks = grid.get("configuration").get("chunk_shape")
+          .elements().asScala.map(_.asInt()).toSeq
+        val (sep, prefixC) = Option(za.get("chunk_key_encoding"))
+          .filterNot(_.isNull) match {
+          case None => ("/", true) // spec default: "default" encoding
+          case Some(cke) =>
+            val cfg = Option(cke.get("configuration")).filterNot(_.isNull)
+            val s = cfg.flatMap(c => Option(c.get("separator")))
+              .map(_.asText())
+            cke.get("name").asText() match {
+              case "default" => (s.getOrElse("/"), true)
+              case "v2" => (s.getOrElse("."), false)
+              case o => throw new IllegalArgumentException(
+                s"$name: unsupported chunk_key_encoding '$o'")
+            }
+        }
+        val codec = v3Codec(name, za.get("codecs"))
+        val fv = v3Fill(name, za.get("fill_value"))
+        val attrsNode = Option(za.get("attributes")).filterNot(_.isNull)
+        val attrs = attrsNode.map(_.properties().asScala.toSeq.collect {
+          case e if e.getValue.isTextual => e.getKey -> e.getValue.asText()
+        }).getOrElse(Nil)
+        val numAttrs = attrsNode.map(_.properties().asScala.toSeq.collect {
+          case e if e.getValue.isNumber => e.getKey -> e.getValue.doubleValue()
+        }).getOrElse(Nil)
+        val dimNames = Option(za.get("dimension_names")).filterNot(_.isNull)
+          .map(_.elements().asScala.map(_.asText()).toSeq)
+          .getOrElse(shape.indices.map(i => s"${name}_dim$i"))
+        ArrayMeta(name, dimNames, shape, chunks,
+          v3NcTypeOf(za.get("data_type").asText()), codec, attrs, fv,
+          promoteFill(fv, numAttrs), sep, prefixC)
       }
     Meta(globals, arrays)
   }
@@ -322,7 +536,7 @@ object Zarr {
     * with the fill), as the spec stores them. */
   def readChunkDouble(dir: String, am: ArrayMeta, idx: Seq[Int]): Array[Double] = {
     require(idx.length == am.shape.length, s"rank mismatch $idx vs ${am.shape}")
-    val p = Paths.get(dir).resolve(am.name).resolve(idx.mkString("."))
+    val p = Paths.get(dir).resolve(am.name).resolve(am.chunkKey(idx))
     // overflow-checked: crafted .zarray chunk dims must reject, not
     // wrap to a negative/garbage allocation size
     // one chunk is the IO unit — cap it at 64M elements (512 MB of
@@ -343,6 +557,27 @@ object Zarr {
     val bytes = am.codec match {
       case "zlib" => inflate(Files.readAllBytes(p), rawLen)
       case "blosc" => Blosc.decompress(Files.readAllBytes(p), rawLen)
+      case "zstd" => // zarr-python 3's default compressor
+        val z = Files.readAllBytes(p)
+        val out = new Array[Byte](rawLen)
+        val n = com.github.luben.zstd.Zstd.decompressByteArray(
+          out, 0, rawLen, z, 0, z.length)
+        require(n == rawLen, s"${am.name}: zstd chunk yielded $n of $rawLen bytes")
+        out
+      case "gzip" =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(Files.readAllBytes(p)))
+        try {
+          val out = new Array[Byte](rawLen)
+          var off = 0
+          while (off < rawLen) {
+            val n = in.read(out, off, rawLen - off)
+            require(n > 0, s"${am.name}: truncated gzip chunk at $off of $rawLen")
+            off += n
+          }
+          require(in.read() == -1, s"${am.name}: gzip chunk larger than $rawLen")
+          out
+        } finally in.close()
       case _ => Files.readAllBytes(p)
     }
     require(bytes.length == rawLen,

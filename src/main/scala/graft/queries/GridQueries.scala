@@ -330,6 +330,11 @@ object GridQueries {
     * scan decode paths through real blosc frames. */
   val qZarrBloscRoundtrip: Q = zarrRoundtrip("blosc")
 
+  /** Same store in ZARR V3 (zarr.json metadata, c/-prefixed chunk
+    * keys, bytes+zstd codec chain — what zarr-python 3 and therefore
+    * current xarray `to_zarr` write by default). */
+  val qZarrV3Roundtrip: Q = zarrRoundtrip("v3")
+
   private def zarrRoundtrip(codec: String): Q = (spark, dir) => {
     import graft.io.{NetCdf, Zarr}
     val supp = Tables(spark, dir, "supplier")
@@ -347,7 +352,10 @@ object GridQueries {
       NetCdf.Var("lon", Seq(1), NetCdf.NcDouble, Seq("units" -> "degrees_east"),
         Array.tabulate(10)(_ * 2.0 + 1.0)),
       NetCdf.Var("pop_cents", Seq(0, 1), NetCdf.NcDouble, Nil, cents))
-    Zarr.write(tmp, dims, Seq("title" -> "graft regrid output"), vars,
+    if (codec == "v3")
+      Zarr.write3(tmp, dims, Seq("title" -> "graft regrid output"), vars,
+        codec = "zstd", chunk0 = 7)
+    else Zarr.write(tmp, dims, Seq("title" -> "graft regrid output"), vars,
       compress = true, chunk0 = 7, codec = codec)
     val nc = Zarr.read(tmp)
     val lat = nc.variable("lat").data.asInstanceOf[Array[Double]]
@@ -786,6 +794,7 @@ object GridQueries {
     "grid_netcdf4_roundtrip" -> qNetcdf4Roundtrip,
     "grid_zarr_roundtrip" -> qZarrRoundtrip,
     "grid_zarr_blosc" -> qZarrBloscRoundtrip,
+    "grid_zarr_v3" -> qZarrV3Roundtrip,
     "grid_pipeline_haduk" -> qGridPipelineHaduk,
     "grid_pipeline" -> qGridPipeline,
     "grid_pipeline_voronoi" -> qGridPipelineVoronoi,
@@ -809,6 +818,7 @@ object GridQueries {
     "grid_netcdf4_roundtrip" -> qNetcdfRoundtripSql,
     "grid_zarr_roundtrip" -> qNetcdfRoundtripSql,
     "grid_zarr_blosc" -> qNetcdfRoundtripSql,
+    "grid_zarr_v3" -> qNetcdfRoundtripSql,
     "grid_pipeline_haduk" -> qGridPipelineHadukSql,
     "grid_pipeline" -> qGridPipelineSql,
     "grid_pipeline_voronoi" -> qGridPipelineVoronoiSql,

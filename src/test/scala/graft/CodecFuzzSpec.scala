@@ -222,4 +222,35 @@ class CodecFuzzSpec extends AnyFunSuite {
     assert(decoded + rejected == 300)
     assert(rejected > 0, "zarr: no mutation was ever rejected?")
   }
+
+  test("Zarr v3 store survives 300 hostile mutations (zarr.json + zstd chunks)") {
+    val dir = java.nio.file.Files.createTempDirectory("fuzz_zarr3")
+    val p = dir.resolve("store").toString
+    val dims = Seq(NetCdf.Dim("t", 3), NetCdf.Dim("y", 4), NetCdf.Dim("x", 5))
+    val vars = Seq(NetCdf.Var("v", Seq(0, 1, 2), NetCdf.NcDouble, Nil,
+      Array.tabulate(60)(i => i / 3.0)))
+    Zarr.write3(p, dims, Nil, vars, chunk0 = 2)
+    val store = java.nio.file.Paths.get(p)
+    val targets = java.nio.file.Files.walk(store).iterator()
+    val files = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+    while (targets.hasNext) {
+      val f = targets.next()
+      if (java.nio.file.Files.isRegularFile(f)) files += f
+    }
+    var decoded = 0; var rejected = 0
+    for (i <- 0 until 300) {
+      val victim = files(rnd.nextInt(files.length))
+      val orig = java.nio.file.Files.readAllBytes(victim)
+      val mutated =
+        if (orig.length == 0) Array.fill(8)(rnd.nextInt(256).toByte)
+        else if (i % 4 == 3) orig.take(rnd.nextInt(orig.length))
+        else mutate(orig, 1 + rnd.nextInt(6))
+      java.nio.file.Files.write(victim, mutated)
+      try { Zarr.read(p); decoded += 1 }
+      catch { case scala.util.control.NonFatal(_) => rejected += 1 }
+      finally java.nio.file.Files.write(victim, orig) // restore
+    }
+    assert(decoded + rejected == 300)
+    assert(rejected > 0, "zarr v3: no mutation was ever rejected?")
+  }
 }

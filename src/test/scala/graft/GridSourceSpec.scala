@@ -148,6 +148,17 @@ class GridSourceSpec extends SparkSpec {
     val desc = z.filter($"y" >= 2 && $"y" <= 4).queryExecution
       .executedPlan.toString
     assert(desc.contains("GreaterThanOrEqual(y,2)"), "zarr pushdown missing")
+
+    // same scan over the ZARR V3 form of the store (zarr.json, c/-keys,
+    // bytes+zstd): identical rows, identical slab pruning
+    val z3Path = dir.resolve("t2_v3.zarr").toString
+    Zarr.write3(z3Path, dims, Nil, vars, chunk0 = 5)
+    val z3 = spark.read.format("graft.sources.GridSource").load(z3Path)
+    val got3 = z3.select("time", "y", "x", "lat", "lon", "value")
+      .as[(java.sql.Timestamp, Int, Int, Double, Double, Double)].collect().toSet
+    assert(got3 == want, "zarr v3 scan diverges from the .ggrd scan")
+    val sliced3 = z3.filter($"time" >= lit("1970-01-01 18:00:00").cast("timestamp"))
+    assert(sliced3.rdd.getNumPartitions == 6, "zarr v3 slab pruning broken")
   }
 
   test("CF time units decode: 'hours since <epoch>' coordinates") {

@@ -81,6 +81,119 @@ class ZarrSpec extends AnyFunSuite {
     assert(rawV.numAttrs.toMap.get("_FillValue").contains(-999.0))
   }
 
+  test("zarr v3 store roundtrips (zarr.json, c/-keys, bytes+zstd — zarr-python 3's default)") {
+    val (nt, ny, nx) = (7, 3, 4)
+    val dims = Seq(NetCdf.Dim("time", nt), NetCdf.Dim("y", ny), NetCdf.Dim("x", nx))
+    val data = Array.tabulate(nt * ny * nx)(i => i * 0.25 - 10)
+    val vars = Seq(
+      NetCdf.Var("time", Seq(0), NetCdf.NcDouble, Nil,
+        Array.tabulate(nt)(_ * 3600.0)),
+      NetCdf.Var("t2", Seq(0, 1, 2), NetCdf.NcDouble,
+        Seq("units" -> "K"), data))
+    val dir = tmp()
+    Zarr.write3(dir, dims, Seq("title" -> "v3 roundtrip"), vars, chunk0 = 3)
+    assert(Zarr.isZarr(dir))
+    // chunk files live under the default c/-prefixed nested keys
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir).resolve("t2").resolve("c/0/0/0")))
+    val back = Zarr.read(dir)
+    assert(back.dims === dims)
+    assert(back.globalAttrs === Seq("title" -> "v3 roundtrip"))
+    val t2 = back.variable("t2")
+    assert(t2.dimIds === Seq(0, 1, 2)) // dimension_names resolved
+    assert(t2.attrs === Seq("units" -> "K"))
+    assert(t2.data.asInstanceOf[Array[Double]].toSeq === data.toSeq)
+    // per-chunk scan path decodes the zstd chain too
+    val am = Zarr.meta(dir).array("t2")
+    assert(am.codec == "zstd" && am.keyPrefixC && am.keySep == "/")
+    assert(Zarr.readChunkDouble(dir, am, Seq(1, 0, 0)).take(12).toSeq ===
+      data.slice(36, 48).toSeq)
+  }
+
+  test("zarr v3: every dtype, raw codec, missing chunk fill, CF packing") {
+    import java.nio.file.{Files, Paths}
+    val dims = Seq(NetCdf.Dim("n", 6))
+    val vars = Seq(
+      NetCdf.Var("d", Seq(0), NetCdf.NcDouble, Nil, Array.tabulate(6)(_ * 1.5)),
+      NetCdf.Var("f", Seq(0), NetCdf.NcFloat, Nil, Array.tabulate(6)(_ * 0.5f)),
+      NetCdf.Var("i", Seq(0), NetCdf.NcInt, Nil, Array.tabulate(6)(_ * 3)),
+      NetCdf.Var("l", Seq(0), NetCdf.NcInt64, Nil,
+        Array.tabulate(6)(_ * 1000000007L)),
+      NetCdf.Var("s", Seq(0), NetCdf.NcShort, Nil, Array.tabulate(6)(_ - 3)),
+      NetCdf.Var("b", Seq(0), NetCdf.NcByte, Nil,
+        Array.tabulate(6)(i => (i - 2).toByte)))
+    val dir = tmp()
+    Zarr.write3(dir, dims, Nil, vars, codec = "raw")
+    val back = Zarr.read(dir)
+    assert(back.variable("d").data.asInstanceOf[Array[Double]].toSeq ===
+      Seq(0.0, 1.5, 3.0, 4.5, 6.0, 7.5))
+    assert(back.variable("l").data.asInstanceOf[Array[Long]].toSeq ===
+      (0 until 6).map(_ * 1000000007L))
+    assert(back.variable("s").data.asInstanceOf[Array[Int]].toSeq ===
+      Seq(-3, -2, -1, 0, 1, 2))
+    // missing chunk -> typed fill_value; non-default fill promotes to
+    // the CF mask exactly as in v2
+    val dir2 = tmp()
+    Zarr.write3(dir2, Seq(NetCdf.Dim("t", 4)), Nil,
+      Seq(NetCdf.Var("v", Seq(0), NetCdf.NcDouble, Nil,
+        Array(1.0, 2.0, 3.0, 4.0))), chunk0 = 2)
+    val vdir = Paths.get(dir2).resolve("v")
+    Files.delete(vdir.resolve("c/1"))
+    val zj = vdir.resolve("zarr.json")
+    Files.write(zj, new String(Files.readAllBytes(zj), "UTF-8")
+      .replace("\"fill_value\": 0", "\"fill_value\": -999.5").getBytes("UTF-8"))
+    val v = Zarr.read(dir2).variable("v").data.asInstanceOf[Array[Double]]
+    assert(v(0) == 1.0 && v(1) == 2.0 && v(2).isNaN && v(3).isNaN)
+    val raw = Zarr.read(dir2, maskAndScale = false).variable("v")
+      .data.asInstanceOf[Array[Double]]
+    assert(raw.toSeq == Seq(1.0, 2.0, -999.5, -999.5))
+    // CF packed ints decode through numeric attributes
+    val dir3 = tmp()
+    Zarr.write3(dir3, Seq(NetCdf.Dim("t", 2)), Nil,
+      Seq(NetCdf.Var("p", Seq(0), NetCdf.NcInt, Nil, Array(100, -1),
+        Seq("scale_factor" -> 0.01, "add_offset" -> 5.0,
+          "_FillValue" -> -1.0))), codec = "raw")
+    val p = Zarr.read(dir3).variable("p").data.asInstanceOf[Array[Double]]
+    assert(p(0) == 6.0 && p(1).isNaN)
+  }
+
+  test("zarr v3: v2-style chunk keys and gzip chains read; exotic chains raise") {
+    import java.nio.file.{Files, Paths}
+    // hand-build a v3 array with chunk_key_encoding v2 + gzip codec —
+    // neither produced by this writer, both legal zarr-python output
+    val dir = tmp()
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir).resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "group"}""".getBytes("UTF-8"))
+    val vdir = Paths.get(dir).resolve("g")
+    Files.createDirectories(vdir)
+    Files.write(vdir.resolve("zarr.json"),
+      ("""{"zarr_format": 3, "node_type": "array", "shape": [4], """ +
+        """"data_type": "float64", "chunk_grid": {"name": "regular", """ +
+        """"configuration": {"chunk_shape": [4]}}, """ +
+        """"chunk_key_encoding": {"name": "v2", "configuration": {"separator": "."}}, """ +
+        """"fill_value": 0, "codecs": [{"name": "bytes", """ +
+        """"configuration": {"endian": "little"}}, {"name": "gzip", """ +
+        """"configuration": {"level": 5}}], """ +
+        """"dimension_names": ["t"]}""").getBytes("UTF-8"))
+    val rawBuf = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(9.0, 8.0, 7.0, 6.0).foreach(rawBuf.putDouble)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(rawBuf.array()); gz.close()
+    Files.write(vdir.resolve("0"), bos.toByteArray) // v2-style key, no c/
+    val g = Zarr.read(dir).variable("g")
+    assert(g.data.asInstanceOf[Array[Double]].toSeq == Seq(9.0, 8.0, 7.0, 6.0))
+    // sharding / transpose / unknown chains must raise, not misread
+    val zj = vdir.resolve("zarr.json")
+    val body = new String(Files.readAllBytes(zj), "UTF-8")
+    Files.write(zj, body.replace("\"name\": \"gzip\"",
+      "\"name\": \"sharding_indexed\"").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](Zarr.meta(dir))
+    assert(e.getMessage.contains("codec chain"))
+  }
+
   test("packed store mask-and-scales by default, raw on request (CF S6)") {
     // numeric .zattrs (scale_factor/add_offset/_FillValue) must parse
     // and drive the same CF decode the NetCDF containers apply — a
