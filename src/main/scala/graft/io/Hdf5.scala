@@ -18,7 +18,7 @@ import NetCdf.{Dim, NcFile, Var}
   * signature so the grid sources accept both containers.
   *
   * Layouts: contiguous, compact, and CHUNKED (v1 chunk B-trees) with
-  * the deflate (zlib), shuffle, and fletcher32 filters — the default
+  * the deflate (zlib), shuffle, fletcher32, and LZF (h5py) filters — the default
   * netCDF-4 compression stack, so realistically-written files open.
   * Groups read from BOTH old-style symbol tables and "latest-format"
   * DENSE link storage (fractal heap + v2 name-index B-tree — what
@@ -79,6 +79,100 @@ object Hdf5 {
       i += 1
     }
     out
+  }
+
+  /** libLZF decompression (h5py's LZF filter, HDF5 filter id 32000).
+    * Format per the public liblzf spec: control byte < 32 starts a
+    * literal run of ctrl+1 bytes; otherwise a back reference of
+    * (ctrl>>5)+2 bytes (a 7 in the length field extends by one more
+    * byte) at distance ((ctrl&0x1f)<<8 | next)+1. Every read and copy
+    * is bounds-checked (hostile-bytes contract); the overlap-safe
+    * forward copy reproduces the format's run-expansion semantics. */
+  private[graft] def lzfDecompress(src: Array[Byte], outLen: Int,
+      name: String): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var ip = 0
+    var op = 0
+    while (ip < src.length) {
+      val ctrl = src(ip) & 0xff; ip += 1
+      if (ctrl < 32) {
+        val run = ctrl + 1
+        require(ip + run <= src.length && op + run <= outLen,
+          s"$name: LZF literal run overruns")
+        System.arraycopy(src, ip, out, op, run)
+        ip += run; op += run
+      } else {
+        var len = ctrl >> 5
+        if (len == 7) {
+          require(ip < src.length, s"$name: truncated LZF length")
+          len += src(ip) & 0xff; ip += 1
+        }
+        require(ip < src.length, s"$name: truncated LZF reference")
+        val dist = ((ctrl & 0x1f) << 8 | (src(ip) & 0xff)) + 1; ip += 1
+        val mlen = len + 2
+        require(dist <= op && op + mlen <= outLen,
+          s"$name: LZF back reference overruns (dist $dist at $op)")
+        var k = 0
+        val ref = op - dist
+        while (k < mlen) { out(op + k) = out(ref + k); k += 1 }
+        op += mlen
+      }
+    }
+    require(op == outLen, s"$name: LZF decoded $op of $outLen bytes")
+    out
+  }
+
+  /** Greedy libLZF compressor (hash of 3-byte groups, the reference
+    * implementation's scheme) — emits streams [[lzfDecompress]] (and
+    * liblzf/h5py) decode. Worst case ~3% growth on incompressible
+    * input; the HDF5 writer stores whatever comes out, matching an
+    * h5py file whose optional-filter bit never fired. */
+  private[graft] def lzfCompress(in: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(in.length / 2 + 32)
+    val lit = new java.io.ByteArrayOutputStream(32)
+    def flushLit(): Unit = if (lit.size() > 0) {
+      out.write(lit.size() - 1)
+      lit.writeTo(out)
+      lit.reset()
+    }
+    val htab = new Array[Int](1 << 13)
+    java.util.Arrays.fill(htab, -1)
+    def h3(i: Int): Int = {
+      val v = ((in(i) & 0xff) << 16) | ((in(i + 1) & 0xff) << 8) | (in(i + 2) & 0xff)
+      ((v * 2654435761L) >>> 19).toInt & (htab.length - 1)
+    }
+    var i = 0
+    while (i < in.length) {
+      var matched = 0
+      var ref = -1
+      if (i + 2 < in.length) {
+        val slot = h3(i)
+        val cand = htab(slot)
+        htab(slot) = i
+        if (cand >= 0 && i - cand <= 8192 && cand + 2 < in.length &&
+          in(cand) == in(i) && in(cand + 1) == in(i + 1) && in(cand + 2) == in(i + 2)) {
+          var m = 3
+          val maxM = math.min(in.length - i, 264) // 2 + 7 + 255
+          while (m < maxM && in(cand + m) == in(i + m)) m += 1
+          matched = m; ref = cand
+        }
+      }
+      if (matched >= 3) {
+        flushLit()
+        val dist = i - ref - 1
+        val len = matched - 2
+        if (len < 7) out.write((len << 5) | (dist >> 8))
+        else { out.write((7 << 5) | (dist >> 8)); out.write(len - 7) }
+        out.write(dist & 0xff)
+        i += matched
+      } else {
+        lit.write(in(i))
+        if (lit.size() == 32) flushLit()
+        i += 1
+      }
+    }
+    flushLit()
+    out.toByteArray
   }
 
   private def deflateBytes(in: Array[Byte]): Array[Byte] = {
@@ -502,7 +596,9 @@ object Hdf5 {
   def write(path: String, dims: Seq[Dim], globalAttrs: Seq[(String, String)],
       vars: Seq[Var], chunkDeflate: Boolean = false,
       denseGroups: Boolean = false, denseAttrs: Boolean = false,
-      vlenStringAttrs: Boolean = false): Unit = {
+      vlenStringAttrs: Boolean = false, chunkCodec: String = "deflate"): Unit = {
+    require(chunkCodec == "deflate" || chunkCodec == "lzf",
+      s"unsupported chunk codec '$chunkCodec' (deflate or lzf)")
     vars.foreach { v =>
       val n = v.dimIds.map(dims(_).size.toLong).product
       require(v.data.length == n, s"${v.name}: ${v.data.length} values for $n cells")
@@ -544,7 +640,8 @@ object Hdf5 {
           val off = ix.zip(cd).map { case (i, c) => i * c }
           val buf = new Array[Byte](fullChunk)
           ndCopy(data, shape, elem, buf, cd, off, toChunk = true)
-          (off, deflateBytes(shuffleBytes(buf, elem)))
+          val sh = shuffleBytes(buf, elem)
+          (off, if (chunkCodec == "lzf") lzfCompress(sh) else deflateBytes(sh))
         }
         d.name -> ChunkPlan(cd, elem, chunks)
       }.toMap
@@ -576,11 +673,18 @@ object Hdf5 {
           p.chunkDims.foreach(layout.u32)
           layout.u32(p.elemSize)
           msgs += ((0x0008, layout.result()))
-          // filter pipeline v1: shuffle (id 2) then deflate (id 1)
+          // filter pipeline v1: shuffle (id 2) then deflate (id 1) or
+          // lzf (id 32000 — non-predefined ids carry their name)
           val f = new Buf
           f.u8(1); f.u8(2); f.u16(0); f.u32(0)
           f.u16(2); f.u16(0); f.u16(0); f.u16(1); f.u32(p.elemSize); f.u32(0)
-          f.u16(1); f.u16(0); f.u16(0); f.u16(1); f.u32(6); f.u32(0)
+          if (chunkCodec == "lzf") {
+            f.u16(32000); f.u16(8); f.u16(0); f.u16(1)
+            f.bytes("lzf".getBytes("US-ASCII")); f.zeros(5) // name, 8-padded
+            f.u32(p.chunkDims.product * p.elemSize); f.u32(0)
+          } else {
+            f.u16(1); f.u16(0); f.u16(0); f.u16(1); f.u32(6); f.u32(0)
+          }
           msgs += ((0x000B, f.result()))
         case None =>
           val layout = new Buf
@@ -1859,6 +1963,7 @@ object Hdf5 {
         case 1 => bytes = inflateBytes(bytes, fullChunk)
         case 2 => bytes = unshuffleBytes(bytes, cdata.headOption.getOrElse(elem))
         case 3 => bytes = bytes.dropRight(4) // fletcher32 checksum
+        case 32000 => bytes = lzfDecompress(bytes, fullChunk, name) // h5py lzf
         case o => throw new IllegalArgumentException(
           s"$name: unsupported HDF5 filter id $o")
       }

@@ -355,6 +355,17 @@ object Zarr {
         val shape = za.get("shape").elements().asScala.map(_.asInt()).toSeq
         val chunks = za.get("chunks").elements().asScala.map(_.asInt()).toSeq
         val name = vdir.getFileName.toString
+        // v2's optional dimension_separator: "/" nests chunk dirs.
+        // Defaulting to "." REGARDLESS would read every chunk of a
+        // nested store as missing -> the whole array silently becomes
+        // fill_value; anything but the two spec values raises.
+        val sep = za.get("dimension_separator") match {
+          case null => "."
+          case n if n.isNull => "."
+          case n if n.asText() == "." || n.asText() == "/" => n.asText()
+          case n => throw new IllegalArgumentException(
+            s"$name: unsupported zarr dimension_separator '${n.asText()}'")
+        }
         val attrsNode =
           if (Files.exists(vdir.resolve(".zattrs")))
             mapper.readTree(Files.readAllBytes(vdir.resolve(".zattrs")))
@@ -394,7 +405,7 @@ object Zarr {
         }
         ArrayMeta(name, dimNames, shape, chunks,
           ncTypeOf(za.get("dtype").asText()), codec, attrs, fv,
-          promoteFill(fv, numAttrs))
+          promoteFill(fv, numAttrs), keySep = sep)
       }
     Meta(globals, arrays)
   }

@@ -281,6 +281,55 @@ class NetCdfSpec extends AnyFunSuite {
       Seq(3f, 4f))
   }
 
+  test("LZF filter: pinned decode, roundtrip, chunked file end-to-end") {
+    import graft.io.Hdf5
+    // hand-built stream pins the public liblzf format independent of
+    // the in-repo compressor: 8-byte literal then an 8-byte reference
+    // at distance 8 (ctrl (6<<5)|0, dist byte 7)
+    val pinned = Array[Byte](7, 1, 2, 3, 4, 5, 6, 7, 8, (6 << 5).toByte, 7)
+    assert(Hdf5.lzfDecompress(pinned, 16, "pin").toSeq ==
+      Seq[Byte](1, 2, 3, 4, 5, 6, 7, 8, 1, 2, 3, 4, 5, 6, 7, 8))
+    // overlapping reference expands a run: literal 'A', ref dist 1 len 5
+    val run = Array[Byte](0, 65, ((3 << 5) | 0).toByte, 0)
+    assert(Hdf5.lzfDecompress(run, 6, "run").toSeq == Seq.fill(6)(65.toByte))
+    // compressor roundtrips across payload shapes, including hard ones
+    val rnd = new scala.util.Random(7)
+    val payloads = Seq(
+      Array.empty[Byte],
+      Array.fill(10000)(42.toByte),
+      Array.tabulate(8192)(i => (i % 7).toByte),
+      Array.fill(4096)(rnd.nextInt(256).toByte),
+      Array.tabulate(300)(i => if (i < 280) 9.toByte else rnd.nextInt(256).toByte))
+    payloads.foreach { p =>
+      val c = Hdf5.lzfCompress(p)
+      assert(Hdf5.lzfDecompress(c, p.length, "rt").toSeq == p.toSeq)
+    }
+    // hostile: truncations + mutations reject or decode, never overrun
+    val base = Hdf5.lzfCompress(payloads(2))
+    for (cut <- Seq(0, 1, base.length / 2, base.length - 1))
+      intercept[IllegalArgumentException](
+        Hdf5.lzfDecompress(java.util.Arrays.copyOf(base, cut), 8192, "cut"))
+    for (_ <- 0 until 200) {
+      val m = base.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      try Hdf5.lzfDecompress(m, 8192, "mut")
+      catch { case _: IllegalArgumentException => () }
+    }
+    // end-to-end: an lzf-filtered chunked file reads back through the
+    // ordinary NetCDF-4 path (shuffle + lzf pipeline per chunk)
+    val path = tmp("lzf.h5")
+    val dims = Seq(Dim("t", 6), Dim("x", 5))
+    val vars = Seq(
+      Var("t", Seq(0), NcDouble, Nil, Array.tabulate(6)(_ * 60.0)),
+      Var("temp", Seq(0, 1), NcDouble, Seq("units" -> "K"),
+        Array.tabulate(30)(i => 250.0 + (i % 4))))
+    Hdf5.write(path, dims, Nil, vars, chunkDeflate = true, chunkCodec = "lzf")
+    val nc = NetCdf.read(path)
+    assert(nc.variable("temp").data.asInstanceOf[Array[Double]].toSeq ==
+      (0 until 30).map(i => 250.0 + (i % 4)))
+    assert(nc.variable("temp").attrs == Seq("units" -> "K"))
+  }
+
   test("vlen-string attributes read back (h5py's string-attr encoding)") {
     // h5py writes EVERY NetCDF-4 string attribute as a vlen string —
     // a (len, global-heap addr, index) descriptor whose payload lives

@@ -81,6 +81,36 @@ class ZarrSpec extends AnyFunSuite {
     assert(rawV.numAttrs.toMap.get("_FillValue").contains(-999.0))
   }
 
+  test("zarr v2 dimension_separator '/' reads nested chunk dirs, not silent fill") {
+    import java.nio.file.{Files, Paths}
+    val dims = Seq(NetCdf.Dim("t", 4), NetCdf.Dim("x", 2))
+    val data = Array.tabulate(8)(_ + 1.0)
+    val dir = tmp()
+    Zarr.write(dir, dims, Nil,
+      Seq(NetCdf.Var("v", Seq(0, 1), NetCdf.NcDouble, Nil, data)),
+      chunk0 = 2, compress = false)
+    // convert the store to nested layout by hand: 0.0 -> 0/0, 1.0 -> 1/0
+    val vdir = Paths.get(dir).resolve("v")
+    for (i <- 0 until 2) {
+      Files.createDirectories(vdir.resolve(i.toString))
+      Files.move(vdir.resolve(s"$i.0"), vdir.resolve(s"$i/0"))
+    }
+    val za = vdir.resolve(".zarray")
+    Files.write(za, new String(Files.readAllBytes(za), "UTF-8")
+      .replace("\"order\": \"C\"",
+        "\"dimension_separator\": \"/\", \"order\": \"C\"").getBytes("UTF-8"))
+    // a reader that ignored the separator would see every chunk as
+    // MISSING and return all-fill — silent wrong data, the worst kind
+    val v = Zarr.read(dir).variable("v").data.asInstanceOf[Array[Double]]
+    assert(v.toSeq == data.toSeq)
+    // unknown separators raise
+    Files.write(za, new String(Files.readAllBytes(za), "UTF-8")
+      .replace("\"dimension_separator\": \"/\"",
+        "\"dimension_separator\": \"|\"").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](Zarr.meta(dir))
+    assert(e.getMessage.contains("dimension_separator"))
+  }
+
   test("zarr v3 store roundtrips (zarr.json, c/-keys, bytes+zstd — zarr-python 3's default)") {
     val (nt, ny, nx) = (7, 3, 4)
     val dims = Seq(NetCdf.Dim("time", nt), NetCdf.Dim("y", ny), NetCdf.Dim("x", nx))
