@@ -145,6 +145,18 @@ object Zarr {
         Files.write(vdir.resolve(s"$ci$name"), payload)
       }
     }
+    // consolidated metadata: xarray's open_zarr(consolidated=True)
+    // DEFAULT reads every .z* key from this one file (and warns
+    // loudly without it) — mirror the store's own metadata verbatim
+    val entries = (Seq(".zgroup") ++
+      (if (globalAttrs.nonEmpty) Seq(".zattrs") else Nil) ++
+      vars.flatMap(v => Seq(s"${v.name}/.zarray", s"${v.name}/.zattrs")))
+      .map { key =>
+        s"${q(key)}: " + new String(Files.readAllBytes(root.resolve(key)), "UTF-8")
+      }
+    Files.write(root.resolve(".zmetadata"),
+      (s"""{"zarr_consolidated_format": 1, "metadata": """ +
+        entries.mkString("{", ", ", "}") + "}").getBytes("UTF-8"))
   }
 
   private def encode(data: Array[_], from: Int, n: Int, ncType: Int,

@@ -147,46 +147,83 @@ private[sources] object GridFile {
       "360_day" -> Array.fill(12)(30))
   }
 
+  /** Shared calendar-date parse: ([-]yyyy, m, d, h, mi, s) from the
+    * tokenized date/time, with a manual date parse — java.time would
+    * reject the calendar-legal dates Gregorian lacks (Feb 29 every
+    * year, Feb 30, Julian century leap days). Field-range checks only;
+    * month-length validation is the caller's (calendar-specific). */
+  private def parseCalendarFields(date: String,
+      timeBase: String): Option[(Long, Int, Int, Int, Int, Int)] = {
+    val neg = date.startsWith("-")
+    val parts = (if (neg) date.substring(1) else date).split("-")
+    val hms = timeBase.split(":")
+    val shapeOk =
+      parts.length == 3 &&
+        parts.forall(p => p.nonEmpty && p.forall(_.isDigit)) &&
+        hms.length >= 2 && hms.length <= 3 &&
+        hms.forall(p => p.nonEmpty && p.forall(_.isDigit))
+    if (!shapeOk) None
+    else {
+      val year = parts(0).toLong * (if (neg) -1 else 1)
+      val month = parts(1).toInt
+      val day = parts(2).toInt
+      val (h, mi) = (hms(0).toInt, hms(1).toInt)
+      val sec = if (hms.length == 3) hms(2).toInt else 0
+      if (month < 1 || month > 12 || day < 1 || h > 23 || mi > 59 || sec > 60)
+        None
+      else Some((year, month, day, h, mi, sec))
+    }
+  }
+
   /** Epoch micros since 1970-01-01 on a fixed-length calendar, or None
     * on any field that doesn't parse or doesn't exist in the calendar
     * (2000-02-30 is a real 360_day date but must reject under noleap). */
   private def fixedCalendarEpochMicros(s: String, months: Array[Int]): Option[Long] =
     tokenizeEpoch(s).flatMap { case (date, timeBase, fracMicros, offMicros) =>
-      // date: [-]yyyy-m-d with a manual parse — java.time would reject
-      // the calendar-legal dates Gregorian lacks (Feb 29 every year,
-      // Feb 30, month-day 30 in 360_day February)
-      val neg = date.startsWith("-")
-      val parts = (if (neg) date.substring(1) else date).split("-")
-      val hms = timeBase.split(":")
-      val shapeOk =
-        parts.length == 3 &&
-          parts.forall(p => p.nonEmpty && p.forall(_.isDigit)) &&
-          hms.length >= 2 && hms.length <= 3 &&
-          hms.forall(p => p.nonEmpty && p.forall(_.isDigit))
-      if (!shapeOk) None
-      else {
-        val year = parts(0).toLong * (if (neg) -1 else 1)
-        val month = parts(1).toInt
-        val day = parts(2).toInt
-        val (h, mi) = (hms(0).toInt, hms(1).toInt)
-        val sec = if (hms.length == 3) hms(2).toInt else 0
-        if (month < 1 || month > 12 || day < 1 || day > months(month - 1) ||
-          h > 23 || mi > 59 || sec > 60) None
-        else {
-          val yearDays = months.sum.toLong
-          val cum = months.scanLeft(0)(_ + _) // cum(m-1) = days before month m
-          val days = (year - 1970L) * yearDays + cum(month - 1) + (day - 1)
-          Some(days * 86400000000L + (h * 3600L + mi * 60L + sec) * 1000000L +
-            fracMicros - offMicros)
-        }
+      parseCalendarFields(date, timeBase).flatMap {
+        case (year, month, day, h, mi, sec) =>
+          if (day > months(month - 1)) None
+          else {
+            val yearDays = months.sum.toLong
+            val cum = months.scanLeft(0)(_ + _) // cum(m-1) = days before month m
+            val days = (year - 1970L) * yearDays + cum(month - 1) + (day - 1)
+            Some(days * 86400000000L + (h * 3600L + mi * 60L + sec) * 1000000L +
+              fracMicros - offMicros)
+          }
+      }
+    }
+
+  /** Epoch micros since 1970-01-01 on the PROLEPTIC JULIAN calendar
+    * (CF 'julian': leap every 4th year, century years included — so
+    * 1900-02-29 exists). Closed-form like cftime's: whole years at
+    * 365 days plus the count of Julian leap years in between. The
+    * timeline is the Julian calendar's own (uniform 86400-second
+    * days); it intentionally does NOT re-anchor onto the Gregorian
+    * instant of the same nominal date. */
+  private def julianEpochMicros(s: String): Option[Long] =
+    tokenizeEpoch(s).flatMap { case (date, timeBase, fracMicros, offMicros) =>
+      parseCalendarFields(date, timeBase).flatMap {
+        case (year, month, day, h, mi, sec) =>
+          val leap = Math.floorMod(year, 4L) == 0L
+          val monthDays = Array(31, if (leap) 29 else 28, 31, 30, 31, 30,
+            31, 31, 30, 31, 30, 31)
+          if (day > monthDays(month - 1)) None
+          else {
+            val cum = monthDays.scanLeft(0)(_ + _)
+            // leap years in [1970, year) — negative when year < 1970
+            val leaps = Math.floorDiv(year - 1L, 4L) - 492L
+            val days = (year - 1970L) * 365L + leaps + cum(month - 1) + (day - 1)
+            Some(days * 86400000000L + (h * 3600L + mi * 60L + sec) * 1000000L +
+              fracMicros - offMicros)
+          }
       }
     }
 
   /** Calendars whose "<n> units since <epoch>" arithmetic IS proleptic
     * Gregorian. Fixed-length model calendars decode through
-    * [[fixedCalendarEpochMicros]]; julian (variable leap rule offset
-    * from Gregorian) would land on silently WRONG dates under either
-    * path, so it still raises. */
+    * [[fixedCalendarEpochMicros]], julian through
+    * [[julianEpochMicros]]; anything else ('none', or a misspelling)
+    * raises rather than silently misdating the axis. */
   private val GregorianCalendars =
     Set("standard", "gregorian", "proleptic_gregorian", "")
 
@@ -205,13 +242,15 @@ private[sources] object GridFile {
           case Some(u) if u.toLowerCase.contains(" since ") =>
             val cal = attrs.collectFirst { case ("calendar", c) =>
               c.trim.toLowerCase }.getOrElse("standard")
-            require(GregorianCalendars(cal) || FixedCalendarMonths.contains(cal),
+            require(GregorianCalendars(cal) || cal == "julian" ||
+              FixedCalendarMonths.contains(cal),
               s"unsupported CF calendar '$cal' for time units '$u': " +
-                "its arithmetic has no safe Gregorian or fixed-length decode")
+                "its arithmetic has no safe closed-form decode")
             u match {
               case CfUnitsRe(unit, epoch) =>
                 val e = (FixedCalendarMonths.get(cal) match {
                   case Some(months) => fixedCalendarEpochMicros(epoch, months)
+                  case None if cal == "julian" => julianEpochMicros(epoch)
                   case None => parseEpochMicros(epoch)
                 }).getOrElse(throw new IllegalArgumentException(
                   s"unparseable epoch in CF time units '$u' (calendar '$cal')"))

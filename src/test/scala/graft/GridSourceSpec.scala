@@ -221,11 +221,11 @@ class GridSourceSpec extends SparkSpec {
     assert(firstTime(write("frac.nc",
       Seq("units" -> "seconds since 2024-01-01 00:00:00.5")))
       == "2024-01-01 00:00:00.5")
-    // julian (variable leap rule, NOT fixed-length): loud raise, never
-    // a silently misdated axis
-    val eJul = intercept[Exception] { firstTime(write("cal.nc",
-      Seq("units" -> "days since 1850-01-01", "calendar" -> "julian"))) }
-    assert(eJul.getMessage.contains("julian"))
+    // an unknown calendar spelling: loud raise, never a silently
+    // misdated axis ('none' is a real CF value with no time semantics)
+    val eCal = intercept[Exception] { firstTime(write("cal.nc",
+      Seq("units" -> "days since 1850-01-01", "calendar" -> "none"))) }
+    assert(eCal.getMessage.contains("none"))
     // matched CF units with a garbage epoch: loud raise, no raw fallback
     val eBad = intercept[Exception] { firstTime(write("bad.nc",
       Seq("units" -> "days since yesterday morning"))) }
@@ -293,10 +293,27 @@ class GridSourceSpec extends SparkSpec {
       Seq("units" -> "days since 2000-02-30 12:00:00 +02:00",
         "calendar" -> "360_day")))
       == Seq(10859L * day + 10L * 3600000L))
+    // julian: leap EVERY 4th year including centuries — 1900-02-29
+    // exists (it doesn't in Gregorian), and hand-computed day counts
+    // pin the arithmetic: 2000-02-29 sits 30*365 + 7 leap days
+    // (1972..1996 multiples of 4 before 2000... the Julian count in
+    // [1970, 2000) is 7) + 31 + 28 = 11016 days after the calendar's
+    // 1970-01-01; 1900-02-28 sits -70*365 - 18 + 58 = -25510.
+    assert(timesMs(write("cjul.nc", Array(0.0, 1.0),
+      Seq("units" -> "days since 2000-02-29", "calendar" -> "julian")))
+      == Seq(11016L * day, 11017L * day))
+    assert(timesMs(write("cjul1900.nc", Array(0.0, 1.0),
+      Seq("units" -> "days since 1900-02-28", "calendar" -> "julian")))
+      == Seq(-25510L * day, -25509L * day))
+    // ...and 1900-02-29 is a VALID julian epoch (leap century)
+    assert(timesMs(write("cjul29.nc", Array(0.0),
+      Seq("units" -> "days since 1900-02-29", "calendar" -> "julian")))
+      == Seq(-25509L * day))
     // dates that don't exist in the DECLARED calendar reject loudly:
-    // Feb 29 under noleap, Feb 30 under all_leap, Apr 31 anywhere
+    // Feb 29 under noleap, Feb 30 under all_leap, Apr 31 anywhere,
+    // Feb 29 of a julian NON-leap year
     for ((ep, cal) <- Seq(("2000-02-29", "noleap"), ("2000-02-30", "all_leap"),
-      ("2000-04-31", "360_day"))) {
+      ("2000-04-31", "360_day"), ("1901-02-29", "julian"))) {
       val e = intercept[Exception] { timesMs(write(s"bad_${cal}_$ep.nc",
         Array(0.0), Seq("units" -> s"days since $ep", "calendar" -> cal))) }
       assert(e.getMessage.contains("unparseable"), s"$ep/$cal: ${e.getMessage}")

@@ -25,6 +25,19 @@ class ZarrSpec extends AnyFunSuite {
     val back = Zarr.read(dir)
     assert(back.dims === dims)
     assert(back.globalAttrs === Seq("title" -> "zarr roundtrip"))
+    // consolidated metadata mirrors every store key (xarray's default
+    // open_zarr path reads this single file)
+    val zm = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir).resolve(".zmetadata")), "UTF-8")
+    val zmNode = new com.fasterxml.jackson.databind.ObjectMapper().readTree(zm)
+    assert(zmNode.get("zarr_consolidated_format").asInt() == 1)
+    val md = zmNode.get("metadata")
+    for (key <- Seq(".zgroup", ".zattrs", "t2/.zarray", "t2/.zattrs")) {
+      val direct = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir).resolve(key)))
+      assert(md.get(key) == direct, s"consolidated $key diverges")
+    }
     val t2 = back.variable("t2")
     assert(t2.dimIds === Seq(0, 1, 2))
     assert(t2.attrs === Seq("units" -> "K"))
