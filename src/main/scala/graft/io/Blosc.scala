@@ -116,7 +116,11 @@ object Blosc {
         val clen = ByteBuffer.wrap(frame, src, 4)
           .order(ByteOrder.LITTLE_ENDIAN).getInt()
         src += 4
-        require(clen > 0 && src + clen <= frame.length,
+        // long arithmetic: a hostile clen near Int.MaxValue must not
+        // wrap the sum negative and sail past this guard into the
+        // native decoders (zstd-jni/snappy do the same overflowing
+        // int check internally — the require is the only safe gate)
+        require(clen > 0 && src.toLong + clen <= frame.length,
           s"blosc stream $b/$j of $clen bytes overruns the frame")
         if (clen == neblock) { // stored raw: compression gained nothing
           System.arraycopy(frame, src, dest, destBase + j * neblock, neblock)
@@ -141,20 +145,21 @@ object Blosc {
       require(n == destLen, s"blosc lz4 stream yielded $n of $destLen bytes")
     case 3 =>
       val inf = new java.util.zip.Inflater()
-      inf.setInput(src, off, len)
-      var at = destOff
-      val end = destOff + destLen
-      while (!inf.finished() && at < end) {
-        val n = inf.inflate(dest, at, end - at)
-        if (n == 0) {
-          require(!inf.needsDictionary && !inf.needsInput,
-            "truncated blosc zlib stream")
-          throw new IllegalArgumentException("stalled blosc zlib stream")
+      try { // finally-end: a throwing decode must not leak native zlib state
+        inf.setInput(src, off, len)
+        var at = destOff
+        val end = destOff + destLen
+        while (!inf.finished() && at < end) {
+          val n = inf.inflate(dest, at, end - at)
+          if (n == 0) {
+            require(!inf.needsDictionary && !inf.needsInput,
+              "truncated blosc zlib stream")
+            throw new IllegalArgumentException("stalled blosc zlib stream")
+          }
+          at += n
         }
-        at += n
-      }
-      inf.end()
-      require(at == end, s"blosc zlib stream yielded ${at - destOff} of $destLen")
+        require(at == end, s"blosc zlib stream yielded ${at - destOff} of $destLen")
+      } finally inf.end()
     case 4 =>
       val n = com.github.luben.zstd.Zstd.decompressByteArray(
         dest, destOff, destLen, src, off, len)

@@ -599,6 +599,9 @@ object Hdf5 {
       vlenStringAttrs: Boolean = false, chunkCodec: String = "deflate"): Unit = {
     require(chunkCodec == "deflate" || chunkCodec == "lzf",
       s"unsupported chunk codec '$chunkCodec' (deflate or lzf)")
+    require(chunkCodec == "deflate" || chunkDeflate,
+      "chunkCodec='lzf' needs chunkDeflate=true (the chunked-filtered " +
+        "layout) — without it the knob would silently write raw contiguous data")
     vars.foreach { v =>
       val n = v.dimIds.map(dims(_).size.toLong).product
       require(v.data.length == n, s"${v.name}: ${v.data.length} values for $n cells")
@@ -1393,7 +1396,6 @@ object Hdf5 {
       val oIdx = g.getShort & 0xffff
       g.getShort; g.getInt
       val oSize = r.length(g)
-      require(oIdx != 0 || oSize >= 0, "bad global heap free object")
       if (oIdx == 0) { // free-space object terminates the walk
         throw new IllegalArgumentException(s"global heap object $idx not found")
       }

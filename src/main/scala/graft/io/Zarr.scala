@@ -262,24 +262,25 @@ object Zarr {
 
   private def inflate(z: Array[Byte], outLen: Int): Array[Byte] = {
     val inf = new Inflater()
-    inf.setInput(z)
-    val out = new Array[Byte](outLen)
-    var off = 0
-    while (!inf.finished() && off < outLen) {
-      val n = inf.inflate(out, off, outLen - off)
-      // zero progress = truncated or preset-dictionary stream: throw
-      // (catchable) instead of spinning forever — the Png.inflate
-      // hostile-bytes lesson (a hang in a scan task is uncatchable)
-      if (n == 0) {
-        require(!inf.needsDictionary, "zarr chunk requires a preset dictionary")
-        require(!inf.needsInput, "truncated zarr chunk stream")
-        throw new IllegalArgumentException("stalled zarr chunk stream")
+    try { // finally-end: a throwing decode must not leak native zlib state
+      inf.setInput(z)
+      val out = new Array[Byte](outLen)
+      var off = 0
+      while (!inf.finished() && off < outLen) {
+        val n = inf.inflate(out, off, outLen - off)
+        // zero progress = truncated or preset-dictionary stream: throw
+        // (catchable) instead of spinning forever — the Png.inflate
+        // hostile-bytes lesson (a hang in a scan task is uncatchable)
+        if (n == 0) {
+          require(!inf.needsDictionary, "zarr chunk requires a preset dictionary")
+          require(!inf.needsInput, "truncated zarr chunk stream")
+          throw new IllegalArgumentException("stalled zarr chunk stream")
+        }
+        off += n
       }
-      off += n
-    }
-    inf.end()
-    require(off == outLen, s"zarr chunk inflated to $off of $outLen bytes")
-    out
+      require(off == outLen, s"zarr chunk inflated to $off of $outLen bytes")
+      out
+    } finally inf.end()
   }
 
   // ------------------------------------------------------------ reader

@@ -150,5 +150,17 @@ class BloscSpec extends AnyFunSuite {
     ByteBuffer.wrap(grown, 4, 4).order(ByteOrder.LITTLE_ENDIAN)
       .putInt(1 << 30)
     intercept[IllegalArgumentException](Blosc.decompress(grown, 8192))
+    // a stream length near Int.MaxValue must not WRAP past the bounds
+    // check into the native decoders (zstd/snappy would OOB-read):
+    // unsplit zstd frame whose one stream claims 0x7ffffff0 bytes
+    val wrap = ByteBuffer.allocate(16 + 4 + 4 + 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    wrap.put(2.toByte).put(1.toByte)
+    wrap.put(((4 << 5) | 0x10).toByte).put(1.toByte) // zstd, dont-split
+    wrap.putInt(8192).putInt(8192).putInt(32)
+    wrap.putInt(20).putInt(0x7ffffff0).put(Array.fill[Byte](8)(0))
+    val e = intercept[IllegalArgumentException](
+      Blosc.decompress(wrap.array(), 8192))
+    assert(e.getMessage.contains("overruns"))
   }
 }
