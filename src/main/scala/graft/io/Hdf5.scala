@@ -1346,7 +1346,23 @@ object Hdf5 {
   }
 
   private case class Attr(name: String, dtype: Dtype, shape: Seq[Long],
-    data: ByteBuffer)
+    data: ByteBuffer) {
+    /** Element count bounded by the bytes actually present in the
+      * message body: an attribute's value is INLINE, so a crafted
+      * dataspace can never legitimately demand more than
+      * `data.remaining()` — without this, a mutated shape turns into
+      * a fatal multi-GB allocation (fuzz-caught: OutOfMemoryError
+      * aborts the whole suite on a loaded JVM; the require here is a
+      * catchable reject). */
+    def boundedElems(elemSize: Int): Int = {
+      val n = shape.product max 1L
+      require(n >= 1 && n <= data.remaining() && elemSize > 0 &&
+        n * elemSize <= data.remaining(),
+        s"$name: attribute claims $n x $elemSize bytes with only " +
+          s"${data.remaining()} present")
+      n.toInt
+    }
+  }
 
   private def parseAttr(b: ByteBuffer, r: R = null): Attr = {
     val ver = b.get() & 0xff
@@ -1414,7 +1430,7 @@ object Hdf5 {
   /** Read one vlen-of-object-reference attribute value (DIMENSION_LIST):
     * per element, the first reference of its sequence. */
   private def readVlenRefs(r: R, a: Attr): Seq[Long] = {
-    val n = a.shape.product.toInt
+    val n = a.boundedElems(16) // 16-byte vlen descriptors, stored inline
     val b = a.data
     (0 until n).map { _ =>
       val len = b.getInt
@@ -1434,7 +1450,7 @@ object Hdf5 {
     * — the in-memory attr model is string-valued, and CF text
     * attributes are scalars in practice. */
   private def readVlenStrings(r: R, a: Attr): String = {
-    val n = a.shape.product.toInt max 1
+    val n = a.boundedElems(16) // 16-byte vlen descriptors, stored inline
     val b = a.data
     (0 until n).map { _ =>
       val len = b.getInt
@@ -2081,8 +2097,7 @@ object Hdf5 {
           val a = parseAttr(b, r)
           a.dtype.clazz match {
             case 3 =>
-              val bytes = new Array[Byte](
-                (a.shape.product.toInt max 1) * a.dtype.size)
+              val bytes = new Array[Byte](a.boundedElems(a.dtype.size) * a.dtype.size)
               a.data.get(bytes)
               tattrs += ((a.name, cstr(bytes)))
             case 0 if a.shape.isEmpty || a.shape.product == 1 =>
@@ -2117,8 +2132,7 @@ object Hdf5 {
         case (0x000C, b) =>
           val a = parseAttr(b, r)
           if (a.dtype.clazz == 3) {
-            val bytes = new Array[Byte](
-              (a.shape.product.toInt max 1) * a.dtype.size)
+            val bytes = new Array[Byte](a.boundedElems(a.dtype.size) * a.dtype.size)
             a.data.get(bytes)
             gattrs += ((a.name, cstr(bytes)))
           } else if (a.dtype.clazz == 9 && a.dtype.vlenType == 1) {

@@ -107,6 +107,36 @@ class CodecFuzzSpec extends AnyFunSuite {
       Hdf5.read)
   }
 
+  test("HDF5 attribute claiming a crafted giant shape rejects, never allocates") {
+    // regression for the intermittent full-suite abort: a mutated
+    // attribute DATASPACE claimed a multi-GB element count and the
+    // unguarded allocation died with a FATAL OutOfMemoryError on a
+    // loaded JVM (catchable reject on an idle one — which is why the
+    // fuzz only tripped it intermittently). The attribute value is
+    // inline, so its element count is bounded by the message bytes.
+    val dir = java.nio.file.Files.createTempDirectory("h5_giant_attr")
+    val p = dir.resolve("g.h5").toString
+    val dims = Seq(NetCdf.Dim("t", 5))
+    Hdf5.write(p, dims, Nil, Seq(
+      NetCdf.Var("t", Seq(0), NetCdf.NcDouble, Nil, Array.tabulate(5)(_ * 1.0)),
+      NetCdf.Var("v", Seq(0), NetCdf.NcDouble, Nil, Array.tabulate(5)(_ * 2.0))))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // v's DIMENSION_LIST dataspace is dsSimple(Seq(1)): ver 1, rank 1,
+    // flags 0, 5 reserved zeros, then dim = 1 as LE u64 — the only
+    // 16-byte occurrence of that pattern with dim 1 in this file
+    val pat = Array[Byte](1, 1, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0)
+    val hits = (0 to bytes.length - 16).filter(i =>
+      pat.indices.forall(k => bytes(i + k) == pat(k)))
+    assert(hits.size == 1, s"expected one dsSimple(1) site, got ${hits.size}")
+    // claim 2^30 elements (x16-byte descriptors = a 16 GB allocation)
+    val b = java.nio.ByteBuffer.wrap(bytes, hits.head + 8, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putLong(1L << 30)
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes)
+    val e = intercept[IllegalArgumentException](Hdf5.read(p))
+    assert(e.getMessage.contains("claims"), e.getMessage)
+  }
+
   test("HDF5 with vlen-string attrs survives 300 hostile mutations") {
     // mutations hit the vlen descriptors and the GCOL string payloads:
     // the reader must reject or decode, never overrun the collection
