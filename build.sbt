@@ -16,6 +16,12 @@ run / fork := true
 // logger prefix defeated that extraction every round (BENCH_r* carried
 // "parsed: null" — VERDICT r13 Next #6).
 run / outputStrategy := Some(StdoutOutput)
+// ...and suppress sbt's "[success] Total time: ..." trailer, which
+// prints AFTER the forked JSON line and defeated the driver's
+// last-line extraction even once the prefix was gone (BENCH_r14 still
+// "parsed: null" — VERDICT r14 Next #1). With this, graft.Bench's
+// one-line JSON is the final stdout line of `sbt "runMain graft.Bench"`.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -147,6 +147,14 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     scala.util.Try(java.nio.file.Files.writeString(
       java.nio.file.Paths.get(out), line + "\n"))
+    // And to a WELL-KNOWN path independent of env/cwd overrides, so a
+    // driver whose stdout scrape still fails has a second, documented
+    // place to read the identical JSON (VERDICT r14 Next #1).
+    scala.util.Try {
+      val p = java.nio.file.Paths.get("target/bench_last.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, line + "\n")
+    }
     spark.stop()
   }
 }

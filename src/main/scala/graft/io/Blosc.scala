@@ -88,6 +88,14 @@ object Blosc {
       "blosc bit-shuffle filter not supported (byte-shuffle or none only)")
     val codec = (flags >> 5) & 0x7
     require(blocksize > 0, s"blosc blocksize $blocksize")
+    // c-blosc clamps blocksize to nbytes when computing it, so any
+    // frame claiming more is malformed — and without this bound the
+    // shuffle scratch buffer below would be allocated straight from
+    // the untrusted header (a crafted blocksize near Int.MaxValue is
+    // a ~2 GB allocation before any stream check, the same
+    // fatal-OOM-in-scan-task class the HDF5 attribute guard closes).
+    require(blocksize <= nbytes,
+      s"blosc blocksize $blocksize exceeds nbytes $nbytes")
     val nblocks = ((nbytes.toLong + blocksize - 1) / blocksize).toInt
     require(16L + 4L * nblocks <= frame.length,
       s"blosc offset table of $nblocks entries overruns the frame")

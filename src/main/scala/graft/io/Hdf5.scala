@@ -1354,14 +1354,23 @@ object Hdf5 {
       * a fatal multi-GB allocation (fuzz-caught: OutOfMemoryError
       * aborts the whole suite on a loaded JVM; the require here is a
       * catchable reject). */
-    def boundedElems(elemSize: Int): Int = {
-      val n = shape.product max 1L
-      require(n >= 1 && n <= data.remaining() && elemSize > 0 &&
-        n * elemSize <= data.remaining(),
-        s"$name: attribute claims $n x $elemSize bytes with only " +
-          s"${data.remaining()} present")
-      n.toInt
-    }
+    def boundedElems(elemSize: Int): Int =
+      Hdf5.checkedAttrElems(name, shape, data.remaining(), elemSize)
+  }
+
+  /** Attribute element-count bound, exposed for direct spec coverage.
+    * The product is overflow-checked: a crafted multi-dim shape (e.g.
+    * 2^33 x 2^31 = 2^64, wrapping a plain Long product to 0 -> "1
+    * element") would otherwise pass the byte bound as a silently-tiny
+    * read; multiplyExact turns the wrap into the same loud reject. */
+  private[graft] def checkedAttrElems(name: String, shape: Seq[Long],
+      avail: Int, elemSize: Int): Int = {
+    val n = (try shape.foldLeft(1L)(Math.multiplyExact)
+      catch { case _: ArithmeticException => Long.MaxValue }) max 1L
+    require(n >= 1 && n <= avail && elemSize > 0 && n * elemSize <= avail,
+      s"$name: attribute claims $n x $elemSize bytes with only " +
+        s"$avail present")
+    n.toInt
   }
 
   private def parseAttr(b: ByteBuffer, r: R = null): Attr = {

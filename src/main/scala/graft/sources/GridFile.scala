@@ -163,7 +163,12 @@ private[sources] object GridFile {
         hms.length >= 2 && hms.length <= 3 &&
         hms.forall(p => p.nonEmpty && p.forall(_.isDigit))
     if (!shapeOk) None
-    else {
+    // Try: digits-only tokens can still overflow the numeric parse
+    // (a 25-digit "year" throws NumberFormatException from toLong) —
+    // malformed epochs must flow to None so the caller's uniform
+    // "unparseable epoch in CF time units" error fires, exactly like
+    // the Gregorian path's try/catch.
+    else scala.util.Try {
       val year = parts(0).toLong * (if (neg) -1 else 1)
       val month = parts(1).toInt
       val day = parts(2).toInt
@@ -172,7 +177,7 @@ private[sources] object GridFile {
       if (month < 1 || month > 12 || day < 1 || h > 23 || mi > 59 || sec > 60)
         None
       else Some((year, month, day, h, mi, sec))
-    }
+    }.toOption.flatten
   }
 
   /** Epoch micros since 1970-01-01 on a fixed-length calendar, or None

@@ -119,6 +119,22 @@ class BloscSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("bit-shuffle"))
   }
 
+  test("crafted giant blocksize rejects before the shuffle scratch alloc") {
+    // the shuffle temp buffer is sized from the header's blocksize —
+    // before the bound, a frame claiming blocksize near Int.MaxValue
+    // forced a ~2 GB allocation ahead of any stream check (the same
+    // fatal-OOM-in-scan-task class as the HDF5 attribute guard)
+    val raw = Array.tabulate(8192)(i => ((i / 5) % 31).toByte)
+    val frame = Blosc.compress(raw, 8)
+    assert((frame(2) & 0x02) == 0 && (frame(2) & 0x01) != 0,
+      "need a shuffled compressed frame")
+    val m = frame.clone()
+    ByteBuffer.wrap(m, 8, 4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(Int.MaxValue - 8)
+    val e = intercept[IllegalArgumentException](Blosc.decompress(m, 8192))
+    assert(e.getMessage.contains("blocksize"), e.getMessage)
+  }
+
   test("hostile mutations decode or raise, never hang or misallocate") {
     val raw = Array.tabulate(8192)(i => ((i / 5) % 31).toByte)
     val base = Blosc.compress(raw, 8)

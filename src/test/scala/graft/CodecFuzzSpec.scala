@@ -137,6 +137,21 @@ class CodecFuzzSpec extends AnyFunSuite {
     assert(e.getMessage.contains("claims"), e.getMessage)
   }
 
+  test("HDF5 attribute shape whose product wraps Long rejects, not a tiny read") {
+    // 2^33 x 2^31 = 2^64 wraps a plain Long product to 0 -> "1
+    // element": the old bound then read the corrupted attribute as a
+    // single element instead of rejecting. 2^33 x 2^33 = 2^66 likewise
+    // wraps (to 0 too, but any wrap is hostile). Both must reject
+    // loudly via the overflow-checked product.
+    for (shape <- Seq(Seq(1L << 33, 1L << 31), Seq(1L << 33, 1L << 33))) {
+      val e = intercept[IllegalArgumentException](
+        Hdf5.checkedAttrElems("a", shape, avail = 64, elemSize = 8))
+      assert(e.getMessage.contains("claims"), e.getMessage)
+    }
+    // sane shapes still pass and multiply correctly
+    assert(Hdf5.checkedAttrElems("a", Seq(2L, 3L), avail = 64, elemSize = 8) == 6)
+  }
+
   test("HDF5 with vlen-string attrs survives 300 hostile mutations") {
     // mutations hit the vlen descriptors and the GCOL string payloads:
     // the reader must reject or decode, never overrun the collection

@@ -312,8 +312,12 @@ class GridSourceSpec extends SparkSpec {
     // dates that don't exist in the DECLARED calendar reject loudly:
     // Feb 29 under noleap, Feb 30 under all_leap, Apr 31 anywhere,
     // Feb 29 of a julian NON-leap year
+    // ...and a digits-only year too long for Long must flow to the
+    // SAME clean reject, not a raw NumberFormatException from toLong
     for ((ep, cal) <- Seq(("2000-02-29", "noleap"), ("2000-02-30", "all_leap"),
-      ("2000-04-31", "360_day"), ("1901-02-29", "julian"))) {
+      ("2000-04-31", "360_day"), ("1901-02-29", "julian"),
+      ("1234567890123456789012345-01-01", "noleap"),
+      ("2000-01-01 00:00:1234567890123", "julian"))) {
       val e = intercept[Exception] { timesMs(write(s"bad_${cal}_$ep.nc",
         Array(0.0), Seq("units" -> s"days since $ep", "calendar" -> cal))) }
       assert(e.getMessage.contains("unparseable"), s"$ep/$cal: ${e.getMessage}")
