@@ -185,11 +185,22 @@ object Zarr {
     * encoding (`c/`-prefixed, `/`-separated keys), `dimension_names`,
     * and a bytes+zstd codec chain — the store shape zarr-python 3
     * (and therefore current xarray `to_zarr`) emits by default.
-    * Chunking as [[write]]: runs of `chunk0` along the first axis. */
+    * Chunking as [[write]]: runs of `chunk0` along the first axis.
+    *
+    * `shardInner0 > 0` writes `sharding_indexed` stores instead (the
+    * layout zarr-python 3 emits for large arrays when shards are
+    * configured): each stored file is one SHARD of `chunk0` rows
+    * holding inner chunks of `shardInner0` rows, inner chunks encoded
+    * with `codec`, located by a trailing little-endian (offset,
+    * nbytes) index with a crc32c — zarr-python's default index
+    * encoding. `chunk0` must be a whole multiple of `shardInner0`. */
   def write3(dir: String, dims: Seq[Dim], globalAttrs: Seq[(String, String)],
-      vars: Seq[Var], codec: String = "zstd", chunk0: Int = 0): Unit = {
+      vars: Seq[Var], codec: String = "zstd", chunk0: Int = 0,
+      shardInner0: Int = 0): Unit = {
     require(codec == "zstd" || codec == "raw",
       s"unsupported zarr v3 write codec '$codec' (zstd or raw)")
+    require(shardInner0 <= 0 || (chunk0 > 0 && chunk0 % shardInner0 == 0),
+      s"shard of $chunk0 rows is not a whole multiple of $shardInner0-row inner chunks")
     val root = Paths.get(dir)
     Files.createDirectories(root)
     val gattrs = globalAttrs.map { case (k, v) => s"${q(k)}: ${q(v)}" }
@@ -201,17 +212,32 @@ object Zarr {
       val shape = v.dimIds.map(dims(_).size)
       require(shape.product == v.data.length,
         s"${v.name}: data length ${v.data.length} != shape ${shape.mkString("x")}")
+      // a sharded var keeps the full shard extent even past the array
+      // edge (the spec allows a partial trailing chunk); plain chunks
+      // clamp as before
+      val sharded = shardInner0 > 0 && shape.nonEmpty
       val c0 = if (chunk0 <= 0 || shape.isEmpty) shape.headOption.getOrElse(1)
+        else if (sharded) chunk0
         else math.min(chunk0, shape.head)
       val chunks = if (shape.isEmpty) Seq(1) else c0 +: shape.tail
       val shapeOut = if (shape.isEmpty) Seq(1) else shape
       val vdir = root.resolve(v.name)
       Files.createDirectories(vdir)
-      val codecsJson =
+      val innerJson =
         if (codec == "zstd")
           """[{"name": "bytes", "configuration": {"endian": "little"}}, """ +
             """{"name": "zstd", "configuration": {"level": 3, "checksum": false}}]"""
         else """[{"name": "bytes", "configuration": {"endian": "little"}}]"""
+      val codecsJson =
+        if (!sharded) innerJson
+        else {
+          val innerShape = (shardInner0 +: shapeOut.tail).mkString(", ")
+          s"""[{"name": "sharding_indexed", "configuration": {""" +
+            s""""chunk_shape": [$innerShape], "codecs": $innerJson, """ +
+            """"index_codecs": [{"name": "bytes", "configuration": """ +
+            """{"endian": "little"}}, {"name": "crc32c"}], """ +
+            """"index_location": "end"}}]"""
+        }
       val dimNames = v.dimIds.map(dims(_).name)
       val va = (v.attrs.map { case (k, s) => (k, q(s)) } ++
         v.numAttrs.map { case (k, d) =>
@@ -233,19 +259,48 @@ object Zarr {
       val rowElems = shapeOut.tail.product.max(1)
       val elemSize = NetCdf.typeSize(v.ncType)
       val nChunks0 = (shapeOut.head + chunks.head - 1) / chunks.head
-      for (ci <- 0 until nChunks0) {
-        val buf = ByteBuffer.allocate(chunks.head * rowElems * elemSize)
+      def encodeRows(row0: Int, rows: Int): Array[Byte] = {
+        val buf = ByteBuffer.allocate(rows * rowElems * elemSize)
           .order(ByteOrder.LITTLE_ENDIAN)
-        val from = ci * chunks.head * rowElems
-        val live = math.min(chunks.head, shapeOut.head - ci * chunks.head)
-        encode(v.data, from, live * rowElems, v.ncType, buf)
+        val live = math.max(math.min(rows, shapeOut.head - row0), 0)
+        encode(v.data, row0 * rowElems, live * rowElems, v.ncType, buf)
+        if (codec == "zstd") com.github.luben.zstd.Zstd.compress(buf.array(), 3)
+        else buf.array()
+      }
+      for (ci <- 0 until nChunks0) {
         val key = ("c" +: (ci.toString +: shapeOut.tail.map(_ => "0")))
           .mkString("/")
         val p = vdir.resolve(key)
         Files.createDirectories(p.getParent)
-        Files.write(p,
-          if (codec == "zstd") com.github.luben.zstd.Zstd.compress(buf.array(), 3)
-          else buf.array())
+        if (!sharded) {
+          Files.write(p, encodeRows(ci * chunks.head, chunks.head))
+        } else {
+          // one shard file: inner chunk payloads in C order, then the
+          // (offset, nbytes) index and its crc32c at the end
+          val nInner = chunks.head / shardInner0
+          val parts = (0 until nInner).map { ii =>
+            val row0 = ci * chunks.head + ii * shardInner0
+            if (row0 >= shapeOut.head) null // wholly past the edge
+            else encodeRows(row0, shardInner0)
+          }
+          val dataLen = parts.filter(_ != null).map(_.length.toLong).sum
+          val out = ByteBuffer.allocate((dataLen + nInner * 16L + 4L).toInt)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          val index = ByteBuffer.allocate(nInner * 16 + 4)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          parts.foreach { part =>
+            if (part == null) { index.putLong(-1L).putLong(-1L) }
+            else {
+              index.putLong(out.position().toLong).putLong(part.length.toLong)
+              out.put(part)
+            }
+          }
+          val crc = new java.util.zip.CRC32C()
+          crc.update(index.array(), 0, nInner * 16)
+          index.putInt(crc.getValue.toInt)
+          out.put(index.array())
+          Files.write(p, out.array())
+        }
       }
     }
   }
@@ -290,11 +345,23 @@ object Zarr {
     * `keySep`/`keyPrefixC` carry the chunk-key encoding: v2 stores name
     * chunks `i.j.k`; v3's default encoding prefixes `c` and separates
     * with `/` (nested directories) or `.`. */
+  /** Zarr v3 `sharding_indexed` layout: the stored FILE is the outer
+    * shard — `shape` here is the shard's extent (the array's
+    * chunk_grid chunk_shape), a whole multiple of the inner chunk
+    * shape carried in [[ArrayMeta.chunks]]. Each shard holds its inner
+    * chunks' encoded bytes plus an index of (offset, nbytes) uint64-LE
+    * pairs in C order over the shard's inner-chunk grid (2^64-1 pairs
+    * mark missing inner chunks), stored at the file's end or start,
+    * optionally followed by a crc32c of the index bytes. */
+  final case class Shard(shape: Seq[Int], indexAtEnd: Boolean,
+      indexCrc: Boolean)
+
   final case class ArrayMeta(name: String, dimNames: Seq[String],
       shape: Seq[Int], chunks: Seq[Int], ncType: Int, codec: String,
       attrs: Seq[(String, String)], fill: Double = 0.0,
       numAttrs: Seq[(String, Double)] = Nil,
-      keySep: String = ".", keyPrefixC: Boolean = false) {
+      keySep: String = ".", keyPrefixC: Boolean = false,
+      shard: Option[Shard] = None) {
     def nChunks: Seq[Int] =
       shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     /** Store-relative chunk key for per-axis indices `idx`. */
@@ -464,8 +531,10 @@ object Zarr {
   /** The codec chain this engine decodes: a little-endian `bytes`
     * array→bytes codec, optionally followed by ONE bytes→bytes
     * compressor (zstd — zarr-python 3's default — gzip, or blosc
-    * frames). Anything else (sharding, transpose, crc32c, big-endian)
-    * raises loudly rather than misreading. */
+    * frames). Anything else (transpose, crc32c, big-endian) raises
+    * loudly rather than misreading; `sharding_indexed` is handled one
+    * level up by [[parseV3Chain]], which feeds this parser the INNER
+    * codec chain. */
   private def v3Codec(name: String, codecs: JsonNode): String = {
     require(codecs != null && codecs.isArray && codecs.size() >= 1,
       s"$name: zarr v3 array without a codecs chain")
@@ -486,6 +555,56 @@ object Zarr {
         s"$name: unsupported zarr v3 codec chain bytes->" +
           rest.mkString("->") + " (zstd, gzip, blosc or none)")
     }
+  }
+
+  /** Top-level zarr v3 codec chain: either a plain bytes[+compressor]
+    * chain (delegated to [[v3Codec]]) or a single `sharding_indexed`
+    * codec, whose configuration nests the inner chunk shape, the
+    * inner chunk codec chain, and the shard-index encoding. Returns
+    * (bytes->bytes codec, effective chunk shape for the scan,
+    * shard layout) — under sharding the SCAN plans at inner-chunk
+    * granularity, so pruning and the chunk-read unit stay as fine as
+    * the data's real layout rather than the stored-file grid. */
+  private def parseV3Chain(name: String, codecs: JsonNode,
+      gridChunks: Seq[Int]): (String, Seq[Int], Option[Shard]) = {
+    require(codecs != null && codecs.isArray && codecs.size() >= 1,
+      s"$name: zarr v3 array without a codecs chain")
+    if (codecs.get(0).get("name").asText() != "sharding_indexed")
+      return (v3Codec(name, codecs), gridChunks, None)
+    require(codecs.size() == 1,
+      s"$name: codecs following sharding_indexed are not supported")
+    val cfg = codecs.get(0).get("configuration")
+    require(cfg != null && !cfg.isNull,
+      s"$name: sharding_indexed without a configuration")
+    val inner = cfg.get("chunk_shape").elements().asScala.map(_.asInt()).toSeq
+    require(inner.length == gridChunks.length &&
+      inner.zip(gridChunks).forall { case (i, s) => i > 0 && s % i == 0 },
+      s"$name: shard shape ${gridChunks.mkString("x")} is not a whole " +
+        s"multiple of inner chunk shape ${inner.mkString("x")}")
+    val innerCodec = v3Codec(name, cfg.get("codecs"))
+    val ic = cfg.get("index_codecs")
+    require(ic != null && ic.isArray && ic.size() >= 1,
+      s"$name: sharding_indexed without index_codecs")
+    val icNames = (0 until ic.size()).map(i => ic.get(i).get("name").asText())
+    val crc = icNames match {
+      case Seq("bytes") => false
+      case Seq("bytes", "crc32c") => true // zarr-python's default
+      case o => throw new IllegalArgumentException(
+        s"$name: unsupported index_codecs ${o.mkString("[", ",", "]")} " +
+          "(bytes or bytes+crc32c)")
+    }
+    val iCfg = Option(ic.get(0).get("configuration")).filterNot(_.isNull)
+    val iEndian = iCfg.flatMap(c => Option(c.get("endian")))
+      .map(_.asText()).getOrElse("little")
+    require(iEndian == "little", s"$name: big-endian shard index")
+    val atEnd = Option(cfg.get("index_location")).filterNot(_.isNull)
+      .map(_.asText()).getOrElse("end") match {
+      case "end" => true
+      case "start" => false
+      case o => throw new IllegalArgumentException(
+        s"$name: unsupported index_location '$o'")
+    }
+    (innerCodec, inner, Some(Shard(gridChunks, atEnd, crc)))
   }
 
   /** Zarr v3 group parse (`zarr.json` metadata, the format zarr-python
@@ -535,7 +654,8 @@ object Zarr {
                 s"$name: unsupported chunk_key_encoding '$o'")
             }
         }
-        val codec = v3Codec(name, za.get("codecs"))
+        val (codec, chunksEff, shardOpt) =
+          parseV3Chain(name, za.get("codecs"), chunks)
         val fv = v3Fill(name, za.get("fill_value"))
         val attrsNode = Option(za.get("attributes")).filterNot(_.isNull)
         val attrs = attrsNode.map(_.properties().asScala.toSeq.collect {
@@ -547,9 +667,9 @@ object Zarr {
         val dimNames = Option(za.get("dimension_names")).filterNot(_.isNull)
           .map(_.elements().asScala.map(_.asText()).toSeq)
           .getOrElse(shape.indices.map(i => s"${name}_dim$i"))
-        ArrayMeta(name, dimNames, shape, chunks,
+        ArrayMeta(name, dimNames, shape, chunksEff,
           v3NcTypeOf(za.get("data_type").asText()), codec, attrs, fv,
-          promoteFill(fv, numAttrs), sep, prefixC)
+          promoteFill(fv, numAttrs), sep, prefixC, shardOpt)
       }
     Meta(globals, arrays)
   }
@@ -577,35 +697,18 @@ object Zarr {
     // a MISSING chunk file reads as the store's declared fill_value
     // (zarr v2 spec) — xarray writes "NaN" fills for float data, so
     // zero-filling here would silently misread real stores
-    if (!Files.exists(p)) return Array.fill(elems)(am.fill)
-    val bytes = am.codec match {
-      case "zlib" => inflate(Files.readAllBytes(p), rawLen)
-      case "blosc" => Blosc.decompress(Files.readAllBytes(p), rawLen)
-      case "zstd" => // zarr-python 3's default compressor
-        val z = Files.readAllBytes(p)
-        val out = new Array[Byte](rawLen)
-        val n = com.github.luben.zstd.Zstd.decompressByteArray(
-          out, 0, rawLen, z, 0, z.length)
-        require(n == rawLen, s"${am.name}: zstd chunk yielded $n of $rawLen bytes")
-        out
-      case "gzip" =>
-        val in = new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(Files.readAllBytes(p)))
-        try {
-          val out = new Array[Byte](rawLen)
-          var off = 0
-          while (off < rawLen) {
-            val n = in.read(out, off, rawLen - off)
-            require(n > 0, s"${am.name}: truncated gzip chunk at $off of $rawLen")
-            off += n
-          }
-          require(in.read() == -1, s"${am.name}: gzip chunk larger than $rawLen")
-          out
-        } finally in.close()
-      case _ => Files.readAllBytes(p)
+    val encoded: Array[Byte] = am.shard match {
+      case None =>
+        if (!Files.exists(p)) return Array.fill(elems)(am.fill)
+        Files.readAllBytes(p)
+      case Some(sh) =>
+        readInnerChunk(dir, am, sh, idx) match {
+          case null => return Array.fill(elems)(am.fill)
+          case b => b
+        }
     }
-    require(bytes.length == rawLen,
-      s"${am.name}/${idx.mkString(".")}: ${bytes.length} bytes, want $rawLen")
+    val bytes = decodeBytes(s"${am.name}/${idx.mkString(".")}",
+      am.codec, encoded, rawLen)
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val out = new Array[Double](elems)
     var i = 0
@@ -618,6 +721,142 @@ object Zarr {
       case _ => while (i < elems) { out(i) = buf.get().toDouble; i += 1 }
     }
     out
+  }
+
+  /** Decode one chunk's encoded bytes to exactly `rawLen` raw bytes
+    * (shared by the plain per-file chunk path and the sharded inner
+    * chunks, which carry the same bytes->bytes codec choices). */
+  private def decodeBytes(label: String, codec: String, z: Array[Byte],
+      rawLen: Int): Array[Byte] = {
+    val bytes = codec match {
+      case "zlib" => inflate(z, rawLen)
+      case "blosc" => Blosc.decompress(z, rawLen)
+      case "zstd" => // zarr-python 3's default compressor
+        val out = new Array[Byte](rawLen)
+        val n = com.github.luben.zstd.Zstd.decompressByteArray(
+          out, 0, rawLen, z, 0, z.length)
+        require(n == rawLen, s"$label: zstd chunk yielded $n of $rawLen bytes")
+        out
+      case "gzip" =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(z))
+        try {
+          val out = new Array[Byte](rawLen)
+          var off = 0
+          while (off < rawLen) {
+            val n = in.read(out, off, rawLen - off)
+            require(n > 0, s"$label: truncated gzip chunk at $off of $rawLen")
+            off += n
+          }
+          require(in.read() == -1, s"$label: gzip chunk larger than $rawLen")
+          out
+        } finally in.close()
+      case _ => z
+    }
+    require(bytes.length == rawLen,
+      s"$label: ${bytes.length} bytes, want $rawLen")
+    bytes
+  }
+
+  /** Shard-index memo: one shard's index is read once per (file, size,
+    * mtime) and reused across the shard's inner chunks — an executor
+    * task walking consecutive inner chunks of one shard would
+    * otherwise re-read and re-checksum the same index per chunk. Keyed
+    * by content identity so a rewritten store never serves a stale
+    * index; bounded LRU so long-running executors don't accumulate. */
+  private val shardIndexMemo =
+    new java.util.LinkedHashMap[(String, Long, Long), Array[Long]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), Array[Long]]): Boolean =
+        size() > 16
+    }
+
+  /** Read one shard's (offset, nbytes) index: `2 * nInner` longs in
+    * C order over the shard's inner-chunk grid, verified against the
+    * trailing crc32c when the store declares one. Every field is
+    * untrusted: the index length is bounded before allocation and the
+    * checksum gates corrupted tables before any offset is followed. */
+  private def readShardIndex(p: Path, nInner: Int, sh: Shard,
+      size: Long, label: String): Array[Long] = {
+    // nanosecond mtime: a store rewritten in place within one
+    // millisecond (test harnesses do) must not serve a stale index
+    val key = (p.toAbsolutePath.toString, size,
+      Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS))
+    shardIndexMemo.synchronized {
+      val hit = shardIndexMemo.get(key)
+      if (hit != null) return hit
+    }
+    val idxLen = nInner.toLong * 16 + (if (sh.indexCrc) 4L else 0L)
+    require(idxLen <= size,
+      s"$label: shard index of $idxLen bytes exceeds the $size-byte shard")
+    val ch = java.nio.channels.FileChannel.open(p)
+    val buf = try {
+      val b = ByteBuffer.allocate(idxLen.toInt).order(ByteOrder.LITTLE_ENDIAN)
+      val base = if (sh.indexAtEnd) size - idxLen else 0L
+      while (b.hasRemaining) {
+        val n = ch.read(b, base + b.position())
+        require(n > 0, s"$label: truncated shard index")
+      }
+      b
+    } finally ch.close()
+    if (sh.indexCrc) {
+      val crc = new java.util.zip.CRC32C()
+      crc.update(buf.array(), 0, nInner * 16)
+      val stored = buf.getInt(nInner * 16)
+      require(crc.getValue.toInt == stored,
+        s"$label: shard index crc32c mismatch")
+    }
+    val out = new Array[Long](nInner * 2)
+    var i = 0
+    while (i < out.length) { out(i) = buf.getLong(i * 8); i += 1 }
+    shardIndexMemo.synchronized { shardIndexMemo.put(key, out) }
+    out
+  }
+
+  /** Locate + read ONE inner chunk's encoded bytes from its shard
+    * file, or null when the inner chunk (or its whole shard) is
+    * missing — the caller fills. Only the index and the inner chunk's
+    * own byte range are read, never the whole shard: at scale a shard
+    * is many inner chunks and a pruned scan must not pay for its
+    * neighbours. */
+  private def readInnerChunk(dir: String, am: ArrayMeta, sh: Shard,
+      idx: Seq[Int]): Array[Byte] = {
+    val label = s"${am.name}/${idx.mkString(".")}"
+    // inner chunks per shard axis: metaV3 validated divisibility
+    val ipc = sh.shape.zip(am.chunks).map { case (s, c) => s / c }
+    val nInner = ipc.foldLeft(1L) { (a, n) =>
+      val prod = a * n
+      // 2^22 entries x 16 bytes = a 64 MB index: far above any real
+      // shard, and a bound hostile metadata cannot push past
+      require(n > 0 && prod / n == a && prod <= (1L << 22),
+        s"$label: shard of ${ipc.mkString("x")} inner chunks exceeds the 2^22 cap")
+      prod
+    }.toInt
+    val shardIdx = idx.zip(ipc).map { case (i, n) => i / n }
+    val p = Paths.get(dir).resolve(am.name).resolve(am.chunkKey(shardIdx))
+    if (!Files.exists(p)) return null
+    val size = Files.size(p)
+    val index = readShardIndex(p, nInner, sh, size, label)
+    // C-order linear index of this inner chunk within its shard
+    val li = idx.zip(ipc).foldLeft(0L) { case (acc, (i, n)) => acc * n + i % n }
+      .toInt
+    val off = index(2 * li)
+    val len = index(2 * li + 1)
+    if (off == -1L && len == -1L) return null // spec: missing inner chunk
+    // untrusted u64s read as Longs: anything outside [0, size] — which
+    // includes the negative image of large hostile values — rejects
+    require(off >= 0 && len >= 0 && len <= size && off <= size - len,
+      s"$label: inner chunk at $off+$len outside the $size-byte shard")
+    val ch = java.nio.channels.FileChannel.open(p)
+    try {
+      val b = ByteBuffer.allocate(len.toInt)
+      while (b.hasRemaining) {
+        val n = ch.read(b, off + b.position())
+        require(n > 0, s"$label: truncated inner chunk")
+      }
+      b.array()
+    } finally ch.close()
   }
 
   /** Whole-store read into the shared [[NetCdf.NcFile]] model (small

@@ -335,6 +335,12 @@ object GridQueries {
     * current xarray `to_zarr` write by default). */
   val qZarrV3Roundtrip: Q = zarrRoundtrip("v3")
 
+  /** Zarr v3 `sharding_indexed` roundtrip: shard files holding a grid
+    * of independently-compressed inner chunks behind a crc32c'd
+    * offset index — the layout zarr-python 3 writes for large arrays
+    * when shards are configured (common for cloud stores). */
+  val qZarrV3ShardedRoundtrip: Q = zarrRoundtrip("v3s")
+
   private def zarrRoundtrip(codec: String): Q = (spark, dir) => {
     import graft.io.{NetCdf, Zarr}
     val supp = Tables(spark, dir, "supplier")
@@ -355,6 +361,12 @@ object GridQueries {
     if (codec == "v3")
       Zarr.write3(tmp, dims, Seq("title" -> "graft regrid output"), vars,
         codec = "zstd", chunk0 = 7)
+    else if (codec == "v3s")
+      // sharded store: 8-row shards of 2-row inner chunks (trailing
+      // crc32c'd index), read back through the same version-agnostic
+      // chunk machinery
+      Zarr.write3(tmp, dims, Seq("title" -> "graft regrid output"), vars,
+        codec = "zstd", chunk0 = 8, shardInner0 = 2)
     else Zarr.write(tmp, dims, Seq("title" -> "graft regrid output"), vars,
       compress = true, chunk0 = 7, codec = codec)
     val nc = Zarr.read(tmp)
@@ -795,6 +807,7 @@ object GridQueries {
     "grid_zarr_roundtrip" -> qZarrRoundtrip,
     "grid_zarr_blosc" -> qZarrBloscRoundtrip,
     "grid_zarr_v3" -> qZarrV3Roundtrip,
+    "grid_zarr_v3_sharded" -> qZarrV3ShardedRoundtrip,
     "grid_pipeline_haduk" -> qGridPipelineHaduk,
     "grid_pipeline" -> qGridPipeline,
     "grid_pipeline_voronoi" -> qGridPipelineVoronoi,
@@ -819,6 +832,7 @@ object GridQueries {
     "grid_zarr_roundtrip" -> qNetcdfRoundtripSql,
     "grid_zarr_blosc" -> qNetcdfRoundtripSql,
     "grid_zarr_v3" -> qNetcdfRoundtripSql,
+    "grid_zarr_v3_sharded" -> qNetcdfRoundtripSql,
     "grid_pipeline_haduk" -> qGridPipelineHadukSql,
     "grid_pipeline" -> qGridPipelineSql,
     "grid_pipeline_voronoi" -> qGridPipelineVoronoiSql,

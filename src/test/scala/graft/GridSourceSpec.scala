@@ -159,6 +159,20 @@ class GridSourceSpec extends SparkSpec {
     assert(got3 == want, "zarr v3 scan diverges from the .ggrd scan")
     val sliced3 = z3.filter($"time" >= lit("1970-01-01 18:00:00").cast("timestamp"))
     assert(sliced3.rdd.getNumPartitions == 6, "zarr v3 slab pruning broken")
+
+    // ...and the SHARDED v3 form (sharding_indexed: 10-row shard files
+    // of 5-row inner chunks behind a crc32c'd offset index): identical
+    // rows, and slab pruning still sees the INNER 5-row chunk grid —
+    // the scan plans at the data's real granularity, not the
+    // stored-file grid
+    val zsPath = dir.resolve("t2_v3s.zarr").toString
+    Zarr.write3(zsPath, dims, Nil, vars, chunk0 = 10, shardInner0 = 5)
+    val zs = spark.read.format("graft.sources.GridSource").load(zsPath)
+    val gotS = zs.select("time", "y", "x", "lat", "lon", "value")
+      .as[(java.sql.Timestamp, Int, Int, Double, Double, Double)].collect().toSet
+    assert(gotS == want, "sharded zarr v3 scan diverges from the .ggrd scan")
+    val slicedS = zs.filter($"time" >= lit("1970-01-01 18:00:00").cast("timestamp"))
+    assert(slicedS.rdd.getNumPartitions == 6, "sharded zarr v3 slab pruning broken")
   }
 
   test("CF time units decode: 'hours since <epoch>' coordinates") {

@@ -237,6 +237,137 @@ class ZarrSpec extends AnyFunSuite {
     assert(e.getMessage.contains("codec chain"))
   }
 
+  test("zarr v3 sharding_indexed roundtrips; scan unit is the inner chunk") {
+    import java.nio.file.{Files, Paths}
+    val (nt, ny, nx) = (23, 3, 4) // 23 rows: last shard half-past the edge
+    val dims = Seq(NetCdf.Dim("time", nt), NetCdf.Dim("y", ny), NetCdf.Dim("x", nx))
+    val data = Array.tabulate(nt * ny * nx)(i => i * 0.125 - 7)
+    val vars = Seq(
+      NetCdf.Var("time", Seq(0), NetCdf.NcDouble, Nil,
+        Array.tabulate(nt)(_ * 3600.0)),
+      NetCdf.Var("t2", Seq(0, 1, 2), NetCdf.NcDouble,
+        Seq("units" -> "K"), data))
+    val dir = tmp()
+    Zarr.write3(dir, dims, Nil, vars, chunk0 = 8, shardInner0 = 2)
+    // 23 rows / 8-row shards = 3 shard FILES; the last one holds two
+    // wholly-missing inner chunks (rows 24.. past the edge)
+    val t2dir = Paths.get(dir).resolve("t2")
+    assert(Files.exists(t2dir.resolve("c/2/0/0")))
+    assert(!Files.exists(t2dir.resolve("c/3/0/0")))
+    val back = Zarr.read(dir)
+    assert(back.variable("t2").data.asInstanceOf[Array[Double]].toSeq
+      === data.toSeq)
+    // the scan's ArrayMeta plans at INNER-chunk granularity
+    val am = Zarr.meta(dir).array("t2")
+    assert(am.chunks == Seq(2, 3, 4) && am.shard.exists(_.shape == Seq(8, 3, 4)))
+    assert(am.nChunks == Seq(12, 1, 1))
+    // one inner chunk reads without touching its siblings' payloads
+    assert(Zarr.readChunkDouble(dir, am, Seq(3, 0, 0)).toSeq
+      === data.slice(6 * 12, 8 * 12).toSeq)
+    // inner chunks wholly past the edge read as fill
+    assert(Zarr.readChunkDouble(dir, am, Seq(11, 0, 0))
+      .toSeq.drop(12).forall(_ == 0.0))
+  }
+
+  test("zarr v3 sharding: index at start, bytes-only index, raw inner codec") {
+    import java.nio.file.{Files, Paths}
+    // hand-build the variant this engine's writer never emits:
+    // index_location "start", no crc32c, raw inner chunks
+    val dir = tmp()
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir).resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "group"}""".getBytes("UTF-8"))
+    val vdir = Paths.get(dir).resolve("g")
+    Files.createDirectories(vdir)
+    Files.write(vdir.resolve("zarr.json"),
+      ("""{"zarr_format": 3, "node_type": "array", "shape": [4], """ +
+        """"data_type": "float64", "chunk_grid": {"name": "regular", """ +
+        """"configuration": {"chunk_shape": [4]}}, """ +
+        """"fill_value": 0, "codecs": [{"name": "sharding_indexed", """ +
+        """"configuration": {"chunk_shape": [2], """ +
+        """"codecs": [{"name": "bytes", "configuration": {"endian": "little"}}], """ +
+        """"index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}], """ +
+        """"index_location": "start"}}], """ +
+        """"dimension_names": ["t"]}""").getBytes("UTF-8"))
+    // shard file: 32-byte leading index (2 inner chunks), then payloads
+    // inner chunk 0 = [1.0, 2.0] at offset 32; inner chunk 1 missing
+    val f = java.nio.ByteBuffer.allocate(32 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    f.putLong(32L).putLong(16L).putLong(-1L).putLong(-1L)
+    f.putDouble(1.0).putDouble(2.0)
+    Files.createDirectories(vdir.resolve("c"))
+    Files.write(vdir.resolve("c/0"), f.array())
+    val g = Zarr.read(dir).variable("g").data.asInstanceOf[Array[Double]]
+    assert(g.toSeq == Seq(1.0, 2.0, 0.0, 0.0))
+    // hostile index entries reject loudly, never misallocate:
+    // (a) offset+nbytes past the file
+    val bad1 = f.array().clone()
+    java.nio.ByteBuffer.wrap(bad1, 8, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(Long.MaxValue)
+    Files.write(vdir.resolve("c/0"), bad1)
+    Files.setLastModifiedTime(vdir.resolve("c/0"), // distinct memo key
+      java.nio.file.attribute.FileTime.fromMillis(1700000001000L))
+    val am = Zarr.meta(dir).array("g")
+    val e1 = intercept[IllegalArgumentException](
+      Zarr.readChunkDouble(dir, am, Seq(0)))
+    assert(e1.getMessage.contains("outside"), e1.getMessage)
+    // (b) negative-image offset (a hostile u64 reads as negative)
+    val bad2 = f.array().clone()
+    java.nio.ByteBuffer.wrap(bad2, 0, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(Long.MinValue)
+    Files.write(vdir.resolve("c/0"), bad2)
+    Files.setLastModifiedTime(vdir.resolve("c/0"),
+      java.nio.file.attribute.FileTime.fromMillis(1700000002000L))
+    val e2 = intercept[IllegalArgumentException](
+      Zarr.readChunkDouble(dir, am, Seq(0)))
+    assert(e2.getMessage.contains("outside"), e2.getMessage)
+    // (c) a shard file smaller than its declared index
+    Files.write(vdir.resolve("c/0"), Array[Byte](1, 2, 3))
+    val e3 = intercept[IllegalArgumentException](
+      Zarr.readChunkDouble(dir, am, Seq(0)))
+    assert(e3.getMessage.contains("index"), e3.getMessage)
+  }
+
+  test("zarr v3 sharding: crc32c catches index corruption; fuzz never hangs") {
+    import java.nio.file.{Files, Paths}
+    val dims = Seq(NetCdf.Dim("t", 16))
+    val vars = Seq(NetCdf.Var("v", Seq(0), NetCdf.NcDouble, Nil,
+      Array.tabulate(16)(_ * 2.5)))
+    val dir = tmp()
+    Zarr.write3(dir, dims, Nil, vars, chunk0 = 16, shardInner0 = 4)
+    val shardP = Paths.get(dir).resolve("v").resolve("c/0")
+    val base = Files.readAllBytes(shardP)
+    // flip one byte INSIDE the index region (trailing 4*16+4 bytes):
+    // the crc32c must catch it before any offset is followed
+    val corrupted = base.clone()
+    corrupted(base.length - 12) = (corrupted(base.length - 12) ^ 0x41).toByte
+    Files.write(shardP, corrupted)
+    val am = Zarr.meta(dir).array("v")
+    val e = intercept[IllegalArgumentException](
+      Zarr.readChunkDouble(dir, am, Seq(0)))
+    assert(e.getMessage.contains("crc32c"), e.getMessage)
+    // 300 hostile mutations across the whole shard: decode or raise,
+    // never hang, never a fatal allocation
+    val rnd = new scala.util.Random(77)
+    var decoded = 0; var rejected = 0
+    for (trial <- 0 until 300) {
+      val m = base.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Files.write(shardP, m)
+      // distinct mtime per trial: the reader's index memo keys on
+      // (path, size, mtime) and same-size rewrites must never alias
+      Files.setLastModifiedTime(shardP,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + trial * 1000L))
+      try {
+        (0 until 4).foreach(i => Zarr.readChunkDouble(dir, am, Seq(i)))
+        decoded += 1
+      } catch { case scala.util.control.NonFatal(_) => rejected += 1 }
+    }
+    assert(decoded + rejected == 300)
+    assert(rejected > 100, s"crc-gated index: only $rejected of 300 rejected?")
+  }
+
   test("packed store mask-and-scales by default, raw on request (CF S6)") {
     // numeric .zattrs (scale_factor/add_offset/_FillValue) must parse
     // and drive the same CF decode the NetCDF containers apply — a
