@@ -342,11 +342,32 @@ object Dedup {
     // trip; the window needs no ordering so no sort beyond the shuffle)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(bucketCols.map(col): _*)
+    // EXPLICIT repartition on the bucket key, not the window's implicit
+    // ENSURE_REQUIREMENTS exchange: the explicit form's partitioning
+    // (and the window sort's ordering, which is exactly the self-join's
+    // sort key) survives persist() and propagates out of the cache, so
+    // the self-join below consumes the cache CO-LOCATED AND SORTED —
+    // zero exchanges, zero sorts — where the implicit form re-shuffled
+    // and re-sorted the full membership stream on BOTH sides (2×160M
+    // rows at 10M docs; measured same-box, r15). Skew note: bypassing
+    // the join's own exchanges also bypasses AQE skew-splitting, which
+    // is safe here because the maxBucket guard bounds every bucket.
+    // explicit N (the session's configured count): an N-less column
+    // repartition is fair game for AQE coalescing, which would shrink
+    // the cache's partition count to the advisory size and with it the
+    // parallelism of everything that consumes the cache's partitioning
+    val shuffleP = memb.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val mf = memb
+      .repartition(shuffleP, bucketCols.map(col): _*)
       .withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n") >= 2 && col("__n") <= maxBucket)
       .drop("__n")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE the self-join is planned: an unmaterialized
+    // AQE-cached plan reports unknown partitioning and the join would
+    // re-shuffle + re-sort both sides of the full membership stream
+    mf.count()
     mf.select((col("id").as("id_a") +: bucketCols.map(col)): _*)
       .join(mf.select((col("id").as("id_b") +: bucketCols.map(col)): _*), bucketCols)
       .filter(col("id_a") < col("id_b"))
@@ -524,11 +545,27 @@ object Dedup {
     // frame and the refine joins' shuffle payload both shrink, and the
     // refine consumes the cached arrays as-is instead of re-hashing
     // and re-sorting per side)
+    // persisted PRE-PARTITIONED AND PRE-SORTED on id: the two refine
+    // joins each need hash(id) clustering + id ordering on their sets
+    // side, and the explicit repartition+sortWithinPartitions form
+    // propagates both OUT of the cache (through the id_a/id_b alias
+    // projections), so refine pays zero sets-side exchanges and zero
+    // sets-side sorts — one wide exchange at cache build replaces two
+    // at join time, and the banding consumer (map-side, no required
+    // distribution) is unaffected. Measured same-box at 2M/10M docs
+    // (r15); at sf0.1 scale the refine broadcasts and the extra build
+    // exchange is sub-100ms.
+    val setsP = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val sets = df.select(col(idCol).cast("long").as("id"),
       hashedShingles(col(textCol), shingleN).as("shh"))
+      .repartition(setsP, col("id")).sortWithinPartitions("id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // see eagerShingleCacheDefault for why (and when) the cache build
-    // is split into its own stage — same build work either way
+    // is split into its own stage — same build work either way. The
+    // partitioning propagates to the refine only once the cache is
+    // materialized (an unbuilt AQE-cached plan reports unknown), so
+    // the eager count is also what arms the exchange-free refine.
     if (eagerShingleCacheDefault(df.sparkSession)) sets.count()
     val cand = minhashCandidatesFromHashedSets(sets, k, bands, maxBucket = 64)
     refineJaccardHashed(cand, sets, threshold)

@@ -12,6 +12,14 @@ import graft.operators.Dedup
   * banded LSH candidate generation, exact-Jaccard refine — on the same
   * 9M-survivor corpus, so the fix targets the measured cost, not the
   * suspected one. Prints one JSON line.
+  *
+  * Heap floor: 8 GiB at the default 10M docs (`SPARK_DRIVER_MEM=8g`,
+  * the build default). Unlike Prep10M — which passes its count gates
+  * at 4 GiB — this tool deliberately persists the shingle sets AND the
+  * candidate pairs AND replays every substage as a fresh action, so
+  * its working set is a multiple of the pipeline's; running it at the
+  * pipeline's 4 GiB rig OOMs by design, not by defect. Use
+  * `SPARK_GRAFT_DOCS` to profile smaller corpora at smaller heaps.
   */
 object NearDupProfile {
   def main(args: Array[String]): Unit = {
@@ -59,10 +67,16 @@ object NearDupProfile {
     // catch: minhashCandidates(survivors,...) would rebuild shingles
     // from raw text, double-counting the cost sets_sec already timed
     // and overstating the LSH stage)
-    val cand = Dedup.minhashCandidatesFromHashedSets(sets, k = 32, bands = 16,
-        maxBucket = 64)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val (nCand, tCand) = timed(cand.count())
+    // construction INSIDE the timed block: pairsFromBuckets eagerly
+    // materializes its guarded-membership cache at call time (the
+    // partitioning-propagation contract), and that work belongs to
+    // the candidate stage's number
+    val ((cand, nCand), tCand) = timed {
+      val c = Dedup.minhashCandidatesFromHashedSets(sets, k = 32,
+          bands = 16, maxBucket = 64)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (c, c.count())
+    }
 
     // refine timed as best-of-N in THIS JVM: single trials on this box
     // spread 2-4x under neighbor contention (r14: untouched stages
