@@ -1991,8 +1991,16 @@ object Hdf5 {
         case 2 => bytes = unshuffleBytes(bytes, cdata.headOption.getOrElse(elem))
         case 3 => bytes = bytes.dropRight(4) // fletcher32 checksum
         case 32000 => bytes = lzfDecompress(bytes, fullChunk, name) // h5py lzf
-        case o => throw new IllegalArgumentException(
-          s"$name: unsupported HDF5 filter id $o")
+        case o =>
+          // name the well-known ids (the registered-filter table) so
+          // the raise tells the user WHICH compressor their file needs
+          // rather than a bare number
+          val known = Map(4 -> "szip", 5 -> "nbit", 6 -> "scaleoffset",
+            32001 -> "blosc", 32004 -> "lz4", 32008 -> "bitshuffle",
+            32013 -> "zfp", 32015 -> "zstd")
+          throw new IllegalArgumentException(
+            s"$name: unsupported HDF5 filter id $o" +
+              known.get(o).map(n => s" ($n)").getOrElse(""))
       }
     }
     require(bytes.length == fullChunk,

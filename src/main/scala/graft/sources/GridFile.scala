@@ -232,6 +232,15 @@ private[sources] object GridFile {
   private val GregorianCalendars =
     Set("standard", "gregorian", "proleptic_gregorian", "")
 
+  /** Opt-in for CF calendar 'none' (an axis whose epoch date has NO
+    * calendar to interpret it with): when set to "raw", time values
+    * decode as elapsed-unit micros anchored at 0 instead of raising.
+    * `-Dgraft.cfCalendarNone=raw` or env `GRAFT_CF_CALENDAR_NONE`. */
+  private def cfCalendarNoneRaw: Boolean =
+    sys.props.get("graft.cfCalendarNone")
+      .orElse(sys.env.get("GRAFT_CF_CALENDAR_NONE"))
+      .exists(_.trim.equalsIgnoreCase("raw"))
+
   private def timesOrDefault(coord: Option[(Array[Double], Seq[(String, String)])],
       n: Int): Array[Long] =
     coord match {
@@ -247,20 +256,34 @@ private[sources] object GridFile {
           case Some(u) if u.toLowerCase.contains(" since ") =>
             val cal = attrs.collectFirst { case ("calendar", c) =>
               c.trim.toLowerCase }.getOrElse("standard")
-            require(GregorianCalendars(cal) || cal == "julian" ||
+            // CF calendar 'none' declares an axis with NO date
+            // semantics (every step is elapsed time, the epoch date is
+            // uninterpretable) — by default that still raises, but the
+            // documented opt-in decodes it as a raw elapsed-time axis:
+            // value x unit-scale micros, anchored at 0. cftime exposes
+            // the same choice (units arithmetic without a calendar).
+            val noneRaw = cal == "none" && cfCalendarNoneRaw
+            require(noneRaw || GregorianCalendars(cal) || cal == "julian" ||
               FixedCalendarMonths.contains(cal),
               s"unsupported CF calendar '$cal' for time units '$u': " +
-                "its arithmetic has no safe closed-form decode")
+                "its arithmetic has no safe closed-form decode" +
+                (if (cal == "none")
+                  " (set -Dgraft.cfCalendarNone=raw to decode a " +
+                    "calendar-free axis as raw elapsed-unit micros)"
+                else ""))
             u match {
               case CfUnitsRe(unit, epoch) =>
-                val e = (FixedCalendarMonths.get(cal) match {
-                  case Some(months) => fixedCalendarEpochMicros(epoch, months)
-                  case None if cal == "julian" => julianEpochMicros(epoch)
-                  case None => parseEpochMicros(epoch)
-                }).getOrElse(throw new IllegalArgumentException(
-                  s"unparseable epoch in CF time units '$u' (calendar '$cal')"))
                 val scale = cfScaleMicros(unit)
-                vals.map(v => e + (v * scale).toLong)
+                if (noneRaw) vals.map(v => (v * scale).toLong)
+                else {
+                  val e = (FixedCalendarMonths.get(cal) match {
+                    case Some(months) => fixedCalendarEpochMicros(epoch, months)
+                    case None if cal == "julian" => julianEpochMicros(epoch)
+                    case None => parseEpochMicros(epoch)
+                  }).getOrElse(throw new IllegalArgumentException(
+                    s"unparseable epoch in CF time units '$u' (calendar '$cal')"))
+                  vals.map(v => e + (v * scale).toLong)
+                }
               case _ => throw new IllegalArgumentException(
                 s"unsupported CF time unit in '$u' " +
                   "(months/years are not fixed-length)")

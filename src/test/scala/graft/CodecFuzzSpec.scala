@@ -152,6 +152,29 @@ class CodecFuzzSpec extends AnyFunSuite {
     assert(Hdf5.checkedAttrElems("a", Seq(2L, 3L), avail = 64, elemSize = 8) == 6)
   }
 
+  test("HDF5 unknown-filter raise names the well-known filter (szip)") {
+    // byte-surgery the deflate pipeline entry's id (1) into szip (4):
+    // the raise must tell the user WHICH registered compressor their
+    // file needs, not a bare number
+    val dir = java.nio.file.Files.createTempDirectory("h5_szip")
+    val p = dir.resolve("s.h5").toString
+    Hdf5.write(p, Seq(NetCdf.Dim("t", 5)), Nil, Seq(
+      NetCdf.Var("t", Seq(0), NetCdf.NcDouble, Nil, Array.tabulate(5)(_ * 1.0)),
+      NetCdf.Var("v", Seq(0), NetCdf.NcDouble, Nil, Array.tabulate(5)(_ * 2.0))),
+      chunkDeflate = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // the deflate entry in the v1 filter pipeline message: id=1,
+    // namelen=0, flags=0, nvals=1, cd[0]=6 (the writer's level), pad
+    val pat = Array[Byte](1, 0, 0, 0, 0, 0, 1, 0, 6, 0, 0, 0, 0, 0, 0, 0)
+    val hits = (0 to bytes.length - 16).filter(i =>
+      pat.indices.forall(k => bytes(i + k) == pat(k)))
+    assert(hits.nonEmpty, "deflate pipeline entry not found")
+    hits.foreach(i => bytes(i) = 4) // szip
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes)
+    val e = intercept[IllegalArgumentException](Hdf5.read(p))
+    assert(e.getMessage.contains("szip"), e.getMessage)
+  }
+
   test("HDF5 with vlen-string attrs survives 300 hostile mutations") {
     // mutations hit the vlen descriptors and the GCOL string payloads:
     // the reader must reject or decode, never overrun the collection

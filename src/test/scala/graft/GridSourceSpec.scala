@@ -326,6 +326,16 @@ class GridSourceSpec extends SparkSpec {
     // dates that don't exist in the DECLARED calendar reject loudly:
     // Feb 29 under noleap, Feb 30 under all_leap, Apr 31 anywhere,
     // Feb 29 of a julian NON-leap year
+    // calendar 'none' raises by default (covered above) but decodes as
+    // a RAW ELAPSED axis under the documented opt-in: value x unit
+    // scale, anchored at 0 — the epoch date has no calendar to
+    // interpret it with, so it is deliberately ignored
+    sys.props("graft.cfCalendarNone") = "raw"
+    try {
+      assert(timesMs(write("cnone.nc", Array(0.0, 1.5),
+        Seq("units" -> "days since 1850-01-01", "calendar" -> "none")))
+        == Seq(0L, (1.5 * day).toLong))
+    } finally sys.props.remove("graft.cfCalendarNone")
     // ...and a digits-only year too long for Long must flow to the
     // SAME clean reject, not a raw NumberFormatException from toLong
     for ((ep, cal) <- Seq(("2000-02-29", "noleap"), ("2000-02-30", "all_leap"),
