@@ -810,7 +810,12 @@ object Zarr {
     val out = new Array[Long](nInner * 2)
     var i = 0
     while (i < out.length) { out(i) = buf.getLong(i * 8); i += 1 }
-    shardIndexMemo.synchronized { shardIndexMemo.put(key, out) }
+    // memoize only sanely-sized indexes: the per-read allocation is
+    // capped elsewhere at 2^22 entries, but 16 RETAINED entries of
+    // that size would pin ~1 GB — a hostile store must not turn the
+    // memo into a leak. 2^17 entries (2 MB) covers any real shard.
+    if (nInner <= (1 << 17))
+      shardIndexMemo.synchronized { shardIndexMemo.put(key, out) }
     out
   }
 
