@@ -23,6 +23,43 @@ provenance a later reader needs to judge how contended the runs were.
 """
 import json, os, subprocess, sys, time
 
+def probe_induced_steal():
+    """Loaded calm probe: spin 8 threads for 3 s and report the steal
+    ticks/s the load ITSELF induces. r15 host forensics: steal on this
+    box is substantially self-induced under load (an oversubscription
+    throttle, ~16-20% of demanded CPU when neighbors are active), so an
+    idle steal reading does not predict a sweep's contamination — only
+    a loaded probe does."""
+    def read_steal():
+        with open("/proc/stat") as f:
+            for line in f:
+                if line.startswith("cpu "):
+                    return int(line.split()[8])
+        return -1
+    s1 = read_steal()
+    procs = [subprocess.Popen(
+        ["timeout", "3", "sh", "-c", "while :; do :; done"]) for _ in range(8)]
+    time.sleep(3.5)
+    for p in procs:
+        p.wait()
+    return (read_steal() - s1) / 3.0
+
+def wait_for_calm(budget_sec, calm_rate=12.0):
+    """Poll the loaded probe until it reads calm or the budget runs
+    out; returns the last probe reading. Launching a sweep into a calm
+    stretch is the single biggest lever on pool quality (r14: all 8
+    sweeps contended; r15: the one near-calm sweep set most minima)."""
+    deadline = time.time() + budget_sec
+    while True:
+        r = probe_induced_steal()
+        if r <= calm_rate or time.time() >= deadline:
+            return r
+        print(f"  waiting for calm (probe {r:.0f} ticks/s induced, "
+              f"{int(deadline - time.time())}s budget left)", flush=True)
+        time.sleep(45)
+
+CALM_WAIT = int(os.environ.get("BENCH_POOL_CALM_WAIT", "300"))
+
 runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
 sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 out_path = sys.argv[3] if len(sys.argv) > 3 else "bench_full.json"
@@ -38,6 +75,10 @@ run_jsons = []
 i = 0
 extra_left = MAX_EXTRA
 while i < runs:
+    if CALM_WAIT > 0:
+        pr = wait_for_calm(CALM_WAIT)
+        print(f"launching sweep {len(run_jsons)} (probe {pr:.0f} ticks/s)",
+              flush=True)
     tmp = f"/tmp/bench_pool_run{len(run_jsons)}.json"
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf_dir,
