@@ -45,15 +45,23 @@ object Zarr {
     case other => throw new IllegalArgumentException(s"nc_type $other")
   }
 
-  private def ncTypeOf(dtype: String): Int = dtype match {
-    case "<f8" => NetCdf.NcDouble
-    case "<f4" => NetCdf.NcFloat
-    case "<i8" => NetCdf.NcInt64
-    case "<i4" => NetCdf.NcInt
-    case "<i2" => NetCdf.NcShort
-    case "|i1" | "|u1" => NetCdf.NcByte
-    case other => throw new IllegalArgumentException(
-      s"unsupported zarr dtype '$other' (little-endian numeric only)")
+  /** (nc type, big-endian?) for a v2 dtype string. '<' and '>' carry
+    * the byte order (numpy's encoding — '>f8' stores exist wherever
+    * old big-endian datasets were converted verbatim); '|' marks the
+    * order-free single-byte types. */
+  private def ncTypeOf(dtype: String): (Int, Boolean) = {
+    val be = dtype.startsWith(">")
+    val t = dtype match {
+      case "<f8" | ">f8" => NetCdf.NcDouble
+      case "<f4" | ">f4" => NetCdf.NcFloat
+      case "<i8" | ">i8" => NetCdf.NcInt64
+      case "<i4" | ">i4" => NetCdf.NcInt
+      case "<i2" | ">i2" => NetCdf.NcShort
+      case "|i1" | "|u1" => NetCdf.NcByte
+      case other => throw new IllegalArgumentException(
+        s"unsupported zarr dtype '$other' (numeric only)")
+    }
+    (t, be)
   }
 
   private def q(s: String): String =
@@ -361,7 +369,7 @@ object Zarr {
       attrs: Seq[(String, String)], fill: Double = 0.0,
       numAttrs: Seq[(String, Double)] = Nil,
       keySep: String = ".", keyPrefixC: Boolean = false,
-      shard: Option[Shard] = None) {
+      shard: Option[Shard] = None, bigEndian: Boolean = false) {
     def nChunks: Seq[Int] =
       shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     /** Store-relative chunk key for per-axis indices `idx`. */
@@ -483,9 +491,10 @@ object Zarr {
           case n => throw new IllegalArgumentException(
             s"$name: unsupported zarr fill_value $n")
         }
+        val (v2t, v2be) = ncTypeOf(za.get("dtype").asText())
         ArrayMeta(name, dimNames, shape, chunks,
-          ncTypeOf(za.get("dtype").asText()), codec, attrs, fv,
-          promoteFill(fv, numAttrs), keySep = sep)
+          v2t, codec, attrs, fv,
+          promoteFill(fv, numAttrs), keySep = sep, bigEndian = v2be)
       }
     Meta(globals, arrays)
   }
@@ -531,11 +540,12 @@ object Zarr {
   /** The codec chain this engine decodes: a little-endian `bytes`
     * array→bytes codec, optionally followed by ONE bytes→bytes
     * compressor (zstd — zarr-python 3's default — gzip, or blosc
-    * frames). Anything else (transpose, crc32c, big-endian) raises
-    * loudly rather than misreading; `sharding_indexed` is handled one
-    * level up by [[parseV3Chain]], which feeds this parser the INNER
-    * codec chain. */
-  private def v3Codec(name: String, codecs: JsonNode): String = {
+    * frames), either byte order. Anything else (transpose, crc32c)
+    * raises loudly rather than misreading; `sharding_indexed` is
+    * handled one level up by [[parseV3Chain]], which feeds this
+    * parser the INNER codec chain. Returns (compressor, big-endian?).
+    */
+  private def v3Codec(name: String, codecs: JsonNode): (String, Boolean) = {
     require(codecs != null && codecs.isArray && codecs.size() >= 1,
       s"$name: zarr v3 array without a codecs chain")
     val names = (0 until codecs.size()).map(i => codecs.get(i).get("name").asText())
@@ -545,8 +555,13 @@ object Zarr {
     val bytesCfg = codecs.get(0).get("configuration")
     val endian = if (bytesCfg == null || bytesCfg.isNull) "little"
       else Option(bytesCfg.get("endian")).map(_.asText()).getOrElse("little")
-    require(endian == "little", s"$name: big-endian zarr v3 bytes codec")
-    names.tail match {
+    val be = endian match {
+      case "little" => false
+      case "big" => true
+      case o => throw new IllegalArgumentException(
+        s"$name: unsupported zarr v3 bytes endian '$o'")
+    }
+    val codec = names.tail match {
       case Seq() => ""
       case Seq("zstd") => "zstd"
       case Seq("gzip") => "gzip"
@@ -555,6 +570,7 @@ object Zarr {
         s"$name: unsupported zarr v3 codec chain bytes->" +
           rest.mkString("->") + " (zstd, gzip, blosc or none)")
     }
+    (codec, be)
   }
 
   /** Top-level zarr v3 codec chain: either a plain bytes[+compressor]
@@ -566,11 +582,13 @@ object Zarr {
     * granularity, so pruning and the chunk-read unit stay as fine as
     * the data's real layout rather than the stored-file grid. */
   private def parseV3Chain(name: String, codecs: JsonNode,
-      gridChunks: Seq[Int]): (String, Seq[Int], Option[Shard]) = {
+      gridChunks: Seq[Int]): (String, Seq[Int], Option[Shard], Boolean) = {
     require(codecs != null && codecs.isArray && codecs.size() >= 1,
       s"$name: zarr v3 array without a codecs chain")
-    if (codecs.get(0).get("name").asText() != "sharding_indexed")
-      return (v3Codec(name, codecs), gridChunks, None)
+    if (codecs.get(0).get("name").asText() != "sharding_indexed") {
+      val (codec, be) = v3Codec(name, codecs)
+      return (codec, gridChunks, None, be)
+    }
     require(codecs.size() == 1,
       s"$name: codecs following sharding_indexed are not supported")
     val cfg = codecs.get(0).get("configuration")
@@ -581,7 +599,7 @@ object Zarr {
       inner.zip(gridChunks).forall { case (i, s) => i > 0 && s % i == 0 },
       s"$name: shard shape ${gridChunks.mkString("x")} is not a whole " +
         s"multiple of inner chunk shape ${inner.mkString("x")}")
-    val innerCodec = v3Codec(name, cfg.get("codecs"))
+    val (innerCodec, innerBe) = v3Codec(name, cfg.get("codecs"))
     val ic = cfg.get("index_codecs")
     require(ic != null && ic.isArray && ic.size() >= 1,
       s"$name: sharding_indexed without index_codecs")
@@ -604,7 +622,7 @@ object Zarr {
       case o => throw new IllegalArgumentException(
         s"$name: unsupported index_location '$o'")
     }
-    (innerCodec, inner, Some(Shard(gridChunks, atEnd, crc)))
+    (innerCodec, inner, Some(Shard(gridChunks, atEnd, crc)), innerBe)
   }
 
   /** Zarr v3 group parse (`zarr.json` metadata, the format zarr-python
@@ -654,7 +672,7 @@ object Zarr {
                 s"$name: unsupported chunk_key_encoding '$o'")
             }
         }
-        val (codec, chunksEff, shardOpt) =
+        val (codec, chunksEff, shardOpt, bigEndian) =
           parseV3Chain(name, za.get("codecs"), chunks)
         val fv = v3Fill(name, za.get("fill_value"))
         val attrsNode = Option(za.get("attributes")).filterNot(_.isNull)
@@ -669,7 +687,7 @@ object Zarr {
           .getOrElse(shape.indices.map(i => s"${name}_dim$i"))
         ArrayMeta(name, dimNames, shape, chunksEff,
           v3NcTypeOf(za.get("data_type").asText()), codec, attrs, fv,
-          promoteFill(fv, numAttrs), sep, prefixC, shardOpt)
+          promoteFill(fv, numAttrs), sep, prefixC, shardOpt, bigEndian)
       }
     Meta(globals, arrays)
   }
@@ -709,7 +727,8 @@ object Zarr {
     }
     val bytes = decodeBytes(s"${am.name}/${idx.mkString(".")}",
       am.codec, encoded, rawLen)
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val buf = ByteBuffer.wrap(bytes).order(
+      if (am.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     val out = new Array[Double](elems)
     var i = 0
     am.ncType match {

@@ -368,6 +368,55 @@ class ZarrSpec extends AnyFunSuite {
     assert(rejected > 100, s"crc-gated index: only $rejected of 300 rejected?")
   }
 
+  test("big-endian stores decode: v2 '>f8' dtype and v3 bytes endian 'big'") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.{ByteBuffer, ByteOrder}
+    // v2: hand-built '>f8' array — a little-endian misread of these
+    // bytes yields garbage magnitudes, so value equality pins the order
+    val dir = tmp()
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir).resolve(".zgroup"),
+      """{"zarr_format": 2}""".getBytes("UTF-8"))
+    val vdir = Paths.get(dir).resolve("v")
+    Files.createDirectories(vdir)
+    Files.write(vdir.resolve(".zarray"),
+      ("""{"zarr_format": 2, "shape": [3], "chunks": [3], """ +
+        """"dtype": ">f8", "compressor": null, "fill_value": 0, """ +
+        """"order": "C", "filters": null}""").getBytes("UTF-8"))
+    val beBuf = ByteBuffer.allocate(24).order(ByteOrder.BIG_ENDIAN)
+    Seq(1.5, -2.25, 1e100).foreach(beBuf.putDouble)
+    Files.write(vdir.resolve("0"), beBuf.array())
+    val v = Zarr.read(dir).variable("v").data.asInstanceOf[Array[Double]]
+    assert(v.toSeq == Seq(1.5, -2.25, 1e100))
+    // v3: bytes codec with endian "big", raw chain + int16 to pin the
+    // short path too
+    val dir3 = tmp()
+    Files.createDirectories(Paths.get(dir3))
+    Files.write(Paths.get(dir3).resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "group"}""".getBytes("UTF-8"))
+    val gdir = Paths.get(dir3).resolve("g")
+    Files.createDirectories(gdir)
+    Files.write(gdir.resolve("zarr.json"),
+      ("""{"zarr_format": 3, "node_type": "array", "shape": [2], """ +
+        """"data_type": "int16", "chunk_grid": {"name": "regular", """ +
+        """"configuration": {"chunk_shape": [2]}}, """ +
+        """"fill_value": 0, "codecs": [{"name": "bytes", """ +
+        """"configuration": {"endian": "big"}}], """ +
+        """"dimension_names": ["t"]}""").getBytes("UTF-8"))
+    val be3 = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+    be3.putShort(258).putShort(-2) // LE misread: 513 / -257
+    Files.createDirectories(gdir.resolve("c"))
+    Files.write(gdir.resolve("c/0"), be3.array())
+    val g = Zarr.read(dir3).variable("g").data.asInstanceOf[Array[Int]]
+    assert(g.toSeq == Seq(258, -2))
+    // unknown byte-order spellings still raise
+    val zj = gdir.resolve("zarr.json")
+    Files.write(zj, new String(Files.readAllBytes(zj), "UTF-8")
+      .replace("\"endian\": \"big\"", "\"endian\": \"pdp\"").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](Zarr.meta(dir3))
+    assert(e.getMessage.contains("endian"), e.getMessage)
+  }
+
   test("packed store mask-and-scales by default, raw on request (CF S6)") {
     // numeric .zattrs (scale_factor/add_offset/_FillValue) must parse
     // and drive the same CF decode the NetCDF containers apply — a
