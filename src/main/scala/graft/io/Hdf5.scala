@@ -1365,6 +1365,11 @@ object Hdf5 {
     * read; multiplyExact turns the wrap into the same loud reject. */
   private[graft] def checkedAttrElems(name: String, shape: Seq[Long],
       avail: Int, elemSize: Int): Int = {
+    // negative dims first: a high-bit u64 dim read as a signed Long
+    // (e.g. 2^63) does NOT overflow multiplyExact — the product just
+    // goes negative and `max 1L` would collapse it to a silently-tiny
+    // 1-element read, the same class the overflow check closes
+    shape.foreach(d => require(d >= 0, s"$name: negative attribute dim $d"))
     val n = (try shape.foldLeft(1L)(Math.multiplyExact)
       catch { case _: ArithmeticException => Long.MaxValue }) max 1L
     require(n >= 1 && n <= avail && elemSize > 0 && n * elemSize <= avail,

@@ -548,7 +548,11 @@ object Zarr {
   private def v3Codec(name: String, codecs: JsonNode): (String, Boolean) = {
     require(codecs != null && codecs.isArray && codecs.size() >= 1,
       s"$name: zarr v3 array without a codecs chain")
-    val names = (0 until codecs.size()).map(i => codecs.get(i).get("name").asText())
+    val names = (0 until codecs.size()).map { i =>
+      val n = codecs.get(i).get("name")
+      require(n != null && !n.isNull, s"$name: zarr v3 codec entry without a name")
+      n.asText()
+    }
     require(names.head == "bytes",
       s"$name: unsupported zarr v3 codec chain ${names.mkString("[", ",", "]")} " +
         "(must start with 'bytes')")
@@ -585,7 +589,10 @@ object Zarr {
       gridChunks: Seq[Int]): (String, Seq[Int], Option[Shard], Boolean) = {
     require(codecs != null && codecs.isArray && codecs.size() >= 1,
       s"$name: zarr v3 array without a codecs chain")
-    if (codecs.get(0).get("name").asText() != "sharding_indexed") {
+    val headName = codecs.get(0).get("name")
+    require(headName != null && !headName.isNull,
+      s"$name: zarr v3 codec entry without a name")
+    if (headName.asText() != "sharding_indexed") {
       val (codec, be) = v3Codec(name, codecs)
       return (codec, gridChunks, None, be)
     }
@@ -594,7 +601,10 @@ object Zarr {
     val cfg = codecs.get(0).get("configuration")
     require(cfg != null && !cfg.isNull,
       s"$name: sharding_indexed without a configuration")
-    val inner = cfg.get("chunk_shape").elements().asScala.map(_.asInt()).toSeq
+    val innerNode = cfg.get("chunk_shape")
+    require(innerNode != null && innerNode.isArray,
+      s"$name: sharding_indexed without a chunk_shape")
+    val inner = innerNode.elements().asScala.map(_.asInt()).toSeq
     require(inner.length == gridChunks.length &&
       inner.zip(gridChunks).forall { case (i, s) => i > 0 && s % i == 0 },
       s"$name: shard shape ${gridChunks.mkString("x")} is not a whole " +
@@ -603,7 +613,11 @@ object Zarr {
     val ic = cfg.get("index_codecs")
     require(ic != null && ic.isArray && ic.size() >= 1,
       s"$name: sharding_indexed without index_codecs")
-    val icNames = (0 until ic.size()).map(i => ic.get(i).get("name").asText())
+    val icNames = (0 until ic.size()).map { i =>
+      val n = ic.get(i).get("name")
+      require(n != null && !n.isNull, s"$name: index_codecs entry without a name")
+      n.asText()
+    }
     val crc = icNames match {
       case Seq("bytes") => false
       case Seq("bytes", "crc32c") => true // zarr-python's default
@@ -781,8 +795,14 @@ object Zarr {
     * mtime) and reused across the shard's inner chunks — an executor
     * task walking consecutive inner chunks of one shard would
     * otherwise re-read and re-checksum the same index per chunk. Keyed
-    * by content identity so a rewritten store never serves a stale
-    * index; bounded LRU so long-running executors don't accumulate. */
+    * by (path, size, mtime-ns) so a rewritten store is re-read;
+    * bounded LRU so long-running executors don't accumulate.
+    * Assumption, stated: stores are immutable while being scanned
+    * (the standard analytics contract — Parquet footer caches make
+    * the same one). The residual hazard is an in-place SAME-SIZE
+    * rewrite within one mtime tick of a coarse-timestamp filesystem
+    * (1 s on ext3/old NFS); detecting that would require re-reading
+    * the very bytes the memo exists to skip. */
   private val shardIndexMemo =
     new java.util.LinkedHashMap[(String, Long, Long), Array[Long]](
       16, 0.75f, true) {

@@ -356,8 +356,10 @@ object Dedup {
     // repartition is fair game for AQE coalescing, which would shrink
     // the cache's partition count to the advisory size and with it the
     // parallelism of everything that consumes the cache's partitioning
-    val shuffleP = memb.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
+    // resolved-integer API, not conf.get().toInt: the string conf can
+    // be a non-integer spelling ("auto") on some platforms
+    val shuffleP = org.apache.spark.sql.graftbridge.Bridge
+      .numShufflePartitions(memb.sparkSession)
     val mf = memb
       .repartition(shuffleP, bucketCols.map(col): _*)
       .withColumn("__n", count(lit(1)).over(w))
@@ -555,8 +557,8 @@ object Dedup {
     // distribution) is unaffected. Measured same-box at 2M/10M docs
     // (r15); at sf0.1 scale the refine broadcasts and the extra build
     // exchange is sub-100ms.
-    val setsP = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
+    val setsP = org.apache.spark.sql.graftbridge.Bridge
+      .numShufflePartitions(df.sparkSession)
     val sets = df.select(col(idCol).cast("long").as("id"),
       hashedShingles(col(textCol), shingleN).as("shh"))
       .repartition(setsP, col("id")).sortWithinPartitions("id")

@@ -235,9 +235,15 @@ private[sources] object GridFile {
   /** Opt-in for CF calendar 'none' (an axis whose epoch date has NO
     * calendar to interpret it with): when set to "raw", time values
     * decode as elapsed-unit micros anchored at 0 instead of raising.
-    * `-Dgraft.cfCalendarNone=raw` or env `GRAFT_CF_CALENDAR_NONE`. */
+    * Set `--conf spark.graft.cfCalendarNone=raw` (Spark confs reach
+    * every EXECUTOR, where the per-partition readers re-open the
+    * file — a driver-only JVM property would silently not apply on a
+    * real cluster), or `-Dgraft.cfCalendarNone=raw` / env
+    * `GRAFT_CF_CALENDAR_NONE` for single-JVM use. */
   private def cfCalendarNoneRaw: Boolean =
-    sys.props.get("graft.cfCalendarNone")
+    Option(org.apache.spark.SparkEnv.get)
+      .flatMap(_.conf.getOption("spark.graft.cfCalendarNone"))
+      .orElse(sys.props.get("graft.cfCalendarNone"))
       .orElse(sys.env.get("GRAFT_CF_CALENDAR_NONE"))
       .exists(_.trim.equalsIgnoreCase("raw"))
 
@@ -268,7 +274,7 @@ private[sources] object GridFile {
               s"unsupported CF calendar '$cal' for time units '$u': " +
                 "its arithmetic has no safe closed-form decode" +
                 (if (cal == "none")
-                  " (set -Dgraft.cfCalendarNone=raw to decode a " +
+                  " (set spark.graft.cfCalendarNone=raw to decode a " +
                     "calendar-free axis as raw elapsed-unit micros)"
                 else ""))
             u match {

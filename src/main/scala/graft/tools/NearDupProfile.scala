@@ -45,8 +45,16 @@ object NearDupProfile {
 
     // PRE-HASHED sets — the representation minhashNearDups caches
     // (sorted xxhash64 longs feeding both banding and refine)
+    // MIRROR the pipeline's cache shape (repartitioned + sorted on id,
+    // r15): refine_sec must measure the plan that ships — without
+    // this the tool times two sets-side shuffles+sorts the production
+    // refine no longer executes, and A/Bs based on it optimize a
+    // phantom plan
+    val setsP = org.apache.spark.sql.graftbridge.Bridge
+      .numShufflePartitions(spark)
     val sets = survivors.select(col("id"),
         Dedup.hashedShingles(col("text"), 3).as("shh"))
+      .repartition(setsP, col("id")).sortWithinPartitions("id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (nSets, tSets) = timed(sets.count())
 

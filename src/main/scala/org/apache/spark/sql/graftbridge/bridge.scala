@@ -16,4 +16,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The session's resolved shuffle-partition count. The string conf
+    * can be a non-integer spelling on some platforms (e.g. "auto"
+    * with AQE) — `SQLConf.numShufflePartitions` is the integer API,
+    * but `sessionState` is `private[sql]`, hence the re-export. */
+  def numShufflePartitions(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.numShufflePartitions
 }

@@ -148,6 +148,14 @@ class CodecFuzzSpec extends AnyFunSuite {
         Hdf5.checkedAttrElems("a", shape, avail = 64, elemSize = 8))
       assert(e.getMessage.contains("claims"), e.getMessage)
     }
+    // negative dims (a high-bit u64 read as signed) do NOT overflow
+    // multiplyExact — they must reject on sign, not collapse to a
+    // 1-element read through `max 1L`
+    for (shape <- Seq(Seq(Long.MinValue), Seq(-3L, 5L))) {
+      val e = intercept[IllegalArgumentException](
+        Hdf5.checkedAttrElems("a", shape, avail = 64, elemSize = 8))
+      assert(e.getMessage.contains("negative"), e.getMessage)
+    }
     // sane shapes still pass and multiply correctly
     assert(Hdf5.checkedAttrElems("a", Seq(2L, 3L), avail = 64, elemSize = 8) == 6)
   }

@@ -239,7 +239,7 @@ class ZarrSpec extends AnyFunSuite {
 
   test("zarr v3 sharding_indexed roundtrips; scan unit is the inner chunk") {
     import java.nio.file.{Files, Paths}
-    val (nt, ny, nx) = (23, 3, 4) // 23 rows: last shard half-past the edge
+    val (nt, ny, nx) = (21, 3, 4) // 21 rows: last shard reaches past the edge
     val dims = Seq(NetCdf.Dim("time", nt), NetCdf.Dim("y", ny), NetCdf.Dim("x", nx))
     val data = Array.tabulate(nt * ny * nx)(i => i * 0.125 - 7)
     val vars = Seq(
@@ -249,24 +249,35 @@ class ZarrSpec extends AnyFunSuite {
         Seq("units" -> "K"), data))
     val dir = tmp()
     Zarr.write3(dir, dims, Nil, vars, chunk0 = 8, shardInner0 = 2)
-    // 23 rows / 8-row shards = 3 shard FILES; the last one holds two
-    // wholly-missing inner chunks (rows 24.. past the edge)
+    // 21 rows / 8-row shards = 3 shard FILES; the last one's fourth
+    // inner-chunk slot (rows 22-23) is wholly past the edge
     val t2dir = Paths.get(dir).resolve("t2")
     assert(Files.exists(t2dir.resolve("c/2/0/0")))
     assert(!Files.exists(t2dir.resolve("c/3/0/0")))
+    // the writer's MISSING-entry encoding, asserted at the byte level
+    // (the spec's 2^64-1 pair): if a regression wrote 0/0 instead, a
+    // sparse-aware reader would misread rather than fill
+    val shard2 = Files.readAllBytes(t2dir.resolve("c/2/0/0"))
+    val idxBuf = java.nio.ByteBuffer.wrap(shard2, shard2.length - (4 * 16 + 4),
+      4 * 16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val entries = Array.fill(8)(idxBuf.getLong)
+    assert(entries(6) == -1L && entries(7) == -1L,
+      s"missing inner chunk not encoded as 2^64-1 pairs: ${entries.toSeq}")
+    assert(entries(4) >= 0 && entries(5) > 0, "live slot 2 should be present")
     val back = Zarr.read(dir)
     assert(back.variable("t2").data.asInstanceOf[Array[Double]].toSeq
       === data.toSeq)
     // the scan's ArrayMeta plans at INNER-chunk granularity
     val am = Zarr.meta(dir).array("t2")
     assert(am.chunks == Seq(2, 3, 4) && am.shard.exists(_.shape == Seq(8, 3, 4)))
-    assert(am.nChunks == Seq(12, 1, 1))
+    assert(am.nChunks == Seq(11, 1, 1))
     // one inner chunk reads without touching its siblings' payloads
     assert(Zarr.readChunkDouble(dir, am, Seq(3, 0, 0)).toSeq
       === data.slice(6 * 12, 8 * 12).toSeq)
-    // inner chunks wholly past the edge read as fill
-    assert(Zarr.readChunkDouble(dir, am, Seq(11, 0, 0))
-      .toSeq.drop(12).forall(_ == 0.0))
+    // the edge inner chunk: live row then fill padding
+    val edge = Zarr.readChunkDouble(dir, am, Seq(10, 0, 0))
+    assert(edge.take(12).toSeq === data.slice(240, 252).toSeq)
+    assert(edge.drop(12).forall(_ == 0.0))
   }
 
   test("zarr v3 sharding: index at start, bytes-only index, raw inner codec") {
