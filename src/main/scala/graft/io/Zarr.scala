@@ -364,12 +364,21 @@ object Zarr {
   final case class Shard(shape: Seq[Int], indexAtEnd: Boolean,
       indexCrc: Boolean)
 
+  /** One zarr v2 `filters` entry this engine decodes: numcodecs'
+    * byte `shuffle` (param = elementsize) and typed `delta`
+    * (first value verbatim, then successive differences — decode is
+    * the running sum IN THE ARRAY'S OWN TYPE, so integer wrap
+    * round-trips exactly). Applied before the compressor on encode;
+    * undone in reverse order after decompression on decode. */
+  final case class V2Filter(id: String, param: Int)
+
   final case class ArrayMeta(name: String, dimNames: Seq[String],
       shape: Seq[Int], chunks: Seq[Int], ncType: Int, codec: String,
       attrs: Seq[(String, String)], fill: Double = 0.0,
       numAttrs: Seq[(String, Double)] = Nil,
       keySep: String = ".", keyPrefixC: Boolean = false,
-      shard: Option[Shard] = None, bigEndian: Boolean = false) {
+      shard: Option[Shard] = None, bigEndian: Boolean = false,
+      v2Filters: Seq[V2Filter] = Nil) {
     def nChunks: Seq[Int] =
       shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     /** Store-relative chunk key for per-axis indices `idx`. */
@@ -426,8 +435,44 @@ object Zarr {
         require(za.get("zarr_format").asInt() == 2, "zarr v2 only")
         require(za.get("order").asText() == "C",
           "F-order zarr arrays not supported")
-        require(za.get("filters") == null || za.get("filters").isNull,
-          "zarr filters not supported")
+        val name0 = vdir.getFileName.toString
+        val filtersNode = za.get("filters")
+        val v2Filters: Seq[V2Filter] =
+          if (filtersNode == null || filtersNode.isNull) Nil
+          else {
+            require(filtersNode.isArray, s"$name0: zarr filters must be a list")
+            (0 until filtersNode.size()).map { i =>
+              val f = filtersNode.get(i)
+              val fid = Option(f.get("id")).filterNot(_.isNull)
+                .map(_.asText()).getOrElse(throw new IllegalArgumentException(
+                  s"$name0: zarr filter entry without an id"))
+              fid match {
+                case "shuffle" =>
+                  val es = Option(f.get("elementsize")).filterNot(_.isNull)
+                    .map(_.asInt()).getOrElse(throw new IllegalArgumentException(
+                      s"$name0: shuffle filter without elementsize"))
+                  require(es >= 1 && es <= 255,
+                    s"$name0: shuffle elementsize $es")
+                  V2Filter("shuffle", es)
+                case "delta" =>
+                  // numcodecs Delta can re-type via astype; decoding a
+                  // re-typed stream in the wrong width is silent wrong
+                  // data, so anything but dtype == astype == the
+                  // array's own dtype raises
+                  val dt = Option(f.get("dtype")).filterNot(_.isNull)
+                    .map(_.asText())
+                  val at = Option(f.get("astype")).filterNot(_.isNull)
+                    .map(_.asText()).orElse(dt)
+                  val arrDt = za.get("dtype").asText()
+                  require(dt.forall(_ == arrDt) && at.forall(_ == arrDt),
+                    s"$name0: delta filter re-types ($dt -> $at) away from " +
+                      s"the array dtype $arrDt")
+                  V2Filter("delta", 0)
+                case o => throw new IllegalArgumentException(
+                  s"$name0: unsupported zarr filter '$o' (shuffle or delta)")
+              }
+            }
+          }
         val comp = za.get("compressor")
         val codec =
           if (comp == null || comp.isNull) ""
@@ -494,7 +539,8 @@ object Zarr {
         val (v2t, v2be) = ncTypeOf(za.get("dtype").asText())
         ArrayMeta(name, dimNames, shape, chunks,
           v2t, codec, attrs, fv,
-          promoteFill(fv, numAttrs), keySep = sep, bigEndian = v2be)
+          promoteFill(fv, numAttrs), keySep = sep, bigEndian = v2be,
+          v2Filters = v2Filters)
       }
     Meta(globals, arrays)
   }
@@ -739,8 +785,16 @@ object Zarr {
           case b => b
         }
     }
-    val bytes = decodeBytes(s"${am.name}/${idx.mkString(".")}",
+    var bytes = decodeBytes(s"${am.name}/${idx.mkString(".")}",
       am.codec, encoded, rawLen)
+    // undo v2 filters in reverse encode order (encode ran
+    // array -> delta -> shuffle -> compressor)
+    am.v2Filters.reverse.foreach { f =>
+      bytes = f.id match {
+        case "shuffle" => unshuffleBytes(bytes, f.param)
+        case _ => undeltaBytes(bytes, am.ncType, am.bigEndian)
+      }
+    }
     val buf = ByteBuffer.wrap(bytes).order(
       if (am.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     val out = new Array[Double](elems)
@@ -901,6 +955,63 @@ object Zarr {
       }
       b.array()
     } finally ch.close()
+  }
+
+  /** Inverse of numcodecs' byte shuffle: input is `elemSize` planes
+    * of one byte each, output interleaves them back to elements (the
+    * trailing non-multiple bytes ride verbatim, as numcodecs does). */
+  private def unshuffleBytes(src: Array[Byte], elemSize: Int): Array[Byte] = {
+    if (elemSize <= 1) return src
+    val out = new Array[Byte](src.length)
+    val nel = src.length / elemSize
+    var k = 0
+    while (k < elemSize) {
+      var i = 0
+      while (i < nel) {
+        out(i * elemSize + k) = src(k * nel + i)
+        i += 1
+      }
+      k += 1
+    }
+    System.arraycopy(src, nel * elemSize, out, nel * elemSize,
+      src.length - nel * elemSize)
+    out
+  }
+
+  /** Inverse of numcodecs' delta: running sum in the ARRAY'S OWN TYPE
+    * (integer wrap round-trips exactly; float delta sums in its own
+    * width). In-place over the decoded chunk bytes. */
+  private def undeltaBytes(bytes: Array[Byte], ncType: Int,
+      bigEndian: Boolean): Array[Byte] = {
+    val buf = ByteBuffer.wrap(bytes).order(
+      if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    ncType match {
+      case NetCdf.NcDouble =>
+        var acc = 0.0; var i = 0
+        while (i < bytes.length) {
+          acc += buf.getDouble(i); buf.putDouble(i, acc); i += 8 }
+      case NetCdf.NcFloat =>
+        var acc = 0.0f; var i = 0
+        while (i < bytes.length) {
+          acc += buf.getFloat(i); buf.putFloat(i, acc); i += 4 }
+      case NetCdf.NcInt64 =>
+        var acc = 0L; var i = 0
+        while (i < bytes.length) {
+          acc += buf.getLong(i); buf.putLong(i, acc); i += 8 }
+      case NetCdf.NcInt =>
+        var acc = 0; var i = 0
+        while (i < bytes.length) {
+          acc += buf.getInt(i); buf.putInt(i, acc); i += 4 }
+      case NetCdf.NcShort =>
+        var acc: Short = 0; var i = 0
+        while (i < bytes.length) {
+          acc = (acc + buf.getShort(i)).toShort; buf.putShort(i, acc); i += 2 }
+      case _ =>
+        var acc: Byte = 0; var i = 0
+        while (i < bytes.length) {
+          acc = (acc + bytes(i)).toByte; bytes(i) = acc; i += 1 }
+    }
+    bytes
   }
 
   /** Whole-store read into the shared [[NetCdf.NcFile]] model (small

@@ -379,6 +379,63 @@ class ZarrSpec extends AnyFunSuite {
     assert(rejected > 100, s"crc-gated index: only $rejected of 300 rejected?")
   }
 
+  test("zarr v2 numcodecs filters decode: delta + shuffle; re-typed delta raises") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.{ByteBuffer, ByteOrder}
+    // encode [100, 101, 103, 100] as numcodecs would with
+    // filters=[Delta('<i4'), Shuffle(4)]: delta -> [100, 1, 2, -3],
+    // then byte-shuffle into 4 one-byte planes
+    val dir = tmp()
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir).resolve(".zgroup"),
+      """{"zarr_format": 2}""".getBytes("UTF-8"))
+    val vdir = Paths.get(dir).resolve("v")
+    Files.createDirectories(vdir)
+    Files.write(vdir.resolve(".zarray"),
+      ("""{"zarr_format": 2, "shape": [4], "chunks": [4], """ +
+        """"dtype": "<i4", "compressor": null, "fill_value": 0, """ +
+        """"order": "C", "filters": [{"id": "delta", "dtype": "<i4", """ +
+        """"astype": "<i4"}, {"id": "shuffle", "elementsize": 4}]}""")
+        .getBytes("UTF-8"))
+    val deltaed = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(100, 1, 2, -3).foreach(deltaed.putInt)
+    val shuffled = new Array[Byte](16)
+    for (k <- 0 until 4; i <- 0 until 4)
+      shuffled(k * 4 + i) = deltaed.array()(i * 4 + k)
+    Files.write(vdir.resolve("0"), shuffled)
+    val v = Zarr.read(dir).variable("v").data.asInstanceOf[Array[Int]]
+    assert(v.toSeq == Seq(100, 101, 103, 100))
+    // float64 delta (sums in its own width)
+    val zaP = vdir.resolve(".zarray")
+    Files.write(zaP,
+      ("""{"zarr_format": 2, "shape": [3], "chunks": [3], """ +
+        """"dtype": "<f8", "compressor": null, "fill_value": 0, """ +
+        """"order": "C", "filters": [{"id": "delta", "dtype": "<f8"}]}""")
+        .getBytes("UTF-8"))
+    val fb = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(1.5, 0.25, -1.0).foreach(fb.putDouble) // decodes to 1.5, 1.75, 0.75
+    Files.write(vdir.resolve("0"), fb.array())
+    val f = Zarr.read(dir).variable("v").data.asInstanceOf[Array[Double]]
+    assert(f.toSeq == Seq(1.5, 1.75, 0.75))
+    // a delta that RE-TYPES (astype != dtype) would decode in the
+    // wrong width: loud raise, not silent wrong data
+    Files.write(zaP,
+      ("""{"zarr_format": 2, "shape": [3], "chunks": [3], """ +
+        """"dtype": "<f8", "compressor": null, "fill_value": 0, """ +
+        """"order": "C", "filters": [{"id": "delta", "dtype": "<f8", """ +
+        """"astype": "<f4"}]}""").getBytes("UTF-8"))
+    val e1 = intercept[IllegalArgumentException](Zarr.meta(dir))
+    assert(e1.getMessage.contains("re-types"), e1.getMessage)
+    // unknown filter ids raise with the id named
+    Files.write(zaP,
+      ("""{"zarr_format": 2, "shape": [3], "chunks": [3], """ +
+        """"dtype": "<f8", "compressor": null, "fill_value": 0, """ +
+        """"order": "C", "filters": [{"id": "fixedscaleoffset"}]}""")
+        .getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](Zarr.meta(dir))
+    assert(e2.getMessage.contains("fixedscaleoffset"), e2.getMessage)
+  }
+
   test("big-endian stores decode: v2 '>f8' dtype and v3 bytes endian 'big'") {
     import java.nio.file.{Files, Paths}
     import java.nio.{ByteBuffer, ByteOrder}
