@@ -211,11 +211,15 @@ object Prep10M {
     require(crossPairs == 0L, s"near-dup pairs across splits: $crossPairs")
 
     // decontamination AFTER dedup (real prep order): benchmark = every
-    // 1000th id (always a kept doc-0), 8-word grams
+    // 1000th id (always a kept doc-0), 8-word grams. The Bloom variant:
+    // same EXACT verdict (bloom prefilter + exact broadcast refine),
+    // but grams hash with compiled xxhash64 instead of the md5-hex-conv
+    // chain the declared query keeps solely for DuckDB-oracle parity —
+    // ~90M gram hashes is the stage's hot loop (r15).
     val (nContam, tContam) = timed(withP(lightP) {
       val keptDocs = survivors.join(kept.select("id"), Seq("id"))
-      Dedup.ngramContamination(keptDocs, "id", "text",
-          col("id") % 1000 === 0, 8)
+      Dedup.ngramContaminationBloom(keptDocs, "id", "text",
+          col("id") % 1000 === 0, 8, expectedBenchGrams = 200000L)
         .filter(col("contaminated")).count()
     })
     require(nContam == 40000L, s"contaminated kept docs: $nContam")
