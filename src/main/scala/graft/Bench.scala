@@ -140,21 +140,37 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","spreads":$spreads,"load":{"start":$loadStart,"end":$loadEnd,"cpus":$cpus,"trials":$trials,"steal_start":$stealStart,"steal_end":$stealEnd,"membw_gbps":$membw,"membw_gbps_end":${membwGbps()}}}"""
-    println(line)
-    // ALSO write the complete result to a file (VERDICT r8 #1: the
-    // driver's stdout tail capture clipped BENCH_r08.json mid-JSON —
-    // the committed file is the lossless artifact of record).
+    // The complete per-query result goes to FILES, never to stdout:
+    // the driver retains only the LAST 2000 characters of stdout, and
+    // the full line is ~22 KB — printing it guarantees the retained
+    // tail starts mid-JSON and can never parse (BENCH_r01..r15 all
+    // carried parsed:null for exactly this reason; VERDICT r15 #1).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-    scala.util.Try(java.nio.file.Files.writeString(
+    val primaryWrite = scala.util.Try(java.nio.file.Files.writeString(
       java.nio.file.Paths.get(out), line + "\n"))
-    // And to a WELL-KNOWN path independent of env/cwd overrides, so a
-    // driver whose stdout scrape still fails has a second, documented
-    // place to read the identical JSON (VERDICT r14 Next #1).
-    scala.util.Try {
-      val p = java.nio.file.Paths.get("target/bench_last.json")
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.writeString(p, line + "\n")
+    // Second, path-stable copy next to the primary artifact (ADVICE
+    // r15: a cwd-relative target/ path silently never exists when the
+    // forked JVM's cwd isn't the project root). Failures are warned,
+    // not swallowed.
+    val fallback = {
+      val p = java.nio.file.Paths.get(out).toAbsolutePath
+      val parent = Option(p.getParent).getOrElse(java.nio.file.Paths.get("."))
+      parent.resolve("bench_last.json")
     }
+    val fallbackWrite = scala.util.Try {
+      java.nio.file.Files.writeString(fallback, line + "\n")
+    }
+    if (primaryWrite.isFailure)
+      System.err.println(s"[bench] WARN: failed to write $out: ${primaryWrite.failed.get}")
+    if (fallbackWrite.isFailure)
+      System.err.println(s"[bench] WARN: failed to write $fallback: ${fallbackWrite.failed.get}")
+    // Stdout gets ONE SHORT final line — totals, count, sf, pointer —
+    // well under the driver's 2000-char tail cap, so BENCH_r{N}.json
+    // finally parses. Shape per VERDICT r15 Next #1, with the original
+    // metric/value/unit keys kept for the driver's contract.
+    val stealDelta = if (stealStart >= 0 && stealEnd >= 0) stealEnd - stealStart else -1L
+    val short = s"""{"metric":"total","value":$total,"unit":"sec","total_sec":$total,"queries":${results.size},"sf":"$sfDir","detail":"$out","steal_delta":$stealDelta,"load_end":$loadEnd,"membw_gbps":$membw,"trials":$trials}"""
+    println(short)
     spark.stop()
   }
 }

