@@ -175,6 +175,108 @@ object Hdf5 {
     out.toByteArray
   }
 
+  /** HDF5 registered zstd filter (id 32015, the HDF Group's
+    * `HDF5Plugin-Zstandard`): the stored chunk is ONE raw zstd frame,
+    * no extra framing — cd_values carry only the encode-side level.
+    * Decoded via the zstd-jni already on the classpath for blosc. */
+  private[graft] def zstdFilterDecompress(src: Array[Byte], outLen: Int,
+      name: String): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    val n = com.github.luben.zstd.Zstd.decompressByteArray(
+      out, 0, outLen, src, 0, src.length)
+    require(n == outLen, s"$name: zstd chunk yielded $n of $outLen bytes")
+    out
+  }
+
+  private[graft] def zstdFilterCompress(in: Array[Byte]): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(in, 3)
+
+  /** HDF5 registered lz4 filter (id 32004, the Dectris/bioformats
+    * plugin h5py's `hdf5plugin` ships). Published framing (all ints
+    * BIG-endian, unlike the rest of HDF5):
+    * {{{
+    *   uint64  total decompressed size
+    *   uint32  block size (0 → the whole payload is one block)
+    *   per block: uint32 compressed length, then the payload —
+    *              stored RAW when that length equals the block's
+    *              decompressed size (compression gained nothing)
+    * }}}
+    * Blocks decode independently with lz4's BLOCK format (lz4-java,
+    * already on the classpath). Hostile-bytes contract as everywhere
+    * in this reader: every length is bounds-checked against the
+    * stored payload and the caller-known output size before any
+    * allocation or native call. */
+  private[graft] def lz4FilterDecompress(src: Array[Byte], outLen: Int,
+      name: String): Array[Byte] = {
+    require(src.length >= 12, s"$name: lz4 chunk of ${src.length} bytes")
+    val bb = ByteBuffer.wrap(src).order(ByteOrder.BIG_ENDIAN)
+    val total = bb.getLong()
+    require(total == outLen,
+      s"$name: lz4 header claims $total bytes, chunk holds $outLen")
+    val blockSize0 = bb.getInt()
+    // the reference filter clamps blockSize to the total; 0 (and any
+    // out-of-range claim) means one whole-chunk block
+    val blockSize =
+      if (blockSize0 <= 0 || blockSize0 > outLen) math.max(outLen, 1)
+      else blockSize0
+    val out = new Array[Byte](outLen)
+    val dec = net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
+    var at = 0
+    var ip = 12
+    while (at < outLen) {
+      val ub = math.min(blockSize, outLen - at)
+      require(ip + 4 <= src.length, s"$name: truncated lz4 block header")
+      val clen = bb.getInt(ip); ip += 4
+      require(clen > 0 && ip.toLong + clen <= src.length,
+        s"$name: lz4 block of $clen bytes overruns the stored chunk")
+      if (clen == ub) System.arraycopy(src, ip, out, at, ub)
+      else {
+        // lz4-java raises its own LZ4Exception on malformed streams;
+        // convert to the catchable-require contract every decoder in
+        // this reader follows (the native call itself is bounds-safe:
+        // it never writes past out[at+ub))
+        val n =
+          try dec.decompress(src, ip, clen, out, at, ub)
+          catch { case e: net.jpountz.lz4.LZ4Exception =>
+            throw new IllegalArgumentException(
+              s"$name: malformed lz4 block: ${e.getMessage}")
+          }
+        require(n == ub, s"$name: lz4 block yielded $n of $ub bytes")
+      }
+      ip += clen; at += ub
+    }
+    out
+  }
+
+  /** Encode the 32004 framing [[lz4FilterDecompress]] reads (and the
+    * reference plugin writes): fixed 64 KiB blocks so multi-block
+    * chunks exercise the same path the plugin's 1 GiB-default single
+    * block does. */
+  private[graft] def lz4FilterCompress(in: Array[Byte],
+      blockSize: Int = 1 << 16): Array[Byte] = {
+    require(blockSize > 0, s"lz4 blockSize $blockSize")
+    val comp = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+    val out = new java.io.ByteArrayOutputStream(in.length / 2 + 64)
+    def u32be(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    u32be((in.length.toLong >>> 32).toInt); u32be(in.length)
+    u32be(math.min(blockSize, math.max(in.length, 1)))
+    var at = 0
+    while (at < in.length) {
+      val ub = math.min(blockSize, in.length - at)
+      val c = comp.compress(in, at, ub)
+      if (c.length >= ub) { // stored raw: compression gained nothing
+        u32be(ub); out.write(in, at, ub)
+      } else {
+        u32be(c.length); out.write(c, 0, c.length)
+      }
+      at += ub
+    }
+    out.toByteArray
+  }
+
   private def deflateBytes(in: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater(6)
     d.setInput(in); d.finish()
@@ -597,10 +699,10 @@ object Hdf5 {
       vars: Seq[Var], chunkDeflate: Boolean = false,
       denseGroups: Boolean = false, denseAttrs: Boolean = false,
       vlenStringAttrs: Boolean = false, chunkCodec: String = "deflate"): Unit = {
-    require(chunkCodec == "deflate" || chunkCodec == "lzf",
-      s"unsupported chunk codec '$chunkCodec' (deflate or lzf)")
+    require(Seq("deflate", "lzf", "lz4", "zstd").contains(chunkCodec),
+      s"unsupported chunk codec '$chunkCodec' (deflate, lzf, lz4 or zstd)")
     require(chunkCodec == "deflate" || chunkDeflate,
-      "chunkCodec='lzf' needs chunkDeflate=true (the chunked-filtered " +
+      s"chunkCodec='$chunkCodec' needs chunkDeflate=true (the chunked-filtered " +
         "layout) — without it the knob would silently write raw contiguous data")
     vars.foreach { v =>
       val n = v.dimIds.map(dims(_).size.toLong).product
@@ -644,7 +746,13 @@ object Hdf5 {
           val buf = new Array[Byte](fullChunk)
           ndCopy(data, shape, elem, buf, cd, off, toChunk = true)
           val sh = shuffleBytes(buf, elem)
-          (off, if (chunkCodec == "lzf") lzfCompress(sh) else deflateBytes(sh))
+          val stored = chunkCodec match {
+            case "lzf" => lzfCompress(sh)
+            case "lz4" => lz4FilterCompress(sh)
+            case "zstd" => zstdFilterCompress(sh)
+            case _ => deflateBytes(sh)
+          }
+          (off, stored)
         }
         d.name -> ChunkPlan(cd, elem, chunks)
       }.toMap
@@ -681,12 +789,21 @@ object Hdf5 {
           val f = new Buf
           f.u8(1); f.u8(2); f.u16(0); f.u32(0)
           f.u16(2); f.u16(0); f.u16(0); f.u16(1); f.u32(p.elemSize); f.u32(0)
-          if (chunkCodec == "lzf") {
-            f.u16(32000); f.u16(8); f.u16(0); f.u16(1)
-            f.bytes("lzf".getBytes("US-ASCII")); f.zeros(5) // name, 8-padded
-            f.u32(p.chunkDims.product * p.elemSize); f.u32(0)
-          } else {
-            f.u16(1); f.u16(0); f.u16(0); f.u16(1); f.u32(6); f.u32(0)
+          chunkCodec match {
+            case "lzf" =>
+              f.u16(32000); f.u16(8); f.u16(0); f.u16(1)
+              f.bytes("lzf".getBytes("US-ASCII")); f.zeros(5) // name, 8-padded
+              f.u32(p.chunkDims.product * p.elemSize); f.u32(0)
+            case "lz4" => // registered id 32004; cd_values[0] = block size
+              f.u16(32004); f.u16(8); f.u16(0); f.u16(1)
+              f.bytes("lz4".getBytes("US-ASCII")); f.zeros(5)
+              f.u32(1 << 16); f.u32(0)
+            case "zstd" => // registered id 32015; cd_values[0] = level
+              f.u16(32015); f.u16(8); f.u16(0); f.u16(1)
+              f.bytes("zstd".getBytes("US-ASCII")); f.zeros(4)
+              f.u32(3); f.u32(0)
+            case _ =>
+              f.u16(1); f.u16(0); f.u16(0); f.u16(1); f.u32(6); f.u32(0)
           }
           msgs += ((0x000B, f.result()))
         case None =>
@@ -1996,13 +2113,14 @@ object Hdf5 {
         case 2 => bytes = unshuffleBytes(bytes, cdata.headOption.getOrElse(elem))
         case 3 => bytes = bytes.dropRight(4) // fletcher32 checksum
         case 32000 => bytes = lzfDecompress(bytes, fullChunk, name) // h5py lzf
+        case 32004 => bytes = lz4FilterDecompress(bytes, fullChunk, name)
+        case 32015 => bytes = zstdFilterDecompress(bytes, fullChunk, name)
         case o =>
           // name the well-known ids (the registered-filter table) so
           // the raise tells the user WHICH compressor their file needs
           // rather than a bare number
           val known = Map(4 -> "szip", 5 -> "nbit", 6 -> "scaleoffset",
-            32001 -> "blosc", 32004 -> "lz4", 32008 -> "bitshuffle",
-            32013 -> "zfp", 32015 -> "zstd")
+            32001 -> "blosc", 32008 -> "bitshuffle", 32013 -> "zfp")
           throw new IllegalArgumentException(
             s"$name: unsupported HDF5 filter id $o" +
               known.get(o).map(n => s" ($n)").getOrElse(""))

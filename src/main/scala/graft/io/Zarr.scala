@@ -292,6 +292,13 @@ object Zarr {
             else encodeRows(row0, shardInner0)
           }
           val dataLen = parts.filter(_ != null).map(_.length.toLong).sum
+          // a >2 GiB shard would truncate the Int cast below into a
+          // negative allocation (ADVICE r15) — name the shard and its
+          // size instead of surfacing a NegativeArraySizeException
+          require(dataLen + nInner * 16L + 4L <= Int.MaxValue,
+            s"${v.name}: shard $ci holds ${dataLen + nInner * 16L + 4L} " +
+              "bytes — over the 2 GiB single-shard ceiling; use more " +
+              "(smaller) shards via a smaller outer chunk shape")
           val out = ByteBuffer.allocate((dataLen + nInner * 16L + 4L).toInt)
             .order(ByteOrder.LITTLE_ENDIAN)
           val index = ByteBuffer.allocate(nInner * 16 + 4)
@@ -850,19 +857,23 @@ object Zarr {
     * task walking consecutive inner chunks of one shard would
     * otherwise re-read and re-checksum the same index per chunk. Keyed
     * by (path, size, mtime-ns) so a rewritten store is re-read;
-    * bounded LRU so long-running executors don't accumulate.
-    * Assumption, stated: stores are immutable while being scanned
-    * (the standard analytics contract — Parquet footer caches make
-    * the same one). The residual hazard is an in-place SAME-SIZE
-    * rewrite within one mtime tick of a coarse-timestamp filesystem
-    * (1 s on ext3/old NFS); detecting that would require re-reading
-    * the very bytes the memo exists to skip. */
+    * bounded LRU so long-running executors don't accumulate. The key
+    * also carries the filesystem's fileKey (inode identity, ADVICE
+    * r15): the common atomic rename-replace rewrite produces a NEW
+    * inode, so it misses the memo even when the replacement has the
+    * same size and lands within one mtime tick of a coarse-timestamp
+    * filesystem (1 s on ext3/old NFS). Assumption, stated: stores are
+    * immutable while being scanned (the standard analytics contract —
+    * Parquet footer caches make the same one). The residual hazard
+    * narrows to an in-place same-inode same-size rewrite within one
+    * mtime tick; detecting that would require re-reading the very
+    * bytes the memo exists to skip. */
   private val shardIndexMemo =
-    new java.util.LinkedHashMap[(String, Long, Long), Array[Long]](
+    new java.util.LinkedHashMap[(String, Long, Long, String), Array[Long]](
       16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long), Array[Long]]): Boolean =
-        size() > 16
+          e: java.util.Map.Entry[(String, Long, Long, String), Array[Long]])
+          : Boolean = size() > 16
     }
 
   /** Read one shard's (offset, nbytes) index: `2 * nInner` longs in
@@ -873,9 +884,14 @@ object Zarr {
   private def readShardIndex(p: Path, nInner: Int, sh: Shard,
       size: Long, label: String): Array[Long] = {
     // nanosecond mtime: a store rewritten in place within one
-    // millisecond (test harnesses do) must not serve a stale index
+    // millisecond (test harnesses do) must not serve a stale index;
+    // fileKey (inode) so a rename-replace always misses (null where
+    // the filesystem offers none — then mtime+size carry the key)
+    val attrs = Files.readAttributes(p,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
     val key = (p.toAbsolutePath.toString, size,
-      Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS))
+      attrs.lastModifiedTime.to(java.util.concurrent.TimeUnit.NANOSECONDS),
+      String.valueOf(attrs.fileKey()))
     shardIndexMemo.synchronized {
       val hit = shardIndexMemo.get(key)
       if (hit != null) return hit

@@ -330,6 +330,81 @@ class NetCdfSpec extends AnyFunSuite {
     assert(nc.variable("temp").attrs == Seq("units" -> "K"))
   }
 
+  test("lz4 (32004) and zstd (32015) registered filters: pinned framing, roundtrip, end-to-end") {
+    import graft.io.Hdf5
+    // hand-built 32004 frame pins the PUBLISHED framing (big-endian
+    // total size, big-endian block size, per block a big-endian
+    // compressed length then an lz4 BLOCK-format payload) independent
+    // of the in-repo encoder. Payload: 16×'A' as [1 literal + match
+    // len 10 at distance 1, then the mandatory ≥5 trailing literals].
+    val lz4Block = Array[Byte](0x16, 65, 0x01, 0x00, 0x50, 65, 65, 65, 65, 65)
+    val pinned = Array[Byte](
+      0, 0, 0, 0, 0, 0, 0, 16, // u64 BE total
+      0, 0, 0, 16, // u32 BE block size
+      0, 0, 0, lz4Block.length.toByte) ++ lz4Block
+    assert(Hdf5.lz4FilterDecompress(pinned, 16, "pin").toSeq ==
+      Seq.fill(16)(65.toByte))
+    // a block stored RAW (clen == decompressed size) copies verbatim
+    val raw = Array[Byte](0, 0, 0, 0, 0, 0, 0, 4, 0, 0, 0, 4,
+      0, 0, 0, 4, 9, 8, 7, 6)
+    assert(Hdf5.lz4FilterDecompress(raw, 4, "raw").toSeq ==
+      Seq[Byte](9, 8, 7, 6))
+    // blockSize 0 → one whole-chunk block (defensive per the plugin's
+    // clamp-to-total behavior)
+    val zeroBs = Array[Byte](0, 0, 0, 0, 0, 0, 0, 4, 0, 0, 0, 0,
+      0, 0, 0, 4, 9, 8, 7, 6)
+    assert(Hdf5.lz4FilterDecompress(zeroBs, 4, "bs0").toSeq ==
+      Seq[Byte](9, 8, 7, 6))
+    // roundtrips across payload shapes: empty, runs (compressible),
+    // random (raw-stored blocks), multi-block via a tiny block size
+    val rnd = new scala.util.Random(11)
+    val payloads = Seq(
+      Array.empty[Byte],
+      Array.fill(10000)(42.toByte),
+      Array.tabulate(8192)(i => (i % 7).toByte),
+      Array.fill(4096)(rnd.nextInt(256).toByte))
+    payloads.foreach { p =>
+      assert(Hdf5.lz4FilterDecompress(
+        Hdf5.lz4FilterCompress(p), p.length, "rt").toSeq == p.toSeq)
+      assert(Hdf5.lz4FilterDecompress(
+        Hdf5.lz4FilterCompress(p, blockSize = 100), p.length, "rtmb").toSeq
+        == p.toSeq)
+      assert(Hdf5.zstdFilterDecompress(
+        Hdf5.zstdFilterCompress(p), p.length, "zrt").toSeq == p.toSeq)
+    }
+    // hostile: truncations reject, single-byte mutations reject or
+    // decode — never overrun (same contract as the LZF decoder)
+    val base = Hdf5.lz4FilterCompress(payloads(2), blockSize = 100)
+    for (cut <- Seq(0, 4, 11, base.length / 2, base.length - 1))
+      intercept[IllegalArgumentException](
+        Hdf5.lz4FilterDecompress(java.util.Arrays.copyOf(base, cut), 8192, "cut"))
+    for (_ <- 0 until 200) {
+      val m = base.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      try Hdf5.lz4FilterDecompress(m, 8192, "mut")
+      catch { case _: IllegalArgumentException => () }
+    }
+    val zbase = Hdf5.zstdFilterCompress(payloads(2))
+    for (cut <- Seq(0, 1, zbase.length / 2, zbase.length - 1))
+      intercept[Exception](
+        Hdf5.zstdFilterDecompress(java.util.Arrays.copyOf(zbase, cut), 8192, "zcut"))
+    // end-to-end: chunked files through the shuffle+lz4 / shuffle+zstd
+    // pipelines read back via the ordinary NetCDF-4 path
+    for (codec <- Seq("lz4", "zstd")) {
+      val path = tmp(s"$codec.h5")
+      val dims = Seq(Dim("t", 6), Dim("x", 5))
+      val vars = Seq(
+        Var("t", Seq(0), NcDouble, Nil, Array.tabulate(6)(_ * 60.0)),
+        Var("temp", Seq(0, 1), NcDouble, Seq("units" -> "K"),
+          Array.tabulate(30)(i => 250.0 + (i % 4))))
+      Hdf5.write(path, dims, Nil, vars, chunkDeflate = true, chunkCodec = codec)
+      val nc = NetCdf.read(path)
+      assert(nc.variable("temp").data.asInstanceOf[Array[Double]].toSeq ==
+        (0 until 30).map(i => 250.0 + (i % 4)), s"codec $codec")
+      assert(nc.variable("temp").attrs == Seq("units" -> "K"), s"codec $codec")
+    }
+  }
+
   test("vlen-string attributes read back (h5py's string-attr encoding)") {
     // h5py writes EVERY NetCDF-4 string attribute as a vlen string —
     // a (len, global-heap addr, index) descriptor whose payload lives
