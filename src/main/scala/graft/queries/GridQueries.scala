@@ -302,6 +302,77 @@ object GridQueries {
       |WHERE x%15 BETWEEN 1 AND 13 AND y BETWEEN 1 AND 10
       |ORDER BY y, x""".stripMargin
 
+  /** [[qGridPipelineVoronoi]] at WIDTH: 16 sheared curvilinear domains
+    * tessellating in parallel (VERDICT r15 #8 — the 2-domain flagship
+    * exercises the per-domain path but not its parallelism; this pins
+    * the domain-parallel plan, one task per domain, against the same
+    * closed-form lattice oracle). Identical per-domain geometry —
+    * lon = 2·xl + 0.3·y + 1 + 1000·d, lat = 1.5·y + 0.2·xl + 0.75 —
+    * so an interior cell's area stays |det(u,v)| = 2.94 exactly and
+    * its centroid is its seed; the per-domain bbox at extent+3°
+    * (inside the 5° envelope) passes exactly the interior ring. The
+    * GeoJSON sink stage stays with the flagship; this variant keeps
+    * the geometry-through-stats plan so the width axis is isolated. */
+  val qGridPipelineVoronoiWide: Q = (spark, dir) => {
+    import graft.operators.Voronoi
+    val ev = Tables(spark, dir, "events").select(
+      (col("event_id") % 12).as("y"),
+      ((col("user_id") % 16) * 15 +
+        (col("event_id") / 12).cast("long") % 15).as("x"),
+      col("ts"), col("value"))
+    val stats = Pipelines.temporalDailyStats(ev, cfg)
+    // fixed dense lattice, 12 × (16 · 15): seeds never derive from the
+    // observed sample (see qGridPipelineVoronoi's hole-punching note)
+    val seeds = spark.range(12L * 240L).select(
+      (col("id") / 240).cast("long").as("y"), (col("id") % 240).as("x"))
+      .withColumn("d", (col("x") / 15).cast("long"))
+      .withColumn("xl", col("x") % 15)
+      .withColumn("lon",
+        col("xl") * 2.0 + col("y") * 0.3 + 1.0 + col("d") * 1000.0)
+      .withColumn("lat", col("y") * 1.5 + col("xl") * 0.2 + 0.75)
+      .withColumn("__vid", col("y") * 1000000L + col("x"))
+    val cells = Voronoi.tessellateByDomain(
+      seeds, "d", "__vid", "lon", "lat", margin = 5.0,
+      autoTileAbove = Long.MaxValue)
+    val keyed = seeds.join(cells, Seq("d", "__vid"))
+    val bbox = st.makeBox(col("d") * 1000.0 - 2.0, lit(-2.25),
+      col("d") * 1000.0 + 35.3, lit(23.05))
+    keyed.filter(st.within(col("geom"), bbox))
+      .join(stats, Seq("y", "x"))
+      .select(col("y"), col("x"),
+        round(st.area(col("geom")) * 100).cast("long").as("area100"),
+        round(st.stx(st.centroid(col("geom"))) * 20).cast("long").as("cx20"),
+        round(st.sty(st.centroid(col("geom"))) * 20).cast("long").as("cy20"),
+        st.contains(col("geom"), st.point(col("lon"), col("lat"))).as("seed_inside"),
+        col("n_days"), col("tmin_mean"), col("tmax_mean"), col("tmean_mean"))
+      .orderBy("y", "x")
+  }
+
+  val qGridPipelineVoronoiWideSql: String =
+    """WITH g AS (
+      |  SELECT event_id%12 AS y,
+      |    (user_id%16)*15 + (event_id//12)%15 AS x,
+      |    cast(date_trunc('day', ts) as date) AS day, value FROM events),
+      |d AS (
+      |  SELECT y, x, day, min(value) AS dmin, max(value) AS dmax,
+      |    sum(cast(round(value*100) as bigint)) AS s100, count(*) AS c
+      |  FROM g GROUP BY 1, 2, 3),
+      |s AS (
+      |  SELECT y, x, count(*) AS n_days,
+      |    sum(cast(round(dmin*100) as bigint)) / (count(*) * 100.0) AS tmin_mean,
+      |    sum(cast(round(dmax*100) as bigint)) / (count(*) * 100.0) AS tmax_mean,
+      |    sum((s100 * 100) // c) / (count(*) * 10000.0) AS tmean_mean
+      |  FROM d GROUP BY 1, 2)
+      |SELECT y, x,
+      |  cast(294 as bigint) AS area100,
+      |  cast(40*(x%15) + 6*y + 20 + 20000*(x//15) as bigint) AS cx20,
+      |  cast(30*y + 4*(x%15) + 15 as bigint) AS cy20,
+      |  true AS seed_inside,
+      |  n_days, tmin_mean, tmax_mean, tmean_mean
+      |FROM s
+      |WHERE x%15 BETWEEN 1 AND 13 AND y BETWEEN 1 AND 10
+      |ORDER BY y, x""".stripMargin
+
   /** S1+S4 (NetCDF): sink + scan roundtrip through the from-scratch
     * CDF-1 codec — a dense rectilinear grid (supplier balances on a
     * 10-wide lattice, 1-D coordinate variables, row-major data var,
@@ -811,6 +882,7 @@ object GridQueries {
     "grid_pipeline_haduk" -> qGridPipelineHaduk,
     "grid_pipeline" -> qGridPipeline,
     "grid_pipeline_voronoi" -> qGridPipelineVoronoi,
+    "grid_pipeline_voronoi_wide" -> qGridPipelineVoronoiWide,
     "grid_source_scan" -> qGridSourceScan,
     "grid_source_scan_nc" -> qGridSourceScanNc,
     "grid_packed_roundtrip" -> qPackedRoundtrip,
@@ -836,6 +908,7 @@ object GridQueries {
     "grid_pipeline_haduk" -> qGridPipelineHadukSql,
     "grid_pipeline" -> qGridPipelineSql,
     "grid_pipeline_voronoi" -> qGridPipelineVoronoiSql,
+    "grid_pipeline_voronoi_wide" -> qGridPipelineVoronoiWideSql,
     "grid_source_scan" -> qGridSourceScanSql,
     "grid_source_scan_nc" -> qGridSourceScanSql,
     "grid_packed_roundtrip" -> qPackedRoundtripSql,
