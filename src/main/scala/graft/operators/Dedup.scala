@@ -901,8 +901,34 @@ object Dedup {
       // nbrMin's size is bounded by the frontier's NEIGHBOR count, not by
       // `changed` (a hub vertex breaks that bound) — leave its join to
       // AQE, which sees the actual post-shuffle size
-      val nbrMin = edges.join(front, col("dst") === col("id"))
+      val nbrMinRaw = edges.join(front, col("dst") === col("id"))
         .groupBy(col("src")).agg(min("lbl").as("nbr_lbl"))
+      // Convergence PROBE at the first iterated round (r16): dense
+      // near-dup graphs — the common shape, 1M disjoint cliques at the
+      // 10M-doc probe — are fully converged after the FUSED round, but
+      // proving it cost a whole round: hop self-join, 5M-row
+      // repartition, persist, full next-frame count. Converged ⟺ no
+      // frontier neighbor-min undercuts a current label: non-frontier
+      // neighbors' labels equal their ids (unchanged after round 1)
+      // and were already folded into round 1's min(dst), and at
+      // iter==1 a hop undercut implies a neighbor undercut (lbl(v)=u≠v
+      // came from a neighbor u whose own label is visible to v's
+      // nbrMin), so the probe is exact HERE — and only here, which is
+      // why it does not run in later rounds: chains pay one persisted
+      // nbrMin + one count, once, and the non-converged path reuses
+      // the persisted frame for the round it was going to run anyway.
+      val probing = iter == 1
+      val nbrMin =
+        if (probing) nbrMinRaw.persist(StorageLevel.MEMORY_AND_DISK)
+        else nbrMinRaw
+      if (probing && nbrMin.join(labels, col("src") === col("id"))
+          .filter(col("nbr_lbl") < col("lbl")).count() == 0) {
+        nbrMin.unpersist(false)
+        changed = 0
+        iter += 1
+        if (debug) println(f"[cc] round $iter convergence probe: " +
+          "no neighbor-min undercuts — converged without a frame build")
+      } else {
       val joined = labels.join(nbrMin, col("id") === col("src"), "left")
       // pointer-jump hop table: label(lbl(v)) over the FULL label frame.
       // Restricting it to the last frontier was tried and reverted: a
@@ -944,6 +970,7 @@ object Dedup {
       // next is fully materialized (eager checkpoint, or the count above
       // populated every cached partition) — the prior round is now dead
       if (!labelsCheckpointed) prevPersisted.unpersist(false)
+      if (probing) nbrMin.unpersist(false)
       prevPersisted = next
       labels = next.select("id", "lbl")
       frontier = next.filter(col("lbl") =!= col("prev")).select("id", "lbl")
@@ -951,6 +978,7 @@ object Dedup {
       iter += 1
       if (debug) println(f"[cc] round $iter changed=$changed jump=$jump " +
         f"${(System.nanoTime() - tRound) / 1e9}%.2f s")
+      }
       } else {
         // ---- driver-delta finish --------------------------------
         // The frontier is tiny, but a DataFrame round still rebuilds

@@ -129,27 +129,47 @@ object Prep10M {
     val docsN = 10000000L
     val docs = CliqueCorpus.docs(spark.range(docsN).toDF("id"))
 
+    // ONE generation pass computes BOTH the quality signal and the
+    // dedup digest (VERDICT r15 #3: quality and exact-dedup were two
+    // independent full-corpus scans — at this probe's scale a "scan"
+    // is a full corpus GENERATION, the dominant cost of both stages).
+    // The cached frame is skinny on purpose: (id, token count, 64-bit
+    // digest) is 20 bytes a row — caching the text itself would be
+    // 10M × ~170 B against a 4 GiB heap. The digest is xxhash64, not
+    // the declared query's md5 (kept there solely for DuckDB-oracle
+    // parity): a 64-bit collision over 10M fixed, deterministic docs
+    // either always existed or never does, and the exact count gate
+    // below pins that it doesn't — same exactness argument as the r15
+    // Bloom contamination swap.
+    val meta = docs.select(col("id"),
+        TextAnalysis.tokenCount(col("text")).as("tc"),
+        xxhash64(col("text")).as("digest"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (nQuality, tQuality) = timed {
-      withP(lightP) {
-        docs.filter(TextAnalysis.tokenCount(col("text")) >= 20).count()
+      withP(heavyP) {
+        meta.filter(col("tc") >= 20).count()
       }
     }
     require(nQuality == docsN, s"quality gate: $nQuality")
 
-    // exact dedup, docprep discipline: only (id, digest) ever shuffles;
-    // the LOSER set (1M ids — the small side by construction of any
-    // dedup) anti-joins back against the text as a broadcast, so
-    // document text never enters an Exchange. (At 100 TB with a
+    // exact dedup, docprep discipline: only (id, digest) ever shuffles
+    // — and from the cache, not a second generation; the LOSER set
+    // (1M ids — the small side by construction of any dedup)
+    // anti-joins back against the text as a broadcast, so document
+    // text never enters an Exchange. (At 100 TB with a
     // non-broadcastable loser set, a doc_id-bucketed corpus makes this
     // anti-join storage-partitioned — pipeline_docprep's contract.)
-    val digests = docs.select(col("id"), md5(col("text")).as("digest"))
-    val dropped = digests.join(
-        digests.groupBy("digest").agg(min("id").as("win")), "digest")
+    val dropped = meta.join(
+        meta.groupBy("digest").agg(min("id").as("win")), "digest")
       .filter(col("id") =!= col("win")).select("id")
     val survivors = docs.join(broadcast(dropped), Seq("id"), "left_anti")
       .select(col("id"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (nExact, tExact) = timed(withP(heavyP)(survivors.count()))
+    val (nExact, tExact) = timed(withP(heavyP) {
+      val n = survivors.count()
+      meta.unpersist(false) // digest cache is dead once survivors exist
+      n
+    })
     require(nExact == 9000000L, s"exact dedup kept: $nExact")
 
     // the operator call sits INSIDE the heavy wrap: the eager
