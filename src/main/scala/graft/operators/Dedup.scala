@@ -378,7 +378,7 @@ object Dedup {
     * (VERDICT r8 #2 — at 100 TB a templated-boilerplate corpus must not
     * lose true pairs without a signal). */
   private[operators] def pairsFromBuckets(memb: DataFrame, bucketCols: Seq[String],
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int, dedup: Boolean = true): DataFrame = {
     // bucket-size guard via a windowed count — one shuffle on the bucket
     // key, reused by the self-join below (no groupBy + semi-join round
     // trip; the window needs no ordering so no sort beyond the shuffle)
@@ -422,11 +422,16 @@ object Dedup {
       .orElse(sys.env.get("GRAFT_EAGER_BUCKET_CACHE"))
       .forall(_.toBoolean)
     if (eagerBucket) mf.count()
-    mf.select((col("id").as("id_a") +: bucketCols.map(col)): _*)
+    val raw = mf.select((col("id").as("id_a") +: bucketCols.map(col)): _*)
       .join(mf.select((col("id").as("id_b") +: bucketCols.map(col)): _*), bucketCols)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
+    // dedup=false hands the caller the RAW per-bucket emissions (one
+    // row per colliding bucket, ~11 copies per high-similarity pair at
+    // 16 bands) so it can fuse the dedup into a partitioning it needs
+    // anyway — minhashNearDups folds it into the refine's hash(id_a)
+    // clustering, saving the standalone distinct's exchange round.
+    if (dedup) raw.distinct() else raw
   }
 
   /** The buckets [[pairsFromBuckets]]'s size guard would DROP (size >
@@ -621,9 +626,66 @@ object Dedup {
     // materialized (an unbuilt AQE-cached plan reports unknown), so
     // the eager count is also what arms the exchange-free refine.
     if (eagerShingleCacheDefault(df.sparkSession)) sets.count()
-    val cand = minhashCandidatesFromHashedSets(sets, k, bands, maxBucket = 64)
-    refineJaccardHashed(cand, sets, threshold)
+    val raw = pairsFromBuckets(minhashBandedHashed(sets, k, bands),
+      Seq("band", "band_hash"), maxBucket = 64, dedup = false)
+    // FUSED pair dedup (r16, NearDupProfile attribution: the standalone
+    // distinct was ~18 s of the 10M-doc stage): the raw emissions are
+    // repartitioned on hash(id_a) — the clustering the refine's first
+    // join needs anyway — and the distinct's aggregate runs WITHOUT its
+    // own exchange, because HashPartitioning(id_a) satisfies the
+    // ClusteredDistribution(id_a, id_b) the aggregate requires (equal
+    // pairs share id_a, hence a partition). One exchange of the raw
+    // stream replaces distinct's exchange PLUS the candidate exchange
+    // the refine used to add on top.
+    val cand = raw.repartition(setsP, col("id_a")).distinct()
+    if (bitmapPrefilterEnabled) {
+      // EXACT bitmap prescreen (r16): the refine's dominant cost at 10M
+      // docs was the mid-join exchange carrying full shingle arrays for
+      // EVERY candidate (~190 B/row at 25-word docs, two thirds of them
+      // false candidates that exact Jaccard rejects). Screen each pair
+      // first with a 32-byte bitmap summary + true set size pulled from
+      // the same cache (map-side compute over the cached shh, both
+      // joins exchange-free on the sets side), discarding a pair only
+      // when [[graft.expressions.BitmapIntersectUpperBound]]'s sound
+      // intersection bound cannot reach the threshold — output is
+      // bit-identical, survivors alone pay the full-array joins.
+      import org.apache.spark.sql.graftbridge.Bridge
+      def bm(c: Column) = Bridge.column(graft.expressions.ShingleBitmap(
+        Bridge.expression(c), bitmapWords))
+      val bmA = sets.select(col("id").as("id_a"), bm(col("shh")).as("bm_a"),
+        size(col("shh")).as("sz_a"))
+      val bmB = sets.select(col("id").as("id_b"), bm(col("shh")).as("bm_b"),
+        size(col("shh")).as("sz_b"))
+      val ub = Bridge.column(graft.expressions.BitmapIntersectUpperBound(Seq(
+        Bridge.expression(col("bm_a")), Bridge.expression(col("sz_a")),
+        Bridge.expression(col("bm_b")), Bridge.expression(col("sz_b")))))
+      // keep iff the intersection BOUND could still reach threshold:
+      // j ≥ t ⟺ I(1+t) ≥ t(|A|+|B|); 1e-9 guards the float compare in
+      // the KEEP direction (borderline pairs go to the exact refine)
+      val screened = cand.join(bmA, "id_a").join(bmB, "id_b")
+        .filter(ub.cast("double") * lit(1.0 + threshold) >=
+          lit(threshold) * (col("sz_a") + col("sz_b")).cast("double")
+            - lit(1e-9))
+        .select("id_a", "id_b")
+      refineJaccardHashed(screened, sets, threshold)
+    } else refineJaccardHashed(cand, sets, threshold)
   }
+
+  /** Bitmap width (in 64-bit words) for [[minhashNearDups]]'s exact
+    * prescreen — 4 words = 256 bits, sized for short-document shingle
+    * sets (tens of shingles). Larger documents keep correctness at any
+    * width (the bound only loosens); raise via
+    * `-Dgraft.bitmapWords=N` when typical sets outgrow ~bits/8
+    * elements and the screen stops discarding. `-Dgraft.
+    * bitmapPrefilter=false` / env GRAFT_BITMAP_PREFILTER=false drops
+    * the prescreen entirely (the pre-r16 two-join refine plan). */
+  private[graft] def bitmapWords: Int =
+    sys.props.get("graft.bitmapWords")
+      .orElse(sys.env.get("GRAFT_BITMAP_WORDS")).map(_.toInt).getOrElse(4)
+  private[graft] def bitmapPrefilterEnabled: Boolean =
+    sys.props.get("graft.bitmapPrefilter")
+      .orElse(sys.env.get("GRAFT_BITMAP_PREFILTER"))
+      .forall(_.toBoolean)
 
   /** Exact-Jaccard refine over PRE-HASHED sets: `sets` is (id, shh) with
     * [[hashedShingles]]'s sorted long arrays, consumed by the joins

@@ -6,100 +6,132 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.operators.Dedup
 
-/** Sub-stage profiler for the 10M-doc near-dup long pole found by
-  * [[Prep10M]] (439 s in one `minhashNearDups` call): times the
-  * pipeline's internal stages separately — shingle-set materialize,
-  * banded LSH candidate generation, exact-Jaccard refine — on the same
-  * 9M-survivor corpus, so the fix targets the measured cost, not the
-  * suspected one. Prints one JSON line.
+/** Sub-stage profile of the 10M-doc near-dup pipeline (the stage that
+  * is ~60% of `Prep10M`'s total and the only one still between the
+  * probe and its ≤160 s target). Re-runs `minhashNearDups`'s internal
+  * steps one materialization at a time so the JSON line attributes the
+  * stage's seconds to: sets-cache build, banding compute, the band
+  * shuffle + bucket-size window, the bucket self-join, the pair
+  * `distinct`, and the exact-Jaccard refine.
   *
-  * Heap floor: 8 GiB at the default 10M docs (`SPARK_DRIVER_MEM=8g`,
-  * the build default). Unlike Prep10M — which passes its count gates
-  * at 4 GiB — this tool deliberately persists the shingle sets AND the
-  * candidate pairs AND replays every substage as a fresh action, so
-  * its working set is a multiple of the pipeline's; running it at the
-  * pipeline's 4 GiB rig OOMs by design, not by defect. Use
-  * `SPARK_GRAFT_DOCS` to profile smaller corpora at smaller heaps.
+  * Caveats printed with the numbers: `band_compute_sec` re-runs inside
+  * `band_shuffle_sec` (the banded frame is deliberately not persisted,
+  * matching the production plan), so the shuffle row's ATTRIBUTABLE
+  * cost is `band_shuffle_sec - band_compute_sec`; the same subtraction
+  * applies to `selfjoin_sec` vs its persisted inputs (none — mf is
+  * persisted, so selfjoin is clean).
+  *
+  * Run: `SPARK_DRIVER_MEM=4g SPARK_GRAFT_CPUS=32
+  *   sbt "runMain graft.tools.NearDupProfile [nDocs]"` — same session
+  * config as [[Prep10M]] so the numbers transfer.
   */
 object NearDupProfile {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val docsN = if (args.nonEmpty) args(0).toLong else 10000000L
+    if (sys.props.get("graft.eagerShingleCache").isEmpty)
+      sys.props("graft.eagerShingleCache") = "true"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "192"))
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.memory.fraction",
+        sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION",
+          if (Runtime.getRuntime.maxMemory < 6L * 1024 * 1024 * 1024) "0.5"
+          else "0.6"))
+      .config("spark.shuffle.spill.diskWriteBufferSize", (256 * 1024).toString)
+      .config("spark.sql.inMemoryColumnarStorage.batchSize",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_BATCH",
+          if (Runtime.getRuntime.maxMemory < 6L * 1024 * 1024 * 1024)
+            "1000" else "10000"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def timed[A](f: => A): (A, Double) = {
-      val t0 = System.nanoTime(); val r = f
+      val t0 = System.nanoTime()
+      val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
-
-    // same corpus as Prep10M after exact dedup: 9M survivors (docs
-    // overridable for fast iteration on the substage numbers)
-    val docsN = sys.env.getOrElse("SPARK_GRAFT_DOCS", "10000000").toLong
-    val survivors = CliqueCorpus.docs(
-      spark.range(docsN).filter(col("id") % 10 =!= 9).toDF("id"))
-
-    // PRE-HASHED sets — the representation minhashNearDups caches
-    // (sorted xxhash64 longs feeding both banding and refine)
-    // MIRROR the pipeline's cache shape (repartitioned + sorted on id,
-    // r15): refine_sec must measure the plan that ships — without
-    // this the tool times two sets-side shuffles+sorts the production
-    // refine no longer executes, and A/Bs based on it optimize a
-    // phantom plan
-    val setsP = org.apache.spark.sql.graftbridge.Bridge
-      .numShufflePartitions(spark)
-    val sets = survivors.select(col("id"),
-        Dedup.hashedShingles(col("text"), 3).as("shh"))
-      .repartition(setsP, col("id")).sortWithinPartitions("id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val (nSets, tSets) = timed(sets.count())
-
-    // ---- candidate SUBSTAGES, each a fresh action over the cached
-    // sets (so every number re-pays signature+explode — deltas between
-    // them isolate the shuffle / guard / join / distinct increments)
-    // (a) signature + band explode alone: no shuffle, pure compute
-    val banded = Dedup.minhashBandedHashed(sets, 32, 16)
-    val (nBanded, tBanded) = timed(banded.count())
-    // (b) + the bucket-size window guard (shuffle + sort + filter)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("band_hash"))
-    val guarded = banded.withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__n") >= 2 && col("__n") <= 64).drop("__n")
-    val (nGuarded, tGuarded) = timed(guarded.count())
-
-    // candidates generated FROM THE PERSISTED SETS (the code-review
-    // catch: minhashCandidates(survivors,...) would rebuild shingles
-    // from raw text, double-counting the cost sets_sec already timed
-    // and overstating the LSH stage)
-    // construction INSIDE the timed block: pairsFromBuckets eagerly
-    // materializes its guarded-membership cache at call time (the
-    // partitioning-propagation contract), and that work belongs to
-    // the candidate stage's number
-    val ((cand, nCand), tCand) = timed {
-      val c = Dedup.minhashCandidatesFromHashedSets(sets, k = 32,
-          bands = 16, maxBucket = 64)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      (c, c.count())
+    def steal(): Long = {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().next().trim.split("\\s+")(8).toLong
+      finally src.close()
     }
 
-    // refine timed as best-of-N in THIS JVM: single trials on this box
-    // spread 2-4x under neighbor contention (r14: untouched stages
-    // moved 40%+ between back-to-back runs), and join-strategy A/Bs
-    // need same-box-state minimums to mean anything
-    val refineTrials = sys.env.getOrElse("SPARK_GRAFT_REFINE_TRIALS", "3").toInt
-    val (nRefined, tRefine) = (1 to refineTrials).map { _ =>
-      timed(Dedup.refineJaccardHashed(cand, sets, 0.5).count())
-    }.minBy(_._2)
+    val s0 = steal()
+    // Same survivor frame Prep10M hands the stage: 9/10 of the corpus
+    // (doc 9 is the byte-exact copy the exact pass removes).
+    val survivors = CliqueCorpus.docs(spark.range(docsN).toDF("id"))
+      .filter(col("id") % 10 =!= 9)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (_, tWarm) = timed(survivors.count())
 
-    println(s"""{"metric":"neardup_profile","docs":$docsN,"sets":$nSets,""" +
-      s""""sets_sec":$tSets,"banded":$nBanded,"banded_sec":$tBanded,""" +
-      s""""guarded":$nGuarded,"guarded_sec":$tGuarded,""" +
-      s""""cand":$nCand,"cand_sec":$tCand,""" +
-      s""""refined":$nRefined,"refine_sec":$tRefine}""")
+    val shuffleP = org.apache.spark.sql.graftbridge.Bridge
+      .numShufflePartitions(spark)
+    // 1. sets cache: hashed shingles, pre-partitioned + pre-sorted on id
+    val (sets, tSets) = timed {
+      val s = survivors
+        .select(col("id").cast("long").as("id"),
+          Dedup.hashedShingles(col("text"), 3).as("shh"))
+        .repartition(shuffleP, col("id")).sortWithinPartitions("id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      s.count()
+      s
+    }
+    // 2. banding compute alone (map over the cache, no wide shuffle)
+    val (_, tBandCompute) = timed {
+      Dedup.minhashBandedHashed(sets, 32, 16).count()
+    }
+    // 3. band shuffle + bucket-size window guard (includes one more
+    //    banding compute — subtract tBandCompute for the shuffle cost)
+    val ((mf, nMemb), tBandShuffle) = timed {
+      val banded = Dedup.minhashBandedHashed(sets, 32, 16)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "band_hash")
+      val m = banded
+        .repartition(shuffleP, col("band"), col("band_hash"))
+        .withColumn("__n", count(lit(1)).over(w))
+        .filter(col("__n") >= 2 && col("__n") <= 64)
+        .drop("__n")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (m, m.count())
+    }
+    // 4. bucket self-join, pre-distinct (exchange-free: mf persisted)
+    val (nPairsRaw, tSelfJoin) = timed {
+      mf.select(col("id").as("id_a"), col("band"), col("band_hash"))
+        .join(mf.select(col("id").as("id_b"), col("band"), col("band_hash")),
+          Seq("band", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .count()
+    }
+    // 5. self-join + distinct (production shape; subtract tSelfJoin
+    //    for the distinct's own cost)
+    val ((cand, nCand), tDistinct) = timed {
+      val d = mf.select(col("id").as("id_a"), col("band"), col("band_hash"))
+        .join(mf.select(col("id").as("id_b"), col("band"), col("band_hash")),
+          Seq("band", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (d, d.count())
+    }
+    // 6. exact-Jaccard refine (cand persisted, sets persisted: clean)
+    val (nPairs, tRefine) = timed {
+      Dedup.refineJaccardHashed(cand, sets, 0.5).count()
+    }
+    val s1 = steal()
+    println(s"""{"metric":"neardup_profile","docs":$docsN,""" +
+      s""""warm_sec":$tWarm,"sets_sec":$tSets,""" +
+      s""""band_compute_sec":$tBandCompute,""" +
+      s""""band_shuffle_sec":$tBandShuffle,""" +
+      s""""selfjoin_sec":$tSelfJoin,"distinct_sec":$tDistinct,""" +
+      s""""refine_sec":$tRefine,""" +
+      s""""memb_rows":$nMemb,"pairs_raw":$nPairsRaw,"cand":$nCand,""" +
+      s""""pairs":$nPairs,"steal_delta":${s1 - s0}}""")
     spark.stop()
   }
 }

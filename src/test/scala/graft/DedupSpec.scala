@@ -175,6 +175,114 @@ class DedupSpec extends SparkSpec {
     assert(got == naiveJaccardPairs(3, 0.5))
   }
 
+  test("BitmapIntersectUpperBound is a sound |A∩B| bound at every width") {
+    // Soundness property the r16 prescreen rests on: for random hashed
+    // sets and DELIBERATELY tiny bitmaps (64 bits → heavy within-set
+    // collisions), the bound never undercuts the true intersection.
+    import org.apache.spark.sql.graftbridge.Bridge
+    val rnd = new scala.util.Random(20816)
+    val rows = (0 until 300).map { _ =>
+      val na = 1 + rnd.nextInt(60)
+      val nb = 1 + rnd.nextInt(60)
+      // overlapping value space so intersections are common
+      val a = Seq.fill(na)(rnd.nextInt(120).toLong).distinct.sorted
+      val b = Seq.fill(nb)(rnd.nextInt(120).toLong).distinct.sorted
+      (a, b, a.toSet.intersect(b.toSet).size)
+    }
+    for (words <- Seq(1, 2, 4)) {
+      def bm(c: org.apache.spark.sql.Column) = Bridge.column(
+        graft.expressions.ShingleBitmap(Bridge.expression(c), words))
+      val ub = (a: org.apache.spark.sql.Column, sa: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column, sb: org.apache.spark.sql.Column) =>
+        Bridge.column(graft.expressions.BitmapIntersectUpperBound(Seq(
+          Bridge.expression(a), Bridge.expression(sa),
+          Bridge.expression(b), Bridge.expression(sb))))
+      val got = rows.toDF("a", "b", "i")
+        .select(col("i"), ub(bm(col("a")), size(col("a")),
+          bm(col("b")), size(col("b"))).as("ub"))
+        .as[(Int, Int)].collect()
+      got.foreach { case (i, u) =>
+        assert(u >= i, s"words=$words: bound $u undercuts true |A∩B|=$i")
+      }
+      // and at the default width over small sets the bound is TIGHT
+      // often enough to be a useful screen, not just sound
+      if (words == 4)
+        assert(got.count { case (i, u) => u == i } > got.length / 2)
+    }
+  }
+
+  test("minhashNearDups stays exact under maximal bitmap collision stress") {
+    // 64-bit maps over ~16-shingle docs: within-set collisions abound,
+    // so the screen's bound is loose — it must degrade toward keeping
+    // pairs (exactness preserved), never toward dropping true pairs.
+    val prev = sys.props.get("graft.bitmapWords")
+    sys.props("graft.bitmapWords") = "1"
+    try {
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.minhashNearDups(df, "doc_id", "text", 3, 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == naiveJaccardPairs(3, 0.5))
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.bitmapWords") = v
+        case None => sys.props.remove("graft.bitmapWords")
+      }
+    }
+  }
+
+  test("minhashNearDups fuses the pair dedup into the refine clustering") {
+    // r16 restructure probes: (1) no exchange partitions on BOTH pair
+    // columns — the standalone distinct's hash(id_a, id_b) exchange is
+    // gone, folded into the hash(id_a) repartition the refine needs
+    // anyway; (2) every refine-family SMJ still has an exchange-free,
+    // sort-free cache side (the r15 layout contract, now across the
+    // bitmap-prescreen joins too).
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = docs.toDF("doc_id", "text")
+      val out = Dedup.minhashNearDups(df, "doc_id", "text", 3, 0.5)
+      val plan = out.queryExecution.executedPlan
+      val pairKeyExchanges = plan.collect {
+        case e: ShuffleExchangeExec if (e.outputPartitioning match {
+          case h: HashPartitioning =>
+            h.expressions.exists(_.toString.contains("id_a")) &&
+              h.expressions.exists(_.toString.contains("id_b"))
+          case _ => false
+        }) => e
+      }
+      assert(pairKeyExchanges.isEmpty,
+        s"standalone pair-distinct exchange survived:\n$plan")
+      val refineJoins = plan.collect {
+        case j: SortMergeJoinExec if j.leftKeys.exists(k =>
+            k.toString.contains("id_a") || k.toString.contains("id_b")) => j
+      }
+      assert(refineJoins.size == 4,
+        s"expected 2 prescreen + 2 refine joins in:\n$plan")
+      refineJoins.foreach { j =>
+        val cleanSide = Seq(j.left, j.right).exists { side =>
+          side.collect { case e: ShuffleExchangeExec => e }.isEmpty &&
+          side.collect { case s: SortExec => s }.isEmpty &&
+          side.collect { case c: InMemoryTableScanExec => c }.nonEmpty
+        }
+        assert(cleanSide,
+          s"join has no exchange-free, sort-free cache side:\n$j")
+      }
+      val got = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == naiveJaccardPairs(3, 0.5))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+    }
+  }
+
   test("MinHashSig matches the hash(s, lit(seed)) HOF formulation bit for bit") {
     import org.apache.spark.sql.functions._
     // includes a NULL-text row (ADVICE r8): the HOF yields a non-null
