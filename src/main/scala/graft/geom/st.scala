@@ -29,6 +29,12 @@ object st {
   def intersects(a: Column, b: Column): Column = c(STIntersects(Seq(x(a), x(b))))
   def intersection(a: Column, b: Column): Column = c(STIntersection(Seq(x(a), x(b))))
 
+  def envelopeCells(g: Column, cellSize: Double): Column =
+    c(STEnvelopeCells(Seq(x(g)), cellSize))
+  def pairRefine(a: Column, b: Column, bx: Column, by: Column,
+      cellSize: Double, intersects: Boolean): Column =
+    c(STPairRefine(Seq(x(a), x(b), x(bx), x(by)), cellSize, intersects))
+
   def area(g: Column): Column = c(STArea(Seq(x(g))))
   def buffer(g: Column, dist: Column): Column = c(STBuffer(Seq(x(g), dx(dist))))
   def simplify(g: Column, tol: Column): Column = c(STSimplify(Seq(x(g), dx(tol))))

@@ -48,31 +48,58 @@ object SpatialJoin {
 
   /** Spatial join of `left` and `right` on `predicate(leftGeom,
     * rightGeom)`. Column names of the two sides must be disjoint.
-    * Emits each qualifying pair exactly once. */
+    * Emits each qualifying pair exactly once.
+    *
+    * The generic-predicate form: bucket explode and reference-point
+    * dedup run as the fused one-parse-per-row expressions
+    * ([[graft.expressions.STEnvelopeCells]]), but the caller's
+    * predicate stays a separate Column, so its geometry arguments
+    * re-parse. [[joinContains]]/[[overlayIntersection]] — the two
+    * named predicates every declared query uses — go through
+    * [[joinFused]] instead, which folds the predicate into the same
+    * single parse (r16 opt; 6 WKB parses per candidate → 2). */
   def join(left: DataFrame, right: DataFrame,
       leftGeom: String, rightGeom: String, cellSize: Double,
       predicate: (Column, Column) => Column): DataFrame = {
-    val l = left.withColumn("__bucket", explode(bucketIds(col(leftGeom), cellSize)))
-    val r = right.withColumn("__bucket", explode(bucketIds(col(rightGeom), cellSize)))
+    val l = left.withColumn("__bucket",
+      explode(st.envelopeCells(col(leftGeom), cellSize)))
+    val r = right.withColumn("__bucket",
+      explode(st.envelopeCells(col(rightGeom), cellSize)))
     l.join(r, "__bucket")
       .filter(col("__bucket") === refBucket(col(leftGeom), col(rightGeom), cellSize) &&
         predicate(col(leftGeom), col(rightGeom)))
       .drop("__bucket")
   }
 
+  /** [[join]] with the refine fully fused ([[graft.expressions.STPairRefine]]):
+    * reference-point dedup + the named JTS predicate in ONE expression,
+    * one WKB parse per side per candidate. */
+  private def joinFused(left: DataFrame, right: DataFrame,
+      leftGeom: String, rightGeom: String, cellSize: Double,
+      intersects: Boolean): DataFrame = {
+    val l = left.withColumn("__bucket",
+      explode(st.envelopeCells(col(leftGeom), cellSize)))
+    val r = right.withColumn("__bucket",
+      explode(st.envelopeCells(col(rightGeom), cellSize)))
+    l.join(r, "__bucket")
+      .filter(st.pairRefine(col(leftGeom), col(rightGeom),
+        col("__bucket.bx"), col("__bucket.by"), cellSize, intersects))
+      .drop("__bucket")
+  }
+
   /** J3: point-in-polygon join (the reference's `sjoin`). */
   def joinContains(polys: DataFrame, points: DataFrame,
       polyGeom: String, pointGeom: String, cellSize: Double): DataFrame =
-    join(polys, points, polyGeom, pointGeom, cellSize,
-      (pg, pt) => st.contains(pg, pt))
+    joinFused(polys, points, polyGeom, pointGeom, cellSize,
+      intersects = false)
 
   /** J4: overlay intersection (the reference's `gpd.overlay(...,
     * "intersection")`) — qualifying pairs carry both attribute sets plus
     * the intersection piece and its area. */
   def overlayIntersection(left: DataFrame, right: DataFrame,
       leftGeom: String, rightGeom: String, cellSize: Double): DataFrame =
-    join(left, right, leftGeom, rightGeom, cellSize,
-      (a, b) => st.intersects(a, b))
+    joinFused(left, right, leftGeom, rightGeom, cellSize,
+      intersects = true)
       .withColumn("__piece", st.intersection(col(leftGeom), col(rightGeom)))
       .withColumn("piece_area", st.area(col("__piece")))
       .withColumnRenamed("__piece", "piece_geom")
@@ -121,5 +148,67 @@ object SpatialJoin {
     lhs.join(rhs.hint("shuffle_hash"), "__cell")
       .filter(dx * dx + dy * dy <= lit(d) * lit(d))
       .select(col("id_a"), col("id_b"), sqrt(dx * dx + dy * dy).as("dist"))
+  }
+
+  /** SELF distance join: every unordered pair of `pts` within Euclidean
+    * distance `d`, as (id_a, id_b, dist) with id_a < id_b — the same
+    * pair multiset as [[joinWithinDistance]](pts, pts) followed by an
+    * `id_a < id_b` filter, at about half the candidate work.
+    *
+    * The generic form explodes the probe side to the FULL disc-bbox
+    * neighborhood (9 cells at cellSize ≈ d), so every qualifying pair
+    * is generated — and distance-refined — in BOTH orientations, and
+    * the caller then discards half. Here the probe side covers only
+    * its own cell plus the lexicographically FORWARD (bx, by) cells of
+    * the bbox (5 of 9 at cellSize ≈ d). For two points in DIFFERENT
+    * cells exactly one of the two cells precedes the other, so exactly
+    * one orientation probes the other's cell; SAME-cell pairs are both
+    * generated and dedup on id order. Each unordered pair therefore
+    * pays the equi-join and the distance refine exactly once: ~5/9 of
+    * the exploded shuffle rows, half the refines (guide §2.3/§3).
+    * Orientation of a cross-cell emission follows cell order, not id
+    * order, so the output normalizes with least/greatest. */
+  def selfJoinWithinDistance(pts: DataFrame, idCol: String, geomCol: String,
+      d: Double, cellSize: Double): DataFrame = {
+    require(d >= 0, s"d=$d")
+    require(cellSize > 0, s"cellSize=$cellSize")
+    val base = pts.select(col(idCol).as("__id"),
+      st.stx(col(geomCol)).as("__x"), st.sty(col(geomCol)).as("__y"))
+    def cellOf(x: Column, y: Column) = struct(
+      floor(x / cellSize).cast("long").as("bx"),
+      floor(y / cellSize).cast("long").as("by"))
+    val ownBx = floor(col("__x") / cellSize).cast("long")
+    val ownBy = floor(col("__y") / cellSize).cast("long")
+    // own cell first, then forward cells: bx rows strictly past own
+    // take the disc bbox's full by range; the own-bx row starts at own
+    val fwd = flatten(transform(
+      sequence(ownBx, floor((col("__x") + d) / cellSize).cast("long")), bx =>
+        transform(
+          sequence(
+            when(bx === ownBx, ownBy)
+              .otherwise(floor((col("__y") - d) / cellSize).cast("long")),
+            floor((col("__y") + d) / cellSize).cast("long")), by =>
+          struct(bx.as("bx"), by.as("by")))))
+    val lhs = base
+      .withColumn("__cell", explode(fwd))
+      .select(col("__id").as("id_a"), col("__x").as("__ax"),
+        col("__y").as("__ay"), col("__cell"))
+    val rhs = base.select(col("__id").as("id_b"),
+      col("__x").as("__bx"), col("__y").as("__by"),
+      cellOf(col("__x"), col("__y")).as("__cell"))
+    val dx = col("__ax") - col("__bx")
+    val dy = col("__ay") - col("__by")
+    // recomputed from the carried coords (3 cheap ops) instead of
+    // shuffling a second 16-byte struct per exploded row
+    val sameCell = col("__cell") === cellOf(col("__ax"), col("__ay"))
+    // same SHUFFLE_HASH rationale as joinWithinDistance: the exploded
+    // side must not broadcast, and the probe side must not run at a
+    // single small file's parallelism
+    lhs.join(rhs.hint("shuffle_hash"), "__cell")
+      .filter(dx * dx + dy * dy <= lit(d) * lit(d) &&
+        (!sameCell || col("id_a") < col("id_b")))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        sqrt(dx * dx + dy * dy).as("dist"))
   }
 }

@@ -79,9 +79,14 @@ object SpatialKnn {
 
     var resolved: DataFrame = null
     var remaining = pts0.persist(StorageLevel.MEMORY_AND_DISK)
+    // loop on a COUNT carried across rounds (r16 opt): the former
+    // `while (!remaining.isEmpty)` ran one extra limit-1 job per round
+    // on top of the count each round already pays to materialize the
+    // next `remaining` — same decisions, one action per round fewer
+    var remainingCnt = remaining.count()
     var r = 1L
     var round = 0
-    while (!remaining.isEmpty) {
+    while (remainingCnt > 0) {
       round += 1
       require(round <= maxRounds,
         s"spatial kNN did not converge in $maxRounds rounds " +
@@ -113,10 +118,12 @@ object SpatialKnn {
       done.count() // materialize before remapping `remaining`
       resolved = if (resolved == null) done else resolved.union(done)
       val prev = remaining
+      // left_anti never duplicates its left side, so the done-id frame
+      // needs no distinct pass (k rows per resolved point are fine)
       remaining = prev
-        .join(done.select(col(pointIdCol)).distinct(), Seq(pointIdCol), "left_anti")
+        .join(done.select(col(pointIdCol)), Seq(pointIdCol), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      remaining.count()
+      remainingCnt = remaining.count()
       prev.unpersist()
       r *= 2
     }

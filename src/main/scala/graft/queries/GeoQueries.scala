@@ -190,20 +190,22 @@ object GeoQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Distance self-join (`ST_DWithin`,
-    * [[graft.operators.SpatialJoin.joinWithinDistance]]): event pairs
-    * within 0.35 units, reduced to per-point neighborhood stats. The
-    * events lattice repeats every 4,000 ids, so point DENSITY (and the
-    * pair count) grows quadratically with SF — emitting the raw sorted
-    * pair list was 18 s at sf0.1 on output alone. The aggregate keeps
-    * output linear while still pinning the exact pair MULTISET: the
-    * oracle replays the naive quadratic join, and any extra/missing/
-    * drifted pair changes `n_neighbors` or the order-independent
-    * fixed-point `sum_dist` for its endpoint. */
+    * [[graft.operators.SpatialJoin.selfJoinWithinDistance]]): event
+    * pairs within 0.35 units, reduced to per-point neighborhood stats.
+    * The events lattice repeats every 4,000 ids, so point DENSITY (and
+    * the pair count) grows quadratically with SF — emitting the raw
+    * sorted pair list was 18 s at sf0.1 on output alone. The aggregate
+    * keeps output linear while still pinning the exact pair MULTISET:
+    * the oracle replays the naive quadratic join, and any extra/
+    * missing/drifted pair changes `n_neighbors` or the order-
+    * independent fixed-point `sum_dist` for its endpoint. The SELF
+    * form (r16 opt) generates each unordered pair once — the generic
+    * two-sided form produced both orientations and the id_a < id_b
+    * filter threw half the candidate and refine work away. */
   val qGeoDistanceJoin: Q = (spark, dir) => {
     val pts = eventPoints(spark, dir)
-    SpatialJoin.joinWithinDistance(pts, "event_id", "pt_geom",
-        pts, "event_id", "pt_geom", d = 0.35, cellSize = 0.35)
-      .filter(col("id_a") < col("id_b"))
+    SpatialJoin.selfJoinWithinDistance(pts, "event_id", "pt_geom",
+        d = 0.35, cellSize = 0.35)
       .groupBy("id_a")
       .agg(count(lit(1)).as("n_neighbors"),
         Exact.fixedSum(col("dist"), 6).as("sum_dist"),

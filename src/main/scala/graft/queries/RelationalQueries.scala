@@ -1143,16 +1143,25 @@ object RelationalQueries {
       .filter(col("o_orderstatus") === "F")
     val li = Tables(spark, dir, "lineitem")
     val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    // ONE pass over the joined fact (r16 opt): the former shape ran the
+    // lineitem⋈orders join TWICE (once under the per-order aggregate,
+    // once under a late-pair distinct) and then joined the two back
+    // together. With the qualifying predicate `nlate === 1`, the single
+    // late supplier of a qualifying order is recoverable from the same
+    // aggregate as max(late supplier) — so the second join subtree, its
+    // distinct, and the re-join all drop out (guide §2.4): two scans of
+    // each fact table become one, three shuffles become one plus an
+    // order-count-sized aggregation.
     val perOrder = j.groupBy(col("l_orderkey").as("ok"))
       .agg(countDistinct(col("l_suppkey")).as("nsupp"),
         countDistinct(when(col("l_shipdate") > col("o_orderdate"),
-          col("l_suppkey"))).as("nlate"))
+          col("l_suppkey"))).as("nlate"),
+        max(when(col("l_shipdate") > col("o_orderdate"),
+          col("l_suppkey"))).as("late_supp"))
       .filter(col("nsupp") >= 2 && col("nlate") === 1)
-    val late = j.filter(col("l_shipdate") > col("o_orderdate"))
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
     val sup = Tables(spark, dir, "supplier")
-    late.join(perOrder, col("l_orderkey") === col("ok"))
-      .groupBy("l_suppkey")
+    perOrder
+      .groupBy(col("late_supp").as("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -870,14 +870,21 @@ object TextQueries {
   val qDomainRank: Q = (spark, dir) => {
     val d = Tables(spark, dir, "documents")
       .select(col("doc_id"), concat(col("source"), lit(".example.org")).as("site"))
-    def planted(m: Int, dst: String) = d.filter(col("doc_id") % m === 0)
-      .select(col("site").as("src"), lit(dst).as("dst"))
-    val edges = planted(6, "spam.example.com")
-      .union(planted(8, "cdn.spam.example.com"))
-      .union(planted(8, "good.example.org"))
-      .union(planted(3, "hub.example.org"))
-      .union(d.filter(col("doc_id") % 4 === 0)
-        .select(lit("hub.example.org").as("src"), col("site").as("dst")))
+    // all five planted edge families in ONE corpus scan (r16 opt): the
+    // former 5-way union re-scanned the documents table once per family
+    // — at 100 TB that is five corpus reads where one suffices. Each row
+    // emits exactly the edges its doc_id qualifies for; the multiset
+    // (and PageRank's distinct of it) is unchanged.
+    def e(src: Column, dst: Column, keep: Column) =
+      struct(src.as("src"), dst.as("dst"), keep.as("keep"))
+    val edges = d.select(explode(filter(array(
+        e(col("site"), lit("spam.example.com"), col("doc_id") % 6 === 0),
+        e(col("site"), lit("cdn.spam.example.com"), col("doc_id") % 8 === 0),
+        e(col("site"), lit("good.example.org"), col("doc_id") % 8 === 0),
+        e(col("site"), lit("hub.example.org"), col("doc_id") % 3 === 0),
+        e(lit("hub.example.org"), col("site"), col("doc_id") % 4 === 0)),
+      s => s.getField("keep"))).as("ed"))
+      .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
     graft.operators.PageRank.ranks(edges, "src", "dst", iterations = 3)
       .orderBy("node")
   }

@@ -56,6 +56,66 @@ class SpatialJoinSpec extends SparkSpec {
     assert(r(0)._1 == 1.0 && r(0)._2 == "POINT (1.5 1.5)")
   }
 
+  test("fused envelope-cells and pair-refine equal the column-chain forms") {
+    // random-ish boxes spanning 1-4 cells at cellSize=1.7, plus exact
+    // cell-boundary-aligned ones (hash(id)%17==0 → integer corners)
+    def boxes(seed: Int, n: Int, idName: String, gName: String) =
+      spark.range(n).select($"id".as(idName),
+        st.makeBox(
+          pmod(hash($"id", lit(seed)), lit(200)) / 10.0,
+          pmod(hash($"id", lit(seed + 1)), lit(200)) / 10.0,
+          pmod(hash($"id", lit(seed)), lit(200)) / 10.0 + 0.3 + ($"id" % 7) * 0.5,
+          pmod(hash($"id", lit(seed + 1)), lit(200)) / 10.0 + 0.3 + ($"id" % 5) * 0.5)
+          .as(gName))
+    val a = boxes(11, 80, "aid", "ga")
+    val b = boxes(37, 80, "bid", "gb")
+    // expression level: one-parse envelope cells == the 4-parse chain
+    val cellsNew = a.select($"aid", st.envelopeCells($"ga", 1.7).as("c"))
+      .orderBy("aid").collect().map(_.toString).toSeq
+    val cellsOld = a.select($"aid", SpatialJoin.bucketIds($"ga", 1.7).as("c"))
+      .orderBy("aid").collect().map(_.toString).toSeq
+    assert(cellsNew == cellsOld)
+    // join level: the fused refine (joinContains/overlayIntersection
+    // path) == the generic refBucket + predicate chain (join path)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("aid", "bid").as[(Long, Long)].collect().toSeq.sorted
+    val chainInt = pairs(SpatialJoin.join(a, b, "ga", "gb", 1.7,
+      (l, r) => st.intersects(l, r)))
+    val fusedInt = pairs(SpatialJoin.overlayIntersection(a, b, "ga", "gb", 1.7))
+    assert(chainInt.nonEmpty && fusedInt == chainInt)
+    val chainCont = pairs(SpatialJoin.join(a, b, "ga", "gb", 1.7,
+      (l, r) => st.contains(l, r)))
+    val fusedCont = pairs(SpatialJoin.joinContains(a, b, "ga", "gb", 1.7))
+    assert(fusedCont == chainCont)
+  }
+
+  test("selfJoinWithinDistance equals the generic two-sided form") {
+    // deterministic pseudo-random cloud spanning many cells, duplicate
+    // coordinates included (ids 200..209 reuse id%10's position) so
+    // same-cell, cross-cell, zero-distance and boundary pairs all occur
+    val pts = spark.range(210).select($"id",
+      st.point(
+        pmod(hash($"id" % 200, lit(1)), lit(1000)) / 100.0,
+        pmod(hash($"id" % 200, lit(2)), lit(800)) / 100.0).as("pg"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id_a", $"id_b", round($"dist", 9).as("d"))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val generic = norm(SpatialJoin.joinWithinDistance(
+        pts, "id", "pg", pts, "id", "pg", d = 0.7, cellSize = 0.7)
+      .filter($"id_a" < $"id_b"))
+    val self = norm(SpatialJoin.selfJoinWithinDistance(
+      pts, "id", "pg", d = 0.7, cellSize = 0.7))
+    assert(generic.nonEmpty) // the fixture actually produces pairs
+    assert(self == generic)
+    // a cellSize well below d exercises the multi-ring forward probe
+    val generic2 = norm(SpatialJoin.joinWithinDistance(
+        pts, "id", "pg", pts, "id", "pg", d = 0.7, cellSize = 0.3)
+      .filter($"id_a" < $"id_b"))
+    val self2 = norm(SpatialJoin.selfJoinWithinDistance(
+      pts, "id", "pg", d = 0.7, cellSize = 0.3))
+    assert(self2 == generic2)
+  }
+
   test("conservation: regrid piece areas sum to each source cell's area") {
     // 2×2 source cells of size 3×3 overlaid with a 0.5-shifted unit
     // target lattice fully covering them → every source cell's pieces
