@@ -704,7 +704,7 @@ object StreamingQueries {
         Ann.cosine(col("qvec"), col("cvec")).as("cos_sim"))
       .groupBy("query_id")
       .agg(Ann.topK(col("cos_sim"), col("neighbor_id"), k).as("top"))
-    requireAnnCandidates(e, c, probes, k, "stream_ann_topk")
+    requireAnnCandidatesOnce(spark, dir, e, c, probes, k, "stream_ann_topk")
     val name = s"graft_stream_ann_${runId.incrementAndGet()}"
     withStatePartitions(spark, defaultStatePartitions) {
       val q = agg.writeStream.format("memory").queryName(name)
@@ -739,7 +739,26 @@ object StreamingQueries {
     * a valid recall-independent invariant when every query's multiprobe
     * candidate set holds ≥ k neighbors. On regenerated embeddings a
     * candidate dip must fail HERE with a recall-drift message, not as a
-    * baffling oracle count mismatch downstream. */
+    * baffling oracle count mismatch downstream.
+    *
+    * Memoized per (session, embeddings source stamp, k) — r16 opt, the
+    * [[neardupIndexMemo]] snapshot contract applied to a guard: the
+    * precondition is a pure property of the corpus snapshot, so
+    * re-running its candidate-count job on every query CONSTRUCTION
+    * (every bench trial, every plan audit) re-paid a full batch job
+    * per run for an answer that cannot change until the corpus does.
+    * A failing check caches nothing (the exception propagates), so
+    * drift on a regenerated corpus still fails loudly on every call. */
+  private val annGuardMemo = new java.util.concurrent
+    .ConcurrentHashMap[(SparkSession, String, Int), Unit]()
+  private def requireAnnCandidatesOnce(spark: SparkSession, dir: String,
+      e: DataFrame, c: DataFrame, probes: org.apache.spark.sql.Column,
+      k: Int, queryName: String): Unit = {
+    val stamp = sourceStamp(
+      java.nio.file.Paths.get(dir, "embeddings.parquet"))
+    annGuardMemo.computeIfAbsent((spark, s"$dir:$stamp", k), _ =>
+      requireAnnCandidates(e, c, probes, k, queryName))
+  }
   private def requireAnnCandidates(e: DataFrame, c: DataFrame,
       probes: org.apache.spark.sql.Column, k: Int, queryName: String): Unit = {
     val shortQueries = e.filter(col("vec_id") < 3)
@@ -818,7 +837,7 @@ object StreamingQueries {
     val c = e.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("cvec"),
       Ann.lshBucket(col("embedding"), planes).as("bucket"))
-    requireAnnCandidates(e, c, probes, k, "stream_ann_serve")
+    requireAnnCandidatesOnce(spark, dir, e, c, probes, k, "stream_ann_serve")
     // the sentinel (vec_id = −1) must SURVIVE this filter: Catalyst
     // pushes deterministic predicates below EventTimeWatermark, so a
     // `vec_id >= 0` here would hide the far-future row from watermark
