@@ -411,6 +411,12 @@ case class STEnvelopeCells(children: Seq[Expression], cellSize: Double)
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("bx", LongType), StructField("by", LongType))))
   override protected def evalNotNull(vs: Seq[Any]): Any = {
+    // EMPTY geometry (null JTS envelope, minX=0 > maxX=-1): no cells.
+    // The old 4-parse chain emitted two phantom buckets here (Spark's
+    // `sequence(0, -1)` steps DOWN) — harmless-but-wasted rows that the
+    // refine predicate always rejected (contains/intersects with an
+    // empty geometry is false), pinned by SpatialJoinSpec; the loops
+    // below simply produce none.
     val e = geom(vs(0)).getEnvelopeInternal
     val bx0 = math.floor(e.getMinX / cellSize).toLong
     val bx1 = math.floor(e.getMaxX / cellSize).toLong

@@ -89,6 +89,22 @@ class SpatialJoinSpec extends SparkSpec {
     assert(fusedCont == chainCont)
   }
 
+  test("empty geometries produce no cells and no pairs") {
+    // intersection of disjoint boxes = an EMPTY polygon (null JTS
+    // envelope). The fused explode emits zero cells for it; the old
+    // chain emitted two phantom buckets that the predicate then always
+    // rejected — either way, an empty geometry joins nothing.
+    val empt = Seq(1L).toDF("aid").select($"aid",
+      st.intersection(
+        st.makeBox(lit(0.0), lit(0.0), lit(1.0), lit(1.0)),
+        st.makeBox(lit(5.0), lit(5.0), lit(6.0), lit(6.0))).as("ga"))
+    assert(empt.select(size(st.envelopeCells($"ga", 1.0))).head().getInt(0) == 0)
+    val pts = Seq((10L, 0.5, 0.5)).toDF("bid", "px", "py")
+      .select($"bid", st.point($"px", $"py").as("gb"))
+    assert(SpatialJoin.joinContains(empt, pts, "ga", "gb", 1.0).count() == 0)
+    assert(SpatialJoin.overlayIntersection(empt, pts, "ga", "gb", 1.0).count() == 0)
+  }
+
   test("selfJoinWithinDistance equals the generic two-sided form") {
     // deterministic pseudo-random cloud spanning many cells, duplicate
     // coordinates included (ids 200..209 reuse id%10's position) so
