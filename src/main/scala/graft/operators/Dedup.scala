@@ -273,14 +273,34 @@ object Dedup {
     // same pre-partitioned+pre-sorted cache layout as
     // jaccardPairsIndexed: both refine joins key on id, so the refine
     // pays zero sets-side exchanges/sorts; the prefix and full-index
-    // consumers are map-side explodes, unaffected
+    // consumers are map-side explodes, unaffected. Kill switch
+    // (`-Dgraft.containCachePartitioned=false` / env
+    // GRAFT_CONTAIN_CACHE_PARTITIONED) reverts to the plain unhinted
+    // persist for same-JVM A/B sizing runs (tools/ContainAb).
+    val partitionedCache = sys.props.get("graft.containCachePartitioned")
+      .orElse(sys.env.get("GRAFT_CONTAIN_CACHE_PARTITIONED"))
+      .forall(_.toBoolean)
     val setsP = org.apache.spark.sql.graftbridge.Bridge
       .numShufflePartitions(df.sparkSession)
-    val sets = persistBounded(
-      df.select(col(idCol).cast("long").as("id"),
+    // like jaccardPairsIndexed the cache carries BOTH the string
+    // shingles (prefix + full-index consumers key on tokens) and their
+    // sorted-xxhash64 form (what the refine compares — r16 opt: the
+    // string-merge refine was the allocation-heavy remnant; |A∩B| over
+    // per-doc-distinct 64-bit hashes equals the string count under the
+    // same ~1e-16 collision bound the jaccard refine documents)
+    val shaped = df.select(col(idCol).cast("long").as("id"),
         shingles(col(textCol), shingleN).as("sh"))
-      .repartition(setsP, col("id")).sortWithinPartitions("id"))
-    if (eagerShingleCacheDefault(df.sparkSession)) sets.count()
+      .select(col("id"), col("sh"),
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.expressions.SortedXxHash64Array(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col("sh"))))
+          .as("shh"))
+    val sets = persistBounded(
+      if (partitionedCache)
+        shaped.repartition(setsP, col("id")).sortWithinPartitions("id")
+      else shaped)
+    if (partitionedCache && eagerShingleCacheDefault(df.sparkSession))
+      sets.count()
     // A's prefix comes from the broadcast sampled order (map-side); the
     // B side needs no rank at all — only token membership and size
     val aPrefix = prefixIndex(sets, threshold)
@@ -294,15 +314,16 @@ object Dedup {
         col("sz_b") >= col("sz_a") * threshold - 1e-9)
       .select("id_a", "id_b").distinct()
     val common = org.apache.spark.sql.graftbridge.Bridge.column(
-      graft.expressions.SortedIntersectCount(Seq(
+      graft.expressions.SortedLongIntersectCount(Seq(
         org.apache.spark.sql.graftbridge.Bridge.expression(col("sh_a")),
         org.apache.spark.sql.graftbridge.Bridge.expression(col("sh_b")))))
     cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      // shingle arrays are ascending-sorted distinct — the compiled
+      .join(sets.select(col("id").as("id_a"), col("shh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shh").as("sh_b")), "id_b")
+      // hashed arrays are ascending-sorted distinct — the compiled
       // linear-merge count equals array_intersect size without per-row
-      // hash-set builds
+      // hash-set builds, comparing 8-byte primitives instead of
+      // UTF8Strings (|shh| = |sh|, so the denominator is unchanged)
       .select(col("id_a"), col("id_b"),
         (common.cast("double") /
           greatest(size(col("sh_a")), lit(1))).as("containment"))
