@@ -123,10 +123,14 @@ object TextAnalysis {
   /** Stopword hit count over a fixed english list (quality heuristic). */
   val stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
-  def stopwordCount(text: Column): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
-    size(filter(toks, t => t.isInCollection(stopwords)))
-  }
+  def stopwordCount(text: Column): Column =
+    // one compiled pass ([[graft.expressions.MarkerCounts]]) — the
+    // filter-HOF form re-tokenized the text and ran an interpreted
+    // lambda per token (r16 opt; value parity documented there)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.MarkerCounts(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text),
+        Seq(stopwords))).getItem(0)
 
   /** Word n-grams as a MULTISET (order kept, duplicates kept — unlike
     * [[Dedup.shingles]]' sorted-distinct sets): the unit of the
@@ -276,14 +280,15 @@ object TextAnalysis {
     size(filter(toks, t => t.isInCollection(langMarkers(lang))))
   }
 
-  /** Best-scoring language, "und" when nothing matches. */
-  def languageId(text: Column): Column = {
-    val scored = langMarkers.keys.toSeq.sorted.map { l =>
-      struct(langScore(text, l).as("score"), lit(l).as("lang"))
-    }
-    // array_max on struct compares fields in order: score, then lang —
-    // ties resolve to the lexicographically-largest language code.
-    val best = array_max(array(scored: _*))
-    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
-  }
+  /** Best-scoring language, "und" when nothing matches. One compiled
+    * pass ([[graft.expressions.LangId]]) — the former column chain ran
+    * one tokenize + one interpreted filter-HOF PER LANGUAGE, then
+    * array_max over struct(score, lang); the expression reproduces
+    * exactly that scoring and tie-break (parity documented there,
+    * pinned by TextAnalysisSpec against the old chain). */
+  def languageId(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.LangId(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text),
+        langMarkers))
 }

@@ -141,4 +141,71 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.normalizeText(col("t"))).head().getString(0)
     assert(clean === "plain ascii text")
   }
+
+  /** The former (pre-r16) column chains the compiled marker
+    * expressions replaced — kept here as the parity reference. */
+  private def chainStopwordCount(text: org.apache.spark.sql.Column) = {
+    val toks = split(trim(lower(text)), "\\s+")
+    size(filter(toks, t => t.isInCollection(TextAnalysis.stopwords)))
+  }
+  private def chainLanguageId(text: org.apache.spark.sql.Column) = {
+    val scored = TextAnalysis.langMarkers.keys.toSeq.sorted.map { l =>
+      struct(TextAnalysis.langScore(text, l).as("score"), lit(l).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  test("LangId / MarkerCounts equal the former column chains") {
+    // adversarial fixtures: ties across languages (array_max tie-break
+    // resolves to the lexicographically-largest code), duplicate
+    // markers (counted per occurrence, not distinct), shared markers
+    // across languages (es/fr 'la', es/de 'es'), mixed/zero scores,
+    // whitespace padding, case folding, CJK, empty string
+    val docs = Seq(
+      "the cat and the hat",                  // en, duplicates counted
+      "der und das ist la the",               // de=4 vs en=1 vs fr=1
+      "la la la",                             // es/fr tie on 3 -> fr
+      "the der",                              // en/de tie on 1 -> de (no: en>de) -> en
+      "xyzzy plugh",                          // no marker -> und
+      "",                                     // empty -> und
+      "  The   AND   Of  ",                   // trim/case/multi-space
+      "的 是 了 在 我 有",                      // zh
+      "es es es the the the",                 // es=3 en=3 tie -> es? (en<es) -> es
+      "le la les est et que une dans")        // fr
+    val df = docs.toDF("text")
+    val both = df.select(
+      TextAnalysis.languageId(col("text")).as("got_lang"),
+      chainLanguageId(col("text")).as("exp_lang"),
+      TextAnalysis.stopwordCount(col("text")).as("got_sw"),
+      chainStopwordCount(col("text")).as("exp_sw"))
+    both.collect().zip(docs).foreach { case (r, d) =>
+      assert(r.getString(0) === r.getString(1), s"lang mismatch on '$d'")
+      assert(r.getInt(2) === r.getInt(3), s"stopword mismatch on '$d'")
+    }
+    // null text: chain yields "und" (when(NULL>0).otherwise) and NULL
+    // stopword count; the expressions must match both
+    val nullRow = df.limit(1)
+      .select(lit(null).cast("string").as("text"))
+      .select(TextAnalysis.languageId(col("text")).as("l"),
+        TextAnalysis.stopwordCount(col("text")).as("s"),
+        chainLanguageId(col("text")).as("cl"),
+        chainStopwordCount(col("text")).as("cs"))
+      .head()
+    assert(nullRow.getString(0) === "und" && nullRow.getString(2) === "und")
+    assert(nullRow.isNullAt(1) && nullRow.isNullAt(3))
+  }
+
+  test("LangId / MarkerCounts equal the former chains on real testdata") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val bad = docs.select(
+        TextAnalysis.languageId(col("text")).as("g"),
+        chainLanguageId(col("text")).as("e"),
+        TextAnalysis.stopwordCount(col("text")).as("gs"),
+        chainStopwordCount(col("text")).as("es"))
+      .filter(col("g") =!= col("e") || col("gs") =!= col("es"))
+      .count()
+    assert(bad == 0L)
+  }
 }
