@@ -16,21 +16,43 @@ import org.apache.spark.sql.functions._
   */
 object Exact {
 
+  /** The exact integer-unit sum behind [[fixedSum]]/[[fixedAvg]]:
+    * [[graft.expressions.Int128Sum]], a two-long-buffer 128-bit
+    * accumulator, emitted as decimal(38,0) so the final `.cast(double)`
+    * rounds exactly as the former `sum(decimal(38,0))` did. The stock
+    * decimal sum allocated a BigDecimal per row (precision 38 never
+    * takes Decimal's compact form) and cost ~134 ns/row — +1.5 s on
+    * geo_distance_join's 11 M refined pairs (r16, tools/DistAttr); the
+    * 128-bit form is ~8 codegen'd long ops. Non-finite units (NaN/±Inf,
+    * which the decimal cast nulled and the sum skipped) are nulled
+    * explicitly so the skip semantics survive the long cast. Per-VALUE
+    * domain is |round(c·10^dec)| < 2^63 (the helpers' stated
+    * fixed-point contract); the SUM is exact to 2^127 vs the decimal
+    * form's 10^38 — the same order of overflow headroom at 1e10+ rows. */
+  private def unitSum(c: Column, unit: Double): Column = {
+    val u = round(c * unit)
+    val safe = when(isnan(u) || u === Double.PositiveInfinity ||
+      u === Double.NegativeInfinity, lit(null)).otherwise(u).cast("long")
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.Int128Sum(Bridge.expression(safe))
+      .toAggregateExpression())
+  }
+
   /** Exact sum of a fixed-point column with `dec` decimal digits.
-    * Accumulates in decimal(38,0) so the integer sum cannot overflow at
-    * ~1e10+ rows (long units would wrap silently at 100 TB scale while
-    * the DuckDB oracle promotes to HUGEINT). The final decimal→double
-    * division is a single IEEE op, identical on both engines. */
+    * Accumulates in 128-bit integer units ([[unitSum]]) so the sum
+    * cannot overflow at ~1e10+ rows (single-long units would wrap
+    * silently at 100 TB scale while the DuckDB oracle promotes to
+    * HUGEINT). The final integer→double division is a single IEEE op,
+    * identical on both engines. */
   def fixedSum(c: Column, dec: Int): Column = {
     val unit = math.pow(10, dec)
-    sum(round(c * unit).cast("decimal(38,0)")).cast("double") / lit(unit)
+    unitSum(c, unit).cast("double") / lit(unit)
   }
 
   /** Exact mean of a fixed-point column with `dec` decimal digits. */
   def fixedAvg(c: Column, dec: Int): Column = {
     val unit = math.pow(10, dec)
-    sum(round(c * unit).cast("decimal(38,0)")).cast("double") /
-      (count(lit(1)) * lit(unit))
+    unitSum(c, unit).cast("double") / (count(lit(1)) * lit(unit))
   }
 
   /** Overflow-safe exact sum of an integer-valued column: accumulate in
