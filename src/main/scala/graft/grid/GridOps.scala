@@ -142,9 +142,12 @@ object GridOps {
     val wy = Window.partitionBy(col(cfg.timeCol), col(cfg.xCol))
       .orderBy(col(cfg.yCol)).rangeBetween(-1, 1)
     df.withColumn("__sx",
-        sum(round(col(cfg.varCol) * unit).cast("decimal(38,0)")).over(wx))
+        // Int128Sum (r16): the sliding frame re-adds ~3 values per row,
+        // and the decimal(38,0) form paid a BigDecimal add each time
+        graft.util.Exact.unitSum(col(cfg.varCol), unit).over(wx).cast("long"))
       .withColumn("__nx", count(lit(1)).over(wx))
-      .withColumn("__sxy", sum(col("__sx")).over(wy))
+      .withColumn("__sxy",
+        graft.util.Exact.int128Sum(col("__sx")).over(wy))
       .withColumn("__nxy", sum(col("__nx")).over(wy))
       .withColumn("smoothed",
         col("__sxy").cast("double") / (col("__nxy") * lit(unit)))
@@ -316,7 +319,7 @@ object GridOps {
   def anomaly(cfg: GridConfig, dec: Int): Column = {
     val unit = math.pow(10, dec)
     val w = Window.partitionBy(col(cfg.yCol), col(cfg.xCol))
-    val clim = sum(round(col(cfg.varCol) * unit).cast("decimal(38,0)")).over(w)
+    val clim = graft.util.Exact.unitSum(col(cfg.varCol), unit).over(w)
       .cast("double") / (count(lit(1)).over(w) * lit(unit))
     col(cfg.varCol) - clim
   }

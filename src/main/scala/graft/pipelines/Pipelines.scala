@@ -61,15 +61,17 @@ object Pipelines {
         // 1e-4 unit — invisible at sf0.01 group sizes, caught by the
         // sf0.1 gate (round 10). Both engines truncate identically
         // (toward zero) for the div/`//` pair.
-        sum(round(col(cfg.varCol) * 100).cast("decimal(38,0)"))
-          .cast("long").as("s100"),
+        // Int128Sum via Exact.unitSum (r16): same exact cent sum, two
+        // long buffer slots instead of a BigDecimal-backed decimal(38,0)
+        // add per row
+        Exact.unitSum(col(cfg.varCol), 100).cast("long").as("s100"),
         count(lit(1)).as("c"))
     daily.groupBy(col(cfg.yCol), col(cfg.xCol))
       .agg(
         count(lit(1)).as("n_days"),
         Exact.fixedAvg(col("dmin"), 2).as("tmin_mean"),
         Exact.fixedAvg(col("dmax"), 2).as("tmax_mean"),
-        (sum(expr("s100 * 100 div c").cast("decimal(38,0)")).cast("double") /
+        (Exact.int128Sum(expr("s100 * 100 div c")).cast("double") /
           (count(lit(1)) * lit(10000.0))).as("tmean_mean"))
   }
 

@@ -806,7 +806,7 @@ object GridQueries {
     val daily = Tables(spark, dir, "events")
       .groupBy((col("event_id") % 6).as("y"), (col("user_id") % 8).as("x"),
         col("ts").cast("date").as("day"))
-      .agg(sum(round(col("value") * 100).cast("decimal(38,0)"))
+      .agg(graft.util.Exact.unitSum(col("value"), 100)
         .cast("long").as("s100"), count(lit(1)).as("c"))
       .withColumn("dmean",
         expr("cast(s100 * 100 div c as double) / 10000.0d"))

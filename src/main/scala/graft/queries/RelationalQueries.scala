@@ -29,9 +29,9 @@ object RelationalQueries {
       .agg(
         sum("l_quantity").as("sum_qty"),
         Exact.fixedSum(col("l_extendedprice"), 2).as("sum_base_price"),
-        (sum(((round(col("l_extendedprice") * 100).cast("long")) *
+        (Exact.int128Sum((round(col("l_extendedprice") * 100).cast("long")) *
           (lit(100) - round(col("l_discount") * 100).cast("long")))
-          .cast("decimal(38,0)")).cast("double") / lit(10000.0))
+          .cast("double") / lit(10000.0))
           .as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -54,9 +54,9 @@ object RelationalQueries {
     cust.join(ord, col("c_custkey") === col("o_custkey"))
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderkey", "o_orderdate")
-      .agg((sum((round(col("l_extendedprice") * 100).cast("long") *
+      .agg((Exact.int128Sum(round(col("l_extendedprice") * 100).cast("long") *
         (lit(100) - round(col("l_discount") * 100).cast("long")))
-        .cast("decimal(38,0)")).cast("double") / lit(10000.0))
+        .cast("double") / lit(10000.0))
         .as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
@@ -86,9 +86,9 @@ object RelationalQueries {
       .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("s_nationkey") === col("c_nationkey"))
       .groupBy("r_name", "n_name")
-      .agg((sum((round(col("l_extendedprice") * 100).cast("long") *
+      .agg((Exact.int128Sum(round(col("l_extendedprice") * 100).cast("long") *
         (lit(100) - round(col("l_discount") * 100).cast("long")))
-        .cast("decimal(38,0)")).cast("double") / lit(10000.0))
+        .cast("double") / lit(10000.0))
         .as("revenue"))
       .orderBy("r_name", "n_name")
   }
@@ -126,9 +126,9 @@ object RelationalQueries {
         (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
-      .agg((sum((round(col("l_extendedprice") * 100).cast("long") *
+      .agg((Exact.int128Sum(round(col("l_extendedprice") * 100).cast("long") *
         (lit(100) - round(col("l_discount") * 100).cast("long")))
-        .cast("decimal(38,0)")).cast("double") / lit(10000.0))
+        .cast("double") / lit(10000.0))
         .as("revenue"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
@@ -161,9 +161,8 @@ object RelationalQueries {
     val ord = Tables(spark, dir, "orders")
     val li = Tables(spark, dir, "lineitem")
     val supp = Tables(spark, dir, "supplier")
-    val vol = (round(col("l_extendedprice") * 100).cast("long") *
-      (lit(100) - round(col("l_discount") * 100).cast("long")))
-      .cast("decimal(38,0)")
+    val vol = round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100) - round(col("l_discount") * 100).cast("long"))
     region.join(nationC, col("r_regionkey") === col("n_regionkey"))
       .join(cust, col("cn_key") === col("c_nationkey"))
       .join(ord, col("c_custkey") === col("o_custkey"))
@@ -172,9 +171,9 @@ object RelationalQueries {
       .join(nationS, col("s_nationkey") === col("sn_key"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
-        (sum(when(col("supp_nation") === "NATION_9", vol).otherwise(lit(0)
-          .cast("decimal(38,0)"))).cast("double") /
-          sum(vol).cast("double")).as("mkt_share"),
+        (Exact.int128Sum(when(col("supp_nation") === "NATION_9", vol)
+          .otherwise(lit(0L))).cast("double") /
+          Exact.int128Sum(vol).cast("double")).as("mkt_share"),
         count(lit(1)).as("n_items"))
       .orderBy("o_year")
   }
@@ -382,9 +381,9 @@ object RelationalQueries {
   val qWeightedMean: Q = (spark, dir) => {
     val li = Tables(spark, dir, "lineitem")
     li.agg(
-      (sum((round(col("l_extendedprice") * 100).cast("long") *
-        col("l_quantity").cast("long")).cast("decimal(38,0)")).cast("double") /
-        (sum(col("l_quantity").cast("decimal(38,0)")).cast("double") * lit(100.0)))
+      (Exact.int128Sum(round(col("l_extendedprice") * 100).cast("long") *
+        col("l_quantity").cast("long")).cast("double") /
+        (Exact.unitSum(col("l_quantity"), 1).cast("double") * lit(100.0)))
         .as("weighted_avg_price"),
       count(lit(1)).as("n"))
   }
@@ -404,12 +403,11 @@ object RelationalQueries {
       Seq("l_returnflag", "l_linestatus"), 16)(
       ("sum_qty", sum("l_quantity"), (c: Column) => sum(c)),
       ("sbp_units",
-        sum(round(col("l_extendedprice") * 100).cast("decimal(38,0)")),
+        Exact.unitSum(col("l_extendedprice"), 100),
         (c: Column) => sum(c)),
       ("sdp_units",
-        sum((round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100) - round(col("l_discount") * 100).cast("long")))
-          .cast("decimal(38,0)")),
+        Exact.int128Sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100) - round(col("l_discount") * 100).cast("long"))),
         (c: Column) => sum(c)),
       ("count_order", count(lit(1)), (c: Column) => sum(c)))
       .select(col("l_returnflag"), col("l_linestatus"),
@@ -513,9 +511,9 @@ object RelationalQueries {
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .join(nat, col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
-      .agg((sum((round(col("l_extendedprice") * 100).cast("long") *
+      .agg((Exact.int128Sum(round(col("l_extendedprice") * 100).cast("long") *
         (lit(100) - round(col("l_discount") * 100).cast("long")))
-        .cast("decimal(38,0)")).cast("double") / lit(10000.0))
+        .cast("double") / lit(10000.0))
         .as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
@@ -872,8 +870,8 @@ object RelationalQueries {
     li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg((sum((round(col("l_extendedprice") * 100).cast("long") *
-        round(col("l_discount") * 100).cast("long")).cast("decimal(38,0)"))
+      .agg((Exact.int128Sum(round(col("l_extendedprice") * 100).cast("long") *
+        round(col("l_discount") * 100).cast("long"))
         .cast("double") / lit(10000.0)).as("revenue"))
   }
 
@@ -917,13 +915,12 @@ object RelationalQueries {
       .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
     val p = Tables(spark, dir, "part")
-    val discPrice = (round(col("l_extendedprice") * 100).cast("long") *
-      (lit(100) - round(col("l_discount") * 100).cast("long")))
-      .cast("decimal(38,0)")
+    val discPrice = round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100) - round(col("l_discount") * 100).cast("long"))
     li.join(p, col("l_partkey") === col("p_partkey"))
-      .agg(((sum(when(col("p_type") === "PROMO", discPrice)
-        .otherwise(lit(0).cast("decimal(38,0)"))) * 100).cast("double") /
-        sum(discPrice).cast("double")).as("promo_revenue_pct"))
+      .agg(((Exact.int128Sum(when(col("p_type") === "PROMO", discPrice)
+        .otherwise(lit(0L))) * 100).cast("double") /
+        Exact.int128Sum(discPrice).cast("double")).as("promo_revenue_pct"))
   }
 
   val q14Sql: String =
@@ -983,9 +980,9 @@ object RelationalQueries {
           col("l_quantity").between(10, 20)) ||
         (col("p_brand") === "Brand#13" && col("p_size").between(1, 15) &&
           col("l_quantity").between(20, 30)))
-      .agg((sum((round(col("l_extendedprice") * 100).cast("long") *
+      .agg((Exact.int128Sum(round(col("l_extendedprice") * 100).cast("long") *
         (lit(100) - round(col("l_discount") * 100).cast("long")))
-        .cast("decimal(38,0)")).cast("double") / lit(10000.0))
+        .cast("double") / lit(10000.0))
         .as("revenue"))
   }
 
@@ -1100,9 +1097,9 @@ object RelationalQueries {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
     val rev = li.groupBy(col("l_suppkey"))
-      .agg(sum((round(col("l_extendedprice") * 100).cast("long") *
+      .agg(Exact.int128Sum(round(col("l_extendedprice") * 100).cast("long") *
         (lit(100) - round(col("l_discount") * 100).cast("long")))
-        .cast("decimal(38,0)")).as("rev_units"))
+        .as("rev_units"))
     val top = rev.agg(max("rev_units").as("max_units"))
     val sup = Tables(spark, dir, "supplier")
     rev.join(broadcast(top), col("rev_units") === col("max_units"))
@@ -1213,7 +1210,7 @@ object RelationalQueries {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("l_shipdate")).as("o_year"))
-      .agg(sum((revUnits - costUnits).cast("decimal(38,0)"))
+      .agg(Exact.int128Sum(revUnits - costUnits)
         .cast("long").as("profit_units"))
       .select(col("nation"), col("o_year"),
         (col("profit_units").cast("double") / lit(10000.0)).as("profit"))
@@ -1256,8 +1253,8 @@ object RelationalQueries {
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey").as("partkey"))
-      .agg(sum(valUnits.cast("decimal(38,0)")).cast("long").as("value_units"))
-    val total = perPart.agg(sum(col("value_units").cast("decimal(38,0)"))
+      .agg(Exact.int128Sum(valUnits).cast("long").as("value_units"))
+    val total = perPart.agg(Exact.int128Sum(col("value_units"))
       .cast("long").as("total_units"))
     perPart.crossJoin(broadcast(total))
       .filter(col("value_units") * 1000 > col("total_units"))

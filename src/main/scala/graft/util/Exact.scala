@@ -29,7 +29,7 @@ object Exact {
     * domain is |round(c·10^dec)| < 2^63 (the helpers' stated
     * fixed-point contract); the SUM is exact to 2^127 vs the decimal
     * form's 10^38 — the same order of overflow headroom at 1e10+ rows. */
-  private def unitSum(c: Column, unit: Double): Column = {
+  private[graft] def unitSum(c: Column, unit: Double): Column = {
     val u = round(c * unit)
     val safe = when(isnan(u) || u === Double.PositiveInfinity ||
       u === Double.NegativeInfinity, lit(null)).otherwise(u).cast("long")
@@ -53,6 +53,16 @@ object Exact {
   def fixedAvg(c: Column, dec: Int): Column = {
     val unit = math.pow(10, dec)
     unitSum(c, unit).cast("double") / (count(lit(1)) * lit(unit))
+  }
+
+  /** Exact 128-bit sum of an integral LONG column, emitted as
+    * decimal(38,0) — the allocation-free replacement for
+    * `sum(cast(v as decimal(38,0)))` when the input is already a long
+    * ([[unitSum]] is the fixed-point-double front end). */
+  def int128Sum(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.Int128Sum(Bridge.expression(c))
+      .toAggregateExpression())
   }
 
   /** Overflow-safe exact sum of an integer-valued column: accumulate in
