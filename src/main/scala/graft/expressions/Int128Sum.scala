@@ -33,7 +33,8 @@ case class Int128Sum(child: Expression)
   override def dataType: DataType = DecimalType(38, 0)
 
   // a non-long child would silently mis-add through the bitwise carry
-  // ops — reject at analysis time (the SortedLongIntersectCount rule)
+  // ops — reject at analysis time, right here in this expression's
+  // checkInputDataTypes
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult

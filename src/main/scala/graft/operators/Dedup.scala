@@ -256,7 +256,10 @@ object Dedup {
     refineJaccardHashed(cand, sets.select(col("id"), col("shh")), threshold)
   }
 
-  /** Exact CONTAINMENT pairs — the asymmetric near-dup mode Jaccard
+  /** CONTAINMENT pairs — exact up to the refine's sorted-xxhash64
+    * intersection count (a per-pair collision probability of ~1e-16,
+    * the same bound the jaccard refine documents) — the asymmetric
+    * near-dup mode Jaccard
     * misses: `|A∩B| / |A| ≥ t` flags A as (near-)contained in B (a doc
     * quoted wholesale inside a larger one, a page embedded in an
     * aggregator). Same rarity-ordered machinery as
@@ -277,9 +280,12 @@ object Dedup {
     // (`-Dgraft.containCachePartitioned=false` / env
     // GRAFT_CONTAIN_CACHE_PARTITIONED) reverts to the plain unhinted
     // persist for same-JVM A/B sizing runs (tools/ContainAb).
+    // tolerant parse: anything other than case-insensitive "false"
+    // (including malformed values) keeps the default — a bad env var
+    // must not crash query construction (ADVICE r16)
     val partitionedCache = sys.props.get("graft.containCachePartitioned")
       .orElse(sys.env.get("GRAFT_CONTAIN_CACHE_PARTITIONED"))
-      .forall(_.toBoolean)
+      .forall(!_.equalsIgnoreCase("false"))
     val setsP = org.apache.spark.sql.graftbridge.Bridge
       .numShufflePartitions(df.sparkSession)
     // like jaccardPairsIndexed the cache carries BOTH the string

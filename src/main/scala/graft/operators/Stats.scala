@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * closed form afterwards. No per-group value collection, no MLlib
   * model loop, no second scan.
   *
-  * Exactness contract: inputs are integral (callers fix the units —
-  * cents, epoch days), sums accumulate in decimal(38,0) (the long
-  * units would wrap silently at 100 TB while the SQL oracle promotes
-  * to 128-bit), and the emitted slope/intercept are fixed-point
+  * Exactness contract: inputs are integral longs (callers fix the
+  * units — cents, epoch days), sums and sums-of-products accumulate
+  * in 128-bit integer pairs (single-long units would wrap silently at
+  * 100 TB while the SQL oracle promotes to HUGEINT; decimal(38,0)
+  * would allocate a BigDecimal per row), and the emitted
+  * slope/intercept are fixed-point
   * integers via integral division — `a div b` truncates toward zero
   * in Spark exactly as `//` does on DuckDB's HUGEINT, and a
   * degenerate (zero-variance) group yields NULL in both (`nullif`
@@ -42,15 +44,23 @@ object Stats {
       yCol: String): DataFrame = {
     require(keys.nonEmpty, "need at least one grouping key")
     val dec = "decimal(38,0)"
-    val x = col(xCol).cast(dec)
-    val y = col(yCol).cast(dec)
+    // Integral-input contract (callers fix units — cents, epoch days,
+    // both declared callers pass LONG columns): accumulate the five
+    // sufficient statistics in 128-bit long-pair aggregates
+    // ([[graft.expressions.Int128Sum]]/[[Int128SumProduct]], r17 —
+    // the per-row decimal(38,0) x·x / x·y MULTIPLIES were the last
+    // BigDecimal-per-row arithmetic in any hot path; same 2^127-class
+    // headroom, same decimal(38,0) emit). The per-GROUP closed-form
+    // math below stays decimal — one row per group, exact.
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
     df.groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).cast(dec).as("n"),
-        sum(x).as("sx"),
-        sum(y).as("sy"),
-        sum(x * x).as("sxx"),
-        sum(x * y).as("sxy"))
+        graft.util.Exact.int128Sum(x).as("sx"),
+        graft.util.Exact.int128Sum(y).as("sy"),
+        graft.util.Exact.int128SumProduct(x, x).as("sxx"),
+        graft.util.Exact.int128SumProduct(x, y).as("sxy"))
       .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
       .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
       .select(keys.map(col) ++ Seq(

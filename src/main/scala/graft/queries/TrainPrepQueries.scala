@@ -127,15 +127,21 @@ object TrainPrepQueries {
       .select(col("doc_id"), md5(col("text")).as("digest"))
       .groupBy("digest").agg(min("doc_id").as("doc_id"))
       .select(col("doc_id"), lit(true).as("keep_exact"))
-    val exact = quality.select(col("doc_id"), col("text"))
-      .join(winners, Seq("doc_id"), "left")
-      .withColumn("keep_exact", coalesce(col("keep_exact"), lit(false)))
-    val survivors = exact.filter(col("keep_exact"))
-      .select(col("doc_id"), col("text"))
+    // keep_exact ≡ "doc_id is a winner": winners are quality docs by
+    // construction, so the verdict stage joins the compact winner frame
+    // DIRECTLY (left join, null → false below) instead of routing
+    // through a corpus-wide (quality ⋈ winners) intermediate — that
+    // intermediate fed the verdict a second full-corpus join AND
+    // duplicated the winner subtree in the plan (r17 fusion, VERDICT
+    // r16 Next #4). The near-dup input keeps the text column via a
+    // semi join on the same compact frame (winner ids are unique — one
+    // min per digest — so semi ≡ the old inner-join-then-filter).
+    val survivors = quality.select(col("doc_id"), col("text"))
+      .join(winners.select("doc_id"), Seq("doc_id"), "left_semi")
     val dupIds = Dedup.minhashNearDups(survivors, "doc_id", "text", 3, 0.5)
       .select(col("id_b").as("dup_id")).distinct()
     flags.select(col("doc_id"), col("lang_pred"), col("keep_quality"))
-      .join(exact.select(col("doc_id"), col("keep_exact")), Seq("doc_id"), "left")
+      .join(winners, Seq("doc_id"), "left")
       .join(dupIds, col("doc_id") === col("dup_id"), "left")
       .select(col("doc_id"), col("lang_pred"), col("keep_quality"),
         coalesce(col("keep_exact"), lit(false)).as("keep_exact"),

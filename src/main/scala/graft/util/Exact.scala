@@ -31,8 +31,13 @@ object Exact {
     * form's 10^38 — the same order of overflow headroom at 1e10+ rows. */
   private[graft] def unitSum(c: Column, unit: Double): Column = {
     val u = round(c * unit)
-    val safe = when(isnan(u) || u === Double.PositiveInfinity ||
-      u === Double.NegativeInfinity, lit(null)).otherwise(u).cast("long")
+    // Null out non-finite units AND finite units outside the long
+    // domain (|u| >= 2^63): the old decimal(38,0) cast skipped the
+    // former, and the double→long cast would silently saturate the
+    // latter to Long.Min/MaxValue (legacy mode), corrupting the sum
+    // for out-of-contract values instead of skipping them (ADVICE r16).
+    val safe = when(isnan(u) || abs(u) >= 9.223372036854776e18, lit(null))
+      .otherwise(u).cast("long")
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(graft.expressions.Int128Sum(Bridge.expression(safe))
       .toAggregateExpression())
@@ -65,10 +70,17 @@ object Exact {
       .toAggregateExpression())
   }
 
-  /** Overflow-safe exact sum of an integer-valued column: accumulate in
-    * decimal(38,0), emit double (one rounding step, both engines agree). */
-  def longSum(c: Column): Column =
-    sum(c.cast("decimal(38,0)")).cast("double")
+  /** Exact 128-bit Σ(x·y) of two integral LONG columns, emitted as
+    * decimal(38,0) — the allocation-free replacement for
+    * `sum(cast(x as decimal(38,0)) * cast(y as decimal(38,0)))`: the
+    * per-row product is a codegen'd 64×64→128-bit mulhi instead of a
+    * BigDecimal multiply ([[graft.expressions.Int128SumProduct]]). */
+  def int128SumProduct(x: Column, y: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.Int128SumProduct(
+        Bridge.expression(x), Bridge.expression(y))
+      .toAggregateExpression())
+  }
 
   /** SQL fragment equivalents for the DuckDB oracle. */
   def sqlFixedSum(expr: String, dec: Int): String = {
