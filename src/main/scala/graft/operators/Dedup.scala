@@ -406,6 +406,27 @@ object Dedup {
     * lose true pairs without a signal). */
   private[operators] def pairsFromBuckets(memb: DataFrame, bucketCols: Seq[String],
       maxBucket: Int, dedup: Boolean = true): DataFrame = {
+    val mf = guardedBuckets(memb, bucketCols, maxBucket)
+    val raw = mf.select((col("id").as("id_a") +: bucketCols.map(col)): _*)
+      .join(mf.select((col("id").as("id_b") +: bucketCols.map(col)): _*), bucketCols)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    // dedup=false hands the caller the RAW per-bucket emissions (one
+    // row per colliding bucket, ~11 copies per high-similarity pair at
+    // 16 bands) so it can fuse the dedup into a partitioning it needs
+    // anyway — minhashNearDups folds it into the refine's hash(id_a)
+    // clustering, saving the standalone distinct's exchange round.
+    if (dedup) raw.distinct() else raw
+  }
+
+  /** Internal: the guarded, pre-partitioned bucket-membership cache the
+    * pair self-joins consume — shared by [[pairsFromBuckets]] (minhash)
+    * and the fused simhash refine, which needs the SAME guard/cache
+    * discipline but carries extra columns (the fingerprint) through the
+    * self-join. Keeps every column of `memb` besides the transient
+    * window count. */
+  private[operators] def guardedBuckets(memb: DataFrame, bucketCols: Seq[String],
+      maxBucket: Int): DataFrame = {
     // bucket-size guard via a windowed count — one shuffle on the bucket
     // key, reused by the self-join below (no groupBy + semi-join round
     // trip; the window needs no ordering so no sort beyond the shuffle)
@@ -449,16 +470,7 @@ object Dedup {
       .orElse(sys.env.get("GRAFT_EAGER_BUCKET_CACHE"))
       .forall(_.toBoolean)
     if (eagerBucket) mf.count()
-    val raw = mf.select((col("id").as("id_a") +: bucketCols.map(col)): _*)
-      .join(mf.select((col("id").as("id_b") +: bucketCols.map(col)): _*), bucketCols)
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-    // dedup=false hands the caller the RAW per-bucket emissions (one
-    // row per colliding bucket, ~11 copies per high-similarity pair at
-    // 16 bands) so it can fuse the dedup into a partitioning it needs
-    // anyway — minhashNearDups folds it into the refine's hash(id_a)
-    // clustering, saving the standalone distinct's exchange round.
-    if (dedup) raw.distinct() else raw
+    mf
   }
 
   /** The buckets [[pairsFromBuckets]]'s size guard would DROP (size >
@@ -1279,22 +1291,47 @@ object Dedup {
     * no cross join. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 6, bits: Int = 32, maxBucket: Int = 4096): DataFrame = {
-    // fp feeds band membership AND both hamming-refine joins
-    val fp = persistBounded(simhashFingerprints(df, idCol, textCol, bits))
-    val bandCols = hammingBands(bits, maxDist).zipWithIndex.map {
+    val fp = simhashFingerprints(df, idCol, textCol, bits)
+    val bands = hammingBands(bits, maxDist)
+    val bandCols = bands.zipWithIndex.map {
       case ((off, w), i) =>
         struct(lit(i).as("band"),
           shiftright(col("fp"), off).bitwiseAND((1L << w) - 1L).as("bval"))
     }
-    val memb = fp.select(col("id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.bval").as("bval"))
-    val cand = pairsFromBuckets(memb, Seq("band", "bval"), maxBucket)
-    val a = fp.select(col("id").as("id_a"), col("fp").as("fp_a"))
-    val b = fp.select(col("id").as("id_b"), col("fp").as("fp_b"))
-    cand.join(a, "id_a").join(b, "id_b")
+    // FUSED refine (r17): the 8-byte fingerprint rides the band
+    // membership through the guarded bucket cache, so the hamming check
+    // runs INSIDE the bucket self-join's output — on the raw per-band
+    // emissions, BEFORE any dedup — instead of after a distinct over
+    // the (band-count × pair) candidate stream plus two join-backs to
+    // the fingerprint frame (the pre-r17 shape: distinct's
+    // HashAgg+Exchange+HashAgg over every raw candidate, then
+    // cand⋈fp⋈fp). Exactly-once without distinct: a surviving pair is
+    // kept only in its FIRST colliding band — both fingerprints are in
+    // hand, so `first_band` recomputes each band value pair in codegen
+    // (pigeonhole guarantees a colliding band exists whenever
+    // hamming ≤ maxDist, so the coalesce is non-null for every kept
+    // row). Guard/cache discipline identical to minhash
+    // ([[guardedBuckets]]).
+    val memb = fp.select(col("id"), col("fp"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col("id"), col("fp"),
+        col("b.band").as("band"), col("b.bval").as("bval"))
+    val mf = guardedBuckets(memb, Seq("band", "bval"), maxBucket)
+    val firstBand = coalesce(bands.zipWithIndex.map { case ((off, w), i) =>
+      val m = (1L << w) - 1L
+      when(shiftright(col("fp_a"), off).bitwiseAND(m) ===
+        shiftright(col("fp_b"), off).bitwiseAND(m), lit(i))
+    }: _*)
+    mf.select(col("id").as("id_a"), col("fp").as("fp_a"),
+        col("band"), col("bval"))
+      .join(mf.select(col("id").as("id_b"), col("fp").as("fp_b"),
+        col("band"), col("bval")), Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        hammingDist(col("fp_a"), col("fp_b")).as("hamming"))
-      .filter(col("hamming") <= maxDist)
+        hammingDist(col("fp_a"), col("fp_b")).as("hamming"),
+        col("band"), firstBand.as("__fb"))
+      .filter(col("hamming") <= maxDist && col("band") === col("__fb"))
+      .select("id_a", "id_b", "hamming")
   }
 
   /** Benchmark DECONTAMINATION: flag corpus documents that share at
