@@ -878,9 +878,14 @@ object ScaleBench {
       val pts = spark.range(n.toLong * n).select(col("id"),
         st.point((col("id") % n).cast("double"),
           (col("id") / n).cast("long").cast("double")).as("pt"))
-      SpatialJoin.joinWithinDistance(pts, "id", "pt", pts, "id", "pt",
+      // r17: the declared geo_distance_join moved to the forward-cell
+      // self join in r16 (each unordered pair refined once); the canary
+      // follows so it measures the shipped operator. SpatialJoinSpec
+      // pins self == generic + id_a<id_b filter; the exact planted
+      // lattice assertion below re-proves it at 1M points every run.
+      SpatialJoin.selfJoinWithinDistance(pts, "id", "pt",
           d = 1.5, cellSize = 1.5)
-        .filter(col("id_a") < col("id_b")).count()
+        .count()
     }
     assert(distPairs == 2L * n * (n - 1) + 2L * (n - 1) * (n - 1),
       s"expected exact lattice neighbor pairs: $distPairs")
